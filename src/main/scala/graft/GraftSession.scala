@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession factory for the graft engine.
+  *
+  * Centralizes the confs every entry point (Verify, Bench, tests) needs:
+  *  - shuffle partitions sized to local cores (not the 200 default);
+  *  - AQE on (runtime re-plan, skew-join handling at scale);
+  *  - UTC session time zone (oracle parity with DuckDB);
+  *  - `nanosAsLong` so the driver's nanosecond-precision parquet
+  *    (`events.ts`) is readable — Spark has no ns timestamp type, so we
+  *    read raw long nanos and derive µs explicitly (see [[Tables.events]]).
+  */
+object GraftSession {
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 32): SparkSession = {
+    val spark = builder(cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Probe: driver-style smoke — SparkEntry.entry on a VANILLA session
+  * (no graft confs), as the external driver may construct it. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = SparkEntry.entry(spark).count()
+    println(s"PROBE entry rows=$n")
+    spark.stop()
+  }
+}

@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY §2 (or a
+  * beyond-reference LLM-pipeline operator) expressed through the graft
+  * library; [[oracleSql]] carries the equivalent DuckDB SQL for the
+  * driver's correctness gate. Query packs live in `graft.queries`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * (Kept off the `events` table: it must run on any plain session,
+    * and `events` needs the nanosAsLong conf from [[GraftSession]].) */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    RelationalQueries.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++
+      TimeSeriesQueries.queries ++
+      GridQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++
+      TimeSeriesQueries.oracles ++
+      GridQueries.oracles
 }

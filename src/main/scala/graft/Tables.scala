@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-supplied parquet tables (see /root/repo/TESTDATA.md).
+  *
+  * All queries take a scale-factor directory and read parquet directly so
+  * Catalyst can push filters / prune columns into the scan.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with `us`: event time as epoch MICROseconds (long).
+    *
+    * The driver writes `ts` with nanosecond precision; Spark reads it as a
+    * long (nanos) under `nanosAsLong`. `ts div 1000` is integral division,
+    * i.e. truncation — byte-identical to DuckDB's TIMESTAMP_NS → TIMESTAMP
+    * conversion, which the oracle side sees. (A double division would lose
+    * precision above 2^53 ns.)
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").withColumn("us", expr("ts div 1000"))
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scan-time normalization transforms (SURVEY §2.4):
+  * sentinel→null/NaN rewriting (`utils/transform.py:341-369`), longitude
+  * wrap-around (`utils/convenience.py:515-534`), data-variable rename
+  * (`utils/metadata.py:621-644`). All are codegen'd column expressions —
+  * they ride inside the scan stage, costing nothing extra at 100 TB.
+  */
+object Normalize {
+
+  /** Replace the declared missing-value sentinel with null so downstream
+    * aggregates skip it — the tall-layout analog of rewriting Zarr
+    * `fill_value` (`utils/transform.py:341-369`). */
+  def sentinelToNull(df: DataFrame, valueCol: String, sentinel: Column): DataFrame =
+    df.withColumn(valueCol, when(col(valueCol) === sentinel, lit(null)).otherwise(col(valueCol)))
+
+  /** Same, but condition-based (e.g. "values above the physical bound are
+    * missing"). */
+  def missingWhen(df: DataFrame, valueCol: String, isMissing: Column): DataFrame =
+    df.withColumn(valueCol, when(isMissing, lit(null)).otherwise(col(valueCol)))
+
+  /** Normalize longitudes from [0, 360) to [−180, 180)
+    * (`utils/convenience.py:515-534`). The double-mod form is total for
+    * negative inputs too (Spark/DuckDB `%` both keep the dividend's sign). */
+  def wrapLongitude(lon: Column): Column =
+    (((lon + lit(180.0)) % lit(360.0) + lit(360.0)) % lit(360.0)) - lit(180.0)
+
+  /** Rename the first data variable to the declared name; no-op if already
+    * present (`utils/metadata.py:621-644`). */
+  def renameDataVar(df: DataFrame, from: String, to: String): DataFrame =
+    if (df.columns.contains(to) || !df.columns.contains(from)) df
+    else df.withColumnRenamed(from, to)
+}

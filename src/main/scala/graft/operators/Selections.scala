@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Selection operators mirroring the reference's `.sel(...)` surface
+  * (SURVEY §2.4): exact point select, range slice, nearest-with-tolerance,
+  * and regular-grid snapping.
+  *
+  * All of these stay declarative so Catalyst pushes the predicates into the
+  * parquet scan (partition pruning + row-group min/max skipping at scale).
+  */
+object Selections {
+
+  /** Exact point select — `ds.sel(**coords)` (`utils/publish.py:863`).
+    * Equality on every key hits one partition via pruning. */
+  def pointSelect(df: DataFrame, coords: Map[String, Any]): DataFrame =
+    coords.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+
+  /** Range slice — `ds.sel(time=slice(a, b))` (`utils/publish.py:355`). */
+  def timeSlice(df: DataFrame, key: String, start: Any, end: Any): DataFrame =
+    df.filter(col(key).between(lit(start), lit(end)))
+
+  /** Nearest row to `target` per group, within `tolerance` —
+    * `sel(method="nearest", tolerance=...)` (`utils/publish.py:864`).
+    * Irregular-axis fallback: rank by |key − target| and keep the winner.
+    * For regular grids prefer [[gridSnap]] (O(1) arithmetic, no sort).
+    */
+  def nearest(df: DataFrame, groupKey: String, key: String, tieBreak: String,
+              target: Long, tolerance: Long): DataFrame = {
+    val dist = abs(col(key) - lit(target))
+    val w = Window.partitionBy(groupKey).orderBy(dist, col(tieBreak))
+    df.withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("dist") <= lit(tolerance))
+      .drop("rn")
+  }
+
+  /** Snap a coordinate to a regular grid: `floor((v − origin) / step)`.
+    * The reference's nearest-neighbor lookups exploit the same regular-grid
+    * property (SURVEY §7 "hard part 2") — constant-time, no join, stays in
+    * whole-stage codegen. */
+  def gridCell(v: Column, origin: Double, step: Double): Column =
+    floor((v - lit(origin)) / lit(step)).cast("long")
+}

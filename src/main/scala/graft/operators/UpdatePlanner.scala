@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental-update planning over a time axis.
+  *
+  * Re-expresses the reference's update planner
+  * (`utils/publish.py:303-330` `prepare_update_times`,
+  * `utils/publish.py:432-495` contiguous-region detection) as Spark set
+  * logic + gaps-and-islands window queries.
+  *
+  * Scale note: these operate on the *distinct time axis*, which is small by
+  * construction (the reference holds it in driver memory as a coordinate
+  * array — ~10^4..10^6 values even for 100 TB of cell data). The
+  * un-partitioned `Window.orderBy` here is therefore deliberate and safe;
+  * cell-level data never flows through these plans.
+  */
+object UpdatePlanner {
+
+  /** Times present in BOTH update and existing → in-place insert (region
+    * overwrite). `publish.py:303-318`. Broadcast-friendly semi join. */
+  def insertTimes(update: DataFrame, existing: DataFrame, key: String): DataFrame =
+    update.select(key).distinct()
+      .join(existing.select(key).distinct(), Seq(key), "left_semi")
+
+  /** Times only in the update → append. `publish.py:319-330`. */
+  def appendTimes(update: DataFrame, existing: DataFrame, key: String): DataFrame =
+    update.select(key).distinct()
+      .join(existing.select(key).distinct(), Seq(key), "left_anti")
+
+  /** Group a set of (integral) time keys into contiguous runs: any gap
+    * larger than `step` starts a new region. Returns one row per region
+    * with `start`, `end`, `n` — the analog of the reference's
+    * shift/diff-based insert-slice planner (`publish.py:432-495`), done as
+    * classic gaps-and-islands.
+    */
+  def contiguousRegions(times: DataFrame, key: String, step: Long): DataFrame = {
+    val w = Window.orderBy(key)
+    times.select(col(key)).distinct()
+      .withColumn("delta", col(key) - lag(col(key), 1).over(w))
+      .withColumn("newgrp",
+        when(col("delta").isNull || col("delta") > step, lit(1)).otherwise(lit(0)))
+      .withColumn("grp",
+        sum("newgrp").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("grp")
+      .agg(min(key).as("start"), max(key).as("end"), count(lit(1)).as("n"))
+      .select("start", "end", "n")
+  }
+
+  /** Per-key cadence/contiguity summary: number of gaps above `maxStep`
+    * and the largest observed delta (`publish.py:654-696` analog,
+    * vectorized per series instead of a driver-side loop).
+    */
+  def contiguityReport(df: DataFrame, seriesKey: String, timeKey: String,
+                       tieBreak: String, maxStep: Long): DataFrame = {
+    val w = Window.partitionBy(seriesKey).orderBy(col(timeKey), col(tieBreak))
+    df.withColumn("delta", col(timeKey) - lag(col(timeKey), 1).over(w))
+      .filter(col("delta").isNotNull)
+      .groupBy(seriesKey)
+      .agg(
+        count(when(col("delta") > maxStep, lit(1))).as("n_gaps"),
+        max("delta").as("max_delta"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.qc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's quality-check suite (SURVEY §2.12), re-expressed as
+  * declarative Spark aggregations so every check is a single distributed
+  * pass (the reference loops over 100 sampled cells driver-side;
+  * at 100 TB a full-scan aggregate on Spark is cheaper than its sampled
+  * python loop at GB scale).
+  */
+object QualityChecks {
+
+  /** z for the reference's alpha = 1e-5 binomial interval
+    * (`utils/publish.py:977-1028`). */
+  val Z_ALPHA_1E5 = 4.417173413469023
+
+  /** Wilson score interval bounds for a proportion, as columns.
+    * Mirrors the statsmodels `proportion_confint` role in
+    * `publish.py:998-1005`; implemented closed-form (no external dep).
+    * `phat` and `nd` must be DOUBLE columns; the expression tree is kept
+    * structurally identical to the SQL oracle so results are bit-equal.
+    */
+  def wilson(phat: Column, nd: Column, z: Double): (Column, Column) = {
+    val zc = lit(z)
+    val z2 = zc * zc
+    val denom = lit(1.0) + z2 / nd
+    val center = phat + z2 / (lit(2.0) * nd)
+    val half = zc * sqrt(phat * (lit(1.0) - phat) / nd + z2 / (lit(4.0) * nd * nd))
+    ((center - half) / denom, (center + half) / denom)
+  }
+
+  /** NaN/missing-frequency check per group (`publish.py:577-602`):
+    * observed missing fraction with Wilson CI at alpha=1e-5. The caller
+    * compares `expected` against [ci_lo, ci_hi] — outside ⇒
+    * NanFrequencyMismatch. */
+  def missingFrequency(df: DataFrame, groupKey: String, isMissing: Column,
+                       z: Double = Z_ALPHA_1E5): DataFrame = {
+    val base = df.groupBy(groupKey)
+      .agg(count(lit(1)).as("n"),
+        count(when(isMissing, lit(1))).as("n_missing"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("phat", col("n_missing").cast("double") / col("n").cast("double"))
+    val (lo, hi) = wilson(col("phat"), col("nd"), z)
+    base.withColumn("ci_lo", lo).withColumn("ci_hi", hi).drop("nd")
+  }
+
+  /** Extreme-value bounds check per group (`publish.py:567-575`,
+    * EXTREME_VALUES_BY_UNIT): count of out-of-range values. */
+  def extremeValues(df: DataFrame, groupKey: String, valueCol: String,
+                    lo: Double, hi: Double): DataFrame =
+    df.groupBy(groupKey)
+      .agg(
+        count(when(col(valueCol) < lo || col(valueCol) > hi, lit(1))).as("n_extreme"),
+        count(lit(1)).as("n"))
+
+  /** Post-parse read-back verification (`publish.py:824-894`): equi-join
+    * original vs written on the coordinate key and flag cells whose values
+    * differ beyond `tolerance` or whose null-ness disagrees. */
+  def valueCompare(orig: DataFrame, written: DataFrame, keys: Seq[String],
+                   valueCol: String, tolerance: Double): DataFrame = {
+    val o = orig.select((keys.map(col) :+ col(valueCol).as("v_orig")): _*)
+    val p = written.select((keys.map(col) :+ col(valueCol).as("v_written")): _*)
+    o.join(p, keys)
+      .filter(
+        (col("v_orig").isNull =!= col("v_written").isNull) ||
+        (abs(col("v_orig") - col("v_written")) > tolerance))
+  }
+}

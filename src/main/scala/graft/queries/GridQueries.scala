@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Normalize, Selections}
+import graft.qc.QualityChecks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gridded-domain operators (SURVEY §2.4/§2.6/§2.12) exercised on synthetic
+  * coordinates derived deterministically from `events` columns: longitude
+  * wrap-around, regular-grid snapping, sentinel→missing rewriting,
+  * extreme-value QC and the binomial NaN-frequency check.
+  *
+  * Per-row arithmetic is written with the exact same operation order as the
+  * DuckDB oracle so doubles are bit-identical (no rounding needed);
+  * aggregate sums go through DECIMAL.
+  */
+object GridQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Longitude normalization (`convenience.py:515-534`).
+    "q17_lon_wrap" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("lon", Normalize.wrapLongitude(col("value") * 3.7 - 250.0))
+        .select("event_id", "lon")
+        .orderBy("event_id")
+    }),
+
+    // Regular-grid nearest-cell snap (SURVEY §7 hard part 2):
+    // round((v - origin)/step) beats any join on a regular axis.
+    "q18_grid_snap" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("lat", (col("value") - 100.0) / 2.0)
+        .withColumn("cell", Selections.gridCell(col("lat"), -90.0, 0.25))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), min("lat").as("min_lat"), max("lat").as("max_lat"))
+        .orderBy("cell")
+    }),
+
+    // Sentinel→missing rewrite (`transform.py:341-369`) + missing stats.
+    "q19_sentinel_missing" -> ((s, dir) => {
+      val e = Normalize.missingWhen(Tables.events(s, dir), "value", col("value") > 195.0)
+      e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value").isNull, lit(1))).as("n_missing"))
+        .withColumn("frac", col("n_missing").cast("double") / col("n").cast("double"))
+        .orderBy("event_type")
+    }),
+
+    // Extreme-value QC (`publish.py:567-575`).
+    "q20_extreme_bounds" -> ((s, dir) => {
+      QualityChecks.extremeValues(Tables.events(s, dir), "event_type", "value", 1.0, 190.0)
+        .orderBy("event_type")
+    }),
+
+    // Binomial NaN-frequency check with Wilson CI (`publish.py:977-1028`).
+    "q21_nan_binomial" -> ((s, dir) => {
+      QualityChecks.missingFrequency(
+          Tables.events(s, dir), "event_type", col("value") > 195.0)
+        .select("event_type", "n", "n_missing", "phat", "ci_lo", "ci_hi")
+        .orderBy("event_type")
+    }),
+
+    // Spatial/temporal extent aggregation (`convenience.py:444-464`, bbox).
+    "q27_extent" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("lat", (col("value") - 100.0) / 2.0)
+        .withColumn("lon", Normalize.wrapLongitude(col("value") * 3.7 - 250.0))
+        .agg(
+          min("lat").as("lat_min"), max("lat").as("lat_max"),
+          min("lon").as("lon_min"), max("lon").as("lon_max"),
+          min("us").as("t_min"), max("us").as("t_max"),
+          count(lit(1)).as("n"))
+    }))
+
+  private val wilsonSql: String = {
+    val z = "4.417173413469023"
+    s"""((phat + ($z * $z) / (2.0 * nd)) - $z * sqrt(phat * (1.0 - phat) / nd + ($z * $z) / (4.0 * nd * nd))) / (1.0 + ($z * $z) / nd) AS ci_lo,
+       |  ((phat + ($z * $z) / (2.0 * nd)) + $z * sqrt(phat * (1.0 - phat) / nd + ($z * $z) / (4.0 * nd * nd))) / (1.0 + ($z * $z) / nd) AS ci_hi""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q17_lon_wrap" ->
+      """SELECT event_id,
+        |  ((((value * 3.7 - 250.0) + 180.0) % 360.0 + 360.0) % 360.0) - 180.0 AS lon
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q18_grid_snap" ->
+      """WITH e AS (SELECT (value - 100.0) / 2.0 AS lat FROM events)
+        |SELECT CAST(FLOOR((lat - -90.0) / 0.25) AS BIGINT) AS cell, COUNT(*) AS n,
+        |  MIN(lat) AS min_lat, MAX(lat) AS max_lat
+        |FROM e GROUP BY cell ORDER BY cell""".stripMargin,
+    "q19_sentinel_missing" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN value > 195.0 THEN NULL ELSE value END AS value FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(CASE WHEN value IS NULL THEN 1 END) AS n_missing,
+        |  CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q20_extreme_bounds" ->
+      """SELECT event_type,
+        |  COUNT(CASE WHEN value < 1.0 OR value > 190.0 THEN 1 END) AS n_extreme,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_nan_binomial" ->
+      s"""WITH b AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    COUNT(CASE WHEN value > 195.0 THEN 1 END) AS n_missing
+         |  FROM events GROUP BY event_type),
+         |c AS (
+         |  SELECT event_type, n, n_missing, CAST(n AS DOUBLE) AS nd,
+         |    CAST(n_missing AS DOUBLE) / CAST(n AS DOUBLE) AS phat
+         |  FROM b)
+         |SELECT event_type, n, n_missing, phat,
+         |  $wilsonSql
+         |FROM c ORDER BY event_type""".stripMargin,
+    "q27_extent" ->
+      """WITH e AS (SELECT
+        |    (value - 100.0) / 2.0 AS lat,
+        |    ((((value * 3.7 - 250.0) + 180.0) % 360.0 + 360.0) % 360.0) - 180.0 AS lon,
+        |    epoch_us(ts) AS us
+        |  FROM events)
+        |SELECT MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+        |  MIN(lon) AS lon_min, MAX(lon) AS lon_max,
+        |  MIN(us) AS t_min, MAX(us) AS t_max, COUNT(*) AS n
+        |FROM e""".stripMargin)
+}

@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** General relational surface (SURVEY §2.5/§2.6 "engine still exposes
+  * `ds.join(...)`/`groupBy` generally"): scan+filter pushdown, hash/broadcast
+  * joins, semi/anti set logic, group-by aggregates, rollup, distinct.
+  *
+  * Oracle-parity conventions used across all query packs:
+  *  - money sums go through DECIMAL (exact, order-independent) and are cast
+  *    to DOUBLE at the end — Spark's and DuckDB's double-sum would otherwise
+  *    differ in the last bits from accumulation order;
+  *  - integer sums are COUNT/CAST-to-BIGINT (DuckDB's SUM(int) is HUGEINT);
+  *  - every query ends in a total ORDER BY so row order is deterministic.
+  */
+object RelationalQueries {
+  private val D2 = DecimalType(18, 2)
+  private val D6 = DecimalType(18, 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: single-pass scan + grouped aggregate (partial agg map-side).
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(D2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D2)).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6))
+            .cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(D6))
+            .cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3 shape: 3-way join, small sides broadcast, top-k.
+    "q02_top_revenue" -> ((s, dir) => {
+      val cust = Tables.table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Broadcast dimension join (read-once shared dims, SURVEY §4).
+    "q03_brand_volume" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      val part = Tables.table(s, dir, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(col("l_quantity").cast(D2)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+
+    // Left-semi join: the insert-times set op (`publish.py:303-318`).
+    "q04_semi_join" -> ((s, dir) => {
+      val ord = Tables.table(s, dir, "orders")
+      val li = Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("2000-06-01").cast("timestamp"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey")
+    }),
+
+    // Left-anti join: the append-times set op (`publish.py:319-330`).
+    "q05_anti_join" -> ((s, dir) => {
+      val cust = Tables.table(s, dir, "customer")
+      val ord = Tables.table(s, dir, "orders")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // TPC-H Q6 shape: highly selective filter; predicates must reach the scan.
+    "q06_selective_filter" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice") * col("l_discount")).cast(D6))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Exact distinct counts per group.
+    "q07_distinct_counts" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Rollup (subtotal hierarchy).
+    "q08_rollup" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"))
+        .orderBy("rf", "ls")
+    }),
+
+    // Date formatting round-trip (`utils/convenience.py:332-372`).
+    "q22_date_roundtrip" -> ((s, dir) => {
+      Tables.table(s, dir, "orders")
+        .filter(col("o_orderkey") <= 100)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyyMMddHH").as("dstr"),
+          to_timestamp(date_format(col("o_orderdate"), "yyyyMMddHH"), "yyyyMMddHH")
+            .cast("timestamp_ntz").as("rt"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Filename-style date extraction (`utils/publish.py:963-965`).
+    "q23_regex_date" -> ((s, dir) => {
+      Tables.table(s, dir, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .select(
+          col("o_orderkey"),
+          regexp_extract(
+            concat(lit("chirps-"), date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(".nc")),
+            "([0-9]{4}-[0-9]{2}-[0-9]{2})", 1).as("fdate"))
+        .orderBy("o_orderkey")
+    }),
+
+    // QC value-comparison join with tolerance (`utils/publish.py:824-894`):
+    // written (o_totalprice) vs recomputed-from-source (lineitem sum).
+    "q25_qc_value_compare" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice").cast(D2)).cast("double").as("lsum"))
+      Tables.table(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(abs(col("o_totalprice") - col("lsum")) > 1e-6)
+        .select(col("o_orderkey"), col("o_totalprice"), col("lsum"),
+          abs(col("o_totalprice") - col("lsum")).as("diff"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_top_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q03_brand_volume" ->
+      """SELECT p_brand,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate > TIMESTAMP '2000-06-01 00:00:00')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_selective_filter" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_distinct_counts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+        | COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q08_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "q22_date_roundtrip" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d%H') AS dstr,
+        | strptime(strftime(o_orderdate, '%Y%m%d%H'), '%Y%m%d%H') AS rt
+        |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin,
+    "q23_regex_date" ->
+      """SELECT o_orderkey,
+        | regexp_extract('chirps-' || strftime(o_orderdate, '%Y-%m-%d') || '.nc',
+        |                '([0-9]{4}-[0-9]{2}-[0-9]{2})', 1) AS fdate
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+    "q25_qc_value_compare" ->
+      """WITH comp AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS lsum
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey, o_totalprice, lsum, ABS(o_totalprice - lsum) AS diff
+        |FROM orders JOIN comp ON o_orderkey = l_orderkey
+        |WHERE ABS(o_totalprice - lsum) > 1e-6
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin)
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Selections, UpdatePlanner}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-axis analytics (SURVEY §2.7 + §2.13): sessionization
+  * (gaps-and-islands), contiguity/cadence checks, running aggregates,
+  * top-k per group, point/slice/nearest selects, watermark increments and
+  * tumbling-window aggregation — all over the `events` table.
+  *
+  * Event time is `us` = epoch microseconds (long), derived by integral
+  * division from the driver's nanosecond parquet (see [[graft.Tables]]).
+  */
+object TimeSeriesQueries {
+  private val D2 = DecimalType(18, 2)
+  private val HOUR_US = 3600000000L
+  private val DAY_US = 86400000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sessionize: >30 min silence starts a new session per user
+    // (gaps-and-islands — the reference's insert-region planner shape,
+    // `publish.py:432-495`, applied per series).
+    "q09_sessionize" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      e.withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("newsess",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, lit(1))
+            .otherwise(lit(0)))
+        .withColumn("sess",
+          sum("newsess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"),
+          min("us").as("start_us"), max("us").as("end_us"))
+        .orderBy("user_id", "sess")
+    }),
+
+    // Top-k per group via ranking window.
+    "q10_topk_per_user" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+        .orderBy("user_id", "rn")
+    }),
+
+    // Running total per user (exact via decimal accumulation).
+    "q11_running_total" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.withColumn("running", sum(col("value").cast(D2)).over(w).cast("double"))
+        .select("user_id", "event_id", "running")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Contiguity audit per series (`publish.py:654-696`): gap count + max delta.
+    "q12_contiguity" -> ((s, dir) => {
+      UpdatePlanner.contiguityReport(
+          Tables.events(s, dir), "user_id", "us", "event_id", 2 * HOUR_US)
+        .orderBy("user_id")
+    }),
+
+    // Cadence inference (`convenience.py:386-413` next_date): (last-first)/(n-1).
+    "q13_cadence" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min("us").as("first_us"), max("us").as("last_us"),
+          count(lit(1)).as("n"))
+        .withColumn("step_us",
+          expr("(last_us - first_us) div (n - 1)"))
+        .orderBy("user_id")
+    }),
+
+    // Range-slice select (`publish.py:355`): time window + predicate.
+    "q14_time_slice" -> ((s, dir) => {
+      Selections.timeSlice(Tables.events(s, dir), "us",
+          1704844800000000L, 1705017600000000L)
+        .filter(col("event_type") === "error")
+        .select("event_id", "user_id", "value", "us")
+        .orderBy("event_id")
+    }),
+
+    // Exact point select (`publish.py:863`).
+    "q15_point_select" -> ((s, dir) => {
+      Selections.pointSelect(Tables.events(s, dir), Map("event_id" -> 123L))
+        .select("event_id", "user_id", "event_type", "value", "us")
+    }),
+
+    // Nearest-with-tolerance (`publish.py:864`, sel(method="nearest")).
+    "q16_nearest" -> ((s, dir) => {
+      Selections.nearest(Tables.events(s, dir), "user_id", "us", "event_id",
+          target = 1705320000000000L, tolerance = HOUR_US)
+        .select("user_id", "event_id", "dist")
+        .orderBy("user_id")
+    }),
+
+    // Watermark-driven incremental batch (SURVEY §2.13): only rows past the
+    // stored watermark participate; short-circuits like check_if_new_data.
+    "q24_watermark_increment" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("us") > 1705968000000000L) // watermark: 2024-01-23
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("us").as("min_us"), max("us").as("max_us"))
+        .orderBy("event_type")
+    }),
+
+    // Insert-region planning over the distinct day axis
+    // (`publish.py:432-495` → UpdatePlanner.contiguousRegions).
+    "q26_update_plan_islands" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(expr("us div 86400000000").as("day"))
+      UpdatePlanner.contiguousRegions(days, "day", 1L)
+        .select(col("start").as("start_day"), col("end").as("end_day"),
+          col("n").as("n_days"))
+        .orderBy("start_day")
+    }),
+
+    // Tumbling 1 h windows per type — the batch equivalent of the
+    // Structured Streaming aggregation in graft.streaming (§2.13).
+    "q40_hourly_windows" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("hour_bucket", expr("us div 3600000000"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D2)).cast("double").as("sum_value"))
+        .orderBy("event_type", "hour_bucket")
+    }),
+
+    // JSON property extraction (§2.9 scalar surface).
+    "q41_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
+        .orderBy("event_type")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q09_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, event_id, us,
+        |        CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS newsess FROM l),
+        |g AS (SELECT user_id, us,
+        |        CAST(SUM(newsess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess FROM f)
+        |SELECT user_id, sess, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "q10_topk_per_user" ->
+      """SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS rn
+        |  FROM events WHERE event_type = 'purchase') t
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "q11_running_total" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "q12_contiguity" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |d AS (SELECT user_id,
+        |        us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS delta FROM e)
+        |SELECT user_id, COUNT(CASE WHEN delta > 7200000000 THEN 1 END) AS n_gaps,
+        |  MAX(delta) AS max_delta
+        |FROM d WHERE delta IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q13_cadence" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events)
+        |SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us, COUNT(*) AS n,
+        |  (MAX(us) - MIN(us)) // (COUNT(*) - 1) AS step_us
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q14_time_slice" ->
+      """SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events
+        |WHERE epoch_us(ts) BETWEEN 1704844800000000 AND 1705017600000000
+        |  AND event_type = 'error' ORDER BY event_id""".stripMargin,
+    "q15_point_select" ->
+      """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        |FROM events WHERE event_id = 123""".stripMargin,
+    "q16_nearest" ->
+      """SELECT user_id, event_id, dist FROM (
+        |  SELECT user_id, event_id, ABS(epoch_us(ts) - 1705320000000000) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ABS(epoch_us(ts) - 1705320000000000), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND dist <= 3600000000 ORDER BY user_id""".stripMargin,
+    "q24_watermark_increment" ->
+      """SELECT event_type, COUNT(*) AS n, MIN(epoch_us(ts)) AS min_us, MAX(epoch_us(ts)) AS max_us
+        |FROM events WHERE epoch_us(ts) > 1705968000000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q26_update_plan_islands" ->
+      """WITH days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day
+        |              FROM events WHERE event_type = 'signup'),
+        |m AS (SELECT day, day - LAG(day) OVER (ORDER BY day) AS delta FROM days),
+        |g AS (SELECT day, CAST(SUM(CASE WHEN delta IS NULL OR delta > 1 THEN 1 ELSE 0 END)
+        |        OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+        |      FROM m)
+        |SELECT MIN(day) AS start_day, MAX(day) AS end_day, COUNT(*) AS n_days
+        |FROM g GROUP BY grp ORDER BY start_day""".stripMargin,
+    "q40_hourly_windows" ->
+      """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, hour_bucket ORDER BY event_type, hour_bucket""".stripMargin,
+    "q41_json_extract" ->
+      """WITH e AS (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n,
+        |  CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

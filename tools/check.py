@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs each oracle SQL from <outdir>/oracle_sql.json in DuckDB over the
+parquet tables in <sfdir>, loads the Spark result parquet from
+<outdir>/<name>/, canonicalizes both (columns sorted by name, rows sorted
+by all columns), and diffs exactly.
+
+Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(con, rel_sql):
+    df = con.sql(rel_sql).fetchdf()
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = canon(con, f"SELECT * FROM read_parquet({files!r})")
+            exp = canon(con, oracles[name])
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            ok = False
+        elif len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            ok = False
+        else:
+            if [str(d) for d in got.dtypes] != [str(d) for d in exp.dtypes]:
+                print(f"WARN {name}: dtypes {list(map(str, got.dtypes))} vs {list(map(str, exp.dtypes))}")
+            neq = (got != exp) & ~(got.isna() & exp.isna())
+            if neq.any().any():
+                bad = neq.any(axis=1)
+                print(f"FAIL {name}: {int(bad.sum())}/{len(got)} rows differ")
+                gd, ed = got[bad].head(3), exp[bad].head(3)
+                print("  got:", gd.to_dict("records"))
+                print("  exp:", ed.to_dict("records"))
+                ok = False
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
