@@ -1,18 +1,15 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
-/** Probe: driver-style smoke — SparkEntry.entry on a VANILLA session
-  * (no graft confs), as the external driver may construct it. */
+/** Probe: time individual queries by name (args: sfDir name...). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val n = SparkEntry.entry(spark).count()
-    println(s"PROBE entry rows=$n")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(8)
+    args.drop(1).foreach { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"PROBE $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     spark.stop()
   }
 }

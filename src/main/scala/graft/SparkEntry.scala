@@ -22,12 +22,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
       TimeSeriesQueries.queries ++
-      GridQueries.queries
+      GridQueries.queries ++
+      TextQueries.queries ++
+      VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       TimeSeriesQueries.oracles ++
-      GridQueries.oracles
+      GridQueries.oracles ++
+      TextQueries.oracles ++
+      VectorQueries.oracles
 }

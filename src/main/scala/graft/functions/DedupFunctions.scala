@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives: exact (content hash), MinHash+LSH banding,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: every step is a per-row expression or an equi-join on a
+  * band/bucket key — the classic shingle → minhash → band → bucket-join
+  * pipeline. Nothing materializes the O(N²) pair space; candidate pairs
+  * only arise from hash-bucket collisions, and the verify step joins on
+  * those candidates alone. All hashing uses xxhash64 (codegen'd).
+  */
+object DedupFunctions {
+
+  /** Exact-dup groups by content hash. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"), min(idCol).as("keeper"))
+
+  /** LSH band hashes from a signature: `bands` hashes of `rowsPerBand`
+    * consecutive signature slots. Docs agreeing on any band are
+    * candidate near-duplicates. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing slots. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+      .cast("double") / size(sigA).cast("double")
+
+  /** Exact Jaccard between two shingle arrays (the verify step run on
+    * candidate pairs only). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  // MinHash/SimHash signature computation lives in [[Signatures]] —
+  // typed mapPartitions, because nested higher-order-function expressions
+  // are interpreted (no codegen) and get duplicated by projection
+  // collapse; see the rationale there.
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language-ID heuristics, and
+  * document fingerprinting. All are built-in-function compositions
+  * (higher-order array functions) — fully codegen'd, no UDFs, so they run
+  * inside the scan stage at 100 TB without serialization overhead.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token split: word boundaries plus digit/letter
+    * transitions (a cheap stand-in for a real BPE vocab). */
+  def subTokens(text: Column): Column =
+    split(text, "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])")
+
+  /** Count of tokens present in `words`. */
+  def wordSetCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Stopword ratio — a quality-scoring feature. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    wordSetCount(toks, stopwords).cast("double") / size(toks).cast("double")
+  }
+
+  /** Marker-word language score for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    stopwordRatio(text, markers)
+
+  /** Rolling polynomial fingerprint over characters:
+    * fold(chars, 0, acc*31 + ascii(c) mod 1e9+7). Deterministic and
+    * portable (the DuckDB oracle computes the identical fold). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+
+  /** Distinct word n-gram shingles (for Jaccard / MinHash). Documents
+    * shorter than n shingle to an empty array. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+}

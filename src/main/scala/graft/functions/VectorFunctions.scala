@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives over `array<float>` columns.
+  *
+  * Dot products are strict left folds over the index sequence with every
+  * element cast to double first — the same evaluation order as the DuckDB
+  * oracle's `list_sum(list_transform(...))`, so similarity scores are
+  * bit-identical. Everything is a codegen'd higher-order function; the
+  * brute-force top-k path is a broadcast of the (small) query set against
+  * a full scan — the right baseline shape at 100 TB, where the scan
+  * dominates and no shuffle is needed.
+  */
+object VectorFunctions {
+
+  /** Σ a[i]·b[i] (double, strict left fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** ‖v‖₂ */
+  def norm(v: Column): Column =
+    sqrt(aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of projections
+    * onto pseudo-random planes. Plane (p, i) coefficient is derived from
+    * xxhash64(p, i) → uniform in [−1, 1): deterministic, seedable, no
+    * stored plane matrix — each executor recomputes coefficients inline.
+    * Vectors in the same bucket are ANN candidates. */
+  def hyperplaneBucket(v: Column, bits: Int): Column = {
+    def coeff(p: Int, i: Column): Column =
+      (call_function("shiftright", xxhash64(lit(p), i), lit(11)).cast("double") /
+        lit(4.503599627370496e15)) // 2^52 → [-1, 1)
+    val bitCols = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") * coeff(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{DedupFunctions, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication over the `documents` table — the
+  * training-data-pipeline operators (exact dedup, n-gram Jaccard near-dup,
+  * MinHash+LSH, SimHash, token stats, quality scoring, language scoring,
+  * fingerprinting). MinHash/SimHash queries have no SQL oracle (hash
+  * seeds are engine-specific) — the driver records rows-only checks;
+  * their semantics are covered by ScalaTest specs instead.
+  */
+object TextQueries {
+
+  private val STOPWORDS = Seq("the", "a", "of", "and")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup via content hash (hash-groupBy; one shuffle on the hash).
+    "q28_dedup_exact" -> ((s, dir) => {
+      DedupFunctions.exactDupGroups(
+          Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("h")
+    }),
+
+    // Token counting (whitespace + sub-token split).
+    "q29_token_count" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("len_chars"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/avg-token/stopword-ratio features.
+    "q30_text_quality" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("len_chars"),
+          size(toks).as("n_tokens"),
+          (length(col("text")).cast("double") / size(toks).cast("double"))
+            .as("avg_token_len"),
+          TextFunctions.stopwordRatio(col("text"), STOPWORDS).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: marker-word ratio → predicted label.
+    "q31_langid" -> ((s, dir) => {
+      val score = TextFunctions.langScore(col("text"), Seq("the", "a"))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), score.as("en_score"),
+          when(score >= 0.05, lit("en")).otherwise(lit("other")).as("predicted"))
+        .orderBy("doc_id")
+    }),
+
+    // Rolling-hash document fingerprint (portable polynomial fold).
+    "q32_fingerprint" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup detection, brute-force on a bounded slice
+    // (the oracle-checkable baseline; q34 is the LSH scale path).
+    "q33_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 150 && TextFunctions.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"), TextFunctions.wordNgrams(col("text"), 3).as("grams"))
+      val sh = d.select(col("doc_id"), explode(col("grams")).as("g"))
+      val sz = d.select(col("doc_id"), size(col("grams")).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), col("inter"),
+          (col("s1.n") + col("s2.n") - col("inter")).as("uni"),
+          (col("inter").cast("double") /
+            (col("s1.n") + col("s2.n") - col("inter")).cast("double")).as("jac"))
+        .filter(col("jac") >= 0.02)
+        .orderBy("d1", "d2")
+    }),
+
+    // MinHash + LSH banding: candidate pairs from band-bucket collisions,
+    // then signature-estimated Jaccard. No O(N²) stage — candidates only
+    // come from the bucket equi-join. (No SQL oracle: xxhash seeds.)
+    "q34_minhash_lsh" -> ((s, dir) => {
+      val d = graft.functions.Signatures
+        .minhash(Tables.table(s, dir, "documents"), "doc_id", "text", 3, 64)
+        .withColumn("bands", DedupFunctions.bandHashes(col("sig"), 16, 4))
+      val banded = d.select(col("doc_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_bands"),
+          first(DedupFunctions.estimatedJaccard(col("a.sig"), col("b.sig")))
+            .as("est_jac"))
+        .filter(col("est_jac") >= 0.5)
+        .orderBy("d1", "d2")
+    }),
+
+    // SimHash near-dup: 64-bit signatures + Hamming-close pairs via
+    // 4-band exact-match blocking (no O(N²)). (No SQL oracle.)
+    "q35_simhash" -> ((s, dir) => {
+      val d = graft.functions.Signatures
+        .simhash(Tables.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("simhash").as("sh"))
+      // Block on 16-bit quarters: near-dups (hamming <= 3) share a quarter.
+      val blocked = d.select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          q => call_function("shiftright", col("sh"), q * 16)
+            .bitwiseAND(lit(0xFFFFL)))).as(Seq("q", "blk")))
+      val pairs = blocked.as("a").join(blocked.as("b"),
+          col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          DedupFunctions.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 16)
+      // Emit signatures too so the result is non-empty even with no dups.
+      d.select(col("doc_id").as("d1"), lit(-1L).as("d2"),
+          col("sh").as("hamming"))
+        .unionByName(pairs)
+        .orderBy("d1", "d2")
+    }),
+
+    // Binary/multimodal plumbing: opaque bytes + typed metadata (decode
+    // itself is stubbed — see graft.multimodal; here: byte stats/hashes).
+    "q36_binary_meta" -> ((s, dir) => {
+      val bin = col("text").cast("binary")
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          length(bin).as("byte_len"),
+          sha2(bin, 256).as("sha"),
+          lower(hex(expr("substring(cast(text as binary), 1, 8)"))).as("head8"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q28_dedup_exact" ->
+      """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "q29_token_count" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS len_chars,
+        | CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_text_quality" ->
+      """WITH t AS (SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS len_chars,
+        |    string_split(text, ' ') AS toks, text FROM documents)
+        |SELECT doc_id, len_chars, CAST(LEN(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len_chars AS DOUBLE) / CAST(LEN(toks) AS DOUBLE) AS avg_token_len,
+        |  CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+        |    / CAST(LEN(toks) AS DOUBLE) AS stop_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q31_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |    CAST(LEN(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)
+        |      / CAST(LEN(toks) AS DOUBLE) AS en_score FROM t)
+        |SELECT doc_id, lang, en_score,
+        |  CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS predicted
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q32_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE doc_id < 150 AND LEN(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(LEN(toks) - 2),
+        |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g FROM d),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+        |SELECT d1, d2, inter, (s1.n + s2.n - inter) AS uni,
+        |  CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jac
+        |FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.02
+        |ORDER BY d1, d2""".stripMargin,
+    "q36_binary_meta" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS byte_len, sha256(text) AS sha,
+        | lower(hex(encode(substr(text, 1, 8)))) AS head8
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>` column):
+  * brute-force cosine top-k (the exact baseline) and a hyperplane-LSH
+  * bucketed variant (the scale path: candidates only from bucket
+  * collisions, so the pair space never materializes).
+  *
+  * Scale shape: the query side is always the SMALL side — broadcast it
+  * against a full scan of the corpus; no shuffle of the big side. At
+  * 100 TB an IVF-style bucket key (here: LSH bucket) turns the scan into
+  * a partition-pruned lookup.
+  */
+object VectorQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-20 against one query vector.
+    "q37_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(q))
+        .select(col("vec_id"),
+          VectorFunctions.cosine(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // Batch k-NN join: 20 query vectors × corpus, top-3 each — broadcast
+    // the query side, rank per query with a window.
+    "q38_knn_join" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = emb.filter(col("vec_id") >= 20)
+        .join(broadcast(qs))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorFunctions.cosine(col("embedding"), col("qe")).as("cos"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // Hyperplane-LSH bucketing + in-bucket cosine: the ANN scale path.
+    // (No SQL oracle: bucket assignment depends on xxhash-derived planes;
+    // covered by a ScalaTest recall test against q37's exact result.)
+    "q39_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding"), 8))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("bucket").as("qbucket"), col("embedding").as("qe"))
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("vec_id"), col("bucket"),
+          VectorFunctions.cosine(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // Per-label embedding stats: norm aggregation by label (groupBy over
+    // a derived per-row double; decimal-cast for order-independent sums).
+    "q42_label_norms" -> ((s, dir) => {
+      Tables.table(s, dir, "embeddings")
+        .select(col("label"),
+          VectorFunctions.norm(col("embedding"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("nrm")).cast("double").as("sum_norm"),
+          min(col("nrm")).cast("double").as("min_norm"),
+          max(col("nrm")).cast("double").as("max_norm"))
+        .orderBy("label")
+    }))
+
+  private val dotSql =
+    "list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE)))"
+  private def normSql(v: String) =
+    s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  val oracles: Map[String, String] = Map(
+    "q37_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  $dotSql / (${normSql("embedding")} * ${normSql("qe")}) AS cos
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q38_knn_join" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT qid, vec_id AS nid,
+         |    $dotSql / (${normSql("embedding")} * ${normSql("qe")}) AS cos
+         |  FROM embeddings, qs WHERE vec_id >= 20),
+         |r AS (SELECT qid, nid, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT qid, nid, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q42_label_norms" ->
+      s"""WITH n AS (SELECT label,
+         |    CAST(${normSql("embedding")} AS DECIMAL(18,9)) AS nrm FROM embeddings)
+         |SELECT label, COUNT(*) AS n,
+         |  CAST(SUM(nrm) AS DOUBLE) AS sum_norm,
+         |  CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+         |  CAST(MAX(nrm) AS DOUBLE) AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin)
+}
