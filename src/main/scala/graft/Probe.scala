@@ -1,15 +1,62 @@
 package graft
 
-/** Probe: time individual queries by name (args: sfDir name...). */
+import graft.etl.{DatasetManager, Extractor}
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import org.apache.spark.sql.functions._
+
+/** Probe: end-to-end ETL storyline through the public library surface —
+  * initial parse → watermark-planned append → region-overwrite insert →
+  * catalog version chain. Prints observable evidence at each step. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.local(8)
-    args.drop(1).foreach { name =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"PROBE $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    import spark.implicits._
+    val DAY = 86400000000L
+
+    def cube(nDays: Int, startDay: Long, off: Double) = {
+      val rows = for { d <- 0 until nDays; la <- 0 until 4; lo <- 0 until 4 }
+        yield ((startDay + d) * DAY, -1.0 + la * 0.25, 10.0 + lo * 0.25,
+          off + (startDay + d) * 100.0 + la * 10.0 + lo)
+      rows.toDF("time", "latitude", "longitude", "precip")
     }
+
+    val storeRoot = java.nio.file.Files.createTempDirectory("probe-store").toString
+    val catRoot = java.nio.file.Files.createTempDirectory("probe-cat").toString
+    val d = DatasetDescriptor("chirps-probe", "precip", Category.Observation,
+      Some(-9999.0), DAY, ChunkGrid(10 * DAY, 500), attrs = Map("units" -> "mm"))
+    val mgr = new DatasetManager(d, storeRoot, catRoot, spark)
+
+    // 1. initial parse
+    val c1 = mgr.parse(mgr.normalize(cube(20, 0, 0.0))).get
+    println(s"PROBE initial dateRange=${c1.dateRange} rows=${mgr.store.read().count()}")
+
+    // 2. extract planning from the committed watermark
+    val periods = Extractor.planPeriods(0L, c1.dateRange.map(_._2), DAY, 24 * DAY)
+    println(s"PROBE planned periods=${periods.map(_ / DAY)}")
+
+    // 3. append those periods
+    val c2 = mgr.parse(cube(periods.size, periods.head / DAY, 0.0)).get
+    println(s"PROBE append dateRange=${c2.dateRange} appendOnly=${c2.updateIsAppendOnly} rows=${mgr.store.read().count()}")
+
+    // 4. region-overwrite insert into days 5..6
+    val before = mgr.store.read().where($"time" === 5 * DAY && $"latitude" === -1.0 && $"longitude" === 10.0)
+      .select("precip").as[Double].collect()(0)
+    val c3 = mgr.parse(cube(2, 5, 77000.0)).get
+    val after = mgr.store.read().where($"time" === 5 * DAY && $"latitude" === -1.0 && $"longitude" === 10.0)
+      .select("precip").as[Double].collect()(0)
+    val neighbor = mgr.store.read().where($"time" === 7 * DAY && $"latitude" === -1.0 && $"longitude" === 10.0)
+      .select("precip").as[Double].collect()(0)
+    println(s"PROBE insert cell(5d): $before -> $after; untouched(7d)=$neighbor appendOnly=${c3.updateIsAppendOnly} rows=${mgr.store.read().count()}")
+
+    // 5. catalog version chain
+    val v = mgr.catalog.latestVersion("chirps-probe")
+    println(s"PROBE catalog latest=$v")
+    println("PROBE store layout:")
+    new java.io.File(s"$storeRoot/data").listFiles().toSeq
+      .filter(_.isDirectory).sortBy(_.getName)
+      .foreach(f => println(s"  ${f.getName} files=${f.listFiles().count(_.getName.endsWith(".parquet"))}"))
+    println("PROBE descriptor:")
+    println(scala.io.Source.fromFile(s"$storeRoot/_descriptor.json").mkString)
     spark.stop()
   }
 }

@@ -1,0 +1,132 @@
+package graft.catalog
+
+import graft.model.DatasetDescriptor
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** STAC-shaped JSON catalog (SURVEY §2.11, `utils/metadata.py:60-551`):
+  * root catalog → collection (bbox + temporal extent) → items with a
+  * `prev` link chain giving dataset version history
+  * (`register_stac_item`, `metadata.py:447-525`).
+  *
+  * Extents come from distributed aggregations (§2.6); everything else is
+  * driver-side JSON bookkeeping, exactly like the reference.
+  */
+class StacCatalog(val root: String, spark: SparkSession) {
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def write(p: Path, j: JValue): Unit = {
+    val out = fs.create(p, true)
+    try out.write(JsonMethods.pretty(JsonMethods.render(j)).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readJson(p: Path): Option[JValue] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(JsonMethods.parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString))
+      finally in.close()
+    }
+
+  def rootPath = new Path(root, "catalog.json")
+  def collectionPath(name: String) = new Path(root, s"collections/$name.json")
+  def itemPath(name: String, version: String) = new Path(root, s"items/$name/$version.json")
+
+  /** `create_root_stac_catalog` (`metadata.py:236-262`): bootstrap once. */
+  def ensureRootCatalog(org: String): Unit =
+    if (!fs.exists(rootPath))
+      write(rootPath, JObject(List(
+        "type" -> JString("Catalog"),
+        "stac_version" -> JString("1.0.0"),
+        "id" -> JString(org),
+        "description" -> JString(s"$org root catalog"),
+        "links" -> JArray(Nil))))
+
+  /** Spatio-temporal extent of a gridded frame: one distributed agg. */
+  def extent(df: DataFrame, timeDim: String): (Array[Double], (Long, Long)) = {
+    val hasSpace = df.columns.contains("latitude")
+    val r =
+      if (hasSpace)
+        df.agg(min("latitude"), max("latitude"), min("longitude"), max("longitude"),
+          min(timeDim), max(timeDim)).collect()(0)
+      else df.agg(min(timeDim), max(timeDim)).collect()(0)
+    if (hasSpace)
+      (Array(r.getDouble(2), r.getDouble(0), r.getDouble(3), r.getDouble(1)),
+        (r.getLong(4), r.getLong(5)))
+    else (Array(-180, -90, 180, 90), (r.getLong(0), r.getLong(1)))
+  }
+
+  /** `create_stac_collection` + `update_stac_collection`
+    * (`metadata.py:264-340,527-551`): create or widen extent. */
+  def upsertCollection(name: String, bbox: Array[Double], interval: (Long, Long)): Unit = {
+    val p = collectionPath(name)
+    val merged = readJson(p) match {
+      case Some(j) =>
+        val old = (j \ "extent" \ "spatial" \ "bbox") match {
+          case JArray(List(JArray(vs))) => vs.map(_.values.toString.toDouble).toArray
+          case _ => bbox
+        }
+        val oldIv = (j \ "extent" \ "temporal" \ "interval") match {
+          case JArray(List(JArray(List(a, b)))) =>
+            (a.values.toString.toLong, b.values.toString.toLong)
+          case _ => interval
+        }
+        // element-wise min/max fold, `metadata.py:540-542`
+        (Array(math.min(old(0), bbox(0)), math.min(old(1), bbox(1)),
+          math.max(old(2), bbox(2)), math.max(old(3), bbox(3))),
+          (math.min(oldIv._1, interval._1), math.max(oldIv._2, interval._2)))
+      case None => (bbox, interval)
+    }
+    write(p, JObject(List(
+      "type" -> JString("Collection"),
+      "stac_version" -> JString("1.0.0"),
+      "id" -> JString(name),
+      "extent" -> JObject(List(
+        "spatial" -> JObject(List("bbox" -> JArray(List(JArray(
+          merged._1.toList.map(JDouble(_))))))),
+        "temporal" -> JObject(List("interval" -> JArray(List(JArray(List(
+          JLong(merged._2._1), JLong(merged._2._2))))))))),
+      "links" -> JArray(Nil))))
+  }
+
+  /** `create_stac_item` + `register_stac_item` (`metadata.py:342-525`):
+    * flatten descriptor attrs to properties; link `prev` to the prior
+    * version for history. Returns the version id written. */
+  def registerItem(d: DatasetDescriptor, bbox: Array[Double],
+                   interval: (Long, Long), version: String): String = {
+    val prev = latestVersion(d.name)
+    val props: List[(String, JValue)] =
+      d.attrs.toList.map { case (k, v) => k -> (JString(v): JValue) } ++ List(
+        "dataset_name" -> JString(d.name),
+        "data_var" -> JString(d.dataVar),
+        "category" -> JString(d.category.name),
+        "start_us" -> JLong(interval._1),
+        "end_us" -> JLong(interval._2),
+        "update_is_append_only" -> d.updateIsAppendOnly.map(JBool(_)).getOrElse(JNull))
+    write(itemPath(d.name, version), JObject(List(
+      "type" -> JString("Feature"),
+      "stac_version" -> JString("1.0.0"),
+      "id" -> JString(s"${d.name}-$version"),
+      "bbox" -> JArray(bbox.toList.map(JDouble(_))),
+      "properties" -> JObject(props),
+      "links" -> JArray(prev.toList.map(v => JObject(List(
+        "rel" -> JString("prev"),
+        "href" -> JString(itemPath(d.name, v).toString))))))))
+    write(new Path(root, s"items/${d.name}/_latest.json"),
+      JObject(List("version" -> JString(version))))
+    version
+  }
+
+  def latestVersion(name: String): Option[String] =
+    readJson(new Path(root, s"items/$name/_latest.json")).map(j =>
+      (j \ "version").values.toString)
+
+  def readItem(name: String, version: String): Option[JValue] =
+    readJson(itemPath(name, version))
+}

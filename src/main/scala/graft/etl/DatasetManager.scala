@@ -1,0 +1,124 @@
+package graft.etl
+
+import graft.model.DatasetDescriptor
+import graft.operators.Normalize
+import graft.qc.QualityChecks
+import graft.sources.GriddedStore
+import graft.catalog.StacCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Orchestration entry point — the `DatasetManager.parse` analog
+  * (`dataset_manager.py:24`, `utils/publish.py:34-98`): route
+  * initial-vs-update-vs-forbidden, run QC gates around the write, then
+  * publish catalog metadata. Concrete ETLs supply a descriptor plus a
+  * normalized update frame (the post-`transform` state).
+  *
+  * A registry maps dataset names to managers
+  * (`get_subclasses`, `dataset_manager.py:391-420`).
+  */
+class DatasetManager(
+    val descriptor: DatasetDescriptor,
+    storeRoot: String,
+    catalogRoot: String,
+    spark: SparkSession,
+    allowOverwrite: Boolean = true,
+    dryRun: Boolean = false,
+    extremeBounds: Option[(Double, Double)] = None,
+    expectedMissingFrequency: Option[Double] = None) {
+
+  val store = new GriddedStore(storeRoot, spark)
+  val catalog = new StacCatalog(catalogRoot, spark)
+
+  /** Scan-time normalization (`transform` in-memory half): sentinel →
+    * null, longitude wrap, declared column order. */
+  def normalize(raw: DataFrame, renameFrom: Option[String] = None): DataFrame = {
+    val renamed = renameFrom.map(f =>
+      Normalize.renameDataVar(raw, f, descriptor.dataVar)).getOrElse(raw)
+    val withNull = descriptor.missingValue match {
+      case Some(mv) => Normalize.sentinelToNull(renamed, descriptor.dataVar, lit(mv))
+      case None => renamed
+    }
+    val wrapped =
+      if (withNull.columns.contains("longitude"))
+        withNull.withColumn("longitude", Normalize.wrapLongitude(col("longitude")))
+      else withNull
+    wrapped.select((descriptor.dims :+ descriptor.dataVar).map(col): _*)
+  }
+
+  /** `pre_parse_quality_check` (`publish.py:499-539`): schema/dtype
+    * assert, time contiguity at declared cadence, extreme-value bounds,
+    * missing-frequency binomial. Throws on violation. */
+  def preParseQualityCheck(update: DataFrame): Unit = {
+    val t = descriptor.timeDim
+    // (3) encoding dtype == declared (`publish.py:527-532`)
+    val schema = update.schema
+    require(schema.fieldNames.contains(descriptor.dataVar),
+      s"update missing data var ${descriptor.dataVar}")
+    // (1) contiguity of the update's time axis (`publish.py:654-696`)
+    val times = update.select(t).distinct()
+    val regions = graft.operators.UpdatePlanner
+      .contiguousRegions(times, t, descriptor.cadenceUs).count()
+    require(regions >= 1, "update has no times")
+    // (2) extreme values (`publish.py:567-575`)
+    extremeBounds.foreach { case (lo, hi) =>
+      val bad = update.filter(col(descriptor.dataVar) < lo ||
+        col(descriptor.dataVar) > hi).limit(1).count()
+      require(bad == 0, s"update contains values outside [$lo, $hi]")
+    }
+    // (4) missing-frequency binomial vs expectation (`publish.py:577-602`)
+    expectedMissingFrequency.foreach { exp =>
+      val r = QualityChecks.missingFrequency(
+          update.withColumn("_g", lit(1)), "_g", col(descriptor.dataVar).isNull)
+        .select("ci_lo", "ci_hi").collect()(0)
+      require(exp >= r.getDouble(0) && exp <= r.getDouble(1),
+        f"missing frequency outside CI [${r.getDouble(0)}%.6f, ${r.getDouble(1)}%.6f]")
+    }
+  }
+
+  /** `post_parse_quality_check` (`publish.py:698-743`): read back a
+    * sample of written cells and compare against the source update with
+    * tolerance 1e-4 (`TWENTY_MINUTES` budget replaced by a row budget). */
+  def postParseQualityCheck(update: DataFrame, checks: Int = 100): Unit = {
+    val sample = update.orderBy(rand(42)).limit(checks)
+    val mismatches = QualityChecks.valueCompare(
+      sample, store.read(), descriptor.dims, descriptor.dataVar, 1e-4).count()
+    require(mismatches == 0, s"$mismatches written cells differ from source")
+  }
+
+  /** `parse` (`publish.py:34-98`): route and execute, with the dry-run
+    * gate (`publish.py:149-151`) and catalog publish
+    * (`publish_metadata`, `publish.py:100-122`). */
+  def parse(update: DataFrame, rebuild: Boolean = false): Option[DatasetDescriptor] = {
+    preParseQualityCheck(update)
+    if (dryRun) return None
+    val committed =
+      if (!store.hasExisting || (rebuild && allowOverwrite))
+        store.writeInitial(update, descriptor)
+      else if (rebuild)
+        throw new IllegalStateException("overwrite forbidden") // dataset_manager.py:352-357
+      else
+        store.update(update, allowOverwrite)
+    postParseQualityCheck(update)
+    publishMetadata(committed)
+    Some(committed)
+  }
+
+  def publishMetadata(d: DatasetDescriptor): Unit = {
+    catalog.ensureRootCatalog("graft")
+    val (bbox, interval) = catalog.extent(store.read(), d.timeDim)
+    catalog.upsertCollection(d.name, bbox, interval)
+    catalog.registerItem(d, bbox, interval,
+      version = java.util.UUID.nameUUIDFromBytes(
+        s"${d.name}-${interval._1}-${interval._2}-${d.updatePreviousEndUs}".getBytes)
+        .toString)
+  }
+}
+
+object DatasetManager {
+  /** Subclass registry analog (`dataset_manager.py:391-420`). */
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, DatasetManager]
+  def register(m: DatasetManager): Unit = registry.put(m.descriptor.name, m)
+  def forName(name: String): Option[DatasetManager] = registry.get(name)
+  def all: Seq[String] = registry.keys.toSeq.sorted
+}

@@ -1,0 +1,70 @@
+package graft.etl
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import scala.util.{Failure, Success, Try}
+
+/** Extraction layer (SURVEY §2.1, `utils/extractor.py`): watermark-driven
+  * incremental planning plus a pluggable parallel fetcher with
+  * retry/backoff.
+  *
+  * Downloads are driver-coordinated network I/O, as in the reference
+  * (a `ThreadPool` there, a bounded Future pool here); at scale the work
+  * list can instead be distributed via
+  * `spark.sparkContext.parallelize(jobs, n)` — the fetch closure is
+  * identical either way.
+  */
+object Extractor {
+
+  /** `Extractor.pool` (`extractor.py:49-87`): run jobs with bounded
+    * concurrency; all-or-nothing success bool. */
+  def pool[A](jobs: Seq[A], concurrency: Int)(request: A => Boolean): Boolean = {
+    if (jobs.isEmpty) return true
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, concurrency)))
+    try {
+      val fs = jobs.map(j => Future(Try(request(j)).getOrElse(false)))
+      Await.result(Future.sequence(fs), Duration.Inf).forall(x => x)
+    } finally ec.asInstanceOf[scala.concurrent.ExecutionContextExecutorService].shutdown()
+  }
+
+  /** Retry with exponential backoff (`extractor.py:144-149`: 8 retries,
+    * ×2ⁿ backoff). Returns the last failure if all attempts fail. */
+  def withRetry[T](tries: Int, baseBackoffMs: Long)(op: () => T): Try[T] = {
+    var attempt = 0
+    var last: Try[T] = Failure(new RuntimeException("no attempts"))
+    while (attempt < tries) {
+      last = Try(op())
+      last match {
+        case Success(_) => return last
+        case Failure(_) =>
+          attempt += 1
+          if (attempt < tries) Thread.sleep(baseBackoffMs * (1L << (attempt - 1)))
+      }
+    }
+    last
+  }
+
+  /** Incremental-load planner (`extract`, `dataset_manager.py:281-292` +
+    * `chirps.py:176-187`): resume from the committed watermark + 1 cadence;
+    * guard requests before dataset start. Returns the period start times
+    * (µs) to fetch, inclusive.
+    */
+  def planPeriods(datasetStartUs: Long, watermarkUs: Option[Long],
+                  cadenceUs: Long, untilUs: Long): Seq[Long] = {
+    val from = watermarkUs.map(_ + cadenceUs).getOrElse(datasetStartUs)
+    if (from < datasetStartUs)
+      throw new IllegalArgumentException(
+        s"extract start $from before dataset start $datasetStartUs")
+    Iterator.iterate(from)(_ + cadenceUs).takeWhile(_ <= untilUs).toSeq
+  }
+
+  /** `check_if_new_data` (`convenience.py:482-513`): proceed only if the
+    * newest fetched period passes the current end. */
+  def hasNewData(newestFetchedUs: Option[Long], currentEndUs: Option[Long]): Boolean =
+    (newestFetchedUs, currentEndUs) match {
+      case (Some(n), Some(e)) => n > e
+      case (Some(_), None) => true
+      case _ => false
+    }
+}

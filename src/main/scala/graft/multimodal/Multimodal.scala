@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` columns with
+  * typed metadata, processed in partition-sized batches.
+  *
+  * The decode step itself is STUBBED (no image/audio codecs in this
+  * container): `decodeStub` derives deterministic fake dimensions from
+  * the bytes. Everything around it — schema, batch shape, partitioning,
+  * null-safety — is the real Spark plumbing a codec would drop into: the
+  * decoder runs per partition (one codec instance per task, the Scala
+  * analog of a `mapInPandas` batch UDF), and the output is a flat typed
+  * frame that joins/filters like any other.
+  */
+object Multimodal {
+
+  case class MediaMeta(
+      id: Long,
+      kind: String,
+      byteLen: Int,
+      sha: String,
+      width: Int,     // fake-decoded
+      height: Int,    // fake-decoded
+      nFrames: Int)   // fake-decoded (1 for images)
+
+  /** REPLACE ME with a real codec: deterministic fake decode.
+    * Width/height/frames are derived from a content hash so tests are
+    * stable and dedup-by-content still behaves like real decode. */
+  private def decodeStub(bytes: Array[Byte], kind: String): (Int, Int, Int) = {
+    val h = java.util.Arrays.hashCode(bytes)
+    val w = 64 + math.abs(h % 1024)
+    val ht = 64 + math.abs((h / 1024) % 1024)
+    val frames = if (kind == "video") 1 + math.abs(h % 300) else 1
+    (w, ht, frames)
+  }
+
+  /** Decode + feature-extract a binary media column. Input columns:
+    * (idCol: long, binCol: binary, kindCol: string). One decoder pass per
+    * partition; no shuffle. */
+  def decodeMeta(df: DataFrame, idCol: String, binCol: String,
+                 kindCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol), col(kindCol))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes, kind) =>
+          val b = if (bytes == null) Array.empty[Byte] else bytes
+          val (w, h, f) = decodeStub(b, kind)
+          val sha = digest.digest(b).map("%02x".format(_)).mkString
+          digest.reset()
+          MediaMeta(id, kind, b.length, sha, w, h, f)
+        }
+      }
+  }
+
+  /** Frame sampling plan for video rows: every `stride`-th frame index —
+    * the explode side of a frame-extraction pipeline (the extraction
+    * itself would run in the same partition pass as decode). */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame =
+    meta.toDF()
+      .filter(col("nFrames") > 1)
+      .select(col("id"), explode(
+        sequence(lit(0), col("nFrames") - 1, lit(stride))).as("frame_idx"))
+}

@@ -1,0 +1,181 @@
+package graft.sources
+
+import graft.model.{DatasetDescriptor}
+import graft.operators.UpdatePlanner
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** Chunk-aligned, incrementally-updatable parquet store for tall gridded
+  * data — the Spark-native analog of the reference's Zarr write paths
+  * (`utils/publish.py:240-397`) and `StoreInterface` (`utils/store.py`).
+  *
+  * Layout:
+  * {{{
+  *   <root>/_descriptor.json        committed metadata (the .zmetadata analog)
+  *   <root>/data/time_bucket=N/...  directory-partitioned parquet
+  * }}}
+  *
+  * Scale design:
+  *  - `time_bucket` (floor(time / timeBucketUs)) is the directory
+  *    partition key → time predicates prune partitions; the bucket is the
+  *    region-overwrite granularity, playing the reference's Dask-chunk
+  *    role, while `maxRecordsPerFile` bounds file size (the Zarr-chunk
+  *    role) — `docs/etl_developers_manual.md:133-155`.
+  *  - rows are range-partitioned on (bucket, latitude) and sorted within
+  *    partitions by the dim order, so parquet row-group min/max stats
+  *    support spatial skipping inside a time bucket.
+  *  - inserts rewrite ONLY affected buckets (dynamic partition overwrite
+  *    with an existing-rows merge) — the analog of Zarr `region=` writes
+  *    (`publish.py:332-371`); appends just add files/partitions.
+  *  - all driver-side logic touches only the distinct time axis and the
+  *    descriptor; cell data never reaches the driver.
+  *
+  * Writes use a two-phase descriptor commit (`update_in_progress`,
+  * `publish.py:152-180`): readers treat a store whose descriptor has
+  * `updateInProgress=true` as mid-update.
+  */
+class GriddedStore(val root: String, spark: SparkSession) {
+
+  private val hadoopPath = new Path(root)
+  private def fs: FileSystem =
+    hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def descriptorPath = new Path(root, "_descriptor.json")
+  def dataPath: String = s"$root/data"
+
+  /** `store.has_existing` (`utils/store.py`). */
+  def hasExisting: Boolean = fs.exists(descriptorPath)
+
+  def readDescriptor(): Option[DatasetDescriptor] =
+    if (!hasExisting) None
+    else {
+      val in = fs.open(descriptorPath)
+      try Some(DatasetDescriptor.fromJson(
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString))
+      finally in.close()
+    }
+
+  /** Atomic-ish descriptor swap: write tmp, rename over. The metadata-only
+    * update path (`store.write_metadata_only`, `store.py:702-717`). */
+  def writeDescriptor(d: DatasetDescriptor): Unit = {
+    val tmp = new Path(root, "_descriptor.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(d.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    fs.delete(descriptorPath, false)
+    fs.rename(tmp, descriptorPath)
+  }
+
+  /** Lazy scan of the whole store (partition pruning applies to any
+    * time_bucket / time predicates stacked on top). */
+  def read(): DataFrame = spark.read.parquet(dataPath)
+
+  // ---- write paths ------------------------------------------------------
+
+  /** floorDiv on a long column (negative-safe bucket assignment). */
+  private def bucketOf(t: String, bucketUs: Long) =
+    expr(s"(($t div $bucketUs) - (CASE WHEN $t % $bucketUs < 0 THEN 1 ELSE 0 END))")
+
+  private def prepared(df: DataFrame, d: DatasetDescriptor): DataFrame = {
+    val cols = (d.dims :+ d.dataVar).map(col)
+    df.select(cols: _*)
+      .withColumn("time_bucket", bucketOf(d.timeDim, d.chunk.timeBucketUs))
+  }
+
+  private def writeBuckets(df: DataFrame, d: DatasetDescriptor, mode: SaveMode,
+                           dynamicOverwrite: Boolean): Unit = {
+    val sortCols = col("time_bucket") +: d.dims.map(col)
+    val w = df
+      .repartitionByRange(col("time_bucket"), col(d.dims.last))
+      .sortWithinPartitions(sortCols: _*)
+      .write
+      .mode(mode)
+      .option("maxRecordsPerFile", d.chunk.maxRecordsPerFile)
+      .partitionBy("time_bucket")
+    (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic") else w)
+      .parquet(dataPath)
+  }
+
+  /** Initial parse (`write_initial_zarr`, `publish.py:240-261`). */
+  def writeInitial(df: DataFrame, d: DatasetDescriptor): DatasetDescriptor = {
+    val p = prepared(df, d)
+    writeDescriptor(d.copy(updateInProgress = true))
+    writeBuckets(p, d, SaveMode.Overwrite, dynamicOverwrite = false)
+    val Array(lo, hi) = p.agg(min(d.timeDim), max(d.timeDim)).collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val committed = d.copy(
+      dateRange = Some((lo, hi)),
+      updateInProgress = false,
+      updateIsAppendOnly = None,
+      updatePreviousEndUs = None)
+    writeDescriptor(committed)
+    committed
+  }
+
+  /** Incremental update (`update_zarr`, `publish.py:265-301`): split the
+    * update's times into inserts (∩ existing) and appends (− existing),
+    * run the update QC gates, rewrite affected buckets, append the rest,
+    * two-phase-commit the descriptor.
+    */
+  def update(updateDf: DataFrame, allowOverwrite: Boolean = true): DatasetDescriptor = {
+    val d = readDescriptor().getOrElse(
+      throw new IllegalStateException(s"no existing dataset at $root"))
+    val t = d.timeDim
+    val p = prepared(updateDf, d).cache()
+    try {
+      val existingTimes = read().select(t).distinct()
+      val insertT = UpdatePlanner.insertTimes(p, existingTimes, t)
+      val appendT = UpdatePlanner.appendTimes(p, existingTimes, t)
+
+      // update_quality_check (`publish.py:604-652`)
+      val (dsStart, dsEnd) = d.dateRange.getOrElse(
+        throw new IllegalStateException("existing store has no committed date range"))
+      val stats = p.agg(min(t).as("lo"), max(t).as("hi"), count(lit(1)).as("n")).collect()(0)
+      if (stats.getLong(2) == 0L)
+        throw new IllegalArgumentException("empty update is an error") // no-op update
+      if (stats.getLong(0) < dsStart)
+        throw new IllegalArgumentException(
+          s"update contains times before dataset start $dsStart")
+      val inserts = insertT.limit(1).count() > 0
+      if (inserts && !allowOverwrite)
+        throw new IllegalStateException("inserts present but overwrite not allowed")
+      val appendHead = appendT.agg(min(t)).collect()(0)
+      if (!appendHead.isNullAt(0) && appendHead.getLong(0) > dsEnd + d.cadenceUs)
+        throw new IllegalArgumentException(
+          s"append is not contiguous with existing end $dsEnd (cadence ${d.cadenceUs})")
+
+      writeDescriptor(d.copy(updateInProgress = true))
+
+      if (inserts) {
+        // Region overwrite: for each affected bucket, merge surviving
+        // existing rows with the update rows, then dynamically overwrite
+        // just those partitions (the `region=` write, `publish.py:332-371`).
+        val insertRows = p.join(broadcast(insertT), Seq(t), "left_semi")
+        val buckets = insertRows.select("time_bucket").distinct()
+          .collect().map(_.getLong(0)) // bounded: one entry per affected bucket
+        val survivors = read()
+          .filter(col("time_bucket").isin(buckets: _*))
+          .join(broadcast(insertT), Seq(t), "left_anti")
+          .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
+        writeBuckets(survivors.unionByName(insertRows), d,
+          SaveMode.Overwrite, dynamicOverwrite = true)
+      }
+
+      val appendRows = p.join(broadcast(appendT), Seq(t), "left_semi")
+      if (appendHead != null && !appendHead.isNullAt(0))
+        writeBuckets(appendRows, d, SaveMode.Append, dynamicOverwrite = false)
+
+      val committed = d.copy(
+        dateRange = Some((math.min(dsStart, stats.getLong(0)),
+          math.max(dsEnd, stats.getLong(1)))),
+        updateInProgress = false,
+        updatePreviousEndUs = Some(dsEnd),
+        updateIsAppendOnly = Some(!inserts))
+      writeDescriptor(committed)
+      committed
+    } finally p.unpersist()
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+/** Smoke: every declared query runs at sf0.001 and oracle keys ⊆ query
+  * keys (the driver contract). Exact oracle equality is validated by
+  * tools/check.py against DuckDB, which ScalaTest can't reach. */
+class QueriesSpec extends SparkSpec {
+
+  test("oracle keys are a subset of query keys; names are well-formed") {
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert(ok.subsetOf(qk), s"orphan oracles: ${ok.diff(qk)}")
+    qk.foreach(k => assert(k.matches("q[0-9]+_[a-z0-9_]+"), k))
+  }
+
+  test("every query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("flagship entry returns rows on a vanilla-ish session") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

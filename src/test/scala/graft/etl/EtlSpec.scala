@@ -1,0 +1,99 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import graft.catalog.StacCatalog
+import org.apache.spark.sql.functions._
+
+/** Extract planning, manager orchestration, catalog lifecycle. */
+class EtlSpec extends SparkSpec {
+
+  test("planPeriods resumes from watermark + cadence (chirps.py:176-187)") {
+    val p = Extractor.planPeriods(datasetStartUs = 0L,
+      watermarkUs = Some(5 * DAY_US), cadenceUs = DAY_US, untilUs = 8 * DAY_US)
+    assert(p == Seq(6 * DAY_US, 7 * DAY_US, 8 * DAY_US))
+    // cold start: from dataset start
+    assert(Extractor.planPeriods(0L, None, DAY_US, 2 * DAY_US)
+      == Seq(0L, DAY_US, 2 * DAY_US))
+    intercept[IllegalArgumentException] {
+      Extractor.planPeriods(10 * DAY_US, Some(0L), DAY_US, 20 * DAY_US)
+    }
+  }
+
+  test("pool is all-or-nothing; retry backs off then succeeds") {
+    assert(Extractor.pool(1 to 20, 4)(_ => true))
+    assert(!Extractor.pool(1 to 20, 4)(i => i != 13))
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    val r = Extractor.withRetry(tries = 5, baseBackoffMs = 1) { () =>
+      if (attempts.incrementAndGet() < 3) sys.error("flaky") else 42
+    }
+    assert(r.get == 42 && attempts.get() == 3)
+  }
+
+  test("hasNewData gates the parse (convenience.py:482-513)") {
+    assert(Extractor.hasNewData(Some(5L), Some(3L)))
+    assert(!Extractor.hasNewData(Some(3L), Some(3L)))
+    assert(Extractor.hasNewData(Some(1L), None))
+    assert(!Extractor.hasNewData(None, Some(1L)))
+  }
+
+  test("manager parse end-to-end: initial + append + catalog chain") {
+    val d = DatasetDescriptor("chirps-test", "precip", Category.Observation,
+      Some(-9999.0), DAY_US, ChunkGrid(10 * DAY_US, 500),
+      attrs = Map("units" -> "mm"))
+    val mgr = new DatasetManager(d, tmpDir("mgr-store"), tmpDir("mgr-cat"), spark,
+      extremeBounds = Some((-100.0, 100000.0)))
+    val first = mgr.parse(mgr.normalize(cube(10, 4, 4))).get
+    assert(first.dateRange.contains((0L, 9 * DAY_US)))
+    assert(mgr.catalog.latestVersion("chirps-test").isDefined)
+    val v1 = mgr.catalog.latestVersion("chirps-test").get
+
+    val second = mgr.parse(mgr.normalize(cube(4, 4, 4, startDay = 10))).get
+    assert(second.dateRange.contains((0L, 13 * DAY_US)))
+    // version history: new item links prev to v1 (metadata.py:447-525)
+    val v2 = mgr.catalog.latestVersion("chirps-test").get
+    assert(v2 != v1)
+    val item = mgr.catalog.readItem("chirps-test", v2).get
+    assert(org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(item \ "links")).contains(v1))
+  }
+
+  test("dry run writes nothing (test_chirps.py:169-189)") {
+    val d = DatasetDescriptor("dry", "precip", Category.Observation,
+      None, DAY_US, ChunkGrid(10 * DAY_US, 500))
+    val root = tmpDir("dry-store")
+    val mgr = new DatasetManager(d, root, tmpDir("dry-cat"), spark, dryRun = true)
+    assert(mgr.parse(mgr.normalize(cube(5, 2, 2))).isEmpty)
+    assert(!mgr.store.hasExisting)
+  }
+
+  test("pre-parse QC rejects extreme values (publish.py:499-539)") {
+    val d = DatasetDescriptor("qcx", "precip", Category.Observation,
+      None, DAY_US, ChunkGrid(10 * DAY_US, 500))
+    val mgr = new DatasetManager(d, tmpDir("qc-store"), tmpDir("qc-cat"), spark,
+      extremeBounds = Some((0.0, 50.0)))
+    intercept[IllegalArgumentException] {
+      mgr.parse(mgr.normalize(cube(5, 2, 2))) // values go up to 400+
+    }
+  }
+
+  test("catalog collection extent widens, never narrows (metadata.py:527-551)") {
+    val cat = new StacCatalog(tmpDir("cat"), spark)
+    cat.upsertCollection("c", Array(-10.0, -5.0, 10.0, 5.0), (100L, 200L))
+    cat.upsertCollection("c", Array(-2.0, -2.0, 20.0, 2.0), (150L, 400L))
+    val j = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        cat.readItem("c", "x").getOrElse(org.json4s.JNull)))
+    val coll = scala.io.Source.fromFile(
+      cat.collectionPath("c").toString.stripPrefix("file:")).mkString
+    assert(coll.contains("-10.0") && coll.contains("20.0") &&
+      coll.contains("100") && coll.contains("400"))
+  }
+
+  test("registry resolves managers by name (dataset_manager.py:391-420)") {
+    val d = DatasetDescriptor("reg-ds", "v", Category.Forecast,
+      None, DAY_US, ChunkGrid(DAY_US, 10))
+    DatasetManager.register(new DatasetManager(d, tmpDir("r"), tmpDir("rc"), spark))
+    assert(DatasetManager.forName("reg-ds").exists(_.descriptor.category == Category.Forecast))
+  }
+}

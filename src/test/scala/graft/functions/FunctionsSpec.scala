@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Text, dedup and vector function semantics. */
+class FunctionsSpec extends SparkSpec {
+
+  test("wordNgrams: counts, short-doc empty, distinctness") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y x y x y"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.wordNgrams(col("text"), 3).as("g"))
+    val sizes = df.select(col("id"), size(col("g"))).orderBy("id")
+      .collect().map(_.getInt(1))
+    assert(sizes.sameElements(Array(2, 0, 2))) // "x y x","y x y" distinct
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "hello"), (2L, "hello"), (3L, "hellp"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    val fps = df.orderBy("id").collect().map(_.getLong(1))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("minhash: identical docs -> identical sigs; near-dups agree on most slots") {
+    val s = spark; import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tonight")
+    val far = "completely different words in this unrelated sentence about spark engines"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+    val sigs = Signatures.minhash(df, "doc_id", "text", 3, 64)
+      .orderBy("doc_id").collect()
+      .map(r => r.getSeq[Long](1).toArray)
+    assert(sigs(0).sameElements(sigs(1)))
+    def agree(a: Array[Long], b: Array[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(0), sigs(2)) > 40)  // near-dup: most slots agree
+    assert(agree(sigs(0), sigs(3)) < 10)  // unrelated: almost none
+  }
+
+  test("simhash: identical -> hamming 0; near < far") {
+    val s = spark; import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, base), (2L, base), (3L, base.replace("today", "tonight")),
+      (4L, "completely different words entirely unrelated text")).toDF("doc_id", "text")
+    val sh = Signatures.simhash(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0), sh(1)) == 0)
+    assert(ham(sh(0), sh(2)) < ham(sh(0), sh(3)))
+  }
+
+  test("jaccard on known arrays") {
+    val s = spark; import s.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(DedupFunctions.jaccard(col("x"), col("y")).as("j"))
+    assert(df.as[Double].collect()(0) == 0.5)
+  }
+
+  test("cosine: self = 1, orthogonal = 0") {
+    val s = spark; import s.implicits._
+    val df = Seq((Seq(1.0f, 0.0f, 2.0f), Seq(1.0f, 0.0f, 2.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    val r = df.as[Double].collect()
+    assert(math.abs(r(0) - 1.0) < 1e-12 && r(1) == 0.0)
+  }
+
+  test("hyperplane buckets: identical vectors share a bucket") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)),
+      (3L, Seq(-1.0f, -2.0f, -3.0f))).toDF("id", "v")
+      .select(col("id"), VectorFunctions.hyperplaneBucket(col("v"), 8).as("b"))
+    val b = df.orderBy("id").collect().map(_.getLong(1))
+    assert(b(0) == b(1))
+    assert(b(0) != b(2)) // antipodal vector flips every plane
+  }
+}

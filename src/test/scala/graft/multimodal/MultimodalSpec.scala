@@ -1,0 +1,34 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decodeMeta: deterministic stub decode + content hash over binary") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, "img-bytes-aaaa".getBytes, "image"),
+      (2L, "img-bytes-aaaa".getBytes, "image"), // same content
+      (3L, "vid-bytes-bbbbbb".getBytes, "video"))
+    val meta = Multimodal.decodeMeta(rows.toDF("id", "bin", "kind"), "id", "bin", "kind")
+      .collect().sortBy(_.id)
+    assert(meta(0).sha == meta(1).sha && meta(0).width == meta(1).width)
+    assert(meta(0).sha != meta(2).sha)
+    assert(meta(0).nFrames == 1 && meta(2).nFrames >= 1)
+    assert(meta(0).byteLen == "img-bytes-aaaa".getBytes.length)
+  }
+
+  test("sampleFrames explodes stride-sampled frame indices for video") {
+    val s = spark; import s.implicits._
+    val rows = Seq((1L, "some-video-content-xyz".getBytes, "video"),
+      (2L, "an-image".getBytes, "image"))
+    val meta = Multimodal.decodeMeta(rows.toDF("id", "bin", "kind"), "id", "bin", "kind")
+    val frames = Multimodal.sampleFrames(meta, stride = 10)
+    val byId = frames.groupBy("id").agg(count(lit(1))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = meta.filter(col("id") === 1L).collect()(0).nFrames
+    if (n > 1) assert(byId(1L) == (n + 9) / 10)
+    assert(!byId.contains(2L)) // images produce no frame rows
+  }
+}

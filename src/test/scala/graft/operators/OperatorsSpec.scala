@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Update planning, selections and normalization — the unit layer of
+  * `utils/publish.py` / `utils/convenience.py`. */
+class OperatorsSpec extends SparkSpec {
+
+  test("insert/append split on a gapped update (publish.py:303-330)") {
+    val s = spark; import s.implicits._
+    val existing = (0L to 9L).toDF("t")
+    val update = Seq(5L, 6L, 10L, 11L, 13L).toDF("t") // 5,6 overlap; rest new
+    val ins = UpdatePlanner.insertTimes(update, existing, "t")
+      .orderBy("t").as[Long].collect()
+    val app = UpdatePlanner.appendTimes(update, existing, "t")
+      .orderBy("t").as[Long].collect()
+    assert(ins.sameElements(Array(5L, 6L)))
+    assert(app.sameElements(Array(10L, 11L, 13L)))
+  }
+
+  test("contiguousRegions groups gapped times (publish.py:432-495)") {
+    val s = spark; import s.implicits._
+    // the fake_complex_update shape: islands with gaps
+    val times = Seq(1L, 2L, 3L, 7L, 8L, 20L).toDF("t")
+    val regions = UpdatePlanner.contiguousRegions(times, "t", 1L)
+      .orderBy("start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(regions.sameElements(Array((1L, 3L, 3L), (7L, 8L, 2L), (20L, 20L, 1L))))
+  }
+
+  test("pointSelect and timeSlice prune to exact rows") {
+    val df = cube(10, 4, 4)
+    assert(Selections.pointSelect(df,
+      Map("time" -> 3 * DAY_US, "latitude" -> -1.0, "longitude" -> 10.0)).count() == 1)
+    assert(Selections.timeSlice(df, "time", 2 * DAY_US, 4 * DAY_US).count() == 3 * 16)
+  }
+
+  test("nearest with tolerance picks the closest row, or none") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 100L, 0L), (1L, 205L, 1L), (2L, 900L, 2L))
+      .toDF("g", "t", "id")
+    val near = Selections.nearest(df, "g", "t", "id", target = 200L, tolerance = 50L)
+      .select("g", "id").orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.sameElements(Array((1L, 1L)))) // g=2 outside tolerance
+  }
+
+  test("gridCell snaps regular coordinates exactly") {
+    val s = spark; import s.implicits._
+    val df = Seq(-0.876, -0.75, 0.0, 0.124).toDF("lat")
+      .select(Selections.gridCell(col("lat"), -1.0, 0.25).as("c"))
+    assert(df.as[Long].collect().sameElements(Array(0L, 1L, 4L, 4L)))
+  }
+
+  test("wrapLongitude lands in [-180, 180) for any input") {
+    val s = spark; import s.implicits._
+    val lons = Seq(-750.0, -360.0, -180.0, -0.5, 0.0, 179.9, 180.0, 360.0, 725.0)
+    val out = lons.toDF("lon")
+      .select(Normalize.wrapLongitude(col("lon")).as("w")).as[Double].collect()
+    out.foreach(w => assert(w >= -180.0 && w < 180.0))
+    assert(out(2) == -180.0 && out(6) == -180.0 && out(7) == 0.0)
+  }
+
+  test("sentinelToNull rewrites the fill value (transform.py:341-369)") {
+    val s = spark; import s.implicits._
+    val df = Seq(1.0, -9999.0, 2.0).toDF("v")
+    val n = Normalize.sentinelToNull(df, "v", lit(-9999.0))
+    assert(n.filter(col("v").isNull).count() == 1)
+    assert(n.agg(sum("v")).collect()(0).getDouble(0) == 3.0)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.qc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** QC suite unit tests (`tests/unit/utils/test_publish.py` QC sections,
+  * incl. the written-value NaN matrix `test_publish.py:1304-1398`). */
+class QualityChecksSpec extends SparkSpec {
+
+  test("wilson CI brackets the true proportion") {
+    val s = spark; import s.implicits._
+    // 100 of 1000 missing -> phat 0.1; CI at z=4.417 must contain 0.1
+    val df = (1 to 1000).map(i => (1, i <= 100)).toDF("g", "miss")
+    val r = QualityChecks.missingFrequency(df, "g", col("miss"))
+      .select("phat", "ci_lo", "ci_hi").collect()(0)
+    assert(r.getDouble(0) == 0.1)
+    assert(r.getDouble(1) < 0.1 && 0.1 < r.getDouble(2))
+    // and a clearly-wrong expectation falls outside
+    assert(0.5 > r.getDouble(2))
+  }
+
+  test("extremeValues counts out-of-bounds cells (publish.py:567-575)") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", -91.0), ("a", 10.0), ("a", 61.0), ("b", 0.0))
+      .toDF("g", "v")
+    val r = QualityChecks.extremeValues(df, "g", "v", -90.0, 60.0)
+      .orderBy("g").collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.sameElements(Array(("a", 2L, 3L), ("b", 0L, 1L))))
+  }
+
+  test("valueCompare flags value drift and null disagreement") {
+    val s = spark; import s.implicits._
+    val orig = Seq((1L, 1.0), (2L, 2.0), (3L, Double.NaN), (4L, 4.0))
+      .toDF("t", "v").select(col("t"),
+        when(isnan(col("v")), lit(null)).otherwise(col("v")).as("v"))
+    val written = Seq((1L, 1.0), (2L, 2.5), (3L, 3.0), (4L, 4.00000001))
+      .toDF("t", "v")
+    val bad = QualityChecks.valueCompare(orig, written, Seq("t"), "v", 1e-4)
+      .select("t").orderBy("t").as[Long].collect()
+    // t=2 drift beyond tolerance; t=3 null vs value; t=4 within tolerance
+    assert(bad.sameElements(Array(2L, 3L)))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import org.apache.spark.sql.functions._
+
+/** Initial/append/insert protocol — the system-test storyline of the
+  * reference (`tests/system/test_chirps.py`): golden-value point equality
+  * after initial parse, contiguous appends, hole-append failure,
+  * region-overwrite inserts, and the two-phase descriptor flags. */
+class GriddedStoreSpec extends SparkSpec {
+
+  private def desc(name: String) = DatasetDescriptor(
+    name = name, dataVar = "precip", category = Category.Observation,
+    missingValue = Some(-9999.0), cadenceUs = DAY_US,
+    chunk = ChunkGrid(timeBucketUs = 10 * DAY_US, maxRecordsPerFile = 200))
+
+  test("initial write: golden point value + committed descriptor") {
+    val root = tmpDir("store-init")
+    val store = new GriddedStore(root, spark)
+    val d = store.writeInitial(cube(20, 4, 4), desc("init"))
+    // point equality with the source, like test_chirps.py:217-235
+    val got = store.read()
+      .where(col("time") === 5 * DAY_US &&
+        col("latitude") === -0.5 && col("longitude") === 10.25)
+      .select("precip").collect()
+    assert(got.length == 1 && got(0).getDouble(0) == 5 * 100.0 + 2 * 10.0 + 1)
+    assert(d.dateRange.contains((0L, 19 * DAY_US)))
+    assert(!d.updateInProgress)
+    // bucketed layout exists
+    assert(store.read().select("time_bucket").distinct().count() == 2)
+  }
+
+  test("contiguous append extends the dataset; updateIsAppendOnly=true") {
+    val root = tmpDir("store-append")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(20, 4, 4), desc("app"))
+    val d2 = store.update(cube(5, 4, 4, startDay = 20, valueOffset = 9000.0))
+    assert(d2.dateRange.contains((0L, 24 * DAY_US)))
+    assert(d2.updateIsAppendOnly.contains(true))
+    assert(d2.updatePreviousEndUs.contains(19 * DAY_US))
+    assert(store.read().count() == 25 * 16)
+    val v = store.read().where(col("time") === 22 * DAY_US &&
+      col("latitude") === -1.0 && col("longitude") === 10.0)
+      .select("precip").collect()(0).getDouble(0)
+    assert(v == 9000.0 + 2 * 100.0)
+  }
+
+  test("append with a hole fails (test_chirps.py:293-313)") {
+    val root = tmpDir("store-hole")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(10, 2, 2), desc("hole"))
+    val ex = intercept[IllegalArgumentException] {
+      store.update(cube(3, 2, 2, startDay = 12)) // skips day 10, 11
+    }
+    assert(ex.getMessage.contains("not contiguous"))
+  }
+
+  test("insert overwrites only the targeted region (publish.py:332-371)") {
+    val root = tmpDir("store-insert")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(20, 4, 4), desc("ins"))
+    // overwrite days 5..7 with new values
+    val d2 = store.update(cube(3, 4, 4, startDay = 5, valueOffset = 5555.0))
+    assert(d2.updateIsAppendOnly.contains(false))
+    assert(store.read().count() == 20 * 16) // no row-count change
+    val changed = store.read().where(col("time") === 6 * DAY_US &&
+      col("latitude") === -1.0 && col("longitude") === 10.0)
+      .select("precip").collect()(0).getDouble(0)
+    assert(changed == 5555.0 + 1 * 100.0)
+    val untouched = store.read().where(col("time") === 9 * DAY_US &&
+      col("latitude") === -1.0 && col("longitude") === 10.0)
+      .select("precip").collect()(0).getDouble(0)
+    assert(untouched == 9 * 100.0)
+  }
+
+  test("update before dataset start fails; empty update fails") {
+    val root = tmpDir("store-guards")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(10, 2, 2, startDay = 100), desc("g"))
+    assert(intercept[IllegalArgumentException] {
+      store.update(cube(2, 2, 2, startDay = 50))
+    }.getMessage.contains("before dataset start"))
+    assert(intercept[IllegalArgumentException] {
+      store.update(cube(0, 2, 2))
+    }.getMessage.contains("empty update"))
+  }
+
+  test("inserts refused when overwrite not allowed (publish.py:287-294)") {
+    val root = tmpDir("store-noow")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(10, 2, 2), desc("now"))
+    intercept[IllegalStateException] {
+      store.update(cube(2, 2, 2, startDay = 3), allowOverwrite = false)
+    }
+  }
+
+  test("descriptor json round-trips") {
+    val d = desc("rt").copy(attrs = Map("units" -> "mm", "source" -> "x"),
+      dateRange = Some((1L, 2L)), updateIsAppendOnly = Some(true),
+      updatePreviousEndUs = Some(7L))
+    assert(DatasetDescriptor.fromJson(d.toJson) == d)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The AvailableNow incremental run must agree with the equivalent batch
+  * aggregation (SURVEY §2.13: incremental semantics, not a new engine). */
+class StreamingSpec extends SparkSpec {
+
+  test("availableNow hourly counts == batch hourly counts") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("stream-in")
+    val rows = (0 until 500).map { i =>
+      (i.toLong, new java.sql.Timestamp(i * 37000L), // ~37 s apart
+        if (i % 3 == 0) "click" else "view", i * 1.5)
+    }
+    val df = rows.toDF("event_id", "ts", "event_type", "value")
+    df.write.mode("overwrite").parquet(dir)
+
+    val src = IncrementalStream.source(spark, dir, df.schema)
+    IncrementalStream.runAvailableNow(
+      IncrementalStream.hourlyCounts(src, "ts", "10 minutes"),
+      "stream_out", tmpDir("stream-ckpt"))
+
+    val streamed = spark.table("stream_out")
+      .select("hour_start", "event_type", "n", "sum_value")
+    val batch = df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("second availableNow run with same checkpoint is a no-op (exactly-once)") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("stream-in2")
+    val ckpt = tmpDir("stream-ckpt2")
+    val out = tmpDir("stream-out2")
+    // two hours of events so at least one window is watermark-finalized
+    val df = (0 until 240).map(i =>
+      (i.toLong, new java.sql.Timestamp(i * 30000L), "a", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    df.write.mode("overwrite").parquet(dir)
+    def run(): Unit = IncrementalStream.runAvailableNowToParquet(
+      IncrementalStream.hourlyCounts(
+        IncrementalStream.source(spark, dir, df.schema), "ts", "1 minute"),
+      out, ckpt)
+    run()
+    val n1 = spark.read.parquet(out).count()
+    run() // same checkpoint: nothing new to process
+    assert(spark.read.parquet(out).count() == n1 && n1 > 0)
+  }
+}
