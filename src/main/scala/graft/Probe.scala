@@ -1,62 +1,51 @@
 package graft
 
-import graft.etl.{DatasetManager, Extractor}
+import graft.functions.Encryption
 import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import graft.sources.{EncodingSurgery, GriddedStore}
 import org.apache.spark.sql.functions._
 
-/** Probe: end-to-end ETL storyline through the public library surface —
-  * initial parse → watermark-planned append → region-overwrite insert →
-  * catalog version chain. Prints observable evidence at each step. */
+/** Probe: encrypted-column round-trip, coordinate surgery, and the
+  * crashed-writer guard, through the public library surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     import spark.implicits._
     val DAY = 86400000000L
 
-    def cube(nDays: Int, startDay: Long, off: Double) = {
-      val rows = for { d <- 0 until nDays; la <- 0 until 4; lo <- 0 until 4 }
-        yield ((startDay + d) * DAY, -1.0 + la * 0.25, 10.0 + lo * 0.25,
-          off + (startDay + d) * 100.0 + la * 10.0 + lo)
-      rows.toDF("time", "latitude", "longitude", "precip")
-    }
+    // 1. encryption: encrypt a value column, store it, read+decrypt, wrong key
+    val key = Encryption.generateKey()
+    val hash = Encryption.registerKey(key)
+    val df = Seq((1L, 41.5), (2L, -3.25), (3L, 0.0)).toDF("id", "v")
+    val enc = Encryption.encryptColumn(df, "v", hash)
+    val encDir = java.nio.file.Files.createTempDirectory("enc").toString
+    enc.write.mode("overwrite").parquet(encDir)
+    val back = spark.read.parquet(encDir)
+    val sampleHex = back.orderBy("id").select("v").as[Array[Byte]].first()
+      .take(12).map("%02x".format(_)).mkString
+    val dec = Encryption.decryptColumn(back, "v", hash).orderBy("id")
+      .select("v").as[Double].collect()
+    println(s"PROBE enc: payload[0..12)=$sampleHex decrypted=${dec.mkString(",")}")
+    val wrong = Encryption.registerKey(Encryption.generateKey())
+    try { Encryption.decryptColumn(back, "v", wrong).collect(); println("PROBE wrong-key: NO ERROR (bad)") }
+    catch { case e: Throwable => println(s"PROBE wrong-key rejected: ${e.getClass.getSimpleName}") }
 
-    val storeRoot = java.nio.file.Files.createTempDirectory("probe-store").toString
-    val catRoot = java.nio.file.Files.createTempDirectory("probe-cat").toString
-    val d = DatasetDescriptor("chirps-probe", "precip", Category.Observation,
-      Some(-9999.0), DAY, ChunkGrid(10 * DAY, 500), attrs = Map("units" -> "mm"))
-    val mgr = new DatasetManager(d, storeRoot, catRoot, spark)
+    // 2. surgery on a committed store
+    def cube(n: Int) = (for { d <- 0 until n; la <- 0 until 2; lo <- 0 until 2 }
+      yield (d * DAY, la * 0.25, 10.0 + lo * 0.25, d * 1.0)).toDF("time", "latitude", "longitude", "precip")
+    val store = new GriddedStore(java.nio.file.Files.createTempDirectory("st").toString, spark)
+    store.writeInitial(cube(5), DatasetDescriptor("s", "precip", Category.Observation,
+      None, DAY, ChunkGrid(10 * DAY, 100)))
+    EncodingSurgery.rewriteCoordinate(store, "longitude", c => c + 100.0)
+    println(s"PROBE surgery lons=${store.read().select("longitude").distinct().orderBy("longitude").as[Double].collect().mkString(",")} rows=${store.read().count()}")
+    try { EncodingSurgery.rewriteCoordinate(store, "precip", c => c * 2); println("PROBE datavar surgery: NO ERROR (bad)") }
+    catch { case e: Throwable => println(s"PROBE datavar surgery refused: ${e.getMessage.take(50)}") }
 
-    // 1. initial parse
-    val c1 = mgr.parse(mgr.normalize(cube(20, 0, 0.0))).get
-    println(s"PROBE initial dateRange=${c1.dateRange} rows=${mgr.store.read().count()}")
-
-    // 2. extract planning from the committed watermark
-    val periods = Extractor.planPeriods(0L, c1.dateRange.map(_._2), DAY, 24 * DAY)
-    println(s"PROBE planned periods=${periods.map(_ / DAY)}")
-
-    // 3. append those periods
-    val c2 = mgr.parse(cube(periods.size, periods.head / DAY, 0.0)).get
-    println(s"PROBE append dateRange=${c2.dateRange} appendOnly=${c2.updateIsAppendOnly} rows=${mgr.store.read().count()}")
-
-    // 4. region-overwrite insert into days 5..6
-    val before = mgr.store.read().where($"time" === 5 * DAY && $"latitude" === -1.0 && $"longitude" === 10.0)
-      .select("precip").as[Double].collect()(0)
-    val c3 = mgr.parse(cube(2, 5, 77000.0)).get
-    val after = mgr.store.read().where($"time" === 5 * DAY && $"latitude" === -1.0 && $"longitude" === 10.0)
-      .select("precip").as[Double].collect()(0)
-    val neighbor = mgr.store.read().where($"time" === 7 * DAY && $"latitude" === -1.0 && $"longitude" === 10.0)
-      .select("precip").as[Double].collect()(0)
-    println(s"PROBE insert cell(5d): $before -> $after; untouched(7d)=$neighbor appendOnly=${c3.updateIsAppendOnly} rows=${mgr.store.read().count()}")
-
-    // 5. catalog version chain
-    val v = mgr.catalog.latestVersion("chirps-probe")
-    println(s"PROBE catalog latest=$v")
-    println("PROBE store layout:")
-    new java.io.File(s"$storeRoot/data").listFiles().toSeq
-      .filter(_.isDirectory).sortBy(_.getName)
-      .foreach(f => println(s"  ${f.getName} files=${f.listFiles().count(_.getName.endsWith(".parquet"))}"))
-    println("PROBE descriptor:")
-    println(scala.io.Source.fromFile(s"$storeRoot/_descriptor.json").mkString)
+    // 3. crashed-writer guard
+    val d0 = store.readDescriptor().get
+    store.writeDescriptor(d0.copy(updateInProgress = true))
+    try { store.update(cube(2)); println("PROBE mid-update: NO ERROR (bad)") }
+    catch { case e: Throwable => println(s"PROBE mid-update refused: ${e.getMessage.take(60)}") }
     spark.stop()
   }
 }

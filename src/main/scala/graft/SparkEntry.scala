@@ -24,7 +24,8 @@ object SparkEntry {
       TimeSeriesQueries.queries ++
       GridQueries.queries ++
       TextQueries.queries ++
-      VectorQueries.queries
+      VectorQueries.queries ++
+      MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
       TimeSeriesQueries.oracles ++
       GridQueries.oracles ++
       TextQueries.oracles ++
-      VectorQueries.oracles
+      VectorQueries.oracles ++
+      MiscQueries.oracles
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import java.security.MessageDigest
+import javax.crypto.Cipher
+import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
+
+/** Encrypted value columns — the Spark analog of the reference's
+  * per-chunk `EncryptionFilter` (`utils/encryption.py:80-131`).
+  *
+  * Same design decisions as the reference:
+  *  - runtime key registry keyed by a hash of the key; only the HASH is
+  *    stored with the data, never the key (`encryption.py:28-77`);
+  *  - authenticated encryption with a fresh random nonce per cell,
+  *    nonce ‖ ciphertext ‖ tag concatenated into one binary payload;
+  *  - constant AAD header binding ciphertexts to this engine.
+  *
+  * Cipher: AES-256-GCM (the JDK's native AEAD; the reference's
+  * XChaCha20-Poly1305 has no JDK implementation — same security role).
+  * Work runs executor-side via typed map — keys are resolved from the
+  * registry on each executor (registered at session setup), bytes never
+  * shuffle decrypted.
+  */
+object Encryption {
+
+  val AAD: Array[Byte] = "graft-gridded".getBytes("UTF-8")
+  private val NONCE_LEN = 12
+  private val TAG_BITS = 128
+
+  /** `generate_encryption_key` (`encryption.py:31-43`). */
+  def generateKey(): Array[Byte] = {
+    val k = new Array[Byte](32)
+    new java.security.SecureRandom().nextBytes(k)
+    k
+  }
+
+  def keyHash(key: Array[Byte]): String =
+    MessageDigest.getInstance("SHA3-256").digest(key)
+      .map("%02x".format(_)).mkString
+
+  /** Runtime registry (`register_encryption_key`, `encryption.py:46-70`).
+    * On a cluster, register on every executor via a broadcast at job
+    * setup; in local mode one JVM suffices. */
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+  def registerKey(key: Array[Byte]): String = {
+    val h = keyHash(key)
+    registry.put(h, key.clone())
+    h
+  }
+  def lookupKey(hash: String): Array[Byte] =
+    registry.getOrElse(hash,
+      throw new IllegalStateException(s"no key registered for hash $hash"))
+
+  private def cipher(mode: Int, key: Array[Byte], nonce: Array[Byte]): Cipher = {
+    val c = Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(mode, new SecretKeySpec(key, "AES"), new GCMParameterSpec(TAG_BITS, nonce))
+    c.updateAAD(AAD)
+    c
+  }
+
+  def encryptBytes(plain: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    val nonce = new Array[Byte](NONCE_LEN)
+    new java.security.SecureRandom().nextBytes(nonce)
+    val ct = cipher(Cipher.ENCRYPT_MODE, key, nonce).doFinal(plain)
+    nonce ++ ct
+  }
+
+  def decryptBytes(payload: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    val nonce = payload.take(NONCE_LEN)
+    cipher(Cipher.DECRYPT_MODE, key, nonce).doFinal(payload.drop(NONCE_LEN))
+  }
+
+  /** Encrypt a double value column → binary payload column; the key hash
+    * travels in the descriptor attrs, not with the data. */
+  def encryptColumn(df: DataFrame, valueCol: String, hash: String): DataFrame = {
+    val spark = df.sparkSession
+    val enc = udf { (v: java.lang.Double) =>
+      if (v == null) null
+      else encryptBytes(
+        java.nio.ByteBuffer.allocate(8).putDouble(v).array(), lookupKey(hash))
+    }
+    df.withColumn(valueCol, enc(col(valueCol)))
+  }
+
+  /** Decrypt view of an encrypted column; fails (AEADBadTag) under a
+    * wrong key, as the reference's round-trip tests assert
+    * (`tests/system/test_chirps_encryption.py:99-184`). */
+  def decryptColumn(df: DataFrame, valueCol: String, hash: String): DataFrame = {
+    val dec = udf { (p: Array[Byte]) =>
+      if (p == null) null
+      else java.lang.Double.valueOf(
+        java.nio.ByteBuffer.wrap(decryptBytes(p, lookupKey(hash))).getDouble)
+    }
+    df.withColumn(valueCol, dec(col(valueCol)))
+  }
+}

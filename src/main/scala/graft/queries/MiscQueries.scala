@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 surface: multi-file combine (§2.2), sampling and
+  * scalar helpers (§2.9). */
+object MiscQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `create_zarr_json` / MultiZarrToZarr analog (`transform.py:42-111`):
+    // per-file frames are unioned by name along the concat dim (time) and
+    // the shared "identical dims" table is read once from the first file
+    // and broadcast (`transform.py:329-336`).
+    "q43_concat_union" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "event_type", "us", "value")
+      val split = 1705320000000000L
+      val file1 = e.filter(col("us") < split)
+      val file2 = e.filter(col("us") >= split)
+      val identicalDims = file1.select("event_type").distinct()
+      file1.unionByName(file2)
+        .join(broadcast(identicalDims), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("us").as("min_us"), max("us").as("max_us"))
+        .orderBy("event_type")
+    }),
+
+    // `get_random_coords`/`shuffled_coords` (`convenience.py:536-553`):
+    // deterministic pseudo-random sample via content-hash ordering (the
+    // portable stand-in for seeded rand()).
+    "q44_random_sample" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("h", md5(col("event_id").cast("string")))
+        .orderBy("h")
+        .limit(50)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // `_is_infish` (`publish.py:1068-1074`): inf or |x| > 1e100.
+    "q45_infish" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("v", when(col("value") > 199.0, exp(lit(1000.0)))
+          .otherwise(col("value")))
+        .groupBy("event_type")
+        .agg(
+          count(when(col("v") > 1e100 || col("v") < -1e100, lit(1))).as("n_infish"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q43_concat_union" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us, value FROM events),
+        |f1 AS (SELECT * FROM e WHERE us < 1705320000000000),
+        |f2 AS (SELECT * FROM e WHERE us >= 1705320000000000),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2),
+        |dims AS (SELECT DISTINCT event_type FROM f1)
+        |SELECT u.event_type, COUNT(*) AS n, MIN(us) AS min_us, MAX(us) AS max_us
+        |FROM u JOIN dims ON u.event_type = dims.event_type
+        |GROUP BY u.event_type ORDER BY u.event_type""".stripMargin,
+    "q44_random_sample" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type, md5(CAST(event_id AS VARCHAR)) AS h
+        |  FROM events ORDER BY h LIMIT 50) t
+        |ORDER BY event_id""".stripMargin,
+    "q45_infish" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN value > 199.0 THEN exp(1000.0) ELSE value END AS v FROM events)
+        |SELECT event_type,
+        |  COUNT(CASE WHEN v > 1e100 OR v < -1e100 THEN 1 END) AS n_infish,
+        |  COUNT(*) AS n
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.model.DatasetDescriptor
+import org.apache.spark.sql.{Column, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Coordinate-encoding surgery on a committed store — the analog of
+  * `update_array_encoding` / `_modify_array_encoding`
+  * (`utils/metadata.py:835-946`): rewrite ONE coordinate column of a
+  * production dataset (e.g. re-scale latitudes, change units) while
+  * refusing to touch the data variable, then recommit the descriptor.
+  *
+  * The reference recreates one small Zarr coordinate array in place; the
+  * tall-layout equivalent must rewrite the rows (the coordinate is a
+  * column), so this is a full-store map — but a pure narrow map: no
+  * shuffle, partition layout preserved by writing bucket-by-bucket
+  * metadata-compatible output.
+  */
+object EncodingSurgery {
+
+  def rewriteCoordinate(store: GriddedStore, coord: String,
+                        f: Column => Column): DatasetDescriptor = {
+    val d = store.readDescriptor().getOrElse(
+      throw new IllegalStateException("no dataset to modify"))
+    require(coord != d.dataVar,
+      s"refusing to modify data variable ${d.dataVar}") // metadata.py:858-866
+    require(d.dims.contains(coord), s"unknown coordinate $coord")
+
+    store.writeDescriptor(d.copy(updateInProgress = true))
+    val rewritten = store.read().withColumn(coord, f(col(coord)))
+    // stage to a sibling dir then swap, so a crash never leaves a
+    // half-rewritten store visible
+    val staged = s"${store.root}/data.staged"
+    rewritten.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", d.chunk.maxRecordsPerFile)
+      .partitionBy("time_bucket").parquet(staged)
+    val fs = new org.apache.hadoop.fs.Path(store.root)
+      .getFileSystem(org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    val dataP = new org.apache.hadoop.fs.Path(store.dataPath)
+    val stagedP = new org.apache.hadoop.fs.Path(staged)
+    fs.delete(dataP, true)
+    fs.rename(stagedP, dataP)
+    val committed = d.copy(updateInProgress = false)
+    store.writeDescriptor(committed)
+    committed
+  }
+}

@@ -123,6 +123,13 @@ class GriddedStore(val root: String, spark: SparkSession) {
   def update(updateDf: DataFrame, allowOverwrite: Boolean = true): DatasetDescriptor = {
     val d = readDescriptor().getOrElse(
       throw new IllegalStateException(s"no existing dataset at $root"))
+    // A crashed writer leaves updateInProgress=true; refuse to stack a new
+    // update on a half-written store (the reader-visible face of the
+    // two-phase flag, `publish.py:152-180`).
+    if (d.updateInProgress)
+      throw new IllegalStateException(
+        s"store at $root has an update in progress (crashed writer?); " +
+          "repair or rebuild before updating")
     val t = d.timeDim
     val p = prepared(updateDf, d).cache()
     try {

@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.functions.Encryption
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import org.apache.spark.sql.functions._
+
+class SurgeryEncryptionSpec extends SparkSpec {
+
+  private def desc(name: String) = DatasetDescriptor(
+    name, "precip", Category.Observation, None, DAY_US,
+    ChunkGrid(10 * DAY_US, 500))
+
+  test("update refuses a store left mid-update (crashed writer)") {
+    val store = new GriddedStore(tmpDir("midupdate"), spark)
+    val d = store.writeInitial(cube(5, 2, 2), desc("mid"))
+    store.writeDescriptor(d.copy(updateInProgress = true)) // simulate crash
+    val ex = intercept[IllegalStateException] {
+      store.update(cube(2, 2, 2, startDay = 5))
+    }
+    assert(ex.getMessage.contains("update in progress"))
+  }
+
+  test("coordinate surgery rewrites one coord, refuses the data var (metadata.py:835-946)") {
+    val store = new GriddedStore(tmpDir("surgery"), spark)
+    store.writeInitial(cube(5, 2, 2), desc("surg"))
+    intercept[IllegalArgumentException] {
+      EncodingSurgery.rewriteCoordinate(store, "precip", c => c * 2)
+    }
+    EncodingSurgery.rewriteCoordinate(store, "longitude", c => c + 100.0)
+    val lons = store.read().select("longitude").distinct()
+      .orderBy("longitude").collect().map(_.getDouble(0))
+    assert(lons.sameElements(Array(110.0, 110.25)))
+    assert(store.read().count() == 5 * 4)
+    assert(!store.readDescriptor().get.updateInProgress)
+  }
+
+  test("encryption round-trip; wrong key fails (test_chirps_encryption.py:99-184)") {
+    val s = spark; import s.implicits._
+    val key = Encryption.generateKey()
+    val hash = Encryption.registerKey(key)
+    val df = Seq((1L, 1.5), (2L, -3.25)).toDF("id", "v")
+    val enc = Encryption.encryptColumn(df, "v", hash)
+    // payload is opaque binary, nonce+tag overhead present
+    val payload = enc.select("v").as[Array[Byte]].collect()
+    assert(payload.forall(_.length == 12 + 8 + 16))
+    val dec = Encryption.decryptColumn(enc, "v", hash)
+      .orderBy("id").select("v").as[Double].collect()
+    assert(dec.sameElements(Array(1.5, -3.25)))
+    // wrong key: registered but different -> AEAD tag failure
+    val wrongHash = Encryption.registerKey(Encryption.generateKey())
+    val ex = intercept[org.apache.spark.SparkException] {
+      Encryption.decryptColumn(enc, "v", wrongHash).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("key registry: hash stored, key never; unknown hash fails") {
+    val key = Encryption.generateKey()
+    val h = Encryption.registerKey(key)
+    assert(h.length == 64 && !h.contains(new String(key.map("%02x".format(_)).mkString)))
+    intercept[IllegalStateException] { Encryption.lookupKey("deadbeef") }
+  }
+}
