@@ -1,51 +1,15 @@
 package graft
 
-import graft.functions.Encryption
-import graft.model.{Category, ChunkGrid, DatasetDescriptor}
-import graft.sources.{EncodingSurgery, GriddedStore}
-import org.apache.spark.sql.functions._
-
-/** Probe: encrypted-column round-trip, coordinate surgery, and the
-  * crashed-writer guard, through the public library surface. */
+/** Probe: print formatted physical plans for selected queries. */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local(8)
-    import spark.implicits._
-    val DAY = 86400000000L
-
-    // 1. encryption: encrypt a value column, store it, read+decrypt, wrong key
-    val key = Encryption.generateKey()
-    val hash = Encryption.registerKey(key)
-    val df = Seq((1L, 41.5), (2L, -3.25), (3L, 0.0)).toDF("id", "v")
-    val enc = Encryption.encryptColumn(df, "v", hash)
-    val encDir = java.nio.file.Files.createTempDirectory("enc").toString
-    enc.write.mode("overwrite").parquet(encDir)
-    val back = spark.read.parquet(encDir)
-    val sampleHex = back.orderBy("id").select("v").as[Array[Byte]].first()
-      .take(12).map("%02x".format(_)).mkString
-    val dec = Encryption.decryptColumn(back, "v", hash).orderBy("id")
-      .select("v").as[Double].collect()
-    println(s"PROBE enc: payload[0..12)=$sampleHex decrypted=${dec.mkString(",")}")
-    val wrong = Encryption.registerKey(Encryption.generateKey())
-    try { Encryption.decryptColumn(back, "v", wrong).collect(); println("PROBE wrong-key: NO ERROR (bad)") }
-    catch { case e: Throwable => println(s"PROBE wrong-key rejected: ${e.getClass.getSimpleName}") }
-
-    // 2. surgery on a committed store
-    def cube(n: Int) = (for { d <- 0 until n; la <- 0 until 2; lo <- 0 until 2 }
-      yield (d * DAY, la * 0.25, 10.0 + lo * 0.25, d * 1.0)).toDF("time", "latitude", "longitude", "precip")
-    val store = new GriddedStore(java.nio.file.Files.createTempDirectory("st").toString, spark)
-    store.writeInitial(cube(5), DatasetDescriptor("s", "precip", Category.Observation,
-      None, DAY, ChunkGrid(10 * DAY, 100)))
-    EncodingSurgery.rewriteCoordinate(store, "longitude", c => c + 100.0)
-    println(s"PROBE surgery lons=${store.read().select("longitude").distinct().orderBy("longitude").as[Double].collect().mkString(",")} rows=${store.read().count()}")
-    try { EncodingSurgery.rewriteCoordinate(store, "precip", c => c * 2); println("PROBE datavar surgery: NO ERROR (bad)") }
-    catch { case e: Throwable => println(s"PROBE datavar surgery refused: ${e.getMessage.take(50)}") }
-
-    // 3. crashed-writer guard
-    val d0 = store.readDescriptor().get
-    store.writeDescriptor(d0.copy(updateInProgress = true))
-    try { store.update(cube(2)); println("PROBE mid-update: NO ERROR (bad)") }
-    catch { case e: Throwable => println(s"PROBE mid-update refused: ${e.getMessage.take(60)}") }
+    args.drop(1).foreach { name =>
+      println(s"===== $name =====")
+      println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
     spark.stop()
   }
 }

@@ -31,6 +31,30 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Pairwise cosine over a joined pair frame (d1, d2, ea, eb) — typed
+    * imperative loop for the O(pairs) hot path (the HOF expression is
+    * interpreted and ~100× slower per pair). The accumulation is the
+    * same index-order left fold as [[dot]]/[[norm]] and DuckDB's
+    * `list_sum`, so scores stay bit-identical to the oracle. */
+  def cosinePairs(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("d1").cast("long"), col("d2").cast("long"), col("ea"), col("eb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (d1, d2, a, b) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < a.length) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            i += 1
+          }
+          (d1, d2, dot / (math.sqrt(na) * math.sqrt(nb)))
+        }
+      }.toDF("d1", "d2", "cos")
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of projections
     * onto pseudo-random planes. Plane (p, i) coefficient is derived from
     * xxhash64(p, i) → uniform in [−1, 1): deterministic, seedable, no

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large joins (SURVEY "optimize for scale"):
+  * salting splits a hot key across `factor` shuffle partitions by
+  * appending a salt to the big side and replicating the small side once
+  * per salt value. AQE's skew-join handles most cases at runtime; explicit
+  * salting is the deterministic fallback when one key dominates (e.g. a
+  * null-ish default key holding 30% of 100 TB).
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key` with an explicit salt. Result
+    * equals `big.join(small, key)` row-for-row; the shuffle spreads each
+    * key over `factor` partitions. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 factor: Int): DataFrame = {
+    require(factor > 0)
+    val salted = big.withColumn("_salt",
+      (abs(xxhash64(monotonically_increasing_id())) % factor).cast("int"))
+    val replicated = small
+      .withColumn("_salt_l", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("_salt", col("_salt_l").cast("int")).drop("_salt_l")
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -68,6 +68,10 @@ object TextQueries {
       val d = Tables.table(s, dir, "documents")
         .filter(col("doc_id") < 150 && TextFunctions.tokenCount(col("text")) >= 3)
         .select(col("doc_id"), TextFunctions.wordNgrams(col("text"), 3).as("grams"))
+        // materialize once: both sides of the self-join below would
+        // otherwise re-scan and re-shingle (no CSE across join sides);
+        // at scale this is "write the shingle table, then join it"
+        .localCheckpoint()
       val sh = d.select(col("doc_id"), explode(col("grams")).as("g"))
       val sz = d.select(col("doc_id"), size(col("grams")).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
@@ -92,6 +96,7 @@ object TextQueries {
       val d = graft.functions.Signatures
         .minhash(Tables.table(s, dir, "documents"), "doc_id", "text", 3, 64)
         .withColumn("bands", DedupFunctions.bandHashes(col("sig"), 16, 4))
+        .localCheckpoint() // signatures computed once, not per join side
       val banded = d.select(col("doc_id"), col("sig"),
         posexplode(col("bands")).as(Seq("band", "bh")))
       banded.as("a").join(banded.as("b"),
@@ -111,6 +116,7 @@ object TextQueries {
       val d = graft.functions.Signatures
         .simhash(Tables.table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("simhash").as("sh"))
+        .localCheckpoint() // one signature pass for both join sides
       // Block on 16-bit quarters: near-dups (hamming <= 3) share a quarter.
       val blocked = d.select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(3)),

@@ -64,6 +64,18 @@ object VectorQueries {
         .limit(20)
     }),
 
+    // Embedding-cosine near-duplicate detection (the dedup modality over
+    // vectors): all-pairs baseline at bounded N — the oracle-checkable
+    // twin of the LSH-bucketed scale path (q39).
+    "q46_embedding_dedup" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("d1"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("d2"), col("embedding").as("eb"))
+      VectorFunctions.cosinePairs(a.join(b, col("d1") < col("d2")))
+        .filter(col("cos") >= 0.45)
+        .orderBy("d1", "d2")
+    }),
+
     // Per-label embedding stats: norm aggregation by label (groupBy over
     // a derived per-row double; decimal-cast for order-independent sums).
     "q42_label_norms" -> ((s, dir) => {
@@ -101,6 +113,13 @@ object VectorQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT qid, nid, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q46_embedding_dedup" ->
+      s"""WITH p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |  list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) /
+         |  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT d1, d2, cos FROM p WHERE cos >= 0.45 ORDER BY d1, d2""".stripMargin,
     "q42_label_norms" ->
       s"""WITH n AS (SELECT label,
          |    CAST(${normSql("embedding")} AS DECIMAL(18,9)) AS nrm FROM embeddings)

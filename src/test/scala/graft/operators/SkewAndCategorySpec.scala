@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import graft.sources.GriddedStore
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Skew-join equivalence, multi-dim (forecast/ensemble) store coverage,
+  * and ScalaCheck-generated properties for coordinate math (plain Gen
+  * sampling — scalatestplus isn't in the offline cache). */
+class SkewAndCategorySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    val s = spark; import s.implicits._
+    // 90% of the big side lands on key 7
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i % 5 else 7, i))
+      .toDF("k", "payload")
+    val small = (0 to 9).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+    val salted = Skew.saltedJoin(big, small, "k", factor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("forecast-category store: multi-dim keys survive the update protocol") {
+    val s = spark; import s.implicits._
+    val HOUR = 3600000000L
+    def fc(nRef: Int, startRef: Long, off: Double) =
+      (for { r <- 0 until nRef; st <- Seq(0L, 6L, 12L); la <- 0 until 2; lo <- 0 until 2 }
+        yield ((startRef + r) * DAY_US, st * HOUR, -1.0 + la * 0.5, 10.0 + lo * 0.5,
+          off + r * 10.0 + st))
+        .toDF("forecast_reference_time", "step", "latitude", "longitude", "t2m")
+    val d = DatasetDescriptor("fc", "t2m", Category.Forecast, None, DAY_US,
+      ChunkGrid(5 * DAY_US, 1000))
+    val store = new GriddedStore(tmpDir("fc-store"), spark)
+    store.writeInitial(fc(6, 0, 0.0), d)
+    assert(store.read().count() == 6 * 3 * 4)
+    val d2 = store.update(fc(2, 6, 100.0)) // contiguous append on ref-time
+    assert(d2.dateRange.contains((0L, 7 * DAY_US)))
+    // point select across all four dims
+    val v = store.read().where(col("forecast_reference_time") === 7 * DAY_US &&
+      col("step") === 12 * HOUR && col("latitude") === -1.0 && col("longitude") === 10.0)
+      .select("t2m").as[Double].collect()
+    assert(v.sameElements(Array(100.0 + 1 * 10.0 + 12.0)))
+  }
+
+  test("property: wrapLongitude is idempotent and bounded") {
+    val s = spark; import s.implicits._
+    val lons = samples(Gen.chooseNum(-2000.0, 2000.0), 200)
+    val out = lons.toDF("lon")
+      .select(Normalize.wrapLongitude(col("lon")).as("w")).as[Double].collect()
+    out.foreach(w => assert(w >= -180.0 && w < 180.0))
+    // idempotence: wrapping a wrapped value is identity
+    val twice = out.toSeq.toDF("lon")
+      .select(Normalize.wrapLongitude(col("lon")).as("w")).as[Double].collect()
+    assert(twice.sameElements(out))
+  }
+
+  test("property: gridCell inverts the grid generator") {
+    val s = spark; import s.implicits._
+    val cells = samples(Gen.chooseNum(0, 719), 200)
+    // coordinates generated exactly on a 0.25-degree grid
+    val coords = cells.map(c => -90.0 + c * 0.25)
+    val out = coords.toDF("lat")
+      .select(Selections.gridCell(col("lat"), -90.0, 0.25).as("c"))
+      .as[Long].collect()
+    assert(out.toSeq == cells.map(_.toLong))
+  }
+}
