@@ -28,6 +28,15 @@ object GraftSession {
   def local(cores: Int = 32): SparkSession = {
     val spark = builder(cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
     spark
   }
+
+  /** Register graft's custom Catalyst expressions for SQL + call_function
+    * use (`float_vec_dot` — see [[graft.plans.FloatVecDot]]). */
+  def registerFunctions(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_vec_dot",
+      exprs => graft.plans.FloatVecDot(exprs(0), exprs(1)),
+      "built-in")
 }

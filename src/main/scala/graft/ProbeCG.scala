@@ -1,0 +1,14 @@
+package graft
+
+/** Probe: confirm FloatVecDot participates in whole-stage codegen. */
+object ProbeCG {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(4)
+    val df = SparkEntry.queries("q37_cosine_topk")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val code = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    println("PROBE codegen units: " + code.linesIterator.filter(_.contains("WholeStageCodegen")).mkString(" | "))
+    println("PROBE loop emitted: " + code.linesIterator.exists(l => l.contains("getFloat")))
+    spark.stop()
+  }
+}

@@ -27,7 +27,7 @@ object VectorQueries {
       emb.filter(col("vec_id") =!= 0)
         .join(broadcast(q))
         .select(col("vec_id"),
-          VectorFunctions.cosine(col("embedding"), col("qe")).as("cos"))
+          VectorFunctions.cosineFast(col("embedding"), col("qe")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(20)
     }),
@@ -41,7 +41,7 @@ object VectorQueries {
       val scored = emb.filter(col("vec_id") >= 20)
         .join(broadcast(qs))
         .select(col("qid"), col("vec_id").as("nid"),
-          VectorFunctions.cosine(col("embedding"), col("qe")).as("cos"))
+          VectorFunctions.cosineFast(col("embedding"), col("qe")).as("cos"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
@@ -59,7 +59,7 @@ object VectorQueries {
       emb.filter(col("vec_id") =!= 0)
         .join(broadcast(q), col("bucket") === col("qbucket"))
         .select(col("vec_id"), col("bucket"),
-          VectorFunctions.cosine(col("embedding"), col("qe")).as("cos"))
+          VectorFunctions.cosineFast(col("embedding"), col("qe")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(20)
     }),

@@ -68,6 +68,30 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r(0) - 1.0) < 1e-12 && r(1) == 0.0)
   }
 
+  test("FloatVecDot: codegen'd dot == HOF dot bit-for-bit; SQL-callable; type-checked") {
+    val s = spark; import s.implicits._
+    val df = (1 to 50).map(i =>
+      (i.toLong, Array.tabulate(64)(j => (math.sin(i * 64 + j) * 0.3).toFloat),
+        Array.tabulate(64)(j => (math.cos(i * 64 + j) * 0.3).toFloat)))
+      .toDF("id", "a", "b")
+    val both = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("hof"),
+      VectorFunctions.cosineFast(col("a"), col("b")).as("fast"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-equal
+    // SQL registration surface
+    df.createOrReplaceTempView("fvd_t")
+    val viaSql = spark.sql("SELECT float_vec_dot(a, b) AS d FROM fvd_t WHERE id = 1")
+      .as[Double].collect()(0)
+    val direct = df.filter(col("id") === 1)
+      .select(VectorFunctions.dot(col("a"), col("b"))).as[Double].collect()(0)
+    assert(viaSql == direct)
+    // wrong types rejected at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT float_vec_dot(id, a) FROM fvd_t").collect()
+    }
+  }
+
   test("hyperplane buckets: identical vectors share a bucket") {
     val s = spark; import s.implicits._
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)),
