@@ -1,15 +1,40 @@
 package graft
 
-/** Probe: print formatted physical plans for selected queries. */
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import graft.sources.GriddedStore
+import org.apache.spark.sql.functions._
+
+/** Probe: compaction + partition pruning on a real store. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local(8)
-    args.drop(1).foreach { name =>
-      println(s"===== $name =====")
-      println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    import spark.implicits._
+    val DAY = 86400000000L
+    def cube(n: Int, start: Long) =
+      (for { d <- 0 until n; la <- 0 until 2; lo <- 0 until 2 }
+        yield ((start + d) * DAY, la * 0.5, 10.0 + lo * 0.5, (start + d) * 1.0))
+        .toDF("time", "latitude", "longitude", "precip")
+
+    val store = new GriddedStore(java.nio.file.Files.createTempDirectory("pb").toString, spark)
+    store.writeInitial(cube(10, 0), DatasetDescriptor("pb", "precip",
+      Category.Observation, None, DAY, ChunkGrid(100 * DAY, 100000)))
+    (1 to 4).foreach(i => store.update(cube(5, 10L + 5 * (i - 1))))
+    def files = new java.io.File(store.dataPath).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    val before = files
+    val sumBefore = store.read().agg(sum("precip")).collect()(0).getDouble(0)
+    store.compact()
+    println(s"PROBE compact files: $before -> $files (rows=${store.read().count()}, sum preserved=${store.read().agg(sum("precip")).collect()(0).getDouble(0) == sumBefore})")
+
+    val pruned = store.read().filter(col("time_bucket") === 2)
+    pruned.count()
+    val parts = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
     }
+    val total = store.read().select("time_bucket").distinct().count()
+    println(s"PROBE pruning: scanned=${parts.get} of $total partitions for one-bucket predicate")
     spark.stop()
   }
 }

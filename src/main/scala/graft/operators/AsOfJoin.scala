@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Left as-of join: for each left row, attach the right row's value with
+  * the greatest `time` ≤ the left row's `time`, per `key` — the
+  * time-series join Spark lacks natively (DuckDB: `ASOF LEFT JOIN`).
+  *
+  * Implementation (SURVEY preference (a): compose built-ins): tag and
+  * union both sides, then one `last(value, ignoreNulls)` window per key
+  * ordered by (time, side) with right rows sorting before left rows at
+  * equal timestamps (⇒ `left.time >= right.time` semantics). Cost: ONE
+  * hash shuffle on the key + a sort — no range-join explosion, no
+  * per-row lookups; scales to arbitrarily large sides (a custom
+  * SparkPlan would only remove the union overhead, not the shuffle).
+  */
+object AsOfJoin {
+
+  def asofLeft(left: DataFrame, right: DataFrame, key: String, time: String,
+               rightVal: String, outCol: String): DataFrame = {
+    val valType = right.schema(rightVal).dataType
+    val lTagged = left
+      .withColumn("_ord", lit(1))
+      .withColumn(outCol, lit(null).cast(valType))
+    val leftOnly = left.columns.filterNot(c => c == key || c == time)
+    val rTagged = leftOnly.foldLeft(
+      right.select(col(key), col(time), col(rightVal).as(outCol))
+        .withColumn("_ord", lit(0))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
+    val w = Window.partitionBy(key).orderBy(col(time), col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn(outCol, last(col(outCol), ignoreNulls = true).over(w))
+      .filter(col("_ord") === 1)
+      .drop("_ord")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Selections, UpdatePlanner}
+import graft.operators.{AsOfJoin, Selections, UpdatePlanner}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -134,6 +134,19 @@ object TimeSeriesQueries {
         .orderBy("event_type", "hour_bucket")
     }),
 
+    // As-of join: each purchase gets the user's most recent prior-or-
+    // equal signup time (the time-series join Spark lacks; one shuffle).
+    "q47_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("us"), col("us").as("signup_us"))
+      AsOfJoin.asofLeft(purchases, signups, "user_id", "us", "signup_us", "signup_us")
+        .select("event_id", "user_id", "us", "signup_us")
+        .orderBy("event_id")
+    }),
+
     // JSON property extraction (§2.9 scalar surface).
     "q41_json_extract" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -211,6 +224,13 @@ object TimeSeriesQueries {
       """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, hour_bucket ORDER BY event_type, hour_bucket""".stripMargin,
+    "q47_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.us, s.us AS signup_us
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.us >= s.us
+        |ORDER BY p.event_id""".stripMargin,
     "q41_json_extract" ->
       """WITH e AS (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
         |SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n,

@@ -115,6 +115,30 @@ class GriddedStore(val root: String, spark: SparkSession) {
     committed
   }
 
+  /** Small-file compaction: rewrite the given time buckets (default all)
+    * at the target file size. Repeated appends leave one file per append
+    * per bucket; compaction restores the chunk-grid invariant (the
+    * reference's rechunk-alignment concern, SURVEY §4 "rechunk-alignment
+    * regression") without touching untargeted buckets. */
+  def compact(buckets: Seq[Long] = Nil): DatasetDescriptor = {
+    val d = readDescriptor().getOrElse(
+      throw new IllegalStateException(s"no existing dataset at $root"))
+    val target =
+      if (buckets.nonEmpty) buckets
+      else read().select(col("time_bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+    writeDescriptor(d.copy(updateInProgress = true))
+    val rows = read().filter(col("time_bucket").isin(target: _*))
+      .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
+      // materialize BEFORE the overwrite: reading and dynamically
+      // overwriting the same partitions in one job would race
+      .localCheckpoint()
+    writeBuckets(rows, d, SaveMode.Overwrite, dynamicOverwrite = true)
+    val committed = d.copy(updateInProgress = false)
+    writeDescriptor(committed)
+    committed
+  }
+
   /** Incremental update (`update_zarr`, `publish.py:265-301`): split the
     * update's times into inserts (∩ existing) and appends (− existing),
     * run the update QC gates, rewrite affected buckets, append the rest,

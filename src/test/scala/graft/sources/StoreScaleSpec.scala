@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import org.apache.spark.sql.functions._
+
+/** Remaining category matrix (ensemble/hindcast), partition-pruning
+  * evidence, and as-of join semantics. */
+class StoreScaleSpec extends SparkSpec {
+
+  test("ensemble + hindcast categories round-trip through the store") {
+    val s = spark; import s.implicits._
+    val HOUR = 3600000000L
+    val ens = (for { r <- 0 until 4; st <- Seq(0L, 6L); m <- 0 until 3;
+                     la <- 0 until 2; lo <- 0 until 2 }
+      yield (r * DAY_US, st * HOUR, m, la * 0.5, 10.0 + lo * 0.5, r * 1.0 + m))
+      .toDF("forecast_reference_time", "step", "ensemble", "latitude", "longitude", "t2m")
+    val es = new GriddedStore(tmpDir("ens"), spark)
+    es.writeInitial(ens, DatasetDescriptor("ens", "t2m", Category.Ensemble,
+      None, DAY_US, ChunkGrid(2 * DAY_US, 1000)))
+    assert(es.read().count() == 4 * 2 * 3 * 4)
+    assert(es.read().where(col("ensemble") === 2 && col("step") === 6 * HOUR).count() == 4 * 4)
+
+    val hind = (for { r <- 0 until 3; off <- Seq(0L, 1L); st <- Seq(0L, 6L);
+                      m <- 0 until 2; la <- 0 until 2; lo <- 0 until 2 }
+      yield (r * DAY_US, off, st * HOUR, m, la * 0.5, 10.0 + lo * 0.5, r * 1.0))
+      .toDF("hindcast_reference_time", "forecast_reference_offset", "step",
+        "ensemble", "latitude", "longitude", "t2m")
+    val hs = new GriddedStore(tmpDir("hind"), spark)
+    hs.writeInitial(hind, DatasetDescriptor("hind", "t2m", Category.Hindcast,
+      None, DAY_US, ChunkGrid(2 * DAY_US, 1000)))
+    assert(hs.read().count() == 3 * 2 * 2 * 2 * 4)
+  }
+
+  test("time predicates prune store partitions (the binary-search-pruning analog)") {
+    val store = new GriddedStore(tmpDir("prune"), spark)
+    store.writeInitial(cube(40, 2, 2), DatasetDescriptor("pr", "precip",
+      Category.Observation, None, DAY_US, ChunkGrid(10 * DAY_US, 1000)))
+    // 40 days / 10-day buckets = 4 partitions; a one-bucket predicate
+    // must scan exactly one
+    val pruned = store.read().filter(col("time_bucket") === 1)
+    assert(pruned.count() == 10 * 4)
+    def scannedPartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.getOrElse(sys.error("no file scan in plan"))
+    assert(scannedPartitions(pruned) == 1)
+    assert(scannedPartitions(store.read()) == 4)
+  }
+
+  test("compact merges append-fragmented buckets without changing data") {
+    val store = new GriddedStore(tmpDir("compact"), spark)
+    val d0 = DatasetDescriptor("cp", "precip", Category.Observation,
+      None, DAY_US, ChunkGrid(100 * DAY_US, 100000))
+    store.writeInitial(cube(2, 2, 2), d0)
+    // five appends into the SAME bucket -> five file generations
+    (1 to 5).foreach(i => store.update(cube(2, 2, 2, startDay = 2L * i)))
+    def files = new java.io.File(store.dataPath).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    val before = files
+    val sumBefore = store.read().agg(org.apache.spark.sql.functions.sum("precip"))
+      .collect()(0).getDouble(0)
+    store.compact()
+    assert(files < before)
+    assert(store.read().count() == 12 * 4)
+    assert(store.read().agg(org.apache.spark.sql.functions.sum("precip"))
+      .collect()(0).getDouble(0) == sumBefore)
+    assert(!store.readDescriptor().get.updateInProgress)
+  }
+
+  test("asofLeft matches hand-computed expectations incl. no-match nulls") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "id")
+      .select(col("k"), col("t"), col("id"))
+    val right = Seq((1L, 10L, 7.0), (1L, 20L, 8.0), (2L, 6L, 9.0))
+      .toDF("k", "t", "v")
+    val out = graft.operators.AsOfJoin
+      .asofLeft(left, right, "k", "t", "v", "asof_v")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))
+    // id=100: t=10 matches right t=10 (>=); id=101: t=25 -> right t=20;
+    // id=102: t=5 has no right <= 5 -> null
+    assert(out.sameElements(Array((100L, 7.0), (101L, 8.0), (102L, null))))
+  }
+}
