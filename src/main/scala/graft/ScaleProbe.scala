@@ -1,0 +1,69 @@
+package graft
+
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import graft.sources.GriddedStore
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: a ~25M-cell cube (2000 days × 112 × 112) generated
+  * DISTRIBUTIVELY (spark.range cross joins — no driver-side rows),
+  * pushed through initial write → point select → region insert →
+  * full-scan aggregate. Prints wall times; driver memory stays flat
+  * because only the descriptor and the distinct-time axis ever reach it.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    val DAY = 86400000000L
+    val nDays = args.headOption.map(_.toInt).getOrElse(2000)
+
+    def cube(from: Int, until: Int, off: Double) =
+      spark.range(from, until).select((col("id") * DAY).as("time"))
+        .crossJoin(spark.range(112).select((lit(-14.0) + col("id") * 0.25).as("latitude")))
+        .crossJoin(spark.range(112).select((lit(10.0) + col("id") * 0.25).as("longitude")))
+        .withColumn("precip",
+          pmod(xxhash64(col("time"), col("latitude"), col("longitude")), lit(10000L))
+            .cast("double") / 100.0 + off)
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    val store = new GriddedStore(
+      java.nio.file.Files.createTempDirectory("scale").toString, spark)
+    val d = DatasetDescriptor("scale", "precip", Category.Observation,
+      None, DAY, ChunkGrid(timeBucketUs = 100 * DAY, maxRecordsPerFile = 2000000))
+
+    val midDay = nDays / 2L
+    val insDay = (nDays * 7L) / 10L
+    timed(s"write_initial ${nDays}d x 112 x 112 = ${nDays.toLong * 112 * 112} cells") {
+      store.writeInitial(cube(0, nDays, 0.0), d)
+    }
+    timed("point_select") {
+      val v = store.read().where(col("time") === midDay * DAY &&
+        col("latitude") === -14.0 && col("longitude") === 10.0)
+        .select("precip").collect()
+      require(v.length == 1)
+    }
+    timed("range_slice_agg (30d window)") {
+      store.read().where(col("time").between(midDay * DAY, (midDay + 30) * DAY))
+        .agg(avg("precip"), count(lit(1))).collect()
+    }
+    timed("insert_10d_region") {
+      store.update(cube(insDay.toInt, insDay.toInt + 10, 50000.0))
+    }
+    timed("full_scan_agg") {
+      val r = store.read().groupBy(expr("time div 31536000000000").as("year"))
+        .agg(count(lit(1)).as("n"), avg("precip")).collect()
+      require(r.length >= nDays / 366)
+    }
+    val verify = store.read().where(col("time") === (insDay + 5) * DAY &&
+      col("latitude") === -14.0 && col("longitude") === 10.0)
+      .select("precip").collect()(0).getDouble(0)
+    println(s"PROBE inserted region visible: ${verify > 50000.0}")
+    println(s"PROBE rows total: ${store.read().count()}")
+    spark.stop()
+  }
+}
