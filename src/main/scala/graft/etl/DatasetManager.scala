@@ -71,8 +71,10 @@ class DatasetManager(
       val r = QualityChecks.missingFrequency(
           update.withColumn("_g", lit(1)), "_g", col(descriptor.dataVar).isNull)
         .select("ci_lo", "ci_hi").collect()(0)
-      require(exp >= r.getDouble(0) && exp <= r.getDouble(1),
-        f"missing frequency outside CI [${r.getDouble(0)}%.6f, ${r.getDouble(1)}%.6f]")
+      if (exp < r.getDouble(0) || exp > r.getDouble(1))
+        throw new graft.qc.NanFrequencyMismatchException(
+          f"expected missing frequency $exp%.6f outside observed CI " +
+            f"[${r.getDouble(0)}%.6f, ${r.getDouble(1)}%.6f]")
     }
   }
 

@@ -3,6 +3,11 @@ package graft.qc
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** `NanFrequencyMismatchError` analog (`utils/errors.py:1-15`): raised
+  * when a dataset's observed missing-value frequency falls outside the
+  * binomial confidence interval of its declared expectation. */
+class NanFrequencyMismatchException(msg: String) extends RuntimeException(msg)
+
 /** The reference's quality-check suite (SURVEY §2.12), re-expressed as
   * declarative Spark aggregations so every check is a single distributed
   * pass (the reference loops over 100 sampled cells driver-side;

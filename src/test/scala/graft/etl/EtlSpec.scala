@@ -77,6 +77,26 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("NaN-frequency mismatch raises the typed error (errors.py:1-15)") {
+    val s = spark; import s.implicits._
+    val d = DatasetDescriptor("nanf", "precip", Category.Observation,
+      Some(-9999.0), DAY_US, ChunkGrid(10 * DAY_US, 500))
+    val mgr = new DatasetManager(d, tmpDir("nan-store"), tmpDir("nan-cat"), spark,
+      expectedMissingFrequency = Some(0.5)) // truth is ~0.1
+    // ~10% of cells carry the sentinel -> null after normalize
+    val raw = cube(10, 4, 4).withColumn("precip",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.pmod(col("time"), lit(10 * DAY_US)) === 0,
+        lit(-9999.0)).otherwise(col("precip")))
+    intercept[graft.qc.NanFrequencyMismatchException] {
+      mgr.parse(mgr.normalize(raw))
+    }
+    // matching expectation passes
+    val ok = new DatasetManager(d, tmpDir("nan-store2"), tmpDir("nan-cat2"), spark,
+      expectedMissingFrequency = Some(0.1))
+    assert(ok.parse(ok.normalize(raw)).isDefined)
+  }
+
   test("catalog collection extent widens, never narrows (metadata.py:527-551)") {
     val cat = new StacCatalog(tmpDir("cat"), spark)
     cat.upsertCollection("c", Array(-10.0, -5.0, 10.0, 5.0), (100L, 200L))
