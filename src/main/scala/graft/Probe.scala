@@ -4,37 +4,42 @@ import graft.model.{Category, ChunkGrid, DatasetDescriptor}
 import graft.sources.GriddedStore
 import org.apache.spark.sql.functions._
 
-/** Probe: compaction + partition pruning on a real store. */
+/** Probe: the code-review crash repros, through the public store API. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     import spark.implicits._
     val DAY = 86400000000L
-    def cube(n: Int, start: Long) =
+    def cube(n: Int, start: Long, off: Double) =
       (for { d <- 0 until n; la <- 0 until 2; lo <- 0 until 2 }
-        yield ((start + d) * DAY, la * 0.5, 10.0 + lo * 0.5, (start + d) * 1.0))
+        yield ((start + d) * DAY, la * 0.5, 10.0 + lo * 0.5, off + (start + d) * 100.0))
         .toDF("time", "latitude", "longitude", "precip")
-
-    val store = new GriddedStore(java.nio.file.Files.createTempDirectory("pb").toString, spark)
-    store.writeInitial(cube(10, 0), DatasetDescriptor("pb", "precip",
-      Category.Observation, None, DAY, ChunkGrid(100 * DAY, 100000)))
-    (1 to 4).foreach(i => store.update(cube(5, 10L + 5 * (i - 1))))
-    def files = new java.io.File(store.dataPath).listFiles()
-      .filter(_.isDirectory).flatMap(_.listFiles())
-      .count(_.getName.endsWith(".parquet"))
-    val before = files
-    val sumBefore = store.read().agg(sum("precip")).collect()(0).getDouble(0)
-    store.compact()
-    println(s"PROBE compact files: $before -> $files (rows=${store.read().count()}, sum preserved=${store.read().agg(sum("precip")).collect()(0).getDouble(0) == sumBefore})")
-
-    val pruned = store.read().filter(col("time_bucket") === 2)
-    pruned.count()
-    val parts = pruned.queryExecution.executedPlan.collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.selectedPartitions.partitionCount
+    def freshStore(tag: String) = {
+      val st = new GriddedStore(java.nio.file.Files.createTempDirectory(tag).toString, spark)
+      st.writeInitial(cube(20, 0, 0.0), DatasetDescriptor(tag, "precip",
+        Category.Observation, None, DAY, ChunkGrid(10 * DAY, 1000)))
+      st
     }
-    val total = store.read().select("time_bucket").distinct().count()
-    println(s"PROBE pruning: scanned=${parts.get} of $total partitions for one-bucket predicate")
+
+    // 1. the reviewer's repro: update spanning days 18-22 (inserts 18,19 + appends 20,21,22)
+    val s1 = freshStore("mixed")
+    val d = s1.update(cube(5, 18, 9000.0))
+    println(s"PROBE mixed update: dateRange=${d.dateRange} inProgress=${d.updateInProgress} rows=${s1.read().count()}")
+    // and the store still accepts a FOLLOW-UP update (not bricked)
+    val d2 = s1.update(cube(2, 23, 10000.0))
+    println(s"PROBE follow-up update after mixed: dateRange=${d2.dateRange} rows=${s1.read().count()}")
+
+    // 2. gapped append: days 20 and 22 only
+    val s2 = freshStore("gap")
+    try { s2.update(cube(1, 20, 0.0).unionByName(cube(1, 22, 0.0))); println("PROBE gapped append: NO ERROR (bad)") }
+    catch { case e: Throwable => println(s"PROBE gapped append rejected: ${e.getMessage.take(70)}") }
+    println(s"PROBE gap store still usable: ${!s2.readDescriptor().get.updateInProgress}, rows=${s2.read().count()}")
+
+    // 3. empty initial
+    val s3 = new GriddedStore(java.nio.file.Files.createTempDirectory("em").toString, spark)
+    try { s3.writeInitial(cube(0, 0, 0.0), DatasetDescriptor("em", "precip",
+      Category.Observation, None, DAY, ChunkGrid(10 * DAY, 1000))); println("PROBE empty init: NO ERROR (bad)") }
+    catch { case e: Throwable => println(s"PROBE empty init refused: ${e.getMessage}; hasExisting=${s3.hasExisting}") }
     spark.stop()
   }
 }

@@ -55,7 +55,10 @@ class DatasetManager(
     val schema = update.schema
     require(schema.fieldNames.contains(descriptor.dataVar),
       s"update missing data var ${descriptor.dataVar}")
-    // (1) contiguity of the update's time axis (`publish.py:654-696`)
+    // (1) the update's time axis must be non-empty; gap-freedom of the
+    // APPEND portion is enforced by GriddedStore.update's append-region
+    // guard (a gapped update is legal when the gaps are insert islands,
+    // like the reference's complex-update fixture). `publish.py:654-696`.
     val times = update.select(t).distinct()
     val regions = graft.operators.UpdatePlanner
       .contiguousRegions(times, t, descriptor.cadenceUs).count()
@@ -82,7 +85,13 @@ class DatasetManager(
     * sample of written cells and compare against the source update with
     * tolerance 1e-4 (`TWENTY_MINUTES` budget replaced by a row budget). */
   def postParseQualityCheck(update: DataFrame, checks: Int = 100): Unit = {
-    val sample = update.orderBy(rand(42)).limit(checks)
+    // Bernoulli sample + limit, NOT orderBy(rand): a global random sort
+    // would shuffle the whole update to pick 100 rows. Fall back to a
+    // plain limit when the sample comes up empty (tiny updates).
+    val sampled = update.sample(withReplacement = false, 0.05, seed = 42)
+      .limit(checks)
+    val sample =
+      if (sampled.limit(1).count() > 0) sampled else update.limit(checks)
     val mismatches = QualityChecks.valueCompare(
       sample, store.read(), descriptor.dims, descriptor.dataVar, 1e-4).count()
     require(mismatches == 0, s"$mismatches written cells differ from source")

@@ -21,12 +21,17 @@ object AsOfJoin {
   def asofLeft(left: DataFrame, right: DataFrame, key: String, time: String,
                rightVal: String, outCol: String): DataFrame = {
     val valType = right.schema(rightVal).dataType
+    // Wrap the right value in a struct so a matched right row whose value
+    // is NULL stays distinguishable from "no right row yet": the window's
+    // ignoreNulls skips only the left-row placeholders, never a real
+    // match carrying struct(v = null).
     val lTagged = left
       .withColumn("_ord", lit(1))
-      .withColumn(outCol, lit(null).cast(valType))
+      .withColumn("_asof", lit(null).cast(s"struct<v:${valType.sql}>"))
     val leftOnly = left.columns.filterNot(c => c == key || c == time)
     val rTagged = leftOnly.foldLeft(
-      right.select(col(key), col(time), col(rightVal).as(outCol))
+      right.select(col(key), col(time),
+        struct(col(rightVal).as("v")).as("_asof"))
         .withColumn("_ord", lit(0))) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
@@ -34,8 +39,9 @@ object AsOfJoin {
     val w = Window.partitionBy(key).orderBy(col(time), col("_ord"))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
-      .withColumn(outCol, last(col(outCol), ignoreNulls = true).over(w))
+      .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
       .filter(col("_ord") === 1)
-      .drop("_ord")
+      .withColumn(outCol, col("_asof.v"))
+      .drop("_ord", "_asof")
   }
 }

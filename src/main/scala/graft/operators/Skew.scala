@@ -18,8 +18,10 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  factor: Int): DataFrame = {
     require(factor > 0)
+    // pmod, not abs(...)%: abs(Long.MinValue) is still negative, and a
+    // negative salt would match no replicated row — silently dropping it.
     val salted = big.withColumn("_salt",
-      (abs(xxhash64(monotonically_increasing_id())) % factor).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
     val replicated = small
       .withColumn("_salt_l", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("_salt", col("_salt_l").cast("int")).drop("_salt_l")

@@ -140,11 +140,13 @@ object TextQueries {
     // itself is stubbed — see graft.multimodal; here: byte stats/hashes).
     "q36_binary_meta" -> ((s, dir) => {
       val bin = col("text").cast("binary")
+      // byte semantics on BOTH sides (length/hex over utf-8 BYTES, not
+      // characters) so multi-byte text can't split Spark from the oracle
       Tables.table(s, dir, "documents")
         .select(col("doc_id"),
           length(bin).as("byte_len"),
           sha2(bin, 256).as("sha"),
-          lower(hex(expr("substring(cast(text as binary), 1, 8)"))).as("head8"))
+          lower(substring(hex(bin), 1, 16)).as("head8"))
         .orderBy("doc_id")
     }))
 
@@ -193,7 +195,8 @@ object TextQueries {
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.02
         |ORDER BY d1, d2""".stripMargin,
     "q36_binary_meta" ->
-      """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS byte_len, sha256(text) AS sha,
-        | lower(hex(encode(substr(text, 1, 8)))) AS head8
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        | sha256(text) AS sha,
+        | lower(substring(hex(encode(text)), 1, 16)) AS head8
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

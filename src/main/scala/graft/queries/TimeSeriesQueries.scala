@@ -72,8 +72,8 @@ object TimeSeriesQueries {
         .groupBy("user_id")
         .agg(min("us").as("first_us"), max("us").as("last_us"),
           count(lit(1)).as("n"))
-        .withColumn("step_us",
-          expr("(last_us - first_us) div (n - 1)"))
+        .withColumn("step_us", // guard n==1: DuckDB // raises on div-by-zero
+          when(col("n") > 1, expr("(last_us - first_us) div (n - 1)")))
         .orderBy("user_id")
     }),
 
@@ -191,7 +191,7 @@ object TimeSeriesQueries {
     "q13_cadence" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events)
         |SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us, COUNT(*) AS n,
-        |  (MAX(us) - MIN(us)) // (COUNT(*) - 1) AS step_us
+        |  CASE WHEN COUNT(*) > 1 THEN (MAX(us) - MIN(us)) // (COUNT(*) - 1) END AS step_us
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q14_time_slice" ->
       """SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events

@@ -25,6 +25,15 @@ object EncodingSurgery {
     require(coord != d.dataVar,
       s"refusing to modify data variable ${d.dataVar}") // metadata.py:858-866
     require(d.dims.contains(coord), s"unknown coordinate $coord")
+    // Rewriting the time axis would desynchronize time_bucket (the
+    // directory partitions derive from it) and the committed dateRange —
+    // that's an update/rebuild, not encoding surgery.
+    require(coord != d.timeDim,
+      s"refusing to rewrite the time dimension ${d.timeDim}; " +
+        "use update()/rebuild for time-axis changes")
+    if (d.updateInProgress)
+      throw new IllegalStateException(
+        "store has an update in progress (crashed writer?); repair first")
 
     store.writeDescriptor(d.copy(updateInProgress = true))
     val rewritten = store.read().withColumn(coord, f(col(coord)))

@@ -101,6 +101,11 @@ class GriddedStore(val root: String, spark: SparkSession) {
   /** Initial parse (`write_initial_zarr`, `publish.py:240-261`). */
   def writeInitial(df: DataFrame, d: DatasetDescriptor): DatasetDescriptor = {
     val p = prepared(df, d)
+    // Empty initial data would brick the store (descriptor committed,
+    // min/max undefined) — refuse before any mutation. limit(1) short-
+    // circuits after the first row, so this costs one tiny job.
+    if (p.limit(1).count() == 0L)
+      throw new IllegalArgumentException("initial dataset is empty")
     writeDescriptor(d.copy(updateInProgress = true))
     writeBuckets(p, d, SaveMode.Overwrite, dynamicOverwrite = false)
     val Array(lo, hi) = p.agg(min(d.timeDim), max(d.timeDim)).collect()(0) match {
@@ -173,10 +178,32 @@ class GriddedStore(val root: String, spark: SparkSession) {
       val inserts = insertT.limit(1).count() > 0
       if (inserts && !allowOverwrite)
         throw new IllegalStateException("inserts present but overwrite not allowed")
-      val appendHead = appendT.agg(min(t)).collect()(0)
-      if (!appendHead.isNullAt(0) && appendHead.getLong(0) > dsEnd + d.cadenceUs)
-        throw new IllegalArgumentException(
-          s"append is not contiguous with existing end $dsEnd (cadence ${d.cadenceUs})")
+      // The full append set must be ONE contiguous run at the declared
+      // cadence starting exactly one step past the committed end —
+      // otherwise a gapped append would commit a silent hole while
+      // dateRange claims coverage (`publish.py:641-648` bridge check +
+      // `:654-696` contiguity). The region list is tiny (time axis only).
+      val appendRegions = UpdatePlanner.contiguousRegions(appendT, t, d.cadenceUs)
+        .orderBy("start").collect()
+      val hasAppends = appendRegions.nonEmpty
+      if (hasAppends) {
+        if (appendRegions.length > 1)
+          throw new IllegalArgumentException(
+            s"append is not contiguous: gaps at cadence ${d.cadenceUs}: " +
+              appendRegions.map(r => s"[${r.getLong(0)},${r.getLong(1)}]").mkString(", "))
+        if (appendRegions.head.getLong(0) != dsEnd + d.cadenceUs)
+          throw new IllegalArgumentException(
+            s"append is not contiguous with existing end $dsEnd: starts at " +
+              s"${appendRegions.head.getLong(0)}, expected ${dsEnd + d.cadenceUs}")
+      }
+      // Materialize append rows BEFORE any overwrite: they reference the
+      // store's current file listing (via the anti-join's existingTimes),
+      // and the insert path below deletes those files at commit — lazy
+      // evaluation afterwards would hit FILE_NOT_EXIST mid-update.
+      val appendRows =
+        if (hasAppends)
+          Some(p.join(broadcast(appendT), Seq(t), "left_semi").localCheckpoint())
+        else None
 
       writeDescriptor(d.copy(updateInProgress = true))
 
@@ -195,9 +222,8 @@ class GriddedStore(val root: String, spark: SparkSession) {
           SaveMode.Overwrite, dynamicOverwrite = true)
       }
 
-      val appendRows = p.join(broadcast(appendT), Seq(t), "left_semi")
-      if (appendHead != null && !appendHead.isNullAt(0))
-        writeBuckets(appendRows, d, SaveMode.Append, dynamicOverwrite = false)
+      appendRows.foreach(rows =>
+        writeBuckets(rows, d, SaveMode.Append, dynamicOverwrite = false))
 
       val committed = d.copy(
         dateRange = Some((math.min(dsStart, stats.getLong(0)),

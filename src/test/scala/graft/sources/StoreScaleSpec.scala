@@ -70,6 +70,60 @@ class StoreScaleSpec extends SparkSpec {
     assert(!store.readDescriptor().get.updateInProgress)
   }
 
+  test("mixed insert+append update succeeds and leaves a clean store") {
+    val store = new GriddedStore(tmpDir("mixed"), spark)
+    store.writeInitial(cube(20, 2, 2), DatasetDescriptor("mx", "precip",
+      Category.Observation, None, DAY_US, ChunkGrid(10 * DAY_US, 1000)))
+    // days 18-19 overwrite existing (inserts), 20-22 append — in ONE update
+    val d2 = store.update(cube(5, 2, 2, startDay = 18, valueOffset = 7000.0))
+    assert(d2.dateRange.contains((0L, 22 * DAY_US)))
+    assert(d2.updateIsAppendOnly.contains(false))
+    assert(!d2.updateInProgress)
+    assert(store.read().count() == 23 * 4)
+    val ins = store.read().where(col("time") === 18 * DAY_US &&
+      col("latitude") === -1.0 && col("longitude") === 10.0)
+      .select("precip").collect()(0).getDouble(0)
+    assert(ins == 7000.0 + 0 * 100.0)
+    val app = store.read().where(col("time") === 22 * DAY_US &&
+      col("latitude") === -1.0 && col("longitude") === 10.0)
+      .select("precip").collect()(0).getDouble(0)
+    assert(app == 7000.0 + 4 * 100.0)
+  }
+
+  test("gapped append is rejected, not committed as a silent hole") {
+    val s = spark; import s.implicits._
+    val store = new GriddedStore(tmpDir("gapped"), spark)
+    store.writeInitial(cube(20, 2, 2), DatasetDescriptor("gap", "precip",
+      Category.Observation, None, DAY_US, ChunkGrid(10 * DAY_US, 1000)))
+    // days 20 and 22 but NOT 21: old append-head check passed this
+    val gappedUpdate = cube(1, 2, 2, startDay = 20)
+      .unionByName(cube(1, 2, 2, startDay = 22))
+    val ex = intercept[IllegalArgumentException] { store.update(gappedUpdate) }
+    assert(ex.getMessage.contains("not contiguous"))
+    assert(!store.readDescriptor().get.updateInProgress) // not bricked
+    assert(store.read().count() == 20 * 4) // nothing committed
+  }
+
+  test("writeInitial refuses empty data without bricking the store root") {
+    val s = spark; import s.implicits._
+    val store = new GriddedStore(tmpDir("empty-init"), spark)
+    intercept[IllegalArgumentException] {
+      store.writeInitial(cube(0, 2, 2), DatasetDescriptor("e", "precip",
+        Category.Observation, None, DAY_US, ChunkGrid(10 * DAY_US, 1000)))
+    }
+    assert(!store.hasExisting) // no half-committed descriptor left behind
+  }
+
+  test("asofLeft: a matched right row with NULL value wins over an older non-null") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 6L, 100L)).toDF("k", "t", "id")
+    val right = Seq((1L, 3L, Some(7.0)), (1L, 5L, None))
+      .toDF("k", "t", "v")
+    val out = graft.operators.AsOfJoin
+      .asofLeft(left, right, "k", "t", "v", "asof_v").collect()(0)
+    assert(out.isNullAt(out.fieldIndex("asof_v"))) // matched t=5 (null), not t=3
+  }
+
   test("asofLeft matches hand-computed expectations incl. no-match nulls") {
     val s = spark; import s.implicits._
     val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
