@@ -38,6 +38,32 @@ object MiscQueries {
         .orderBy("event_id")
     }),
 
+    // Vocabulary statistics (training-data pipeline): per-token document
+    // frequency + total frequency — explode + two-level aggregate, the
+    // canonical "build the vocab" job at corpus scale.
+    "q48_token_df" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      toks.groupBy("tok")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
+        .orderBy(col("df").desc, col("tok"))
+        .limit(50)
+    }),
+
+    // Cross-modal join: text stats joined to the embedding row by id —
+    // the documents/embeddings tables share the id space.
+    "q50_doc_embedding_join" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("n_tokens"), col("label"), col("nrm"))
+        .orderBy("doc_id")
+    }),
+
     // `_is_infish` (`publish.py:1068-1074`): inf or |x| > 1e100.
     "q45_infish" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -65,6 +91,16 @@ object MiscQueries {
         |  SELECT event_id, user_id, event_type, md5(CAST(event_id AS VARCHAR)) AS h
         |  FROM events ORDER BY h LIMIT 50) t
         |ORDER BY event_id""".stripMargin,
+    "q48_token_df" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+        |FROM t GROUP BY tok ORDER BY df DESC, tok LIMIT 50""".stripMargin,
+    "q50_doc_embedding_join" ->
+      """SELECT doc_id,
+        |  CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens, label,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
     "q45_infish" ->
       """WITH e AS (SELECT event_type,
         |    CASE WHEN value > 199.0 THEN exp(1000.0) ELSE value END AS v FROM events)
