@@ -37,6 +37,11 @@ object GraftSession {
   def registerFunctions(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_vec_dot",
-      exprs => graft.plans.FloatVecDot(exprs(0), exprs(1)),
+      exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"float_vec_dot requires exactly 2 arguments, got ${exprs.length}")
+        graft.plans.FloatVecDot(exprs(0), exprs(1))
+      },
       "built-in")
 }

@@ -4,42 +4,47 @@ import graft.model.{Category, ChunkGrid, DatasetDescriptor}
 import graft.sources.GriddedStore
 import org.apache.spark.sql.functions._
 
-/** Probe: the code-review crash repros, through the public store API. */
+/** Probe: second-review-round fixes at the library surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     import spark.implicits._
     val DAY = 86400000000L
-    def cube(n: Int, start: Long, off: Double) =
+    def cube(n: Int, start: Long) =
       (for { d <- 0 until n; la <- 0 until 2; lo <- 0 until 2 }
-        yield ((start + d) * DAY, la * 0.5, 10.0 + lo * 0.5, off + (start + d) * 100.0))
+        yield ((start + d) * DAY, la * 0.5, 10.0 + lo * 0.5, (start + d) * 1.0))
         .toDF("time", "latitude", "longitude", "precip")
-    def freshStore(tag: String) = {
-      val st = new GriddedStore(java.nio.file.Files.createTempDirectory(tag).toString, spark)
-      st.writeInitial(cube(20, 0, 0.0), DatasetDescriptor(tag, "precip",
-        Category.Observation, None, DAY, ChunkGrid(10 * DAY, 1000)))
-      st
-    }
 
-    // 1. the reviewer's repro: update spanning days 18-22 (inserts 18,19 + appends 20,21,22)
-    val s1 = freshStore("mixed")
-    val d = s1.update(cube(5, 18, 9000.0))
-    println(s"PROBE mixed update: dateRange=${d.dateRange} inProgress=${d.updateInProgress} rows=${s1.read().count()}")
-    // and the store still accepts a FOLLOW-UP update (not bricked)
-    val d2 = s1.update(cube(2, 23, 10000.0))
-    println(s"PROBE follow-up update after mixed: dateRange=${d2.dateRange} rows=${s1.read().count()}")
+    // per-bucket compaction still merges fragmented files
+    val st = new GriddedStore(java.nio.file.Files.createTempDirectory("c2").toString, spark)
+    st.writeInitial(cube(2, 0), DatasetDescriptor("c2", "precip",
+      Category.Observation, None, DAY, ChunkGrid(100 * DAY, 100000)))
+    (1 to 4).foreach(i => st.update(cube(2, 2L * i)))
+    def files = new java.io.File(st.dataPath).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val before = files
+    st.compact()
+    println(s"PROBE per-bucket compact: $before -> $files files, rows=${st.read().count()}")
 
-    // 2. gapped append: days 20 and 22 only
-    val s2 = freshStore("gap")
-    try { s2.update(cube(1, 20, 0.0).unionByName(cube(1, 22, 0.0))); println("PROBE gapped append: NO ERROR (bad)") }
-    catch { case e: Throwable => println(s"PROBE gapped append rejected: ${e.getMessage.take(70)}") }
-    println(s"PROBE gap store still usable: ${!s2.readDescriptor().get.updateInProgress}, rows=${s2.read().count()}")
+    // compact on a mid-update store refused
+    val d0 = st.readDescriptor().get
+    st.writeDescriptor(d0.copy(updateInProgress = true))
+    try { st.compact(); println("PROBE compact mid-update: NO ERROR (bad)") }
+    catch { case e: Throwable => println(s"PROBE compact mid-update refused: ${e.getMessage.take(55)}") }
+    st.writeDescriptor(d0)
 
-    // 3. empty initial
-    val s3 = new GriddedStore(java.nio.file.Files.createTempDirectory("em").toString, spark)
-    try { s3.writeInitial(cube(0, 0, 0.0), DatasetDescriptor("em", "precip",
-      Category.Observation, None, DAY, ChunkGrid(10 * DAY, 1000))); println("PROBE empty init: NO ERROR (bad)") }
-    catch { case e: Throwable => println(s"PROBE empty init refused: ${e.getMessage}; hasExisting=${s3.hasExisting}") }
+    // asof reserved-column guard
+    val l = Seq((1L, 2L, 3L)).toDF("k", "t", "_ord")
+    val r = Seq((1L, 1L, 5.0)).toDF("k", "t", "v")
+    try { graft.operators.AsOfJoin.asofLeft(l, r, "k", "t", "v", "out"); println("PROBE asof guard: NO ERROR (bad)") }
+    catch { case e: Throwable => println(s"PROBE asof reserved-col refused: ${e.getMessage.take(60)}") }
+
+    // FloatVecDot via SQL: arity + null semantics at the SQL surface
+    Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b").createOrReplaceTempView("pv")
+    val ragged = spark.sql("SELECT float_vec_dot(a, b) AS d FROM pv").collect()(0)
+    println(s"PROBE ragged arrays -> null: ${ragged.isNullAt(0)}")
+    try { spark.sql("SELECT float_vec_dot(a) FROM pv").collect(); println("PROBE arity: NO ERROR (bad)") }
+    catch { case e: Throwable => println(s"PROBE arity refused: ${e.getMessage.split('\n').head.take(70)}") }
     spark.stop()
   }
 }

@@ -85,13 +85,14 @@ class DatasetManager(
     * sample of written cells and compare against the source update with
     * tolerance 1e-4 (`TWENTY_MINUTES` budget replaced by a row budget). */
   def postParseQualityCheck(update: DataFrame, checks: Int = 100): Unit = {
-    // Bernoulli sample + limit, NOT orderBy(rand): a global random sort
-    // would shuffle the whole update to pick 100 rows. Fall back to a
-    // plain limit when the sample comes up empty (tiny updates).
-    val sampled = update.sample(withReplacement = false, 0.05, seed = 42)
+    // Deterministic uniform sample via top-k on a content hash:
+    // TakeOrderedAndProject keeps `checks` rows per partition then
+    // merges — O(N) scan, no full sort/shuffle, and (unlike
+    // sample().limit(), which drains the first partitions) the winners
+    // are spread uniformly over the whole update.
+    val sample = update
+      .orderBy(xxhash64(descriptor.dims.map(col): _*))
       .limit(checks)
-    val sample =
-      if (sampled.limit(1).count() > 0) sampled else update.limit(checks)
     val mismatches = QualityChecks.valueCompare(
       sample, store.read(), descriptor.dims, descriptor.dataVar, 1e-4).count()
     require(mismatches == 0, s"$mismatches written cells differ from source")

@@ -20,6 +20,14 @@ object AsOfJoin {
 
   def asofLeft(left: DataFrame, right: DataFrame, key: String, time: String,
                rightVal: String, outCol: String): DataFrame = {
+    // internal working columns + the output column must not collide with
+    // caller columns — a silent withColumn overwrite would drop caller data
+    Seq("_ord", "_asof").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"asofLeft reserves column name $c")
+    }
+    require(!left.columns.contains(outCol),
+      s"output column $outCol already exists on the left frame")
     val valType = right.schema(rightVal).dataType
     // Wrap the right value in a struct so a matched right row whose value
     // is NULL stays distinguishable from "no right row yet": the window's

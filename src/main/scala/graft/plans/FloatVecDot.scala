@@ -23,6 +23,10 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // can return NULL even for non-null inputs (ragged/null-element arrays),
+  // so nullable must not collapse to the children's nullability — a
+  // constant-false ev.isNull would make the generated assignments illegal
+  override def nullable: Boolean = true
   override def prettyName: String = "float_vec_dot"
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -36,13 +40,17 @@ case class FloatVecDot(left: Expression, right: Expression)
     }
   }
 
+  // Null semantics match the HOF form (`aggregate(zip_with(a,b,_*_),...)`):
+  // mismatched lengths or any null element ⇒ NULL, never a partial dot.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -55,12 +63,17 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -101,18 +101,17 @@ class GriddedStore(val root: String, spark: SparkSession) {
   /** Initial parse (`write_initial_zarr`, `publish.py:240-261`). */
   def writeInitial(df: DataFrame, d: DatasetDescriptor): DatasetDescriptor = {
     val p = prepared(df, d)
-    // Empty initial data would brick the store (descriptor committed,
-    // min/max undefined) — refuse before any mutation. limit(1) short-
-    // circuits after the first row, so this costs one tiny job.
-    if (p.limit(1).count() == 0L)
+    // One up-front aggregate gives both the emptiness guard and the
+    // dateRange stats (a single pass over the input instead of three:
+    // probe + write + agg). Empty initial data would brick the store
+    // (descriptor committed, min/max undefined) — refuse pre-mutation.
+    val stats = p.agg(min(d.timeDim), max(d.timeDim), count(lit(1))).collect()(0)
+    if (stats.getLong(2) == 0L)
       throw new IllegalArgumentException("initial dataset is empty")
     writeDescriptor(d.copy(updateInProgress = true))
     writeBuckets(p, d, SaveMode.Overwrite, dynamicOverwrite = false)
-    val Array(lo, hi) = p.agg(min(d.timeDim), max(d.timeDim)).collect()(0) match {
-      case r => Array(r.getLong(0), r.getLong(1))
-    }
     val committed = d.copy(
-      dateRange = Some((lo, hi)),
+      dateRange = Some((stats.getLong(0), stats.getLong(1))),
       updateInProgress = false,
       updateIsAppendOnly = None,
       updatePreviousEndUs = None)
@@ -128,17 +127,26 @@ class GriddedStore(val root: String, spark: SparkSession) {
   def compact(buckets: Seq[Long] = Nil): DatasetDescriptor = {
     val d = readDescriptor().getOrElse(
       throw new IllegalStateException(s"no existing dataset at $root"))
+    // compact must not launder a crashed writer's flag into a "clean"
+    // store — it's a mutation path like update()/surgery.
+    if (d.updateInProgress)
+      throw new IllegalStateException(
+        s"store at $root has an update in progress (crashed writer?); " +
+          "repair or rebuild before compacting")
     val target =
       if (buckets.nonEmpty) buckets
       else read().select(col("time_bucket").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq
     writeDescriptor(d.copy(updateInProgress = true))
-    val rows = read().filter(col("time_bucket").isin(target: _*))
-      .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
-      // materialize BEFORE the overwrite: reading and dynamically
-      // overwriting the same partitions in one job would race
-      .localCheckpoint()
-    writeBuckets(rows, d, SaveMode.Overwrite, dynamicOverwrite = true)
+    // One bucket at a time: materialize (the dynamic overwrite deletes
+    // the files the lazy plan references) but bound the footprint to a
+    // single bucket instead of checkpointing the whole store.
+    target.foreach { b =>
+      val rows = read().filter(col("time_bucket") === b)
+        .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
+        .localCheckpoint()
+      writeBuckets(rows, d, SaveMode.Overwrite, dynamicOverwrite = true)
+    }
     val committed = d.copy(updateInProgress = false)
     writeDescriptor(committed)
     committed

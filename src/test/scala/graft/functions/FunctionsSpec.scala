@@ -90,6 +90,27 @@ class FunctionsSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT float_vec_dot(id, a) FROM fvd_t").collect()
     }
+    // wrong arity rejected with a clear message, not IndexOutOfBounds
+    val arityEx = intercept[Exception] {
+      spark.sql("SELECT float_vec_dot(a) FROM fvd_t").collect()
+    }
+    assert(arityEx.getMessage.contains("2 arguments"))
+  }
+
+  test("FloatVecDot null semantics match the HOF form: ragged/null-element -> NULL") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f), Some(2.0f))), // clean
+      (2L, Seq(Some(1.0f), None), Seq(Some(1.0f), Some(1.0f))),       // null elem
+      (3L, Seq(Some(1.0f)), Seq(Some(1.0f), Some(1.0f))))             // ragged
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      VectorFunctions.cosineFast(col("a"), col("b")).as("fast"),
+      VectorFunctions.cosine(col("a"), col("b")).as("hof"))
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && out(0).getDouble(1) == out(0).getDouble(2))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
   test("hyperplane buckets: identical vectors share a bucket") {

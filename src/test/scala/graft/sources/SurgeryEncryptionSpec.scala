@@ -21,6 +21,25 @@ class SurgeryEncryptionSpec extends SparkSpec {
     assert(ex.getMessage.contains("update in progress"))
   }
 
+  test("compact and surgery refuse a store left mid-update") {
+    val store = new GriddedStore(tmpDir("midcompact"), spark)
+    val d = store.writeInitial(cube(5, 2, 2), desc("mc"))
+    store.writeDescriptor(d.copy(updateInProgress = true)) // simulate crash
+    assert(intercept[IllegalStateException] { store.compact() }
+      .getMessage.contains("update in progress"))
+    assert(intercept[IllegalStateException] {
+      EncodingSurgery.rewriteCoordinate(store, "longitude", c => c)
+    }.getMessage.contains("update in progress"))
+  }
+
+  test("surgery refuses the time dimension (bucket/dateRange invariant)") {
+    val store = new GriddedStore(tmpDir("timesurgery"), spark)
+    store.writeInitial(cube(5, 2, 2), desc("ts"))
+    assert(intercept[IllegalArgumentException] {
+      EncodingSurgery.rewriteCoordinate(store, "time", c => c + 1)
+    }.getMessage.contains("time dimension"))
+  }
+
   test("coordinate surgery rewrites one coord, refuses the data var (metadata.py:835-946)") {
     val store = new GriddedStore(tmpDir("surgery"), spark)
     store.writeInitial(cube(5, 2, 2), desc("surg"))
