@@ -1,50 +1,49 @@
 package graft
 
-import graft.model.{Category, ChunkGrid, DatasetDescriptor}
-import graft.sources.GriddedStore
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
 
-/** Probe: second-review-round fixes at the library surface. */
+/** Probe: StatefulSessions through a REAL streaming query (AvailableNow),
+  * compared against the batch window sessionization. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     import spark.implicits._
-    val DAY = 86400000000L
-    def cube(n: Int, start: Long) =
-      (for { d <- 0 until n; la <- 0 until 2; lo <- 0 until 2 }
-        yield ((start + d) * DAY, la * 0.5, 10.0 + lo * 0.5, (start + d) * 1.0))
-        .toDF("time", "latitude", "longitude", "precip")
 
-    // per-bucket compaction still merges fragmented files
-    val st = new GriddedStore(java.nio.file.Files.createTempDirectory("c2").toString, spark)
-    st.writeInitial(cube(2, 0), DatasetDescriptor("c2", "precip",
-      Category.Observation, None, DAY, ChunkGrid(100 * DAY, 100000)))
-    (1 to 4).foreach(i => st.update(cube(2, 2L * i)))
-    def files = new java.io.File(st.dataPath).listFiles()
-      .filter(_.isDirectory).flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
-    val before = files
-    st.compact()
-    println(s"PROBE per-bucket compact: $before -> $files files, rows=${st.read().count()}")
+    val rows = (0 until 3000).map { i =>
+      (i % 11L, i.toLong * 500000000L + (i % 17) * 20000000000L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ss-in").toString
+    rows.toDF("user_id", "us").write.mode("overwrite").parquet(dir)
 
-    // compact on a mid-update store refused
-    val d0 = st.readDescriptor().get
-    st.writeDescriptor(d0.copy(updateInProgress = true))
-    try { st.compact(); println("PROBE compact mid-update: NO ERROR (bad)") }
-    catch { case e: Throwable => println(s"PROBE compact mid-update refused: ${e.getMessage.take(55)}") }
-    st.writeDescriptor(d0)
+    // streaming path
+    val src = spark.readStream
+      .schema(rows.toDF("user_id", "us").schema).parquet(dir)
+      .as[(Long, Long)]
+    val q = graft.streaming.StatefulSessions.sessionize(src, gapUs = 1800000000L)
+      .writeStream.outputMode("append").format("memory").queryName("ss_out")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ss-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ss_out")
+      .toDF("user_id", "start_us", "end_us", "n")
 
-    // asof reserved-column guard
-    val l = Seq((1L, 2L, 3L)).toDF("k", "t", "_ord")
-    val r = Seq((1L, 1L, 5.0)).toDF("k", "t", "v")
-    try { graft.operators.AsOfJoin.asofLeft(l, r, "k", "t", "v", "out"); println("PROBE asof guard: NO ERROR (bad)") }
-    catch { case e: Throwable => println(s"PROBE asof reserved-col refused: ${e.getMessage.take(60)}") }
+    // batch window path (q09 semantics)
+    val df = rows.toDF("user_id", "us")
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val windowed = df
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("newsess", when(col("prev").isNull ||
+        col("us") - col("prev") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum("newsess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess")
+      .agg(min("us").as("start_us"), max("us").as("end_us"), count(lit(1)).as("n"))
+      .drop("sess")
 
-    // FloatVecDot via SQL: arity + null semantics at the SQL surface
-    Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b").createOrReplaceTempView("pv")
-    val ragged = spark.sql("SELECT float_vec_dot(a, b) AS d FROM pv").collect()(0)
-    println(s"PROBE ragged arrays -> null: ${ragged.isNullAt(0)}")
-    try { spark.sql("SELECT float_vec_dot(a) FROM pv").collect(); println("PROBE arity: NO ERROR (bad)") }
-    catch { case e: Throwable => println(s"PROBE arity refused: ${e.getMessage.split('\n').head.take(70)}") }
+    println(s"PROBE streamed sessions=${streamed.count()} batch sessions=${windowed.count()}")
+    println(s"PROBE symmetric diff=${streamed.exceptAll(windowed).count() + windowed.exceptAll(streamed).count()}")
+    streamed.orderBy("user_id", "start_us").show(3)
     spark.stop()
   }
 }

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state sessionization via `flatMapGroupsWithState` — the
+  * KeyValueGroupedDataset state API (SURVEY §2.13 "stateful ops").
+  *
+  * Semantics match the declarative gaps-and-islands sessionizer (q09):
+  * a silence longer than `gapUs` closes a session. State carries the
+  * open session per user across micro-batches; closed sessions are
+  * emitted as they close. `emitTrailing` also flushes the still-open
+  * session (the right choice for batch/AvailableNow runs, where "end of
+  * input" is a real boundary; a continuous stream would use an
+  * event-time timeout instead).
+  */
+object StatefulSessions {
+
+  case class Session(userId: Long, startUs: Long, endUs: Long, n: Long)
+
+  /** One open session, carried between micro-batches. */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+  def sessionize(events: Dataset[(Long, Long)], gapUs: Long,
+                 emitTrailing: Boolean = true): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
+          val times = it.map(_._2).toArray
+          java.util.Arrays.sort(times)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var open = state.getOption
+          times.foreach { t =>
+            open match {
+              case Some(o) if t - o.endUs <= gapUs =>
+                open = Some(o.copy(endUs = t, n = o.n + 1))
+              case Some(o) =>
+                closed += Session(user, o.startUs, o.endUs, o.n)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          if (emitTrailing) {
+            open.foreach(o => closed += Session(user, o.startUs, o.endUs, o.n))
+            state.remove()
+          } else {
+            open.foreach(state.update)
+          }
+          closed.iterator
+      }
+  }
+}

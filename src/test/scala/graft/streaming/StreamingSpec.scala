@@ -32,6 +32,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("stateful flatMapGroupsWithState sessionize == window sessionize (q09 semantics)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // synthetic per-user event times with gaps
+    val rows = (0 until 2000).map { i =>
+      val user = i % 7L
+      val t = i.toLong * 600000000L + (i % 13) * 30000000000L // bursts + jumps
+      (user, t)
+    }
+    val stateful = graft.streaming.StatefulSessions
+      .sessionize(rows.toDS(), gapUs = 1800000000L)
+      .toDF("user_id", "start_us", "end_us", "n")
+    val df = rows.toDF("user_id", "us")
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val windowed = df
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("newsess", when(col("prev").isNull ||
+        col("us") - col("prev") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum("newsess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess")
+      .agg(min("us").as("start_us"), max("us").as("end_us"), count(lit(1)).as("n"))
+      .drop("sess")
+    assert(stateful.count() == windowed.count())
+    assert(stateful.exceptAll(windowed).count() == 0)
+    assert(windowed.exceptAll(stateful).count() == 0)
+  }
+
   test("second availableNow run with same checkpoint is a no-op (exactly-once)") {
     val s = spark; import s.implicits._
     val dir = tmpDir("stream-in2")
