@@ -64,6 +64,16 @@ object VectorFunctions {
       }.toDF("d1", "d2", "cos")
   }
 
+  /** Multi-probe bucket set for a query vector: the exact bucket plus
+    * every 1-bit flip — vectors near a hyperplane land on either side,
+    * so probing Hamming-1 neighbors recovers most of the recall an exact
+    * scan has, at (bits+1)/2^bits of the scan cost. */
+  def hyperplaneBucketProbes(v: Column, bits: Int): Column = {
+    val exact = hyperplaneBucket(v, bits)
+    array((exact +: (0 until bits).map(b =>
+      exact.bitwiseXOR(lit(1L << b)))): _*)
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of projections
     * onto pseudo-random planes. Plane (p, i) coefficient is derived from
     * xxhash64(p, i) → uniform in [−1, 1): deterministic, seedable, no

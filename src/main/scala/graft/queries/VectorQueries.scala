@@ -48,14 +48,17 @@ object VectorQueries {
         .orderBy("qid", "rank")
     }),
 
-    // Hyperplane-LSH bucketing + in-bucket cosine: the ANN scale path.
+    // Hyperplane-LSH bucketing + multi-probe + in-bucket cosine: the ANN
+    // scale path — the corpus is scanned once for bucket assignment, the
+    // query side probes its bucket and every Hamming-1 neighbor.
     // (No SQL oracle: bucket assignment depends on xxhash-derived planes;
     // covered by a ScalaTest recall test against q37's exact result.)
     "q39_ann_lsh" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
         .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding"), 8))
       val q = emb.filter(col("vec_id") === 0)
-        .select(col("bucket").as("qbucket"), col("embedding").as("qe"))
+        .select(explode(VectorFunctions.hyperplaneBucketProbes(col("embedding"), 8))
+          .as("qbucket"), col("embedding").as("qe"))
       emb.filter(col("vec_id") =!= 0)
         .join(broadcast(q), col("bucket") === col("qbucket"))
         .select(col("vec_id"), col("bucket"),

@@ -1,0 +1,24 @@
+package graft
+
+/** Plan-shape regression guard: no query may degrade to an unhinted
+  * CartesianProduct (the O(N²) shuffle-everything plan). Intentional
+  * small-side cross joins compile to BroadcastNestedLoopJoin, which is
+  * allowed — the broadcast side is bounded by design in those queries.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  test("no query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString()
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("scan-heavy queries keep filters pushed into the parquet scan") {
+    val q06 = SparkEntry.queries("q06_selective_filter")(spark, "/root/testdata/sf0.001")
+    val plan = q06.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+}

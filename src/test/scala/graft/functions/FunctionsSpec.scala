@@ -113,6 +113,25 @@ class FunctionsSpec extends SparkSpec {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("multi-probe ANN recall: q39 candidates cover more of the exact top-k than single-probe") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("q37_cosine_topk")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val multi = graft.SparkEntry.queries("q39_ann_lsh")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // single-probe variant for comparison
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.table(spark, dir, "embeddings")
+      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding"), 8))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("bucket").as("qbucket"), col("embedding").as("qe"))
+    val single = emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(multi.intersect(exact).size >= single.intersect(exact).size)
+    assert(multi.nonEmpty)
+  }
+
   test("hyperplane buckets: identical vectors share a bucket") {
     val s = spark; import s.implicits._
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)),
