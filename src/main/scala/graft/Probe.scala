@@ -1,49 +1,47 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.Trigger
 
-/** Probe: StatefulSessions through a REAL streaming query (AvailableNow),
-  * compared against the batch window sessionization. */
+/** Probe: continuous sessionizer across three real AvailableNow runs
+  * sharing a checkpoint — watch when the session actually closes. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     import spark.implicits._
+    val HOUR = 3600000000L
+    val BASE = 1704067200000000L
+    val in = java.nio.file.Files.createTempDirectory("cs-in").toString
+    val out = java.nio.file.Files.createTempDirectory("cs-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cs-ck").toString
 
-    val rows = (0 until 3000).map { i =>
-      (i % 11L, i.toLong * 500000000L + (i % 17) * 20000000000L)
+    def drop(times: Seq[Long], part: Int): Unit =
+      times.map(t => (1L, t)).toDF("user_id", "us")
+        .write.mode("append").parquet(s"$in/p=$part")
+    def run(): Unit = {
+      val schema = Seq((1L, 1L)).toDF("user_id", "us").schema
+      val src = spark.readStream.schema(schema).parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "1 minute")
+        .as[(Long, Long, java.sql.Timestamp)]
+      val q = graft.streaming.StatefulSessions
+        .sessionizeContinuous(src, gapUs = HOUR / 2)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
     }
-    val dir = java.nio.file.Files.createTempDirectory("ss-in").toString
-    rows.toDF("user_id", "us").write.mode("overwrite").parquet(dir)
-
-    // streaming path
-    val src = spark.readStream
-      .schema(rows.toDF("user_id", "us").schema).parquet(dir)
-      .as[(Long, Long)]
-    val q = graft.streaming.StatefulSessions.sessionize(src, gapUs = 1800000000L)
-      .writeStream.outputMode("append").format("memory").queryName("ss_out")
-      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ss-ck").toString)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val streamed = spark.table("ss_out")
-      .toDF("user_id", "start_us", "end_us", "n")
-
-    // batch window path (q09 semantics)
-    val df = rows.toDF("user_id", "us")
-    val w = Window.partitionBy("user_id").orderBy("us")
-    val windowed = df
-      .withColumn("prev", lag(col("us"), 1).over(w))
-      .withColumn("newsess", when(col("prev").isNull ||
-        col("us") - col("prev") > 1800000000L, 1).otherwise(0))
-      .withColumn("sess", sum("newsess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("user_id", "sess")
-      .agg(min("us").as("start_us"), max("us").as("end_us"), count(lit(1)).as("n"))
-      .drop("sess")
-
-    println(s"PROBE streamed sessions=${streamed.count()} batch sessions=${windowed.count()}")
-    println(s"PROBE symmetric diff=${streamed.exceptAll(windowed).count() + windowed.exceptAll(streamed).count()}")
-    streamed.orderBy("user_id", "start_us").show(3)
+    def show(tag: String): Unit = {
+      val rows = spark.read.parquet(out).collect()
+        .map(r => s"(u=${r.getLong(0)} ${(r.getLong(1) - BASE) / 60000000}m..${(r.getLong(2) - BASE) / 60000000}m n=${r.getLong(3)})")
+      println(s"PROBE $tag closed sessions: ${if (rows.isEmpty) "NONE" else rows.mkString(" ")}")
+    }
+    drop(Seq(BASE, BASE + 60000000L, BASE + 300000000L), 1) // burst 0..5min
+    run(); show("after run1 (burst only)")
+    drop(Seq(BASE + 2 * HOUR, BASE + 2 * HOUR + 60000000L), 2)
+    run(); show("after run2 (events 2h later)")
+    drop(Seq(BASE + 4 * HOUR), 3)
+    run(); show("after run3 (watermark advanced)")
     spark.stop()
   }
 }

@@ -21,6 +21,50 @@ object StatefulSessions {
   /** One open session, carried between micro-batches. */
   case class OpenSession(startUs: Long, endUs: Long, n: Long)
 
+  /** Continuous-mode sessionization: state expires via EVENT-TIME
+    * timeout, so a session closes (and emits) once the watermark passes
+    * sessionEnd + gap — across micro-batches and restarts, with no
+    * end-of-input assumption. Input: (user, eventTimeUs, eventTime ts)
+    * where the caller has already applied `withWatermark` on the ts
+    * column. */
+  def sessionizeContinuous(events: Dataset[(Long, Long, java.sql.Timestamp)],
+                           gapUs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator.single(Session(user, o.startUs, o.endUs, o.n))
+          } else {
+            val times = it.map(_._2).toArray
+            java.util.Arrays.sort(times)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open = state.getOption
+            times.foreach { t =>
+              open match {
+                case Some(o) if t - o.endUs <= gapUs =>
+                  open = Some(o.copy(endUs = t, n = o.n + 1))
+                case Some(o) =>
+                  closed += Session(user, o.startUs, o.endUs, o.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp((o.endUs + gapUs) / 1000) // ms
+            }
+            closed.iterator
+          }
+      }
+  }
+
   def sessionize(events: Dataset[(Long, Long)], gapUs: Long,
                  emitTrailing: Boolean = true): Dataset[Session] = {
     val spark = events.sparkSession

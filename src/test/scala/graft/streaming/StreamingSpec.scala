@@ -60,6 +60,49 @@ class StreamingSpec extends SparkSpec {
     assert(windowed.exceptAll(stateful).count() == 0)
   }
 
+  test("continuous sessions: event-time timeout closes a session across runs") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val HOUR = 3600000000L
+    // base well past the epoch: rows at the initial watermark (epoch 0)
+    // are dropped as late by event-time stateful ops
+    val BASE = 1704067200000000L
+    val in = tmpDir("cs-in"); val out = tmpDir("cs-out"); val ckpt = tmpDir("cs-ckpt")
+    def drop(times: Seq[Long], part: Int): Unit =
+      times.map(t => (1L, t)).toDF("user_id", "us")
+        .write.mode("append").parquet(s"$in/p=$part")
+    def run(): Unit = {
+      val schema = Seq((1L, 1L)).toDF("user_id", "us").schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "1 minute")
+        .as[(Long, Long, java.sql.Timestamp)]
+      val q = graft.streaming.StatefulSessions
+        .sessionizeContinuous(src, gapUs = HOUR / 2)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: a burst at t=0..5min -> session stays OPEN (no timeout yet)
+    drop(Seq(BASE, BASE + 60000000L, BASE + 300000000L), 1)
+    run()
+    def sessions = spark.read.parquet(out).as[(Long, Long, Long, Long)].collect()
+    assert(sessions.isEmpty)
+    // run 2: events 2h later advance the watermark past end+gap
+    drop(Seq(BASE + 2 * HOUR, BASE + 2 * HOUR + 60000000L), 2)
+    run()
+    // run 3: a further drop lets the timeout fire against the 2h watermark
+    drop(Seq(BASE + 4 * HOUR), 3)
+    run()
+    val closed = sessions
+    assert(closed.exists { case (u, start, end, n) =>
+      u == 1L && start == BASE && end == BASE + 300000000L && n == 3
+    }, s"expected the first burst closed as one session, got ${closed.toSeq}")
+  }
+
   test("second availableNow run with same checkpoint is a no-op (exactly-once)") {
     val s = spark; import s.implicits._
     val dir = tmpDir("stream-in2")
