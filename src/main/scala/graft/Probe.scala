@@ -3,26 +3,26 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Probe: continuous sessionizer across three real AvailableNow runs
-  * sharing a checkpoint — watch when the session actually closes. */
+/** Probe: out-of-order widening + the timeout branch, through real
+  * streaming runs. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     import spark.implicits._
     val HOUR = 3600000000L
+    val MIN = 60000000L
     val BASE = 1704067200000000L
-    val in = java.nio.file.Files.createTempDirectory("cs-in").toString
-    val out = java.nio.file.Files.createTempDirectory("cs-out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("cs-ck").toString
-
-    def drop(times: Seq[Long], part: Int): Unit =
-      times.map(t => (1L, t)).toDF("user_id", "us")
+    val in = java.nio.file.Files.createTempDirectory("p-in").toString
+    val out = java.nio.file.Files.createTempDirectory("p-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("p-ck").toString
+    def drop(user: Long, times: Seq[Long], part: Int): Unit =
+      times.map(t => (user, t)).toDF("user_id", "us")
         .write.mode("append").parquet(s"$in/p=$part")
     def run(): Unit = {
       val schema = Seq((1L, 1L)).toDF("user_id", "us").schema
       val src = spark.readStream.schema(schema).parquet(s"$in/*")
         .withColumn("ts", timestamp_micros(col("us")))
-        .withWatermark("ts", "1 minute")
+        .withWatermark("ts", "2 hours")
         .as[(Long, Long, java.sql.Timestamp)]
       val q = graft.streaming.StatefulSessions
         .sessionizeContinuous(src, gapUs = HOUR / 2)
@@ -32,16 +32,16 @@ object Probe {
       q.awaitTermination()
     }
     def show(tag: String): Unit = {
-      val rows = spark.read.parquet(out).collect()
-        .map(r => s"(u=${r.getLong(0)} ${(r.getLong(1) - BASE) / 60000000}m..${(r.getLong(2) - BASE) / 60000000}m n=${r.getLong(3)})")
-      println(s"PROBE $tag closed sessions: ${if (rows.isEmpty) "NONE" else rows.mkString(" ")}")
+      val rows = spark.read.parquet(out).collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+        .map(r => s"(u=${r.getLong(0)} ${(r.getLong(1) - BASE) / MIN}m..${(r.getLong(2) - BASE) / MIN}m n=${r.getLong(3)})")
+      println(s"PROBE $tag: ${if (rows.isEmpty) "NONE" else rows.mkString(" ")}")
     }
-    drop(Seq(BASE, BASE + 60000000L, BASE + 300000000L), 1) // burst 0..5min
-    run(); show("after run1 (burst only)")
-    drop(Seq(BASE + 2 * HOUR, BASE + 2 * HOUR + 60000000L), 2)
-    run(); show("after run2 (events 2h later)")
-    drop(Seq(BASE + 4 * HOUR), 3)
-    run(); show("after run3 (watermark advanced)")
+    drop(1L, Seq(BASE + 5 * MIN), 1)  // 10:05 first
+    run(); show("after 10:05 event")
+    drop(1L, Seq(BASE), 2)            // 10:00 arrives LATE (out of order)
+    run(); show("after late 10:00 event")
+    drop(2L, Seq(BASE + 9 * HOUR), 3) // user 2 advances watermark; user 1 silent
+    run(); show("after user-2 drop (user-1 timeout must fire)")
     spark.stop()
   }
 }

@@ -7,12 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * KeyValueGroupedDataset state API (SURVEY §2.13 "stateful ops").
   *
   * Semantics match the declarative gaps-and-islands sessionizer (q09):
-  * a silence longer than `gapUs` closes a session. State carries the
-  * open session per user across micro-batches; closed sessions are
-  * emitted as they close. `emitTrailing` also flushes the still-open
-  * session (the right choice for batch/AvailableNow runs, where "end of
-  * input" is a real boundary; a continuous stream would use an
-  * event-time timeout instead).
+  * a silence longer than `gapUs` closes a session.
   */
 object StatefulSessions {
 
@@ -20,6 +15,30 @@ object StatefulSessions {
 
   /** One open session, carried between micro-batches. */
   case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+  /** Shared fold: merge sorted batch times into the (optional) carried
+    * open session. Out-of-order events above the watermark but older
+    * than the carried end merge by widening [startUs, endUs] (min/max),
+    * never by moving the end backwards. Returns (closed, open). */
+  private def foldTimes(user: Long, times: Array[Long],
+                        carried: Option[OpenSession], gapUs: Long)
+      : (Seq[Session], Option[OpenSession]) = {
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var open = carried
+    times.foreach { t =>
+      open match {
+        case Some(o) if t - o.endUs <= gapUs =>
+          open = Some(OpenSession(
+            math.min(o.startUs, t), math.max(o.endUs, t), o.n + 1))
+        case Some(o) =>
+          closed += Session(user, o.startUs, o.endUs, o.n)
+          open = Some(OpenSession(t, t, 1))
+        case None =>
+          open = Some(OpenSession(t, t, 1))
+      }
+    }
+    (closed.toSeq, open)
+  }
 
   /** Continuous-mode sessionization: state expires via EVENT-TIME
     * timeout, so a session closes (and emits) once the watermark passes
@@ -43,19 +62,7 @@ object StatefulSessions {
           } else {
             val times = it.map(_._2).toArray
             java.util.Arrays.sort(times)
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var open = state.getOption
-            times.foreach { t =>
-              open match {
-                case Some(o) if t - o.endUs <= gapUs =>
-                  open = Some(o.copy(endUs = t, n = o.n + 1))
-                case Some(o) =>
-                  closed += Session(user, o.startUs, o.endUs, o.n)
-                  open = Some(OpenSession(t, t, 1))
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
-              }
-            }
+            val (closed, open) = foldTimes(user, times, state.getOption, gapUs)
             open.foreach { o =>
               state.update(o)
               state.setTimeoutTimestamp((o.endUs + gapUs) / 1000) // ms
@@ -65,6 +72,15 @@ object StatefulSessions {
       }
   }
 
+  /** Single-batch sessionization with an end-of-input flush.
+    *
+    * `emitTrailing=true` flushes the still-open session and clears state
+    * at the end of EVERY micro-batch — only correct when all of a user's
+    * data arrives in one batch (plain batch execution, or a one-file
+    * AvailableNow run). A multi-batch stream (e.g. maxFilesPerTrigger)
+    * would split real sessions at batch boundaries; use
+    * [[sessionizeContinuous]] there. `emitTrailing=false` carries the
+    * open session in state and never emits it (no timeout). */
   def sessionize(events: Dataset[(Long, Long)], gapUs: Long,
                  emitTrailing: Boolean = true): Dataset[Session] = {
     val spark = events.sparkSession
@@ -75,26 +91,15 @@ object StatefulSessions {
         (user: Long, it: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
           val times = it.map(_._2).toArray
           java.util.Arrays.sort(times)
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var open = state.getOption
-          times.foreach { t =>
-            open match {
-              case Some(o) if t - o.endUs <= gapUs =>
-                open = Some(o.copy(endUs = t, n = o.n + 1))
-              case Some(o) =>
-                closed += Session(user, o.startUs, o.endUs, o.n)
-                open = Some(OpenSession(t, t, 1))
-              case None =>
-                open = Some(OpenSession(t, t, 1))
-            }
-          }
+          val (closed, open) = foldTimes(user, times, state.getOption, gapUs)
           if (emitTrailing) {
-            open.foreach(o => closed += Session(user, o.startUs, o.endUs, o.n))
             state.remove()
+            (closed.iterator ++
+              open.map(o => Session(user, o.startUs, o.endUs, o.n)).iterator)
           } else {
             open.foreach(state.update)
+            closed.iterator
           }
-          closed.iterator
       }
   }
 }

@@ -113,23 +113,36 @@ class FunctionsSpec extends SparkSpec {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
-  test("multi-probe ANN recall: q39 candidates cover more of the exact top-k than single-probe") {
+  test("multi-probe ANN: probes are exact-bucket + 9 distinct flips and the candidate count is exactly their union") {
+    import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
-    val exact = graft.SparkEntry.queries("q37_cosine_topk")(spark, dir)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // NOTE: on this corpus the embeddings are near-orthogonal random
+    // vectors (best cosine ~0.37 ⇒ expected Hamming distance ~3 of 8
+    // planes), so top-1 containment is NOT a valid assertion — Hamming-1
+    // probing only guarantees recall for genuinely close vectors
+    // (cos→1 ⇒ same bucket, covered by the test below). The falsifiable
+    // claims here are structural: probe-set shape and the exact
+    // candidate count.
     val multi = graft.SparkEntry.queries("q39_ann_lsh")(spark, dir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    // single-probe variant for comparison
-    import org.apache.spark.sql.functions._
     val emb = graft.Tables.table(spark, dir, "embeddings")
       .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding"), 8))
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("bucket").as("qbucket"), col("embedding").as("qe"))
-    val single = emb.filter(col("vec_id") =!= 0)
-      .join(broadcast(q), col("bucket") === col("qbucket"))
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(multi.intersect(exact).size >= single.intersect(exact).size)
-    assert(multi.nonEmpty)
+    val qRow = emb.filter(col("vec_id") === 0)
+      .select(col("bucket"),
+        VectorFunctions.hyperplaneBucketProbes(col("embedding"), 8).as("probes"))
+      .collect().head
+    val exactBucket = qRow.getLong(0)
+    val probes = qRow.getSeq[Long](1).toSet
+    assert(probes.size == 9 && probes.contains(exactBucket))
+    val corpusBuckets = emb.filter(col("vec_id") =!= 0)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flipPop = (probes - exactBucket).toSeq.map(b => corpusBuckets.getOrElse(b, 0L)).sum
+    val singleN = corpusBuckets.getOrElse(exactBucket, 0L)
+    // tight count claim: q39's candidates are exactly the union of the 9
+    // probed buckets' members, capped by its limit(20)
+    assert(multi.size == math.min(20L, singleN + flipPop),
+      s"multi=${multi.size} single=$singleN flipPop=$flipPop")
   }
 
   test("hyperplane buckets: identical vectors share a bucket") {

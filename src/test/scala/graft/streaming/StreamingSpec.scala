@@ -69,8 +69,8 @@ class StreamingSpec extends SparkSpec {
     // are dropped as late by event-time stateful ops
     val BASE = 1704067200000000L
     val in = tmpDir("cs-in"); val out = tmpDir("cs-out"); val ckpt = tmpDir("cs-ckpt")
-    def drop(times: Seq[Long], part: Int): Unit =
-      times.map(t => (1L, t)).toDF("user_id", "us")
+    def drop(user: Long, times: Seq[Long], part: Int): Unit =
+      times.map(t => (user, t)).toDF("user_id", "us")
         .write.mode("append").parquet(s"$in/p=$part")
     def run(): Unit = {
       val schema = Seq((1L, 1L)).toDF("user_id", "us").schema
@@ -86,21 +86,61 @@ class StreamingSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    // run 1: a burst at t=0..5min -> session stays OPEN (no timeout yet)
-    drop(Seq(BASE, BASE + 60000000L, BASE + 300000000L), 1)
+    // run 1: user-1 burst at t=0..5min -> session stays OPEN
+    drop(1L, Seq(BASE, BASE + 60000000L, BASE + 300000000L), 1)
     run()
     def sessions = spark.read.parquet(out).as[(Long, Long, Long, Long)].collect()
     assert(sessions.isEmpty)
-    // run 2: events 2h later advance the watermark past end+gap
-    drop(Seq(BASE + 2 * HOUR, BASE + 2 * HOUR + 60000000L), 2)
+    // run 2: user-1 events 2h later gap-close the burst and open a new session
+    drop(1L, Seq(BASE + 2 * HOUR, BASE + 2 * HOUR + 60000000L), 2)
     run()
-    // run 3: a further drop lets the timeout fire against the 2h watermark
-    drop(Seq(BASE + 4 * HOUR), 3)
+    val afterRun2 = sessions
+    assert(afterRun2.toSeq == Seq((1L, BASE, BASE + 300000000L, 3L)))
+    // run 3: only USER 2 arrives; user 1 is silent, so its open 2h
+    // session can only close via the EVENT-TIME TIMEOUT branch
+    // (hasTimedOut=true with no user-1 data in the batch)
+    drop(2L, Seq(BASE + 4 * HOUR), 3)
     run()
-    val closed = sessions
-    assert(closed.exists { case (u, start, end, n) =>
-      u == 1L && start == BASE && end == BASE + 300000000L && n == 3
-    }, s"expected the first burst closed as one session, got ${closed.toSeq}")
+    val closed = sessions.toSet
+    assert(closed.contains((1L, BASE + 2 * HOUR, BASE + 2 * HOUR + 60000000L, 2L)),
+      s"expected user-1's 2h session closed by timeout, got $closed")
+    assert(closed.contains((1L, BASE, BASE + 300000000L, 3L)))
+  }
+
+  test("continuous sessions merge out-of-order events by widening, not regressing") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val HOUR = 3600000000L
+    val MIN = 60000000L
+    val BASE = 1704067200000000L
+    val in = tmpDir("oo-in"); val out = tmpDir("oo-out"); val ckpt = tmpDir("oo-ckpt")
+    def drop(user: Long, times: Seq[Long], part: Int): Unit =
+      times.map(t => (user, t)).toDF("user_id", "us")
+        .write.mode("append").parquet(s"$in/p=$part")
+    def run(): Unit = {
+      val schema = Seq((1L, 1L)).toDF("user_id", "us").schema
+      val src = spark.readStream.schema(schema).parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "2 hours") // generous: late events NOT dropped
+        .as[(Long, Long, java.sql.Timestamp)]
+      val q = graft.streaming.StatefulSessions
+        .sessionizeContinuous(src, gapUs = HOUR / 2)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drop(1L, Seq(BASE + 5 * MIN), 1) // batch 1: 10:05
+    run()
+    drop(1L, Seq(BASE), 2) // batch 2: out-of-order 10:00, within gap
+    run()
+    drop(2L, Seq(BASE + 9 * HOUR), 3) // advance watermark; user 1 silent
+    run()
+    val closed = spark.read.parquet(out).as[(Long, Long, Long, Long)]
+      .collect().filter(_._1 == 1L).toSeq
+    // must be ONE widened session [10:00, 10:05], never end-before-start
+    assert(closed == Seq((1L, BASE, BASE + 5 * MIN, 2L)), s"got $closed")
   }
 
   test("second availableNow run with same checkpoint is a no-op (exactly-once)") {
