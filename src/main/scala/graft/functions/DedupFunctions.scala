@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * band/bucket key — the classic shingle → minhash → band → bucket-join
   * pipeline. Nothing materializes the O(N²) pair space; candidate pairs
   * only arise from hash-bucket collisions, and the verify step joins on
-  * those candidates alone. All hashing uses xxhash64 (codegen'd).
+  * those candidates alone. All hashing is md5-derived (see [[Signatures]])
+  * so the DuckDB correctness oracle reproduces every signature exactly.
   */
 object DedupFunctions {
 
@@ -19,13 +20,18 @@ object DedupFunctions {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("n"), min(idCol).as("keeper"))
 
-  /** LSH band hashes from a signature: `bands` hashes of `rowsPerBand`
-    * consecutive signature slots. Docs agreeing on any band are
-    * candidate near-duplicates. */
-  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  /** LSH band keys from a signature: `bands` string keys, each the
+    * comma-joined `rowsPerBand` consecutive signature slots. Docs
+    * agreeing on any band are candidate near-duplicates. A string key
+    * (not a re-hash) keeps the pipeline portable: the oracle's
+    * `array_to_string(sig[b*r+1 : b*r+r], ',')` is the identical key.
+    * The band index is matched separately in the join, so it is not
+    * embedded in the key. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+      b => concat_ws(",",
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))
 
   /** Estimated Jaccard from two signatures: fraction of agreeing slots. */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =

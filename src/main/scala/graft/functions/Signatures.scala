@@ -1,5 +1,8 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -11,97 +14,115 @@ import org.apache.spark.sql.functions._
   * signature expression referenced by 16 band expressions gets duplicated
   * by projection collapse into an enormous tree (observed: >100 ms/row
   * interpreted, optimizer blow-up on the banded self-join). A single
-  * imperative pass per row is O(tokens + perms·shingles-mins), allocates
-  * two arrays, and stays fully distributed — this is the "genuine
-  * per-partition imperative logic" case where `mapPartitions` is the
-  * idiomatic Spark answer.
+  * imperative pass per row is O(shingles·perms), allocates two arrays,
+  * and stays fully distributed — this is the "genuine per-partition
+  * imperative logic" case where `mapPartitions` is the idiomatic Spark
+  * answer.
   *
-  * Hashing: one 64-bit string hash per shingle/token, then `perms`
-  * affine universal-hash transforms (splitmix64-derived coefficients) —
-  * the standard MinHash construction, so each extra permutation costs one
-  * multiply-add, not a re-hash of the string.
+  * Hashing is PORTABLE by construction: every hash is the first 60 bits
+  * (15 hex chars) of an MD5 digest, which the DuckDB correctness oracle
+  * reproduces bit-for-bit as `CAST('0x' || substr(md5(s), 1, 15) AS
+  * BIGINT)`. That makes the whole shingle → minhash → band → bucket-join
+  * pipeline oracle-checkable end to end (the round-1 murmur/xxhash
+  * derivation was engine-specific, so the driver could only do rows-only
+  * checks). MD5 here is a deterministic mixer, not a security boundary.
   */
 object Signatures {
 
-  /** splitmix64 — deterministic per-permutation coefficients. */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
+  /** First 60 bits (15 hex chars) of md5(s) — always non-negative, so
+    * signed-long MIN agrees between JVM and SQL engines. */
+  private[graft] def md5_60(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4 // drop the 16th hex char: 64 -> 60 bits
   }
 
-  /** 64-bit string hash (two murmur32 passes with distinct seeds). */
-  private def hash64(s: String): Long = {
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  /** Low bit of the FIRST md5 hex char of `s` (0 or 1) — the Rademacher
+    * ±1 coin used for hyperplane signs in [[VectorFunctions]]. Oracle
+    * equivalent: `CAST('0x'||substr(md5(s),1,1) AS INTEGER) % 2`. */
+  private[graft] def md5SignBit(s: String): Int = {
+    val md = MessageDigest.getInstance("MD5")
+    (md.digest(s.getBytes(StandardCharsets.UTF_8))(0) >> 4) & 1
   }
 
-  private def wordShingles(text: String, n: Int): Array[Long] = {
-    val toks = text.split(" ")
-    if (toks.length < n) Array.empty[Long]
+  /** Distinct word n-gram shingles, in first-seen order. Tokenization is
+    * `split(" ", -1)` — trailing empty tokens kept — to match both Spark
+    * SQL `split` and DuckDB `string_split`. */
+  private def wordShingles(text: String, n: Int): Array[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Array.empty[String]
     else {
-      val set = new scala.collection.mutable.HashSet[Long]
+      val seen = new scala.collection.mutable.LinkedHashSet[String]
       var i = 0
       while (i <= toks.length - n) {
-        set += hash64(toks.slice(i, i + n).mkString(" "))
+        seen += toks.slice(i, i + n).mkString(" ")
         i += 1
       }
-      set.toArray
+      seen.toArray
     }
   }
 
   /** (id, sig: array<long>[perms]) — MinHash signatures over distinct
-    * word n-gram shingles. Empty-shingle docs get all-MaxValue sigs. */
+    * word n-gram shingles: sig(p) = min over shingles g of
+    * md5_60(g + "#" + p). Empty-shingle docs get all-MaxValue sigs
+    * (callers that band-join should filter them out first — two empty
+    * docs are not near-duplicates of each other). */
   def minhash(df: DataFrame, idCol: String, textCol: String,
               ngram: Int, perms: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val as = Array.tabulate(perms)(p => splitmix64(2L * p) | 1L) // odd multipliers
-    val bs = Array.tabulate(perms)(p => splitmix64(2L * p + 1))
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder
         it.map { case (id, text) =>
           val sh = wordShingles(text, ngram)
           val sig = Array.fill(perms)(Long.MaxValue)
-          var p = 0
-          while (p < perms) {
-            var m = Long.MaxValue
-            var j = 0
-            while (j < sh.length) {
-              val v = as(p) * sh(j) + bs(p)
-              if (v < m) m = v
-              j += 1
+          var j = 0
+          while (j < sh.length) {
+            var p = 0
+            while (p < perms) {
+              sb.setLength(0)
+              sb.append(sh(j)).append('#').append(p)
+              val v = md5_60(md, sb.toString)
+              if (v < sig(p)) sig(p) = v
+              p += 1
             }
-            if (sh.nonEmpty) sig(p) = m
-            p += 1
+            j += 1
           }
           (id, sig)
         }
       }.toDF(idCol, "sig")
   }
 
-  /** (id, simhash: long) — 64-bit SimHash over whitespace tokens. */
+  /** (id, simhash: long) — 60-bit SimHash over whitespace tokens
+    * (multiset: repeated tokens vote repeatedly). Bit b is set iff the
+    * ±1 votes from bit b of each token's md5_60 sum positive. 60 bits
+    * (not 64) so the token hash and the signature both round-trip
+    * through the oracle's 15-hex-char BIGINT parse. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
-        val counts = new Array[Int](64)
+        val md = MessageDigest.getInstance("MD5")
+        val counts = new Array[Int](60)
         it.map { case (id, text) =>
           java.util.Arrays.fill(counts, 0)
-          text.split(" ").foreach { t =>
-            val h = hash64(t)
+          text.split(" ", -1).foreach { t =>
+            val h = md5_60(md, t)
             var i = 0
-            while (i < 64) {
+            while (i < 60) {
               if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
               i += 1
             }
           }
           var sh = 0L
           var i = 0
-          while (i < 64) {
+          while (i < 60) {
             if (counts(i) > 0) sh |= (1L << i)
             i += 1
           }

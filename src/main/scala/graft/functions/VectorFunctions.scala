@@ -64,32 +64,79 @@ object VectorFunctions {
       }.toDF("d1", "d2", "cos")
   }
 
+  /** Driver-side Rademacher ±1 sign vector for one plane: sign j is the
+    * low bit of the first md5 hex char of "prefix#j". Computed once at
+    * plan time and inlined as literals, so executors do no hashing and
+    * the DuckDB oracle reproduces the identical planes from md5. */
+  private def signs(prefix: String, dims: Int): Array[Double] =
+    Array.tabulate(dims)(j =>
+      if (Signatures.md5SignBit(s"$prefix#$j") == 1) 1.0 else -1.0)
+
   /** Multi-probe bucket set for a query vector: the exact bucket plus
     * every 1-bit flip — vectors near a hyperplane land on either side,
     * so probing Hamming-1 neighbors recovers most of the recall an exact
     * scan has, at (bits+1)/2^bits of the scan cost. */
-  def hyperplaneBucketProbes(v: Column, bits: Int): Column = {
-    val exact = hyperplaneBucket(v, bits)
+  def hyperplaneBucketProbes(v: Column, bits: Int, dims: Int): Column = {
+    val exact = hyperplaneBucket(v, bits, dims)
     array((exact +: (0 until bits).map(b =>
       exact.bitwiseXOR(lit(1L << b)))): _*)
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits of projections
-    * onto pseudo-random planes. Plane (p, i) coefficient is derived from
-    * xxhash64(p, i) → uniform in [−1, 1): deterministic, seedable, no
-    * stored plane matrix — each executor recomputes coefficients inline.
-    * Vectors in the same bucket are ANN candidates. */
-  def hyperplaneBucket(v: Column, bits: Int): Column = {
-    def coeff(p: Int, i: Column): Column =
-      (call_function("shiftright", xxhash64(lit(p), i), lit(11)).cast("double") /
-        lit(4.503599627370496e15)) // 2^52 → [-1, 1)
+    * onto Rademacher (±1) planes derived from md5 — deterministic, no
+    * stored plane matrix, and portable (the oracle re-derives the same
+    * planes in SQL). Projections fold in index order with every element
+    * cast to double, matching `list_sum(list_transform(...))`, so bucket
+    * ids are bit-identical across engines. Vectors in the same bucket
+    * are ANN candidates. */
+  def hyperplaneBucket(v: Column, bits: Int, dims: Int,
+                       salt: String = "plane"): Column = {
     val bitCols = (0 until bits).map { p =>
+      val sg = signs(s"$salt#$p", dims)
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * coeff(p, i)),
+        zip_with(v, array(sg.map(lit(_)): _*),
+          (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
+  }
+
+  /** (id, vec, buckets: array<long>[tables]) — one `bits`-bit hyperplane
+    * bucket per hash table, all computed in a single typed pass (a
+    * tables×bits×dims multiply-add per row; the HOF-expression form
+    * would be interpreted and get duplicated across band projections —
+    * see [[Signatures]]). Near-duplicate candidates are pairs sharing
+    * (table, bucket) for ANY table: per-table collision probability for
+    * vectors at angle θ is (1−θ/π)^bits, so tables trade candidate
+    * volume for recall. Sign planes are md5-derived ("salt#t#p#j"), so
+    * the SQL oracle reproduces every bucket exactly. */
+  def ndBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                vecCol: String, tables: Int, bits: Int, dims: Int,
+                salt: String): org.apache.spark.sql.DataFrame = {
+    val sg: Array[Array[Array[Double]]] =
+      Array.tabulate(tables, bits)((t, p) => signs(s"$salt#$t#$p", dims))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val bks = Array.tabulate(tables) { t =>
+            var bk = 0L
+            var p = 0
+            while (p < bits) {
+              val s = sg(t)(p)
+              var acc = 0.0
+              var j = 0
+              while (j < v.length) { acc += v(j).toDouble * s(j); j += 1 }
+              if (acc >= 0) bk |= (1L << p)
+              p += 1
+            }
+            bk
+          }
+          (id, v, bks)
+        }
+      }.toDF(idCol, vecCol, "buckets")
   }
 }

@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
 /** Text-analysis + deduplication over the `documents` table — the
   * training-data-pipeline operators (exact dedup, n-gram Jaccard near-dup,
   * MinHash+LSH, SimHash, token stats, quality scoring, language scoring,
-  * fingerprinting). MinHash/SimHash queries have no SQL oracle (hash
-  * seeds are engine-specific) — the driver records rows-only checks;
-  * their semantics are covered by ScalaTest specs instead.
+  * fingerprinting). Every query here is oracle-checked: MinHash/SimHash
+  * signatures are md5-derived (see [[graft.functions.Signatures]]), so
+  * the DuckDB oracle recomputes the identical signature pipelines in SQL.
   */
 object TextQueries {
 
@@ -91,16 +91,21 @@ object TextQueries {
 
     // MinHash + LSH banding: candidate pairs from band-bucket collisions,
     // then signature-estimated Jaccard. No O(N²) stage — candidates only
-    // come from the bucket equi-join. (No SQL oracle: xxhash seeds.)
+    // come from the bucket equi-join. Hashes are md5-derived, so the
+    // DuckDB oracle computes the identical signature pipeline.
     "q34_minhash_lsh" -> ((s, dir) => {
       val d = graft.functions.Signatures
-        .minhash(Tables.table(s, dir, "documents"), "doc_id", "text", 3, 64)
-        .withColumn("bands", DedupFunctions.bandHashes(col("sig"), 16, 4))
+        .minhash(Tables.table(s, dir, "documents")
+            // empty-shingle docs would all share the MaxValue signature
+            // and band-join with each other; they cannot be near-dups
+            .filter(TextFunctions.tokenCount(col("text")) >= 3),
+          "doc_id", "text", 3, 64)
+        .withColumn("bands", DedupFunctions.bandKeys(col("sig"), 16, 4))
         .localCheckpoint() // signatures computed once, not per join side
       val banded = d.select(col("doc_id"), col("sig"),
-        posexplode(col("bands")).as(Seq("band", "bh")))
+        posexplode(col("bands")).as(Seq("band", "bk")))
       banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("n_bands"),
@@ -110,28 +115,30 @@ object TextQueries {
         .orderBy("d1", "d2")
     }),
 
-    // SimHash near-dup: 64-bit signatures + Hamming-close pairs via
-    // 4-band exact-match blocking (no O(N²)). (No SQL oracle.)
+    // SimHash near-dup: 60-bit md5-derived signatures + Hamming-close
+    // pairs via 4×15-bit exact-match blocking (no O(N²)). The emitted
+    // threshold MATCHES the blocking guarantee: pairs at Hamming ≤ 3
+    // must share one of 4 blocks (pigeonhole), so recall at the declared
+    // radius is exactly 100% — not "whatever happened to collide".
     "q35_simhash" -> ((s, dir) => {
       val d = graft.functions.Signatures
         .simhash(Tables.table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("simhash").as("sh"))
         .localCheckpoint() // one signature pass for both join sides
-      // Block on 16-bit quarters: near-dups (hamming <= 3) share a quarter.
       val blocked = d.select(col("doc_id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(3)),
-          q => call_function("shiftright", col("sh"), q * 16)
-            .bitwiseAND(lit(0xFFFFL)))).as(Seq("q", "blk")))
+          q => call_function("shiftright", col("sh"), q * 15)
+            .bitwiseAND(lit(0x7FFFL)))).as(Seq("q", "blk")))
       val pairs = blocked.as("a").join(blocked.as("b"),
           col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          DedupFunctions.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+          DedupFunctions.hamming64(col("a.sh"), col("b.sh"))
+            .cast("bigint").as("v"))
         .distinct()
-        .filter(col("hamming") <= 16)
+        .filter(col("v") <= 3) // = the blocking guarantee radius
       // Emit signatures too so the result is non-empty even with no dups.
-      d.select(col("doc_id").as("d1"), lit(-1L).as("d2"),
-          col("sh").as("hamming"))
+      d.select(col("doc_id").as("d1"), lit(-1L).as("d2"), col("sh").as("v"))
         .unionByName(pairs)
         .orderBy("d1", "d2")
     }),
@@ -193,6 +200,42 @@ object TextQueries {
         |  CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jac
         |FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.02
+        |ORDER BY d1, d2""".stripMargin,
+    "q34_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |           WHERE LEN(string_split(text,' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(LEN(toks)-2),
+        |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS g FROM d),
+        |mh AS (SELECT doc_id, p, MIN(CAST('0x'||substr(md5(g||'#'||p),1,15) AS BIGINT)) AS m
+        |       FROM sh CROSS JOIN range(64) t(p) GROUP BY doc_id, p),
+        |sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, sig, b,
+        |            array_to_string(sig[CAST(b*4+1 AS INTEGER):CAST(b*4+4 AS INTEGER)], ',') AS bk
+        |          FROM sig CROSS JOIN range(16) t(b)),
+        |cand AS (SELECT x.doc_id AS d1, y.doc_id AS d2, x.sig AS sa, y.sig AS sb
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT d1, d2, COUNT(*) AS n_bands,
+        |            MIN(CAST(LEN(list_filter(range(64), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
+        |                / CAST(64 AS DOUBLE)) AS est_jac
+        |          FROM cand GROUP BY d1, d2)
+        |SELECT d1, d2, n_bands, est_jac FROM pairs WHERE est_jac >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    "q35_simhash" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |th AS (SELECT doc_id, CAST('0x'||substr(md5(t),1,15) AS BIGINT) AS h FROM tk),
+        |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |         FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+        |sg AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |                                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+        |       FROM bits GROUP BY doc_id),
+        |blk AS (SELECT doc_id, sh, q, (sh >> CAST(q*15 AS INTEGER)) & 32767 AS blk
+        |        FROM sg CROSS JOIN range(4) r(q)),
+        |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+        |            CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS v
+        |          FROM blk x JOIN blk y ON x.q = y.q AND x.blk = y.blk AND x.doc_id < y.doc_id)
+        |SELECT d1, d2, v FROM (
+        |  SELECT doc_id AS d1, CAST(-1 AS BIGINT) AS d2, sh AS v FROM sg
+        |  UNION ALL SELECT d1, d2, v FROM pairs WHERE v <= 3)
         |ORDER BY d1, d2""".stripMargin,
     "q36_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -50,15 +50,18 @@ object VectorQueries {
 
     // Hyperplane-LSH bucketing + multi-probe + in-bucket cosine: the ANN
     // scale path — the corpus is scanned once for bucket assignment, the
-    // query side probes its bucket and every Hamming-1 neighbor.
-    // (No SQL oracle: bucket assignment depends on xxhash-derived planes;
-    // covered by a ScalaTest recall test against q37's exact result.)
+    // query side probes its bucket and every Hamming-1 neighbor. Planes
+    // are md5-derived Rademacher signs, so the DuckDB oracle recomputes
+    // the identical buckets (and the ScalaTest recall test still checks
+    // against q37's exact result).
     "q39_ann_lsh" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
-        .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding"), 8))
+        .withColumn("bucket",
+          VectorFunctions.hyperplaneBucket(col("embedding"), 8, 64))
       val q = emb.filter(col("vec_id") === 0)
-        .select(explode(VectorFunctions.hyperplaneBucketProbes(col("embedding"), 8))
-          .as("qbucket"), col("embedding").as("qe"))
+        .select(explode(array((col("bucket") +: (0 until 8).map(b =>
+            col("bucket").bitwiseXOR(lit(1L << b)))): _*)).as("qbucket"),
+          col("embedding").as("qe"))
       emb.filter(col("vec_id") =!= 0)
         .join(broadcast(q), col("bucket") === col("qbucket"))
         .select(col("vec_id"), col("bucket"),
@@ -67,14 +70,37 @@ object VectorQueries {
         .limit(20)
     }),
 
-    // Embedding-cosine near-duplicate detection (the dedup modality over
-    // vectors): all-pairs baseline at bounded N — the oracle-checkable
-    // twin of the LSH-bucketed scale path (q39).
+    // Embedding-cosine near-duplicate detection, the SHIPPED scale path:
+    // LSH-bucket prefilter (24 tables × 4-bit md5-derived hyperplane
+    // buckets) → exact cosine verify on candidate pairs only. The pair
+    // space never materializes: candidates come from (table, bucket)
+    // equi-join collisions, candidate ids are deduped, then embeddings
+    // are fetched back by id equi-join — at 100 TB the signature table
+    // is a fraction of corpus size and nothing is O(N²). Parameters
+    // (24, 4) give observed recall 1.0 vs the all-pairs baseline at both
+    // sf0.01 and sf0.1 (the baseline survives as a test-only oracle in
+    // FunctionsSpec). The DuckDB oracle recomputes the same bucketed
+    // pipeline, so this is hash-exact, not rows-only.
     "q46_embedding_dedup" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
-      val a = emb.select(col("vec_id").as("d1"), col("embedding").as("ea"))
-      val b = emb.select(col("vec_id").as("d2"), col("embedding").as("eb"))
-      VectorFunctions.cosinePairs(a.join(b, col("d1") < col("d2")))
+        .select(col("vec_id"), col("embedding"))
+      val bk = VectorFunctions
+        .ndBuckets(emb, "vec_id", "embedding", 24, 4, 64, "nd")
+        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bk")))
+        // ids+buckets only (24 small rows per vector) — at scale this is
+        // "write the signature table, then self-join it"; both join
+        // sides would otherwise recompute the typed bucket pass
+        .localCheckpoint()
+      val cand = bk.as("x").join(bk.as("y"),
+          col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+        .distinct()
+      val pairs = cand
+        .join(emb.select(col("vec_id").as("d1"), col("embedding").as("ea")), "d1")
+        .join(emb.select(col("vec_id").as("d2"), col("embedding").as("eb")), "d2")
+        .select(col("d1"), col("d2"), col("ea"), col("eb"))
+      VectorFunctions.cosinePairs(pairs)
         .filter(col("cos") >= 0.45)
         .orderBy("d1", "d2")
     }),
@@ -116,13 +142,48 @@ object VectorQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT qid, nid, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q39_ann_lsh" ->
+      """WITH planes AS (SELECT p, list_transform(range(64), j ->
+        |        CASE WHEN CAST('0x'||substr(md5('plane#'||p||'#'||j),1,1) AS INTEGER)%2=1
+        |             THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sg FROM range(8) t(p)),
+        |proj AS (SELECT vec_id, p, list_sum(list_transform(range(64),
+        |           j -> CAST(embedding[j+1] AS DOUBLE) * sg[j+1])) AS pr
+        |         FROM embeddings CROSS JOIN planes),
+        |buck AS (SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+        |                                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        |         FROM proj GROUP BY vec_id),
+        |qv AS (SELECT b.bucket AS qb0, e.embedding AS qe FROM buck b
+        |       JOIN embeddings e ON b.vec_id = e.vec_id WHERE e.vec_id = 0),
+        |probes AS (SELECT qb0 AS qbucket, qe FROM qv
+        |           UNION ALL SELECT xor(qb0, CAST(1 AS BIGINT) << CAST(b AS INTEGER)), qe
+        |           FROM qv CROSS JOIN range(8) t(b)),
+        |cand AS (SELECT e.vec_id, bk.bucket, p.qe, e.embedding FROM embeddings e
+        |         JOIN buck bk ON e.vec_id = bk.vec_id JOIN probes p ON bk.bucket = p.qbucket
+        |         WHERE e.vec_id <> 0)
+        |SELECT vec_id, bucket,
+        |  list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |FROM cand ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     "q46_embedding_dedup" ->
-      s"""WITH p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
-         |  list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) /
-         |  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-         |   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-         |SELECT d1, d2, cos FROM p WHERE cos >= 0.45 ORDER BY d1, d2""".stripMargin,
+      """WITH planes AS (SELECT t, p, list_transform(range(64), j ->
+        |        CASE WHEN CAST('0x'||substr(md5('nd#'||t||'#'||p||'#'||j),1,1) AS INTEGER)%2=1
+        |             THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sg
+        |      FROM range(24) a(t) CROSS JOIN range(4) b(p)),
+        |proj AS (SELECT vec_id, t, p, list_sum(list_transform(range(64),
+        |           j -> CAST(embedding[j+1] AS DOUBLE) * sg[j+1])) AS pr
+        |      FROM embeddings CROSS JOIN planes),
+        |buck AS (SELECT vec_id, t, CAST(SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+        |                                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bk
+        |      FROM proj GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+        |      FROM buck x JOIN buck y ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id),
+        |sc AS (SELECT d1, d2,
+        |  list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM cand JOIN embeddings a ON d1 = a.vec_id JOIN embeddings b ON d2 = b.vec_id)
+        |SELECT d1, d2, cos FROM sc WHERE cos >= 0.45 ORDER BY d1, d2""".stripMargin,
     "q42_label_norms" ->
       s"""WITH n AS (SELECT label,
          |    CAST(${normSql("embedding")} AS DECIMAL(18,9)) AS nrm FROM embeddings)

@@ -16,6 +16,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("q46 near-dup never materializes the pair space (no BroadcastNestedLoopJoin)") {
+    val plan = SparkEntry.queries("q46_embedding_dedup")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "q46 must build candidates from the (table, bucket) equi-join, " +
+        "not an all-pairs non-equi join")
+  }
+
   test("scan-heavy queries keep filters pushed into the parquet scan") {
     val q06 = SparkEntry.queries("q06_selective_filter")(spark, "/root/testdata/sf0.001")
     val plan = q06.queryExecution.executedPlan.toString()

@@ -35,8 +35,11 @@ class FunctionsSpec extends SparkSpec {
       .orderBy("doc_id").collect()
       .map(r => r.getSeq[Long](1).toArray)
     assert(sigs(0).sameElements(sigs(1)))
+    // Shingle Jaccard(base, near) = 8/14 ≈ 0.57, so E[agreeing slots] ≈ 37
+    // of 64; unrelated docs share no shingles, so agreement is ~0. The
+    // draw is deterministic (md5), these margins are just robustness.
     def agree(a: Array[Long], b: Array[Long]) = a.zip(b).count { case (x, y) => x == y }
-    assert(agree(sigs(0), sigs(2)) > 40)  // near-dup: most slots agree
+    assert(agree(sigs(0), sigs(2)) > 25)  // near-dup: most slots agree
     assert(agree(sigs(0), sigs(3)) < 10)  // unrelated: almost none
   }
 
@@ -126,10 +129,10 @@ class FunctionsSpec extends SparkSpec {
     val multi = graft.SparkEntry.queries("q39_ann_lsh")(spark, dir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val emb = graft.Tables.table(spark, dir, "embeddings")
-      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding"), 8))
+      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding"), 8, 64))
     val qRow = emb.filter(col("vec_id") === 0)
       .select(col("bucket"),
-        VectorFunctions.hyperplaneBucketProbes(col("embedding"), 8).as("probes"))
+        VectorFunctions.hyperplaneBucketProbes(col("embedding"), 8, 64).as("probes"))
       .collect().head
     val exactBucket = qRow.getLong(0)
     val probes = qRow.getSeq[Long](1).toSet
@@ -149,9 +152,64 @@ class FunctionsSpec extends SparkSpec {
     val s = spark; import s.implicits._
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)),
       (3L, Seq(-1.0f, -2.0f, -3.0f))).toDF("id", "v")
-      .select(col("id"), VectorFunctions.hyperplaneBucket(col("v"), 8).as("b"))
+      .select(col("id"), VectorFunctions.hyperplaneBucket(col("v"), 8, 3).as("b"))
     val b = df.orderBy("id").collect().map(_.getLong(1))
     assert(b(0) == b(1))
     assert(b(0) != b(2)) // antipodal vector flips every plane
+  }
+
+  test("q46 bucketed near-dup has full recall vs the all-pairs baseline (test-only oracle)") {
+    // The all-pairs brute force was round 1's oracle-checked q46; it is
+    // now demoted to THIS test: the shipped bucketed operator must find
+    // every pair the exhaustive scan finds at the declared threshold.
+    // Deterministic (md5-derived planes), so exact equality is stable.
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.table(spark, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("eb"))
+    val brute = VectorFunctions.cosinePairs(a.join(b, col("d1") < col("d2")))
+      .filter(col("cos") >= 0.45)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = graft.SparkEntry.queries("q46_embedding_dedup")(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == brute,
+      s"bucketed=${bucketed.size} brute=${brute.size} missed=${brute -- bucketed}")
+  }
+
+  test("simhash blocking guarantee: every planted pair at Hamming <= 3 is emitted") {
+    val s = spark; import s.implicits._
+    // Construct docs whose simhashes differ by small perturbations: one
+    // token swap moves few bits. Verify against an exhaustive Hamming
+    // scan of the signatures that the BLOCKED pair set is identical at
+    // the declared radius (the pigeonhole guarantee, not sampling luck).
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 12).map { k =>
+      (k.toLong, if (k == 0) base else base.replace(s"tok${k * 3}", s"zz$k"))
+    }
+    val df = docs.toDF("doc_id", "text")
+    df.createOrReplaceTempView("sim_docs")
+    val sigs = Signatures.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      i <- docs.indices; j <- docs.indices if i < j
+      h = java.lang.Long.bitCount(sigs(i.toLong) ^ sigs(j.toLong)) if h <= 3
+    } yield (i.toLong, j.toLong)).toSet
+    assert(expected.nonEmpty, "test setup must plant at least one close pair")
+    // run the q35 pipeline shape on this small frame
+    val d = Signatures.simhash(df, "doc_id", "text")
+      .select(col("doc_id"), col("simhash").as("sh"))
+    val blocked = d.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        q => call_function("shiftright", col("sh"), q * 15)
+          .bitwiseAND(lit(0x7FFFL)))).as(Seq("q", "blk")))
+    val got = blocked.as("a").join(blocked.as("b"),
+        col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        DedupFunctions.hamming64(col("a.sh"), col("b.sh")).as("h"))
+      .distinct().filter(col("h") <= 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"blocking must have 100% recall at Hamming<=3: " +
+      s"missed=${expected -- got} extra=${got -- expected}")
   }
 }
