@@ -18,7 +18,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // sbt routes program stdout through its [info] logger, which the
+    // driver's JSON extraction has failed to strip (BENCH_r01 recorded
+    // "parsed": null) — also land the line in a file it can read directly.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_out.json"), json)
     spark.stop()
   }
 }

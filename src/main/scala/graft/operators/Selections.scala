@@ -43,4 +43,29 @@ object Selections {
     * whole-stage codegen. */
   def gridCell(v: Column, origin: Double, step: Double): Column =
     floor((v - lit(origin)) / lit(step)).cast("long")
+
+  /** Multi-dimensional nearest-with-tolerance for IRREGULAR axes —
+    * `ds.sel(**coords, method="nearest", tolerance=...)` across lat AND
+    * lon at once (`utils/publish.py:864`). `coords` maps each dim column
+    * to (target, tolerance); the winner is the row minimizing the
+    * tolerance-scaled Chebyshev distance max_k |v_k − target_k| / tol_k,
+    * kept only if every dim is within its tolerance (scaled dist ≤ 1).
+    * On a regular grid prefer [[gridCell]] (O(1), no ordering).
+    *
+    * Scale shape: `orderBy(...).limit(1)` compiles to
+    * TakeOrderedAndProject — per-partition partial top-1 merged on the
+    * driver, no shuffle, no single-partition window. For many query
+    * points at once, broadcast the target set and rank per target
+    * (see q49_nearest_cell). */
+  def nearestCell(df: DataFrame, coords: Map[String, (Double, Double)],
+                  tieBreak: String): DataFrame = {
+    require(coords.nonEmpty, "nearestCell needs at least one coordinate")
+    val dist = coords.map { case (k, (target, tol)) =>
+      abs(col(k) - lit(target)) / lit(tol)
+    }.reduce(greatest(_, _))
+    df.withColumn("dist", dist)
+      .orderBy(col("dist"), col(tieBreak))
+      .limit(1)
+      .filter(col("dist") <= 1.0)
+  }
 }

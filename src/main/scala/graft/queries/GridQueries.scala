@@ -61,6 +61,41 @@ object GridQueries {
         .orderBy("event_type")
     }),
 
+    // Multi-dim nearest-with-tolerance on an irregular axis
+    // (`utils/publish.py:864`: sel(lat, lon, method="nearest",
+    // tolerance=...)): 5 query points broadcast against the corpus,
+    // ranked by tolerance-scaled Chebyshev distance, winner kept only if
+    // within tolerance on EVERY dim (target 3 is deliberately out of
+    // range to exercise the guard). The single-point operator is
+    // Selections.nearestCell (TakeOrdered, no shuffle); the broadcast +
+    // per-target rank here is the batch shape.
+    "q49_nearest_cell" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Tables.events(s, dir)
+        .withColumn("lat", (col("value") - 100.0) / 2.0)
+        .withColumn("lon", Normalize.wrapLongitude(col("value") * 3.7 - 250.0))
+        .select("event_id", "lat", "lon")
+      // on the data manifold (lon ≈ wrap(7.4·lat + 120)) except target 3,
+      // which is out of range on purpose (tolerance-guard case)
+      val targets = Seq(
+        (0, 12.0, -151.2, 0.5, 2.0),
+        (1, -33.0, -124.2, 1.0, 5.0),
+        (2, 45.5, 96.7, 0.25, 3.0),
+        (3, -80.0, -170.0, 5.0, 20.0),
+        (4, 49.9, 129.26, 0.5, 5.0))
+        .toDF("qid", "lat_t", "lon_t", "tol_lat", "tol_lon")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dist"), col("event_id"))
+      pts.join(broadcast(targets))
+        .withColumn("dist",
+          greatest(abs(col("lat") - col("lat_t")) / col("tol_lat"),
+            abs(col("lon") - col("lon_t")) / col("tol_lon")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("dist") <= 1.0)
+        .select("qid", "event_id", "lat", "lon", "dist")
+        .orderBy("qid")
+    }),
+
     // Spatial/temporal extent aggregation (`convenience.py:444-464`, bbox).
     "q27_extent" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -113,6 +148,23 @@ object GridQueries {
          |SELECT event_type, n, n_missing, phat,
          |  $wilsonSql
          |FROM c ORDER BY event_type""".stripMargin,
+    "q49_nearest_cell" ->
+      """WITH pts AS (SELECT event_id, (value - 100.0) / 2.0 AS lat,
+        |    ((((value * 3.7 - 250.0) + 180.0) % 360.0 + 360.0) % 360.0) - 180.0 AS lon
+        |  FROM events),
+        |t(qid, lat_t, lon_t, tol_lat, tol_lon) AS (VALUES
+        |  (0, 12.0, -151.2, 0.5, 2.0),
+        |  (1, -33.0, -124.2, 1.0, 5.0),
+        |  (2, 45.5, 96.7, 0.25, 3.0),
+        |  (3, -80.0, -170.0, 5.0, 20.0),
+        |  (4, 49.9, 129.26, 0.5, 5.0)),
+        |sc AS (SELECT qid, event_id, lat, lon,
+        |    GREATEST(ABS(lat - lat_t) / tol_lat, ABS(lon - lon_t) / tol_lon) AS dist
+        |  FROM pts CROSS JOIN t),
+        |r AS (SELECT qid, event_id, lat, lon, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, event_id) AS rn FROM sc)
+        |SELECT qid, event_id, lat, lon, dist FROM r WHERE rn = 1 AND dist <= 1.0
+        |ORDER BY qid""".stripMargin,
     "q27_extent" ->
       """WITH e AS (SELECT
         |    (value - 100.0) / 2.0 AS lat,

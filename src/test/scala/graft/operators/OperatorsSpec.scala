@@ -61,6 +61,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2) == -180.0 && out(6) == -180.0 && out(7) == 0.0)
   }
 
+  test("nearestCell: multi-dim nearest on an irregular axis, tolerance-guarded") {
+    val s = spark; import s.implicits._
+    // irregular (lat, lon) axis points — NOT a regular grid
+    val df = Seq(
+      (1L, 10.13, -47.2), (2L, 10.02, -46.7), (3L, 9.4, -47.05),
+      (4L, 10.05, -52.0), (5L, 30.0, 80.0))
+      .toDF("id", "lat", "lon")
+    // nearest to (10.0, -47.0), tol (0.5, 1.0) — scaled Chebyshev:
+    // id=1 max(0.13/0.5, 0.2/1.0)=0.26; id=2 max(0.04, 0.3)=0.3;
+    // id=3 lat alone is 1.2 -> id=1 wins
+    val hit = Selections.nearestCell(df,
+      Map("lat" -> (10.0, 0.5), "lon" -> (-47.0, 1.0)), "id")
+      .select("id").as[Long].collect()
+    assert(hit.sameElements(Array(1L)))
+    // winner must satisfy EVERY tolerance: nearest to (10.0, -52.0) on lat
+    // is id=4 (lat dist 0.05) and its lon matches, but with a tight lat
+    // tolerance the scaled distance exceeds 1 -> empty
+    val miss = Selections.nearestCell(df,
+      Map("lat" -> (10.0, 0.01), "lon" -> (-52.0, 1.0)), "id")
+      .count()
+    assert(miss == 0L)
+  }
+
   test("sentinelToNull rewrites the fill value (transform.py:341-369)") {
     val s = spark; import s.implicits._
     val df = Seq(1.0, -9999.0, 2.0).toDF("v")
