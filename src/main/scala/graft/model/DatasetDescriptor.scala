@@ -44,7 +44,11 @@ case class ChunkGrid(timeBucketUs: Long, maxRecordsPerFile: Long)
   *
   * Times are epoch microseconds. `dateRange` is the committed watermark
   * pair (`date range` attr, `metadata.py:749-777`); `updateInProgress` is
-  * the two-phase-commit flag (`publish.py:152-180`).
+  * the two-phase-commit flag (`publish.py:152-180`). `cadenceBoundsUs`
+  * declares an IRREGULAR cadence (`update_cadence_bounds`,
+  * `utils/attributes.py:250-257`): consecutive time deltas may be
+  * anything in [lo, hi] instead of exactly `cadenceUs` — update appends
+  * are validated against the bounds (`utils/publish.py:677-685`).
   */
 case class DatasetDescriptor(
     name: String,
@@ -57,7 +61,8 @@ case class DatasetDescriptor(
     dateRange: Option[(Long, Long)] = None,
     updateInProgress: Boolean = false,
     updatePreviousEndUs: Option[Long] = None,
-    updateIsAppendOnly: Option[Boolean] = None) {
+    updateIsAppendOnly: Option[Boolean] = None,
+    cadenceBoundsUs: Option[(Long, Long)] = None) {
 
   def dims: Seq[String] = category.dims
   def timeDim: String = category.timeDim
@@ -76,7 +81,9 @@ case class DatasetDescriptor(
         JArray(List(JLong(a), JLong(b))) }.getOrElse(JNull),
       "update_in_progress" -> JBool(updateInProgress),
       "update_previous_end_us" -> updatePreviousEndUs.map(JLong(_)).getOrElse(JNull),
-      "update_is_append_only" -> updateIsAppendOnly.map(JBool(_)).getOrElse(JNull))
+      "update_is_append_only" -> updateIsAppendOnly.map(JBool(_)).getOrElse(JNull),
+      "cadence_bounds_us" -> cadenceBoundsUs.map { case (a, b) =>
+        JArray(List(JLong(a), JLong(b))) }.getOrElse(JNull))
     JsonMethods.pretty(JsonMethods.render(JObject(fields)))
   }
 }
@@ -130,6 +137,11 @@ object DatasetDescriptor {
       },
       updateIsAppendOnly = (j \ "update_is_append_only") match {
         case JBool(b) => Some(b); case _ => None
+      },
+      cadenceBoundsUs = (j \ "cadence_bounds_us") match {
+        case JArray(List(a, b)) =>
+          Some((a.values.toString.toLong, b.values.toString.toLong))
+        case _ => None
       })
   }
 }

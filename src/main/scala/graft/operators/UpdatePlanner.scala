@@ -54,13 +54,35 @@ object UpdatePlanner {
     * vectorized per series instead of a driver-side loop).
     */
   def contiguityReport(df: DataFrame, seriesKey: String, timeKey: String,
-                       tieBreak: String, maxStep: Long): DataFrame = {
+                       tieBreak: String, maxStep: Long): DataFrame =
+    contiguityReport(df, seriesKey, timeKey, tieBreak, Long.MinValue, maxStep)
+
+  /** Bounds form for IRREGULAR cadences (`update_cadence_bounds`,
+    * `utils/publish.py:677-685`): a delta is a violation when outside
+    * [minStep, maxStep], not merely when above a single expected step.
+    */
+  def contiguityReport(df: DataFrame, seriesKey: String, timeKey: String,
+                       tieBreak: String, minStep: Long, maxStep: Long): DataFrame = {
     val w = Window.partitionBy(seriesKey).orderBy(col(timeKey), col(tieBreak))
     df.withColumn("delta", col(timeKey) - lag(col(timeKey), 1).over(w))
       .filter(col("delta").isNotNull)
       .groupBy(seriesKey)
       .agg(
-        count(when(col("delta") > maxStep, lit(1))).as("n_gaps"),
+        count(when(col("delta") > maxStep || col("delta") < minStep, lit(1)))
+          .as("n_gaps"),
         max("delta").as("max_delta"))
+  }
+
+  /** Deltas of the distinct sorted time axis that fall outside
+    * [minStep, maxStep] — the irregular-cadence append validator. Time
+    * axis only (small by construction, see the class note). */
+  def cadenceViolations(times: DataFrame, key: String,
+                        minStep: Long, maxStep: Long): DataFrame = {
+    val w = Window.orderBy(key)
+    times.select(col(key)).distinct()
+      .withColumn("delta", col(key) - lag(col(key), 1).over(w))
+      .filter(col("delta").isNotNull &&
+        (col("delta") > maxStep || col("delta") < minStep))
+      .select(col(key), col("delta"))
   }
 }

@@ -38,13 +38,13 @@ object EncodingSurgery {
     store.writeDescriptor(d.copy(updateInProgress = true))
     val rewritten = store.read().withColumn(coord, f(col(coord)))
     // stage to a sibling dir then swap, so a crash never leaves a
-    // half-rewritten store visible
+    // half-rewritten store visible; the staged write goes through
+    // writeBuckets so the surgered store keeps the sorted row-group
+    // min/max skipping property the initial write established
     val staged = s"${store.root}/data.staged"
-    rewritten.write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", d.chunk.maxRecordsPerFile)
-      .partitionBy("time_bucket").parquet(staged)
-    val fs = new org.apache.hadoop.fs.Path(store.root)
-      .getFileSystem(org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    store.writeBuckets(rewritten, d, SaveMode.Overwrite,
+      dynamicOverwrite = false, target = staged)
+    val fs = store.fs // the store's session/conf, not SparkSession.active
     val dataP = new org.apache.hadoop.fs.Path(store.dataPath)
     val stagedP = new org.apache.hadoop.fs.Path(staged)
     fs.delete(dataP, true)

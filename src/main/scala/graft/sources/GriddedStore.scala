@@ -24,9 +24,10 @@ import java.nio.charset.StandardCharsets
   *    region-overwrite granularity, playing the reference's Dask-chunk
   *    role, while `maxRecordsPerFile` bounds file size (the Zarr-chunk
   *    role) — `docs/etl_developers_manual.md:133-155`.
-  *  - rows are range-partitioned on (bucket, latitude) and sorted within
-  *    partitions by the dim order, so parquet row-group min/max stats
-  *    support spatial skipping inside a time bucket.
+  *  - rows are range-partitioned on (bucket, last spatial dim — longitude
+  *    for every category) and sorted within partitions by the full dim
+  *    order, so parquet row-group min/max stats support spatial skipping
+  *    inside a time bucket.
   *  - inserts rewrite ONLY affected buckets (dynamic partition overwrite
   *    with an existing-rows merge) — the analog of Zarr `region=` writes
   *    (`publish.py:332-371`); appends just add files/partitions.
@@ -37,10 +38,10 @@ import java.nio.charset.StandardCharsets
   * `publish.py:152-180`): readers treat a store whose descriptor has
   * `updateInProgress=true` as mid-update.
   */
-class GriddedStore(val root: String, spark: SparkSession) {
+class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
 
   private val hadoopPath = new Path(root)
-  private def fs: FileSystem =
+  private[sources] def fs: FileSystem =
     hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def descriptorPath = new Path(root, "_descriptor.json")
@@ -58,14 +59,21 @@ class GriddedStore(val root: String, spark: SparkSession) {
       finally in.close()
     }
 
-  /** Atomic-ish descriptor swap: write tmp, rename over. The metadata-only
-    * update path (`store.write_metadata_only`, `store.py:702-717`). */
+  /** Atomic descriptor swap: write tmp, rename-with-overwrite. The
+    * metadata-only update path (`store.write_metadata_only`,
+    * `store.py:702-717`). Uses FileContext's OVERWRITE rename — NOT
+    * delete-then-rename, which had a crash window where no descriptor
+    * existed at all: a half-written store would then look fresh
+    * (`hasExisting=false`) and `DatasetManager.parse` would route to
+    * `writeInitial` and silently clobber data, defeating the
+    * `updateInProgress` two-phase protection. */
   def writeDescriptor(d: DatasetDescriptor): Unit = {
     val tmp = new Path(root, "_descriptor.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(d.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    fs.delete(descriptorPath, false)
-    fs.rename(tmp, descriptorPath)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, descriptorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Lazy scan of the whole store (partition pruning applies to any
@@ -84,8 +92,15 @@ class GriddedStore(val root: String, spark: SparkSession) {
       .withColumn("time_bucket", bucketOf(d.timeDim, d.chunk.timeBucketUs))
   }
 
-  private def writeBuckets(df: DataFrame, d: DatasetDescriptor, mode: SaveMode,
-                           dynamicOverwrite: Boolean): Unit = {
+  /** The single write discipline for store data: range partition on
+    * (bucket, last spatial dim), sort within partitions by the full dim
+    * order (establishes the row-group min/max skipping property), bound
+    * file sizes, directory-partition by bucket. Every path that lands
+    * rows in (or stages rows for) the store must go through here —
+    * including [[EncodingSurgery]]'s staged rewrite. */
+  private[sources] def writeBuckets(df: DataFrame, d: DatasetDescriptor,
+                                    mode: SaveMode, dynamicOverwrite: Boolean,
+                                    target: String = dataPath): Unit = {
     val sortCols = col("time_bucket") +: d.dims.map(col)
     val w = df
       .repartitionByRange(col("time_bucket"), col(d.dims.last))
@@ -95,7 +110,7 @@ class GriddedStore(val root: String, spark: SparkSession) {
       .option("maxRecordsPerFile", d.chunk.maxRecordsPerFile)
       .partitionBy("time_bucket")
     (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic") else w)
-      .parquet(dataPath)
+      .parquet(target)
   }
 
   /** Initial parse (`write_initial_zarr`, `publish.py:240-261`). */
@@ -186,23 +201,49 @@ class GriddedStore(val root: String, spark: SparkSession) {
       val inserts = insertT.limit(1).count() > 0
       if (inserts && !allowOverwrite)
         throw new IllegalStateException("inserts present but overwrite not allowed")
-      // The full append set must be ONE contiguous run at the declared
-      // cadence starting exactly one step past the committed end —
-      // otherwise a gapped append would commit a silent hole while
-      // dateRange claims coverage (`publish.py:641-648` bridge check +
-      // `:654-696` contiguity). The region list is tiny (time axis only).
-      val appendRegions = UpdatePlanner.contiguousRegions(appendT, t, d.cadenceUs)
-        .orderBy("start").collect()
-      val hasAppends = appendRegions.nonEmpty
-      if (hasAppends) {
-        if (appendRegions.length > 1)
-          throw new IllegalArgumentException(
-            s"append is not contiguous: gaps at cadence ${d.cadenceUs}: " +
-              appendRegions.map(r => s"[${r.getLong(0)},${r.getLong(1)}]").mkString(", "))
-        if (appendRegions.head.getLong(0) != dsEnd + d.cadenceUs)
-          throw new IllegalArgumentException(
-            s"append is not contiguous with existing end $dsEnd: starts at " +
-              s"${appendRegions.head.getLong(0)}, expected ${dsEnd + d.cadenceUs}")
+      // The full append set must be ONE contiguous run starting adjacent
+      // to the committed end — otherwise a gapped append would commit a
+      // silent hole while dateRange claims coverage (`publish.py:641-648`
+      // bridge check + `:654-696` contiguity). Regular datasets require
+      // deltas of exactly cadenceUs; irregular ones declare
+      // cadenceBoundsUs and any delta in [lo, hi] is contiguous
+      // (`publish.py:677-685`). The region/violation list is tiny (time
+      // axis only).
+      val hasAppends = d.cadenceBoundsUs match {
+        case Some((loBound, hiBound)) =>
+          val appendStats = appendT
+            .agg(min(t).as("lo"), count(lit(1)).as("n")).collect()(0)
+          val any = appendStats.getLong(1) > 0
+          if (any) {
+            val viol = UpdatePlanner
+              .cadenceViolations(appendT, t, loBound, hiBound)
+              .orderBy(t).limit(3).collect()
+            if (viol.nonEmpty)
+              throw new IllegalArgumentException(
+                s"append deltas outside cadence bounds [$loBound,$hiBound]: " +
+                  viol.map(r => s"${r.getLong(0)} (delta ${r.getLong(1)})")
+                    .mkString(", "))
+            val bridge = appendStats.getLong(0) - dsEnd
+            if (bridge < loBound || bridge > hiBound)
+              throw new IllegalArgumentException(
+                s"append start ${appendStats.getLong(0)} is $bridge us past " +
+                  s"existing end $dsEnd, outside cadence bounds [$loBound,$hiBound]")
+          }
+          any
+        case None =>
+          val appendRegions = UpdatePlanner.contiguousRegions(appendT, t, d.cadenceUs)
+            .orderBy("start").collect()
+          if (appendRegions.nonEmpty) {
+            if (appendRegions.length > 1)
+              throw new IllegalArgumentException(
+                s"append is not contiguous: gaps at cadence ${d.cadenceUs}: " +
+                  appendRegions.map(r => s"[${r.getLong(0)},${r.getLong(1)}]").mkString(", "))
+            if (appendRegions.head.getLong(0) != dsEnd + d.cadenceUs)
+              throw new IllegalArgumentException(
+                s"append is not contiguous with existing end $dsEnd: starts at " +
+                  s"${appendRegions.head.getLong(0)}, expected ${dsEnd + d.cadenceUs}")
+          }
+          appendRegions.nonEmpty
       }
       // Materialize append rows BEFORE any overwrite: they reference the
       // store's current file listing (via the anti-join's existingTimes),
@@ -226,8 +267,14 @@ class GriddedStore(val root: String, spark: SparkSession) {
           .filter(col("time_bucket").isin(buckets: _*))
           .join(broadcast(insertT), Seq(t), "left_anti")
           .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
-        writeBuckets(survivors.unionByName(insertRows), d,
-          SaveMode.Overwrite, dynamicOverwrite = true)
+        // Materialize before overwriting: the frame reads the very files
+        // the dynamic overwrite swaps out at commit. Staged-output commit
+        // happens to make the lazy form safe today, but that couples
+        // correctness to Spark's commit internals — compact() and the
+        // append path already checkpoint for the same reason. Bounded:
+        // affected buckets only.
+        val merged = survivors.unionByName(insertRows).localCheckpoint()
+        writeBuckets(merged, d, SaveMode.Overwrite, dynamicOverwrite = true)
       }
 
       appendRows.foreach(rows =>

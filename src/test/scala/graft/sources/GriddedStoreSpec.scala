@@ -98,7 +98,45 @@ class GriddedStoreSpec extends SparkSpec {
   test("descriptor json round-trips") {
     val d = desc("rt").copy(attrs = Map("units" -> "mm", "source" -> "x"),
       dateRange = Some((1L, 2L)), updateIsAppendOnly = Some(true),
-      updatePreviousEndUs = Some(7L))
+      updatePreviousEndUs = Some(7L), cadenceBoundsUs = Some((3L, 9L)))
     assert(DatasetDescriptor.fromJson(d.toJson) == d)
+  }
+
+  test("irregular cadence: gapped-but-within-bounds append commits (publish.py:677-685)") {
+    val root = tmpDir("store-irreg")
+    val store = new GriddedStore(root, spark)
+    // declared irregular: consecutive deltas anywhere in [1, 3] days
+    store.writeInitial(cube(10, 2, 2),
+      desc("irr").copy(cadenceBoundsUs = Some((DAY_US, 3 * DAY_US))))
+    // existing end = day 9; append days 11, 13, 14 -> bridge delta 2,
+    // internal deltas 2 and 1 — all within bounds, must commit
+    val upd = cube(1, 2, 2, startDay = 11, valueOffset = 700.0)
+      .unionByName(cube(2, 2, 2, startDay = 13, valueOffset = 800.0))
+    val d2 = store.update(upd)
+    assert(d2.dateRange.contains((0L, 14 * DAY_US)))
+    assert(d2.updateIsAppendOnly.contains(true))
+    assert(store.read().count() == (10 + 3) * 4)
+    // the exact-cadence guard would have rejected this same append
+    val strictRoot = tmpDir("store-strict")
+    val strict = new GriddedStore(strictRoot, spark)
+    strict.writeInitial(cube(10, 2, 2), desc("strict"))
+    assert(intercept[IllegalArgumentException] { strict.update(upd) }
+      .getMessage.contains("not contiguous"))
+  }
+
+  test("irregular cadence: deltas beyond the declared bounds still fail") {
+    val root = tmpDir("store-irreg-bad")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(10, 2, 2),
+      desc("irrb").copy(cadenceBoundsUs = Some((DAY_US, 3 * DAY_US))))
+    // bridge delta 5 days > hi bound
+    assert(intercept[IllegalArgumentException] {
+      store.update(cube(2, 2, 2, startDay = 14))
+    }.getMessage.contains("outside cadence bounds"))
+    // in-bounds bridge but an internal 4-day hole
+    assert(intercept[IllegalArgumentException] {
+      store.update(cube(1, 2, 2, startDay = 11)
+        .unionByName(cube(1, 2, 2, startDay = 15)))
+    }.getMessage.contains("outside cadence bounds"))
   }
 }

@@ -54,6 +54,33 @@ class SurgeryEncryptionSpec extends SparkSpec {
     assert(!store.readDescriptor().get.updateInProgress)
   }
 
+  test("surgery preserves the sorted row-group discipline (writeBuckets path)") {
+    val store = new GriddedStore(tmpDir("surgsort"), spark)
+    // small files: 8 rows/file over 4x4 grid forces multiple files/bucket
+    store.writeInitial(cube(6, 4, 4),
+      desc("ss").copy(chunk = graft.model.ChunkGrid(10 * DAY_US, 8)))
+    EncodingSurgery.rewriteCoordinate(store, "latitude", c => c * 2.0)
+    // every parquet FILE must individually be sorted by the dim order —
+    // the min/max skipping property writeBuckets establishes; the old
+    // unsorted staged write lost it
+    val files = new java.io.File(store.dataPath).listFiles()
+      .filter(_.getName.startsWith("time_bucket=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rows = spark.read.parquet(f)
+        .select("time", "latitude", "longitude")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows.sameElements(rows.sorted),
+        s"file $f is not sorted by (time, latitude, longitude)")
+    }
+    // and the data survived the rewrite
+    assert(store.read().count() == 6 * 16)
+    val lats = store.read().select("latitude").distinct()
+      .orderBy("latitude").collect().map(_.getDouble(0))
+    assert(lats.sameElements(Array(-2.0, -1.5, -1.0, -0.5)))
+  }
+
   test("encryption round-trip; wrong key fails (test_chirps_encryption.py:99-184)") {
     val s = spark; import s.implicits._
     val key = Encryption.generateKey()
