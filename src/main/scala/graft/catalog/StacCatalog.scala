@@ -62,11 +62,42 @@ class StacCatalog(val root: String, spark: SparkSession) {
     else (Array(-180, -90, 180, 90), (r.getLong(0), r.getLong(1)))
   }
 
+  /** Append a (rel, href) link to the `links` array of a catalog JSON
+    * file, deduplicating on the pair — the hierarchy-maintenance step of
+    * `register_stac_item` (`metadata.py:447-525`). No-op if the file
+    * does not exist yet. */
+  private def addLink(p: Path, rel: String, href: String): Unit =
+    readJson(p).foreach { j =>
+      val existing = (j \ "links") match {
+        case JArray(ls) => ls
+        case _ => Nil
+      }
+      val already = existing.exists(l =>
+        (l \ "rel").values.toString == rel && (l \ "href").values.toString == href)
+      if (!already) {
+        val link = JObject(List("rel" -> JString(rel), "href" -> JString(href)))
+        val updated = j match {
+          case JObject(fields) => JObject(fields.filterNot(_._1 == "links") :+
+            ("links" -> (JArray(existing :+ link): JValue)))
+          case other => other
+        }
+        write(p, updated)
+      }
+    }
+
   /** `create_stac_collection` + `update_stac_collection`
-    * (`metadata.py:264-340,527-551`): create or widen extent. */
+    * (`metadata.py:264-340,527-551`): create or widen extent. Existing
+    * `links` (registered items) are preserved across upserts, and the
+    * collection is linked into the root catalog as a `child` so the
+    * tree is walkable root → collection → items. */
   def upsertCollection(name: String, bbox: Array[Double], interval: (Long, Long)): Unit = {
     val p = collectionPath(name)
-    val merged = readJson(p) match {
+    val prior = readJson(p)
+    val links: List[JValue] = prior.map(j => (j \ "links") match {
+      case JArray(ls) => ls
+      case _ => Nil
+    }).getOrElse(Nil)
+    val merged = prior match {
       case Some(j) =>
         val old = (j \ "extent" \ "spatial" \ "bbox") match {
           case JArray(List(JArray(vs))) => vs.map(_.values.toString.toDouble).toArray
@@ -92,7 +123,8 @@ class StacCatalog(val root: String, spark: SparkSession) {
           merged._1.toList.map(JDouble(_))))))),
         "temporal" -> JObject(List("interval" -> JArray(List(JArray(List(
           JLong(merged._2._1), JLong(merged._2._2))))))))),
-      "links" -> JArray(Nil))))
+      "links" -> JArray(links))))
+    addLink(rootPath, "child", p.toString)
   }
 
   /** `create_stac_item` + `register_stac_item` (`metadata.py:342-525`):
@@ -118,9 +150,23 @@ class StacCatalog(val root: String, spark: SparkSession) {
       "links" -> JArray(prev.toList.map(v => JObject(List(
         "rel" -> JString("prev"),
         "href" -> JString(itemPath(d.name, v).toString))))))))
+    // hierarchy maintenance (`metadata.py:447-525`): the item becomes
+    // reachable from its collection, so the catalog tree is walkable
+    // root -> collection -> item -> prev chain
+    addLink(collectionPath(d.name), "item", itemPath(d.name, version).toString)
     write(new Path(root, s"items/${d.name}/_latest.json"),
       JObject(List("version" -> JString(version))))
     version
+  }
+
+  def readCollection(name: String): Option[JValue] = readJson(collectionPath(name))
+  def readRoot(): Option[JValue] = readJson(rootPath)
+
+  /** All (rel, href) links of a catalog JSON node. */
+  def links(j: JValue): Seq[(String, String)] = (j \ "links") match {
+    case JArray(ls) => ls.map(l =>
+      ((l \ "rel").values.toString, (l \ "href").values.toString))
+    case _ => Nil
   }
 
   def latestVersion(name: String): Option[String] =

@@ -17,24 +17,49 @@ import scala.util.{Failure, Success, Try}
 object Extractor {
 
   /** `Extractor.pool` (`extractor.py:49-87`): run jobs with bounded
-    * concurrency; all-or-nothing success bool. */
-  def pool[A](jobs: Seq[A], concurrency: Int)(request: A => Boolean): Boolean = {
+    * concurrency; all-or-nothing success bool. `budget` bounds the WHOLE
+    * pool (the reference bounds QC at 20 min, `publish.py:24`, and every
+    * request with per-try timeouts): on expiry outstanding jobs are
+    * interrupted and the pool reports failure instead of hanging the
+    * driver forever (round 1 awaited Duration.Inf). */
+  def pool[A](jobs: Seq[A], concurrency: Int,
+              budget: Duration = Duration.Inf)(request: A => Boolean): Boolean = {
     if (jobs.isEmpty) return true
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, concurrency)))
+    val svc = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, concurrency))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(svc)
     try {
       val fs = jobs.map(j => Future(Try(request(j)).getOrElse(false)))
-      Await.result(Future.sequence(fs), Duration.Inf).forall(x => x)
-    } finally ec.asInstanceOf[scala.concurrent.ExecutionContextExecutorService].shutdown()
+      Try(Await.result(Future.sequence(fs), budget)) match {
+        case Success(rs) => rs.forall(x => x)
+        case Failure(_) => false // budget exceeded (or interrupted)
+      }
+    } finally svc.shutdownNow() // interrupt stragglers, not just refuse new work
   }
 
   /** Retry with exponential backoff (`extractor.py:144-149`: 8 retries,
-    * ×2ⁿ backoff). Returns the last failure if all attempts fail. */
-  def withRetry[T](tries: Int, baseBackoffMs: Long)(op: () => T): Try[T] = {
+    * ×2ⁿ backoff) and a per-ATTEMPT timeout (`extractor.py` request
+    * timeouts): a hung attempt is interrupted and counts as a failure,
+    * so a dead endpoint fails in bounded time instead of blocking the
+    * extract forever. Returns the last failure if all attempts fail. */
+  def withRetry[T](tries: Int, baseBackoffMs: Long,
+                   attemptTimeout: Duration = Duration.Inf)(op: () => T): Try[T] = {
+    def oneAttempt(): Try[T] =
+      if (!attemptTimeout.isFinite) Try(op())
+      else {
+        val svc = java.util.concurrent.Executors.newSingleThreadExecutor()
+        val fut = svc.submit(new java.util.concurrent.Callable[T] {
+          def call(): T = op()
+        })
+        try Try(fut.get(attemptTimeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
+          .recoverWith { case e: java.util.concurrent.ExecutionException =>
+            Failure(e.getCause)
+          }
+        finally svc.shutdownNow() // interrupt a hung attempt
+      }
     var attempt = 0
     var last: Try[T] = Failure(new RuntimeException("no attempts"))
     while (attempt < tries) {
-      last = Try(op())
+      last = oneAttempt()
       last match {
         case Success(_) => return last
         case Failure(_) =>

@@ -1,0 +1,98 @@
+package graft.etl
+
+import java.io.{InputStream, IOException}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.concurrent.duration._
+import scala.util.Try
+import scala.util.matching.Regex
+
+/** Concrete fetcher with the reference's extractor-session semantics —
+  * `HTTPExtractor.get_links` (`utils/extractor.py:203-256`),
+  * `HTTPExtractor.request` (`:258-309`) and `FTPExtractor.find/request`
+  * (`:508-554`) — over `java.net.URL`, so the same code path serves
+  * `http(s)://`, `ftp://` and (testable in this sandbox) `file://`.
+  *
+  * Round 1 shipped only the planner/pool/retry contract; this closes the
+  * "concrete fetcher" gap: link discovery with a filename filter, and a
+  * GET-to-local-file download wrapped in [[Extractor.withRetry]]'s
+  * bounded backoff + per-attempt timeout. Downloads stream to a temp
+  * file and move into place atomically, so a killed fetch never leaves
+  * a half-written file where `archive_original_files` expects a whole
+  * one.
+  */
+object UrlFetcher {
+
+  /** href="..." anchors of an HTML index page — the scrape in
+    * `get_links` (`extractor.py:203-256`). */
+  private val HrefRe: Regex = """href=["']([^"']+)["']""".r
+
+  private def defaultOpen(url: String): InputStream =
+    new java.net.URL(url).openStream()
+
+  /** `get_links` / `FTPExtractor.find` analog: list candidate file links
+    * under `url`, filtered by `accept`. For a `file://` directory this
+    * is a listing; for anything else the target is read as an HTML index
+    * page and anchor hrefs are scraped (relative hrefs resolved against
+    * the page URL). */
+  def listLinks(url: String, accept: String => Boolean,
+                open: String => InputStream = defaultOpen): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val u = new java.net.URI(url)
+    if (u.getScheme == "file" && Files.isDirectory(Paths.get(u))) {
+      val dir = Paths.get(u)
+      val out = Files.list(dir)
+      try out.iterator().asScala
+        .map(p => p.toUri.toString)
+        .filter(s => accept(s.split('/').last))
+        .toSeq.sorted
+      finally out.close()
+    } else {
+      val in = open(url)
+      val html =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      HrefRe.findAllMatchIn(html).map(_.group(1))
+        .filter(h => accept(h.split('/').last))
+        .map(h => new java.net.URI(url).resolve(h).toString)
+        .toSeq.distinct
+    }
+  }
+
+  /** `HTTPExtractor.request` analog: stream `url` to `destPath` with
+    * `tries`×2ⁿ-backoff retries and a per-attempt timeout. Returns true
+    * on success — the shape [[Extractor.pool]] expects. */
+  def fetch(url: String, destPath: String,
+            tries: Int = 8, baseBackoffMs: Long = 50,
+            attemptTimeout: Duration = 60.seconds,
+            open: String => InputStream = defaultOpen): Boolean = {
+    val dest = Paths.get(destPath)
+    Option(dest.getParent).foreach(Files.createDirectories(_))
+    Extractor.withRetry(tries, baseBackoffMs, attemptTimeout) { () =>
+      val tmp = Files.createTempFile(
+        Option(dest.getParent).getOrElse(Paths.get(".")), ".fetch-", ".part")
+      try {
+        val in = open(url)
+        try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch {
+        case e: Throwable =>
+          Try(Files.deleteIfExists(tmp))
+          throw e
+      }
+    }.isSuccess
+  }
+
+  /** Deliberately-failing opener factory for tests and chaos drills: the
+    * first `failures` opens throw, later ones delegate. */
+  def flakyOpen(failures: Int,
+                underlying: String => InputStream = defaultOpen): String => InputStream = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    url =>
+      if (n.getAndIncrement() < failures) throw new IOException(s"transient #${n.get()}")
+      else underlying(url)
+  }
+}

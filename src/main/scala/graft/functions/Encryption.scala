@@ -1,27 +1,51 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.model.DatasetDescriptor
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+import java.nio.ByteBuffer
 import java.security.MessageDigest
 import javax.crypto.Cipher
 import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
 
-/** Encrypted value columns — the Spark analog of the reference's
+/** Encrypted gridded data — the Spark analog of the reference's
   * per-chunk `EncryptionFilter` (`utils/encryption.py:80-131`).
   *
   * Same design decisions as the reference:
   *  - runtime key registry keyed by a hash of the key; only the HASH is
   *    stored with the data, never the key (`encryption.py:28-77`);
-  *  - authenticated encryption with a fresh random nonce per cell,
-  *    nonce ‖ ciphertext ‖ tag concatenated into one binary payload;
-  *  - constant AAD header binding ciphertexts to this engine.
+  *  - authenticated encryption, nonce ‖ ciphertext ‖ tag concatenated
+  *    into one binary payload;
+  *  - constant AAD header binding ciphertexts to this engine;
+  *  - CHUNK granularity: like the reference (which encrypts whole Zarr
+  *    chunks, not cells), [[encryptChunks]] packs up to
+  *    `maxRecordsPerFile` rows into one payload — one cipher init,
+  *    nonce and tag per chunk instead of per cell (~1000× less
+  *    overhead than the per-cell form).
   *
   * Cipher: AES-256-GCM (the JDK's native AEAD; the reference's
   * XChaCha20-Poly1305 has no JDK implementation — same security role).
-  * Work runs executor-side via typed map — keys are resolved from the
-  * registry on each executor (registered at session setup), bytes never
-  * shuffle decrypted.
+  *
+  * Nonce budget (NIST SP 800-38D): random 96-bit nonces are birthday-
+  * bounded to ~2^32 encryptions per key. Per-CHUNK nonces keep a 100 TB
+  * store (~10^8 chunks at ~1 MiB) far inside that budget, where per-cell
+  * nonces (~10^13) would blow through it — this, not just speed, is why
+  * the chunked form is the at-scale path. The nonce stays RANDOM per
+  * chunk write (not position-derived): region overwrites re-encrypt the
+  * same chunk position with different plaintext, and a deterministic
+  * position-derived nonce would then repeat under the same key — the
+  * one fatal GCM mistake. The per-cell column forms remain for
+  * spot-encrypting small frames; their budget caveat is documented on
+  * the methods.
+  *
+  * Cluster correctness: key material is resolved from the registry ON
+  * THE DRIVER at plan time and travels to executors inside the task
+  * closure (serialized exactly like a broadcast variable) — executors
+  * never consult the driver-JVM registry, so these paths work unchanged
+  * on a real cluster.
   */
 object Encryption {
 
@@ -41,8 +65,8 @@ object Encryption {
       .map("%02x".format(_)).mkString
 
   /** Runtime registry (`register_encryption_key`, `encryption.py:46-70`).
-    * On a cluster, register on every executor via a broadcast at job
-    * setup; in local mode one JVM suffices. */
+    * Driver-side only: executor code never reads it (keys are captured
+    * into closures at plan time, see class doc). */
   private val registry = scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
   def registerKey(key: Array[Byte]): String = {
     val h = keyHash(key)
@@ -72,26 +96,127 @@ object Encryption {
     cipher(Cipher.DECRYPT_MODE, key, nonce).doFinal(payload.drop(NONCE_LEN))
   }
 
-  /** Encrypt a double value column → binary payload column; the key hash
-    * travels in the descriptor attrs, not with the data. */
-  def encryptColumn(df: DataFrame, valueCol: String, hash: String): DataFrame = {
+  // ---- chunk granularity (the at-scale path) -----------------------------
+
+  /** floorDiv bucket of the time dim (matches GriddedStore's layout). */
+  private def bucketExpr(t: String, bucketUs: Long) =
+    expr(s"(($t div $bucketUs) - (CASE WHEN $t % $bucketUs < 0 THEN 1 ELSE 0 END))")
+
+  private def rowOrdering(nDimsAfterTime: Int): Ordering[Row] = new Ordering[Row] {
+    // columns: 0=time_bucket, 1=chunk_idx, 2=time, 3..=other dims, last=value
+    def compare(a: Row, b: Row): Int = {
+      var c = java.lang.Long.compare(a.getLong(2), b.getLong(2))
+      var i = 3
+      while (c == 0 && i < 3 + nDimsAfterTime) {
+        c = java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+        i += 1
+      }
+      c
+    }
+  }
+
+  /** Pack and encrypt a tall gridded frame into per-chunk payloads:
+    * rows are bucketed on the time dim, ordered by the dim order, and
+    * grouped into chunks of `d.chunk.maxRecordsPerFile`; each chunk
+    * serializes (time: long, other dims: double..., value: double) rows
+    * into ONE AEAD payload. Returns
+    * (time_bucket, chunk_idx, n_rows, payload).
+    *
+    * Scale shape: one shuffle (the per-bucket window), then a narrow
+    * mapGroups whose memory is bounded by the chunk size. The key hash
+    * travels in descriptor attrs, never with the data. */
+  def encryptChunks(df: DataFrame, d: DatasetDescriptor, hash: String): DataFrame = {
+    val key = lookupKey(hash) // driver-side resolve; ships in the closure
     val spark = df.sparkSession
+    import spark.implicits._
+    val t = d.timeDim
+    val others = d.dims.filterNot(_ == t)
+    val maxRows = d.chunk.maxRecordsPerFile
+    val w = Window.partitionBy("time_bucket").orderBy(d.dims.map(col): _*)
+    val ord = rowOrdering(others.length)
+    val rowBytes = 8 * (2 + others.length) // time + other dims + value
+    val packed = df
+      .select((d.dims :+ d.dataVar).map(col): _*)
+      .withColumn("time_bucket", bucketExpr(t, d.chunk.timeBucketUs))
+      .withColumn("chunk_idx",
+        ((row_number().over(w) - 1).cast("long") / lit(maxRows)).cast("long"))
+      .select(Seq(col("time_bucket").cast("long"), col("chunk_idx"),
+        col(t).cast("long")) ++
+        others.map(c => col(c).cast("double")) :+
+        col(d.dataVar).cast("double"): _*)
+    packed
+      .groupByKey(r => (r.getLong(0), r.getLong(1)))
+      .mapGroups { (k: (Long, Long), it: Iterator[Row]) =>
+        val (bucket, ci) = k
+        val rows = it.toArray.sorted(ord)
+        val buf = ByteBuffer.allocate(rows.length * rowBytes)
+        rows.foreach { r =>
+          buf.putLong(r.getLong(2))
+          var i = 3
+          while (i < r.length) { buf.putDouble(r.getDouble(i)); i += 1 }
+        }
+        (bucket, ci, rows.length, encryptBytes(buf.array(), key))
+      }
+      .toDF("time_bucket", "chunk_idx", "n_rows", "payload")
+  }
+
+  /** Inverse of [[encryptChunks]]: decrypt payloads and unpack rows back
+    * to the tall layout (dims..., value, time_bucket). Wrong key ⇒
+    * AEADBadTagException, like the reference's round-trip tests
+    * (`tests/system/test_chirps_encryption.py:99-184`). */
+  def decryptChunks(df: DataFrame, d: DatasetDescriptor, hash: String): DataFrame = {
+    val key = lookupKey(hash) // driver-side resolve; ships in the closure
+    val t = d.timeDim
+    val others = d.dims.filterNot(_ == t)
+    val rowBytes = 8 * (2 + others.length)
+    val schema = StructType(
+      StructField(t, LongType) +:
+        others.map(StructField(_, DoubleType)) :+
+        StructField(d.dataVar, DoubleType) :+
+        StructField("time_bucket", LongType))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("time_bucket").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (bucket, payload) =>
+        val plain = decryptBytes(payload, key)
+        val buf = ByteBuffer.wrap(plain)
+        (0 until plain.length / rowBytes).map { _ =>
+          val vals = new Array[Any](2 + others.length + 1)
+          vals(0) = buf.getLong()
+          var i = 1
+          while (i <= others.length + 1) { vals(i) = buf.getDouble(); i += 1 }
+          vals(others.length + 2) = bucket
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }(Encoders.row(schema))
+      .toDF()
+  }
+
+  // ---- per-cell forms (small frames / spot encryption) -------------------
+
+  /** Encrypt a double value column → binary payload column (per-CELL:
+    * 36 B + one cipher init per value — fine for small frames; use
+    * [[encryptChunks]] at scale, also for the 2^32-per-key nonce
+    * budget). The key hash travels in the descriptor attrs, not with
+    * the data. */
+  def encryptColumn(df: DataFrame, valueCol: String, hash: String): DataFrame = {
+    val key = lookupKey(hash) // driver-side resolve; ships in the closure
     val enc = udf { (v: java.lang.Double) =>
       if (v == null) null
-      else encryptBytes(
-        java.nio.ByteBuffer.allocate(8).putDouble(v).array(), lookupKey(hash))
+      else encryptBytes(ByteBuffer.allocate(8).putDouble(v).array(), key)
     }
     df.withColumn(valueCol, enc(col(valueCol)))
   }
 
   /** Decrypt view of an encrypted column; fails (AEADBadTag) under a
-    * wrong key, as the reference's round-trip tests assert
-    * (`tests/system/test_chirps_encryption.py:99-184`). */
+    * wrong key. */
   def decryptColumn(df: DataFrame, valueCol: String, hash: String): DataFrame = {
+    val key = lookupKey(hash) // driver-side resolve; ships in the closure
     val dec = udf { (p: Array[Byte]) =>
       if (p == null) null
       else java.lang.Double.valueOf(
-        java.nio.ByteBuffer.wrap(decryptBytes(p, lookupKey(hash))).getDouble)
+        ByteBuffer.wrap(decryptBytes(p, key)).getDouble)
     }
     df.withColumn(valueCol, dec(col(valueCol)))
   }

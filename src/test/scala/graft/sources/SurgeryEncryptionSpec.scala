@@ -101,6 +101,33 @@ class SurgeryEncryptionSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("chunk encryption round-trip: one payload per chunk, exact row recovery") {
+    val d = desc("chunky").copy(chunk = graft.model.ChunkGrid(10 * DAY_US, 8))
+    val key = Encryption.generateKey()
+    val hash = Encryption.registerKey(key)
+    val src = cube(12, 2, 2) // 48 rows, 2 buckets (days 0-9, 10-11)
+    val enc = Encryption.encryptChunks(src, d, hash)
+    val chunks = enc.collect()
+    // bucket 0: 40 rows -> 5 chunks of 8; bucket 1: 8 rows -> 1 chunk
+    assert(chunks.length == 6)
+    assert(chunks.map(_.getInt(2)).sum == 48)
+    // ONE nonce+tag per chunk, not per cell: payload = 12 + rows*32 + 16
+    chunks.foreach { c =>
+      assert(c.getAs[Array[Byte]]("payload").length == 12 + c.getInt(2) * 32 + 16)
+    }
+    val dec = Encryption.decryptChunks(enc, d, hash)
+    assert(dec.count() == 48)
+    // exact recovery, joined on the full key
+    val diff = dec.select("time", "latitude", "longitude", "precip")
+      .except(src.select("time", "latitude", "longitude", "precip"))
+    assert(diff.count() == 0)
+    // wrong key: AEAD tag failure surfaces as a task failure
+    val wrongHash = Encryption.registerKey(Encryption.generateKey())
+    intercept[org.apache.spark.SparkException] {
+      Encryption.decryptChunks(enc, d, wrongHash).collect()
+    }
+  }
+
   test("key registry: hash stored, key never; unknown hash fails") {
     val key = Encryption.generateKey()
     val h = Encryption.registerKey(key)
