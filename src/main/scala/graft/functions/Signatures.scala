@@ -48,6 +48,17 @@ object Signatures {
     (md.digest(s.getBytes(StandardCharsets.UTF_8))(0) >> 4) & 1
   }
 
+  /** Spread a thin input across the cluster before a CPU-heavy typed
+    * pass: a small/single-file parquet scan arrives as one partition and
+    * would hash on one core. No-op when the input is already at least as
+    * parallel as the session (the 100 TB case — real inputs come
+    * pre-partitioned, and a blind repartition there would be a
+    * regression). The reshuffle moves only (id, text) rows. */
+  private[functions] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Distinct word n-gram shingles, in first-seen order. Tokenization is
     * `split(" ", -1)` — trailing empty tokens kept — to match both Spark
     * SQL `split` and DuckDB `string_split`. */
@@ -66,30 +77,49 @@ object Signatures {
   }
 
   /** (id, sig: array<long>[perms]) — MinHash signatures over distinct
-    * word n-gram shingles: sig(p) = min over shingles g of
-    * md5_60(g + "#" + p). Empty-shingle docs get all-MaxValue sigs
-    * (callers that band-join should filter them out first — two empty
-    * docs are not near-duplicates of each other). */
+    * word n-gram shingles. One md5 digest of (g + "#" + k) yields TWO
+    * 60-bit permutation hashes (hex chars 1-15 and 16-30), so perm 2k
+    * takes lane 0 and perm 2k+1 lane 1 — half the digests of the naive
+    * per-perm hash, with the oracle reading the same lanes via
+    * `substr(md5(g||'#'||(p//2)), 1+15*(p%2), 15)`. The digest streams
+    * over (shingle bytes, suffix bytes) directly — no per-perm string
+    * concatenation, byte-identical to hashing the concatenated string.
+    * Empty-shingle docs get all-MaxValue sigs (callers that band-join
+    * should filter them out first — two empty docs are not
+    * near-duplicates of each other). */
   def minhash(df: DataFrame, idCol: String, textCol: String,
               ngram: Int, perms: Int): DataFrame = {
+    require(perms % 2 == 0, "perms must be even (two hash lanes per digest)")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    spread(df.select(col(idCol).cast("long"), col(textCol))).as[(Long, String)]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
-        val sb = new java.lang.StringBuilder
+        val suffixes = Array.tabulate(perms / 2)(k =>
+          s"#$k".getBytes(StandardCharsets.UTF_8))
         it.map { case (id, text) =>
           val sh = wordShingles(text, ngram)
           val sig = Array.fill(perms)(Long.MaxValue)
           var j = 0
           while (j < sh.length) {
-            var p = 0
-            while (p < perms) {
-              sb.setLength(0)
-              sb.append(sh(j)).append('#').append(p)
-              val v = md5_60(md, sb.toString)
-              if (v < sig(p)) sig(p) = v
-              p += 1
+            val gb = sh(j).getBytes(StandardCharsets.UTF_8)
+            var k = 0
+            while (k < perms / 2) {
+              md.reset()
+              md.update(gb)
+              md.update(suffixes(k))
+              val d = md.digest()
+              var v0 = 0L
+              var i = 0
+              while (i < 8) { v0 = (v0 << 8) | (d(i) & 0xffL); i += 1 }
+              val lane0 = v0 >>> 4 // hex chars 1..15
+              var v1 = 0L
+              i = 7
+              while (i < 15) { v1 = (v1 << 8) | (d(i) & 0xffL); i += 1 }
+              val lane1 = v1 & 0x0FFFFFFFFFFFFFFFL // hex chars 16..30
+              if (lane0 < sig(2 * k)) sig(2 * k) = lane0
+              if (lane1 < sig(2 * k + 1)) sig(2 * k + 1) = lane1
+              k += 1
             }
             j += 1
           }
@@ -106,7 +136,7 @@ object Signatures {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    spread(df.select(col(idCol).cast("long"), col(textCol))).as[(Long, String)]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
         val counts = new Array[Int](60)

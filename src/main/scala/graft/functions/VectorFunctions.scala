@@ -118,7 +118,7 @@ object VectorFunctions {
       Array.tabulate(tables, bits)((t, p) => signs(s"$salt#$t#$p", dims))
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(vecCol))
+    Signatures.spread(df.select(col(idCol).cast("long"), col(vecCol)))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) =>

@@ -84,15 +84,19 @@ object GridQueries {
         (3, -80.0, -170.0, 5.0, 20.0),
         (4, 49.9, 129.26, 0.5, 5.0))
         .toDF("qid", "lat_t", "lon_t", "tol_lat", "tol_lon")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("dist"), col("event_id"))
+      // top-1 per target via min(struct(dist, tiebreak, payload)) —
+      // lexicographic struct min == rank-1 of (dist, event_id), but it
+      // partial-aggregates map-side (5 tiny groups through the shuffle)
+      // instead of windowing all scored rows through 5 fat partitions
       pts.join(broadcast(targets))
         .withColumn("dist",
           greatest(abs(col("lat") - col("lat_t")) / col("tol_lat"),
             abs(col("lon") - col("lon_t")) / col("tol_lon")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("dist") <= 1.0)
-        .select("qid", "event_id", "lat", "lon", "dist")
+        .groupBy("qid")
+        .agg(min(struct(col("dist"), col("event_id"), col("lat"), col("lon"))).as("m"))
+        .filter(col("m.dist") <= 1.0)
+        .select(col("qid"), col("m.event_id").as("event_id"),
+          col("m.lat").as("lat"), col("m.lon").as("lon"), col("m.dist").as("dist"))
         .orderBy("qid")
     }),
 

@@ -102,15 +102,21 @@ object TextQueries {
           "doc_id", "text", 3, 64)
         .withColumn("bands", DedupFunctions.bandKeys(col("sig"), 16, 4))
         .localCheckpoint() // signatures computed once, not per join side
-      val banded = d.select(col("doc_id"), col("sig"),
+      // band rows carry only (doc_id, band, key); signatures join back
+      // per DISTINCT candidate pair below, so the (interpreted) slot
+      // comparison runs once per pair, not once per band collision
+      val banded = d.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "bk")))
-      banded.as("a").join(banded.as("b"),
+      val pairs = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("n_bands"),
-          first(DedupFunctions.estimatedJaccard(col("a.sig"), col("b.sig")))
-            .as("est_jac"))
+        .agg(count(lit(1)).as("n_bands"))
+      pairs
+        .join(broadcast(d.select(col("doc_id").as("d1"), col("sig").as("sa"))), Seq("d1"))
+        .join(broadcast(d.select(col("doc_id").as("d2"), col("sig").as("sb"))), Seq("d2"))
+        .select(col("d1"), col("d2"), col("n_bands"),
+          DedupFunctions.estimatedJaccard(col("sa"), col("sb")).as("est_jac"))
         .filter(col("est_jac") >= 0.5)
         .orderBy("d1", "d2")
     }),
@@ -206,7 +212,8 @@ object TextQueries {
         |           WHERE LEN(string_split(text,' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(LEN(toks)-2),
         |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS g FROM d),
-        |mh AS (SELECT doc_id, p, MIN(CAST('0x'||substr(md5(g||'#'||p),1,15) AS BIGINT)) AS m
+        |mh AS (SELECT doc_id, p,
+        |         MIN(CAST('0x'||substr(md5(g||'#'||(p//2)), CAST(1+15*(p%2) AS INTEGER), 15) AS BIGINT)) AS m
         |       FROM sh CROSS JOIN range(64) t(p) GROUP BY doc_id, p),
         |sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
         |bands AS (SELECT doc_id, sig, b,

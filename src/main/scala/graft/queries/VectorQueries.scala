@@ -74,9 +74,10 @@ object VectorQueries {
     // LSH-bucket prefilter (24 tables × 4-bit md5-derived hyperplane
     // buckets) → exact cosine verify on candidate pairs only. The pair
     // space never materializes: candidates come from (table, bucket)
-    // equi-join collisions, candidate ids are deduped, then embeddings
-    // are fetched back by id equi-join — at 100 TB the signature table
-    // is a fraction of corpus size and nothing is O(N²). Parameters
+    // equi-join collisions only, and embeddings are fetched by id
+    // equi-join (broadcast when the corpus side fits, shuffle join
+    // otherwise) — at 100 TB the signature table is a fraction of
+    // corpus size and nothing is O(N²). Parameters
     // (24, 4) give observed recall 1.0 vs the all-pairs baseline at both
     // sf0.01 and sf0.1 (the baseline survives as a test-only oracle in
     // FunctionsSpec). The DuckDB oracle recomputes the same bucketed
@@ -95,13 +96,27 @@ object VectorQueries {
           col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
-        .distinct()
+      // Verify-then-dedup: the exact cosine verify stays inside
+      // whole-stage codegen (FloatVecDot; no typed-encoder round-trip
+      // per pair), with each vector's norm computed ONCE in its (small)
+      // side frame rather than per candidate pair. Duplicate candidates
+      // from multi-table collisions are verified redundantly and deduped
+      // AFTER the threshold filter, when only true near-dups remain —
+      // no million-row distinct/shuffle before the filter. Same result
+      // set as dedup-first (cosine per pair is deterministic).
+      def side(idAs: String, vecAs: String, normAs: String) =
+        emb.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+          sqrt(call_function("float_vec_dot", col("embedding"), col("embedding")))
+            .as(normAs))
       val pairs = cand
-        .join(emb.select(col("vec_id").as("d1"), col("embedding").as("ea")), "d1")
-        .join(emb.select(col("vec_id").as("d2"), col("embedding").as("eb")), "d2")
-        .select(col("d1"), col("d2"), col("ea"), col("eb"))
-      VectorFunctions.cosinePairs(pairs)
+        .join(broadcast(side("d1", "ea", "na")), Seq("d1"))
+        .join(broadcast(side("d2", "eb", "nb")), Seq("d2"))
+      pairs
+        .select(col("d1"), col("d2"),
+          (call_function("float_vec_dot", col("ea"), col("eb")) /
+            (col("na") * col("nb"))).as("cos"))
         .filter(col("cos") >= 0.45)
+        .groupBy("d1", "d2").agg(min("cos").as("cos")) // dedup (cos identical per pair)
         .orderBy("d1", "d2")
     }),
 
