@@ -25,7 +25,17 @@ object QualityChecks {
     * `publish.py:998-1005`; implemented closed-form (no external dep).
     * `phat` and `nd` must be DOUBLE columns; the expression tree is kept
     * structurally identical to the SQL oracle so results are bit-equal.
-    */
+    *
+    * Fidelity caveat: the reference uses `scipy.stats.binom_test` — an
+    * EXACT binomial test — where this is the Wilson normal
+    * approximation. At the α=1e-5 tail the two differ: Wilson is
+    * slightly anti-conservative for tiny n·p (an expected frequency the
+    * exact test would just reject can fall inside the Wilson interval).
+    * For the reference's use (n = cells per group, ≥10⁴, p ≈ 0.1) the
+    * intervals agree to well under the check's tolerance; a
+    * Clopper-Pearson (exact inversion) option would close the gap at
+    * the cost of an incomplete-beta implementation, which Spark's
+    * built-in functions do not provide. */
   def wilson(phat: Column, nd: Column, z: Double): (Column, Column) = {
     val zc = lit(z)
     val z2 = zc * zc

@@ -59,18 +59,79 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       finally in.close()
     }
 
-  /** Atomic descriptor swap: write tmp, rename-with-overwrite. The
-    * metadata-only update path (`store.write_metadata_only`,
-    * `store.py:702-717`). Uses FileContext's OVERWRITE rename — NOT
-    * delete-then-rename, which had a crash window where no descriptor
-    * existed at all: a half-written store would then look fresh
-    * (`hasExisting=false`) and `DatasetManager.parse` would route to
-    * `writeInitial` and silently clobber data, defeating the
-    * `updateInProgress` two-phase protection. */
-  def writeDescriptor(d: DatasetDescriptor): Unit = {
+  // ---- versioned descriptor manifest ------------------------------------
+
+  def versionsDir = new Path(root, "_versions")
+  private def versionPath(v: Long) = new Path(versionsDir, f"v$v%06d.json")
+
+  /** Highest committed manifest version (0 for a fresh store). */
+  def latestVersionNumber(): Long =
+    if (!fs.exists(versionsDir)) 0L
+    else fs.listStatus(versionsDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong
+      }.foldLeft(0L)(math.max)
+
+  /** Descriptor as of manifest version `v` — metadata time travel (the
+    * IPNS-pointer-history analog; the reference walks item `prev` links
+    * for the same need). Data files are NOT versioned: inserts rewrite
+    * bucket directories in place, so only the metadata history is
+    * retained. */
+  def readDescriptorAt(v: Long): Option[DatasetDescriptor] =
+    if (!fs.exists(versionPath(v))) None
+    else {
+      val in = fs.open(versionPath(v))
+      try Some(DatasetDescriptor.fromJson(
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString))
+      finally in.close()
+    }
+
+  /** All manifest versions, ascending. */
+  def descriptorHistory(): Seq[(Long, DatasetDescriptor)] =
+    (1L to latestVersionNumber()).flatMap(v => readDescriptorAt(v).map(v -> _))
+
+  /** Versioned atomic descriptor commit. Two layers:
+    *
+    *  1. The next manifest version is claimed with a CREATE-EXCLUSIVE
+    *     write of `_versions/vNNNNNN.json` — the filesystem grants
+    *     exactly one creator (atomic on HDFS-like stores), so two
+    *     concurrent writers cannot both commit: the loser gets a
+    *     ConcurrentModificationException before touching the pointer.
+    *     This is the optimistic-concurrency guard the single-file
+    *     descriptor lacked (reference gets it from the IPNS pointer
+    *     swap).
+    *  2. The committed pointer `_descriptor.json` is then swapped via
+    *     FileContext rename-with-OVERWRITE — NOT delete-then-rename,
+    *     which had a crash window where no descriptor existed at all: a
+    *     half-written store would then look fresh (`hasExisting=false`)
+    *     and `DatasetManager.parse` would route to `writeInitial` and
+    *     silently clobber data, defeating the `updateInProgress`
+    *     two-phase protection.
+    *
+    * The metadata-only update path (`store.write_metadata_only`,
+    * `store.py:702-717`). */
+  def writeDescriptor(d: DatasetDescriptor): Unit =
+    writeDescriptorAsVersion(latestVersionNumber() + 1, d)
+
+  /** The commit body at a FIXED version — two writers that both read the
+    * same latest version race to claim the same file here, and exactly
+    * one wins. Exposed package-private so the race is testable without a
+    * second process. */
+  private[sources] def writeDescriptorAsVersion(version: Long,
+                                                d: DatasetDescriptor): Unit = {
+    fs.mkdirs(versionsDir)
+    val bytes = d.toJson.getBytes(StandardCharsets.UTF_8)
+    val vOut =
+      try fs.create(versionPath(version), false) // exclusive: the commit claim
+      catch {
+        case e: java.io.IOException =>
+          throw new java.util.ConcurrentModificationException(
+            s"manifest version $version at $root was claimed by another writer", e)
+      }
+    try vOut.write(bytes) finally vOut.close()
     val tmp = new Path(root, "_descriptor.json.tmp")
     val out = fs.create(tmp, true)
-    try out.write(d.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(bytes) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.getUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, descriptorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)

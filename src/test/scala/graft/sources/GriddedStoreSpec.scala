@@ -102,6 +102,29 @@ class GriddedStoreSpec extends SparkSpec {
     assert(DatasetDescriptor.fromJson(d.toJson) == d)
   }
 
+  test("versioned manifest: history, time travel, concurrent-writer guard") {
+    val root = tmpDir("store-manifest")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(10, 2, 2), desc("mf"))          // v1 in-progress, v2 committed
+    store.update(cube(2, 2, 2, startDay = 10))              // v3 in-progress, v4 committed
+    val hist = store.descriptorHistory()
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // flag transitions recorded: odd versions in-progress, even committed
+    assert(hist.map(_._2.updateInProgress) == Seq(true, false, true, false))
+    // metadata time travel: version 2 predates the append
+    assert(store.readDescriptorAt(2).get.dateRange.contains((0L, 9 * DAY_US)))
+    assert(store.readDescriptorAt(4).get.dateRange.contains((0L, 11 * DAY_US)))
+    // the committed pointer equals the latest version
+    assert(store.readDescriptor().get == hist.last._2)
+    // concurrent writers: both read latest=4, both try to commit v5 —
+    // the second claim must lose with ConcurrentModificationException
+    val next = store.latestVersionNumber() + 1
+    store.writeDescriptorAsVersion(next, store.readDescriptor().get)
+    intercept[java.util.ConcurrentModificationException] {
+      store.writeDescriptorAsVersion(next, store.readDescriptor().get)
+    }
+  }
+
   test("irregular cadence: gapped-but-within-bounds append commits (publish.py:677-685)") {
     val root = tmpDir("store-irreg")
     val store = new GriddedStore(root, spark)
