@@ -174,6 +174,25 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       .parquet(target)
   }
 
+  // ---- staging (the "temp table" for self-referential rewrites) --------
+
+  /** Materialize a frame into a staging parquet table under the store
+    * root and return a fresh scan of it. Mutations that rewrite the
+    * files their own input reads (dynamic overwrite of scanned buckets)
+    * must break that cycle by materializing first; staging does it with
+    * DISK, not executor memory — `localCheckpoint` pins the rows in
+    * executor storage, which is fine for one bucket on local[32] and
+    * wrong for a 100 TB compaction. A crashed writer's orphaned staging
+    * is deleted by the next mutation's `clearStaging()` and is invisible
+    * to readers (outside `data/`). */
+  private def stageFrame(df: DataFrame, name: String): DataFrame = {
+    val p = new Path(root, s"_staging/$name")
+    df.write.mode(SaveMode.Overwrite).parquet(p.toString)
+    spark.read.parquet(p.toString)
+  }
+  private def clearStaging(): Unit =
+    fs.delete(new Path(root, "_staging"), true)
+
   /** Initial parse (`write_initial_zarr`, `publish.py:240-261`). */
   def writeInitial(df: DataFrame, d: DatasetDescriptor): DatasetDescriptor = {
     val p = prepared(df, d)
@@ -214,15 +233,19 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       else read().select(col("time_bucket").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq
     writeDescriptor(d.copy(updateInProgress = true))
-    // One bucket at a time: materialize (the dynamic overwrite deletes
-    // the files the lazy plan references) but bound the footprint to a
-    // single bucket instead of checkpointing the whole store.
-    target.foreach { b =>
-      val rows = read().filter(col("time_bucket") === b)
-        .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
-        .localCheckpoint()
-      writeBuckets(rows, d, SaveMode.Overwrite, dynamicOverwrite = true)
-    }
+    clearStaging()
+    // Stage ALL target buckets to disk in one distributed job, then
+    // dynamically overwrite from the staging table in a second — two
+    // scans, no per-bucket serial loop, and the working set lives on
+    // disk rather than executor storage (the round-1 per-bucket
+    // localCheckpoint bounded memory but serialized the rewrite).
+    val src = (if (buckets.nonEmpty)
+        read().filter(col("time_bucket").isin(target: _*))
+      else read())
+      .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
+    val staged = stageFrame(src, "compact")
+    writeBuckets(staged, d, SaveMode.Overwrite, dynamicOverwrite = true)
+    clearStaging()
     val committed = d.copy(updateInProgress = false)
     writeDescriptor(committed)
     committed
@@ -310,9 +333,13 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       // store's current file listing (via the anti-join's existingTimes),
       // and the insert path below deletes those files at commit — lazy
       // evaluation afterwards would hit FILE_NOT_EXIST mid-update.
+      // Staged to disk, not localCheckpoint'ed: executor storage is the
+      // wrong place for an arbitrarily large append at cluster scale.
+      clearStaging()
       val appendRows =
         if (hasAppends)
-          Some(p.join(broadcast(appendT), Seq(t), "left_semi").localCheckpoint())
+          Some(stageFrame(
+            p.join(broadcast(appendT), Seq(t), "left_semi"), "append"))
         else None
 
       writeDescriptor(d.copy(updateInProgress = true))
@@ -332,9 +359,9 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
         // the dynamic overwrite swaps out at commit. Staged-output commit
         // happens to make the lazy form safe today, but that couples
         // correctness to Spark's commit internals — compact() and the
-        // append path already checkpoint for the same reason. Bounded:
-        // affected buckets only.
-        val merged = survivors.unionByName(insertRows).localCheckpoint()
+        // append path stage for the same reason. Bounded: affected
+        // buckets only; on disk, not executor storage.
+        val merged = stageFrame(survivors.unionByName(insertRows), "insert")
         writeBuckets(merged, d, SaveMode.Overwrite, dynamicOverwrite = true)
       }
 
@@ -348,6 +375,7 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
         updatePreviousEndUs = Some(dsEnd),
         updateIsAppendOnly = Some(!inserts))
       writeDescriptor(committed)
+      clearStaging()
       committed
     } finally p.unpersist()
   }

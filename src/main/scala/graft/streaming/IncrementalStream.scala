@@ -17,9 +17,18 @@ import org.apache.spark.sql.types.StructType
 object IncrementalStream {
 
   /** readStream over a directory of parquet drops; schema must be fixed
-    * up front (streaming sources don't infer). */
-  def source(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+    * up front (streaming sources don't infer). `maxFilesPerTrigger`
+    * bounds each micro-batch (0 = unbounded): under AvailableNow a
+    * bounded run then executes SEVERAL micro-batches with state carried
+    * between them — the knob that keeps one giant backlog drop from
+    * becoming one giant batch at scale. */
+  def source(spark: SparkSession, dir: String, schema: StructType,
+             maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    else r).parquet(dir)
+  }
 
   /** Tumbling-window aggregation with late-data watermark — the streaming
     * twin of the q40 batch query (same results on the same input). */

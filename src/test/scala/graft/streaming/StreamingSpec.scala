@@ -32,6 +32,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("multi-batch backlog (maxFilesPerTrigger=1): several micro-batches, same totals") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("stream-multi-in")
+    // a backlog of 4 separate file drops
+    val all = (0 until 400).map { i =>
+      (i.toLong, new java.sql.Timestamp(i * 37000L),
+        if (i % 3 == 0) "click" else "view", i * 1.5)
+    }
+    val schema = all.toDF("event_id", "ts", "event_type", "value").schema
+    all.grouped(100).zipWithIndex.foreach { case (chunk, k) =>
+      chunk.toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.parquet(s"$dir/drop$k")
+    }
+    val src = IncrementalStream.source(spark, s"$dir/drop*", schema,
+      maxFilesPerTrigger = 1)
+    val q = IncrementalStream.runAvailableNow(
+      IncrementalStream.hourlyCounts(src, "ts", "10 minutes"),
+      "stream_multi_out", tmpDir("stream-multi-ckpt"))
+    // the run really split the backlog into multiple micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >=4 non-empty micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    // and state carried across them: final aggregate equals the batch run
+    val streamed = spark.table("stream_multi_out")
+      .select("hour_start", "event_type", "n", "sum_value")
+    val batch = all.toDF("event_id", "ts", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("stateful flatMapGroupsWithState sessionize == window sessionize (q09 semantics)") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.expressions.Window
