@@ -102,6 +102,47 @@ object VectorFunctions {
     bitCols.reduce(_ + _)
   }
 
+  /** IVF coarse-quantizer assignment: (id, vec, cell) where `cell` is
+    * the id of the nearest centroid by cosine (ties → lowest centroid
+    * id). One typed O(N·C) pass with the centroid table in the closure —
+    * the IVF "train-lite" shape: centroids are a deterministic
+    * hash-ordered sample of the corpus (see q51), so the assignment is
+    * reproducible in SQL (the oracle cross-joins N×C and ranks), and at
+    * scale the assigned `cell` becomes a partition/bucket key that turns
+    * an ANN query into an nProbe-cell scan. Cosines fold in index order
+    * with every element cast to double — bit-identical to
+    * `list_sum(list_transform(...))`. */
+  def ivfAssign(df: org.apache.spark.sql.DataFrame, idCol: String,
+                vecCol: String,
+                centroids: Array[(Long, Array[Float])]): org.apache.spark.sql.DataFrame = {
+    val cents = centroids.sortBy(_._1) // ascending id = the tie-break order
+    val spark = df.sparkSession
+    import spark.implicits._
+    Signatures.spread(df.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var bestId = -1L
+          var bestCos = Double.NegativeInfinity
+          var c = 0
+          while (c < cents.length) {
+            val ce = cents(c)._2
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < v.length) {
+              val x = v(i).toDouble; val y = ce(i).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+            if (cos > bestCos) { bestCos = cos; bestId = cents(c)._1 }
+            c += 1
+          }
+          (id, v, bestId)
+        }
+      }.toDF(idCol, vecCol, "cell")
+  }
+
   /** (id, vec, buckets: array<long>[tables]) — one `bits`-bit hyperplane
     * bucket per hash table, all computed in a single typed pass (a
     * tables×bits×dims multiply-add per row; the HOF-expression form

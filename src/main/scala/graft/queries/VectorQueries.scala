@@ -120,6 +120,47 @@ object VectorQueries {
         .orderBy("d1", "d2")
     }),
 
+    // IVF-style ANN (the coarse-quantizer twin of q39's hyperplane LSH):
+    // 16 centroids = a deterministic md5-ordered sample of the corpus
+    // (no iterative k-means, so the oracle reproduces them exactly);
+    // every vector is assigned to its nearest centroid in one O(N·C)
+    // typed pass; the query probes its nProbe=4 nearest cells and ranks
+    // exact cosine within them. At scale `cell` is a bucket/partition
+    // key: the query scans 4/16 of the corpus instead of all of it, and
+    // real k-means centroids would drop in without changing the plan.
+    // Centroid table and the one query vector are driver-held, like the
+    // reference's coordinate axes — never cell data.
+    "q51_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb
+        .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+        .orderBy("h", "vec_id").limit(16)
+        .select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val assigned = VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      // nProbe nearest centroids to the query, same metric + tie-break
+      val qcells = cents.map { case (cid, ce) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < qv.length) {
+          val x = qv(i).toDouble; val y = ce(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        (cid, dot / (math.sqrt(na) * math.sqrt(nb)))
+      }.sortBy { case (cid, cos) => (-cos, cid) }.take(4).map(_._1)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      assigned.filter(col("cell").isin(qcells: _*) && col("vec_id") =!= 0)
+        .join(broadcast(q))
+        .select(col("vec_id"), col("cell"),
+          VectorFunctions.cosineFast(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // Per-label embedding stats: norm aggregation by label (groupBy over
     // a derived per-row double; decimal-cast for order-independent sums).
     "q42_label_norms" -> ((s, dir) => {
@@ -199,6 +240,27 @@ object VectorQueries {
         |   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
         |  FROM cand JOIN embeddings a ON d1 = a.vec_id JOIN embeddings b ON d2 = b.vec_id)
         |SELECT d1, d2, cos FROM sc WHERE cos >= 0.45 ORDER BY d1, d2""".stripMargin,
+    "q51_ann_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.ce[i+1] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e CROSS JOIN cents c),
+        |best AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |    FROM asg) WHERE rn = 1),
+        |qc AS (SELECT cid FROM asg WHERE vec_id = 0 ORDER BY cos DESC, cid LIMIT 4),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |cand AS (SELECT e.vec_id, b.cid AS cell,
+        |    list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e JOIN best b ON e.vec_id = b.vec_id
+        |  JOIN qc ON b.cid = qc.cid CROSS JOIN qv
+        |  WHERE e.vec_id <> 0)
+        |SELECT vec_id, cell, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     "q42_label_norms" ->
       s"""WITH n AS (SELECT label,
          |    CAST(${normSql("embedding")} AS DECIMAL(18,9)) AS nrm FROM embeddings)

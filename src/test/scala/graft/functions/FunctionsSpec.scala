@@ -148,6 +148,33 @@ class FunctionsSpec extends SparkSpec {
       s"multi=${multi.size} single=$singleN flipPop=$flipPop")
   }
 
+  test("IVF ANN: candidate set is exactly the nProbe probed cells' members") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy("h", "vec_id").limit(16).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
+    // every vector lands in exactly one of the 16 cells
+    val cellIds = cents.map(_._1).toSet
+    val usedCells = assigned.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(usedCells.subsetOf(cellIds))
+    assert(assigned.count() == emb.count())
+    // q51 results: at most nProbe=4 distinct cells, every reported cell
+    // is a real centroid id AND matches the vector's actual assignment
+    val res = graft.SparkEntry.queries("q51_ann_ivf")(spark, dir)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.nonEmpty && res.map(_._2).toSet.size <= 4)
+    assert(res.map(_._2).toSet.subsetOf(cellIds))
+    val assignedMap = assigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.foreach { case (v, c) => assert(assignedMap(v) == c,
+      s"vec $v reported cell $c but is assigned ${assignedMap(v)}") }
+  }
+
   test("hyperplane buckets: identical vectors share a bucket") {
     val s = spark; import s.implicits._
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)),
