@@ -1,18 +1,23 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` columns with
   * typed metadata, processed in partition-sized batches.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * container): `decodeStub` derives deterministic fake dimensions from
-  * the bytes. Everything around it — schema, batch shape, partitioning,
-  * null-safety — is the real Spark plumbing a codec would drop into: the
-  * decoder runs per partition (one codec instance per task, the Scala
-  * analog of a `mapInPandas` batch UDF), and the output is a flat typed
-  * frame that joins/filters like any other.
+  * Round 2: the decode step is REAL for container formats a JVM can
+  * parse without native codecs — BMP and PGM/PPM images (header +
+  * pixels), WAV PCM audio (header + samples) — including pixel-level
+  * nearest-neighbor resize and PCM amplitude stats. Formats that need
+  * an actual codec library (JPEG/PNG/MP4; none exists in this
+  * container) fall back to a clearly-flagged deterministic synthetic
+  * decode (`realDecode=false`) so downstream plumbing still exercises.
+  * Everything around the parse — schema, batch shape, partitioning,
+  * null-safety — is the Spark plumbing any codec drops into: the
+  * decoder runs per partition (one instance per task, the Scala analog
+  * of a `mapInPandas` batch UDF), and the output is a flat typed frame
+  * that joins/filters like any other.
   */
 object Multimodal {
 
@@ -21,14 +26,84 @@ object Multimodal {
       kind: String,
       byteLen: Int,
       sha: String,
-      width: Int,     // fake-decoded
-      height: Int,    // fake-decoded
-      nFrames: Int)   // fake-decoded (1 for images)
+      width: Int,      // images: pixels; audio: 0
+      height: Int,     // images: pixels; audio: 0
+      nFrames: Int,    // images: 1; audio: 1; video fallback: synthetic
+      sampleRate: Int, // audio: Hz; images: 0
+      nSamples: Long,  // audio: PCM frames; images: 0
+      realDecode: Boolean)
 
-  /** REPLACE ME with a real codec: deterministic fake decode.
-    * Width/height/frames are derived from a content hash so tests are
-    * stable and dedup-by-content still behaves like real decode. */
-  private def decodeStub(bytes: Array[Byte], kind: String): (Int, Int, Int) = {
+  // ---- real parsers (pure JVM, no codec libs) ---------------------------
+
+  private def i32le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def i16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** BMP (BITMAPINFOHEADER): width/height from the header; height may be
+    * negative for top-down rows. */
+  private[multimodal] def parseBmp(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some((i32le(b, 18), math.abs(i32le(b, 22))))
+    else None
+
+  /** Netpbm P5 (gray) / P6 (rgb) binary header: magic, whitespace and
+    * `#` comments, then width height maxval. Returns
+    * (width, height, channels, pixelOffset). */
+  private[multimodal] def parsePnm(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6')) return None
+    val channels = if (b(1) == '6') 3 else 1
+    var i = 2
+    val fields = new scala.collection.mutable.ArrayBuffer[Int](3)
+    while (fields.length < 3 && i < b.length) {
+      while (i < b.length && (b(i).toChar.isWhitespace || b(i) == '#'))
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else i += 1
+      var v = 0; var any = false
+      while (i < b.length && b(i).toChar.isDigit) {
+        v = v * 10 + (b(i) - '0'); i += 1; any = true
+      }
+      if (!any) return None
+      fields += v
+    }
+    if (fields.length < 3) return None
+    i += 1 // the single whitespace byte after maxval
+    Some((fields(0), fields(1), channels, i))
+  }
+
+  /** RIFF/WAVE PCM: walk chunks for fmt (rate, channels, bits) and data
+    * (byte length). Returns (sampleRate, channels, bitsPerSample,
+    * dataOffset, dataLen). */
+  private[multimodal] def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val sz = i32le(b, i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        channels = i16le(b, i + 10)
+        rate = i32le(b, i + 12)
+        bits = i16le(b, i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = math.min(sz, b.length - dataOff)
+      }
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (rate > 0 && channels > 0 && bits > 0 && dataOff >= 0)
+      Some((rate, channels, bits, dataOff, dataLen))
+    else None
+  }
+
+  /** Synthetic fallback for codec-requiring formats (JPEG/PNG/MP4):
+    * dimensions derived deterministically from a content hash so tests
+    * are stable and dedup-by-content still behaves like real decode.
+    * Flagged `realDecode=false` in the output. */
+  private def syntheticDims(bytes: Array[Byte], kind: String): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(bytes)
     val w = 64 + math.abs(h % 1024)
     val ht = 64 + math.abs((h / 1024) % 1024)
@@ -49,12 +124,70 @@ object Multimodal {
         val digest = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, bytes, kind) =>
           val b = if (bytes == null) Array.empty[Byte] else bytes
-          val (w, h, f) = decodeStub(b, kind)
           val sha = digest.digest(b).map("%02x".format(_)).mkString
           digest.reset()
-          MediaMeta(id, kind, b.length, sha, w, h, f)
+          parseBmp(b).map { case (w, h) =>
+            MediaMeta(id, kind, b.length, sha, w, h, 1, 0, 0L, realDecode = true)
+          }.orElse(parsePnm(b).map { case (w, h, _, _) =>
+            MediaMeta(id, kind, b.length, sha, w, h, 1, 0, 0L, realDecode = true)
+          }).orElse(parseWav(b).map { case (rate, ch, bits, _, dataLen) =>
+            MediaMeta(id, kind, b.length, sha, 0, 0, 1, rate,
+              dataLen.toLong / (ch * bits / 8), realDecode = true)
+          }).getOrElse {
+            val (w, h, f) = syntheticDims(b, kind)
+            MediaMeta(id, kind, b.length, sha, w, h, f, 0, 0L, realDecode = false)
+          }
         }
       }
+  }
+
+  /** Nearest-neighbor resize of a P5/P6 image to (w2 × h2), returning a
+    * new image of the same format — the real pixel-level "resize" op of
+    * an image pipeline, runnable inside any per-partition pass. */
+  def resizePnmNearest(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val (w, h, ch, off) = parsePnm(bytes).getOrElse(
+      throw new IllegalArgumentException("not a binary P5/P6 image"))
+    val header = s"P${if (ch == 3) 6 else 5}\n$w2 $h2\n255\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w2 * h2 * ch)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h2) {
+      val sy = y * h / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * w / w2
+        var c = 0
+        while (c < ch) {
+          out(header.length + (y * w2 + x) * ch + c) =
+            bytes(off + (sy * w + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** PCM amplitude features of a 16-bit WAV: (nSamples, peak, meanAbs) —
+    * the real audio feature-extract step. */
+  def wavPcmStats(bytes: Array[Byte]): (Long, Int, Double) = {
+    val (_, ch, bits, off, len) = parseWav(bytes).getOrElse(
+      throw new IllegalArgumentException("not a RIFF/WAVE file"))
+    require(bits == 16, s"only 16-bit PCM supported, got $bits")
+    val n = len / 2
+    var i = 0
+    var peak = 0
+    var sumAbs = 0.0
+    while (i < n) {
+      val v = (bytes(off + 2 * i) & 0xff) | (bytes(off + 2 * i + 1) << 8)
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumAbs += a
+      i += 1
+    }
+    (n.toLong / ch, peak, if (n == 0) 0.0 else sumAbs / n)
   }
 
   /** Frame sampling plan for video rows: every `stride`-th frame index —

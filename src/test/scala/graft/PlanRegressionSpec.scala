@@ -24,6 +24,25 @@ class PlanRegressionSpec extends SparkSpec {
         "not an all-pairs non-equi join")
   }
 
+  test("q49 ranks per target with a partial aggregate, not a window") {
+    val plan = SparkEntry.queries("q49_nearest_cell")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      "q49 must min(struct(...)) per target (map-side combinable), not " +
+        "window all scored rows through a handful of target partitions")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      "expected a partial aggregate for the per-target top-1")
+  }
+
+  test("q51 IVF probe joins the query side broadcast, corpus never shuffled") {
+    val plan = SparkEntry.queries("q51_ann_ivf")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastExchange"),
+      "the 1-row query-vector side must broadcast")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort")
+  }
+
   test("scan-heavy queries keep filters pushed into the parquet scan") {
     val q06 = SparkEntry.queries("q06_selective_filter")(spark, "/root/testdata/sf0.001")
     val plan = q06.queryExecution.executedPlan.toString()

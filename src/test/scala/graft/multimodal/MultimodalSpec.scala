@@ -5,18 +5,84 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
-  test("decodeMeta: deterministic stub decode + content hash over binary") {
+  // ---- real-format fixtures (built byte-by-byte, no codec libs) --------
+
+  /** Binary P6 (RGB) image: header + row-major pixels. */
+  private def p6(w: Int, h: Int)(pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pix(x, y)
+      val o = header.length + (y * w + x) * 3
+      out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = b.toByte
+    }
+    out
+  }
+
+  /** Minimal BMP: 14-byte file header + 40-byte BITMAPINFOHEADER (no
+    * pixel data needed for dimension parsing). */
+  private def bmp(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.array()
+  }
+
+  /** 16-bit mono PCM WAV with the given samples. */
+  private def wav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(dataLen)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  test("decodeMeta: REAL decode for BMP/P6/WAV; flagged synthetic fallback otherwise") {
     val s = spark; import s.implicits._
     val rows = Seq(
-      (1L, "img-bytes-aaaa".getBytes, "image"),
-      (2L, "img-bytes-aaaa".getBytes, "image"), // same content
-      (3L, "vid-bytes-bbbbbb".getBytes, "video"))
+      (1L, bmp(640, 480), "image"),
+      (2L, p6(8, 5)((x, y) => (x * 30, y * 40, 7)), "image"),
+      (3L, wav(16000, Array[Short](0, 100, -200, 300)), "audio"),
+      (4L, "not-any-known-container".getBytes, "video"))
     val meta = Multimodal.decodeMeta(rows.toDF("id", "bin", "kind"), "id", "bin", "kind")
       .collect().sortBy(_.id)
-    assert(meta(0).sha == meta(1).sha && meta(0).width == meta(1).width)
-    assert(meta(0).sha != meta(2).sha)
-    assert(meta(0).nFrames == 1 && meta(2).nFrames >= 1)
-    assert(meta(0).byteLen == "img-bytes-aaaa".getBytes.length)
+    assert(meta(0).realDecode && meta(0).width == 640 && meta(0).height == 480)
+    assert(meta(1).realDecode && meta(1).width == 8 && meta(1).height == 5)
+    assert(meta(2).realDecode && meta(2).sampleRate == 16000 && meta(2).nSamples == 4)
+    assert(!meta(3).realDecode && meta(3).width > 0) // honest synthetic path
+  }
+
+  test("decodeMeta: content hash dedups identical media") {
+    val s = spark; import s.implicits._
+    val img = p6(4, 4)((x, y) => (x, y, x + y))
+    val rows = Seq((1L, img, "image"), (2L, img.clone(), "image"),
+      (3L, p6(4, 4)((x, y) => (9, 9, 9)), "image"))
+    val meta = Multimodal.decodeMeta(rows.toDF("id", "bin", "kind"), "id", "bin", "kind")
+      .collect().sortBy(_.id)
+    assert(meta(0).sha == meta(1).sha && meta(0).sha != meta(2).sha)
+  }
+
+  test("resizePnmNearest: pixel-exact nearest-neighbor downscale") {
+    // 4×4 quadrant image -> 2×2 keeps the top-left pixel of each quadrant
+    val img = p6(4, 4)((x, y) => ((x / 2) * 100, (y / 2) * 100, 0))
+    val small = Multimodal.resizePnmNearest(img, 2, 2)
+    val parsed = Multimodal.parsePnm(small).get
+    assert(parsed == ((2, 2, 3, 11))) // "P6\n2 2\n255\n" = 11 bytes
+    val px = (0 until 4).map { i =>
+      (small(11 + i * 3) & 0xff, small(11 + i * 3 + 1) & 0xff)
+    }
+    assert(px == Seq((0, 0), (100, 0), (0, 100), (100, 100)))
+  }
+
+  test("wavPcmStats: exact peak and mean amplitude") {
+    val (n, peak, meanAbs) =
+      Multimodal.wavPcmStats(wav(8000, Array[Short](0, 1000, -2000, 500)))
+    assert(n == 4 && peak == 2000 && meanAbs == (0 + 1000 + 2000 + 500) / 4.0)
   }
 
   test("sampleFrames explodes stride-sampled frame indices for video") {
