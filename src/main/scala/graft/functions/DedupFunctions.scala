@@ -52,4 +52,49 @@ object DedupFunctions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over a duplicate-pair graph — the global-dedup
+    * step that turns pairwise near-dup hits into clusters with one
+    * canonical keeper (the minimum id) per cluster.
+    *
+    * `edges` must have long columns `src`/`dst`. Returns `(id, lbl)` for
+    * every edge endpoint, where `lbl` is the component's minimum id.
+    * Docs in no pair are singletons and are deliberately excluded — the
+    * iteration working set is the dup graph (a small fraction of the
+    * corpus), never the corpus itself.
+    *
+    * Algorithm: min-label propagation — each round every node takes the
+    * minimum label among itself and its neighbors, converging in
+    * `diameter(G)` rounds. Dup clusters are near-cliques (every member
+    * collides with most others in some band/block), so the diameter is
+    * small and the round count stays O(1) in practice; a 100 TB corpus
+    * with adversarially-chained clusters would want the O(log n)
+    * large-star/small-star variant, which drops in here without changing
+    * callers. Each round is one equi-join + one partial-aggregated
+    * groupBy on the (small) edge frame; labels are localCheckpoint'd per
+    * round so the lineage does not grow with iterations.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbr = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst").as("nid")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(nbr, labels("id") === nbr("nid"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.filter(col("lbl") =!= col("old")).isEmpty
+      labels = next.select("id", "lbl")
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

@@ -64,6 +64,24 @@ object MiscQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic stratified sample: top-5 per (lang, source) stratum
+    // ordered by md5(doc_id) — the portable analog of a seeded per-stratum
+    // sample at corpus scale. One shuffle on the stratum key; strata are
+    // balanced by construction so the window never sees a skewed
+    // partition (and at 100 TB a rank-limited window beats a global
+    // orderBy+limit sample, which would single-task the tail).
+    "q55_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // `_is_infish` (`publish.py:1068-1074`): inf or |x| > 1e100.
     "q45_infish" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -101,6 +119,12 @@ object MiscQueries {
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+    "q55_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
     "q45_infish" ->
       """WITH e AS (SELECT event_type,
         |    CASE WHEN value > 199.0 THEN exp(1000.0) ELSE value END AS v FROM events)

@@ -149,6 +149,107 @@ object TextQueries {
         .orderBy("d1", "d2")
     }),
 
+    // Global dedup: connected components over the duplicate-pair graph
+    // (SimHash Hamming<=3 pairs + exact md5 pairs), emitting each
+    // non-canonical member with its cluster representative (min doc_id)
+    // and cluster size. The iteration working set is the dup graph only —
+    // never the corpus — so at 100 TB the per-round join/agg runs over a
+    // small fraction of rows. Oracle: DuckDB recursive CTE over the same
+    // md5-derived pair pipeline.
+    "q52_dedup_components" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val d = graft.functions.Signatures
+        .simhash(docs, "doc_id", "text")
+        .select(col("doc_id"), col("simhash").as("sh"))
+        .localCheckpoint() // one signature pass for both join sides
+      val blocked = d.select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          q => call_function("shiftright", col("sh"), q * 15)
+            .bitwiseAND(lit(0x7FFFL)))).as(Seq("q", "blk")))
+      val nearPairs = blocked.as("a").join(blocked.as("b"),
+          col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
+          DedupFunctions.hamming64(col("a.sh"), col("b.sh")).as("hd"))
+        .distinct()
+        .filter(col("hd") <= 3) // = the blocking guarantee radius
+        .select("src", "dst")
+      val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val exactPairs = hashed.as("a").join(hashed.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      val edges = nearPairs.unionByName(exactPairs).distinct()
+      val labels = DedupFunctions.connectedComponents(edges)
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_reach"))
+      labels.join(sizes, "lbl")
+        .filter(col("lbl") < col("id")) // non-canonical members only
+        .select(col("id").as("doc_id"), col("lbl").as("component"),
+          col("n_reach"))
+        .orderBy("doc_id")
+    }),
+
+    // BM25 ranking against a fixed query-term set. Rational idf variant
+    // (no ln — bit-portable across engines); per-term scores are rounded
+    // to DECIMAL(28,12) before the sum so the aggregate is
+    // order-independent (same trick as q01's decimal sums). df/stats are
+    // tiny aggregates (broadcast); only the token explode shuffles.
+    "q53_bm25" -> ((s, dir) => {
+      val terms = Seq("spark", "merge", "window")
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      val dl = docs
+        .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"))
+        .localCheckpoint() // reused by stats + the per-doc join
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val tk = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+      val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tk.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val denom = col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))
+      tf.join(broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (idf * (col("tf").cast("double") * lit(2.2)) / denom)
+            .cast("decimal(28,12)").as("term_score"))
+        .groupBy("doc_id")
+        .agg(sum("term_score").cast("double").as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(25)
+    }),
+
+    // Gopher-style repetition/boilerplate signals: duplicate-token ratio,
+    // top-token concentration, duplicate-2gram ratio. The 2-gram ratio is
+    // a pure per-row expression (no shuffle); token stats are one
+    // explode + two partial-aggregated groupBys on doc_id.
+    "q54_repetition" -> ((s, dir) => {
+      val base = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val g2 = transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ",
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))
+      val gr = base.select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(g2)).cast("double") /
+          size(g2).cast("double")).as("dup_2gram_ratio"))
+      val tc = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val top = tc.groupBy("doc_id").agg(max("c").as("top_c"),
+        sum("c").as("n_tok"), count(lit(1)).as("n_distinct"))
+      top.join(gr, "doc_id")
+        .select(col("doc_id"),
+          (lit(1.0) - col("n_distinct").cast("double") /
+            col("n_tok").cast("double")).as("dup_token_ratio"),
+          (col("top_c").cast("double") / col("n_tok").cast("double"))
+            .as("top_token_ratio"),
+          col("dup_2gram_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Binary/multimodal plumbing: opaque bytes + typed metadata (decode
     // itself is stubbed — see graft.multimodal; here: byte stats/hashes).
     "q36_binary_meta" -> ((s, dir) => {
@@ -248,5 +349,61 @@ object TextQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         | sha256(text) AS sha,
         | lower(substring(hex(encode(text)), 1, 16)) AS head8
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_dedup_components" ->
+      """WITH RECURSIVE
+        |tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |th AS (SELECT doc_id, CAST('0x'||substr(md5(t),1,15) AS BIGINT) AS h FROM tk),
+        |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |         FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+        |sg AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |                                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+        |       FROM bits GROUP BY doc_id),
+        |blk AS (SELECT doc_id, sh, q, (sh >> CAST(q*15 AS INTEGER)) & 32767 AS blk
+        |        FROM sg CROSS JOIN range(4) r(q)),
+        |np AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |       FROM blk x JOIN blk y ON x.q = y.q AND x.blk = y.blk AND x.doc_id < y.doc_id
+        |       WHERE bit_count(xor(x.sh, y.sh)) <= 3),
+        |ep AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a JOIN documents b
+        |       ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1, d2 FROM np UNION SELECT d1, d2 FROM ep),
+        |und AS (SELECT d1 AS src, d2 AS dst FROM edges UNION SELECT d2, d1 FROM edges),
+        |comp(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.dst, c.lbl FROM comp c JOIN und u ON c.id = u.src
+        |)
+        |SELECT id AS doc_id, MIN(lbl) AS component, CAST(COUNT(*) AS BIGINT) AS n_reach
+        |FROM comp GROUP BY id HAVING MIN(lbl) < id ORDER BY doc_id""".stripMargin,
+    "q53_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM d),
+        |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+        |tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+        |       WHERE tok IN ('spark','merge','window') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tk
+        |       WHERE tok IN ('spark','merge','window') GROUP BY tok),
+        |sc AS (SELECT tf.doc_id,
+        |   CAST((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)/(CAST(df AS DOUBLE) + 0.5)
+        |     * (CAST(tf AS DOUBLE) * 2.2)
+        |     / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)/avgdl))
+        |     AS DECIMAL(28,12)) AS term_score
+        |   FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25
+        |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin,
+    "q54_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |        list_transform(range(LEN(toks)-1), i -> toks[i+1]||' '||toks[i+2]) AS g2
+        |      FROM d WHERE LEN(toks) >= 2),
+        |tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY doc_id, tok),
+        |top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok, COUNT(*) AS n_distinct
+        |        FROM tc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  1.0 - CAST(n_distinct AS DOUBLE)/CAST(n_tok AS DOUBLE) AS dup_token_ratio,
+        |  CAST(top_c AS DOUBLE)/CAST(n_tok AS DOUBLE) AS top_token_ratio,
+        |  1.0 - CAST(LEN(list_distinct(g2)) AS DOUBLE)/CAST(LEN(g2) AS DOUBLE) AS dup_2gram_ratio
+        |FROM top t JOIN g ON t.doc_id = g.doc_id ORDER BY t.doc_id""".stripMargin)
 }

@@ -239,4 +239,28 @@ class FunctionsSpec extends SparkSpec {
     assert(got == expected, s"blocking must have 100% recall at Hamming<=3: " +
       s"missed=${expected -- got} extra=${got -- expected}")
   }
+
+  test("connectedComponents: chains, cliques, min-label reps, no singletons") {
+    val s = spark; import s.implicits._
+    // A 4-chain (worst diameter per node count), a triangle, an isolated
+    // pair, and duplicate/reversed edges that must not double-count.
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), // chain 1-2-3-4
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L), (21L, 20L), (20L, 21L) // pair with dup/reversed edges
+    ).toDF("src", "dst")
+    val got = DedupFunctions.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    assert(got == expected)
+    // maxIter too small for the chain's diameter must fail loudly, not
+    // return a half-propagated labeling.
+    val long = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      DedupFunctions.connectedComponents(long, maxIter = 3).collect()
+    }
+  }
 }
