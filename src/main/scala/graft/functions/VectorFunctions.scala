@@ -143,6 +143,79 @@ object VectorFunctions {
       }.toDF(idCol, vecCol, "cell")
   }
 
+  /** Distributed Lloyd iterations for the IVF coarse quantizer
+    * (spherical k-means): assignment is one O(N·C) typed pass
+    * ([[ivfAssign]], cosine metric), recomputation reduces per-partition
+    * partial sums — each task emits at most C (cell, Σvec, n) rows, so
+    * the shuffle is O(partitions·C·dims) regardless of corpus size and
+    * the driver holds only the C centroids (never cell data). Iteration
+    * stops when every centroid direction moves less than `tol` (1−cos)
+    * or at `maxIter`. Deterministic given the seeds: ties break to the
+    * lowest centroid id and the only float nonassociativity is inside
+    * per-cell sums, which cannot flip an argmax at realistic tolerances.
+    * Cells that lose all members keep their previous centroid.
+    *
+    * Seeds come from the deterministic md5-ordered sample (q51's
+    * quantizer); ids are preserved so a trained quantizer is a drop-in
+    * replacement in [[ivfAssign]] probes. */
+  def kmeansTrain(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  vecCol: String, seeds: Array[(Long, Array[Float])],
+                  maxIter: Int = 10, tol: Double = 1e-4): Array[(Long, Array[Float])] = {
+    require(seeds.nonEmpty, "need at least one seed centroid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dims = seeds.head._2.length
+    var cents = seeds.sortBy(_._1)
+    var moved = Double.MaxValue
+    var iter = 0
+    while (iter < maxIter && moved > tol) {
+      val sums = ivfAssign(df, idCol, vecCol, cents)
+        .select(col("cell"), col(vecCol))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val acc = scala.collection.mutable.LongMap.empty[(Array[Double], Long)]
+          it.foreach { case (cell, v) =>
+            val (s, n) = acc.getOrElseUpdate(cell, (new Array[Double](dims), 0L))
+            var i = 0
+            while (i < dims) { s(i) += v(i).toDouble; i += 1 }
+            acc(cell) = (s, n + 1)
+          }
+          acc.iterator.map { case (cell, (s, n)) => (cell, s, n) }
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](dims)
+          var i = 0
+          while (i < dims) { s(i) = a._2(i) + b._2(i); i += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map(_._2)
+        .collect()
+        .map { case (cell, s, n) => cell -> ((s, n)) }.toMap
+      moved = 0.0
+      cents = cents.map { case (cid, old) =>
+        sums.get(cid) match {
+          case Some((s, n)) if n > 0 =>
+            val mean = Array.tabulate(dims)(i => (s(i) / n).toFloat)
+            // direction change: 1 − cos(old, mean)
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < dims) {
+              val x = old(i).toDouble; val y = mean(i).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+            moved = math.max(moved, 1.0 - cos)
+            cid -> mean
+          case _ => cid -> old // empty cell: keep the previous centroid
+        }
+      }
+      iter += 1
+    }
+    cents
+  }
+
   /** (id, vec, buckets: array<long>[tables]) — one `bits`-bit hyperplane
     * bucket per hash table, all computed in a single typed pass (a
     * tables×bits×dims multiply-add per row; the HOF-expression form

@@ -37,20 +37,17 @@ object EncodingSurgery {
 
     store.writeDescriptor(d.copy(updateInProgress = true))
     val rewritten = store.read().withColumn(coord, f(col(coord)))
-    // stage to a sibling dir then swap, so a crash never leaves a
-    // half-rewritten store visible; the staged write goes through
-    // writeBuckets so the surgered store keeps the sorted row-group
-    // min/max skipping property the initial write established
-    val staged = s"${store.root}/data.staged"
-    store.writeBuckets(rewritten, d, SaveMode.Overwrite,
-      dynamicOverwrite = false, target = staged)
-    val fs = store.fs // the store's session/conf, not SparkSession.active
-    val dataP = new org.apache.hadoop.fs.Path(store.dataPath)
-    val stagedP = new org.apache.hadoop.fs.Path(staged)
-    fs.delete(dataP, true)
-    fs.rename(stagedP, dataP)
+    // A full-store rewrite under the manifest protocol: write the
+    // rewritten rows as NEW files next to the old ones (via writeBuckets,
+    // so the surgered store keeps the sorted row-group min/max skipping
+    // property), then commit a manifest pinning ONLY the new files. A
+    // crash never leaves a half-rewritten store visible — readers stay on
+    // the old manifest — and the old files are retired by vacuum().
+    val before = store.listDataFiles(None)
+    store.writeBuckets(rewritten, d, SaveMode.Append)
+    val fresh = (store.listDataFiles(None) -- before).toSeq
     val committed = d.copy(updateInProgress = false)
-    store.writeDescriptor(committed)
+    store.writeDescriptor(committed, Some(fresh))
     committed
   }
 }

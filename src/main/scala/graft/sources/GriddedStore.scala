@@ -37,6 +37,16 @@ import java.nio.charset.StandardCharsets
   * Writes use a two-phase descriptor commit (`update_in_progress`,
   * `publish.py:152-180`): readers treat a store whose descriptor has
   * `updateInProgress=true` as mid-update.
+  *
+  * Snapshot isolation: every committed manifest version records the exact
+  * data-file list that constitutes it, and `read()` scans THAT list (not
+  * the directory). Mutations only ever ADD files — inserts/compaction
+  * write replacement files next to the old ones and retire the old ones
+  * by omitting them from the next manifest; nothing is deleted until
+  * `vacuum()`. So a reader pinned to version N is unaffected by a
+  * concurrent (or crashed) mutation, and `readAt(N)` is data time travel
+  * within the vacuum retention window — the pointer-swap atomicity the
+  * reference gets from IPNS, extended to the data files themselves.
   */
 class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
 
@@ -74,16 +84,28 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
 
   /** Descriptor as of manifest version `v` — metadata time travel (the
     * IPNS-pointer-history analog; the reference walks item `prev` links
-    * for the same need). Data files are NOT versioned: inserts rewrite
-    * bucket directories in place, so only the metadata history is
-    * retained. */
+    * for the same need). */
   def readDescriptorAt(v: Long): Option[DatasetDescriptor] =
+    readVersionJson(v).map(DatasetDescriptor.fromJson)
+
+  private def readVersionJson(v: Long): Option[String] =
     if (!fs.exists(versionPath(v))) None
     else {
       val in = fs.open(versionPath(v))
-      try Some(DatasetDescriptor.fromJson(
-        scala.io.Source.fromInputStream(in, "UTF-8").mkString))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
       finally in.close()
+    }
+
+  /** Root-relative data-file list pinned by manifest version `v`. None
+    * for versions written before file tracking (legacy) or a fresh
+    * store. */
+  def snapshotFilesAt(v: Long): Option[Seq[String]] =
+    readVersionJson(v).flatMap { json =>
+      (org.json4s.jackson.JsonMethods.parse(json) \ "files") match {
+        case org.json4s.JArray(xs) =>
+          Some(xs.collect { case org.json4s.JString(s) => s })
+        case _ => None
+      }
     }
 
   /** All manifest versions, ascending. */
@@ -109,18 +131,36 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     *     two-phase protection.
     *
     * The metadata-only update path (`store.write_metadata_only`,
-    * `store.py:702-717`). */
-  def writeDescriptor(d: DatasetDescriptor): Unit =
-    writeDescriptorAsVersion(latestVersionNumber() + 1, d)
+    * `store.py:702-717`).
+    *
+    * `files` is the data-file list the new version pins; `None` carries
+    * the previous version's list forward (metadata-only commits). */
+  def writeDescriptor(d: DatasetDescriptor,
+                      files: Option[Seq[String]] = None): Unit = {
+    val latest = latestVersionNumber()
+    writeDescriptorAsVersion(latest + 1, d,
+      files.orElse(snapshotFilesAt(latest)))
+  }
 
   /** The commit body at a FIXED version — two writers that both read the
     * same latest version race to claim the same file here, and exactly
     * one wins. Exposed package-private so the race is testable without a
     * second process. */
-  private[sources] def writeDescriptorAsVersion(version: Long,
-                                                d: DatasetDescriptor): Unit = {
+  private[sources] def writeDescriptorAsVersion(
+      version: Long, d: DatasetDescriptor,
+      files: Option[Seq[String]] = None): Unit = {
     fs.mkdirs(versionsDir)
-    val bytes = d.toJson.getBytes(StandardCharsets.UTF_8)
+    // the version manifest = descriptor fields + the pinned file list;
+    // DatasetDescriptor.fromJson ignores the extra field on read-back
+    val json = files match {
+      case Some(fl) =>
+        import org.json4s._
+        val base = jackson.JsonMethods.parse(d.toJson).asInstanceOf[JObject]
+        jackson.JsonMethods.pretty(jackson.JsonMethods.render(JObject(
+          base.obj :+ ("files" -> (JArray(fl.sorted.map(JString(_)).toList): JValue)))))
+      case None => d.toJson
+    }
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
     val vOut =
       try fs.create(versionPath(version), false) // exclusive: the commit claim
       catch {
@@ -137,9 +177,74 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     fc.rename(tmp, descriptorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Lazy scan of the whole store (partition pruning applies to any
-    * time_bucket / time predicates stacked on top). */
-  def read(): DataFrame = spark.read.parquet(dataPath)
+  /** Lazy scan of the store as of the LATEST committed manifest —
+    * reads exactly the pinned file list, so uncommitted / crashed-writer
+    * / retired files are invisible. Partition pruning applies to any
+    * time_bucket / time predicates stacked on top (`basePath` keeps the
+    * directory-partition column live on an explicit file list). */
+  def read(): DataFrame = readAt(latestVersionNumber())
+
+  /** The store as of manifest version `v` — data time travel. Valid
+    * while `v` is inside the `vacuum` retention window; reading a
+    * vacuumed version fails on the missing files. Falls back to a
+    * directory scan for pre-file-tracking (legacy) versions. */
+  def readAt(v: Long): DataFrame = snapshotFilesAt(v) match {
+    case Some(files) if files.nonEmpty =>
+      spark.read.option("basePath", dataPath)
+        .parquet(files.map(f => s"$root/$f"): _*)
+    case _ => spark.read.parquet(dataPath)
+  }
+
+  /** Root-relative paths of the data files now on disk, confined to the
+    * given buckets (all buckets when None). Mutations diff this
+    * before/after their write to learn which files the write created —
+    * listing stays O(files in affected buckets), the manifest-maintenance
+    * cost any file-pinning table format pays at commit time. */
+  private[sources] def listDataFiles(buckets: Option[Seq[Long]] = None): Set[String] = {
+    val dataP = new Path(dataPath)
+    val dirs = buckets match {
+      case Some(bs) => bs.map(b => new Path(dataP, s"time_bucket=$b"))
+      case None =>
+        if (!fs.exists(dataP)) Nil
+        else fs.listStatus(dataP).filter(_.isDirectory).map(_.getPath).toSeq
+    }
+    val rootPrefix = fs.makeQualified(hadoopPath).toString + "/"
+    dirs.filter(fs.exists).flatMap { dir =>
+      fs.listStatus(dir).collect {
+        case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") =>
+          val q = fs.makeQualified(st.getPath).toString
+          require(q.startsWith(rootPrefix), s"$q not under $rootPrefix")
+          q.stripPrefix(rootPrefix)
+      }
+    }.toSet
+  }
+
+  /** Delete data files not referenced by the newest `retainLast`
+    * manifests (crashed-writer orphans included) and return their
+    * root-relative paths. Time travel older than the retained window is
+    * forfeited; metadata history (`readDescriptorAt`) survives in full.
+    * Refuses to run mid-update: a concurrent writer's freshly written,
+    * not-yet-committed files look exactly like orphans. */
+  def vacuum(retainLast: Int = 2): Seq[String] = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val d = readDescriptor().getOrElse(
+      throw new IllegalStateException(s"no existing dataset at $root"))
+    if (d.updateInProgress)
+      throw new IllegalStateException(
+        s"store at $root has an update in progress; vacuum would delete " +
+          "its in-flight files")
+    val latest = latestVersionNumber()
+    if (snapshotFilesAt(latest).isEmpty)
+      throw new IllegalStateException(
+        s"latest manifest v$latest records no file list (legacy store); " +
+          "vacuum would treat every data file as an orphan")
+    val referenced = (math.max(1L, latest - retainLast + 1) to latest)
+      .flatMap(v => snapshotFilesAt(v).getOrElse(Nil)).toSet
+    val doomed = (listDataFiles(None) -- referenced).toSeq.sorted
+    doomed.foreach(f => fs.delete(new Path(root, f), false))
+    doomed
+  }
 
   // ---- write paths ------------------------------------------------------
 
@@ -157,41 +262,26 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     * (bucket, last spatial dim), sort within partitions by the full dim
     * order (establishes the row-group min/max skipping property), bound
     * file sizes, directory-partition by bucket. Every path that lands
-    * rows in (or stages rows for) the store must go through here —
-    * including [[EncodingSurgery]]'s staged rewrite. */
+    * rows in the store must go through here — including
+    * [[EncodingSurgery]]'s rewrite.
+    *
+    * Mutations write with `Append` even when REPLACING rows: old files
+    * stay on disk for pinned readers and the replacement is the next
+    * manifest omitting them (see the class doc). That also removes the
+    * self-overwrite hazard the round-1/2 staging dance existed for — the
+    * input can read the very buckets being rewritten, because nothing is
+    * deleted until `vacuum`. */
   private[sources] def writeBuckets(df: DataFrame, d: DatasetDescriptor,
-                                    mode: SaveMode, dynamicOverwrite: Boolean,
-                                    target: String = dataPath): Unit = {
+                                    mode: SaveMode): Unit = {
     val sortCols = col("time_bucket") +: d.dims.map(col)
-    val w = df
-      .repartitionByRange(col("time_bucket"), col(d.dims.last))
+    df.repartitionByRange(col("time_bucket"), col(d.dims.last))
       .sortWithinPartitions(sortCols: _*)
       .write
       .mode(mode)
       .option("maxRecordsPerFile", d.chunk.maxRecordsPerFile)
       .partitionBy("time_bucket")
-    (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic") else w)
-      .parquet(target)
+      .parquet(dataPath)
   }
-
-  // ---- staging (the "temp table" for self-referential rewrites) --------
-
-  /** Materialize a frame into a staging parquet table under the store
-    * root and return a fresh scan of it. Mutations that rewrite the
-    * files their own input reads (dynamic overwrite of scanned buckets)
-    * must break that cycle by materializing first; staging does it with
-    * DISK, not executor memory — `localCheckpoint` pins the rows in
-    * executor storage, which is fine for one bucket on local[32] and
-    * wrong for a 100 TB compaction. A crashed writer's orphaned staging
-    * is deleted by the next mutation's `clearStaging()` and is invisible
-    * to readers (outside `data/`). */
-  private def stageFrame(df: DataFrame, name: String): DataFrame = {
-    val p = new Path(root, s"_staging/$name")
-    df.write.mode(SaveMode.Overwrite).parquet(p.toString)
-    spark.read.parquet(p.toString)
-  }
-  private def clearStaging(): Unit =
-    fs.delete(new Path(root, "_staging"), true)
 
   /** Initial parse (`write_initial_zarr`, `publish.py:240-261`). */
   def writeInitial(df: DataFrame, d: DatasetDescriptor): DatasetDescriptor = {
@@ -204,13 +294,13 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     if (stats.getLong(2) == 0L)
       throw new IllegalArgumentException("initial dataset is empty")
     writeDescriptor(d.copy(updateInProgress = true))
-    writeBuckets(p, d, SaveMode.Overwrite, dynamicOverwrite = false)
+    writeBuckets(p, d, SaveMode.Overwrite)
     val committed = d.copy(
       dateRange = Some((stats.getLong(0), stats.getLong(1))),
       updateInProgress = false,
       updateIsAppendOnly = None,
       updatePreviousEndUs = None)
-    writeDescriptor(committed)
+    writeDescriptor(committed, Some(listDataFiles(None).toSeq))
     committed
   }
 
@@ -228,26 +318,29 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       throw new IllegalStateException(
         s"store at $root has an update in progress (crashed writer?); " +
           "repair or rebuild before compacting")
+    val committedFiles = snapshotFilesAt(latestVersionNumber())
+      .getOrElse(listDataFiles(None).toSeq)
     val target =
       if (buckets.nonEmpty) buckets
       else read().select(col("time_bucket").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq
     writeDescriptor(d.copy(updateInProgress = true))
-    clearStaging()
-    // Stage ALL target buckets to disk in one distributed job, then
-    // dynamically overwrite from the staging table in a second — two
-    // scans, no per-bucket serial loop, and the working set lives on
-    // disk rather than executor storage (the round-1 per-bucket
-    // localCheckpoint bounded memory but serialized the rewrite).
+    // One distributed pass: the scan reads the pinned (old) files and the
+    // write creates new ones next to them — no staging table, no
+    // self-overwrite cycle, because the old files outlive the job and are
+    // retired only by the manifest swap below.
     val src = (if (buckets.nonEmpty)
         read().filter(col("time_bucket").isin(target: _*))
       else read())
       .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
-    val staged = stageFrame(src, "compact")
-    writeBuckets(staged, d, SaveMode.Overwrite, dynamicOverwrite = true)
-    clearStaging()
+    val before = listDataFiles(Some(target))
+    writeBuckets(src, d, SaveMode.Append)
+    val fresh = listDataFiles(Some(target)) -- before
+    val targetDirs = target.map(b => s"data/time_bucket=$b/")
+    val manifest = committedFiles
+      .filterNot(f => targetDirs.exists(f.startsWith)) ++ fresh.toSeq
     val committed = d.copy(updateInProgress = false)
-    writeDescriptor(committed)
+    writeDescriptor(committed, Some(manifest))
     committed
   }
 
@@ -329,44 +422,45 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
           }
           appendRegions.nonEmpty
       }
-      // Materialize append rows BEFORE any overwrite: they reference the
-      // store's current file listing (via the anti-join's existingTimes),
-      // and the insert path below deletes those files at commit — lazy
-      // evaluation afterwards would hit FILE_NOT_EXIST mid-update.
-      // Staged to disk, not localCheckpoint'ed: executor storage is the
-      // wrong place for an arbitrarily large append at cluster scale.
-      clearStaging()
-      val appendRows =
-        if (hasAppends)
-          Some(stageFrame(
-            p.join(broadcast(appendT), Seq(t), "left_semi"), "append"))
-        else None
+      // Everything below only ADDS files: replaced rows are retired by
+      // the manifest swap at commit, not deleted — so the append and
+      // survivor frames may lazily read the very buckets being rewritten
+      // (no staging table, no FILE_NOT_EXIST window), pinned readers are
+      // untouched, and a crash leaves only orphans for vacuum. Listing is
+      // confined to the update's own buckets.
+      val committedFiles = snapshotFilesAt(latestVersionNumber())
+        .getOrElse(listDataFiles(None).toSeq)
+      val touched = p.select(col("time_bucket")).distinct()
+        .collect().map(_.getLong(0)).toSeq // bounded: buckets in this update
+      val before = listDataFiles(Some(touched))
 
       writeDescriptor(d.copy(updateInProgress = true))
 
+      var insertBuckets: Seq[Long] = Nil
       if (inserts) {
-        // Region overwrite: for each affected bucket, merge surviving
-        // existing rows with the update rows, then dynamically overwrite
-        // just those partitions (the `region=` write, `publish.py:332-371`).
+        // Region replace: for each affected bucket, merge surviving
+        // existing rows with the update rows and write the merged bucket
+        // as NEW files (the `region=` write, `publish.py:332-371`).
         val insertRows = p.join(broadcast(insertT), Seq(t), "left_semi")
-        val buckets = insertRows.select("time_bucket").distinct()
-          .collect().map(_.getLong(0)) // bounded: one entry per affected bucket
+        insertBuckets = insertRows.select("time_bucket").distinct()
+          .collect().map(_.getLong(0)).toSeq // one entry per affected bucket
         val survivors = read()
-          .filter(col("time_bucket").isin(buckets: _*))
+          .filter(col("time_bucket").isin(insertBuckets: _*))
           .join(broadcast(insertT), Seq(t), "left_anti")
           .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
-        // Materialize before overwriting: the frame reads the very files
-        // the dynamic overwrite swaps out at commit. Staged-output commit
-        // happens to make the lazy form safe today, but that couples
-        // correctness to Spark's commit internals — compact() and the
-        // append path stage for the same reason. Bounded: affected
-        // buckets only; on disk, not executor storage.
-        val merged = stageFrame(survivors.unionByName(insertRows), "insert")
-        writeBuckets(merged, d, SaveMode.Overwrite, dynamicOverwrite = true)
+        writeBuckets(survivors.unionByName(insertRows), d, SaveMode.Append)
       }
 
-      appendRows.foreach(rows =>
-        writeBuckets(rows, d, SaveMode.Append, dynamicOverwrite = false))
+      if (hasAppends)
+        writeBuckets(p.join(broadcast(appendT), Seq(t), "left_semi"),
+          d, SaveMode.Append)
+
+      // New manifest: committed files minus the replaced insert buckets,
+      // plus whatever the two writes above created.
+      val fresh = listDataFiles(Some(touched)) -- before
+      val insertDirs = insertBuckets.map(b => s"data/time_bucket=$b/")
+      val manifest = committedFiles
+        .filterNot(f => insertDirs.exists(f.startsWith)) ++ fresh.toSeq
 
       val committed = d.copy(
         dateRange = Some((math.min(dsStart, stats.getLong(0)),
@@ -374,8 +468,7 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
         updateInProgress = false,
         updatePreviousEndUs = Some(dsEnd),
         updateIsAppendOnly = Some(!inserts))
-      writeDescriptor(committed)
-      clearStaging()
+      writeDescriptor(committed, Some(manifest))
       committed
     } finally p.unpersist()
   }

@@ -240,6 +240,73 @@ class FunctionsSpec extends SparkSpec {
       s"missed=${expected -- got} extra=${got -- expected}")
   }
 
+  test("kmeansTrain: converged quantizer beats the sample quantizer") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // seeds = q51's deterministic md5-ordered sample
+    val seeds = emb
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy("h", "vec_id").limit(8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val trained =
+      VectorFunctions.kmeansTrain(emb, "vec_id", "embedding", seeds, maxIter = 10)
+    // ids preserved: a trained quantizer is a drop-in ivfAssign argument
+    assert(trained.map(_._1).toSeq == seeds.map(_._1).sorted.toSeq)
+
+    def cosTo(cm: Map[Long, Array[Float]]): (Array[Float], Long) => Double = {
+      case (v, cell) =>
+        val c = cm(cell)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < v.length) {
+          val x = v(i).toDouble; val y = c(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // spherical-k-means objective: mean cosine to the assigned centroid
+    def objective(cents: Array[(Long, Array[Float])]): Double = {
+      val s = spark; import s.implicits._
+      val f = cosTo(cents.toMap)
+      VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
+        .select(col("embedding"), col("cell")).as[(Array[Float], Long)]
+        .map(f.tupled).toDF("cos").agg(avg("cos")).collect()(0).getDouble(0)
+    }
+    val objSeed = objective(seeds)
+    val objTrained = objective(trained)
+    assert(objTrained >= objSeed,
+      s"training must not worsen the objective: $objTrained < $objSeed")
+
+    // probe recall vs brute force for query vec 0, nProbe=2 of 8 cells
+    def recall(cents: Array[(Long, Array[Float])]): Double = {
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val f = cosTo(cents.toMap)
+      val qcells = cents
+        .map { case (cid, _) => cid -> f(qv, cid) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(2).map(_._1).toSet
+      val assigned = VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
+        .filter(col("vec_id") =!= 0)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      def top20(df: org.apache.spark.sql.DataFrame) = df
+        .join(broadcast(q))
+        .select(col("vec_id"),
+          VectorFunctions.cosine(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(20)
+        .collect().map(_.getLong(0)).toSet
+      val brute = top20(assigned)
+      val probed = top20(assigned.filter(col("cell").isin(qcells.toSeq: _*)))
+      (brute & probed).size / 20.0
+    }
+    val rSeed = recall(seeds)
+    val rTrained = recall(trained)
+    assert(rTrained >= rSeed,
+      s"trained-quantizer recall $rTrained fell below sample-quantizer $rSeed")
+  }
+
   test("connectedComponents: chains, cliques, min-label reps, no singletons") {
     val s = spark; import s.implicits._
     // A 4-chain (worst diameter per node count), a triangle, an isolated

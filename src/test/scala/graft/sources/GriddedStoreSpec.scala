@@ -125,6 +125,62 @@ class GriddedStoreSpec extends SparkSpec {
     }
   }
 
+  test("snapshot manifest: pinned reads, data time travel, vacuum") {
+    val root = tmpDir("store-snap")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(10, 2, 2), desc("snap")) // v2 committed
+    val v2 = store.latestVersionNumber()
+    // insert rewrites day 3's bucket; append adds day 10
+    store.update(cube(1, 2, 2, startDay = 3, valueOffset = 7777.0)
+      .unionByName(cube(1, 2, 2, startDay = 10, valueOffset = 8888.0)))
+    val v4 = store.latestVersionNumber()
+    assert(v4 == v2 + 2)
+    def pointAt(df: org.apache.spark.sql.DataFrame, day: Long): Double =
+      df.where(col("time") === day * DAY_US &&
+        col("latitude") === -1.0 && col("longitude") === 10.0)
+        .select("precip").collect()(0).getDouble(0)
+    // latest sees the insert and the append
+    assert(pointAt(store.read(), 3) == 7777.0)
+    assert(pointAt(store.read(), 10) == 8888.0)
+    assert(store.read().count() == 11 * 4)
+    // time travel: v2 still reads the PRE-insert data, even though its
+    // bucket was rewritten — old files are retired, not deleted
+    assert(pointAt(store.readAt(v2), 3) == 300.0)
+    assert(store.readAt(v2).count() == 10 * 4)
+    // vacuum retaining only the latest version drops v2's replaced
+    // files; the latest read is untouched, the old version is forfeit
+    val deleted = store.vacuum(retainLast = 1)
+    assert(deleted.nonEmpty)
+    assert(store.read().count() == 11 * 4)
+    assert(pointAt(store.read(), 3) == 7777.0)
+    intercept[Exception] { store.readAt(v2).count() }
+    // vacuum deleted ONLY unreferenced files: everything on disk is
+    // exactly the latest manifest
+    assert(store.listDataFiles(None) ==
+      store.snapshotFilesAt(v4).get.toSet)
+    // a second vacuum is a no-op
+    assert(store.vacuum(retainLast = 1).isEmpty)
+  }
+
+  test("vacuum removes a crashed writer's orphan files after repair") {
+    val root = tmpDir("store-orphan")
+    val store = new GriddedStore(root, spark)
+    val d = store.writeInitial(cube(10, 2, 2), desc("orph"))
+    val committedFiles = store.snapshotFilesAt(store.latestVersionNumber()).get.toSet
+    // simulate a writer that crashed after landing files but before its
+    // manifest commit: extra parquet in a bucket dir, unreferenced
+    val orphan = new org.apache.hadoop.fs.Path(root,
+      "data/time_bucket=0/part-orphan.snappy.parquet")
+    val out = store.fs.create(orphan, true)
+    out.write(Array.fill(16)(0x5A.toByte)); out.close()
+    // reads are pinned to the manifest, so the orphan is invisible
+    assert(store.read().count() == 10 * 4)
+    val deleted = store.vacuum(retainLast = 1)
+    assert(deleted == Seq("data/time_bucket=0/part-orphan.snappy.parquet"))
+    assert(store.listDataFiles(None) == committedFiles)
+    assert(!d.updateInProgress)
+  }
+
   test("irregular cadence: gapped-but-within-bounds append commits (publish.py:677-685)") {
     val root = tmpDir("store-irreg")
     val store = new GriddedStore(root, spark)

@@ -56,18 +56,24 @@ class StoreScaleSpec extends SparkSpec {
     store.writeInitial(cube(2, 2, 2), d0)
     // five appends into the SAME bucket -> five file generations
     (1 to 5).foreach(i => store.update(cube(2, 2, 2, startDay = 2L * i)))
-    def files = new java.io.File(store.dataPath).listFiles()
+    // what a reader scans = the manifest's pinned list (old generations
+    // stay on disk for pinned readers until vacuum)
+    def scanned = store.snapshotFilesAt(store.latestVersionNumber()).get.size
+    def onDisk = new java.io.File(store.dataPath).listFiles()
       .filter(_.isDirectory).flatMap(_.listFiles())
       .count(_.getName.endsWith(".parquet"))
-    val before = files
+    val before = scanned
     val sumBefore = store.read().agg(org.apache.spark.sql.functions.sum("precip"))
       .collect()(0).getDouble(0)
     store.compact()
-    assert(files < before)
+    assert(scanned < before)
     assert(store.read().count() == 12 * 4)
     assert(store.read().agg(org.apache.spark.sql.functions.sum("precip"))
       .collect()(0).getDouble(0) == sumBefore)
     assert(!store.readDescriptor().get.updateInProgress)
+    // vacuum reclaims the superseded generations: disk == manifest
+    store.vacuum(retainLast = 1)
+    assert(onDisk == scanned)
   }
 
   test("mixed insert+append update succeeds and leaves a clean store") {
