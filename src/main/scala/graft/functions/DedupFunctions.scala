@@ -78,8 +78,13 @@ object DedupFunctions {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Initialize with round 1 fused in: every endpoint starts at
+    // min(self, direct neighbors) — one aggregate instead of a
+    // distinct + a full join round. Near-clique dup clusters converge
+    // immediately, so the loop's first pass is usually the no-change
+    // confirmation.
+    var labels = und.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min("dst")).as("lbl"))
       .localCheckpoint()
     var converged = false
     var i = 0

@@ -166,14 +166,13 @@ object TextQueries {
         posexplode(transform(sequence(lit(0), lit(3)),
           q => call_function("shiftright", col("sh"), q * 15)
             .bitwiseAND(lit(0x7FFFL)))).as(Seq("q", "blk")))
+      // No distinct here: multi-block collisions dedup once, in the
+      // union-level distinct below (one exchange instead of two).
       val nearPairs = blocked.as("a").join(blocked.as("b"),
           col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
-          DedupFunctions.hamming64(col("a.sh"), col("b.sh")).as("hd"))
-        .distinct()
-        .filter(col("hd") <= 3) // = the blocking guarantee radius
-        .select("src", "dst")
+        .filter(DedupFunctions.hamming64(col("a.sh"), col("b.sh")) <= 3)
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
       val exactPairs = hashed.as("a").join(hashed.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -247,6 +246,31 @@ object TextQueries {
           (col("top_c").cast("double") / col("n_tok").cast("double"))
             .as("top_token_ratio"),
           col("dup_2gram_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Cross-doc contamination (the decontamination op of training
+    // pipelines): per doc, the fraction of its distinct 3-gram shingles
+    // that also occur in ANY other document. A gram with df = 1 has
+    // exactly one owner doc, so shared = total − unique: ONE gram-keyed
+    // shuffle computes df and owner together, and the exploded table is
+    // never joined back (the df ≥ 2 formulation shuffles it twice).
+    // State stays vocab-sized; the pair space is never materialized.
+    "q56_contamination" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .filter(TextFunctions.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"), TextFunctions.wordNgrams(col("text"), 3).as("grams"))
+      val uniq = d.select(col("doc_id"), explode(col("grams")).as("g"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("df"), min("doc_id").as("owner"))
+        .filter(col("df") === 1)
+        .groupBy(col("owner").as("doc_id"))
+        .agg(count(lit(1)).as("n_uniq"))
+      val shared = col("n_grams") - coalesce(col("n_uniq"), lit(0L))
+      d.select(col("doc_id"), size(col("grams")).cast("bigint").as("n_grams"))
+        .join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), shared.as("n_shared"),
+          (shared.cast("double") / col("n_grams")).as("contamination"))
         .orderBy("doc_id")
     }),
 
@@ -392,6 +416,16 @@ object TextQueries {
         |   FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
         |SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25
         |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin,
+    "q56_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |           WHERE LEN(string_split(text,' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(LEN(toks)-2),
+        |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS g FROM d),
+        |df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS BIGINT) AS n_shared,
+        |  CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE) / COUNT(*) AS contamination
+        |FROM sh JOIN df USING (g) GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "q54_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, toks,

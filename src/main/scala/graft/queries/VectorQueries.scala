@@ -161,6 +161,32 @@ object VectorQueries {
         .limit(20)
     }),
 
+    // Int8 scalar quantization of embeddings (the storage/ANN-compression
+    // op): per-vector symmetric scale = max |x|, q_i = floor(x/scale*127),
+    // plus the reconstruction squared error. Pure per-row higher-order
+    // expressions — runs inside the scan stage, no shuffle; floor (not
+    // round) and explicit squaring keep every double bit-identical to the
+    // DuckDB oracle's list folds.
+    "q57_quantize_int8" -> ((s, dir) => {
+      def xd(x: org.apache.spark.sql.Column) = x.cast("double")
+      val mx = greatest(
+        aggregate(transform(col("embedding"), x => abs(xd(x))),
+          lit(0.0), (a, x) => greatest(a, x)),
+        lit(1e-12))
+      val err = (x: org.apache.spark.sql.Column) =>
+        xd(x) - floor(xd(x) / col("mx") * 127) * col("mx") / 127
+      Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("mx", mx)
+        .select(col("vec_id"), col("mx"),
+          aggregate(transform(col("embedding"),
+              x => floor(xd(x) / col("mx") * 127)),
+            lit(0.0), (a, x) => a + x).cast("bigint").as("qsum"),
+          aggregate(transform(col("embedding"), x => err(x) * err(x)),
+            lit(0.0), (a, x) => a + x).as("sq_err"))
+        .orderBy("vec_id")
+    }),
+
     // Per-label embedding stats: norm aggregation by label (groupBy over
     // a derived per-row double; decimal-cast for order-independent sums).
     "q42_label_norms" -> ((s, dir) => {
@@ -261,6 +287,17 @@ object VectorQueries {
         |  JOIN qc ON b.cid = qc.cid CROSS JOIN qv
         |  WHERE e.vec_id <> 0)
         |SELECT vec_id, cell, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q57_quantize_int8" ->
+      """WITH s AS (SELECT vec_id,
+        |    GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS mx
+        |  FROM embeddings)
+        |SELECT e.vec_id, mx,
+        |  CAST(list_sum(list_transform(e.embedding,
+        |    x -> floor(CAST(x AS DOUBLE) / mx * 127))) AS BIGINT) AS qsum,
+        |  list_sum(list_transform(e.embedding,
+        |    x -> (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / mx * 127) * mx / 127)
+        |       * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / mx * 127) * mx / 127))) AS sq_err
+        |FROM embeddings e JOIN s ON e.vec_id = s.vec_id ORDER BY e.vec_id""".stripMargin,
     "q42_label_norms" ->
       s"""WITH n AS (SELECT label,
          |    CAST(${normSql("embedding")} AS DECIMAL(18,9)) AS nrm FROM embeddings)
