@@ -274,6 +274,85 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Document chunking into overlapping token windows (the RAG /
+    // context-window prep op): 32-token windows at stride 24. Pure
+    // per-row generator expressions — posexplode of a computed start
+    // sequence, sliced inside the scan stage; no shuffle at any scale.
+    "q58_chunk_windows" -> ((s, dir) => {
+      val chunk = 32; val stride = 24
+      val win = slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunk))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0L),
+            floor((size(col("toks")) - 1) / lit(stride)).cast("long")))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(win).as("n_tok"),
+          md5(concat_ws(" ", win).cast("binary")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Boilerplate phrase mining: recurring 4-gram phrases by document
+    // frequency and source spread — the template/boilerplate detection
+    // pass of corpus cleaning. One gram-keyed aggregate; state is
+    // vocab-sized and the top-k is a TakeOrdered, never a full sort.
+    "q59_boilerplate_phrases" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .filter(TextFunctions.tokenCount(col("text")) >= 4)
+        .select(col("doc_id"), col("source"),
+          explode(TextFunctions.wordNgrams(col("text"), 4)).as("g"))
+        .groupBy("g")
+        .agg(countDistinct("doc_id").as("df"),
+          countDistinct("source").as("n_sources"))
+        .filter(col("df") >= 3)
+        .orderBy(col("df").desc, col("g"))
+        .limit(50)
+    }),
+
+    // Deterministic train/val/test split: md5(doc_id) mod 100 → 80/10/10.
+    // Hash-based (not random) so the assignment is stable under
+    // re-partitioning, appends, and re-runs — the property a training
+    // pipeline needs for leakage-free splits. Scan-stage only.
+    "q60_split_assign" -> ((s, dir) => {
+      val bucket = conv(substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % 100
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 80, lit("train"))
+            .when(bucket < 90, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing (contiguous fill): docs are packed into
+    // 256-token context bins in doc_id order WITHIN each source shard —
+    // bin = the budget-multiple its running token offset lands in. The
+    // window is partitioned by source, so shards pack independently and
+    // in parallel; this is exactly how a real pipeline packs at 100 TB
+    // (per-shard prefix sums, no global coordination).
+    "q61_pack_sequences" -> ((s, dir) => {
+      val budget = 256
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("source"),
+          floor((col("cum") - col("n_tok")) / lit(budget)).cast("long").as("bin"),
+          col("n_tok"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("bigint").as("tok_sum"))
+        .select(col("source"), col("bin"), col("n_docs"), col("tok_sum"),
+          (col("tok_sum").cast("double") / budget).as("fill"))
+        .orderBy("source", "bin")
+    }),
+
     // Binary/multimodal plumbing: opaque bytes + typed metadata (decode
     // itself is stubbed — see graft.multimodal; here: byte stats/hashes).
     "q36_binary_meta" -> ((s, dir) => {
@@ -426,6 +505,41 @@ object TextQueries {
         |  CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS BIGINT) AS n_shared,
         |  CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE) / COUNT(*) AS contamination
         |FROM sh JOIN df USING (g) GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "q58_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(CAST(floor((LEN(toks)-1)/24) AS BIGINT)+1)) AS ci FROM d)
+        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        |  CAST(LEN(toks[ci*24+1 : ci*24+32]) AS INTEGER) AS n_tok,
+        |  md5(array_to_string(toks[ci*24+1 : ci*24+32], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q59_boilerplate_phrases" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents
+        |           WHERE LEN(string_split(text,' ')) >= 4),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         unnest(list_transform(range(LEN(toks)-3),
+        |           i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS g FROM d)
+        |SELECT g, COUNT(DISTINCT doc_id) AS df, COUNT(DISTINCT source) AS n_sources
+        |FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 3
+        |ORDER BY df DESC, g LIMIT 50""".stripMargin,
+    "q60_split_assign" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q61_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source, LEN(string_split(text,' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |b AS (SELECT source, CAST(floor((cum - n_tok) / 256) AS BIGINT) AS bin, n_tok FROM c)
+        |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(n_tok) AS DOUBLE) / 256 AS fill
+        |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "q54_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, toks,

@@ -43,6 +43,36 @@ class PlanRegressionSpec extends SparkSpec {
       "top-k must be TakeOrdered, not a global sort")
   }
 
+  test("q58 chunking and q60 split stay in the scan stage (no exchange)") {
+    for (q <- Seq("q58_chunk_windows", "q60_split_assign")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString()
+      // The trailing presentation orderBy is the only allowed exchange
+      // (rangepartitioning for the sort); no hashpartitioning shuffle.
+      assert(!plan.contains("hashpartitioning"),
+        s"$q is a per-row generator/projection; it must not shuffle")
+    }
+  }
+
+  test("q61 packing windows partition by source (no single-partition window)") {
+    val plan = SparkEntry.queries("q61_pack_sequences")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("Window"), "expected the prefix-sum window")
+    assert(!plan.contains("SinglePartition"),
+      "the packing prefix sum must stay sharded by source")
+  }
+
+  test("q56 contamination never joins back over the exploded gram table") {
+    val plan = SparkEntry.queries("q56_contamination")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    // Exactly one join: the per-doc (n_grams ⟕ n_uniq) assembly over
+    // doc-cardinality frames. The df>=2 formulation would show a second,
+    // gram-keyed join over the exploded table.
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected 1 doc-keyed join, got $joins:\n$plan")
+  }
+
   test("scan-heavy queries keep filters pushed into the parquet scan") {
     val q06 = SparkEntry.queries("q06_selective_filter")(spark, "/root/testdata/sf0.001")
     val plan = q06.queryExecution.executedPlan.toString()

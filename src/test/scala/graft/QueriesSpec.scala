@@ -23,4 +23,47 @@ class QueriesSpec extends SparkSpec {
   test("flagship entry returns rows on a vanilla-ish session") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q58 chunk windows tile every document (coverage + overlap invariants)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val chunks = SparkEntry.queries("q58_chunk_windows")(spark, dir)
+    val docs = graft.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+    val agg = chunks.groupBy("doc_id")
+      .agg(max("chunk_idx").as("last"), min("n_tok").as("min_tok"),
+        max("n_tok").as("max_tok"))
+      .join(docs, "doc_id")
+    // every doc chunked; last window reaches the end; sizes within [1, 32]
+    assert(agg.count() == docs.count())
+    assert(agg.filter(col("last") =!= floor((col("n") - 1) / 24)).isEmpty)
+    assert(agg.filter(col("max_tok") > 32 || col("min_tok") < 1).isEmpty)
+  }
+
+  test("q60 split is stable under re-partitioning and roughly 80/10/10") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("q60_split_assign")(spark, dir)
+    val b = SparkEntry.queries("q60_split_assign")(spark, dir).repartition(7)
+    assert(a.join(b.withColumnRenamed("split", "s2"), Seq("doc_id"))
+      .filter(col("split") =!= col("s2")).isEmpty)
+    val n = a.count().toDouble
+    val train = a.filter(col("split") === "train").count().toDouble
+    assert(train / n > 0.6 && train / n < 0.95, s"train frac ${train / n}")
+  }
+
+  test("q61 packing conserves tokens and bins advance monotonically") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val packed = SparkEntry.queries("q61_pack_sequences")(spark, dir)
+    val total = graft.Tables.table(spark, dir, "documents")
+      .select(sum(graft.functions.TextFunctions.tokenCount(col("text"))))
+      .head().getLong(0)
+    assert(packed.agg(sum("tok_sum")).head().getLong(0) == total)
+    // within a source, bin ids are the distinct floor-offsets: strictly
+    // increasing with no token lost between them
+    val dup = packed.groupBy("source", "bin").count().filter(col("count") > 1)
+    assert(dup.isEmpty)
+  }
 }
