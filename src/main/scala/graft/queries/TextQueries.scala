@@ -353,6 +353,38 @@ object TextQueries {
         .orderBy("source", "bin")
     }),
 
+    // KMV (k-minimum-values) distinct sketch, k=16: per-source vocabulary
+    // cardinality estimated from the k smallest md5 hash values — the
+    // PORTABLE sketch (unlike HLL, every intermediate is reproducible in
+    // SQL, so the oracle checks the estimator itself, not just rows).
+    // State per group is k values; the working set is the distinct
+    // (source, token) frame, which is vocab-bounded at any corpus size.
+    // Exact count rides along from the same distinct frame for the
+    // error-vs-exact comparison a pipeline monitor wants.
+    "q62_kmv_distinct" -> ((s, dir) => {
+      val k = 16
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct()
+      val hv = conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("hv"), col("tok"))
+      val sk = toks.withColumn("hv", hv)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy("source")
+        .agg(max("hv").as("kth"), count(lit(1)).as("n_seen"))
+      val exact = toks.groupBy("source").agg(count(lit(1)).as("exact_nd"))
+      sk.join(exact, "source")
+        .select(col("source"), col("n_seen"), col("kth"),
+          when(col("n_seen") < k, col("n_seen").cast("double"))
+            .otherwise(lit(k - 1) *
+              (lit((1L << 60) - 1).cast("double") / col("kth"))).as("est_nd"),
+          col("exact_nd"))
+        .orderBy("source")
+    }),
+
     // Binary/multimodal plumbing: opaque bytes + typed metadata (decode
     // itself is stubbed — see graft.multimodal; here: byte stats/hashes).
     "q36_binary_meta" -> ((s, dir) => {
@@ -540,6 +572,22 @@ object TextQueries {
         |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
         |  CAST(SUM(n_tok) AS DOUBLE) / 256 AS fill
         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "q62_kmv_distinct" ->
+      """WITH toks AS (SELECT DISTINCT source, unnest(string_split(text,' ')) AS tok
+        |              FROM documents),
+        |h AS (SELECT source, tok,
+        |        CAST('0x'||substr(md5(tok),1,15) AS BIGINT) AS hv,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |          CAST('0x'||substr(md5(tok),1,15) AS BIGINT), tok) AS rn
+        |      FROM toks),
+        |k AS (SELECT source, MAX(hv) AS kth, CAST(COUNT(*) AS BIGINT) AS n_seen
+        |      FROM h WHERE rn <= 16 GROUP BY source),
+        |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_nd FROM toks GROUP BY source)
+        |SELECT k.source, n_seen, kth,
+        |  CASE WHEN n_seen < 16 THEN CAST(n_seen AS DOUBLE)
+        |       ELSE (16 - 1) * (CAST(1152921504606846975 AS DOUBLE) / kth) END AS est_nd,
+        |  exact_nd
+        |FROM k JOIN ex ON k.source = ex.source ORDER BY k.source""".stripMargin,
     "q54_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, toks,

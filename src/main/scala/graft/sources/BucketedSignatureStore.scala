@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed persistence for dedup signature/band tables — the "write the
+  * signature table once, join it many times" scale path that the inline
+  * dedup queries (`q34`/`q46`) stand in for with `localCheckpoint`.
+  *
+  * Spark bucketing records hash-distribution metadata in the catalog:
+  * rows are written into `numBuckets` files by hash of the bucket
+  * columns, sorted within each bucket. A later self-join (or a join
+  * against any table bucketed the same way on the same keys) reads both
+  * sides already co-distributed, so the join plans with ZERO shuffle
+  * exchanges — at 100 TB that converts every incremental dedup run
+  * (new shard vs corpus signatures) from a full-corpus shuffle into a
+  * bucket-local merge. The one shuffle bucketing costs is paid once at
+  * write time and amortized across every subsequent run.
+  *
+  * Mirrors the reference's posture of persisting derived artifacts next
+  * to the data rather than recomputing them per query (its Kerchunk
+  * index files play the same role for scans —
+  * `gridded_etl_tools/utils/zarr_methods.py:78-141`).
+  */
+object BucketedSignatureStore {
+
+  /** Write `df` as an external parquet table at `path`, bucketed AND
+    * sorted by `keys`. Overwrites any previous generation of `name`. */
+  def write(df: DataFrame, name: String, path: String, numBuckets: Int,
+            keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "bucketed write needs at least one key column")
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(name)
+  }
+
+  /** The catalog-registered bucketed table (bucket metadata attached —
+    * a plain `spark.read.parquet(path)` would NOT get exchange-free
+    * joins, the distribution info lives in the catalog entry). */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

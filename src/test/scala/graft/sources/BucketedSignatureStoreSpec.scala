@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.functions.{DedupFunctions, Signatures, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** The bucketed signature table must (a) self-join without any shuffle
+  * exchange — the whole point of paying the bucketed write — and
+  * (b) produce exactly the candidate pairs the inline band join does. */
+class BucketedSignatureStoreSpec extends SparkSpec {
+
+  private def bandRows(dir: String) =
+    Signatures.minhash(
+        Tables.table(spark, dir, "documents")
+          .filter(TextFunctions.tokenCount(col("text")) >= 3),
+        "doc_id", "text", 3, 64)
+      .withColumn("bands", DedupFunctions.bandKeys(col("sig"), 16, 4))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bk")))
+
+  test("bucketed self-join plans with no shuffle exchange and matches inline pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val path = tmpDir("sigstore")
+    val banded = bandRows(dir)
+    BucketedSignatureStore.write(banded, "sig_bands", path, 8, Seq("band", "bk"))
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = BucketedSignatureStore.table(spark, "sig_bands")
+      val joined = t.as("a").join(t.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+
+      // the join stage itself (before any downstream agg) must be
+      // exchange-free: both scans carry bucket metadata
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed self-join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan did not use bucket metadata:\n$plan")
+
+      val inline = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val (j, i) = (joined.distinct(), inline.distinct())
+      assert(j.exceptAll(i).isEmpty && i.exceptAll(j).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS sig_bands")
+    }
+  }
+
+  test("re-bucketing a new shard joins the stored corpus without shuffling the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val path = tmpDir("sigstore_inc")
+    val banded = bandRows(dir).localCheckpoint()
+    val corpus = banded.filter(col("doc_id") < 80)
+    val shard = banded.filter(col("doc_id") >= 80)
+    BucketedSignatureStore.write(corpus, "sig_corpus", path + "/corpus", 8, Seq("band", "bk"))
+    // incremental run: bucket ONLY the new shard the same way…
+    BucketedSignatureStore.write(shard, "sig_shard", path + "/shard", 8, Seq("band", "bk"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = BucketedSignatureStore.table(spark, "sig_corpus").as("a")
+        .join(BucketedSignatureStore.table(spark, "sig_shard").as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"matching bucket layouts must join exchange-free:\n$plan")
+      // and the pairs are the cross-shard subset of the full band join
+      val expected = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < lit(80) && col("b.doc_id") >= lit(80))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      assert(j.exceptAll(expected).isEmpty && expected.exceptAll(j).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS sig_corpus")
+      spark.sql("DROP TABLE IF EXISTS sig_shard")
+    }
+  }
+}
