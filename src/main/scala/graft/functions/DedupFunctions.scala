@@ -63,21 +63,33 @@ object DedupFunctions {
     * iteration working set is the dup graph (a small fraction of the
     * corpus), never the corpus itself.
     *
-    * Algorithm: min-label propagation — each round every node takes the
-    * minimum label among itself and its neighbors, converging in
-    * `diameter(G)` rounds. Dup clusters are near-cliques (every member
-    * collides with most others in some band/block), so the diameter is
-    * small and the round count stays O(1) in practice; a 100 TB corpus
-    * with adversarially-chained clusters would want the O(log n)
-    * large-star/small-star variant, which drops in here without changing
-    * callers. Each round is one equi-join + one partial-aggregated
-    * groupBy on the (small) edge frame; labels are localCheckpoint'd per
-    * round so the lineage does not grow with iterations.
+    * Algorithm: min-label propagation with pointer jumping — each round
+    * every node takes the minimum of its own label, its neighbors'
+    * labels, and its label's label (path halving). The jump term
+    * shortcuts label chains (sf0.1's chained dup graph: 10 rounds vs 13
+    * without it); discovery of a lower min still travels edge-by-edge,
+    * so worst-case rounds stay O(diameter) — the edge-rewriting
+    * large-star/small-star variant is the O(log n) upgrade if
+    * adversarial graphs ever dominate, at a higher per-round cost. Each
+    * round is two equi-joins + one partial-aggregated groupBy on the
+    * (small) edge frame, partitioned by the graph's own size; labels are
+    * localCheckpoint'd per round so lineage does not grow with
+    * iterations.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
+    val undFull = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // Partition the LOOP by the dup graph's own size, not the session
+    // default: every round schedules `p` tasks per stage, and the graph
+    // is usually orders of magnitude smaller than the corpus (at sf0.1:
+    // ~500 edges vs 5 000 docs; at 100 TB: billions of edges → full
+    // parallelism via the 50k-edges-per-partition target). Without this
+    // the iteration pays (rounds × stages × session-parallelism) task
+    // launches to move a few hundred rows.
+    val p = math.max(1L, math.min(undFull.rdd.getNumPartitions.toLong,
+      undFull.count() / 50000L + 1L)).toInt
+    val und = undFull.coalesce(p)
     // Initialize with round 1 fused in: every endpoint starts at
     // min(self, direct neighbors) — one aggregate instead of a
     // distinct + a full join round. Near-clique dup clusters converge
@@ -91,9 +103,20 @@ object DedupFunctions {
     while (!converged && i < maxIter) {
       val nbr = und.join(labels, und("src") === labels("id"))
         .groupBy(col("dst").as("nid")).agg(min("lbl").as("nlbl"))
+      // Pointer jump (path halving): besides the neighbor minimum, each
+      // node also adopts its label's label. Plain min-propagation needs
+      // diameter(G) rounds — observed 13 on sf0.1's chained dup graph —
+      // while the jump shortcuts chains for O(log diameter) convergence.
+      // Safe: labels only decrease, never leave the component (a label
+      // is always a component member's id, so its label is too), and a
+      // fixed point forces lbl(u) = lbl(v) across every edge, which
+      // pins the shared label to the component minimum.
+      val self = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
       val next = labels.join(nbr, labels("id") === nbr("nid"), "left")
+        .join(self, col("lbl") === col("jid"), "left")
         .select(col("id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
+            coalesce(col("jlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       converged = next.filter(col("lbl") =!= col("old")).isEmpty
       labels = next.select("id", "lbl")

@@ -76,6 +76,25 @@ object Signatures {
     }
   }
 
+  /** Exploded distinct n-gram rows `(id, src, g)` — ONE imperative
+    * tokenize+shingle pass per document. The SQL-expression route
+    * (`explode(transform(sequence(...), i -> concat_ws(...)))`) inlines
+    * an interpreted lambda into the Generate that re-runs `split(text)`
+    * at every element_at site — observed 12× slower at sf0.1 (5.9 s vs
+    * 0.45 s) than this typed pass. Same distinct-gram set as
+    * [[TextFunctions.wordNgrams]] / the oracle's `SELECT DISTINCT`. */
+  def ngramRows(df: DataFrame, idCol: String, srcCol: String,
+                textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    spread(df.select(col(idCol).cast("long"), col(srcCol), col(textCol)))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, src, text) =>
+        wordShingles(text, n).iterator.map(g => (id, src, g))
+      })
+      .toDF(idCol, srcCol, "g")
+  }
+
   /** (id, sig: array<long>[perms]) — MinHash signatures over distinct
     * word n-gram shingles. One md5 digest of (g + "#" + k) yields TWO
     * 60-bit permutation hashes (hex chars 1-15 and 16-30), so perm 2k

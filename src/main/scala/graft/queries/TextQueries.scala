@@ -298,12 +298,15 @@ object TextQueries {
     // pass of corpus cleaning. One gram-keyed aggregate; state is
     // vocab-sized and the top-k is a TakeOrdered, never a full sort.
     "q59_boilerplate_phrases" -> ((s, dir) => {
-      Tables.table(s, dir, "documents")
-        .filter(TextFunctions.tokenCount(col("text")) >= 4)
-        .select(col("doc_id"), col("source"),
-          explode(TextFunctions.wordNgrams(col("text"), 4)).as("g"))
+      graft.functions.Signatures.ngramRows(
+          Tables.table(s, dir, "documents")
+            .filter(TextFunctions.tokenCount(col("text")) >= 4),
+          "doc_id", "source", "text", 4)
+        // rows are unique per (doc_id, g) — the shingle pass emits a
+        // distinct set — so plain count is the document frequency and
+        // only n_sources needs a distinct aggregate
         .groupBy("g")
-        .agg(countDistinct("doc_id").as("df"),
+        .agg(count(lit(1)).as("df"),
           countDistinct("source").as("n_sources"))
         .filter(col("df") >= 3)
         .orderBy(col("df").desc, col("g"))
