@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.{DedupFunctions, Signatures}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the dedup pipeline: N documents (default 500k,
+  * ~60 tokens each over a 5k-word vocabulary) generated DISTRIBUTIVELY
+  * (spark.range — no driver-side rows), with planted duplicate clusters:
+  * every 100th doc is a base, followed by one exact copy and one
+  * 1-token-changed near copy (Jaccard ≈ 0.9). The full production
+  * pipeline runs over it — minhash signatures → band-bucket candidate
+  * join → estimated-Jaccard verify → connected components — and the
+  * probe REQUIRES perfect cluster recovery (N/100 components of size 3),
+  * so it is a correctness-at-scale check, not just a stopwatch.
+  */
+object TextScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    // doc i%100==1 copies i-1 exactly; i%100==2 copies i-2 with the last
+    // token changed; everything else is its own 60-token random text
+    val seed = col("id") - when(pmod(col("id"), lit(100)) === 1, 1L)
+      .when(pmod(col("id"), lit(100)) === 2, 2L).otherwise(0L)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(59)),
+          j => concat(lit("w"),
+            when(j === 59 && pmod(col("id"), lit(100)) === 2, pmod(col("id"), lit(5000)) + 5000)
+              .otherwise(pmod(xxhash64(seed, j), lit(5000))))), " ").as("text"))
+      .localCheckpoint()
+    println(s"PROBE corpus ${docs.count()} docs")
+
+    val exact = timed("exact_dedup (hash groupBy)") {
+      DedupFunctions.exactDupGroups(docs, "doc_id", "text")
+        .filter(col("n") > 1).count()
+    }
+    println(s"PROBE exact dup groups $exact (expect ${nDocs / 100})")
+
+    val sigs = timed("minhash signatures (64 perms)") {
+      Signatures.minhash(docs, "doc_id", "text", 3, 64)
+        .withColumn("bands", DedupFunctions.bandKeys(col("sig"), 16, 4))
+        .localCheckpoint()
+    }
+
+    val edges = timed("band join + jaccard verify") {
+      val banded = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bk")))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .agg(count(lit(1)).as("n_bands"))
+      val sa = sigs.select(col("doc_id").as("src"), col("sig").as("siga"))
+      val sb = sigs.select(col("doc_id").as("dst"), col("sig").as("sigb"))
+      cand.join(sa, "src").join(sb, "dst")
+        .filter(DedupFunctions.estimatedJaccard(col("siga"), col("sigb")) >= 0.5)
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    println(s"PROBE verified edges ${edges.count()} (expect ${3 * nDocs / 100})")
+
+    val labels = timed("connected components") {
+      DedupFunctions.connectedComponents(edges).localCheckpoint()
+    }
+    val nComp = labels.select("lbl").distinct().count()
+    val nMembers = labels.count()
+    println(s"PROBE components $nComp of total members $nMembers " +
+      s"(expect ${nDocs / 100} x 3)")
+    require(nComp == nDocs / 100 && nMembers == 3L * (nDocs / 100),
+      "planted dup clusters not perfectly recovered")
+    spark.stop()
+  }
+}

@@ -73,6 +73,20 @@ object IncrementalStream {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup — the incremental twin of the q28 batch
+    * operator: drop rows whose key was already seen, with state bounded
+    * by the event-time watermark (`dropDuplicatesWithinWatermark`)
+    * instead of growing forever. A 100 TB ingest can't keep every key
+    * in state; the watermark bound is exactly the reference's
+    * late-data-window contract applied to dedup state. Keys arriving
+    * within `lateness` of each other dedup exactly; older re-sends are
+    * the store's idempotent-write problem (two-phase manifest swap),
+    * not the stream's. */
+  def dedupStream(df: DataFrame, tsCol: String, lateness: String,
+                  keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Stateful sessionization via flatMapGroupsWithState lives in the
     * batch path (q09) for the driver harness; streaming state is only
     * warranted when updates arrive continuously, which the reference

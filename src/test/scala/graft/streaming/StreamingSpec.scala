@@ -66,6 +66,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming dedup drops cross-micro-batch duplicates within the watermark") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("stream-dedup-in")
+    // 3 drops; drop1 re-sends half of drop0's keys (same event_id),
+    // drop2 brings fresh keys — re-sends land in a LATER micro-batch
+    val mk = (ids: Seq[Int]) => ids.map { i =>
+      (i.toLong, new java.sql.Timestamp(1000000L + i * 1000L), s"payload$i")
+    }
+    val schema = mk(Seq(1)).toDF("event_id", "ts", "payload").schema
+    mk(0 until 100).toDF("event_id", "ts", "payload")
+      .coalesce(1).write.parquet(s"$dir/drop0")
+    mk(50 until 150).toDF("event_id", "ts", "payload")
+      .coalesce(1).write.parquet(s"$dir/drop1")
+    mk(150 until 200).toDF("event_id", "ts", "payload")
+      .coalesce(1).write.parquet(s"$dir/drop2")
+
+    val src = IncrementalStream.source(spark, s"$dir/drop*", schema,
+      maxFilesPerTrigger = 1)
+    val deduped = IncrementalStream.dedupStream(src, "ts", "1 hour", Seq("event_id"))
+    val out = tmpDir("stream-dedup-out")
+    IncrementalStream.runAvailableNowToParquet(deduped, out,
+      tmpDir("stream-dedup-ckpt"))
+
+    val result = spark.read.parquet(out)
+    assert(result.count() == 200, s"expected 200 unique keys, got ${result.count()}")
+    assert(result.groupBy("event_id").count().filter(col("count") > 1).isEmpty,
+      "duplicate keys survived the streaming dedup")
+  }
+
   test("stateful flatMapGroupsWithState sessionize == window sessionize (q09 semantics)") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.expressions.Window
