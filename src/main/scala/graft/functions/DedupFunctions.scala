@@ -98,26 +98,37 @@ object DedupFunctions {
     var labels = und.groupBy(col("src").as("id"))
       .agg(least(col("src"), min("dst")).as("lbl"))
       .localCheckpoint()
+    // One propagation step: each node takes the minimum of its own
+    // label, its neighbors' labels, and its label's label (pointer
+    // jump / path halving — shortcuts label chains; min-DISCOVERY still
+    // travels edge-by-edge, so rounds stay O(diameter) worst-case; the
+    // edge-rewriting large-star/small-star variant is the O(log n)
+    // upgrade if adversarial graphs ever dominate). Safe: labels only
+    // decrease and never leave the component (a label is always a
+    // member's id, so its label is too), and a fixed point forces
+    // lbl(u) = lbl(v) across every edge, which pins the shared label
+    // to the component minimum.
+    // Any column other than (id, lbl) — e.g. the pre-step label kept
+    // for the convergence check — passes through untouched.
+    def step(l: DataFrame): DataFrame = {
+      val nbr = und.join(l, und("src") === l("id"))
+        .groupBy(col("dst").as("nid")).agg(min("lbl").as("nlbl"))
+      val self = l.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      val keep = l.columns.filter(c => c != "id" && c != "lbl").map(col)
+      l.join(nbr, l("id") === nbr("nid"), "left")
+        .join(self, col("lbl") === col("jid"), "left")
+        .select(col("id") +: keep :+
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
+            coalesce(col("jlbl"), col("lbl"))).as("lbl"): _*)
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbr = und.join(labels, und("src") === labels("id"))
-        .groupBy(col("dst").as("nid")).agg(min("lbl").as("nlbl"))
-      // Pointer jump (path halving): besides the neighbor minimum, each
-      // node also adopts its label's label. Plain min-propagation needs
-      // diameter(G) rounds — observed 13 on sf0.1's chained dup graph —
-      // while the jump shortcuts chains for O(log diameter) convergence.
-      // Safe: labels only decrease, never leave the component (a label
-      // is always a component member's id, so its label is too), and a
-      // fixed point forces lbl(u) = lbl(v) across every edge, which
-      // pins the shared label to the component minimum.
-      val self = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
-      val next = labels.join(nbr, labels("id") === nbr("nid"), "left")
-        .join(self, col("lbl") === col("jid"), "left")
-        .select(col("id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl")),
-            coalesce(col("jlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      // ONE step per materialization. (Fusing two steps per job was
+      // tried to halve scheduling overhead: the doubled plan — six
+      // joins + two aggregates — cost MORE in optimizer/AQE time than
+      // it saved in job launches. Measured 5.6 s vs 4.3 s on q52.)
+      val next = step(labels.withColumn("old", col("lbl"))).localCheckpoint()
       converged = next.filter(col("lbl") =!= col("old")).isEmpty
       labels = next.select("id", "lbl")
       i += 1
