@@ -1,0 +1,127 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (scalacheck generators, FIXED seeds — the suite
+  * is deterministic) for the portable kernels: the typed shingle pass
+  * must agree with the expression form, the distributed components loop
+  * must agree with a driver-side union-find, and the scalar folds must
+  * agree with their reference reimplementations.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val word: Gen[String] =
+    Gen.chooseNum(0, 30).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+
+  /** Texts with empty tokens (consecutive spaces) included — split(" ",-1)
+    * keeps them, so the typed and expression paths must agree on them. */
+  private val text: Gen[String] = for {
+    n <- Gen.chooseNum(0, 25)
+    ws <- Gen.listOfN(n, Gen.frequency(9 -> word, 1 -> Gen.const("")))
+  } yield ws.mkString(" ")
+
+  test("ngramRows == exploded wordNgrams on random texts (incl. empty tokens)") {
+    val s = spark; import s.implicits._
+    for (n <- Seq(2, 3, 4)) {
+      val docs = samples(text, 150, 11L).zipWithIndex
+        .map { case (t, i) => (i.toLong, "src", t) }
+        .toDF("doc_id", "source", "text")
+      val typed = Signatures.ngramRows(docs, "doc_id", "source", "text", n)
+        .select("doc_id", "g")
+      val expr = docs.select(col("doc_id"),
+          TextFunctions.wordNgrams(col("text"), n).as("grams"))
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+      assert(typed.exceptAll(expr).isEmpty && expr.exceptAll(typed).isEmpty,
+        s"n=$n shingle sets diverge")
+    }
+  }
+
+  test("connectedComponents == driver-side union-find on random graphs") {
+    val s = spark; import s.implicits._
+    val graph: Gen[List[(Long, Long)]] = for {
+      nNodes <- Gen.chooseNum(2, 50)
+      nEdges <- Gen.chooseNum(1, 80)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0L, nNodes.toLong - 1)
+        b <- Gen.chooseNum(0L, nNodes.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges
+    for ((edges, k) <- samples(graph, 12, 77L).zipWithIndex) {
+      val df = edges.toDF("src", "dst")
+      val got = DedupFunctions.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // union-find roots are not necessarily minima; normalize per root
+      val members = parent.keys.toSeq
+      val byRoot = members.groupBy(find)
+      val expected = byRoot.flatMap { case (_, ms) =>
+        val m = ms.min; ms.map(_ -> m)
+      }
+      assert(got == expected, s"graph #$k: $edges")
+    }
+  }
+
+  test("hamming64 column == Long.bitCount reference on random 60-bit pairs") {
+    val s = spark; import s.implicits._
+    val pair = for {
+      a <- Gen.chooseNum(0L, (1L << 60) - 1)
+      b <- Gen.chooseNum(0L, (1L << 60) - 1)
+      same <- Gen.oneOf(true, false)
+    } yield (a, if (same) a else b)
+    val cases = samples(pair, 300, 5L)
+    val got = cases.toDF("a", "b")
+      .select(DedupFunctions.hamming64(col("a"), col("b")))
+      .as[Int].collect()
+    cases.zip(got).foreach { case ((a, b), h) =>
+      assert(h == java.lang.Long.bitCount(a ^ b))
+      assert((h == 0) == (a == b))
+    }
+  }
+
+  test("fingerprint column == driver-side fold on random ASCII strings") {
+    val s = spark; import s.implicits._
+    // printable ASCII minus nothing special; ascii() reads the first code
+    // point, so stay in single-byte range like the documents tables do
+    val ascii = Gen.chooseNum(0, 40)
+      .flatMap(n => Gen.stringOfN(n, Gen.choose(' ', '~')))
+    val cases = samples(ascii, 250, 99L)
+    val got = cases.toDF("t")
+      .select(TextFunctions.fingerprint(col("t"))).as[Long].collect()
+    cases.zip(got).foreach { case (t, f) =>
+      val expect = t.foldLeft(0L)((acc, c) => (acc * 31L + c.toInt) % 1000000007L)
+      assert(f == expect, s"fingerprint mismatch on '$t'")
+    }
+  }
+
+  test("estimatedJaccard is 1 on identical signatures, 0 on disjoint, in [0,1]") {
+    val s = spark; import s.implicits._
+    val sig = Gen.listOfN(64, Gen.chooseNum(0L, (1L << 60) - 1)).map(_.toArray)
+    val pairs = samples(sig, 60, 123L).sliding(2, 2).map {
+      case Seq(a, b) => (a, b)
+    }.toSeq
+    val df = (pairs.map { case (a, b) => (a, a, b) }).toDF("a", "same", "b")
+    val rows = df.select(
+      DedupFunctions.estimatedJaccard(col("a"), col("same")).as("one"),
+      DedupFunctions.estimatedJaccard(col("a"), col("b")).as("est"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (one, est) =>
+      assert(one == 1.0)
+      assert(est >= 0.0 && est <= 1.0)
+    }
+  }
+}
