@@ -33,8 +33,9 @@ object GraftSession {
   }
 
   /** Register graft's custom Catalyst expressions for SQL + call_function
-    * use (`float_vec_dot` — see [[graft.plans.FloatVecDot]]). */
-  def registerFunctions(spark: SparkSession): Unit =
+    * use (`float_vec_dot` — [[graft.plans.FloatVecDot]]; `kmv_minima` —
+    * [[graft.plans.KmvMinima]]). */
+  def registerFunctions(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_vec_dot",
       exprs => {
@@ -44,4 +45,21 @@ object GraftSession {
         graft.plans.FloatVecDot(exprs(0), exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_minima",
+      exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"kmv_minima requires exactly 2 arguments (column, k literal), " +
+              s"got ${exprs.length}")
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case _ => throw new IllegalArgumentException(
+            "kmv_minima's k must be an integer literal")
+        }
+        graft.plans.KmvMinima(exprs(0), k).toAggregateExpression()
+      },
+      "built-in")
+  }
 }

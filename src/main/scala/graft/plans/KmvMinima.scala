@@ -1,0 +1,128 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** KMV (k-minimum-values) sketch aggregate: the k smallest DISTINCT
+  * values of a long column per group, as a sorted `array<long>`.
+  *
+  * WHY a custom `TypedImperativeAggregate` (SURVEY preference order (b)):
+  * the SQL form of KMV is `row_number() OVER (PARTITION BY g ORDER BY
+  * hv) <= k` — a full sort of every group just to keep k values. This
+  * aggregate keeps a bounded sorted buffer of ≤ k longs instead:
+  * `update` is a binary search + insert, `merge` is a k-bounded merge of
+  * two sorted arrays, and because it IS an aggregate, Spark plans
+  * map-side partial aggregation — each partition reduces to one ≤ k
+  * buffer before the shuffle, so the exchange carries k longs per
+  * (partition, group) instead of the group's whole distinct domain.
+  * No sort, no window, state O(k).
+  *
+  * Distinctness is intrinsic (duplicate values are skipped on insert),
+  * so the input does NOT need a pre-distinct pass for the sketch itself.
+  * Caveat shared with every KMV: two distinct ITEMS hashing to the same
+  * 60-bit value would count once — probability ~2⁻⁶⁰ per pair, absent at
+  * any realistic scale (the driver oracle's window form would count
+  * both; no divergence has been observed, and none is expected).
+  *
+  * The estimator over the result is `(k-1) * 2^60 / max(minima)` —
+  * computed by the caller so the sketch stays reusable (distinct-count,
+  * set-similarity via minima intersection, etc.).
+  */
+case class KmvMinima(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k > 0, "kmv_minima requires k > 0")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_minima"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint column, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: KmvBuffer): Any =
+    new GenericArrayData(buf.sortedValues)
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.values(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { buf.values(i) = bb.getLong; i += 1 }
+    buf.size = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinima =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinima =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvMinima =
+    copy(child = newChildren.head)
+}
+
+/** Sorted bounded buffer of ≤ k distinct longs (ascending). Insert is
+  * binary search + System.arraycopy — k is small (a sketch parameter),
+  * so O(k) shifts beat any heap's constant factors. */
+final class KmvBuffer(val k: Int) {
+  val values: Array[Long] = new Array[Long](k)
+  var size: Int = 0
+
+  def insert(v: Long): Unit = {
+    if (size == k && v >= values(size - 1)) return
+    var lo = 0
+    var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (values(mid) < v) lo = mid + 1 else hi = mid
+    }
+    if (lo < size && values(lo) == v) return // distinct: already present
+    val newSize = math.min(size + 1, k)
+    System.arraycopy(values, lo, values, lo + 1,
+      math.min(size, k - 1) - lo)
+    values(lo) = v
+    size = newSize
+  }
+
+  def mergeFrom(other: KmvBuffer): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.values(i)); i += 1 }
+  }
+
+  def sortedValues: Array[Long] = java.util.Arrays.copyOf(values, size)
+}

@@ -360,30 +360,31 @@ object TextQueries {
     // cardinality estimated from the k smallest md5 hash values — the
     // PORTABLE sketch (unlike HLL, every intermediate is reproducible in
     // SQL, so the oracle checks the estimator itself, not just rows).
-    // State per group is k values; the working set is the distinct
-    // (source, token) frame, which is vocab-bounded at any corpus size.
-    // Exact count rides along from the same distinct frame for the
-    // error-vs-exact comparison a pipeline monitor wants.
+    // The sketch is graft's custom `kmv_minima` TypedImperativeAggregate
+    // (plans.KmvMinima): bounded k-long state, map-side partial
+    // aggregation — the shuffle carries k longs per (partition, source)
+    // where the oracle's row_number() formulation sorts every group.
+    // One aggregate yields sketch AND exact count (the distinct
+    // (source, token) frame is the oracle's stated semantics); plan
+    // guard asserts no Window/Sort and a partial_kmv_minima stage.
     "q62_kmv_distinct" -> ((s, dir) => {
       val k = 16
-      val toks = Tables.table(s, dir, "documents")
-        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .distinct()
       val hv = conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
         .cast("long")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("hv"), col("tok"))
-      val sk = toks.withColumn("hv", hv)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
+      Tables.table(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct()
+        .withColumn("hv", hv)
         .groupBy("source")
-        .agg(max("hv").as("kth"), count(lit(1)).as("n_seen"))
-      val exact = toks.groupBy("source").agg(count(lit(1)).as("exact_nd"))
-      sk.join(exact, "source")
-        .select(col("source"), col("n_seen"), col("kth"),
-          when(col("n_seen") < k, col("n_seen").cast("double"))
+        .agg(call_function("kmv_minima", col("hv"), lit(k)).as("minima"),
+          count(lit(1)).as("exact_nd"))
+        .select(col("source"),
+          size(col("minima")).cast("bigint").as("n_seen"),
+          element_at(col("minima"), -1).as("kth"),
+          when(size(col("minima")) < k, size(col("minima")).cast("double"))
             .otherwise(lit(k - 1) *
-              (lit((1L << 60) - 1).cast("double") / col("kth"))).as("est_nd"),
+              (lit((1L << 60) - 1).cast("double") / element_at(col("minima"), -1)))
+            .as("est_nd"),
           col("exact_nd"))
         .orderBy("source")
     }),

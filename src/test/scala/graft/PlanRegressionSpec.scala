@@ -73,6 +73,15 @@ class PlanRegressionSpec extends SparkSpec {
     assert(joins == 1, s"expected 1 doc-keyed join, got $joins:\n$plan")
   }
 
+  test("q62 KMV sketches with a partial aggregate, not a per-group sort") {
+    val plan = SparkEntry.queries("q62_kmv_distinct")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      "the sketch must not row_number-sort each group")
+    assert(plan.contains("partial_kmv_minima"),
+      s"expected map-side partial KMV aggregation:\n$plan")
+  }
+
   test("scan-heavy queries keep filters pushed into the parquet scan") {
     val q06 = SparkEntry.queries("q06_selective_filter")(spark, "/root/testdata/sf0.001")
     val plan = q06.queryExecution.executedPlan.toString()

@@ -108,6 +108,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kmv_minima == sorted-take-k reference, invariant under partitioning") {
+    val s = spark; import s.implicits._
+    val data = samples(Gen.chooseNum(0L, 1L << 20), 3000, 31L) // dense → duplicates
+      .zipWithIndex.map { case (v, i) => (s"g${i % 7}", v) }
+    for (parts <- Seq(1, 5, 32)) {
+      val df = data.toDF("g", "hv").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(call_function("kmv_minima", col("hv"), lit(16)).as("minima"))
+        .as[(String, Seq[Long])].collect().toMap
+      val expect = data.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).distinct.sorted.take(16)
+      }
+      assert(got.view.mapValues(_.toList).toMap == expect.view.mapValues(_.toList).toMap,
+        s"parts=$parts")
+    }
+  }
+
   test("estimatedJaccard is 1 on identical signatures, 0 on disjoint, in [0,1]") {
     val s = spark; import s.implicits._
     val sig = Gen.listOfN(64, Gen.chooseNum(0L, (1L << 60) - 1)).map(_.toArray)
