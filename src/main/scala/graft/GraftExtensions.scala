@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Installable registration of graft's custom Catalyst expressions —
+  * the `SparkSessionExtensions` path, so a cluster user enables the
+  * library with `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `builder.withExtensions`) and `float_vec_dot` / `kmv_minima`
+  * resolve in plain SQL on every session of that context.
+  *
+  * [[GraftSession.registerFunctions]] remains the imperative fallback
+  * for sessions built without extensions (e.g. a harness-owned
+  * session); both routes register identical builders.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[graft.plans.FloatVecDot].getName, "float_vec_dot"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"float_vec_dot requires exactly 2 arguments, got ${exprs.length}")
+        graft.plans.FloatVecDot(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_minima"),
+      new ExpressionInfo(classOf[graft.plans.KmvMinima].getName, "kmv_minima"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"kmv_minima requires exactly 2 arguments (column, k literal), " +
+              s"got ${exprs.length}")
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case _ => throw new IllegalArgumentException(
+            "kmv_minima's k must be an integer literal")
+        }
+        graft.plans.KmvMinima(exprs(0), k).toAggregateExpression()
+      }))
+  }
+}

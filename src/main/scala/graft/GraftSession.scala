@@ -16,6 +16,7 @@ object GraftSession {
   def builder(cores: Int): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new GraftExtensions())
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -389,6 +389,42 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Source-overlap monitoring via KMV sketch reuse: per-source token
+    // sketches (k=64 minima) → pairwise Jaccard ESTIMATE from
+    // |X ∩ A ∩ B| / |X| (X = k minima of the union), with the exact
+    // Jaccard alongside. The sketch compare is O(sources² · k) on
+    // k-long arrays — at 100 TB that replaces the vocab-sized pairwise
+    // token join (the exact side here, feasible only because this
+    // corpus's vocab is tiny) with driver-negligible sketch arithmetic.
+    "q63_source_overlap" -> ((s, dir) => {
+      val k = 64
+      val hv = conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct()
+        .localCheckpoint() // one distinct pass feeds sketch, sizes, and exact join
+      val sk = toks.withColumn("hv", hv).groupBy("source")
+        .agg(call_function("kmv_minima", col("hv"), lit(k)).as("m"),
+          count(lit(1)).as("n"))
+      val pairs = sk.select(col("source").as("src_a"), col("m").as("ma"), col("n").as("na"))
+        .join(sk.select(col("source").as("src_b"), col("m").as("mb"), col("n").as("nb")),
+          col("src_a") < col("src_b"))
+      val xs = slice(array_sort(array_union(col("ma"), col("mb"))), 1, k)
+      val est = size(array_intersect(xs, array_intersect(col("ma"), col("mb"))))
+        .cast("double") / size(xs)
+      val inter = toks.select(col("source").as("src_a"), col("tok"))
+        .join(toks.select(col("source").as("src_b"), col("tok")), "tok")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+      pairs.join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .select(col("src_a"), col("src_b"), est.as("est_jacc"),
+          (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")))
+            .as("exact_jacc"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Binary/multimodal plumbing: opaque bytes + typed metadata (decode
     // itself is stubbed — see graft.multimodal; here: byte stats/hashes).
     "q36_binary_meta" -> ((s, dir) => {
@@ -592,6 +628,30 @@ object TextQueries {
         |       ELSE (16 - 1) * (CAST(1152921504606846975 AS DOUBLE) / kth) END AS est_nd,
         |  exact_nd
         |FROM k JOIN ex ON k.source = ex.source ORDER BY k.source""".stripMargin,
+    "q63_source_overlap" ->
+      """WITH toks AS (SELECT DISTINCT source, unnest(string_split(text,' ')) AS tok
+        |              FROM documents),
+        |h AS (SELECT source, tok, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) AS hv,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |          CAST('0x'||substr(md5(tok),1,15) AS BIGINT), tok) AS rn
+        |      FROM toks),
+        |sk AS (SELECT source, list_sort(list(hv)) AS m FROM h WHERE rn <= 64 GROUP BY source),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, a.m AS ma, b.m AS mb,
+        |        za.n AS na, zb.n AS nb
+        |      FROM sk a JOIN sk b ON a.source < b.source
+        |      JOIN sz za ON za.source = a.source JOIN sz zb ON zb.source = b.source),
+        |x AS (SELECT src_a, src_b, ma, mb, na, nb,
+        |        list_sort(list_distinct(list_concat(ma, mb)))[1:64] AS xs FROM p),
+        |i AS (SELECT t1.source AS src_a, t2.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |      FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok AND t1.source < t2.source
+        |      GROUP BY 1, 2)
+        |SELECT x.src_a, x.src_b,
+        |  CAST(LEN(list_filter(xs, v -> list_contains(ma, v) AND list_contains(mb, v)))
+        |    AS DOUBLE) / LEN(xs) AS est_jacc,
+        |  CAST(COALESCE(n_inter, 0) AS DOUBLE) / (na + nb - COALESCE(n_inter, 0)) AS exact_jacc
+        |FROM x LEFT JOIN i ON x.src_a = i.src_a AND x.src_b = i.src_b
+        |ORDER BY x.src_a, x.src_b""".stripMargin,
     "q54_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |g AS (SELECT doc_id, toks,

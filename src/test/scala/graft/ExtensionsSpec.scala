@@ -1,0 +1,27 @@
+package graft
+
+/** The SparkSessionExtensions path must register the custom expressions
+  * on EVERY session of the context — `newSession()` has a fresh
+  * function registry (temp functions registered imperatively on the
+  * parent do not carry over), so SQL resolving there proves the
+  * injection, not the fallback. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("float_vec_dot and kmv_minima resolve in SQL on a fresh newSession") {
+    val fresh = spark.newSession()
+    val dot = fresh.sql(
+      """SELECT float_vec_dot(
+        |  array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(CAST(4.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(dot == 1.5 * 4.0 + 2.0 * 0.5)
+
+    val minima = fresh.sql(
+      """SELECT g, kmv_minima(v, 3) AS m FROM VALUES
+        |  ('a', 9L), ('a', 1L), ('a', 5L), ('a', 1L), ('a', 3L), ('a', 7L),
+        |  ('b', 2L)
+        |AS t(g, v) GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(minima == Map("a" -> List(1L, 3L, 5L), "b" -> List(2L)))
+  }
+}

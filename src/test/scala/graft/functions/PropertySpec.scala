@@ -125,6 +125,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KMV Jaccard estimator tracks true Jaccard when the domain >> k") {
+    val s = spark; import s.implicits._
+    // sets of 60-bit hashes with controlled overlap: A = [0, 4000),
+    // B = [2000, 6000) of a shuffled universe → true J = 2000/6000
+    val universe = samples(Gen.chooseNum(0L, (1L << 60) - 1), 6000, 2024L).distinct
+    val a = universe.slice(0, 4000)
+    val b = universe.slice(2000, 6000)
+    val trueJ = a.intersect(b).size.toDouble / a.union(b).distinct.size
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "hv")
+    val m = df.groupBy("g")
+      .agg(call_function("kmv_minima", col("hv"), lit(64)).as("m"))
+      .as[(String, Seq[Long])].collect().toMap
+    val (ma, mb) = (m("a"), m("b"))
+    val xs = (ma ++ mb).distinct.sorted.take(64)
+    val est = xs.count(v => ma.contains(v) && mb.contains(v)).toDouble / xs.size
+    assert(math.abs(est - trueJ) < 0.15,
+      s"est $est vs true $trueJ (k=64 → σ ≈ sqrt(J(1-J)/k) ≈ 0.06)")
+  }
+
   test("estimatedJaccard is 1 on identical signatures, 0 on disjoint, in [0,1]") {
     val s = spark; import s.implicits._
     val sig = Gen.listOfN(64, Gen.chooseNum(0L, (1L << 60) - 1)).map(_.toArray)
