@@ -1,0 +1,134 @@
+package graft.functions
+
+import graft.sources.BucketedSignatureStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus deduplication — the productized composition of the
+  * oracle-checked pieces (q34 candidates, q52 clustering, rehearsed at
+  * 500k docs by [[graft.TextScaleProbe]]):
+  *
+  *   minhash signatures → LSH band rows → candidate pairs from band
+  *   collisions → estimated-Jaccard verify → connected components →
+  *   canonical keepers (minimum id per cluster survives).
+  *
+  * Batch mode ([[run]]) does the whole corpus in one pass. Incremental
+  * mode ([[persist]] + [[runIncremental]]) is the 100 TB shape: the
+  * corpus's band rows are written ONCE, bucketed+sorted on the band
+  * key, and each new shard band-joins them with no corpus shuffle
+  * (see [[BucketedSignatureStore]] — the join plans exchange-free) —
+  * plus a shard-internal self-join for new-vs-new duplicates.
+  *
+  * Everything here stays distributed: candidates come only from band
+  * equi-joins (never the pair space), verification joins signatures per
+  * DISTINCT candidate pair, and the component loop's working set is the
+  * dup graph.
+  */
+object DedupPipeline {
+
+  /** MinHash/LSH parameters. The (bands × rowsPerBand = perms) split
+    * sets the collision threshold ≈ (1/bands)^(1/rowsPerBand) — the
+    * defaults target Jaccard ≳ 0.5. */
+  case class Params(
+      ngram: Int = 3,
+      perms: Int = 64,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5) {
+    require(bands * rowsPerBand == perms, "bands × rowsPerBand must equal perms")
+  }
+
+  /** `(doc_id, band, bk)` LSH band rows + `(doc_id, sig)` signatures for
+    * docs with at least `ngram` tokens (empty-shingle docs cannot be
+    * near-duplicates of each other; see [[Signatures.minhash]]). */
+  def signatureTables(docs: DataFrame, idCol: String, textCol: String,
+                      p: Params): (DataFrame, DataFrame) = {
+    val sigs = Signatures.minhash(
+        docs.filter(TextFunctions.tokenCount(col(textCol)) >= p.ngram),
+        idCol, textCol, p.ngram, p.perms)
+    val bandRows = sigs
+      .withColumn("bands", DedupFunctions.bandKeys(col("sig"), p.bands, p.rowsPerBand))
+      .select(col(idCol), posexplode(col("bands")).as(Seq("band", "bk")))
+    (sigs.select(col(idCol), col("sig")), bandRows)
+  }
+
+  /** Distinct candidate pairs (normalized `d1 < d2`) from band
+    * collisions between `left` and `right` band-row frames, verified by
+    * estimated Jaccard against the signature frame. `selfJoin = true`
+    * halves the self-join's candidate space with an id inequality; the
+    * cross (shard-vs-corpus) case must NOT assume an id ordering
+    * between the two frames, so it matches `!=` and normalizes. */
+  private def verifiedPairs(left: DataFrame, right: DataFrame,
+                            sigs: DataFrame, idCol: String,
+                            p: Params, selfJoin: Boolean): DataFrame = {
+    val idCond =
+      if (selfJoin) col(s"a.$idCol") < col(s"b.$idCol")
+      else col(s"a.$idCol") =!= col(s"b.$idCol")
+    val cand = left.as("a").join(right.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") && idCond)
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("d1"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("d2"))
+      .distinct()
+    val sa = sigs.select(col(idCol).as("d1"), col("sig").as("siga"))
+    val sb = sigs.select(col(idCol).as("d2"), col("sig").as("sigb"))
+    cand.join(sa, "d1").join(sb, "d2")
+      .filter(DedupFunctions.estimatedJaccard(col("siga"), col("sigb")) >= p.minEstJaccard)
+      .select("d1", "d2")
+  }
+
+  /** Batch dedup: `(pairs, labels, keepers)` — verified near-dup pairs,
+    * `(id, lbl)` cluster labels (lbl = cluster minimum), and the corpus
+    * with non-canonical cluster members removed. */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          p: Params = Params()): (DataFrame, DataFrame, DataFrame) = {
+    val (sigs, bandRows) = signatureTables(docs, idCol, textCol, p)
+    val banded = bandRows.localCheckpoint() // both join sides, one compute
+    val pairs = verifiedPairs(banded, banded, sigs, idCol, p, selfJoin = true)
+      .unionByName(
+        // exact dups ride along even for sub-ngram docs
+        docs.select(col(idCol), md5(col(textCol)).as("h")).as("x")
+          .join(docs.select(col(idCol), md5(col(textCol)).as("h")).as("y"),
+            col("x.h") === col("y.h") && col(s"x.$idCol") < col(s"y.$idCol"))
+          .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2")))
+      .distinct()
+    val labels = DedupFunctions.connectedComponents(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    val keepers = docs.join(
+      labels.filter(col("lbl") < col("id")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+    (pairs, labels, keepers)
+  }
+
+  /** Persist a corpus's signature + band tables for incremental runs:
+    * `<name>_sigs` plain parquet (fetched by id — the candidate side
+    * broadcasts, so the corpus is never shuffled), `<name>_bands`
+    * bucketed+sorted on (band, bk) so shard band-joins are
+    * exchange-free. */
+  def persist(docs: DataFrame, idCol: String, textCol: String,
+              name: String, path: String, numBuckets: Int,
+              p: Params = Params()): Unit = {
+    val (sigs, bandRows) = signatureTables(docs, idCol, textCol, p)
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    BucketedSignatureStore.write(bandRows, s"${name}_bands", s"$path/bands",
+      numBuckets, Seq("band", "bk"))
+  }
+
+  /** Incremental dedup of a new shard against a [[persist]]ed corpus:
+    * returns verified pairs (shard-vs-corpus AND shard-vs-shard). The
+    * corpus band table is read through its bucket metadata; only the
+    * (small) shard is bucketed to match, so the corpus never shuffles. */
+  def runIncremental(spark: SparkSession, newDocs: DataFrame, idCol: String,
+                     textCol: String, name: String, path: String,
+                     numBuckets: Int, p: Params = Params()): DataFrame = {
+    val (shardSigs, shardBands) = signatureTables(newDocs, idCol, textCol, p)
+    BucketedSignatureStore.write(shardBands, s"${name}_shard_bands",
+      s"$path/shard_bands", numBuckets, Seq("band", "bk"))
+    val corpusBands = BucketedSignatureStore.table(spark, s"${name}_bands")
+    val shardB = BucketedSignatureStore.table(spark, s"${name}_shard_bands")
+    val allSigs = spark.read.parquet(s"$path/sigs").unionByName(shardSigs)
+      .localCheckpoint()
+    verifiedPairs(corpusBands, shardB, allSigs, idCol, p, selfJoin = false)
+      .unionByName(verifiedPairs(shardB, shardB, allSigs, idCol, p, selfJoin = true))
+      .distinct()
+  }
+}

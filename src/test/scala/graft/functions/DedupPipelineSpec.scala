@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The productized dedup pipeline: batch mode must find planted
+  * clusters and keep exactly the canonical members; incremental mode
+  * (persisted corpus + new shard) must find the same cross-shard pairs
+  * the batch run does, without shuffling the corpus band table. */
+class DedupPipelineSpec extends SparkSpec {
+
+  private def planted() = {
+    val s = spark; import s.implicits._
+    // base docs 0..49 distinct; 100+i duplicates i exactly; 200+i is a
+    // near copy of i (one token appended)
+    val base = (0 until 50).map(i =>
+      (i.toLong, (0 until 20).map(j => s"w${i}_$j").mkString(" ")))
+    val exact = (0 until 10).map(i => (100L + i, base(i)._2))
+    val near = (0 until 10).map(i => (200L + i, base(i)._2 + " extra"))
+    (base ++ exact ++ near).toDF("doc_id", "text")
+  }
+
+  test("batch run finds planted clusters and keeps canonical docs") {
+    val s = spark; import s.implicits._
+    val docs = planted()
+    val (pairs, labels, keepers) = DedupPipeline.run(docs, "doc_id", "text")
+    val pairSet = pairs.as[(Long, Long)].collect().toSet
+    for (i <- 0 until 10) {
+      assert(pairSet.contains((i.toLong, 100L + i)), s"exact dup $i missing")
+      assert(pairSet.contains((i.toLong, 200L + i)), s"near dup $i missing")
+    }
+    // canonical keeper = min id: doc i survives, 100+i and 200+i do not
+    val kept = keepers.select("doc_id").as[Long].collect().toSet
+    assert((0 until 50).forall(i => kept.contains(i.toLong)))
+    assert((0 until 10).forall(i => !kept.contains(100L + i) && !kept.contains(200L + i)))
+    // labels point at the cluster minimum
+    val lbl = labels.as[(Long, Long)].collect().toMap
+    assert((0 until 10).forall(i => lbl(100L + i) == i && lbl(200L + i) == i))
+  }
+
+  test("incremental run == batch cross-shard pairs, corpus never shuffled") {
+    val s = spark; import s.implicits._
+    val docs = planted().localCheckpoint()
+    val corpus = docs.filter(col("doc_id") < 150) // bases + exact dups
+    val shard = docs.filter(col("doc_id") >= 150) // the near copies arrive later
+    val path = tmpDir("dedup-inc")
+    try {
+      DedupPipeline.persist(corpus, "doc_id", "text", "dp", path, 8)
+      val inc = DedupPipeline.runIncremental(spark, shard, "doc_id", "text",
+        "dp", path, 8)
+      // plan: the corpus↔shard band join must be exchange-free
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val plan = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        inc.queryExecution.executedPlan.toString()
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      assert(plan.contains("Bucketed: true"), plan)
+
+      val incSet = inc.as[(Long, Long)].collect().toSet
+      val (batchPairs, _, _) = DedupPipeline.run(docs, "doc_id", "text")
+      val expected = batchPairs.as[(Long, Long)].collect().toSet
+        .filter(p => p._1 >= 150 || p._2 >= 150) // involving the shard
+      assert(incSet == expected,
+        s"incremental ${incSet.size} vs batch cross-shard ${expected.size}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dp_bands")
+      spark.sql("DROP TABLE IF EXISTS dp_shard_bands")
+    }
+  }
+}
