@@ -74,6 +74,33 @@ object TextScaleProbe {
       s"(expect ${nDocs / 100} x 3)")
     require(nComp == nDocs / 100 && nMembers == 3L * (nDocs / 100),
       "planted dup clusters not perfectly recovered")
+
+    // Incremental rehearsal: persist the first 90% as the corpus, then
+    // dedup the last 10% as an arriving shard — the 100 TB ingest shape.
+    // Shard cost must reflect shard size, not corpus size.
+    // +1 so the cut lands INSIDE a planted cluster (base in the corpus,
+    // copies in the shard) — cross-shard pairs must be found, not just
+    // shard-internal ones
+    val cut = (nDocs * 9L) / 10 + 1
+    val corpus = docs.filter(col("doc_id") < cut)
+    val shard = docs.filter(col("doc_id") >= cut)
+    val incPath = java.nio.file.Files.createTempDirectory("dedup_inc").toString
+    timed(s"persist corpus ($cut docs, bucketed bands)") {
+      graft.functions.DedupPipeline.persist(corpus, "doc_id", "text",
+        "probe", incPath, 64)
+    }
+    val incPairs = timed(s"incremental shard dedup (${nDocs - cut} docs)") {
+      graft.functions.DedupPipeline.runIncremental(spark, shard, "doc_id",
+        "text", "probe", incPath, 64).localCheckpoint()
+    }
+    // planted clusters whose members straddle the cut: every (base,
+    // copy) / (base, near) / (copy, near) pair with ≥1 member ≥ cut
+    val expInc = edges.filter(col("src") >= cut || col("dst") >= cut).count()
+    val gotInc = incPairs.count()
+    println(s"PROBE incremental pairs $gotInc (expect $expInc)")
+    require(gotInc == expInc, "incremental dedup missed cross-shard pairs")
+    spark.sql("DROP TABLE IF EXISTS probe_bands")
+    spark.sql("DROP TABLE IF EXISTS probe_shard_bands")
     spark.stop()
   }
 }

@@ -125,8 +125,13 @@ object DedupPipeline {
       s"$path/shard_bands", numBuckets, Seq("band", "bk"))
     val corpusBands = BucketedSignatureStore.table(spark, s"${name}_bands")
     val shardB = BucketedSignatureStore.table(spark, s"${name}_shard_bands")
-    val allSigs = spark.read.parquet(s"$path/sigs").unionByName(shardSigs)
-      .localCheckpoint()
+    // corpus signatures stay a LAZY parquet scan — materializing them
+    // would cost corpus-sized memory per shard run; the verify joins
+    // broadcast the (small) candidate side, so each scan streams the
+    // sig table without shuffling it. Only the shard's signatures (the
+    // frame every join side recomputes otherwise) are checkpointed.
+    val allSigs = spark.read.parquet(s"$path/sigs")
+      .unionByName(shardSigs.localCheckpoint())
     verifiedPairs(corpusBands, shardB, allSigs, idCol, p, selfJoin = false)
       .unionByName(verifiedPairs(shardB, shardB, allSigs, idCol, p, selfJoin = true))
       .distinct()

@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF index: queries must scan ONLY the probed cell
+  * partitions (static partition pruning — the property that makes a
+  * lookup nProbe/nCells of the corpus at scale) and rank identically
+  * to brute force within the probed cells; full-probe recall is exact. */
+class AnnIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("build + query: pruned scan, exact agreement at full probe") {
+    val s = spark; import s.implicits._
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = tmpDir("ann-index")
+    val cents = AnnIndex.build(emb, "vec_id", "embedding", path, nCells = 8)
+    assert(cents.length == 8)
+
+    val qv = emb.filter(col("vec_id") === 0)
+      .as[(Long, Array[Float])].head()._2
+
+    // full probe (nProbe = nCells) must equal brute-force top-k exactly
+    val full = AnnIndex.query(spark, path, qv, k = 10, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = emb
+      .select(col("vec_id"), VectorFunctions.cosineFast(col("embedding"),
+        lit(qv)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
+
+    // partial probe: the scan reads only the probed cell partitions
+    // (inputFiles ignores partition filters — ask the scan node itself)
+    val partial = AnnIndex.query(spark, path, qv, k = 10, nProbe = 2)
+    val scans = partial.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a file scan over the vectors table")
+    val nParts = scans.head.selectedPartitions.partitionCount
+    assert(nParts == 2, s"probe must read exactly 2 cell partitions, read $nParts")
+    assert(scans.head.toString().contains("PartitionFilters"),
+      "cell predicate must prune at the partition level")
+
+    // and the top-1 at nProbe=2 is the true nearest (its cell is probed
+    // first by construction — the query's own cell ranks closest)
+    val top = partial.select("vec_id").as[Long].head()
+    assert(top == brute.head)
+  }
+}
