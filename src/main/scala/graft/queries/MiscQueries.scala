@@ -82,6 +82,43 @@ object MiscQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact quantile profiling (training-data pipeline): per-group
+    // quantiles at linear-interpolated rank positions. Built-in
+    // percentile/quantile_cont interpolate with engine-specific FP
+    // expressions, so the rank formula (pos = 1 + p*(n-1); v_lo +
+    // frac*(v_hi - v_lo)) is written identically here and in the oracle
+    // to hash-match bit-for-bit. Shape at scale: one hash exchange for
+    // the per-group window sort, then the tiny (groups × probes)
+    // position table broadcasts into two rank-picking joins — the
+    // ranked table is never reshuffled.
+    "q64_quantile_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val probes = Seq(0.25, 0.5, 0.75, 0.9, 0.99).toDF("p")
+      val ranked = Tables.events(s, dir)
+        .select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("value")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val pos = ranked.select("event_type", "n").distinct()
+        .crossJoin(broadcast(probes))
+        .withColumn("pos", lit(1.0) + col("p") * (col("n") - lit(1)).cast("double"))
+        .withColumn("lo_rn", floor(col("pos")))
+        .withColumn("hi_rn", least(floor(col("pos")) + lit(1L), col("n")))
+      val lo = ranked.as("r").join(broadcast(pos).as("x"),
+          col("r.event_type") === col("x.event_type") && col("r.rn") === col("x.lo_rn"))
+        .select(col("x.event_type"), col("x.p"), col("x.pos"), col("r.value").as("lo_v"))
+      val hi = ranked.as("r").join(broadcast(pos).as("x"),
+          col("r.event_type") === col("x.event_type") && col("r.rn") === col("x.hi_rn"))
+        .select(col("x.event_type").as("event_type"), col("x.p").as("p"),
+          col("r.value").as("hi_v"))
+      lo.join(hi, Seq("event_type", "p"))
+        .select(col("event_type"), col("p"),
+          (col("lo_v") + (col("pos") - floor(col("pos")).cast("double"))
+            * (col("hi_v") - col("lo_v"))).as("quantile"))
+        .orderBy("event_type", "p")
+    }),
+
     // `_is_infish` (`publish.py:1068-1074`): inf or |x| > 1e100.
     "q45_infish" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -125,6 +162,27 @@ object MiscQueries {
         |    ROW_NUMBER() OVER (PARTITION BY lang, source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    "q64_quantile_profile" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |g AS (SELECT DISTINCT event_type, n FROM r),
+        |ps AS (SELECT CAST(x AS DOUBLE) AS p
+        |       FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) v(x)),
+        |pos AS (SELECT event_type, p, 1.0 + p * CAST(n - 1 AS DOUBLE) AS pos, n
+        |        FROM g CROSS JOIN ps),
+        |lo AS (SELECT pos.event_type, pos.p, pos.pos, r.value AS lo_v
+        |       FROM pos JOIN r ON r.event_type = pos.event_type
+        |        AND r.rn = CAST(FLOOR(pos.pos) AS BIGINT)),
+        |hi AS (SELECT pos.event_type, pos.p, r.value AS hi_v
+        |       FROM pos JOIN r ON r.event_type = pos.event_type
+        |        AND r.rn = LEAST(CAST(FLOOR(pos.pos) AS BIGINT) + 1, pos.n))
+        |SELECT lo.event_type, lo.p,
+        |  lo.lo_v + (lo.pos - FLOOR(lo.pos)) * (hi.hi_v - lo.lo_v) AS quantile
+        |FROM lo JOIN hi ON lo.event_type = hi.event_type AND lo.p = hi.p
+        |ORDER BY lo.event_type, lo.p""".stripMargin,
     "q45_infish" ->
       """WITH e AS (SELECT event_type,
         |    CASE WHEN value > 199.0 THEN exp(1000.0) ELSE value END AS v FROM events)
