@@ -1,0 +1,259 @@
+package graft.etl
+
+import graft.functions.{DedupFunctions, DedupPipeline, TextFunctions}
+import graft.sources.BucketedSignatureStore
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shard-ingest outcome: input/reject/duplicate/ingested counts plus the
+  * per-source vocabulary-drift rows (empty on initial ingest). */
+case class IngestReport(
+    input: Long,
+    rejected: Long,
+    duplicates: Long,
+    ingested: Long,
+    drift: Seq[SourceDrift])
+
+/** KMV-sketch vocabulary comparison of one shard source against the
+  * corpus: Jaccard and containment (shard-vocab ⊆ corpus-vocab)
+  * ESTIMATES from k-minimum-values sketches (the q62/q63 estimator —
+  * O(k) array arithmetic, never a vocab-sized join). `novelSource` marks
+  * sources the corpus has never seen (no corpus sketch to compare). */
+case class SourceDrift(
+    source: String,
+    jaccardEst: Double,
+    containmentEst: Double,
+    novelSource: Boolean)
+
+/** A shard's vocabulary diverged below the configured containment
+  * floor — the documents-side analog of
+  * [[graft.qc.NanFrequencyMismatchException]]: ingest aborts BEFORE any
+  * write, so the corpus is untouched. */
+class VocabDriftException(msg: String) extends RuntimeException(msg)
+
+/** Documents-side orchestration — the corpus twin of [[DatasetManager]]
+  * (which manages gridded cell data): route initial-vs-incremental
+  * ingest, run quality + drift gates around the write, and maintain the
+  * persisted dedup artifacts that make each subsequent shard cheap.
+  *
+  * Mirrors the reference's manager posture (`dataset_manager.py:24`,
+  * QC gates `utils/publish.py:499-743`) applied to a training-data
+  * corpus. Layout under `root`:
+  *
+  *   - `docs/` — the canonical deduplicated corpus (parquet).
+  *   - `dedup/sigs`, `dedup/bands` — MinHash signatures + LSH band rows
+  *     of every canonical doc, the band table bucketed+sorted on
+  *     (band, bk) so shard-vs-corpus candidate joins plan exchange-free
+  *     ([[BucketedSignatureStore]]); `dedup/hashes` — (id, md5) for
+  *     exact-dup checks that cover sub-ngram docs the MinHash path
+  *     cannot shingle.
+  *   - `sketch/` — per-source KMV vocabulary sketches (k longs per
+  *     source), merged after every ingest; drift checks are O(k) per
+  *     source-pair instead of a vocab join.
+  *
+  * Every per-shard step touches corpus-scale data only through
+  * (a) the bucketed band join (no corpus shuffle), (b) a streamed scan
+  * of the signature/hash tables with the small shard side broadcast,
+  * and (c) the k-long sketch rows — the dup-graph component loop's
+  * working set is the dup graph, never the corpus.
+  *
+  * Requires a session with graft's SQL functions registered
+  * ([[graft.GraftSession]] or `spark.sql.extensions=graft.GraftExtensions`)
+  * for the `kmv_minima` sketch aggregate. Bucketed-table names are
+  * catalog entries scoped to this session's metastore — a fresh
+  * deployment re-runs [[DedupPipeline.persist]] or attaches an external
+  * catalog.
+  */
+class CorpusManager(
+    val name: String,
+    root: String,
+    spark: SparkSession,
+    p: DedupPipeline.Params = DedupPipeline.Params(),
+    numBuckets: Int = 8,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    sourceCol: String = "source",
+    minTokens: Int = 1,
+    sketchK: Int = 256,
+    minVocabContainment: Option[Double] = None) {
+
+  def docsPath: String = s"$root/docs"
+  def dedupPath: String = s"$root/dedup"
+  def hashesPath: String = s"$dedupPath/hashes"
+  def sketchPath: String = s"$root/sketch"
+
+  private def fs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def hasExisting: Boolean = fs.exists(new org.apache.hadoop.fs.Path(docsPath))
+
+  /** The canonical deduplicated corpus. */
+  def corpus(): DataFrame = spark.read.parquet(docsPath)
+
+  /** Pre-ingest quality gate (`pre_parse_quality_check` analog for
+    * documents): non-null text with at least `minTokens` whitespace
+    * tokens. Returns (accepted, rejected). Both are filters over the
+    * same scan — codegen'd predicates, no shuffle. */
+  def qualityGate(docs: DataFrame): (DataFrame, DataFrame) = {
+    val ok = col(textCol).isNotNull &&
+      TextFunctions.tokenCount(col(textCol)) >= minTokens
+    (docs.filter(ok), docs.filter(!coalesce(ok, lit(false))))
+  }
+
+  /** 60-bit md5-derived hash — the engine-portable hash the oracle-
+    * checked sketch queries (q62/q63) standardized on. */
+  private def hv(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Per-source KMV vocabulary sketch: k smallest 60-bit token hashes.
+    * One distinct pass + map-side-combined `kmv_minima` — the shuffle
+    * carries k longs per (partition, source). */
+  def vocabSketch(docs: DataFrame): DataFrame =
+    docs
+      .select(col(sourceCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .distinct()
+      .groupBy(sourceCol)
+      .agg(call_function("kmv_minima", hv(col("tok")), lit(sketchK)).as("minima"))
+
+  /** First ingest: gate → batch dedup ([[DedupPipeline.run]]) → write
+    * the canonical corpus, then persist the dedup artifacts (signatures,
+    * bucketed bands, exact hashes) and the vocabulary sketch so every
+    * later shard ingests incrementally. */
+  def ingestInitial(docs: DataFrame): IngestReport = {
+    require(!hasExisting, s"corpus $name already exists at $root — use ingestShard")
+    val (ok, rej) = qualityGate(docs)
+    val accepted = ok.localCheckpoint() // gate once; feeds dedup + counts
+    val (_, _, keepers) = DedupPipeline.run(accepted, idCol, textCol, p)
+    keepers.write.mode("overwrite").parquet(docsPath)
+    val kept = corpus() // re-read: 3 derived passes scan parquet, not the dedup DAG
+    DedupPipeline.persist(kept, idCol, textCol, name, dedupPath, numBuckets, p)
+    kept.select(col(idCol), md5(col(textCol)).as("h"))
+      .write.mode("overwrite").parquet(hashesPath)
+    vocabSketch(kept).write.mode("overwrite").parquet(sketchPath)
+    val (nIn, nRej, nKept) = (docs.count(), rej.count(), kept.count())
+    IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, Nil)
+  }
+
+  /** Incremental ingest of one shard:
+    *
+    *   1. quality gate;
+    *   2. near-dup pairs vs corpus and within-shard
+    *      ([[DedupPipeline.runIncremental]] — exchange-free corpus band
+    *      join) plus exact-hash pairs (covers sub-ngram docs);
+    *   3. connected components over the pair graph; a shard doc is
+    *      dropped when its cluster touches the corpus (the canonical
+    *      copy is already ingested) or it is not its shard-only
+    *      cluster's minimum — so transitive chains (shard A ≈ shard B ≈
+    *      corpus C) collapse to the corpus copy;
+    *   4. vocabulary-drift gate (throws [[VocabDriftException]] BEFORE
+    *      any write when a known source's containment estimate falls
+    *      below `minVocabContainment`);
+    *   5. append survivors + their dedup artifacts, merge sketches.
+    *
+    * Doc ids must be globally unique across shards (the reference's
+    * `key()` posture); collisions are rejected up front by an id
+    * anti-join against the corpus hash table (single-column scan).
+    */
+  def ingestShard(newDocs: DataFrame): IngestReport = {
+    require(hasExisting, s"corpus $name has no initial ingest at $root")
+    val (ok, rej) = qualityGate(newDocs)
+    val shard = ok.localCheckpoint()
+    val corpusH = spark.read.parquet(hashesPath)
+    require(shard.select(col(idCol)).join(corpusH, Seq(idCol), "left_semi")
+      .limit(1).count() == 0, "shard doc ids collide with corpus ids")
+
+    // -- pair graph: near-dup (MinHash/LSH) ∪ exact (md5) ---------------
+    val nearPairs = DedupPipeline.runIncremental(
+      spark, shard, idCol, textCol, name, dedupPath, numBuckets, p)
+    val shardH = shard.select(col(idCol), md5(col(textCol)).as("h")).localCheckpoint()
+    def norm(a: Column, b: Column) =
+      Seq(least(a, b).as("d1"), greatest(a, b).as("d2"))
+    val exactCross = shardH.as("s").join(corpusH.as("c"), col("s.h") === col("c.h"))
+      .select(norm(col(s"s.$idCol"), col(s"c.$idCol")): _*)
+    val exactIntra = shardH.as("x").join(shardH.as("y"),
+        col("x.h") === col("y.h") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(norm(col(s"x.$idCol"), col(s"y.$idCol")): _*)
+    val pairs = nearPairs.unionByName(exactCross).unionByName(exactIntra)
+      .distinct().localCheckpoint()
+
+    // -- cluster and resolve drops (working set = the dup graph) --------
+    val labels = DedupFunctions.connectedComponents(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    val shardIds = shard.select(col(idCol).as("id"))
+    val tainted = labels.join(shardIds, Seq("id"), "left_anti")
+      .select(col("lbl")).distinct() // clusters containing a corpus doc
+    val shardLabels = labels.join(shardIds, Seq("id"))
+    val drops = shardLabels.join(tainted, Seq("lbl"), "left_semi").select("id")
+      .unionByName(shardLabels.join(tainted, Seq("lbl"), "left_anti")
+        .filter(col("id") =!= col("lbl")).select("id"))
+      .distinct()
+    val keepers = shard.join(drops.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti").localCheckpoint()
+
+    // -- drift gate (before ANY write: a failed gate leaves the corpus
+    //    byte-identical, matching DatasetManager's pre-parse posture) ---
+    val drift = driftReport(keepers)
+    minVocabContainment.foreach { thr =>
+      val bad = drift.filter(d => !d.novelSource && d.containmentEst < thr)
+      if (bad.nonEmpty) throw new VocabDriftException(
+        bad.map(d => f"${d.source}: containment ${d.containmentEst}%.3f < $thr%.3f")
+          .mkString("vocabulary drift — ", "; ", ""))
+    }
+
+    // -- commit: corpus + dedup artifacts + merged sketches -------------
+    keepers.write.mode("append").parquet(docsPath)
+    val (sigs, bands) = DedupPipeline.signatureTables(keepers, idCol, textCol, p)
+    sigs.write.mode("append").parquet(s"$dedupPath/sigs")
+    BucketedSignatureStore.append(bands, s"${name}_bands", numBuckets, Seq("band", "bk"))
+    keepers.select(col(idCol), md5(col(textCol)).as("h"))
+      .write.mode("append").parquet(hashesPath)
+    mergeSketches(vocabSketch(keepers))
+
+    val (nIn, nRej, nKept) = (newDocs.count(), rej.count(), keepers.count())
+    IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, drift)
+  }
+
+  /** Per-source drift of a shard against the stored corpus sketches.
+    * X = k minima of the union sketch; Jaccard ≈ |X∩A∩B|/|X|,
+    * containment(B⊆A) ≈ |X∩A∩B|/|X∩B| — all O(k) array intrinsics on
+    * rows that are k longs each, so the compare never leaves the
+    * sketch table's scale regardless of corpus size. */
+  def driftReport(shardDocs: DataFrame): Seq[SourceDrift] = {
+    val corpusSk = spark.read.parquet(sketchPath)
+      .select(col(sourceCol), col("minima").as("ma"))
+    val shardSk = vocabSketch(shardDocs)
+      .select(col(sourceCol), col("minima").as("mb"))
+    val xs = slice(array_sort(array_union(col("ma"), col("mb"))), 1, sketchK)
+    val both = size(array_intersect(xs, array_intersect(col("ma"), col("mb"))))
+      .cast("double")
+    shardSk.join(corpusSk, Seq(sourceCol), "left")
+      .select(col(sourceCol),
+        when(col("ma").isNull, lit(0.0))
+          .otherwise(both / size(xs)).as("jac"),
+        when(col("ma").isNull, lit(0.0))
+          .otherwise(both / size(array_intersect(xs, col("mb")))).as("cont"),
+        col("ma").isNull.as("novel"))
+      .collect()
+      .map(r => SourceDrift(r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3)))
+      .toSeq
+  }
+
+  /** Fold a shard's sketches into the stored ones: per source, the k
+    * smallest of the union (exact KMV merge); unseen sources enter
+    * as-is. Checkpointed before the overwrite — the sketch table is
+    * read and rewritten in one job (k longs × sources, trivially
+    * bounded). */
+  private def mergeSketches(shardSk: DataFrame): Unit = {
+    val corpusSk = spark.read.parquet(sketchPath)
+    val merged = corpusSk.select(col(sourceCol), col("minima").as("ma"))
+      .join(shardSk.select(col(sourceCol), col("minima").as("mb")),
+        Seq(sourceCol), "full_outer")
+      .select(col(sourceCol),
+        slice(array_sort(array_union(
+            coalesce(col("ma"), array()), coalesce(col("mb"), array()))),
+          1, sketchK).as("minima"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(sketchPath)
+  }
+}

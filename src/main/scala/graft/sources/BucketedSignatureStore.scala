@@ -35,6 +35,20 @@ object BucketedSignatureStore {
       .saveAsTable(name)
   }
 
+  /** Append to an existing bucketed table. Spark validates the bucket
+    * spec against the catalog entry, so new files land hash-distributed
+    * and sorted exactly like the originals — incremental generations
+    * keep the exchange-free join property without rewriting the
+    * corpus-sized table. */
+  def append(df: DataFrame, name: String, numBuckets: Int,
+             keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "bucketed append needs at least one key column")
+    df.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(name)
+  }
+
   /** The catalog-registered bucketed table (bucket metadata attached —
     * a plain `spark.read.parquet(path)` would NOT get exchange-free
     * joins, the distribution info lives in the catalog entry). */
