@@ -5,6 +5,7 @@ import graft.operators.{Normalize, Selections}
 import graft.qc.QualityChecks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Gridded-domain operators (SURVEY §2.4/§2.6/§2.12) exercised on synthetic
   * coordinates derived deterministically from `events` columns: longitude
@@ -100,6 +101,26 @@ object GridQueries {
         .orderBy("qid")
     }),
 
+    // Spatial coarsening / regrid (xarray coarsen().mean() — downsample
+    // a fine grid into 5°×10° blocks): block keys are scan-stage
+    // arithmetic (no join against a target grid — regular axes snap by
+    // formula, the q18 principle in 2-D), one hash aggregate with
+    // map-side partials, decimal sums for order-independent means.
+    "q66_coarsen_grid" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("lat", (col("value") - 100.0) / 2.0)
+        .withColumn("lon", Normalize.wrapLongitude(col("value") * 3.7 - 250.0))
+      e.withColumn("blat", floor(col("lat") / 5.0).cast("long"))
+        .withColumn("blon", floor(col("lon") / 10.0).cast("long"))
+        .groupBy("blat", "blon")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast(DecimalType(38, 10))).cast("double") /
+            count(lit(1)).cast("double")).as("mean_val"),
+          min("lat").as("lat_min"), max("lat").as("lat_max"),
+          min("lon").as("lon_min"), max("lon").as("lon_max"))
+        .orderBy("blat", "blon")
+    }),
+
     // Spatial/temporal extent aggregation (`convenience.py:444-464`, bbox).
     "q27_extent" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -178,5 +199,15 @@ object GridQueries {
         |SELECT MIN(lat) AS lat_min, MAX(lat) AS lat_max,
         |  MIN(lon) AS lon_min, MAX(lon) AS lon_max,
         |  MIN(us) AS t_min, MAX(us) AS t_max, COUNT(*) AS n
-        |FROM e""".stripMargin)
+        |FROM e""".stripMargin,
+    "q66_coarsen_grid" ->
+      """WITH e AS (SELECT value, (value - 100.0) / 2.0 AS lat,
+        |    ((((value * 3.7 - 250.0) + 180.0) % 360.0 + 360.0) % 360.0) - 180.0 AS lon
+        |  FROM events)
+        |SELECT CAST(FLOOR(lat / 5.0) AS BIGINT) AS blat,
+        |  CAST(FLOOR(lon / 10.0) AS BIGINT) AS blon, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_val,
+        |  MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+        |  MIN(lon) AS lon_min, MAX(lon) AS lon_max
+        |FROM e GROUP BY blat, blon ORDER BY blat, blon""".stripMargin)
 }

@@ -155,6 +155,59 @@ object TimeSeriesQueries {
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
         .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
         .orderBy("event_type")
+    }),
+
+    // Climatology + anomaly — the reference domain's flagship analytic
+    // (xarray-style groupby("time.hour") baseline, then departure of a
+    // later period from it). Baseline = first half of the day range
+    // (split computed from the data, one broadcast scalar); the
+    // per-(type, hour) climatology is types×24 rows, broadcast to the
+    // eval scan — the big table shuffles only for its own aggregates,
+    // never for the join. Decimal sums keep the means order-independent;
+    // mean anomaly is derived as eval_mean − clim (never summing the
+    // per-row double anomalies, whose decimal re-cast the oracle could
+    // round differently).
+    "q65_climatology_anomaly" -> ((s, dir) => {
+      val D10 = DecimalType(38, 10)
+      val e = Tables.events(s, dir).select(col("event_type"),
+        expr(s"(us div $HOUR_US) % 24").as("hour"),
+        expr(s"us div $DAY_US").as("day"), col("value"))
+      val split = e.agg(expr("(min(day) + max(day) + 1) div 2").as("split"))
+      val eb = e.crossJoin(broadcast(split))
+      val clim = eb.filter(col("day") < col("split"))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("n_base"),
+          (sum(col("value").cast(D10)).cast("double") /
+            count(lit(1)).cast("double")).as("clim"))
+      eb.filter(col("day") >= col("split"))
+        .join(broadcast(clim), Seq("event_type", "hour"))
+        .groupBy("event_type", "hour", "n_base", "clim")
+        .agg(count(lit(1)).as("n_eval"),
+          (sum(col("value").cast(D10)).cast("double") /
+            count(lit(1)).cast("double") - col("clim")).as("mean_anom"),
+          max(abs(col("value") - col("clim"))).as("max_abs_anom"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // 7-day centered rolling mean per daily series (xarray
+    // rolling(time=7, center=True).mean() over a resampled axis): the
+    // corpus aggregates ONCE to (type, day) partials — counts and exact
+    // decimal sums — and the range-frame window runs over that tiny
+    // daily table, so the window's sort touches days, not events.
+    // roll_avg = windowed-sum ÷ windowed-count keeps exactness (decimal
+    // adds commute; one double division at the end).
+    "q67_rolling_daily" -> ((s, dir) => {
+      val D10 = DecimalType(38, 10)
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"), expr(s"us div $DAY_US").as("day"), col("value"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_day"), sum(col("value").cast(D10)).as("s_day"))
+      val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-3, 3)
+      daily.withColumn("roll_n", sum("n_day").over(w))
+        .withColumn("roll_avg",
+          sum("s_day").over(w).cast("double") / col("roll_n").cast("double"))
+        .select("event_type", "day", "n_day", "roll_n", "roll_avg")
+        .orderBy("event_type", "day")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -235,5 +288,33 @@ object TimeSeriesQueries {
       """WITH e AS (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
         |SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n,
         |  CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
-        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q65_climatology_anomaly" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    epoch_us(ts) // 86400000000 AS day, value FROM events),
+        |b AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS split FROM e),
+        |clim AS (SELECT event_type, hour, COUNT(*) AS n_base,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS clim
+        |  FROM e CROSS JOIN b WHERE day < split GROUP BY event_type, hour),
+        |ev AS (SELECT e.event_type, e.hour, e.value, c.n_base, c.clim
+        |  FROM e CROSS JOIN b
+        |  JOIN clim c ON e.event_type = c.event_type AND e.hour = c.hour
+        |  WHERE e.day >= b.split)
+        |SELECT event_type, hour, n_base, clim, COUNT(*) AS n_eval,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - clim AS mean_anom,
+        |  MAX(ABS(value - clim)) AS max_abs_anom
+        |FROM ev GROUP BY event_type, hour, n_base, clim
+        |ORDER BY event_type, hour""".stripMargin,
+    "q67_rolling_daily" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS n_day, SUM(CAST(value AS DECIMAL(38,10))) AS s_day
+        |  FROM events GROUP BY event_type, day)
+        |SELECT event_type, day, n_day,
+        |  CAST(SUM(n_day) OVER w AS BIGINT) AS roll_n,
+        |  CAST(SUM(s_day) OVER w AS DOUBLE) / CAST(SUM(n_day) OVER w AS DOUBLE) AS roll_avg
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY event_type, day""".stripMargin)
 }

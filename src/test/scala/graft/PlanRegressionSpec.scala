@@ -82,6 +82,27 @@ class PlanRegressionSpec extends SparkSpec {
       s"expected map-side partial KMV aggregation:\n$plan")
   }
 
+  test("q65 climatology joins broadcast; events never shuffles for the join") {
+    val plan = SparkEntry.queries("q65_climatology_anomaly")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      "the types×24 climatology must broadcast to the eval scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"events must not shuffle to meet the climatology:\n$plan")
+  }
+
+  test("q67 rolling window runs over daily partials, not raw events") {
+    val df = SparkEntry.queries("q67_rolling_daily")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Window"), "expected the range-frame window")
+    assert(!plan.contains("SinglePartition"),
+      "the rolling window must stay partitioned by event_type")
+    // the window's input must be the (type, day) aggregate — a partial
+    // aggregate below the window proves events collapsed first
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"expected map-side daily partials below the window:\n$plan")
+  }
+
   test("scan-heavy queries keep filters pushed into the parquet scan") {
     val q06 = SparkEntry.queries("q06_selective_filter")(spark, "/root/testdata/sf0.001")
     val plan = q06.queryExecution.executedPlan.toString()
