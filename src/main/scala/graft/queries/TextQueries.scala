@@ -437,6 +437,36 @@ object TextQueries {
           sha2(bin, 256).as("sha"),
           lower(substring(hex(bin), 1, 16)).as("head8"))
         .orderBy("doc_id")
+    }),
+
+    // PII detection + redaction — a first-class training-data scrub
+    // step. The synthetic corpus has no PII, so deterministic
+    // email/phone strings are planted onto a doc subset first (the
+    // planted set IS the ground truth, so detector counts are
+    // verifiable, not vacuously zero). Detection counts and the
+    // redacted text are pure per-row regex expressions in the scan
+    // stage — no shuffle, no UDF; patterns avoid regex-dialect
+    // divergence (no alternation/backrefs, so Java regex and RE2
+    // leftmost-greedy match identically).
+    "q68_pii_redact" -> ((s, dir) => {
+      val emailPat = "[a-z0-9._]+@[a-z0-9.]+[.][a-z]+"
+      val phonePat = "[0-9]{3}-[0-9]{4}"
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(phonePat), lit(0))).as("n_phones"),
+          regexp_replace(regexp_replace(col("aug"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -665,5 +695,19 @@ object TextQueries {
         |  1.0 - CAST(n_distinct AS DOUBLE)/CAST(n_tok AS DOUBLE) AS dup_token_ratio,
         |  CAST(top_c AS DOUBLE)/CAST(n_tok AS DOUBLE) AS top_token_ratio,
         |  1.0 - CAST(LEN(list_distinct(g2)) AS DOUBLE)/CAST(LEN(g2) AS DOUBLE) AS dup_2gram_ratio
-        |FROM top t JOIN g ON t.doc_id = g.doc_id ORDER BY t.doc_id""".stripMargin)
+        |FROM top t JOIN g ON t.doc_id = g.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q68_pii_redact" ->
+      """WITH a AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' contact user' || doc_id || '@mail.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.]+[.][a-z]+')) AS INTEGER) AS n_emails,
+        |  CAST(LEN(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(aug, '[a-z0-9._]+@[a-z0-9.]+[.][a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM a ORDER BY doc_id""".stripMargin)
 }

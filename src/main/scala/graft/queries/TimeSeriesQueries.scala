@@ -189,6 +189,35 @@ object TimeSeriesQueries {
         .orderBy("event_type", "hour")
     }),
 
+    // Linear gap interpolation per series — the reference domain's
+    // reindex-and-fill (xarray interpolate_na): sentinel values become
+    // nulls, then each null takes the line between its nearest non-null
+    // neighbors in time. Four IGNORE-NULLS window calls share ONE
+    // partition+sort per frame direction (per-user sequences, fully
+    // parallel across users); interior gaps fill, leading/trailing
+    // stay null. All fill arithmetic is double ops in oracle-identical
+    // order.
+    "q69_interpolate_gaps" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("v", when(col("value") > 195.0, lit(null)).otherwise(col("value")))
+      val base = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wp = base.rowsBetween(Window.unboundedPreceding, 0)
+      val wn = base.rowsBetween(0, Window.unboundedFollowing)
+      e.withColumn("pus", last(when(col("v").isNotNull, col("us")), ignoreNulls = true).over(wp))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("nus", first(when(col("v").isNotNull, col("us")), ignoreNulls = true).over(wn))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+        .withColumn("filled",
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull || col("nv").isNull, lit(null))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("us") - col("pus")).cast("double") /
+                (col("nus") - col("pus")).cast("double"))))
+        .withColumn("interp", col("v").isNull && col("filled").isNotNull)
+        .select("event_id", "user_id", "us", "filled", "interp")
+        .orderBy("event_id")
+    }),
+
     // 7-day centered rolling mean per daily series (xarray
     // rolling(time=7, center=True).mean() over a resampled axis): the
     // corpus aggregates ONCE to (type, day) partials — counts and exact
@@ -316,5 +345,27 @@ object TimeSeriesQueries {
         |FROM d
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |  RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-        |ORDER BY event_type, day""".stripMargin)
+        |ORDER BY event_type, day""".stripMargin,
+    "q69_interpolate_gaps" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CASE WHEN value > 195.0 THEN NULL ELSE value END AS v FROM events),
+        |w AS (SELECT event_id, user_id, us, v,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+        |      OVER wp AS pus,
+        |    LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+        |      OVER wn AS nus,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, us,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |       ELSE pv + (nv - pv) * (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE))
+        |  END AS filled,
+        |  (v IS NULL AND NOT (pv IS NULL OR nv IS NULL)) AS interp
+        |FROM w ORDER BY event_id""".stripMargin)
 }

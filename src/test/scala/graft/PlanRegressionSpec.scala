@@ -44,7 +44,8 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("q58 chunking, q60 split, q57 quantization stay in the scan stage (no exchange)") {
-    for (q <- Seq("q58_chunk_windows", "q60_split_assign", "q57_quantize_int8")) {
+    for (q <- Seq("q58_chunk_windows", "q60_split_assign", "q57_quantize_int8",
+        "q68_pii_redact")) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString()
       // The trailing presentation orderBy is the only allowed exchange
