@@ -213,6 +213,34 @@ class CorpusManager(
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, drift)
   }
 
+  /** Streaming ingest (the corpus twin of
+    * [[graft.streaming.IncrementalStream]]'s cron-run shape): each
+    * micro-batch of parquet drops landing in `dir` becomes one
+    * [[ingestShard]] call via foreachBatch, under Trigger.AvailableNow —
+    * process the backlog, then stop. The checkpoint makes repeated runs
+    * exactly-once at the FILE level (a rerun with the same checkpoint
+    * ingests nothing new); if a crash lands between a batch's corpus
+    * append and checkpoint commit, the restart's replay is rejected
+    * whole by the id-collision guard rather than double-ingested —
+    * fail-safe, with the partial batch surfaced as the error.
+    * `maxFilesPerTrigger` bounds batch size so a backlog becomes
+    * several shard ingests, not one giant one. `onBatch` observes each
+    * batch's [[IngestReport]] (drift monitoring hook). */
+  def ingestStream(dir: String, schema: org.apache.spark.sql.types.StructType,
+                   checkpoint: String, maxFilesPerTrigger: Int = 0,
+                   onBatch: (Long, IngestReport) => Unit = (_, _) => ()): Unit = {
+    val src = graft.streaming.IncrementalStream.source(
+      spark, dir, schema, maxFilesPerTrigger)
+    val fn: (DataFrame, Long) => Unit = (batch, id) =>
+      if (!batch.isEmpty) onBatch(id, ingestShard(batch))
+    val q = src.writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Per-source drift of a shard against the stored corpus sketches.
     * X = k minima of the union sketch; Jaccard ≈ |X∩A∩B|/|X|,
     * containment(B⊆A) ≈ |X∩A∩B|/|X∩B| — all O(k) array intrinsics on

@@ -33,6 +33,10 @@ object BucketedSignatureStore {
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(name)
+    // drop the cached relation/file-index of the previous generation —
+    // overwriting an external-path table does not reliably invalidate
+    // it, and a stale listing fails reads with FILE_NOT_EXIST
+    df.sparkSession.catalog.refreshTable(name)
   }
 
   /** Append to an existing bucketed table. Spark validates the bucket
@@ -47,10 +51,18 @@ object BucketedSignatureStore {
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(name)
+    df.sparkSession.catalog.refreshTable(name)
   }
 
   /** The catalog-registered bucketed table (bucket metadata attached —
     * a plain `spark.read.parquet(path)` would NOT get exchange-free
     * joins, the distribution info lives in the catalog entry). */
-  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+  def table(spark: SparkSession, name: String): DataFrame = {
+    // refresh in the READER's session: the writer may have been a
+    // different (e.g. streaming micro-batch clone) session, and relation
+    // caches are per-session — a stale file index here fails with
+    // FILE_NOT_EXIST after the table's next generation
+    spark.catalog.refreshTable(name)
+    spark.table(name)
+  }
 }

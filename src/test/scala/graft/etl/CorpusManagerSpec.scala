@@ -92,6 +92,37 @@ class CorpusManagerSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest: per-batch shard dedup, file-level exactly-once") {
+    val m = new CorpusManager("cm_spec4", tmpDir("cm4"), spark,
+      numBuckets = 4, minTokens = 2)
+    m.ingestInitial(docs(Seq(
+      (1L, mkText(1), "web"), (2L, mkText(2), "web"))))
+    val drop = tmpDir("cm4drop")
+    val ckpt = tmpDir("cm4ckpt")
+    val schema = docs(Nil).schema
+    var reports = Vector.empty[(Long, IngestReport)]
+    val collect = (id: Long, r: IngestReport) => { reports :+= (id -> r) }
+
+    // run 1: shard A — a corpus dup and a fresh doc
+    docs(Seq((101L, near(mkText(1)), "web"), (102L, mkText(102), "web")))
+      .write.mode("append").parquet(drop)
+    m.ingestStream(drop, schema, ckpt, onBatch = collect)
+    assert(corpusIds(m) == Set(1L, 2L, 102L))
+    assert(reports.map(_._2.ingested) == Vector(1L))
+
+    // run 2 (same checkpoint): only shard B is new; its dup of the
+    // RUN-1 ingest (102) is caught by the appended artifacts
+    docs(Seq((201L, near(mkText(102)), "web"), (202L, mkText(202), "web")))
+      .write.mode("append").parquet(drop)
+    m.ingestStream(drop, schema, ckpt, onBatch = collect)
+    assert(corpusIds(m) == Set(1L, 2L, 102L, 202L))
+    assert(reports.map(_._2.ingested) == Vector(1L, 1L))
+
+    // run 3: nothing new landed → nothing processed (exactly-once)
+    m.ingestStream(drop, schema, ckpt, onBatch = collect)
+    assert(reports.size == 2 && corpusIds(m) == Set(1L, 2L, 102L, 202L))
+  }
+
   test("drift gate aborts before any write") {
     val m = new CorpusManager("cm_spec3", tmpDir("cm3"), spark,
       numBuckets = 4, minTokens = 2, minVocabContainment = Some(0.8))
