@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   * so it is a correctness-at-scale check, not just a stopwatch.
   */
 object TextScaleProbe {
+  /** 4 synthetic sources for the manager rehearsal's per-source sketches. */
+  private def mdocsWithSource(docs: org.apache.spark.sql.DataFrame) =
+    docs.withColumn("source", pmod(col("doc_id"), lit(4)).cast("string"))
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
     val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
@@ -101,6 +105,36 @@ object TextScaleProbe {
     require(gotInc == expInc, "incremental dedup missed cross-shard pairs")
     spark.sql("DROP TABLE IF EXISTS probe_bands")
     spark.sql("DROP TABLE IF EXISTS probe_shard_bands")
+
+    // CorpusManager end-to-end rehearsal over the same corpus/shard cut:
+    // the orchestrated path (gate → dedup → drift → artifact appends)
+    // must reproduce the pipeline-level expectations computed from the
+    // batch `labels` frame above — initial keeps each cluster's minimum,
+    // the shard drops straddle-cluster members (canonical copy already
+    // in the corpus) and non-minima of shard-only clusters.
+    val root = java.nio.file.Files.createTempDirectory("corpus_mgr").toString
+    val mdocs = mdocsWithSource(docs)
+    val mgr = new graft.etl.CorpusManager("probe_mgr", root, spark, numBuckets = 64)
+    val rInit = timed(s"manager initial ingest ($cut docs)") {
+      mgr.ingestInitial(mdocs.filter(col("doc_id") < cut))
+    }
+    val corpusDrops = labels.filter(col("id") < cut && col("id") =!= col("lbl")).count()
+    println(s"PROBE manager initial ingested ${rInit.ingested} " +
+      s"(expect ${cut - corpusDrops})")
+    require(rInit.ingested == cut - corpusDrops, "manager initial dedup wrong")
+    val rShard = timed(s"manager shard ingest (${nDocs - cut} docs)") {
+      mgr.ingestShard(mdocs.filter(col("doc_id") >= cut))
+    }
+    val shardDrops = labels.filter(col("id") >= cut &&
+      (col("lbl") < cut || col("id") =!= col("lbl"))).count()
+    println(s"PROBE manager shard ingested ${rShard.ingested} " +
+      s"(expect ${nDocs - cut - shardDrops}); drift " +
+      rShard.drift.map(d => f"${d.source}:${d.containmentEst}%.3f").mkString(" "))
+    require(rShard.ingested == nDocs - cut - shardDrops, "manager shard dedup wrong")
+    require(rShard.drift.nonEmpty && rShard.drift.forall(d =>
+      !d.novelSource && d.containmentEst > 0.8), "drift report out of expected range")
+    spark.sql("DROP TABLE IF EXISTS probe_mgr_bands")
+    spark.sql("DROP TABLE IF EXISTS probe_mgr_shard_bands")
     spark.stop()
   }
 }
