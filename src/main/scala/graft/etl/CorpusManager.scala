@@ -25,6 +25,20 @@ case class SourceDrift(
     containmentEst: Double,
     novelSource: Boolean)
 
+/** Committed corpus state: monotonic generation counter (one per
+  * successful ingest) plus cumulative canonical-doc count and the dedup
+  * parameters the artifacts were built with — a reader can verify its
+  * `Params` match before band-joining against the persisted tables. */
+case class CorpusManifest(
+    name: String,
+    generation: Long,
+    nDocs: Long,
+    ngram: Int,
+    perms: Int,
+    bands: Int,
+    minEstJaccard: Double,
+    numBuckets: Int)
+
 /** A shard's vocabulary diverged below the configured containment
   * floor — the documents-side analog of
   * [[graft.qc.NanFrequencyMismatchException]]: ingest aborts BEFORE any
@@ -85,7 +99,59 @@ class CorpusManager(
   private def fs = new org.apache.hadoop.fs.Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def hasExisting: Boolean = fs.exists(new org.apache.hadoop.fs.Path(docsPath))
+  private def manifestPath = new org.apache.hadoop.fs.Path(root, "_corpus.json")
+  private def gensDir = new org.apache.hadoop.fs.Path(root, "_gens")
+
+  /** Existence = a COMMITTED manifest, not data files: a crashed initial
+    * ingest (docs written, manifest not) re-routes to ingestInitial,
+    * whose overwrite replaces the partial output. */
+  def hasExisting: Boolean = fs.exists(manifestPath)
+
+  def readManifest(): Option[CorpusManifest] = {
+    if (!hasExisting) return None
+    val in = fs.open(manifestPath)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    import org.json4s._
+    implicit val fmt: Formats = DefaultFormats
+    Some(jackson.JsonMethods.parse(txt).extract[CorpusManifest])
+  }
+
+  /** Atomic generation commit, the [[graft.sources.GriddedStore]]
+    * two-layer pattern: (1) CREATE-EXCLUSIVE claim of
+    * `_gens/gNNNNNN.json` — exactly one of two concurrent ingests wins,
+    * the loser throws before the pointer moves; (2) pointer swap via
+    * FileContext rename-with-OVERWRITE, so a committed manifest always
+    * exists (no delete-then-rename crash window). */
+  private def commitManifest(nDocsTotal: Long): CorpusManifest = {
+    val gen = readManifest().map(_.generation).getOrElse(0L) + 1
+    val m = CorpusManifest(name, gen, nDocsTotal,
+      p.ngram, p.perms, p.bands, p.minEstJaccard, numBuckets)
+    import org.json4s._
+    val json = jackson.JsonMethods.pretty(jackson.JsonMethods.render(JObject(
+      "name" -> JString(m.name), "generation" -> JLong(m.generation),
+      "nDocs" -> JLong(m.nDocs), "ngram" -> JInt(m.ngram),
+      "perms" -> JInt(m.perms), "bands" -> JInt(m.bands),
+      "minEstJaccard" -> JDouble(m.minEstJaccard),
+      "numBuckets" -> JInt(m.numBuckets))))
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    fs.mkdirs(gensDir)
+    val claim =
+      try fs.create(new org.apache.hadoop.fs.Path(gensDir, f"g$gen%06d.json"), false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.util.ConcurrentModificationException(
+            s"corpus generation $gen at $root was claimed by another writer", e)
+      }
+    try claim.write(bytes) finally claim.close()
+    val tmp = new org.apache.hadoop.fs.Path(root, "_corpus.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, manifestPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    m
+  }
 
   /** The canonical deduplicated corpus. */
   def corpus(): DataFrame = spark.read.parquet(docsPath)
@@ -131,6 +197,7 @@ class CorpusManager(
       .write.mode("overwrite").parquet(hashesPath)
     vocabSketch(kept).write.mode("overwrite").parquet(sketchPath)
     val (nIn, nRej, nKept) = (docs.count(), rej.count(), kept.count())
+    commitManifest(nKept)
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, Nil)
   }
 
@@ -210,6 +277,7 @@ class CorpusManager(
     mergeSketches(vocabSketch(keepers))
 
     val (nIn, nRej, nKept) = (newDocs.count(), rej.count(), keepers.count())
+    commitManifest(readManifest().map(_.nDocs).getOrElse(0L) + nKept)
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, drift)
   }
 

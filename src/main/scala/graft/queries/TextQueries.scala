@@ -531,6 +531,37 @@ object TextQueries {
               (col("n_b").cast("double") / col("nn").cast("double"))))
         .orderBy(col("n_ab").desc, col("a"), col("b")).limit(50)
         .select("a", "b", "n_ab", "n_a", "n_b", "lift")
+    }),
+
+    // Temperature-weighted source mixture (T=2) — the data-mixing step
+    // of a training pipeline: source s contributes ⌊K·√n_s / Σ√n⌋ docs,
+    // flattening the natural size skew (up-samples small sources
+    // relative to proportional mixing). √ because sqrt is
+    // correctly-rounded IEEE in both engines where pow(x, 1/T) is not;
+    // per-source weights go through decimal so the Σ is
+    // order-independent. Selection within a source is the md5-rank
+    // deterministic sample (the q44/q55 posture: portable, seedless,
+    // stable under repartition); quotas broadcast to the rank filter.
+    "q72_mixture_sample" -> ((s, dir) => {
+      val K = 200
+      val d = Tables.table(s, dir, "documents")
+      val w = d.groupBy("source")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", sqrt(col("n").cast("double")).cast(org.apache.spark.sql.types.DecimalType(38, 10)))
+      val tot = w.agg(sum("w").as("tot"))
+      val quota = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          floor(lit(K) * col("w").cast("double") / col("tot").cast("double"))
+            .cast("long").as("quota"))
+      val rn = row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+      d.select(col("doc_id"), col("source"))
+        .withColumn("rn", rn.cast("long"))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("rn") <= col("quota"))
+        .select("source", "doc_id", "rn", "n", "quota")
+        .orderBy("source", "rn")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -805,5 +836,20 @@ object TextQueries {
         |     (CAST(ub.n AS DOUBLE) / CAST(nn AS DOUBLE))) AS lift
         |FROM pc JOIN uni ua ON pc.a = ua.tok JOIN uni ub ON pc.b = ub.tok
         |CROSS JOIN nn CROSS JOIN tt
-        |ORDER BY n_ab DESC, a, b LIMIT 50""".stripMargin)
+        |ORDER BY n_ab DESC, a, b LIMIT 50""".stripMargin,
+    "q72_mixture_sample" ->
+      """WITH w AS (SELECT source, COUNT(*) AS n,
+        |    CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(38,10)) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(w) AS tot FROM w),
+        |q AS (SELECT source, n,
+        |    CAST(FLOOR(200 * CAST(w AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT) AS quota
+        |  FROM w CROSS JOIN tot),
+        |r AS (SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT r.source, doc_id, rn, n, quota
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE rn <= quota ORDER BY r.source, rn""".stripMargin)
 }

@@ -48,6 +48,8 @@ class CorpusManagerSpec extends SparkSpec {
       (10L, "solo", "web"))))          // rejected: 1 token < minTokens
     assert(r == IngestReport(10, 2, 2, 6, Nil))
     assert(corpusIds(m) == Set(1L, 4L, 5L, 6L, 7L, 8L))
+    val man = m.readManifest().get
+    assert(man.generation == 1 && man.nDocs == 6 && man.numBuckets == 4)
     intercept[IllegalArgumentException] { m.ingestInitial(docs(Nil)) }
   }
 
@@ -85,6 +87,8 @@ class CorpusManagerSpec extends SparkSpec {
     assert(r2.ingested == 1 && r2.duplicates == 1)
     assert(corpusIds(m).contains(202L) && !corpusIds(m).contains(201L))
     assert(r2.drift.find(_.source == "code").exists(_.novelSource))
+    val man = m.readManifest().get
+    assert(man.generation == 3 && man.nDocs == 9) // 6 initial + 2 + 1
 
     // id collisions with the corpus are rejected up front
     intercept[IllegalArgumentException] {
@@ -135,6 +139,7 @@ class CorpusManagerSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("web"))
     assert(corpusIds(m) == before) // corpus byte-identical after abort
+    assert(m.readManifest().get.generation == 1) // no generation consumed
     // the same shard passes when the gate is off — proving the gate,
     // not dedup, was the rejector
     val m2 = new CorpusManager("cm_spec3", m.docsPath.stripSuffix("/docs"),
