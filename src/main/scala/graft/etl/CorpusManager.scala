@@ -309,6 +309,41 @@ class CorpusManager(
     q.awaitTermination()
   }
 
+  /** Maintenance compaction of the append-accumulated artifacts: every
+    * shard ingest adds a part-file set to docs/sigs/hashes and
+    * `numBuckets` files to the band table, so after many generations
+    * scans pay file-listing and open-per-file costs (the classic
+    * small-files problem). Rewrites each artifact through `_staging/`
+    * (never a self-referential overwrite; disk, not executor memory —
+    * the GriddedStore.compact discipline) and re-buckets the band table
+    * back to exactly `numBuckets` files. NOT crash-atomic for
+    * concurrent readers (plain parquet dirs have no pinned file list —
+    * unlike GriddedStore, whose manifest pins files): run it like any
+    * table-maintenance rewrite, without concurrent queries. Commits a
+    * generation so the maintenance event is recorded. */
+  def compactArtifacts(partitions: Int = 0): CorpusManifest = {
+    require(hasExisting, s"corpus $name has no initial ingest at $root")
+    val n = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val stagingRoot = new org.apache.hadoop.fs.Path(root, "_staging")
+    def rewrite(path: String, tag: String): Unit = {
+      val staged = new org.apache.hadoop.fs.Path(stagingRoot, tag).toString
+      spark.read.parquet(path).repartition(n)
+        .write.mode("overwrite").parquet(staged)
+      spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+    }
+    rewrite(docsPath, "docs")
+    rewrite(s"$dedupPath/sigs", "sigs")
+    rewrite(hashesPath, "hashes")
+    val bandsStaged = new org.apache.hadoop.fs.Path(stagingRoot, "bands").toString
+    BucketedSignatureStore.table(spark, s"${name}_bands")
+      .write.mode("overwrite").parquet(bandsStaged)
+    BucketedSignatureStore.write(spark.read.parquet(bandsStaged),
+      s"${name}_bands", s"$dedupPath/bands", numBuckets, Seq("band", "bk"))
+    fs.delete(stagingRoot, true)
+    commitManifest(readManifest().map(_.nDocs).getOrElse(0L))
+  }
+
   /** Per-source drift of a shard against the stored corpus sketches.
     * X = k minima of the union sketch; Jaccard ≈ |X∩A∩B|/|X|,
     * containment(B⊆A) ≈ |X∩A∩B|/|X∩B| — all O(k) array intrinsics on

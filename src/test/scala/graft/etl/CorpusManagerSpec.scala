@@ -127,6 +127,39 @@ class CorpusManagerSpec extends SparkSpec {
     assert(reports.size == 2 && corpusIds(m) == Set(1L, 2L, 102L, 202L))
   }
 
+  test("compaction rewrites artifacts without changing corpus or dedup behavior") {
+    val m = new CorpusManager("cm_spec5", tmpDir("cm5"), spark,
+      numBuckets = 4, minTokens = 2)
+    m.ingestInitial(docs(Seq((1L, mkText(1), "web"), (2L, mkText(2), "web"))))
+    m.ingestShard(docs(Seq((101L, mkText(101), "web"))))
+    m.ingestShard(docs(Seq((111L, mkText(111), "web"))))
+    val before = corpusIds(m)
+    val man = m.compactArtifacts(partitions = 2)
+    assert(man.generation == 4 && man.nDocs == 4)
+    assert(corpusIds(m) == before)
+    // dedup against compacted artifacts still works (near-dup of a
+    // shard-era doc; its bands went through the re-bucketing)
+    val r = m.ingestShard(docs(Seq((201L, near(mkText(111)), "web"))))
+    assert(r.ingested == 0 && r.duplicates == 1)
+  }
+
+  test("a lost generation-claim race fails the commit, not silently") {
+    val m = new CorpusManager("cm_spec6", tmpDir("cm6"), spark,
+      numBuckets = 4, minTokens = 2)
+    m.ingestInitial(docs(Seq((1L, mkText(1), "web"))))
+    // another writer claims generation 2 first
+    val fs = new org.apache.hadoop.fs.Path(m.docsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(
+      m.docsPath.stripSuffix("/docs") + "/_gens/g000002.json")
+    fs.mkdirs(claim.getParent)
+    fs.create(claim, false).close()
+    intercept[java.util.ConcurrentModificationException] {
+      m.ingestShard(docs(Seq((50L, mkText(50), "web"))))
+    }
+    assert(m.readManifest().get.generation == 1)
+  }
+
   test("drift gate aborts before any write") {
     val m = new CorpusManager("cm_spec3", tmpDir("cm3"), spark,
       numBuckets = 4, minTokens = 2, minVocabContainment = Some(0.8))
