@@ -42,6 +42,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("skipGramRows == HOF pair expression on random texts (incl. empty tokens)") {
+    val s = spark; import s.implicits._
+    for (maxOff <- Seq(1, 2, 3)) {
+      val docs = samples(text, 150, 23L).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val typed = Signatures.skipGramRows(docs, "text", maxOff)
+      // the expression route q71 replaced (kept here as the semantic
+      // spec); per-offset frames so a doc long enough for offset 1 but
+      // not offset 2 still contributes its short-offset pairs
+      val t = split(col("text"), " ")
+      val expr = (1 to maxOff).map { off =>
+        docs.filter(size(t) >= off + 1)
+          .select(explode(transform(sequence(lit(1), size(t) - off),
+            i => struct(element_at(t, i).as("a"), element_at(t, i + off).as("b"))))
+            .as("p"))
+          .select(col("p.a"), col("p.b"))
+      }.reduce(_ unionAll _)
+      assert(typed.exceptAll(expr).isEmpty && expr.exceptAll(typed).isEmpty,
+        s"maxOff=$maxOff pair multisets diverge")
+    }
+  }
+
   test("connectedComponents == driver-side union-find on random graphs") {
     val s = spark; import s.implicits._
     val graph: Gen[List[(Long, Long)]] = for {
