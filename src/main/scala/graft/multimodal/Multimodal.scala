@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` columns with
   * typed metadata, processed in partition-sized batches.
   *
-  * Round 2: the decode step is REAL for container formats a JVM can
-  * parse without native codecs — BMP and PGM/PPM images (header +
-  * pixels), WAV PCM audio (header + samples) — including pixel-level
-  * nearest-neighbor resize and PCM amplitude stats. Formats that need
-  * an actual codec library (JPEG/PNG/MP4; none exists in this
-  * container) fall back to a clearly-flagged deterministic synthetic
-  * decode (`realDecode=false`) so downstream plumbing still exercises.
+  * Round 2: the decode step is REAL for everything a JVM can decode
+  * without native libraries — BMP and PGM/PPM images and WAV PCM audio
+  * via hand parsers (header + pixels/samples, incl. pixel-level
+  * nearest-neighbor resize and PCM amplitude stats), and PNG / GIF /
+  * JPEG via the JDK's own ImageIO codecs, including animated-GIF frame
+  * counts and per-frame extraction ([[sampleFrameStats]]). Only
+  * genuinely codec-less formats (MP4 and other video containers — the
+  * JDK has no video codec) fall back to a clearly-flagged deterministic
+  * synthetic decode (`realDecode=false`) so downstream plumbing still
+  * exercises.
   * Everything around the parse — schema, batch shape, partitioning,
   * null-safety — is the Spark plumbing any codec drops into: the
   * decoder runs per partition (one instance per task, the Scala analog
@@ -103,6 +106,87 @@ object Multimodal {
     * dimensions derived deterministically from a content hash so tests
     * are stable and dedup-by-content still behaves like real decode.
     * Flagged `realDecode=false` in the output. */
+  /** JDK ImageIO decode — REAL codecs for PNG/GIF/JPEG/BMP ship in the
+    * JVM itself (no native libs, headless-safe), so these formats do
+    * not need the synthetic fallback. `getNumImages(true)` counts
+    * animated-GIF frames, which upgrades [[sampleFrames]] to real frame
+    * counts. Returns (width, height, nFrames). */
+  private[multimodal] def parseImageIO(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.isEmpty) return None
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        val n = r.getNumImages(true)
+        Some((r.getWidth(0), r.getHeight(0), math.max(n, 1)))
+      } finally r.dispose()
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** Real frame extraction + feature step: decode every `stride`-th
+    * frame of an (animated) image and compute its mean channel
+    * intensity — per-frame RASTER stats (GIF frames are not composited
+    * over the logical screen; each raster stands alone). Deterministic:
+    * integer pixel sums, one double division at the end. */
+  private[multimodal] def frameStats(b: Array[Byte], stride: Int):
+      Seq[(Int, Int, Int, Double)] = {
+    require(stride > 0, "stride must be positive")
+    if (b.isEmpty) return Nil
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return Nil
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        val n = math.max(r.getNumImages(true), 1)
+        (0 until n by stride).map { idx =>
+          val img = r.read(idx)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          (idx, w, h, sum.toDouble / (3.0 * w * h))
+        }
+      } finally r.dispose()
+    } catch { case _: Exception => Nil } finally in.close()
+  }
+
+  case class FrameStat(id: Long, frameIdx: Int, width: Int, height: Int,
+                       meanIntensity: Double)
+
+  /** Distributed frame sampling WITH extraction: one ImageIO pass per
+    * row inside a partition task (the mapInPandas batch shape), no
+    * shuffle. Rows whose bytes no JDK codec accepts yield no frames —
+    * the honest behavior for genuinely un-decodable media (MP4 etc.,
+    * which the JDK has no codec for). */
+  def sampleFrameStats(df: DataFrame, idCol: String, binCol: String,
+                       stride: Int): Dataset[FrameStat] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        frameStats(b, stride).map { case (i, w, h, m) =>
+          FrameStat(id, i, w, h, m)
+        }
+      })
+  }
+
   private def syntheticDims(bytes: Array[Byte], kind: String): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(bytes)
     val w = 64 + math.abs(h % 1024)
@@ -133,6 +217,8 @@ object Multimodal {
           }).orElse(parseWav(b).map { case (rate, ch, bits, _, dataLen) =>
             MediaMeta(id, kind, b.length, sha, 0, 0, 1, rate,
               dataLen.toLong / (ch * bits / 8), realDecode = true)
+          }).orElse(parseImageIO(b).map { case (w, h, nf) =>
+            MediaMeta(id, kind, b.length, sha, w, h, nf, 0, 0L, realDecode = true)
           }).getOrElse {
             val (w, h, f) = syntheticDims(b, kind)
             MediaMeta(id, kind, b.length, sha, w, h, f, 0, 0L, realDecode = false)

@@ -85,6 +85,65 @@ class MultimodalSpec extends SparkSpec {
     assert(n == 4 && peak == 2000 && meanAbs == (0 + 1000 + 2000 + 500) / 4.0)
   }
 
+  // ---- JDK ImageIO codec fixtures (real PNG/JPEG/animated GIF) --------
+
+  private def gray(v: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (v << 16) | (v << 8) | v
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, rgb)
+    img
+  }
+
+  private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    frames.foreach(f =>
+      w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    w.endWriteSequence()
+    w.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  test("ImageIO path: real PNG/JPEG/animated-GIF decode incl. frame counts") {
+    val s = spark; import s.implicits._
+    val jpegOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray(128), "jpg", jpegOut)
+    val rows = Seq(
+      (1L, png(gray(200)), "image"),
+      (2L, jpegOut.toByteArray, "image"),
+      (3L, animatedGif(Seq(gray(0), gray(120), gray(255))), "video"))
+    val meta = Multimodal.decodeMeta(rows.toDF("id", "bin", "kind"), "id", "bin", "kind")
+      .collect().sortBy(_.id)
+    assert(meta.forall(m => m.realDecode && m.width == 6 && m.height == 4))
+    assert(meta(0).nFrames == 1 && meta(1).nFrames == 1 && meta(2).nFrames == 3)
+  }
+
+  test("sampleFrameStats extracts real per-frame pixels from an animated GIF") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, animatedGif(Seq(gray(0), gray(60), gray(120), gray(250))), "video"),
+      (2L, "not-decodable-by-any-jdk-codec".getBytes, "video"))
+    val stats = Multimodal.sampleFrameStats(rows.toDF("id", "bin", "kind"),
+        "id", "bin", stride = 2)
+      .collect().sortBy(s => (s.id, s.frameIdx))
+    // id 1: frames 0 and 2 sampled; solid grays survive GIF palette
+    // quantization near-exactly
+    assert(stats.map(s => (s.id, s.frameIdx)).toSeq == Seq((1L, 0), (1L, 2)))
+    assert(stats.forall(s => s.width == 6 && s.height == 4))
+    assert(math.abs(stats(0).meanIntensity - 0.0) < 3.0)
+    assert(math.abs(stats(1).meanIntensity - 120.0) < 3.0)
+  }
+
   test("sampleFrames explodes stride-sampled frame indices for video") {
     val s = spark; import s.implicits._
     val rows = Seq((1L, "some-video-content-xyz".getBytes, "video"),
