@@ -117,14 +117,46 @@ class CorpusManager(
     Some(jackson.JsonMethods.parse(txt).extract[CorpusManifest])
   }
 
+  /** Serialize every mutating operation behind a CREATE-EXCLUSIVE
+    * `_ingest.lock`: a concurrent ingest fails fast BEFORE touching any
+    * artifact (without this, two ingests would both append un-deduped-
+    * against-each-other keepers and the commit-time loser's docs would
+    * be stranded in the corpus). The reference's `update_in_progress`
+    * flag posture (`utils/publish.py` two-phase writes). A crash leaves
+    * the lock behind — deliberate: the next ingest fails with a message
+    * naming the lock, the operator verifies no writer is live, deletes
+    * it, runs [[repairArtifacts]], and restarts. */
+  private def withIngestLock[T](f: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(root, "_ingest.lock")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.util.ConcurrentModificationException(
+            s"another ingest holds $lock (or a crashed one left it: verify, " +
+              "delete the lock, run repairArtifacts(), retry)", e)
+      }
+    out.close()
+    try f finally fs.delete(lock, false)
+  }
+
   /** Atomic generation commit, the [[graft.sources.GriddedStore]]
     * two-layer pattern: (1) CREATE-EXCLUSIVE claim of
-    * `_gens/gNNNNNN.json` — exactly one of two concurrent ingests wins,
-    * the loser throws before the pointer moves; (2) pointer swap via
-    * FileContext rename-with-OVERWRITE, so a committed manifest always
-    * exists (no delete-then-rename crash window). */
+    * `_gens/gNNNNNN.json` (a second line of defense under the ingest
+    * lock); (2) pointer swap via FileContext rename-with-OVERWRITE, so
+    * a committed manifest always exists (no delete-then-rename crash
+    * window). The next generation comes from the CLAIM DIRECTORY
+    * listing, not the pointer — a crash between claim and rename must
+    * skip the orphaned number, not wedge on it forever. */
   private def commitManifest(nDocsTotal: Long): CorpusManifest = {
-    val gen = readManifest().map(_.generation).getOrElse(0L) + 1
+    val claimed =
+      if (!fs.exists(gensDir)) 0L
+      else fs.listStatus(gensDir).map(_.getPath.getName)
+        .collect { case n if n.matches("g\\d+\\.json") =>
+          n.stripPrefix("g").stripSuffix(".json").toLong }
+        .foldLeft(0L)(math.max)
+    val gen = math.max(claimed, readManifest().map(_.generation).getOrElse(0L)) + 1
     val m = CorpusManifest(name, gen, nDocsTotal,
       p.ngram, p.perms, p.bands, p.minEstJaccard, numBuckets)
     import org.json4s._
@@ -166,11 +198,6 @@ class CorpusManager(
     (docs.filter(ok), docs.filter(!coalesce(ok, lit(false))))
   }
 
-  /** 60-bit md5-derived hash — the engine-portable hash the oracle-
-    * checked sketch queries (q62/q63) standardized on. */
-  private def hv(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
-
   /** Per-source KMV vocabulary sketch: k smallest 60-bit token hashes.
     * One distinct pass + map-side-combined `kmv_minima` — the shuffle
     * carries k longs per (partition, source). */
@@ -179,13 +206,14 @@ class CorpusManager(
       .select(col(sourceCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .distinct()
       .groupBy(sourceCol)
-      .agg(call_function("kmv_minima", hv(col("tok")), lit(sketchK)).as("minima"))
+      .agg(call_function("kmv_minima", TextFunctions.md5Hash60(col("tok")),
+        lit(sketchK)).as("minima"))
 
   /** First ingest: gate → batch dedup ([[DedupPipeline.run]]) → write
     * the canonical corpus, then persist the dedup artifacts (signatures,
     * bucketed bands, exact hashes) and the vocabulary sketch so every
     * later shard ingests incrementally. */
-  def ingestInitial(docs: DataFrame): IngestReport = {
+  def ingestInitial(docs: DataFrame): IngestReport = withIngestLock {
     require(!hasExisting, s"corpus $name already exists at $root — use ingestShard")
     val (ok, rej) = qualityGate(docs)
     val accepted = ok.localCheckpoint() // gate once; feeds dedup + counts
@@ -215,19 +243,41 @@ class CorpusManager(
     *   4. vocabulary-drift gate (throws [[VocabDriftException]] BEFORE
     *      any write when a known source's containment estimate falls
     *      below `minVocabContainment`);
-    *   5. append survivors + their dedup artifacts, merge sketches.
+    *   5. append survivors + their dedup artifacts, merge sketches —
+    *      docs first, the hash table LAST: hashes are the batch's
+    *      completion marker (see the replay contract below).
     *
     * Doc ids must be globally unique across shards (the reference's
-    * `key()` posture); collisions are rejected up front by an id
-    * anti-join against the corpus hash table (single-column scan).
+    * `key()` posture). Replay contract: a shard whose ids are ALL
+    * already in the corpus is a replayed, fully-ingested batch (a
+    * streaming restart after a crash-after-commit) — it repairs any
+    * missing artifacts and returns a zero-ingest report instead of
+    * erroring, so the stream can move past it; a PARTIAL id overlap is
+    * a genuine collision and throws. Serialized behind the ingest
+    * lock ([[withIngestLock]]).
     */
-  def ingestShard(newDocs: DataFrame): IngestReport = {
+  def ingestShard(newDocs: DataFrame): IngestReport = withIngestLock {
     require(hasExisting, s"corpus $name has no initial ingest at $root")
     val (ok, rej) = qualityGate(newDocs)
     val shard = ok.localCheckpoint()
     val corpusH = spark.read.parquet(hashesPath)
-    require(shard.select(col(idCol)).join(corpusH, Seq(idCol), "left_semi")
-      .limit(1).count() == 0, "shard doc ids collide with corpus ids")
+    // id guard against the DOCS table (docs append first, so a crashed
+    // batch is visible here even before its artifacts completed)
+    val nShardIds = shard.select(col(idCol)).distinct().count()
+    val nInCorpus = shard.select(col(idCol)).distinct()
+      .join(corpus().select(col(idCol)), Seq(idCol), "left_semi").count()
+    if (nInCorpus > 0) {
+      require(nInCorpus == nShardIds,
+        s"$nInCorpus of $nShardIds shard doc ids collide with corpus ids")
+      // fully-replayed batch: complete any missing artifacts, report no-op
+      repairMissingArtifacts()
+      val nIn = newDocs.count()
+      IngestReport(nIn, nIn - nShardIds, 0, 0, Nil)
+    } else ingestShardBody(newDocs, shard, rej, corpusH)
+  }
+
+  private def ingestShardBody(newDocs: DataFrame, shard: DataFrame,
+                              rej: DataFrame, corpusH: DataFrame): IngestReport = {
 
     // -- pair graph: near-dup (MinHash/LSH) ∪ exact (md5) ---------------
     val nearPairs = DedupPipeline.runIncremental(
@@ -258,8 +308,12 @@ class CorpusManager(
       Seq(idCol), "left_anti").localCheckpoint()
 
     // -- drift gate (before ANY write: a failed gate leaves the corpus
-    //    byte-identical, matching DatasetManager's pre-parse posture) ---
-    val drift = driftReport(keepers)
+    //    byte-identical, matching DatasetManager's pre-parse posture).
+    //    The keeper sketch is computed ONCE and feeds both the drift
+    //    compare and the post-commit merge — it is the most expensive
+    //    per-shard scan after dedup itself.
+    val keeperSketch = vocabSketch(keepers).localCheckpoint()
+    val drift = driftAgainstCorpus(keeperSketch)
     minVocabContainment.foreach { thr =>
       val bad = drift.filter(d => !d.novelSource && d.containmentEst < thr)
       if (bad.nonEmpty) throw new VocabDriftException(
@@ -267,18 +321,55 @@ class CorpusManager(
           .mkString("vocabulary drift — ", "; ", ""))
     }
 
-    // -- commit: corpus + dedup artifacts + merged sketches -------------
+    // -- commit: docs first, hashes LAST (the completion marker). A
+    //    crash mid-appends leaves ids visible in docs but absent from
+    //    hashes; the replay detects full overlap and repairs the
+    //    missing artifacts from the docs delta instead of duplicating.
     keepers.write.mode("append").parquet(docsPath)
-    val (sigs, bands) = DedupPipeline.signatureTables(keepers, idCol, textCol, p)
-    sigs.write.mode("append").parquet(s"$dedupPath/sigs")
-    BucketedSignatureStore.append(bands, s"${name}_bands", numBuckets, Seq("band", "bk"))
-    keepers.select(col(idCol), md5(col(textCol)).as("h"))
-      .write.mode("append").parquet(hashesPath)
-    mergeSketches(vocabSketch(keepers))
+    appendArtifacts(keepers, keeperSketch)
 
     val (nIn, nRej, nKept) = (newDocs.count(), rej.count(), keepers.count())
     commitManifest(readManifest().map(_.nDocs).getOrElse(0L) + nKept)
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, drift)
+  }
+
+  /** Append a keeper frame's dedup artifacts + sketch merge; the hash
+    * table goes last as the completion marker. */
+  private def appendArtifacts(keepers: DataFrame, keeperSketch: DataFrame): Unit = {
+    val (sigs, bands) = DedupPipeline.signatureTables(keepers, idCol, textCol, p)
+    sigs.write.mode("append").parquet(s"$dedupPath/sigs")
+    BucketedSignatureStore.append(bands, s"${name}_bands", numBuckets, Seq("band", "bk"))
+    mergeSketches(keeperSketch)
+    keepers.select(col(idCol), md5(col(textCol)).as("h"))
+      .write.mode("append").parquet(hashesPath)
+  }
+
+  /** Complete the artifacts of any docs a crashed ingest appended
+    * without finishing (present in docs/, absent from hashes/ — the
+    * completion marker): recompute exactly the missing delta's
+    * signatures/bands/hashes, rebuild the sketch table from the full
+    * corpus (the sketch overwrite is the one non-append artifact, so
+    * delta-merging it after a crash could double-count), and commit a
+    * generation. Returns the number of repaired docs. */
+  def repairArtifacts(): Long = withIngestLock { repairMissingArtifacts() }
+
+  private def repairMissingArtifacts(): Long = {
+    val missing = corpus()
+      .join(spark.read.parquet(hashesPath), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val n = missing.count()
+    if (n > 0) {
+      val (sigs, bands) = DedupPipeline.signatureTables(missing, idCol, textCol, p)
+      sigs.write.mode("append").parquet(s"$dedupPath/sigs")
+      BucketedSignatureStore.append(bands, s"${name}_bands", numBuckets,
+        Seq("band", "bk"))
+      vocabSketch(corpus()).localCheckpoint()
+        .write.mode("overwrite").parquet(sketchPath)
+      missing.select(col(idCol), md5(col(textCol)).as("h"))
+        .write.mode("append").parquet(hashesPath)
+      commitManifest(corpus().count())
+    }
+    n
   }
 
   /** Streaming ingest (the corpus twin of
@@ -287,11 +378,15 @@ class CorpusManager(
     * [[ingestShard]] call via foreachBatch, under Trigger.AvailableNow —
     * process the backlog, then stop. The checkpoint makes repeated runs
     * exactly-once at the FILE level (a rerun with the same checkpoint
-    * ingests nothing new); if a crash lands between a batch's corpus
-    * append and checkpoint commit, the restart's replay is rejected
-    * whole by the id-collision guard rather than double-ingested —
-    * fail-safe, with the partial batch surfaced as the error.
-    * `maxFilesPerTrigger` bounds batch size so a backlog becomes
+    * ingests nothing new); a crash between a batch's appends and the
+    * checkpoint commit is healed on replay by [[ingestShard]]'s replay
+    * contract — the fully-appended batch is detected by its ids,
+    * missing artifacts are repaired from the docs delta, and the batch
+    * reports zero ingest instead of duplicating (a crash BEFORE the
+    * docs append replays as a normal ingest). A crashed run also leaves
+    * the ingest lock behind: delete it after verifying no writer is
+    * live, then restart the stream. `maxFilesPerTrigger` bounds batch
+    * size so a backlog becomes
     * several shard ingests, not one giant one. `onBatch` observes each
     * batch's [[IngestReport]] (drift monitoring hook). */
   def ingestStream(dir: String, schema: org.apache.spark.sql.types.StructType,
@@ -321,7 +416,7 @@ class CorpusManager(
     * unlike GriddedStore, whose manifest pins files): run it like any
     * table-maintenance rewrite, without concurrent queries. Commits a
     * generation so the maintenance event is recorded. */
-  def compactArtifacts(partitions: Int = 0): CorpusManifest = {
+  def compactArtifacts(partitions: Int = 0): CorpusManifest = withIngestLock {
     require(hasExisting, s"corpus $name has no initial ingest at $root")
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
@@ -349,20 +444,31 @@ class CorpusManager(
     * containment(B⊆A) ≈ |X∩A∩B|/|X∩B| — all O(k) array intrinsics on
     * rows that are k longs each, so the compare never leaves the
     * sketch table's scale regardless of corpus size. */
-  def driftReport(shardDocs: DataFrame): Seq[SourceDrift] = {
+  def driftReport(shardDocs: DataFrame): Seq[SourceDrift] =
+    driftAgainstCorpus(vocabSketch(shardDocs))
+
+  private def driftAgainstCorpus(shardSketch: DataFrame): Seq[SourceDrift] = {
     val corpusSk = spark.read.parquet(sketchPath)
       .select(col(sourceCol), col("minima").as("ma"))
-    val shardSk = vocabSketch(shardDocs)
-      .select(col(sourceCol), col("minima").as("mb"))
+    val shardSk = shardSketch.select(col(sourceCol), col("minima").as("mb"))
     val xs = slice(array_sort(array_union(col("ma"), col("mb"))), 1, sketchK)
     val both = size(array_intersect(xs, array_intersect(col("ma"), col("mb"))))
       .cast("double")
+    // denominator guards: a FULLY drifted known source can have no shard
+    // minima among the union's k minima (|X∩B| = 0 once corpus vocab ≥ k)
+    // — that is maximal drift, containment 0, NOT a 0/0 null that would
+    // NPE the collect below. |X| = 0 only when both vocabularies are
+    // empty; call that identical (jac 1, cont 1) rather than drifted.
+    val shardInX = size(array_intersect(xs, col("mb")))
     shardSk.join(corpusSk, Seq(sourceCol), "left")
       .select(col(sourceCol),
         when(col("ma").isNull, lit(0.0))
+          .when(size(xs) === 0, lit(1.0))
           .otherwise(both / size(xs)).as("jac"),
         when(col("ma").isNull, lit(0.0))
-          .otherwise(both / size(array_intersect(xs, col("mb")))).as("cont"),
+          .when(size(xs) === 0, lit(1.0))
+          .when(shardInX === 0, lit(0.0))
+          .otherwise(both / shardInX.cast("double")).as("cont"),
         col("ma").isNull.as("novel"))
       .collect()
       .map(r => SourceDrift(r.getString(0), r.getDouble(1), r.getDouble(2),

@@ -35,6 +35,15 @@ object TextFunctions {
   def langScore(text: Column, markers: Seq[String]): Column =
     stopwordRatio(text, markers)
 
+  /** First 60 bits (15 hex chars) of md5 as a non-negative long — THE
+    * portable hash every sketch pipeline derives from (q62/q63/q70,
+    * corpus drift monitoring; column twin of
+    * [[Signatures.md5_60]]). One definition so oracle bit-compatibility
+    * (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`) cannot drift between
+    * call sites. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Rolling polynomial fingerprint over characters:
     * fold(chars, 0, acc*31 + ascii(c) mod 1e9+7). Deterministic and
     * portable (the DuckDB oracle computes the identical fold). */

@@ -145,21 +145,26 @@ object Multimodal {
       try {
         r.setInput(in)
         val n = math.max(r.getNumImages(true), 1)
-        (0 until n by stride).map { idx =>
-          val img = r.read(idx)
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              x += 1
+        // per-frame try: a truncated/corrupt frame drops only itself —
+        // the decoded prefix of a damaged file is still real data, and
+        // must stay distinguishable from "no JDK codec accepts this"
+        (0 until n by stride).flatMap { idx =>
+          try {
+            val img = r.read(idx)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          (idx, w, h, sum.toDouble / (3.0 * w * h))
+            Some((idx, w, h, sum.toDouble / (3.0 * w * h)))
+          } catch { case _: Exception => None }
         }
       } finally r.dispose()
     } catch { case _: Exception => Nil } finally in.close()

@@ -369,8 +369,7 @@ object TextQueries {
     // guard asserts no Window/Sort and a partial_kmv_minima stage.
     "q62_kmv_distinct" -> ((s, dir) => {
       val k = 16
-      val hv = conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
+      val hv = TextFunctions.md5Hash60(col("tok"))
       Tables.table(s, dir, "documents")
         .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .distinct()
@@ -398,8 +397,7 @@ object TextQueries {
     // corpus's vocab is tiny) with driver-negligible sketch arithmetic.
     "q63_source_overlap" -> ((s, dir) => {
       val k = 64
-      val hv = conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
+      val hv = TextFunctions.md5Hash60(col("tok"))
       val toks = Tables.table(s, dir, "documents")
         .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .distinct()
@@ -481,8 +479,7 @@ object TextQueries {
     "q70_countmin_freq" -> ((s, dir) => {
       val W = 512
       def bucket(j: Column, tok: Column): Column =
-        pmod(conv(substring(md5(concat(j.cast("string"), tok).cast("binary")),
-          1, 15), 16, 10).cast("long"), lit(W))
+        pmod(TextFunctions.md5Hash60(concat(j.cast("string"), tok)), lit(W))
       val js = (0 until 4).map(lit(_))
       val toks = Tables.table(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))

@@ -210,10 +210,15 @@ object TimeSeriesQueries {
         .withColumn("filled",
           when(col("v").isNotNull, col("v"))
             .when(col("pv").isNull || col("nv").isNull, lit(null))
+            // zero-width gap (duplicate timestamps around a null): the
+            // linear formula is 0/0 — take the previous value, and spell
+            // it out so Spark (NULL on /0) and DuckDB (NaN) agree
+            .when(col("nus") === col("pus"), col("pv"))
             .otherwise(col("pv") + (col("nv") - col("pv")) *
               ((col("us") - col("pus")).cast("double") /
                 (col("nus") - col("pus")).cast("double"))))
-        .withColumn("interp", col("v").isNull && col("filled").isNotNull)
+        .withColumn("interp",
+          col("v").isNull && !(col("pv").isNull || col("nv").isNull))
         .select("event_id", "user_id", "us", "filled", "interp")
         .orderBy("event_id")
     }),
@@ -364,6 +369,7 @@ object TimeSeriesQueries {
         |SELECT event_id, user_id, us,
         |  CASE WHEN v IS NOT NULL THEN v
         |       WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |       WHEN nus = pus THEN pv
         |       ELSE pv + (nv - pv) * (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE))
         |  END AS filled,
         |  (v IS NULL AND NOT (pv IS NULL OR nv IS NULL)) AS interp

@@ -90,9 +90,15 @@ class CorpusManagerSpec extends SparkSpec {
     val man = m.readManifest().get
     assert(man.generation == 3 && man.nDocs == 9) // 6 initial + 2 + 1
 
-    // id collisions with the corpus are rejected up front
+    // FULL id overlap = a replayed, already-ingested batch (streaming
+    // crash-after-commit) → no-op report, stream can move on
+    val replay = m.ingestShard(docs(Seq((103L, reorder(mkText(4)), "web"))))
+    assert(replay.ingested == 0 && replay.duplicates == 0)
+    assert(m.readManifest().get.nDocs == 9)
+    // PARTIAL overlap = a genuine id collision → error
     intercept[IllegalArgumentException] {
-      m.ingestShard(docs(Seq((103L, mkText(300), "web"))))
+      m.ingestShard(docs(Seq((103L, mkText(300), "web"),
+        (9999L, mkText(301), "web"))))
     }
   }
 
@@ -143,21 +149,58 @@ class CorpusManagerSpec extends SparkSpec {
     assert(r.ingested == 0 && r.duplicates == 1)
   }
 
-  test("a lost generation-claim race fails the commit, not silently") {
+  test("an orphaned generation claim is skipped, not wedged on") {
     val m = new CorpusManager("cm_spec6", tmpDir("cm6"), spark,
       numBuckets = 4, minTokens = 2)
     m.ingestInitial(docs(Seq((1L, mkText(1), "web"))))
-    // another writer claims generation 2 first
+    // a crashed commit left its claim without moving the pointer
     val fs = new org.apache.hadoop.fs.Path(m.docsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val claim = new org.apache.hadoop.fs.Path(
       m.docsPath.stripSuffix("/docs") + "/_gens/g000002.json")
     fs.mkdirs(claim.getParent)
     fs.create(claim, false).close()
+    // the next ingest skips the orphaned number instead of failing forever
+    assert(m.ingestShard(docs(Seq((50L, mkText(50), "web")))).ingested == 1)
+    assert(m.readManifest().get.generation == 3)
+  }
+
+  test("concurrent ingests are excluded by the lock; crashed batches repair") {
+    val m = new CorpusManager("cm_spec7", tmpDir("cm7"), spark,
+      numBuckets = 4, minTokens = 2)
+    m.ingestInitial(docs(Seq((1L, mkText(1), "web"))))
+    // a live (or crashed) writer holds the lock → fail fast, no writes
+    val fs = new org.apache.hadoop.fs.Path(m.docsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(
+      m.docsPath.stripSuffix("/docs") + "/_ingest.lock")
+    fs.create(lock, false).close()
     intercept[java.util.ConcurrentModificationException] {
-      m.ingestShard(docs(Seq((50L, mkText(50), "web"))))
+      m.ingestShard(docs(Seq((60L, mkText(60), "web"))))
     }
-    assert(m.readManifest().get.generation == 1)
+    fs.delete(lock, false)
+    // simulate a crash after the docs append but before the artifacts:
+    // repair completes exactly the missing delta, and later dedup SEES it
+    docs(Seq((301L, mkText(301), "web"))).write.mode("append").parquet(m.docsPath)
+    assert(m.repairArtifacts() == 1)
+    assert(m.readManifest().get.nDocs == 2)
+    val r = m.ingestShard(docs(Seq((401L, near(mkText(301)), "web"))))
+    assert(r.ingested == 0 && r.duplicates == 1)
+  }
+
+  test("fully-disjoint vocab drifts to containment 0 (no crash at small k)") {
+    // sketchK=4 < corpus vocab, so a fully drifted shard can have NO
+    // minima inside the union's k minima — the 0/0 hazard case
+    val m = new CorpusManager("cm_spec8", tmpDir("cm8"), spark,
+      numBuckets = 4, minTokens = 2, sketchK = 4,
+      minVocabContainment = Some(0.9))
+    m.ingestInitial(docs(Seq(
+      (1L, mkText(1), "web"), (2L, mkText(2), "web"), (3L, mkText(3), "web"))))
+    val ex = intercept[VocabDriftException] {
+      m.ingestShard(docs(Seq(
+        (50L, (0 until 12).map(i => s"zz$i").mkString(" "), "web"))))
+    }
+    assert(ex.getMessage.contains("web"))
   }
 
   test("drift gate aborts before any write") {
