@@ -189,6 +189,45 @@ object TimeSeriesQueries {
         .orderBy("event_type", "hour")
     }),
 
+    // Ordered funnel (signup → click → purchase, strictly increasing
+    // event times per user): each stage is a conditional min-aggregate
+    // joined to the previous stage's users — all three shuffles keyed
+    // on user_id, so AQE reuses one exchange layout and nothing ever
+    // windows the raw event stream. The match_recognize-shaped op of
+    // product analytics.
+    "q73_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("us"))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      s1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(1))
+        .unionByName(s2.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(2)))
+        .unionByName(s3.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(3)))
+        .select("stage", "n_users")
+        .orderBy("stage")
+    }),
+
+    // Retention cohorts: users grouped by first-active day, counted at
+    // each day offset. The (user, day) distinct grain and the cohort
+    // min share the user_id key — co-partitioned joins, one logical
+    // shuffle of the corpus; the output is cohorts × offsets, tiny at
+    // any corpus size.
+    "q74_retention" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"us div $DAY_US").as("day")).distinct()
+      val cohort = days.groupBy("user_id").agg(min("day").as("cohort"))
+      days.join(cohort, "user_id")
+        .select(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+        .groupBy("cohort", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     // Linear gap interpolation per series — the reference domain's
     // reindex-and-fill (xarray interpolate_na): sentinel values become
     // nulls, then each null takes the line between its nearest non-null
@@ -373,5 +412,24 @@ object TimeSeriesQueries {
         |       ELSE pv + (nv - pv) * (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE))
         |  END AS filled,
         |  (v IS NULL AND NOT (pv IS NULL OR nv IS NULL)) AS interp
-        |FROM w ORDER BY event_id""".stripMargin)
+        |FROM w ORDER BY event_id""".stripMargin,
+    "q73_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT 1 AS stage, COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, COUNT(*) FROM s2
+        |UNION ALL SELECT 3, COUNT(*) FROM s3
+        |ORDER BY stage""".stripMargin,
+    "q74_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+        |SELECT cohort, day - cohort AS day_offset, COUNT(*) AS n_users
+        |FROM d JOIN c ON d.user_id = c.user_id
+        |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin)
 }
