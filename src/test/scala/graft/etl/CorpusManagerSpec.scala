@@ -133,6 +133,31 @@ class CorpusManagerSpec extends SparkSpec {
     assert(reports.size == 2 && corpusIds(m) == Set(1L, 2L, 102L, 202L))
   }
 
+  test("streaming ingest recovers from a crash between appends and checkpoint") {
+    val m = new CorpusManager("cm_spec9", tmpDir("cm9"), spark,
+      numBuckets = 4, minTokens = 2)
+    m.ingestInitial(docs(Seq((1L, mkText(1), "web"))))
+    val drop = tmpDir("cm9drop")
+    val ckpt = tmpDir("cm9ckpt")
+    val schema = docs(Nil).schema
+    docs(Seq((101L, mkText(101), "web"))).write.mode("append").parquet(drop)
+    // crash AFTER the batch fully ingested but BEFORE the checkpoint
+    // commit — the worst-case window the replay contract exists for
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      m.ingestStream(drop, schema, ckpt, onBatch = (_, _) => sys.error("crash"))
+    }
+    assert(corpusIds(m) == Set(1L, 101L)) // batch landed pre-crash
+    // restart: the replayed batch no-ops (full id overlap), the stream
+    // moves past it, and genuinely new files still ingest — no dups
+    docs(Seq((201L, mkText(201), "web"))).write.mode("append").parquet(drop)
+    var reports = Vector.empty[IngestReport]
+    m.ingestStream(drop, schema, ckpt,
+      onBatch = (_, r) => { reports :+= r })
+    assert(corpusIds(m) == Set(1L, 101L, 201L))
+    assert(reports.map(_.ingested).sorted == Vector(0L, 1L))
+    assert(m.readManifest().get.nDocs == 3)
+  }
+
   test("compaction rewrites artifacts without changing corpus or dedup behavior") {
     val m = new CorpusManager("cm_spec5", tmpDir("cm5"), spark,
       numBuckets = 4, minTokens = 2)
