@@ -133,7 +133,7 @@ object TextScaleProbe {
     require(rShard.ingested == nDocs - cut - shardDrops, "manager shard dedup wrong")
     require(rShard.drift.nonEmpty && rShard.drift.forall(d =>
       !d.novelSource && d.containmentEst > 0.8), "drift report out of expected range")
-    spark.sql("DROP TABLE IF EXISTS probe_mgr_bands")
+    spark.sql("DROP TABLE IF EXISTS probe_mgr_bands_v1")
     spark.sql("DROP TABLE IF EXISTS probe_mgr_shard_bands")
     spark.stop()
   }

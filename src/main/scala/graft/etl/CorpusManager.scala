@@ -26,9 +26,12 @@ case class SourceDrift(
     novelSource: Boolean)
 
 /** Committed corpus state: monotonic generation counter (one per
-  * successful ingest) plus cumulative canonical-doc count and the dedup
+  * successful ingest) plus cumulative canonical-doc count, the dedup
   * parameters the artifacts were built with — a reader can verify its
-  * `Params` match before band-joining against the persisted tables. */
+  * `Params` match before band-joining against the persisted tables —
+  * and `bandsVersion`, naming the live generation of the bucketed band
+  * table (`bands_vN` dir / `<name>_bands_vN` catalog entry; compaction
+  * writes the next version and retires the old one). */
 case class CorpusManifest(
     name: String,
     generation: Long,
@@ -37,7 +40,20 @@ case class CorpusManifest(
     perms: Int,
     bands: Int,
     minEstJaccard: Double,
-    numBuckets: Int)
+    numBuckets: Int,
+    bandsVersion: Long = 1)
+
+/** Root-relative data-file lists pinned by a committed manifest — the
+  * corpus twin of [[graft.sources.GriddedStore]]'s snapshot manifests.
+  * `sketch` pins ONLY the live sketch rows (each ingest's merge replaces
+  * the table; the superseded files stay on disk for pinned readers until
+  * vacuum); the other lists are cumulative across ingests. */
+case class CorpusFiles(
+    docs: Seq[String],
+    sigs: Seq[String],
+    hashes: Seq[String],
+    sketch: Seq[String],
+    bands: Seq[String])
 
 /** A shard's vocabulary diverged below the configured containment
   * floor — the documents-side analog of
@@ -55,8 +71,8 @@ class VocabDriftException(msg: String) extends RuntimeException(msg)
   * corpus. Layout under `root`:
   *
   *   - `docs/` — the canonical deduplicated corpus (parquet).
-  *   - `dedup/sigs`, `dedup/bands` — MinHash signatures + LSH band rows
-  *     of every canonical doc, the band table bucketed+sorted on
+  *   - `dedup/sigs`, `dedup/bands_vN` — MinHash signatures + LSH band
+  *     rows of every canonical doc, the band table bucketed+sorted on
   *     (band, bk) so shard-vs-corpus candidate joins plan exchange-free
   *     ([[BucketedSignatureStore]]); `dedup/hashes` — (id, md5) for
   *     exact-dup checks that cover sub-ngram docs the MinHash path
@@ -64,6 +80,28 @@ class VocabDriftException(msg: String) extends RuntimeException(msg)
   *   - `sketch/` — per-source KMV vocabulary sketches (k longs per
   *     source), merged after every ingest; drift checks are O(k) per
   *     source-pair instead of a vocab join.
+  *
+  * Snapshot isolation (the [[graft.sources.GriddedStore]] discipline):
+  * every committed manifest pins the exact file list of each artifact,
+  * and every reader scans THAT list, not the directory. Ingests and
+  * compaction only ever ADD files; superseded files are retired by the
+  * next manifest omitting them and deleted only by [[vacuum]]. So one
+  * manifest swap commits an ingest's docs + signatures + bands + hashes
+  * + sketch merge ATOMICALLY: a crash at any earlier point leaves
+  * reader-invisible orphans and a byte-identical corpus — there is no
+  * partially-ingested state, no maintenance window around
+  * [[compactArtifacts]], and no "doc visible but its signatures missing"
+  * window for a racing reader. Pinning is also a correctness guard, not
+  * just hygiene: an orphaned signature/hash row from a crashed ingest
+  * would otherwise make a future shard doc look like a duplicate of a
+  * doc that never committed, silently dropping it.
+  *
+  * The band table is the one dir-scanned artifact (its exchange-free
+  * join property lives in catalog bucket metadata, which pins no file
+  * list) — harmless, because a candidate pair only survives the verify
+  * join if BOTH ids exist in the PINNED signature/hash tables, so
+  * orphaned band rows can never produce a drop. Compaction rewrites it
+  * as `bands_v(N+1)` and the manifest swap retargets readers.
   *
   * Every per-shard step touches corpus-scale data only through
   * (a) the bucketed band join (no corpus shuffle), (b) a streamed scan
@@ -75,8 +113,8 @@ class VocabDriftException(msg: String) extends RuntimeException(msg)
   * ([[graft.GraftSession]] or `spark.sql.extensions=graft.GraftExtensions`)
   * for the `kmv_minima` sketch aggregate. Bucketed-table names are
   * catalog entries scoped to this session's metastore — a fresh
-  * deployment re-runs [[DedupPipeline.persist]] or attaches an external
-  * catalog.
+  * deployment re-attaches them by re-running an ingest or registering
+  * the external table.
   */
 class CorpusManager(
     val name: String,
@@ -93,8 +131,12 @@ class CorpusManager(
 
   def docsPath: String = s"$root/docs"
   def dedupPath: String = s"$root/dedup"
+  def sigsPath: String = s"$dedupPath/sigs"
   def hashesPath: String = s"$dedupPath/hashes"
   def sketchPath: String = s"$root/sketch"
+  private def bandsDir(v: Long): String = s"$dedupPath/bands_v$v"
+  private def bandsTable(v: Long): String = s"${name}_bands_v$v"
+  private val bandKeys = Seq("band", "bk")
 
   private def fs = new org.apache.hadoop.fs.Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -107,14 +149,44 @@ class CorpusManager(
     * whose overwrite replaces the partial output. */
   def hasExisting: Boolean = fs.exists(manifestPath)
 
-  def readManifest(): Option[CorpusManifest] = {
-    if (!hasExisting) return None
-    val in = fs.open(manifestPath)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+  private def readJsonFile(path: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
       finally in.close()
+    }
+
+  def readManifest(): Option[CorpusManifest] =
+    readJsonFile(manifestPath).map(parseManifest)
+
+  /** Manifest as committed at `generation` (from the claim directory) —
+    * metadata time travel; [[vacuum]] bounds how far back the pinned
+    * files remain readable. None for never-claimed or orphaned-empty
+    * generation numbers. */
+  def readManifestAt(generation: Long): Option[CorpusManifest] =
+    readJsonFile(new org.apache.hadoop.fs.Path(gensDir, f"g$generation%06d.json"))
+      .flatMap(txt => scala.util.Try(parseManifest(txt)).toOption)
+
+  private def parseManifest(txt: String): CorpusManifest = {
     import org.json4s._
     implicit val fmt: Formats = DefaultFormats
-    Some(jackson.JsonMethods.parse(txt).extract[CorpusManifest])
+    jackson.JsonMethods.parse(txt).extract[CorpusManifest]
+  }
+
+  /** The artifact file lists pinned by the LATEST committed manifest. */
+  def snapshotFiles(): Option[CorpusFiles] =
+    readJsonFile(manifestPath).flatMap(extractFiles)
+
+  private def snapshotFilesAt(generation: Long): Option[CorpusFiles] =
+    readJsonFile(new org.apache.hadoop.fs.Path(gensDir, f"g$generation%06d.json"))
+      .flatMap(extractFiles)
+
+  private def extractFiles(txt: String): Option[CorpusFiles] = {
+    import org.json4s._
+    implicit val fmt: Formats = DefaultFormats
+    scala.util.Try(jackson.JsonMethods.parse(txt) \ "files")
+      .toOption.collect { case o: JObject => o.extract[CorpusFiles] }
   }
 
   /** Serialize every mutating operation behind a CREATE-EXCLUSIVE
@@ -125,7 +197,8 @@ class CorpusManager(
     * flag posture (`utils/publish.py` two-phase writes). A crash leaves
     * the lock behind — deliberate: the next ingest fails with a message
     * naming the lock, the operator verifies no writer is live, deletes
-    * it, runs [[repairArtifacts]], and restarts. */
+    * it, and restarts (the crashed attempt's files are reader-invisible
+    * orphans; [[vacuum]] reclaims them). */
   private def withIngestLock[T](f: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(root, "_ingest.lock")
     fs.mkdirs(new org.apache.hadoop.fs.Path(root))
@@ -135,7 +208,8 @@ class CorpusManager(
         case e: java.io.IOException =>
           throw new java.util.ConcurrentModificationException(
             s"another ingest holds $lock (or a crashed one left it: verify, " +
-              "delete the lock, run repairArtifacts(), retry)", e)
+              "delete the lock, retry — the crashed attempt's files are " +
+              "invisible orphans, reclaimed by vacuum())", e)
       }
     out.close()
     try f finally fs.delete(lock, false)
@@ -148,8 +222,11 @@ class CorpusManager(
     * a committed manifest always exists (no delete-then-rename crash
     * window). The next generation comes from the CLAIM DIRECTORY
     * listing, not the pointer — a crash between claim and rename must
-    * skip the orphaned number, not wedge on it forever. */
-  private def commitManifest(nDocsTotal: Long): CorpusManifest = {
+    * skip the orphaned number, not wedge on it forever. The manifest
+    * carries the pinned artifact file lists: this swap IS the whole
+    * ingest's commit point. */
+  private def commitManifest(nDocsTotal: Long, bandsVersion: Long,
+                             files: CorpusFiles): CorpusManifest = {
     val claimed =
       if (!fs.exists(gensDir)) 0L
       else fs.listStatus(gensDir).map(_.getPath.getName)
@@ -158,14 +235,20 @@ class CorpusManager(
         .foldLeft(0L)(math.max)
     val gen = math.max(claimed, readManifest().map(_.generation).getOrElse(0L)) + 1
     val m = CorpusManifest(name, gen, nDocsTotal,
-      p.ngram, p.perms, p.bands, p.minEstJaccard, numBuckets)
+      p.ngram, p.perms, p.bands, p.minEstJaccard, numBuckets, bandsVersion)
     import org.json4s._
+    def arr(xs: Seq[String]): JValue = JArray(xs.sorted.map(JString(_)).toList)
     val json = jackson.JsonMethods.pretty(jackson.JsonMethods.render(JObject(
       "name" -> JString(m.name), "generation" -> JLong(m.generation),
       "nDocs" -> JLong(m.nDocs), "ngram" -> JInt(m.ngram),
       "perms" -> JInt(m.perms), "bands" -> JInt(m.bands),
       "minEstJaccard" -> JDouble(m.minEstJaccard),
-      "numBuckets" -> JInt(m.numBuckets))))
+      "numBuckets" -> JInt(m.numBuckets),
+      "bandsVersion" -> JLong(m.bandsVersion),
+      "files" -> JObject(
+        "docs" -> arr(files.docs), "sigs" -> arr(files.sigs),
+        "hashes" -> arr(files.hashes), "sketch" -> arr(files.sketch),
+        "bands" -> arr(files.bands)))))
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     fs.mkdirs(gensDir)
     val claim =
@@ -185,8 +268,48 @@ class CorpusManager(
     m
   }
 
-  /** The canonical deduplicated corpus. */
-  def corpus(): DataFrame = spark.read.parquet(docsPath)
+  /** Root-relative paths of the non-hidden files now in `dir` —
+    * mutations diff this before/after a write to learn which files the
+    * write created (O(files in the artifact dir): the manifest-
+    * maintenance cost every file-pinning format pays at commit). */
+  private def listDir(dir: String): Set[String] = {
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(dp)) Set.empty
+    else {
+      val rootPrefix =
+        fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString + "/"
+      fs.listStatus(dp).collect {
+        case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") =>
+          val q = fs.makeQualified(st.getPath).toString
+          require(q.startsWith(rootPrefix), s"$q not under $rootPrefix")
+          q.stripPrefix(rootPrefix)
+      }.toSet
+    }
+  }
+
+  /** Scan of a pinned file list; falls back to the directory only when
+    * no list is pinned (a pre-pinning manifest) or the list is empty
+    * (schema lives in the dir's footer-less shell — matches the legacy
+    * empty-artifact behavior). */
+  private def readPinned(pin: Option[Seq[String]], dir: String): DataFrame =
+    pin match {
+      case Some(fl) if fl.nonEmpty =>
+        spark.read.parquet(fl.map(f => s"$root/$f"): _*)
+      case _ => spark.read.parquet(dir)
+    }
+
+  /** The canonical deduplicated corpus, as of the latest committed
+    * manifest — uncommitted / crashed-writer / retired files are
+    * invisible. */
+  def corpus(): DataFrame = readPinned(snapshotFiles().map(_.docs), docsPath)
+
+  private def sigsDf(): DataFrame =
+    readPinned(snapshotFiles().map(_.sigs), sigsPath)
+  private def hashesDf(): DataFrame =
+    readPinned(snapshotFiles().map(_.hashes), hashesPath)
+  private def sketchDf(): DataFrame =
+    readPinned(snapshotFiles().map(_.sketch), sketchPath)
 
   /** Pre-ingest quality gate (`pre_parse_quality_check` analog for
     * documents): non-null text with at least `minTokens` whitespace
@@ -212,20 +335,28 @@ class CorpusManager(
   /** First ingest: gate → batch dedup ([[DedupPipeline.run]]) → write
     * the canonical corpus, then persist the dedup artifacts (signatures,
     * bucketed bands, exact hashes) and the vocabulary sketch so every
-    * later shard ingests incrementally. */
+    * later shard ingests incrementally. Committed as generation 1 with
+    * every artifact's file list pinned. */
   def ingestInitial(docs: DataFrame): IngestReport = withIngestLock {
     require(!hasExisting, s"corpus $name already exists at $root — use ingestShard")
     val (ok, rej) = qualityGate(docs)
     val accepted = ok.localCheckpoint() // gate once; feeds dedup + counts
     val (_, _, keepers) = DedupPipeline.run(accepted, idCol, textCol, p)
     keepers.write.mode("overwrite").parquet(docsPath)
-    val kept = corpus() // re-read: 3 derived passes scan parquet, not the dedup DAG
-    DedupPipeline.persist(kept, idCol, textCol, name, dedupPath, numBuckets, p)
+    // re-read: 3 derived passes scan parquet, not the dedup DAG
+    val kept = spark.read.parquet(docsPath)
+    val (sigs, bands) = DedupPipeline.signatureTables(kept, idCol, textCol, p)
+    sigs.write.mode("overwrite").parquet(sigsPath)
+    BucketedSignatureStore.write(bands, bandsTable(1), bandsDir(1),
+      numBuckets, bandKeys)
     kept.select(col(idCol), md5(col(textCol)).as("h"))
       .write.mode("overwrite").parquet(hashesPath)
     vocabSketch(kept).write.mode("overwrite").parquet(sketchPath)
     val (nIn, nRej, nKept) = (docs.count(), rej.count(), kept.count())
-    commitManifest(nKept)
+    commitManifest(nKept, 1, CorpusFiles(
+      listDir(docsPath).toSeq, listDir(sigsPath).toSeq,
+      listDir(hashesPath).toSeq, listDir(sketchPath).toSeq,
+      listDir(bandsDir(1)).toSeq))
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, Nil)
   }
 
@@ -233,8 +364,9 @@ class CorpusManager(
     *
     *   1. quality gate;
     *   2. near-dup pairs vs corpus and within-shard
-    *      ([[DedupPipeline.runIncremental]] — exchange-free corpus band
-    *      join) plus exact-hash pairs (covers sub-ngram docs);
+    *      ([[DedupPipeline.runIncrementalAgainst]] — exchange-free
+    *      corpus band join, signatures read from the PINNED list) plus
+    *      exact-hash pairs (covers sub-ngram docs);
     *   3. connected components over the pair graph; a shard doc is
     *      dropped when its cluster touches the corpus (the canonical
     *      copy is already ingested) or it is not its shard-only
@@ -243,45 +375,49 @@ class CorpusManager(
     *   4. vocabulary-drift gate (throws [[VocabDriftException]] BEFORE
     *      any write when a known source's containment estimate falls
     *      below `minVocabContainment`);
-    *   5. append survivors + their dedup artifacts, merge sketches —
-    *      docs first, the hash table LAST: hashes are the batch's
-    *      completion marker (see the replay contract below).
+    *   5. append survivors + their dedup artifacts, merge sketches, and
+    *      commit ONE manifest pinning all of them — the atomic commit
+    *      point. A crash before the commit leaves every appended file
+    *      reader-invisible (orphans for [[vacuum]]) and the corpus
+    *      byte-identical.
     *
     * Doc ids must be globally unique across shards (the reference's
     * `key()` posture). Replay contract: a shard whose ids are ALL
-    * already in the corpus is a replayed, fully-ingested batch (a
-    * streaming restart after a crash-after-commit) — it repairs any
-    * missing artifacts and returns a zero-ingest report instead of
-    * erroring, so the stream can move past it; a PARTIAL id overlap is
-    * a genuine collision and throws. Serialized behind the ingest
-    * lock ([[withIngestLock]]).
+    * already in the corpus is a replayed, fully-committed batch (a
+    * streaming restart after a crash between the manifest commit and
+    * the checkpoint commit) — it returns a zero-ingest report instead
+    * of erroring, so the stream can move past it; a crash BEFORE the
+    * manifest commit replays as a normal ingest, because nothing of the
+    * first attempt is visible. A PARTIAL id overlap is a genuine
+    * collision and throws. Serialized behind the ingest lock
+    * ([[withIngestLock]]).
     */
   def ingestShard(newDocs: DataFrame): IngestReport = withIngestLock {
     require(hasExisting, s"corpus $name has no initial ingest at $root")
     val (ok, rej) = qualityGate(newDocs)
     val shard = ok.localCheckpoint()
-    val corpusH = spark.read.parquet(hashesPath)
-    // id guard against the DOCS table (docs append first, so a crashed
-    // batch is visible here even before its artifacts completed)
     val nShardIds = shard.select(col(idCol)).distinct().count()
     val nInCorpus = shard.select(col(idCol)).distinct()
       .join(corpus().select(col(idCol)), Seq(idCol), "left_semi").count()
     if (nInCorpus > 0) {
       require(nInCorpus == nShardIds,
         s"$nInCorpus of $nShardIds shard doc ids collide with corpus ids")
-      // fully-replayed batch: complete any missing artifacts, report no-op
-      repairMissingArtifacts()
+      // fully-replayed batch (crash-after-commit): the manifest already
+      // pins every artifact of this batch — report no-op, move on
       val nIn = newDocs.count()
       IngestReport(nIn, nIn - nShardIds, 0, 0, Nil)
-    } else ingestShardBody(newDocs, shard, rej, corpusH)
+    } else ingestShardBody(newDocs, shard, rej)
   }
 
   private def ingestShardBody(newDocs: DataFrame, shard: DataFrame,
-                              rej: DataFrame, corpusH: DataFrame): IngestReport = {
+                              rej: DataFrame): IngestReport = {
+    val man = readManifest().get
+    val corpusH = hashesDf()
 
     // -- pair graph: near-dup (MinHash/LSH) ∪ exact (md5) ---------------
-    val nearPairs = DedupPipeline.runIncremental(
-      spark, shard, idCol, textCol, name, dedupPath, numBuckets, p)
+    val nearPairs = DedupPipeline.runIncrementalAgainst(
+      spark, shard, idCol, textCol, bandsTable(man.bandsVersion), sigsDf(),
+      s"${name}_shard_bands", s"$dedupPath/shard_bands", numBuckets, p)
     val shardH = shard.select(col(idCol), md5(col(textCol)).as("h")).localCheckpoint()
     def norm(a: Column, b: Column) =
       Seq(least(a, b).as("d1"), greatest(a, b).as("d2"))
@@ -308,7 +444,8 @@ class CorpusManager(
       Seq(idCol), "left_anti").localCheckpoint()
 
     // -- drift gate (before ANY write: a failed gate leaves the corpus
-    //    byte-identical, matching DatasetManager's pre-parse posture).
+    //    byte-identical, matching DatasetManager's pre-parse posture —
+    //    and consumes no generation, leaves no orphans).
     //    The keeper sketch is computed ONCE and feeds both the drift
     //    compare and the post-commit merge — it is the most expensive
     //    per-shard scan after dedup itself.
@@ -321,55 +458,37 @@ class CorpusManager(
           .mkString("vocabulary drift — ", "; ", ""))
     }
 
-    // -- commit: docs first, hashes LAST (the completion marker). A
-    //    crash mid-appends leaves ids visible in docs but absent from
-    //    hashes; the replay detects full overlap and repairs the
-    //    missing artifacts from the docs delta instead of duplicating.
+    // -- append every artifact, then commit ONE manifest pinning the
+    //    union of the previous lists and each write's fresh files
+    //    (sketch: fresh only — replace semantics). Appends are
+    //    job-atomic (output-committer staged), so a crash anywhere
+    //    before the commit leaves only invisible orphans.
+    val prev = snapshotFiles().getOrElse(CorpusFiles(
+      listDir(docsPath).toSeq, listDir(sigsPath).toSeq,
+      listDir(hashesPath).toSeq, listDir(sketchPath).toSeq,
+      listDir(bandsDir(man.bandsVersion)).toSeq))
+    val activeBands = bandsDir(man.bandsVersion)
+    val before = Map(
+      docsPath -> listDir(docsPath), sigsPath -> listDir(sigsPath),
+      hashesPath -> listDir(hashesPath), sketchPath -> listDir(sketchPath),
+      activeBands -> listDir(activeBands))
+    def fresh(dir: String): Seq[String] = (listDir(dir) -- before(dir)).toSeq
+
     keepers.write.mode("append").parquet(docsPath)
-    appendArtifacts(keepers, keeperSketch)
-
-    val (nIn, nRej, nKept) = (newDocs.count(), rej.count(), keepers.count())
-    commitManifest(readManifest().map(_.nDocs).getOrElse(0L) + nKept)
-    IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, drift)
-  }
-
-  /** Append a keeper frame's dedup artifacts + sketch merge; the hash
-    * table goes last as the completion marker. */
-  private def appendArtifacts(keepers: DataFrame, keeperSketch: DataFrame): Unit = {
     val (sigs, bands) = DedupPipeline.signatureTables(keepers, idCol, textCol, p)
-    sigs.write.mode("append").parquet(s"$dedupPath/sigs")
-    BucketedSignatureStore.append(bands, s"${name}_bands", numBuckets, Seq("band", "bk"))
+    sigs.write.mode("append").parquet(sigsPath)
+    BucketedSignatureStore.append(bands, bandsTable(man.bandsVersion),
+      numBuckets, bandKeys)
     mergeSketches(keeperSketch)
     keepers.select(col(idCol), md5(col(textCol)).as("h"))
       .write.mode("append").parquet(hashesPath)
-  }
 
-  /** Complete the artifacts of any docs a crashed ingest appended
-    * without finishing (present in docs/, absent from hashes/ — the
-    * completion marker): recompute exactly the missing delta's
-    * signatures/bands/hashes, rebuild the sketch table from the full
-    * corpus (the sketch overwrite is the one non-append artifact, so
-    * delta-merging it after a crash could double-count), and commit a
-    * generation. Returns the number of repaired docs. */
-  def repairArtifacts(): Long = withIngestLock { repairMissingArtifacts() }
-
-  private def repairMissingArtifacts(): Long = {
-    val missing = corpus()
-      .join(spark.read.parquet(hashesPath), Seq(idCol), "left_anti")
-      .localCheckpoint()
-    val n = missing.count()
-    if (n > 0) {
-      val (sigs, bands) = DedupPipeline.signatureTables(missing, idCol, textCol, p)
-      sigs.write.mode("append").parquet(s"$dedupPath/sigs")
-      BucketedSignatureStore.append(bands, s"${name}_bands", numBuckets,
-        Seq("band", "bk"))
-      vocabSketch(corpus()).localCheckpoint()
-        .write.mode("overwrite").parquet(sketchPath)
-      missing.select(col(idCol), md5(col(textCol)).as("h"))
-        .write.mode("append").parquet(hashesPath)
-      commitManifest(corpus().count())
-    }
-    n
+    val (nIn, nRej, nKept) = (newDocs.count(), rej.count(), keepers.count())
+    commitManifest(man.nDocs + nKept, man.bandsVersion, CorpusFiles(
+      prev.docs ++ fresh(docsPath), prev.sigs ++ fresh(sigsPath),
+      prev.hashes ++ fresh(hashesPath), fresh(sketchPath),
+      prev.bands ++ fresh(activeBands)))
+    IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, drift)
   }
 
   /** Streaming ingest (the corpus twin of
@@ -378,17 +497,17 @@ class CorpusManager(
     * [[ingestShard]] call via foreachBatch, under Trigger.AvailableNow —
     * process the backlog, then stop. The checkpoint makes repeated runs
     * exactly-once at the FILE level (a rerun with the same checkpoint
-    * ingests nothing new); a crash between a batch's appends and the
-    * checkpoint commit is healed on replay by [[ingestShard]]'s replay
-    * contract — the fully-appended batch is detected by its ids,
-    * missing artifacts are repaired from the docs delta, and the batch
-    * reports zero ingest instead of duplicating (a crash BEFORE the
-    * docs append replays as a normal ingest). A crashed run also leaves
-    * the ingest lock behind: delete it after verifying no writer is
-    * live, then restart the stream. `maxFilesPerTrigger` bounds batch
-    * size so a backlog becomes
-    * several shard ingests, not one giant one. `onBatch` observes each
-    * batch's [[IngestReport]] (drift monitoring hook). */
+    * ingests nothing new). Crash recovery follows from the manifest
+    * being the single commit point: a crash BEFORE the manifest commit
+    * replays as a normal ingest (the first attempt's files are
+    * invisible orphans); a crash BETWEEN the manifest commit and the
+    * checkpoint commit is detected on replay by the full id overlap and
+    * reports zero ingest instead of duplicating. A crashed run also
+    * leaves the ingest lock behind: delete it after verifying no writer
+    * is live, then restart the stream. `maxFilesPerTrigger` bounds
+    * batch size so a backlog becomes several shard ingests, not one
+    * giant one. `onBatch` observes each batch's [[IngestReport]]
+    * (drift monitoring hook). */
   def ingestStream(dir: String, schema: org.apache.spark.sql.types.StructType,
                    checkpoint: String, maxFilesPerTrigger: Int = 0,
                    onBatch: (Long, IngestReport) => Unit = (_, _) => ()): Unit = {
@@ -405,38 +524,78 @@ class CorpusManager(
   }
 
   /** Maintenance compaction of the append-accumulated artifacts: every
-    * shard ingest adds a part-file set to docs/sigs/hashes and
+    * shard ingest adds a part-file set to docs/sigs/hashes/sketch and
     * `numBuckets` files to the band table, so after many generations
     * scans pay file-listing and open-per-file costs (the classic
-    * small-files problem). Rewrites each artifact through `_staging/`
-    * (never a self-referential overwrite; disk, not executor memory —
-    * the GriddedStore.compact discipline) and re-buckets the band table
-    * back to exactly `numBuckets` files. NOT crash-atomic for
-    * concurrent readers (plain parquet dirs have no pinned file list —
-    * unlike GriddedStore, whose manifest pins files): run it like any
-    * table-maintenance rewrite, without concurrent queries. Commits a
-    * generation so the maintenance event is recorded. */
+    * small-files problem). Reads each artifact's PINNED list, writes
+    * the compacted replacement ALONGSIDE the old files (append-mode new
+    * part files; the band table as the next `bands_vN` generation), and
+    * commits one manifest pinning only the replacements — so readers on
+    * the previous manifest are untouched, a crash at any point changes
+    * nothing visible, and NO maintenance window is needed. Old files
+    * are reclaimed by [[vacuum]]. Commits a generation so the
+    * maintenance event is recorded. */
   def compactArtifacts(partitions: Int = 0): CorpusManifest = withIngestLock {
     require(hasExisting, s"corpus $name has no initial ingest at $root")
+    val man = readManifest().get
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
-    val stagingRoot = new org.apache.hadoop.fs.Path(root, "_staging")
-    def rewrite(path: String, tag: String): Unit = {
-      val staged = new org.apache.hadoop.fs.Path(stagingRoot, tag).toString
-      spark.read.parquet(path).repartition(n)
-        .write.mode("overwrite").parquet(staged)
-      spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+    def rewrite(df: DataFrame, dir: String, parts: Int): Seq[String] = {
+      val before = listDir(dir)
+      df.repartition(parts).write.mode("append").parquet(dir)
+      (listDir(dir) -- before).toSeq
     }
-    rewrite(docsPath, "docs")
-    rewrite(s"$dedupPath/sigs", "sigs")
-    rewrite(hashesPath, "hashes")
-    val bandsStaged = new org.apache.hadoop.fs.Path(stagingRoot, "bands").toString
-    BucketedSignatureStore.table(spark, s"${name}_bands")
-      .write.mode("overwrite").parquet(bandsStaged)
-    BucketedSignatureStore.write(spark.read.parquet(bandsStaged),
-      s"${name}_bands", s"$dedupPath/bands", numBuckets, Seq("band", "bk"))
-    fs.delete(stagingRoot, true)
-    commitManifest(readManifest().map(_.nDocs).getOrElse(0L))
+    val newDocs = rewrite(corpus(), docsPath, n)
+    val newSigs = rewrite(sigsDf(), sigsPath, n)
+    val newHashes = rewrite(hashesDf(), hashesPath, n)
+    val newSketch = rewrite(sketchDf(), sketchPath, 1) // k longs × sources
+    val v2 = man.bandsVersion + 1
+    BucketedSignatureStore.write(
+      BucketedSignatureStore.table(spark, bandsTable(man.bandsVersion)),
+      bandsTable(v2), bandsDir(v2), numBuckets, bandKeys)
+    commitManifest(man.nDocs, v2, CorpusFiles(
+      newDocs, newSigs, newHashes, newSketch, listDir(bandsDir(v2)).toSeq))
+  }
+
+  /** Delete artifact files not referenced by the newest `retainLast`
+    * manifests — crashed-ingest orphans, superseded sketch generations,
+    * pre-compaction files — and drop band-table versions no retained
+    * manifest uses (dir + catalog entry). Returns the root-relative
+    * deleted file paths. Reading at manifests older than the retained
+    * window is forfeited. Serialized behind the ingest lock: a live
+    * writer's freshly appended, not-yet-committed files look exactly
+    * like orphans. */
+  def vacuum(retainLast: Int = 2): Seq[String] = withIngestLock {
+    require(retainLast >= 1, "must retain at least the latest generation")
+    val man = readManifest().getOrElse(
+      throw new IllegalStateException(s"corpus $name has no manifest at $root"))
+    val retained = (math.max(1L, man.generation - retainLast + 1) to man.generation)
+      .flatMap(snapshotFilesAt)
+    if (retained.isEmpty) throw new IllegalStateException(
+      s"no retained manifest pins file lists (legacy store at $root); " +
+        "vacuum would treat every artifact file as an orphan")
+    val referenced = retained
+      .flatMap(f => f.docs ++ f.sigs ++ f.hashes ++ f.sketch ++ f.bands).toSet
+    val dedupP = new org.apache.hadoop.fs.Path(dedupPath)
+    val bandVersions =
+      if (!fs.exists(dedupP)) Nil
+      else fs.listStatus(dedupP).map(_.getPath.getName)
+        .collect { case d if d.matches("bands_v\\d+") =>
+          d.stripPrefix("bands_v").toLong }.toSeq
+    val all = listDir(docsPath) ++ listDir(sigsPath) ++ listDir(hashesPath) ++
+      listDir(sketchPath) ++ bandVersions.flatMap(v => listDir(bandsDir(v)))
+    val doomed = (all -- referenced).toSeq.sorted
+    doomed.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
+    // retire band-table versions with no surviving files: dir + catalog
+    bandVersions.filterNot(v => listDir(bandsDir(v)).nonEmpty).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(bandsDir(v)), true)
+      spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(v)}")
+    }
+    // the active table may have lost orphan files — drop its cached index
+    if (spark.catalog.tableExists(bandsTable(man.bandsVersion)))
+      spark.catalog.refreshTable(bandsTable(man.bandsVersion))
+    doomed
   }
 
   /** Per-source drift of a shard against the stored corpus sketches.
@@ -448,8 +607,7 @@ class CorpusManager(
     driftAgainstCorpus(vocabSketch(shardDocs))
 
   private def driftAgainstCorpus(shardSketch: DataFrame): Seq[SourceDrift] = {
-    val corpusSk = spark.read.parquet(sketchPath)
-      .select(col(sourceCol), col("minima").as("ma"))
+    val corpusSk = sketchDf().select(col(sourceCol), col("minima").as("ma"))
     val shardSk = shardSketch.select(col(sourceCol), col("minima").as("mb"))
     val xs = slice(array_sort(array_union(col("ma"), col("mb"))), 1, sketchK)
     val both = size(array_intersect(xs, array_intersect(col("ma"), col("mb"))))
@@ -478,19 +636,20 @@ class CorpusManager(
 
   /** Fold a shard's sketches into the stored ones: per source, the k
     * smallest of the union (exact KMV merge); unseen sources enter
-    * as-is. Checkpointed before the overwrite — the sketch table is
-    * read and rewritten in one job (k longs × sources, trivially
-    * bounded). */
+    * as-is. Written as NEW files next to the old generation (the next
+    * manifest pins only the replacement) — the read side scans the
+    * pinned old files, which outlive this write, so the lazy
+    * read-rewrite cycle is safe without a checkpoint. */
   private def mergeSketches(shardSk: DataFrame): Unit = {
-    val corpusSk = spark.read.parquet(sketchPath)
-    val merged = corpusSk.select(col(sourceCol), col("minima").as("ma"))
+    val corpusSk = sketchDf()
+    corpusSk.select(col(sourceCol), col("minima").as("ma"))
       .join(shardSk.select(col(sourceCol), col("minima").as("mb")),
         Seq(sourceCol), "full_outer")
       .select(col(sourceCol),
         slice(array_sort(array_union(
             coalesce(col("ma"), array()), coalesce(col("mb"), array()))),
           1, sketchK).as("minima"))
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(sketchPath)
+      .coalesce(1)
+      .write.mode("append").parquet(sketchPath)
   }
 }

@@ -119,19 +119,33 @@ object DedupPipeline {
     * (small) shard is bucketed to match, so the corpus never shuffles. */
   def runIncremental(spark: SparkSession, newDocs: DataFrame, idCol: String,
                      textCol: String, name: String, path: String,
-                     numBuckets: Int, p: Params = Params()): DataFrame = {
+                     numBuckets: Int, p: Params = Params()): DataFrame =
+    runIncrementalAgainst(spark, newDocs, idCol, textCol, s"${name}_bands",
+      spark.read.parquet(s"$path/sigs"), s"${name}_shard_bands",
+      s"$path/shard_bands", numBuckets, p)
+
+  /** [[runIncremental]] with the corpus side named explicitly — the
+    * entry point for callers that resolve artifacts through a snapshot
+    * manifest ([[graft.etl.CorpusManager]]): `corpusBandsTable` is the
+    * LIVE band-table generation and `corpusSigs` the PINNED signature
+    * scan, so a crashed writer's orphaned signatures can never verify a
+    * candidate pair. */
+  def runIncrementalAgainst(spark: SparkSession, newDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            corpusBandsTable: String, corpusSigs: DataFrame,
+                            shardBandsTable: String, shardBandsPath: String,
+                            numBuckets: Int, p: Params = Params()): DataFrame = {
     val (shardSigs, shardBands) = signatureTables(newDocs, idCol, textCol, p)
-    BucketedSignatureStore.write(shardBands, s"${name}_shard_bands",
-      s"$path/shard_bands", numBuckets, Seq("band", "bk"))
-    val corpusBands = BucketedSignatureStore.table(spark, s"${name}_bands")
-    val shardB = BucketedSignatureStore.table(spark, s"${name}_shard_bands")
+    BucketedSignatureStore.write(shardBands, shardBandsTable,
+      shardBandsPath, numBuckets, Seq("band", "bk"))
+    val corpusBands = BucketedSignatureStore.table(spark, corpusBandsTable)
+    val shardB = BucketedSignatureStore.table(spark, shardBandsTable)
     // corpus signatures stay a LAZY parquet scan — materializing them
     // would cost corpus-sized memory per shard run; the verify joins
     // broadcast the (small) candidate side, so each scan streams the
     // sig table without shuffling it. Only the shard's signatures (the
     // frame every join side recomputes otherwise) are checkpointed.
-    val allSigs = spark.read.parquet(s"$path/sigs")
-      .unionByName(shardSigs.localCheckpoint())
+    val allSigs = corpusSigs.unionByName(shardSigs.localCheckpoint())
     verifiedPairs(corpusBands, shardB, allSigs, idCol, p, selfJoin = false)
       .unionByName(verifiedPairs(shardB, shardB, allSigs, idCol, p, selfJoin = true))
       .distinct()

@@ -118,6 +118,25 @@ object Signatures {
       .toDF("a", "b")
   }
 
+  /** [[skipGramRows]] carrying the document id — `(idCol, a, b)` — for
+    * per-document aggregation (LM scoring, doc-level co-occurrence). */
+  def skipGramRowsById(df: DataFrame, idCol: String, textCol: String,
+                       maxOff: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    spread(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        for {
+          i <- t.indices.iterator
+          k <- 1 to maxOff
+          if i + k < t.length
+        } yield (id, t(i), t(i + k))
+      })
+      .toDF(idCol, "a", "b")
+  }
+
   /** (id, sig: array<long>[perms]) — MinHash signatures over distinct
     * word n-gram shingles. One md5 digest of (g + "#" + k) yields TWO
     * 60-bit permutation hashes (hex chars 1-15 and 16-30), so perm 2k

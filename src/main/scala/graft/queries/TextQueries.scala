@@ -559,6 +559,46 @@ object TextQueries {
         .filter(col("rn") <= col("quota"))
         .select("source", "doc_id", "rn", "n", "quota")
         .orderBy("source", "rn")
+    }),
+
+    // Bigram-LM improbability scoring — the CCNet/KenLM-style "filter
+    // documents a corpus LM finds surprising" quality gate, made
+    // engine-portable: a Laplace-smoothed bigram model
+    // p(b|a) = (c(ab)+1)/(c(a)+V) is trained on the corpus itself, and
+    // each doc is scored by its RARE-BIGRAM fraction (p below 1/100)
+    // and minimum p — never an averaged log-likelihood, because Σ of
+    // doubles is summation-order-dependent and ln() differs across libm
+    // builds, while each p here is ONE correctly-rounded IEEE division
+    // and count/min are order-independent. Shapes: per-doc bigram
+    // multiset collapses first (groupBy doc,a,b), the model table
+    // derives from that same frame (no second corpus pass), and the
+    // score join keys on (a,b) — at 100 TB both sides shuffle on the
+    // bigram key once; the context and vocab sides are broadcast.
+    "q75_bigram_lm" -> ((s, dir) => {
+      val bg = graft.functions.Signatures.skipGramRowsById(
+        Tables.table(s, dir, "documents"), "doc_id", "text", 1)
+        .localCheckpoint() // one tokenize pass feeds doc counts AND model
+      val docBg = bg.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n_inst"))
+      val model = docBg.groupBy("a", "b").agg(sum("n_inst").as("c_ab"))
+      val ctx = model.groupBy("a").agg(sum("c_ab").as("c_a"))
+      val vocab = Tables.table(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(countDistinct("tok").as("v"))
+      val p = (col("c_ab") + 1).cast("double") /
+        (col("c_a") + col("v")).cast("double")
+      docBg
+        .join(model, Seq("a", "b"))
+        .join(broadcast(ctx), Seq("a"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("p", p)
+        .groupBy("doc_id")
+        .agg(sum("n_inst").cast("bigint").as("n_bigrams"),
+          sum(when(col("p") < 0.01, col("n_inst")).otherwise(lit(0L)))
+            .cast("bigint").as("n_rare"),
+          min("p").as("min_p"))
+        .withColumn("rare_ratio",
+          col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -848,5 +888,25 @@ object TextQueries {
         |  FROM documents)
         |SELECT r.source, doc_id, rn, n, quota
         |FROM r JOIN q ON r.source = q.source
-        |WHERE rn <= quota ORDER BY r.source, rn""".stripMargin)
+        |WHERE rn <= quota ORDER BY r.source, rn""".stripMargin,
+    "q75_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM d),
+        |tk AS (SELECT doc_id, i, t[i] AS tok FROM pos),
+        |bg AS (SELECT x.doc_id, x.tok AS a, y.tok AS b FROM tk x JOIN tk y
+        |       ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+        |docbg AS (SELECT doc_id, a, b, COUNT(*) AS n_inst
+        |          FROM bg GROUP BY doc_id, a, b),
+        |model AS (SELECT a, b, SUM(n_inst) AS c_ab FROM docbg GROUP BY a, b),
+        |ctx AS (SELECT a, SUM(c_ab) AS c_a FROM model GROUP BY a),
+        |vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tk),
+        |scored AS (SELECT doc_id, n_inst,
+        |    CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v AS DOUBLE) AS p
+        |  FROM docbg JOIN model USING (a, b) JOIN ctx USING (a) CROSS JOIN vocab)
+        |SELECT doc_id, CAST(SUM(n_inst) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN p < 0.01 THEN n_inst ELSE 0 END) AS BIGINT) AS n_rare,
+        |  MIN(p) AS min_p,
+        |  CAST(SUM(CASE WHEN p < 0.01 THEN n_inst ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(n_inst) AS DOUBLE) AS rare_ratio
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -3,6 +3,7 @@ package graft.etl
 import graft.SparkSpec
 import graft.functions.DedupPipeline
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, md5}
 
 /** Corpus ingest orchestration: gates, batch + incremental dedup
   * routing, persisted-artifact appends, KMV drift monitoring. */
@@ -158,20 +159,41 @@ class CorpusManagerSpec extends SparkSpec {
     assert(m.readManifest().get.nDocs == 3)
   }
 
-  test("compaction rewrites artifacts without changing corpus or dedup behavior") {
+  test("compaction swaps pinned artifacts atomically; vacuum reclaims retired files") {
     val m = new CorpusManager("cm_spec5", tmpDir("cm5"), spark,
       numBuckets = 4, minTokens = 2)
     m.ingestInitial(docs(Seq((1L, mkText(1), "web"), (2L, mkText(2), "web"))))
     m.ingestShard(docs(Seq((101L, mkText(101), "web"))))
     m.ingestShard(docs(Seq((111L, mkText(111), "web"))))
     val before = corpusIds(m)
+    // a reader pinned to the PRE-compaction manifest: its file list is
+    // resolved now, collected after the compaction commit
+    val pinnedReader = m.corpus()
+    val filesBefore = m.snapshotFiles().get
     val man = m.compactArtifacts(partitions = 2)
-    assert(man.generation == 4 && man.nDocs == 4)
+    assert(man.generation == 4 && man.nDocs == 4 && man.bandsVersion == 2)
     assert(corpusIds(m) == before)
+    // no maintenance window: the pinned reader still sees its snapshot
+    // (old files retired from the manifest, not deleted)
+    assert(pinnedReader.count() == 4)
+    // compaction replaced every pinned list (nothing carried over)
+    val filesAfter = m.snapshotFiles().get
+    assert(filesAfter.docs.toSet.intersect(filesBefore.docs.toSet).isEmpty)
+    assert(filesAfter.docs.size == 2 && filesAfter.sketch.size == 1)
     // dedup against compacted artifacts still works (near-dup of a
     // shard-era doc; its bands went through the re-bucketing)
     val r = m.ingestShard(docs(Seq((201L, near(mkText(111)), "web"))))
     assert(r.ingested == 0 && r.duplicates == 1)
+    // vacuum to the latest generation: pre-compaction files (including
+    // the retired bands_v1 dir + catalog entry) are reclaimed, the
+    // corpus is unchanged, and dedup still works
+    val removed = m.vacuum(retainLast = 1)
+    assert(removed.exists(_.startsWith("docs/")))
+    assert(removed.exists(_.contains("bands_v1")))
+    assert(!spark.catalog.tableExists("cm_spec5_bands_v1"))
+    assert(corpusIds(m) == before)
+    assert(m.ingestShard(docs(Seq((301L, near(mkText(101)), "web"))))
+      .duplicates == 1)
   }
 
   test("an orphaned generation claim is skipped, not wedged on") {
@@ -190,7 +212,7 @@ class CorpusManagerSpec extends SparkSpec {
     assert(m.readManifest().get.generation == 3)
   }
 
-  test("concurrent ingests are excluded by the lock; crashed batches repair") {
+  test("lock excludes concurrent ingests; a crashed append is invisible and vacuumable") {
     val m = new CorpusManager("cm_spec7", tmpDir("cm7"), spark,
       numBuckets = 4, minTokens = 2)
     m.ingestInitial(docs(Seq((1L, mkText(1), "web"))))
@@ -204,13 +226,42 @@ class CorpusManagerSpec extends SparkSpec {
       m.ingestShard(docs(Seq((60L, mkText(60), "web"))))
     }
     fs.delete(lock, false)
-    // simulate a crash after the docs append but before the artifacts:
-    // repair completes exactly the missing delta, and later dedup SEES it
-    docs(Seq((301L, mkText(301), "web"))).write.mode("append").parquet(m.docsPath)
-    assert(m.repairArtifacts() == 1)
-    assert(m.readManifest().get.nDocs == 2)
-    val r = m.ingestShard(docs(Seq((401L, near(mkText(301)), "web"))))
+    // a crash BEFORE the manifest commit leaves appended files as
+    // reader-invisible orphans: the corpus is byte-identical
+    // (seed 77: mkText depends on seed % 30, so avoid ≡ 1 — that would
+    // be a genuine exact dup of corpus doc 1)
+    docs(Seq((301L, mkText(77), "web"))).write.mode("append").parquet(m.docsPath)
+    assert(corpusIds(m) == Set(1L))
+    assert(m.readManifest().get.nDocs == 1)
+    // the same doc re-ingests cleanly — no phantom id collision, no
+    // phantom dup — and later dedup sees the committed copy
+    assert(m.ingestShard(docs(Seq((301L, mkText(77), "web")))).ingested == 1)
+    val r = m.ingestShard(docs(Seq((401L, near(mkText(77)), "web"))))
     assert(r.ingested == 0 && r.duplicates == 1)
+    // vacuum reclaims the orphaned file; the corpus is untouched
+    val removed = m.vacuum(retainLast = 1)
+    assert(removed.exists(_.startsWith("docs/")))
+    assert(corpusIds(m) == Set(1L, 301L))
+  }
+
+  test("orphaned dedup artifacts cannot phantom-drop a future shard doc") {
+    // a crashed ingest that appended HASHES (or sigs/bands) but never
+    // committed must not make a later shard doc with the same text look
+    // like a dup of a doc that is not in the corpus — the pinned-list
+    // reads are a correctness guard, not just hygiene
+    val m = new CorpusManager("cm_spec10", tmpDir("cm10"), spark,
+      numBuckets = 4, minTokens = 2)
+    m.ingestInitial(docs(Seq((1L, mkText(1), "web"))))
+    val s = spark
+    import s.implicits._
+    Seq((999L, mkText(42))).toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .write.mode("append").parquet(m.hashesPath)
+    // same text as the orphan's: with an unpinned hash read this would
+    // pair (500, 999), taint the cluster, and silently drop 500
+    val r = m.ingestShard(docs(Seq((500L, mkText(42), "web"))))
+    assert(r.ingested == 1 && r.duplicates == 0)
+    assert(corpusIds(m) == Set(1L, 500L))
   }
 
   test("fully-disjoint vocab drifts to containment 0 (no crash at small k)") {
