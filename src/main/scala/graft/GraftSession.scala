@@ -33,6 +33,56 @@ object GraftSession {
     spark
   }
 
+  /** Deployment-scaled conf for a REAL cluster — the retune every
+    * local[32]-developed job needs before it meets 1000 executors and
+    * 100 TB. Returns the conf map (apply via `builder.config(...)` or
+    * `--conf`); the rules, each one line of arithmetic, are the ones
+    * Spark's own tuning guide and the AQE design doc encode:
+    *
+    *  - `shuffle.partitions` = 2 × total cores (wave parallelism —
+    *    enough tasks that one straggler doesn't idle the fleet; AQE
+    *    coalesces the small ones back together at runtime, so
+    *    over-partitioning is cheap and under-partitioning is not),
+    *    floored at the 128 MB-per-partition count for the stated input
+    *    size so huge inputs don't produce executor-OOM-sized partitions.
+    *  - `files.maxPartitionBytes` stays 128 MB (row-group-aligned scan
+    *    splits), and `advisoryPartitionSizeInBytes` 64 MB — the AQE
+    *    coalesce target.
+    *  - `autoBroadcastJoinThreshold` scales with executor memory (1% of
+    *    executor heap, capped at 256 MB): a broadcast must fit in EVERY
+    *    executor alongside the working set, so the threshold is a
+    *    per-executor-memory property, not a cluster-size one.
+    *  - skew-join handling is AQE's (`skewJoin.enabled` true by
+    *    default); `operators.Skew.saltedJoin` remains for the
+    *    deliberate cases.
+    *
+    * The engine itself is partitioning-agnostic by construction (every
+    * operator shuffles on its semantic keys and the store's bucket
+    * granularity is a descriptor knob), so deployment tuning is ONLY
+    * this conf — no operator changes. */
+  def clusterConf(executors: Int, coresPerExecutor: Int,
+                  executorMemGb: Int, inputBytes: Long = 0L): Map[String, String] = {
+    require(executors > 0 && coresPerExecutor > 0 && executorMemGb > 0,
+      "cluster shape must be positive")
+    val totalCores = executors.toLong * coresPerExecutor
+    val byWaves = 2L * totalCores
+    val bySize = if (inputBytes > 0) inputBytes / (128L << 20) else 0L
+    val shufflePartitions = math.max(math.max(byWaves, bySize), 1L)
+    val broadcastBytes = math.min(
+      (executorMemGb.toLong << 30) / 100, 256L << 20)
+    Map(
+      "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+      "spark.sql.files.maxPartitionBytes" -> (128L << 20).toString,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (64L << 20).toString,
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> broadcastBytes.toString,
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      "spark.sql.extensions" -> "graft.GraftExtensions")
+  }
+
   /** Register graft's custom Catalyst expressions for SQL + call_function
     * use (`float_vec_dot` — [[graft.plans.FloatVecDot]]; `kmv_minima` —
     * [[graft.plans.KmvMinima]]). */

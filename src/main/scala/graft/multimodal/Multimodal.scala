@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * Round 2: the decode step is REAL for everything a JVM can decode
   * without native libraries — BMP and PGM/PPM images and WAV PCM audio
   * via hand parsers (header + pixels/samples, incl. pixel-level
-  * nearest-neighbor resize and PCM amplitude stats), and PNG / GIF /
+  * nearest-neighbor resize and PCM amplitude stats), PNG / GIF /
   * JPEG via the JDK's own ImageIO codecs, including animated-GIF frame
-  * counts and per-frame extraction ([[sampleFrameStats]]). Only
-  * genuinely codec-less formats (MP4 and other video containers — the
-  * JDK has no video codec) fall back to a clearly-flagged deterministic
-  * synthetic decode (`realDecode=false`) so downstream plumbing still
-  * exercises.
+  * counts and per-frame extraction ([[sampleFrameStats]]), and VIDEO
+  * via a hand RIFF/AVI container parser — MJPEG AVIs decode fully
+  * (header dims/frame counts + every `##dc` chunk is a complete JPEG
+  * for the per-frame pipeline). Only genuinely codec-requiring
+  * containers (MP4/H.264 — the JDK has no such codec) fall back to a
+  * clearly-flagged deterministic synthetic decode (`realDecode=false`)
+  * so downstream plumbing still exercises.
   * Everything around the parse — schema, batch shape, partitioning,
   * null-safety — is the Spark plumbing any codec drops into: the
   * decoder runs per partition (one instance per task, the Scala analog
@@ -102,10 +104,67 @@ object Multimodal {
     else None
   }
 
-  /** Synthetic fallback for codec-requiring formats (JPEG/PNG/MP4):
-    * dimensions derived deterministically from a content hash so tests
-    * are stable and dedup-by-content still behaves like real decode.
-    * Flagged `realDecode=false` in the output. */
+  private def fourcc(b: Array[Byte], off: Int, s: String): Boolean =
+    off + 4 <= b.length && b(off) == s(0).toByte && b(off + 1) == s(1).toByte &&
+      b(off + 2) == s(2).toByte && b(off + 3) == s(3).toByte
+
+  /** AVI (RIFF 'AVI ') container: walk LIST chunks for the `avih` main
+    * header — (dwWidth, dwHeight, dwTotalFrames) at byte offsets
+    * 32/36/16 of its body. This is the REAL video-container parse for
+    * MJPEG AVIs (each movi chunk is a complete JPEG the JDK can
+    * decode); codec-requiring containers (MP4/H.264) stay on the
+    * flagged synthetic fallback. */
+  private[multimodal] def parseAvi(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 24 || !fourcc(b, 0, "RIFF") || !fourcc(b, 8, "AVI ")) return None
+    var result: Option[(Int, Int, Int)] = None
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end && result.isEmpty) {
+        val sz = i32le(b, i + 4)
+        val body = i + 8
+        if (sz < 0) return // corrupt size: stop, keep what we have
+        if (fourcc(b, i, "LIST") && body + 4 <= end)
+          walk(body + 4, math.min(body.toLong + sz, end.toLong).toInt)
+        else if (fourcc(b, i, "avih") && body + 40 <= end)
+          result = Some((i32le(b, body + 32), i32le(b, body + 36),
+            math.max(i32le(b, body + 16), 1)))
+        i = body + sz + (sz & 1)
+      }
+    }
+    walk(12, b.length)
+    result
+  }
+
+  /** The video-data chunk payloads of an AVI's `movi` list, in stream
+    * order: `##dc` (compressed — a complete JPEG per chunk in MJPEG) and
+    * `##db` (uncompressed DIB) chunks, recursing through `rec ` groups.
+    * Empty for non-AVI bytes. */
+  private[multimodal] def aviFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+    if (parseAvi(b).isEmpty) return Nil
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isFrameChunk(off: Int): Boolean =
+      off + 4 <= b.length &&
+        b(off).toChar.isDigit && b(off + 1).toChar.isDigit &&
+        b(off + 2) == 'd' && (b(off + 3) == 'c' || b(off + 3) == 'b')
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val sz = i32le(b, i + 4)
+        val body = i + 8
+        if (sz < 0) return
+        val bodyEnd = math.min(body.toLong + sz, end.toLong).toInt
+        if (fourcc(b, i, "LIST") && body + 4 <= end) {
+          val listType = inMovi || fourcc(b, body, "movi") || fourcc(b, body, "rec ")
+          walk(body + 4, bodyEnd, listType)
+        } else if (inMovi && isFrameChunk(i) && bodyEnd > body)
+          frames += java.util.Arrays.copyOfRange(b, body, bodyEnd)
+        i = body + sz + (sz & 1)
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    frames.toSeq
+  }
+
   /** JDK ImageIO decode — REAL codecs for PNG/GIF/JPEG/BMP ship in the
     * JVM itself (no native libs, headless-safe), so these formats do
     * not need the synthetic fallback. `getNumImages(true)` counts
@@ -128,13 +187,26 @@ object Multimodal {
   }
 
   /** Real frame extraction + feature step: decode every `stride`-th
-    * frame of an (animated) image and compute its mean channel
-    * intensity — per-frame RASTER stats (GIF frames are not composited
-    * over the logical screen; each raster stands alone). Deterministic:
-    * integer pixel sums, one double division at the end. */
+    * frame and compute its mean channel intensity. MJPEG/AVI first —
+    * each sampled `##dc` chunk is one complete JPEG decoded through
+    * ImageIO — then the multi-frame image path (animated GIF; per-frame
+    * RASTER stats, not composited). Deterministic: integer pixel sums,
+    * one double division at the end. */
   private[multimodal] def frameStats(b: Array[Byte], stride: Int):
       Seq[(Int, Int, Int, Double)] = {
     require(stride > 0, "stride must be positive")
+    if (parseAvi(b).isDefined)
+      return aviFrames(b).zipWithIndex
+        .collect { case (fb, idx) if idx % stride == 0 =>
+          imageFrameStats(fb, 1).headOption.map { case (_, w, h, m) =>
+            (idx, w, h, m)
+          }
+        }.flatten
+    imageFrameStats(b, stride)
+  }
+
+  private def imageFrameStats(b: Array[Byte], stride: Int):
+      Seq[(Int, Int, Int, Double)] = {
     if (b.isEmpty) return Nil
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(b))
@@ -222,6 +294,8 @@ object Multimodal {
           }).orElse(parseWav(b).map { case (rate, ch, bits, _, dataLen) =>
             MediaMeta(id, kind, b.length, sha, 0, 0, 1, rate,
               dataLen.toLong / (ch * bits / 8), realDecode = true)
+          }).orElse(parseAvi(b).map { case (w, h, nf) =>
+            MediaMeta(id, kind, b.length, sha, w, h, nf, 0, 0L, realDecode = true)
           }).orElse(parseImageIO(b).map { case (w, h, nf) =>
             MediaMeta(id, kind, b.length, sha, w, h, nf, 0, 0L, realDecode = true)
           }).getOrElse {

@@ -24,4 +24,22 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
     assert(minima == Map("a" -> List(1L, 3L, 5L), "b" -> List(2L)))
   }
+
+  test("clusterConf scales with cluster shape and input size") {
+    // wave rule: 2 × total cores
+    val small = GraftSession.clusterConf(10, 4, 16)
+    assert(small("spark.sql.shuffle.partitions") == "80")
+    // size floor: 100 TB at 128 MB/partition beats the wave count of a
+    // 1000 × 8 fleet (16k) — partitions must not outgrow executor memory
+    val big = GraftSession.clusterConf(1000, 8, 32, 100L << 40)
+    assert(big("spark.sql.shuffle.partitions").toLong == (100L << 40) / (128L << 20))
+    // broadcast threshold: 1% of executor heap, capped at 256 MB
+    assert(small("spark.sql.autoBroadcastJoinThreshold").toLong == (16L << 30) / 100)
+    assert(GraftSession.clusterConf(10, 4, 512)("spark.sql.autoBroadcastJoinThreshold")
+      .toLong == 256L << 20)
+    // the conf is self-contained for a fresh deployment: extensions +
+    // oracle-parity settings ride along
+    assert(big("spark.sql.extensions") == "graft.GraftExtensions")
+    assert(big("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
 }
