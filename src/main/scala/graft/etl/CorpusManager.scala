@@ -41,7 +41,8 @@ case class CorpusManifest(
     bands: Int,
     minEstJaccard: Double,
     numBuckets: Int,
-    bandsVersion: Long = 1)
+    bandsVersion: Long = 1,
+    parent: Long = 0)
 
 /** Root-relative data-file lists pinned by a committed manifest — the
   * corpus twin of [[graft.sources.GriddedStore]]'s snapshot manifests.
@@ -233,9 +234,14 @@ class CorpusManager(
         .collect { case n if n.matches("g\\d+\\.json") =>
           n.stripPrefix("g").stripSuffix(".json").toLong }
         .foldLeft(0L)(math.max)
-    val gen = math.max(claimed, readManifest().map(_.generation).getOrElse(0L)) + 1
+    val parentGen = readManifest().map(_.generation).getOrElse(0L)
+    val gen = math.max(claimed, parentGen) + 1
+    // parent = the COMMITTED predecessor: vacuum walks this chain to
+    // find the genuinely committed snapshots (a claim number alone can
+    // be a crashed commit's orphan, which no reader was ever pinned to)
     val m = CorpusManifest(name, gen, nDocsTotal,
-      p.ngram, p.perms, p.bands, p.minEstJaccard, numBuckets, bandsVersion)
+      p.ngram, p.perms, p.bands, p.minEstJaccard, numBuckets, bandsVersion,
+      parentGen)
     import org.json4s._
     def arr(xs: Seq[String]): JValue = JArray(xs.sorted.map(JString(_)).toList)
     val json = jackson.JsonMethods.pretty(jackson.JsonMethods.render(JObject(
@@ -245,6 +251,7 @@ class CorpusManager(
       "minEstJaccard" -> JDouble(m.minEstJaccard),
       "numBuckets" -> JInt(m.numBuckets),
       "bandsVersion" -> JLong(m.bandsVersion),
+      "parent" -> JLong(m.parent),
       "files" -> JObject(
         "docs" -> arr(files.docs), "sigs" -> arr(files.sigs),
         "hashes" -> arr(files.hashes), "sketch" -> arr(files.sketch),
@@ -288,15 +295,18 @@ class CorpusManager(
     }
   }
 
-  /** Scan of a pinned file list; falls back to the directory only when
-    * no list is pinned (a pre-pinning manifest) or the list is empty
-    * (schema lives in the dir's footer-less shell — matches the legacy
-    * empty-artifact behavior). */
+  /** Scan of a pinned file list. A pinned-but-EMPTY list means "this
+    * artifact is committed empty": the directory is read for its SCHEMA
+    * only and every row filtered out — falling back to a full dir scan
+    * there would make a crashed ingest's orphan files reader-visible,
+    * the exact phantom-visibility hole pinning exists to close. Only a
+    * manifest with no list at all (pre-pinning legacy) dir-scans. */
   private def readPinned(pin: Option[Seq[String]], dir: String): DataFrame =
     pin match {
       case Some(fl) if fl.nonEmpty =>
         spark.read.parquet(fl.map(f => s"$root/$f"): _*)
-      case _ => spark.read.parquet(dir)
+      case Some(_) => spark.read.parquet(dir).where(lit(false))
+      case None => spark.read.parquet(dir)
     }
 
   /** The canonical deduplicated corpus, as of the latest committed
@@ -382,30 +392,45 @@ class CorpusManager(
     *      byte-identical.
     *
     * Doc ids must be globally unique across shards (the reference's
-    * `key()` posture). Replay contract: a shard whose ids are ALL
-    * already in the corpus is a replayed, fully-committed batch (a
-    * streaming restart after a crash between the manifest commit and
-    * the checkpoint commit) — it returns a zero-ingest report instead
-    * of erroring, so the stream can move past it; a crash BEFORE the
-    * manifest commit replays as a normal ingest, because nothing of the
-    * first attempt is visible. A PARTIAL id overlap is a genuine
-    * collision and throws. Serialized behind the ingest lock
+    * `key()` posture). Replay contract: a shard doc whose id is already
+    * in the corpus WITH THE SAME CONTENT is a replayed, committed doc
+    * (a streaming restart after a crash between the manifest commit and
+    * the checkpoint commit) — the batch re-ingests only the remainder,
+    * so a committed batch that had docs DROPPED as duplicates replays
+    * cleanly too: the dropped docs re-enter dedup, find their committed
+    * canonical (directly or through re-dropped chain members, which are
+    * all in the remainder with them), and drop again, yielding a
+    * zero-ingest report instead of wedging the stream. A crash BEFORE
+    * the manifest commit replays as a normal ingest, because nothing of
+    * the first attempt is visible. An id collision WITH DIFFERENT
+    * content throws — that is id reuse, and ingesting it would silently
+    * lose the new doc. Serialized behind the ingest lock
     * ([[withIngestLock]]).
     */
   def ingestShard(newDocs: DataFrame): IngestReport = withIngestLock {
     require(hasExisting, s"corpus $name has no initial ingest at $root")
     val (ok, rej) = qualityGate(newDocs)
     val shard = ok.localCheckpoint()
-    val nShardIds = shard.select(col(idCol)).distinct().count()
     val nInCorpus = shard.select(col(idCol)).distinct()
       .join(corpus().select(col(idCol)), Seq(idCol), "left_semi").count()
     if (nInCorpus > 0) {
-      require(nInCorpus == nShardIds,
-        s"$nInCorpus of $nShardIds shard doc ids collide with corpus ids")
-      // fully-replayed batch (crash-after-commit): the manifest already
-      // pins every artifact of this batch — report no-op, move on
-      val nIn = newDocs.count()
-      IngestReport(nIn, nIn - nShardIds, 0, 0, Nil)
+      // already-present ids must carry identical content (the pinned
+      // hash table makes this one shard-sized join — atomic commits
+      // guarantee every corpus doc has its hash row)
+      val mismatched = shard
+        .select(col(idCol), md5(col(textCol)).as("h_new"))
+        .join(hashesDf().withColumnRenamed("h", "h_committed"), Seq(idCol))
+        .filter(col("h_new") =!= col("h_committed")).count()
+      if (mismatched > 0) throw new IllegalArgumentException(
+        s"$mismatched shard doc ids already exist in corpus $name with " +
+          "DIFFERENT content — doc ids must be globally unique")
+      val remainder = shard
+        .join(corpus().select(col(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      if (remainder.isEmpty) {
+        val (nIn, nRej) = (newDocs.count(), rej.count())
+        IngestReport(nIn, nRej, nIn - nRej, 0, Nil)
+      } else ingestShardBody(newDocs, remainder, rej)
     } else ingestShardBody(newDocs, shard, rej)
   }
 
@@ -558,19 +583,25 @@ class CorpusManager(
   }
 
   /** Delete artifact files not referenced by the newest `retainLast`
-    * manifests — crashed-ingest orphans, superseded sketch generations,
-    * pre-compaction files — and drop band-table versions no retained
-    * manifest uses (dir + catalog entry). Returns the root-relative
-    * deleted file paths. Reading at manifests older than the retained
-    * window is forfeited. Serialized behind the ingest lock: a live
-    * writer's freshly appended, not-yet-committed files look exactly
-    * like orphans. */
+    * COMMITTED manifests — crashed-ingest orphans, superseded sketch
+    * generations, pre-compaction files — and drop band-table versions
+    * no retained manifest uses (dir + catalog entry). The retained set
+    * walks the manifests' `parent` chain from the committed pointer, so
+    * an orphaned generation CLAIM (a crashed commit that never swapped
+    * the pointer — a gen number no reader was ever pinned to) neither
+    * consumes a retention slot nor keeps its own dead files alive.
+    * Returns the root-relative deleted file paths. Reading at manifests
+    * older than the retained window is forfeited. Serialized behind the
+    * ingest lock: a live writer's freshly appended, not-yet-committed
+    * files look exactly like orphans. */
   def vacuum(retainLast: Int = 2): Seq[String] = withIngestLock {
     require(retainLast >= 1, "must retain at least the latest generation")
     val man = readManifest().getOrElse(
       throw new IllegalStateException(s"corpus $name has no manifest at $root"))
-    val retained = (math.max(1L, man.generation - retainLast + 1) to man.generation)
-      .flatMap(snapshotFilesAt)
+    val chain = Iterator.iterate(Option(man))(_.flatMap(m =>
+        if (m.parent < 1) None else readManifestAt(m.parent)))
+      .takeWhile(_.isDefined).flatten.take(retainLast).toSeq
+    val retained = chain.map(_.generation).flatMap(snapshotFilesAt)
     if (retained.isEmpty) throw new IllegalStateException(
       s"no retained manifest pins file lists (legacy store at $root); " +
         "vacuum would treat every artifact file as an orphan")
@@ -587,11 +618,15 @@ class CorpusManager(
     val doomed = (all -- referenced).toSeq.sorted
     doomed.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
-    // retire band-table versions with no surviving files: dir + catalog
-    bandVersions.filterNot(v => listDir(bandsDir(v)).nonEmpty).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(bandsDir(v)), true)
-      spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(v)}")
-    }
+    // retire band-table versions with no surviving files (dir +
+    // catalog) — but NEVER the live version: a legitimately-empty
+    // active band table (empty bootstrap corpus) must survive for the
+    // next ingest's append to target
+    bandVersions.filterNot(_ == man.bandsVersion)
+      .filterNot(v => listDir(bandsDir(v)).nonEmpty).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(bandsDir(v)), true)
+        spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(v)}")
+      }
     // the active table may have lost orphan files — drop its cached index
     if (spark.catalog.tableExists(bandsTable(man.bandsVersion)))
       spark.catalog.refreshTable(bandsTable(man.bandsVersion))

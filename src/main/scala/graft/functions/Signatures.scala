@@ -102,24 +102,15 @@ object Signatures {
     * `element_at` site (observed 5.4× slower on q71 at sf0.1).
     * Tokenization matches Spark SQL `split(text, " ")` / DuckDB
     * `string_split` (trailing empties kept). */
-  def skipGramRows(df: DataFrame, textCol: String, maxOff: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    spread(df.select(col(textCol)))
-      .as[String]
-      .mapPartitions(_.flatMap { text =>
-        val t = text.split(" ", -1)
-        for {
-          i <- t.indices.iterator
-          k <- 1 to maxOff
-          if i + k < t.length
-        } yield (t(i), t(i + k))
-      })
-      .toDF("a", "b")
-  }
+  def skipGramRows(df: DataFrame, textCol: String, maxOff: Int): DataFrame =
+    skipGramRowsById(df.select(lit(0L).as("__sg_id"), col(textCol)),
+      "__sg_id", textCol, maxOff).select("a", "b")
 
   /** [[skipGramRows]] carrying the document id — `(idCol, a, b)` — for
-    * per-document aggregation (LM scoring, doc-level co-occurrence). */
+    * per-document aggregation (LM scoring, doc-level co-occurrence).
+    * The single home of the pair-generation loop: tokenization must
+    * stay `split(" ", -1)` (trailing empties kept) to match Spark SQL
+    * `split` / DuckDB `string_split` in the oracle SQL. */
   def skipGramRowsById(df: DataFrame, idCol: String, textCol: String,
                        maxOff: Int): DataFrame = {
     val spark = df.sparkSession

@@ -114,54 +114,68 @@ object Multimodal {
     * MJPEG AVIs (each movi chunk is a complete JPEG the JDK can
     * decode); codec-requiring containers (MP4/H.264) stay on the
     * flagged synthetic fallback. */
+  /** Max LIST nesting honored by the RIFF walks: legit AVIs nest 2-3
+    * deep (hdrl/strl, movi/rec ); deeper is corrupt or adversarial, and
+    * an unbounded recursion would be a StackOverflowError — an Error no
+    * decode-side `catch Exception` can contain. */
+  private val MaxRiffDepth = 16
+
   private[multimodal] def parseAvi(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 24 || !fourcc(b, 0, "RIFF") || !fourcc(b, 8, "AVI ")) return None
     var result: Option[(Int, Int, Int)] = None
-    def walk(start: Int, end: Int): Unit = {
+    // chunk offsets advance in Long: a corrupt uint32 size field would
+    // overflow Int (body + sz < 0) and turn the bounds guard into a
+    // negative array index
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > MaxRiffDepth) return
       var i = start
       while (i + 8 <= end && result.isEmpty) {
-        val sz = i32le(b, i + 4)
+        val sz = i32le(b, i.toInt + 4).toLong & 0xffffffffL
         val body = i + 8
-        if (sz < 0) return // corrupt size: stop, keep what we have
-        if (fourcc(b, i, "LIST") && body + 4 <= end)
-          walk(body + 4, math.min(body.toLong + sz, end.toLong).toInt)
-        else if (fourcc(b, i, "avih") && body + 40 <= end)
-          result = Some((i32le(b, body + 32), i32le(b, body + 36),
-            math.max(i32le(b, body + 16), 1)))
+        if (fourcc(b, i.toInt, "LIST") && body + 4 <= end)
+          walk(body + 4, math.min(body + sz, end), depth + 1)
+        else if (fourcc(b, i.toInt, "avih") && body + 40 <= end)
+          result = Some((i32le(b, body.toInt + 32), i32le(b, body.toInt + 36),
+            math.max(i32le(b, body.toInt + 16), 1)))
         i = body + sz + (sz & 1)
       }
     }
-    walk(12, b.length)
+    walk(12, b.length, 0)
     result
   }
 
-  /** The video-data chunk payloads of an AVI's `movi` list, in stream
-    * order: `##dc` (compressed — a complete JPEG per chunk in MJPEG) and
-    * `##db` (uncompressed DIB) chunks, recursing through `rec ` groups.
-    * Empty for non-AVI bytes. */
+  /** The compressed video-data chunk payloads of an AVI's `movi` list,
+    * in stream order: `##dc` chunks only — in MJPEG each is a complete
+    * JPEG the downstream ImageIO step can decode. (`##db` uncompressed
+    * DIB chunks are deliberately NOT collected: raw DIB bytes lack the
+    * BMP file header ImageIO needs, so returning them would only make
+    * frames vanish silently at the decode step.) Empty for non-AVI
+    * bytes. Same Long-offset / bounded-depth discipline as
+    * [[parseAvi]]. */
   private[multimodal] def aviFrames(b: Array[Byte]): Seq[Array[Byte]] = {
     if (parseAvi(b).isEmpty) return Nil
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def isFrameChunk(off: Int): Boolean =
       off + 4 <= b.length &&
         b(off).toChar.isDigit && b(off + 1).toChar.isDigit &&
-        b(off + 2) == 'd' && (b(off + 3) == 'c' || b(off + 3) == 'b')
-    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        b(off + 2) == 'd' && b(off + 3) == 'c'
+    def walk(start: Long, end: Long, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > MaxRiffDepth) return
       var i = start
       while (i + 8 <= end) {
-        val sz = i32le(b, i + 4)
+        val sz = i32le(b, i.toInt + 4).toLong & 0xffffffffL
         val body = i + 8
-        if (sz < 0) return
-        val bodyEnd = math.min(body.toLong + sz, end.toLong).toInt
-        if (fourcc(b, i, "LIST") && body + 4 <= end) {
-          val listType = inMovi || fourcc(b, body, "movi") || fourcc(b, body, "rec ")
-          walk(body + 4, bodyEnd, listType)
-        } else if (inMovi && isFrameChunk(i) && bodyEnd > body)
-          frames += java.util.Arrays.copyOfRange(b, body, bodyEnd)
+        val bodyEnd = math.min(body + sz, end)
+        if (fourcc(b, i.toInt, "LIST") && body + 4 <= end) {
+          val listType = inMovi ||
+            fourcc(b, body.toInt, "movi") || fourcc(b, body.toInt, "rec ")
+          walk(body + 4, bodyEnd, listType, depth + 1)
+        } else if (inMovi && isFrameChunk(i.toInt) && bodyEnd > body)
+          frames += java.util.Arrays.copyOfRange(b, body.toInt, bodyEnd.toInt)
         i = body + sz + (sz & 1)
       }
     }
-    walk(12, b.length, inMovi = false)
+    walk(12, b.length, inMovi = false, 0)
     frames.toSeq
   }
 

@@ -571,16 +571,20 @@ object TextQueries {
     // builds, while each p here is ONE correctly-rounded IEEE division
     // and count/min are order-independent. Shapes: per-doc bigram
     // multiset collapses first (groupBy doc,a,b), the model table
-    // derives from that same frame (no second corpus pass), and the
-    // score join keys on (a,b) — at 100 TB both sides shuffle on the
-    // bigram key once; the context and vocab sides are broadcast.
+    // derives from that same frame (no second corpus pass) and carries
+    // its own context totals via a model-sized window on (a) — NOT a
+    // broadcast: first-token cardinality is vocab-sized and unbounded
+    // for whitespace-tokenized web text. At 100 TB the score join
+    // shuffles both sides on the bigram key once; only the 1-row vocab
+    // scalar broadcasts.
     "q75_bigram_lm" -> ((s, dir) => {
       val bg = graft.functions.Signatures.skipGramRowsById(
         Tables.table(s, dir, "documents"), "doc_id", "text", 1)
         .localCheckpoint() // one tokenize pass feeds doc counts AND model
       val docBg = bg.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n_inst"))
       val model = docBg.groupBy("a", "b").agg(sum("n_inst").as("c_ab"))
-      val ctx = model.groupBy("a").agg(sum("c_ab").as("c_a"))
+        .withColumn("c_a", sum("c_ab").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("a")))
       val vocab = Tables.table(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
         .select(countDistinct("tok").as("v"))
@@ -588,7 +592,6 @@ object TextQueries {
         (col("c_a") + col("v")).cast("double")
       docBg
         .join(model, Seq("a", "b"))
-        .join(broadcast(ctx), Seq("a"))
         .crossJoin(broadcast(vocab))
         .withColumn("p", p)
         .groupBy("doc_id")

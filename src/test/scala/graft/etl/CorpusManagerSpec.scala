@@ -91,15 +91,37 @@ class CorpusManagerSpec extends SparkSpec {
     val man = m.readManifest().get
     assert(man.generation == 3 && man.nDocs == 9) // 6 initial + 2 + 1
 
-    // FULL id overlap = a replayed, already-ingested batch (streaming
-    // crash-after-commit) → no-op report, stream can move on
+    // FULL id overlap with identical content = a replayed, committed
+    // batch (streaming crash-after-commit) → no-op report (the docs
+    // count as duplicates — they are already present), stream moves on
     val replay = m.ingestShard(docs(Seq((103L, reorder(mkText(4)), "web"))))
-    assert(replay.ingested == 0 && replay.duplicates == 0)
+    assert(replay.ingested == 0 && replay.duplicates == 1)
     assert(m.readManifest().get.nDocs == 9)
-    // PARTIAL overlap = a genuine id collision → error
+    // overlap with DIFFERENT content = genuine id reuse → error
     intercept[IllegalArgumentException] {
       m.ingestShard(docs(Seq((103L, mkText(300), "web"),
         (9999L, mkText(301), "web"))))
+    }
+  }
+
+  test("replay of a committed batch with dedup-dropped docs does not wedge") {
+    val m = new CorpusManager("cm_spec11", tmpDir("cm11"), spark,
+      numBuckets = 4, minTokens = 2)
+    m.ingestInitial(docs(Seq((1L, mkText(1), "web"))))
+    // batch: 101 fresh, 102 near-dup of corpus 1 — 102 is DROPPED at
+    // commit, so a replay sees only a PARTIAL id overlap
+    val batch = docs(Seq((101L, mkText(7), "web"), (102L, near(mkText(1)), "web")))
+    val r1 = m.ingestShard(batch)
+    assert(r1.ingested == 1 && r1.duplicates == 1)
+    // replay (crash between manifest commit and checkpoint commit): the
+    // remainder re-enters dedup, re-drops against its committed
+    // canonical, and the batch no-ops instead of wedging the stream
+    val r2 = m.ingestShard(batch)
+    assert(r2.ingested == 0 && r2.duplicates == 2)
+    assert(corpusIds(m) == Set(1L, 101L))
+    // same id, different content is still a loud failure
+    intercept[IllegalArgumentException] {
+      m.ingestShard(docs(Seq((101L, mkText(13), "web"))))
     }
   }
 

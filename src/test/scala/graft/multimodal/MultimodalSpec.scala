@@ -196,6 +196,31 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(stats(1).meanIntensity - 170.0) < 4.0)
   }
 
+  test("corrupt AVI bytes degrade gracefully, never crash the task") {
+    // uint32 chunk size near Int.MaxValue: naive Int offset arithmetic
+    // overflows negative and defeats the bounds guard (AIOOBE)
+    val huge = java.nio.ByteBuffer.allocate(100)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    huge.put("RIFF".getBytes).putInt(92).put("AVI ".getBytes)
+    huge.put("LIST".getBytes).putInt(0x7ffffff0)
+    assert(Multimodal.parseAvi(huge.array()).isEmpty)
+    assert(Multimodal.aviFrames(huge.array()).isEmpty)
+    // deeply nested LIST headers: unbounded recursion would be a
+    // StackOverflowError (an Error — uncatchable by the decode paths)
+    val depth = 100000
+    val nested = java.nio.ByteBuffer.allocate(12 + depth * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nested.put("RIFF".getBytes).putInt(4 + depth * 12).put("AVI ".getBytes)
+    (0 until depth).foreach { d =>
+      nested.put("LIST".getBytes).putInt((depth - d) * 12 - 8)
+        .put("hdrl".getBytes)
+    }
+    assert(Multimodal.parseAvi(nested.array()).isEmpty)
+    // truncated mid-header and garbage sizes: parse totally, return None
+    val avi = mjpegAvi(6, 4, Seq(jpeg(gray(50))))
+    assert(Multimodal.parseAvi(avi.take(30)).isEmpty)
+  }
+
   test("sampleFrames explodes stride-sampled frame indices for video") {
     val s = spark; import s.implicits._
     val rows = Seq((1L, "some-video-content-xyz".getBytes, "video"),
