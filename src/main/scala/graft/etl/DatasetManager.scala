@@ -55,14 +55,14 @@ class DatasetManager(
     val schema = update.schema
     require(schema.fieldNames.contains(descriptor.dataVar),
       s"update missing data var ${descriptor.dataVar}")
-    // (1) the update's time axis must be non-empty; gap-freedom of the
-    // APPEND portion is enforced by GriddedStore.update's append-region
-    // guard (a gapped update is legal when the gaps are insert islands,
-    // like the reference's complex-update fixture). `publish.py:654-696`.
-    val times = update.select(t).distinct()
-    val regions = graft.operators.UpdatePlanner
-      .contiguousRegions(times, t, descriptor.cadenceUs).count()
-    require(regions >= 1, "update has no times")
+    // (1) the update's time axis must be non-empty — a plain existence
+    // probe, NOT a contiguity pass: gap-freedom/cadence of the APPEND
+    // portion is enforced by GriddedStore.update's append guard (a
+    // gapped update is legal when the gaps are insert islands, like the
+    // reference's complex-update fixture), so running the full
+    // gaps-and-islands window here would be a single-task global sort
+    // that can only ever confirm non-emptiness. `publish.py:654-696`.
+    require(update.select(t).limit(1).count() == 1, "update has no times")
     // (2) extreme values (`publish.py:567-575`)
     extremeBounds.foreach { case (lo, hi) =>
       val bad = update.filter(col(descriptor.dataVar) < lo ||
@@ -120,9 +120,14 @@ class DatasetManager(
     catalog.ensureRootCatalog("graft")
     val (bbox, interval) = catalog.extent(store.read(), d.timeDim)
     catalog.upsertCollection(d.name, bbox, interval)
+    // the store's manifest version disambiguates commits whose extent
+    // AND previous-end are identical (e.g. consecutive insert-only
+    // corrections) — without it the second item would reuse the first's
+    // UUID, overwrite its file, and link `prev` to itself
     catalog.registerItem(d, bbox, interval,
       version = java.util.UUID.nameUUIDFromBytes(
-        s"${d.name}-${interval._1}-${interval._2}-${d.updatePreviousEndUs}".getBytes)
+        (s"${d.name}-${interval._1}-${interval._2}-${d.updatePreviousEndUs}" +
+          s"-v${store.latestVersionNumber()}").getBytes)
         .toString)
   }
 }

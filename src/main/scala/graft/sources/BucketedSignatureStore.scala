@@ -47,6 +47,15 @@ object BucketedSignatureStore {
   def append(df: DataFrame, name: String, numBuckets: Int,
              keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "bucketed append needs at least one key column")
+    // saveAsTable(Append) on a MISSING catalog entry silently creates a
+    // fresh managed table at the warehouse path — the corpus-scale rows
+    // would then sit unregistered at the external path while joins see
+    // only post-redeploy appends. Fail loudly instead: a fresh
+    // metastore must re-attach the external table (re-run write()).
+    require(df.sparkSession.catalog.tableExists(name),
+      s"bucketed table $name is not registered in this session's " +
+        "catalog — re-register the external table (BucketedSignatureStore" +
+        ".write) before appending")
     df.write.mode("append").format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

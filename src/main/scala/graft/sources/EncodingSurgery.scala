@@ -35,19 +35,22 @@ object EncodingSurgery {
       throw new IllegalStateException(
         "store has an update in progress (crashed writer?); repair first")
 
-    store.writeDescriptor(d.copy(updateInProgress = true))
+    // fixed-base two-phase claim (see GriddedStore.writeDescriptor): a
+    // concurrent mutation collides on the claim file and exactly one wins
+    val base = store.latestVersionNumber()
     val rewritten = store.read().withColumn(coord, f(col(coord)))
+    val before = store.listDataFiles(None)
+    store.claimInProgress(base, d)
     // A full-store rewrite under the manifest protocol: write the
     // rewritten rows as NEW files next to the old ones (via writeBuckets,
     // so the surgered store keeps the sorted row-group min/max skipping
     // property), then commit a manifest pinning ONLY the new files. A
     // crash never leaves a half-rewritten store visible — readers stay on
     // the old manifest — and the old files are retired by vacuum().
-    val before = store.listDataFiles(None)
     store.writeBuckets(rewritten, d, SaveMode.Append)
     val fresh = (store.listDataFiles(None) -- before).toSeq
     val committed = d.copy(updateInProgress = false)
-    store.writeDescriptor(committed, Some(fresh))
+    store.commitAtBase(base, committed, Some(fresh))
     committed
   }
 }

@@ -61,13 +61,23 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
   def hasExisting: Boolean = fs.exists(descriptorPath)
 
   def readDescriptor(): Option[DatasetDescriptor] =
+    pointerJson().map(DatasetDescriptor.fromJson)
+
+  private def pointerJson(): Option[String] =
     if (!hasExisting) None
     else {
       val in = fs.open(descriptorPath)
-      try Some(DatasetDescriptor.fromJson(
-        scala.io.Source.fromInputStream(in, "UTF-8").mkString))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
       finally in.close()
     }
+
+  /** Data-file list pinned by the COMMITTED pointer. Reads resolve
+    * through the pointer, not the claim listing: a crashed commit's
+    * zero-byte/partial claim file must never redirect or brick
+    * `read()` — the pointer swap is atomic, so this is always a whole
+    * committed manifest. */
+  def snapshotFiles(): Option[Seq[String]] =
+    pointerJson().flatMap(extractFiles)
 
   // ---- versioned descriptor manifest ------------------------------------
 
@@ -84,9 +94,11 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
 
   /** Descriptor as of manifest version `v` — metadata time travel (the
     * IPNS-pointer-history analog; the reference walks item `prev` links
-    * for the same need). */
+    * for the same need). None for a zero-byte/partial claim left by a
+    * crashed commit. */
   def readDescriptorAt(v: Long): Option[DatasetDescriptor] =
-    readVersionJson(v).map(DatasetDescriptor.fromJson)
+    readVersionJson(v).flatMap(j =>
+      scala.util.Try(DatasetDescriptor.fromJson(j)).toOption)
 
   private def readVersionJson(v: Long): Option[String] =
     if (!fs.exists(versionPath(v))) None
@@ -97,16 +109,18 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     }
 
   /** Root-relative data-file list pinned by manifest version `v`. None
-    * for versions written before file tracking (legacy) or a fresh
-    * store. */
+    * for versions written before file tracking (legacy), a fresh store,
+    * or an unparseable crashed-commit claim. */
   def snapshotFilesAt(v: Long): Option[Seq[String]] =
-    readVersionJson(v).flatMap { json =>
-      (org.json4s.jackson.JsonMethods.parse(json) \ "files") match {
+    readVersionJson(v).flatMap(extractFiles)
+
+  private def extractFiles(json: String): Option[Seq[String]] =
+    scala.util.Try(org.json4s.jackson.JsonMethods.parse(json) \ "files")
+      .toOption.flatMap {
         case org.json4s.JArray(xs) =>
           Some(xs.collect { case org.json4s.JString(s) => s })
         case _ => None
       }
-    }
 
   /** All manifest versions, ascending. */
   def descriptorHistory(): Seq[(Long, DatasetDescriptor)] =
@@ -131,16 +145,36 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     *     two-phase protection.
     *
     * The metadata-only update path (`store.write_metadata_only`,
-    * `store.py:702-717`).
+    * `store.py:702-717`). DATA mutations must NOT use this: they claim
+    * FIXED version numbers captured at mutation start
+    * (`claimInProgress`/`commitAtBase`), so two interleaved mutations
+    * collide on the same claim file and exactly one wins — recomputing
+    * `latest` at commit time here would let the slower writer commit a
+    * manifest built from its stale file-list snapshot, silently
+    * dropping the faster writer's files.
     *
     * `files` is the data-file list the new version pins; `None` carries
-    * the previous version's list forward (metadata-only commits). */
+    * the COMMITTED POINTER's list forward (not the latest claim's — an
+    * orphaned claim from a crashed commit has no committed standing). */
   def writeDescriptor(d: DatasetDescriptor,
-                      files: Option[Seq[String]] = None): Unit = {
-    val latest = latestVersionNumber()
-    writeDescriptorAsVersion(latest + 1, d,
-      files.orElse(snapshotFilesAt(latest)))
-  }
+                      files: Option[Seq[String]] = None): Unit =
+    writeDescriptorAsVersion(latestVersionNumber() + 1, d,
+      files.orElse(snapshotFiles()))
+
+  /** First phase of a data mutation: claim `base + 1` with the
+    * in-progress flag, carrying the committed file list forward. `base`
+    * MUST be the `latestVersionNumber()` the mutation captured before
+    * its guards ran — a concurrent mutation that claimed the same
+    * number first throws ConcurrentModificationException HERE, before
+    * any data write. */
+  private[sources] def claimInProgress(base: Long, d: DatasetDescriptor): Unit =
+    writeDescriptorAsVersion(base + 1, d.copy(updateInProgress = true),
+      snapshotFiles())
+
+  /** Second phase: the committed manifest at `base + 2`. */
+  private[sources] def commitAtBase(base: Long, d: DatasetDescriptor,
+                                    files: Option[Seq[String]]): Unit =
+    writeDescriptorAsVersion(base + 2, d, files.orElse(snapshotFiles()))
 
   /** The commit body at a FIXED version — two writers that both read the
     * same latest version race to claim the same file here, and exactly
@@ -177,12 +211,19 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     fc.rename(tmp, descriptorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Lazy scan of the store as of the LATEST committed manifest —
-    * reads exactly the pinned file list, so uncommitted / crashed-writer
-    * / retired files are invisible. Partition pruning applies to any
-    * time_bucket / time predicates stacked on top (`basePath` keeps the
-    * directory-partition column live on an explicit file list). */
-  def read(): DataFrame = readAt(latestVersionNumber())
+  /** Lazy scan of the store as of the COMMITTED POINTER — reads exactly
+    * the pinned file list, so uncommitted / crashed-writer / retired
+    * files are invisible, and a crashed commit's partial CLAIM file
+    * cannot brick or redirect reads (the pointer swap is atomic).
+    * Partition pruning applies to any time_bucket / time predicates
+    * stacked on top (`basePath` keeps the directory-partition column
+    * live on an explicit file list). */
+  def read(): DataFrame = snapshotFiles() match {
+    case Some(files) if files.nonEmpty =>
+      spark.read.option("basePath", dataPath)
+        .parquet(files.map(f => s"$root/$f"): _*)
+    case _ => spark.read.parquet(dataPath)
+  }
 
   /** The store as of manifest version `v` — data time travel. Valid
     * while `v` is inside the `vacuum` retention window; reading a
@@ -224,8 +265,17 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     * manifests (crashed-writer orphans included) and return their
     * root-relative paths. Time travel older than the retained window is
     * forfeited; metadata history (`readDescriptorAt`) survives in full.
-    * Refuses to run mid-update: a concurrent writer's freshly written,
-    * not-yet-committed files look exactly like orphans. */
+    *
+    * Concurrency: refuses to run mid-update, and FENCES the delete on
+    * the claim counter — every mutation claims its in-progress version
+    * BEFORE writing any data file, so if `latestVersionNumber()` has
+    * moved between the file listing and the delete, a writer may have
+    * landed files into the listed set and vacuum aborts (rerun when the
+    * writer finishes). A writer that claims after the fence check can
+    * only have written files after the listing, which are therefore not
+    * in the doomed set. The committed pointer's file list is always
+    * protected explicitly, even when orphaned claims crowd the retained
+    * number window. */
   def vacuum(retainLast: Int = 2): Seq[String] = {
     require(retainLast >= 1, "must retain at least the latest version")
     val d = readDescriptor().getOrElse(
@@ -234,14 +284,18 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       throw new IllegalStateException(
         s"store at $root has an update in progress; vacuum would delete " +
           "its in-flight files")
-    val latest = latestVersionNumber()
-    if (snapshotFilesAt(latest).isEmpty)
+    val fence = latestVersionNumber()
+    val pointerFiles = snapshotFiles().getOrElse(
       throw new IllegalStateException(
-        s"latest manifest v$latest records no file list (legacy store); " +
-          "vacuum would treat every data file as an orphan")
-    val referenced = (math.max(1L, latest - retainLast + 1) to latest)
-      .flatMap(v => snapshotFilesAt(v).getOrElse(Nil)).toSet
+        s"committed manifest records no file list (legacy store); " +
+          "vacuum would treat every data file as an orphan"))
+    val referenced = (math.max(1L, fence - retainLast + 1) to fence)
+      .flatMap(v => snapshotFilesAt(v).getOrElse(Nil)).toSet ++ pointerFiles
     val doomed = (listDataFiles(None) -- referenced).toSeq.sorted
+    if (latestVersionNumber() != fence)
+      throw new java.util.ConcurrentModificationException(
+        s"a writer claimed a manifest version during vacuum at $root; " +
+          "rerun when it finishes")
     doomed.foreach(f => fs.delete(new Path(root, f), false))
     doomed
   }
@@ -283,7 +337,13 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       .parquet(dataPath)
   }
 
-  /** Initial parse (`write_initial_zarr`, `publish.py:240-261`). */
+  /** Initial parse (`write_initial_zarr`, `publish.py:240-261`). Also
+    * the REBUILD path over an existing store: the write is append-mode
+    * (new files land NEXT to any old generation — never a
+    * directory-clearing overwrite, which would break pinned readers and
+    * leave a mid-crash store pointing at deleted files) and the final
+    * manifest pins only the fresh files; a superseded generation is
+    * retired by the swap and reclaimed by `vacuum`. */
   def writeInitial(df: DataFrame, d: DatasetDescriptor): DatasetDescriptor = {
     val p = prepared(df, d)
     // One up-front aggregate gives both the emptiness guard and the
@@ -293,14 +353,16 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     val stats = p.agg(min(d.timeDim), max(d.timeDim), count(lit(1))).collect()(0)
     if (stats.getLong(2) == 0L)
       throw new IllegalArgumentException("initial dataset is empty")
-    writeDescriptor(d.copy(updateInProgress = true))
-    writeBuckets(p, d, SaveMode.Overwrite)
+    val base = latestVersionNumber()
+    val before = listDataFiles(None)
+    claimInProgress(base, d)
+    writeBuckets(p, d, SaveMode.Append)
     val committed = d.copy(
       dateRange = Some((stats.getLong(0), stats.getLong(1))),
       updateInProgress = false,
       updateIsAppendOnly = None,
       updatePreviousEndUs = None)
-    writeDescriptor(committed, Some(listDataFiles(None).toSeq))
+    commitAtBase(base, committed, Some((listDataFiles(None) -- before).toSeq))
     committed
   }
 
@@ -318,13 +380,13 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       throw new IllegalStateException(
         s"store at $root has an update in progress (crashed writer?); " +
           "repair or rebuild before compacting")
-    val committedFiles = snapshotFilesAt(latestVersionNumber())
-      .getOrElse(listDataFiles(None).toSeq)
+    val base = latestVersionNumber()
+    val committedFiles = snapshotFiles().getOrElse(listDataFiles(None).toSeq)
     val target =
       if (buckets.nonEmpty) buckets
       else read().select(col("time_bucket").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq
-    writeDescriptor(d.copy(updateInProgress = true))
+    claimInProgress(base, d)
     // One distributed pass: the scan reads the pinned (old) files and the
     // write creates new ones next to them — no staging table, no
     // self-overwrite cycle, because the old files outlive the job and are
@@ -340,7 +402,7 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     val manifest = committedFiles
       .filterNot(f => targetDirs.exists(f.startsWith)) ++ fresh.toSeq
     val committed = d.copy(updateInProgress = false)
-    writeDescriptor(committed, Some(manifest))
+    commitAtBase(base, committed, Some(manifest))
     committed
   }
 
@@ -360,6 +422,7 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
         s"store at $root has an update in progress (crashed writer?); " +
           "repair or rebuild before updating")
     val t = d.timeDim
+    val base = latestVersionNumber() // fixed claim base: see writeDescriptor doc
     val p = prepared(updateDf, d).cache()
     try {
       val existingTimes = read().select(t).distinct()
@@ -408,19 +471,30 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
           }
           any
         case None =>
-          val appendRegions = UpdatePlanner.contiguousRegions(appendT, t, d.cadenceUs)
-            .orderBy("start").collect()
-          if (appendRegions.nonEmpty) {
-            if (appendRegions.length > 1)
+          // Exact-cadence datasets: EVERY append delta must equal
+          // cadenceUs — both gaps (delta > cadence) and OFF-GRID times
+          // (delta < cadence) are rejected. contiguousRegions alone
+          // splits only on delta > step, so a sub-cadence time would
+          // slip through it and commit an off-grid axis that wedges
+          // the next legitimate on-grid append.
+          val appendStats = appendT
+            .agg(min(t).as("lo"), count(lit(1)).as("n")).collect()(0)
+          val any = appendStats.getLong(1) > 0
+          if (any) {
+            val viol = UpdatePlanner
+              .cadenceViolations(appendT, t, d.cadenceUs, d.cadenceUs)
+              .orderBy(t).limit(3).collect()
+            if (viol.nonEmpty)
               throw new IllegalArgumentException(
-                s"append is not contiguous: gaps at cadence ${d.cadenceUs}: " +
-                  appendRegions.map(r => s"[${r.getLong(0)},${r.getLong(1)}]").mkString(", "))
-            if (appendRegions.head.getLong(0) != dsEnd + d.cadenceUs)
+                s"append deltas differ from cadence ${d.cadenceUs}: " +
+                  viol.map(r => s"${r.getLong(0)} (delta ${r.getLong(1)})")
+                    .mkString(", "))
+            if (appendStats.getLong(0) != dsEnd + d.cadenceUs)
               throw new IllegalArgumentException(
                 s"append is not contiguous with existing end $dsEnd: starts at " +
-                  s"${appendRegions.head.getLong(0)}, expected ${dsEnd + d.cadenceUs}")
+                  s"${appendStats.getLong(0)}, expected ${dsEnd + d.cadenceUs}")
           }
-          appendRegions.nonEmpty
+          any
       }
       // Everything below only ADDS files: replaced rows are retired by
       // the manifest swap at commit, not deleted — so the append and
@@ -428,13 +502,12 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       // (no staging table, no FILE_NOT_EXIST window), pinned readers are
       // untouched, and a crash leaves only orphans for vacuum. Listing is
       // confined to the update's own buckets.
-      val committedFiles = snapshotFilesAt(latestVersionNumber())
-        .getOrElse(listDataFiles(None).toSeq)
+      val committedFiles = snapshotFiles().getOrElse(listDataFiles(None).toSeq)
       val touched = p.select(col("time_bucket")).distinct()
         .collect().map(_.getLong(0)).toSeq // bounded: buckets in this update
       val before = listDataFiles(Some(touched))
 
-      writeDescriptor(d.copy(updateInProgress = true))
+      claimInProgress(base, d)
 
       var insertBuckets: Seq[Long] = Nil
       if (inserts) {
@@ -468,7 +541,7 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
         updateInProgress = false,
         updatePreviousEndUs = Some(dsEnd),
         updateIsAppendOnly = Some(!inserts))
-      writeDescriptor(committed, Some(manifest))
+      commitAtBase(base, committed, Some(manifest))
       committed
     } finally p.unpersist()
   }

@@ -113,6 +113,20 @@ class EtlSpec extends SparkSpec {
     val item = mgr.catalog.readItem("chirps-test", v2).get
     assert(org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(item \ "links")).contains(v1))
+
+    // consecutive INSERT-ONLY updates leave extent and previous-end
+    // unchanged — the item version must still be fresh each time (the
+    // store's manifest version disambiguates), or the second item would
+    // overwrite the first and link prev to itself
+    mgr.parse(mgr.normalize(cube(2, 4, 4, startDay = 3, valueOffset = 1.0)))
+    val v3 = mgr.catalog.latestVersion("chirps-test").get
+    mgr.parse(mgr.normalize(cube(2, 4, 4, startDay = 3, valueOffset = 2.0)))
+    val v4 = mgr.catalog.latestVersion("chirps-test").get
+    assert(v3 != v2 && v4 != v3)
+    val item4 = mgr.catalog.readItem("chirps-test", v4).get
+    val links4 = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(item4 \ "links"))
+    assert(links4.contains(v3) && !links4.contains(v4)) // prev ≠ self
   }
 
   test("dry run writes nothing (test_chirps.py:169-189)") {

@@ -53,6 +53,17 @@ class BucketedSignatureStoreSpec extends SparkSpec {
     }
   }
 
+  test("append to an unregistered table fails loudly instead of creating a shadow table") {
+    // saveAsTable(Append) on a missing catalog entry would silently
+    // CREATE a managed table at the warehouse path, splitting band data
+    // across two locations and quietly breaking corpus dedup
+    val ex = intercept[IllegalArgumentException] {
+      BucketedSignatureStore.append(bandRows("/root/testdata/sf0.001"),
+        "no_such_bands_table", 8, Seq("band", "bk"))
+    }
+    assert(ex.getMessage.contains("not registered"))
+  }
+
   test("re-bucketing a new shard joins the stored corpus without shuffling the corpus") {
     val dir = "/root/testdata/sf0.001"
     val path = tmpDir("sigstore_inc")

@@ -200,7 +200,77 @@ class GriddedStoreSpec extends SparkSpec {
     val strict = new GriddedStore(strictRoot, spark)
     strict.writeInitial(cube(10, 2, 2), desc("strict"))
     assert(intercept[IllegalArgumentException] { strict.update(upd) }
-      .getMessage.contains("not contiguous"))
+      .getMessage.contains("differ from cadence"))
+  }
+
+  test("sub-cadence (off-grid) append times are rejected") {
+    val root = tmpDir("store-offgrid")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(10, 2, 2), desc("og"))
+    // day 10 on-grid plus an off-grid time at day 10 + 12h: the delta
+    // is BELOW cadence, so a pure gaps-split (delta > step) would admit
+    // it and commit an off-grid axis that wedges the next real append
+    val offgrid = cube(1, 2, 2, startDay = 10)
+      .withColumn("time", col("time") + lit(DAY_US / 2))
+    assert(intercept[IllegalArgumentException] {
+      store.update(cube(1, 2, 2, startDay = 10).unionByName(offgrid))
+    }.getMessage.contains("differ from cadence"))
+  }
+
+  test("rebuild (writeInitial over existing) never deletes: pinned readers survive") {
+    val root = tmpDir("store-rebuild")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(10, 2, 2), desc("rb"))
+    val pinned = store.read() // resolves the pre-rebuild pinned list NOW
+    val oldFiles = store.snapshotFiles().get.toSet
+    val d2 = store.writeInitial(cube(5, 2, 2, valueOffset = 4444.0), desc("rb"))
+    assert(d2.dateRange.contains((0L, 4 * DAY_US)))
+    assert(store.read().count() == 5 * 4) // latest = rebuilt generation only
+    // the pre-rebuild reader still scans its snapshot — a
+    // directory-clearing overwrite would have broken it mid-scan
+    assert(pinned.count() == 10 * 4)
+    // old generation retired (absent from the new manifest), then
+    // reclaimed by vacuum without touching the live generation
+    assert(store.snapshotFiles().get.toSet.intersect(oldFiles).isEmpty)
+    assert(store.vacuum(retainLast = 1).nonEmpty)
+    assert(store.read().count() == 5 * 4)
+  }
+
+  test("interleaved mutations cannot lose a committed writer's files") {
+    // the lost-update scenario: writer B captures its claim base, then
+    // writer A runs a full mutation; B's claim must collide loudly
+    // instead of committing a manifest built from its stale file list
+    // (which would silently drop A's files)
+    val root = tmpDir("store-occ")
+    val store = new GriddedStore(root, spark)
+    val d = store.writeInitial(cube(10, 2, 2), desc("occ"))
+    val base = store.latestVersionNumber() // writer B's captured base
+    store.update(cube(2, 2, 2, startDay = 10, valueOffset = 100.0)) // writer A
+    intercept[java.util.ConcurrentModificationException] {
+      store.claimInProgress(base, d) // B's first phase — must lose
+    }
+    assert(store.read().count() == 12 * 4) // A's rows intact
+  }
+
+  test("a crashed commit's partial claim file neither bricks nor redirects reads") {
+    val root = tmpDir("store-partial-claim")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(10, 2, 2), desc("pc"))
+    val v = store.latestVersionNumber()
+    // zero-byte claim: a crash between fs.create and the JSON write
+    val claim = new org.apache.hadoop.fs.Path(root, f"_versions/v${v + 1}%06d.json")
+    store.fs.create(claim, false).close()
+    assert(store.latestVersionNumber() == v + 1)
+    // reads resolve through the committed POINTER, not the claim listing
+    assert(store.read().count() == 10 * 4)
+    assert(store.readDescriptorAt(v + 1).isEmpty) // orphan parses to None
+    // vacuum protects the pointer's files even though the orphan is the
+    // newest claim number in the retained window
+    assert(store.vacuum(retainLast = 1).isEmpty)
+    assert(store.read().count() == 10 * 4)
+    // the next mutation skips the orphaned number and commits cleanly
+    store.update(cube(1, 2, 2, startDay = 10))
+    assert(store.readDescriptor().get.dateRange.contains((0L, 10 * DAY_US)))
   }
 
   test("irregular cadence: deltas beyond the declared bounds still fail") {

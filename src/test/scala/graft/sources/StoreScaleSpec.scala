@@ -105,7 +105,7 @@ class StoreScaleSpec extends SparkSpec {
     val gappedUpdate = cube(1, 2, 2, startDay = 20)
       .unionByName(cube(1, 2, 2, startDay = 22))
     val ex = intercept[IllegalArgumentException] { store.update(gappedUpdate) }
-    assert(ex.getMessage.contains("not contiguous"))
+    assert(ex.getMessage.contains("differ from cadence")) // the gap IS a cadence violation
     assert(!store.readDescriptor().get.updateInProgress) // not bricked
     assert(store.read().count() == 20 * 4) // nothing committed
   }
