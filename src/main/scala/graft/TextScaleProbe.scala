@@ -98,8 +98,17 @@ object TextScaleProbe {
         "text", "probe", incPath, 64).localCheckpoint()
     }
     // planted clusters whose members straddle the cut: every (base,
-    // copy) / (base, near) / (copy, near) pair with ≥1 member ≥ cut
-    val expInc = edges.filter(col("src") >= cut || col("dst") >= cut).count()
+    // copy) / (base, near) / (copy, near) pair with ≥1 member ≥ cut —
+    // MINUS the exact copy's two edges for clusters ENTIRELY inside the
+    // shard: runIncremental collapses intra-shard exact groups to their
+    // rep before the band join (identical signatures would clique), so
+    // (base, copy) and (copy, near) there belong to the caller's
+    // exact-hash path (as CorpusManager wires it), not the LSH result.
+    // The straddle cluster's copy is NOT collapsed (its twin is in the
+    // corpus, not the shard) and must still pair via the bucketed join.
+    val wholeInShardBases = (0L until nDocs by 100).count(_ >= cut)
+    val expInc = edges.filter(col("src") >= cut || col("dst") >= cut).count() -
+      2L * wholeInShardBases
     val gotInc = incPairs.count()
     println(s"PROBE incremental pairs $gotInc (expect $expInc)")
     require(gotInc == expInc, "incremental dedup missed cross-shard pairs")

@@ -20,10 +20,20 @@ class StacCatalog(val root: String, spark: SparkSession) {
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Crash-safe JSON write: stage to a sibling tmp file, then
+    * rename-with-OVERWRITE (the GriddedStore pointer discipline) — an
+    * in-place `fs.create(p, true)` would truncate first, so a crash
+    * mid-write leaves a torn file that wedges every later read of the
+    * catalog with a parse error. */
   private def write(p: Path, j: JValue): Unit = {
-    val out = fs.create(p, true)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(JsonMethods.pretty(JsonMethods.render(j)).getBytes("UTF-8"))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readJson(p: Path): Option[JValue] =
@@ -48,14 +58,20 @@ class StacCatalog(val root: String, spark: SparkSession) {
         "description" -> JString(s"$org root catalog"),
         "links" -> JArray(Nil))))
 
-  /** Spatio-temporal extent of a gridded frame: one distributed agg. */
+  /** Spatio-temporal extent of a gridded frame: one distributed agg.
+    * Spatial bounds need BOTH latitude and longitude columns (a frame
+    * with only one falls back to the global bbox); an empty frame has
+    * no extent and fails loudly instead of NPE-ing on null aggregates. */
   def extent(df: DataFrame, timeDim: String): (Array[Double], (Long, Long)) = {
-    val hasSpace = df.columns.contains("latitude")
+    val hasSpace = df.columns.contains("latitude") &&
+      df.columns.contains("longitude")
     val r =
       if (hasSpace)
         df.agg(min("latitude"), max("latitude"), min("longitude"), max("longitude"),
           min(timeDim), max(timeDim)).collect()(0)
       else df.agg(min(timeDim), max(timeDim)).collect()(0)
+    require(!r.isNullAt(if (hasSpace) 4 else 0),
+      "cannot compute a STAC extent of an empty dataset")
     if (hasSpace)
       (Array(r.getDouble(2), r.getDouble(0), r.getDouble(3), r.getDouble(1)),
         (r.getLong(4), r.getLong(5)))

@@ -448,9 +448,15 @@ class CorpusManager(
       Seq(least(a, b).as("d1"), greatest(a, b).as("d2"))
     val exactCross = shardH.as("s").join(corpusH.as("c"), col("s.h") === col("c.h"))
       .select(norm(col(s"s.$idCol"), col(s"c.$idCol")): _*)
-    val exactIntra = shardH.as("x").join(shardH.as("y"),
-        col("x.h") === col("y.h") && col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(norm(col(s"x.$idCol"), col(s"y.$idCol")): _*)
+    // within-shard exact dups as STAR edges (keeper → member): same
+    // connected components as the all-pairs self-join, m−1 edges per
+    // m-duplicate group instead of m(m−1)/2 — a shard of identical
+    // boilerplate docs must not materialize a quadratic pair space
+    val exactIntra = shardH
+      .withColumn("keeper", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col(idCol) =!= col("keeper"))
+      .select(col("keeper").as("d1"), col(idCol).as("d2"))
     val pairs = nearPairs.unionByName(exactCross).unionByName(exactIntra)
       .distinct().localCheckpoint()
 

@@ -40,12 +40,18 @@ object DedupPipeline {
 
   /** `(doc_id, band, bk)` LSH band rows + `(doc_id, sig)` signatures for
     * docs with at least `ngram` tokens (empty-shingle docs cannot be
-    * near-duplicates of each other; see [[Signatures.minhash]]). */
+    * near-duplicates of each other; see [[Signatures.minhash]]). The
+    * signature frame is checkpointed HERE, once: every caller reuses it
+    * on multiple join sides (sa/sb in the verify, both persisted
+    * tables), and Spark has no cross-join-side CSE — without the
+    * materialization the dominant full-corpus MD5 pass re-runs once per
+    * reference. */
   def signatureTables(docs: DataFrame, idCol: String, textCol: String,
                       p: Params): (DataFrame, DataFrame) = {
     val sigs = Signatures.minhash(
         docs.filter(TextFunctions.tokenCount(col(textCol)) >= p.ngram),
         idCol, textCol, p.ngram, p.perms)
+      .localCheckpoint()
     val bandRows = sigs
       .withColumn("bands", DedupFunctions.bandKeys(col("sig"), p.bands, p.rowsPerBand))
       .select(col(idCol), posexplode(col("bands")).as(Seq("band", "bk")))
@@ -76,20 +82,47 @@ object DedupPipeline {
       .select("d1", "d2")
   }
 
+  /** Star edges (group-minimum → member) over exact content-hash groups:
+    * connectivity-equivalent to the all-pairs form for connected
+    * components, but m−1 edges per m-duplicate group instead of
+    * m(m−1)/2 — a corpus with a million identical boilerplate docs
+    * yields 10⁶ edges, not 5·10¹¹. One hash-keyed window over (id, md5)
+    * rows only (text never shuffles), no self-join. */
+  def exactStarEdges(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    docs.select(col(idCol), md5(col(textCol)).as("h"))
+      .withColumn("keeper", min(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("keeper"))
+      .select(col("keeper").as("d1"), col(idCol).as("d2"))
+  }
+
+  /** Exact-content-group REPRESENTATIVES of `docs`: the group-minimum
+    * doc per distinct md5. Identical docs have IDENTICAL MinHash
+    * signatures, so feeding a whole exact-dup group to the band join
+    * produces a full clique — quadratic in group size — for pairs that
+    * [[exactStarEdges]] already carries linearly. Every signature path
+    * collapses to representatives first; the anti-join's right side is
+    * the (id)-only dropped-member list, so docs text is never shuffled
+    * and AQE broadcasts it when small. */
+  private def exactReps(docs: DataFrame, idCol: String,
+                        textCol: String, star: DataFrame): DataFrame =
+    docs.join(star.select(col("d2").as(idCol)), Seq(idCol), "left_anti")
+
   /** Batch dedup: `(pairs, labels, keepers)` — verified near-dup pairs,
     * `(id, lbl)` cluster labels (lbl = cluster minimum), and the corpus
     * with non-canonical cluster members removed. */
   def run(docs: DataFrame, idCol: String, textCol: String,
           p: Params = Params()): (DataFrame, DataFrame, DataFrame) = {
-    val (sigs, bandRows) = signatureTables(docs, idCol, textCol, p)
+    // exact groups collapse to reps BEFORE the LSH stage (identical sigs
+    // would band-join into per-group cliques); members ride along as
+    // star edges, which also covers sub-ngram docs
+    val star = exactStarEdges(docs, idCol, textCol).localCheckpoint()
+    val (sigs, bandRows) =
+      signatureTables(exactReps(docs, idCol, textCol, star), idCol, textCol, p)
     val banded = bandRows.localCheckpoint() // both join sides, one compute
     val pairs = verifiedPairs(banded, banded, sigs, idCol, p, selfJoin = true)
-      .unionByName(
-        // exact dups ride along even for sub-ngram docs
-        docs.select(col(idCol), md5(col(textCol)).as("h")).as("x")
-          .join(docs.select(col(idCol), md5(col(textCol)).as("h")).as("y"),
-            col("x.h") === col("y.h") && col(s"x.$idCol") < col(s"y.$idCol"))
-          .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2")))
+      .unionByName(star)
       .distinct()
     val labels = DedupFunctions.connectedComponents(
       pairs.select(col("d1").as("src"), col("d2").as("dst")))
@@ -103,20 +136,34 @@ object DedupPipeline {
     * `<name>_sigs` plain parquet (fetched by id — the candidate side
     * broadcasts, so the corpus is never shuffled), `<name>_bands`
     * bucketed+sorted on (band, bk) so shard band-joins are
-    * exchange-free. */
+    * exchange-free. Exact-content groups collapse to their
+    * representative first (see [[run]]): near-dup pairs against a
+    * member are reported against its rep, and the caller's exact-hash
+    * table maps members (a deduplicated corpus — the normal input — is
+    * unaffected). */
   def persist(docs: DataFrame, idCol: String, textCol: String,
               name: String, path: String, numBuckets: Int,
               p: Params = Params()): Unit = {
-    val (sigs, bandRows) = signatureTables(docs, idCol, textCol, p)
+    val star = exactStarEdges(docs, idCol, textCol)
+    val (sigs, bandRows) =
+      signatureTables(exactReps(docs, idCol, textCol, star), idCol, textCol, p)
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
     BucketedSignatureStore.write(bandRows, s"${name}_bands", s"$path/bands",
       numBuckets, Seq("band", "bk"))
   }
 
   /** Incremental dedup of a new shard against a [[persist]]ed corpus:
-    * returns verified pairs (shard-vs-corpus AND shard-vs-shard). The
-    * corpus band table is read through its bucket metadata; only the
-    * (small) shard is bucketed to match, so the corpus never shuffles. */
+    * returns verified NEAR-DUP pairs (shard-vs-corpus AND
+    * shard-vs-shard). The corpus band table is read through its bucket
+    * metadata; only the (small) shard is bucketed to match, so the
+    * corpus never shuffles.
+    *
+    * Contract note: unlike [[run]], this returns LSH pairs ONLY — docs
+    * below `ngram` tokens have no shingles, so EXACT duplicates of
+    * sub-ngram docs are not reported here. Callers owning an exact-hash
+    * table must union their own md5 pairs (as
+    * [[graft.etl.CorpusManager]] does); callers without one should gate
+    * sub-ngram docs out before ingest. */
   def runIncremental(spark: SparkSession, newDocs: DataFrame, idCol: String,
                      textCol: String, name: String, path: String,
                      numBuckets: Int, p: Params = Params()): DataFrame =
@@ -135,7 +182,12 @@ object DedupPipeline {
                             corpusBandsTable: String, corpusSigs: DataFrame,
                             shardBandsTable: String, shardBandsPath: String,
                             numBuckets: Int, p: Params = Params()): DataFrame = {
-    val (shardSigs, shardBands) = signatureTables(newDocs, idCol, textCol, p)
+    // intra-shard exact groups collapse to reps (identical sigs would
+    // self-join into cliques); members are the caller's exact edges
+    val shardStar = exactStarEdges(newDocs, idCol, textCol)
+    val shardReps = newDocs.join(shardStar.select(col("d2").as(idCol)),
+      Seq(idCol), "left_anti")
+    val (shardSigs, shardBands) = signatureTables(shardReps, idCol, textCol, p)
     BucketedSignatureStore.write(shardBands, shardBandsTable,
       shardBandsPath, numBuckets, Seq("band", "bk"))
     val corpusBands = BucketedSignatureStore.table(spark, corpusBandsTable)

@@ -98,9 +98,11 @@ object Encryption {
 
   // ---- chunk granularity (the at-scale path) -----------------------------
 
-  /** floorDiv bucket of the time dim (matches GriddedStore's layout). */
+  /** floorDiv bucket of the time dim — the SHARED definition
+    * ([[graft.model.ChunkGrid.bucketExpr]]), so encrypted chunk
+    * boundaries can never drift from the store's directory partitions. */
   private def bucketExpr(t: String, bucketUs: Long) =
-    expr(s"(($t div $bucketUs) - (CASE WHEN $t % $bucketUs < 0 THEN 1 ELSE 0 END))")
+    graft.model.ChunkGrid.bucketExpr(t, bucketUs)
 
   private def rowOrdering(nDimsAfterTime: Int): Ordering[Row] = new Ordering[Row] {
     // columns: 0=time_bucket, 1=chunk_idx, 2=time, 3..=other dims, last=value

@@ -72,15 +72,18 @@ object VectorFunctions {
     Array.tabulate(dims)(j =>
       if (Signatures.md5SignBit(s"$prefix#$j") == 1) 1.0 else -1.0)
 
-  /** Multi-probe bucket set for a query vector: the exact bucket plus
-    * every 1-bit flip — vectors near a hyperplane land on either side,
-    * so probing Hamming-1 neighbors recovers most of the recall an exact
-    * scan has, at (bits+1)/2^bits of the scan cost. */
-  def hyperplaneBucketProbes(v: Column, bits: Int, dims: Int): Column = {
-    val exact = hyperplaneBucket(v, bits, dims)
-    array((exact +: (0 until bits).map(b =>
-      exact.bitwiseXOR(lit(1L << b)))): _*)
-  }
+  /** Multi-probe bucket set: the exact bucket plus every 1-bit flip —
+    * vectors near a hyperplane land on either side, so probing
+    * Hamming-1 neighbors recovers most of the recall an exact scan has,
+    * at (bits+1)/2^bits of the scan cost. Takes the ALREADY-COMPUTED
+    * [[hyperplaneBucket]] column, never the raw vector: inlining the
+    * bucket expression per probe would duplicate its interpreted HOF
+    * projection tree bits+1 times (HOFs get no codegen and no CSE) —
+    * O(bits²·dims) per row instead of O(bits·dims). q39 is the shipped
+    * two-step shape. */
+  def bucketProbes(bucket: Column, bits: Int): Column =
+    array((bucket +: (0 until bits).map(b =>
+      bucket.bitwiseXOR(lit(1L << b)))): _*)
 
   /** Random-hyperplane LSH signature: `bits` sign bits of projections
     * onto Rademacher (±1) planes derived from md5 — deterministic, no

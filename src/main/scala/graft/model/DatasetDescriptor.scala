@@ -39,6 +39,16 @@ object Category {
   */
 case class ChunkGrid(timeBucketUs: Long, maxRecordsPerFile: Long)
 
+object ChunkGrid {
+  /** floorDiv bucket of a time column (negative-safe) — THE bucket
+    * assignment of the store layout. Single definition: the store's
+    * directory partitioning and chunk-granular encryption must agree
+    * bit-for-bit on chunk boundaries, so neither keeps a private copy. */
+  def bucketExpr(t: String, bucketUs: Long): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"(($t div $bucketUs) - (CASE WHEN $t % $bucketUs < 0 THEN 1 ELSE 0 END))")
+}
+
 /** The `.zmetadata`/attrs analog: everything the reference keeps in Zarr
   * attributes + encoding, as one JSON sidecar (`utils/metadata.py`).
   *

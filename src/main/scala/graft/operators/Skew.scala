@@ -18,6 +18,11 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  factor: Int): DataFrame = {
     require(factor > 0)
+    // reserved working column — silently overwriting a caller's "_salt"
+    // would drop its data from the result (the AsOfJoin "_ord"/"_asof"
+    // posture)
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs must not already have a _salt column")
     // pmod, not abs(...)%: abs(Long.MinValue) is still negative, and a
     // negative salt would match no replicated row — silently dropping it.
     val salted = big.withColumn("_salt",

@@ -69,16 +69,26 @@ object QualityChecks {
         count(when(col(valueCol) < lo || col(valueCol) > hi, lit(1))).as("n_extreme"),
         count(lit(1)).as("n"))
 
-  /** Post-parse read-back verification (`publish.py:824-894`): equi-join
-    * original vs written on the coordinate key and flag cells whose values
-    * differ beyond `tolerance` or whose null-ness disagrees. */
+  /** Post-parse read-back verification (`publish.py:824-894`): LEFT-join
+    * original vs written on the coordinate key and flag cells whose
+    * values differ beyond `tolerance`, whose null-ness disagrees, or —
+    * crucially — that are ABSENT from the written data (`_found` false):
+    * an inner join here would let a write that silently drops rows pass
+    * verification, the exact failure a read-back gate exists to catch.
+    * Both-NaN counts as a match (Spark orders NaN above every number, so
+    * `abs(NaN - NaN) > tol` would otherwise flag byte-identical
+    * round-trips of NaN-coded missing cells). */
   def valueCompare(orig: DataFrame, written: DataFrame, keys: Seq[String],
                    valueCol: String, tolerance: Double): DataFrame = {
     val o = orig.select((keys.map(col) :+ col(valueCol).as("v_orig")): _*)
-    val p = written.select((keys.map(col) :+ col(valueCol).as("v_written")): _*)
-    o.join(p, keys)
+    val p = written.select((keys.map(col) :+ col(valueCol).as("v_written"))
+      :+ lit(true).as("_found"): _*)
+    val bothNan = isnan(col("v_orig")) && isnan(col("v_written"))
+    o.join(p, keys, "left")
       .filter(
+        col("_found").isNull ||
         (col("v_orig").isNull =!= col("v_written").isNull) ||
-        (abs(col("v_orig") - col("v_written")) > tolerance))
+        (!bothNan && abs(col("v_orig") - col("v_written")) > tolerance))
+      .drop("_found")
   }
 }

@@ -59,8 +59,8 @@ object VectorQueries {
         .withColumn("bucket",
           VectorFunctions.hyperplaneBucket(col("embedding"), 8, 64))
       val q = emb.filter(col("vec_id") === 0)
-        .select(explode(array((col("bucket") +: (0 until 8).map(b =>
-            col("bucket").bitwiseXOR(lit(1L << b)))): _*)).as("qbucket"),
+        .select(explode(
+            VectorFunctions.bucketProbes(col("bucket"), 8)).as("qbucket"),
           col("embedding").as("qe"))
       emb.filter(col("vec_id") =!= 0)
         .join(broadcast(q), col("bucket") === col("qbucket"))

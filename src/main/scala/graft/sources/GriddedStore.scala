@@ -302,14 +302,11 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
 
   // ---- write paths ------------------------------------------------------
 
-  /** floorDiv on a long column (negative-safe bucket assignment). */
-  private def bucketOf(t: String, bucketUs: Long) =
-    expr(s"(($t div $bucketUs) - (CASE WHEN $t % $bucketUs < 0 THEN 1 ELSE 0 END))")
-
   private def prepared(df: DataFrame, d: DatasetDescriptor): DataFrame = {
     val cols = (d.dims :+ d.dataVar).map(col)
     df.select(cols: _*)
-      .withColumn("time_bucket", bucketOf(d.timeDim, d.chunk.timeBucketUs))
+      .withColumn("time_bucket",
+        graft.model.ChunkGrid.bucketExpr(d.timeDim, d.chunk.timeBucketUs))
   }
 
   /** The single write discipline for store data: range partition on

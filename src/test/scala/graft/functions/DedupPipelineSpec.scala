@@ -38,6 +38,26 @@ class DedupPipelineSpec extends SparkSpec {
     assert((0 until 10).forall(i => lbl(100L + i) == i && lbl(200L + i) == i))
   }
 
+  test("exact-dup groups yield star edges, not the quadratic pair space") {
+    val s = spark; import s.implicits._
+    // one 50-member identical-content group: all-pairs would emit
+    // 50·49/2 = 1225 rows; the star form emits 49 (keeper → member),
+    // with identical connected components
+    val docs = (0 until 50).map(i => (i.toLong, "same text every time"))
+      .toDF("doc_id", "text")
+    val edges = DedupPipeline.exactStarEdges(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(edges.size == 49 && edges.forall(_._1 == 0L))
+    val (pairs, labels, keepers) = DedupPipeline.run(docs, "doc_id", "text")
+    assert(labels.filter(col("lbl") === 0L).count() == 50)
+    assert(keepers.select("doc_id").as[Long].collect().sameElements(Array(0L)))
+    // exact groups collapse to their rep BEFORE the LSH stage, so the
+    // band join sees one doc per content and the pair set is exactly
+    // the 49 star edges — not the 1225-pair clique identical signatures
+    // would otherwise band-join into
+    assert(pairs.count() == 49)
+  }
+
   test("incremental run == batch cross-shard pairs, corpus never shuffled") {
     val s = spark; import s.implicits._
     val docs = planted().localCheckpoint()

@@ -132,7 +132,7 @@ class FunctionsSpec extends SparkSpec {
       .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding"), 8, 64))
     val qRow = emb.filter(col("vec_id") === 0)
       .select(col("bucket"),
-        VectorFunctions.hyperplaneBucketProbes(col("embedding"), 8, 64).as("probes"))
+        VectorFunctions.bucketProbes(col("bucket"), 8).as("probes"))
       .collect().head
     val exactBucket = qRow.getLong(0)
     val probes = qRow.getSeq[Long](1).toSet

@@ -40,4 +40,18 @@ class QualityChecksSpec extends SparkSpec {
     // t=2 drift beyond tolerance; t=3 null vs value; t=4 within tolerance
     assert(bad.sameElements(Array(2L, 3L)))
   }
+
+  test("valueCompare catches DROPPED rows and passes both-NaN cells") {
+    val s = spark; import s.implicits._
+    // a write that silently loses source rows must FAIL read-back — an
+    // inner join would simply skip the missing keys and certify the loss
+    val orig = Seq((1L, 1.0), (2L, 2.0), (3L, Double.NaN)).toDF("t", "v")
+    val written = Seq((1L, 1.0), (3L, Double.NaN)).toDF("t", "v") // t=2 dropped
+    val bad = QualityChecks.valueCompare(orig, written, Seq("t"), "v", 1e-4)
+      .select("t").as[Long].collect()
+    // t=2 flagged as missing; t=3 NaN==NaN is a MATCH (Spark orders NaN
+    // above all numbers, so a naive abs-diff would flag the identical
+    // round-trip)
+    assert(bad.sameElements(Array(2L)))
+  }
 }
