@@ -77,6 +77,9 @@ object Extractor {
     */
   def planPeriods(datasetStartUs: Long, watermarkUs: Option[Long],
                   cadenceUs: Long, untilUs: Long): Seq[Long] = {
+    // a zero/negative cadence would make the iterate below non-advancing
+    // — an unbounded driver loop, not a planning error message
+    require(cadenceUs > 0, s"cadence must be positive, got $cadenceUs")
     val from = watermarkUs.map(_ + cadenceUs).getOrElse(datasetStartUs)
     if (from < datasetStartUs)
       throw new IllegalArgumentException(

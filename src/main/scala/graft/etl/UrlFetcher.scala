@@ -27,8 +27,18 @@ object UrlFetcher {
     * `get_links` (`extractor.py:203-256`). */
   private val HrefRe: Regex = """href=["']([^"']+)["']""".r
 
-  private def defaultOpen(url: String): InputStream =
-    new java.net.URL(url).openStream()
+  /** Socket-level timeouts on BOTH connect and read: `openStream()`
+    * alone blocks forever on a black-holing endpoint, and socket I/O
+    * ignores Thread.interrupt — so without these, `withRetry`'s
+    * per-attempt timeout could give up on an attempt but never actually
+    * stop it, leaking a blocked thread + socket + temp file per try and
+    * keeping the JVM alive at shutdown. */
+  private def defaultOpen(url: String): InputStream = {
+    val conn = new java.net.URL(url).openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(60000)
+    conn.getInputStream
+  }
 
   /** `get_links` / `FTPExtractor.find` analog: list candidate file links
     * under `url`, filtered by `accept`. For a `file://` directory this
@@ -54,7 +64,9 @@ object UrlFetcher {
         finally in.close()
       HrefRe.findAllMatchIn(html).map(_.group(1))
         .filter(h => accept(h.split('/').last))
-        .map(h => new java.net.URI(url).resolve(h).toString)
+        // real HTML indexes contain malformed hrefs (unencoded spaces
+        // etc.): skip the bad link, never abort the whole listing
+        .flatMap(h => Try(u.resolve(h).toString).toOption)
         .toSeq.distinct
     }
   }

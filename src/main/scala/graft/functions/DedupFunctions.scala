@@ -33,6 +33,17 @@ object DedupFunctions {
       b => concat_ws(",",
         slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))
 
+  /** SimHash 4×15-bit exact-match blocking keys as (q, blk) pairs for
+    * posexplode. THE single definition of the blocking scheme: block
+    * count × width is the pigeonhole guarantee behind the declared
+    * Hamming ≤ 3 radius (4 blocks, ≤3 differing bits ⇒ some block
+    * matches exactly), and the oracle reproduces it as
+    * `(sh >> q*15) & 32767` — two hand-maintained copies could silently
+    * desynchronize the recall guarantee. */
+  def simhashBlocks(sh: Column): Column =
+    transform(sequence(lit(0), lit(3)),
+      q => call_function("shiftright", sh, q * 15).bitwiseAND(lit(0x7FFFL)))
+
   /** Estimated Jaccard from two signatures: fraction of agreeing slots. */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))

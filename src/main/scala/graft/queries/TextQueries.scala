@@ -132,9 +132,7 @@ object TextQueries {
         .select(col("doc_id"), col("simhash").as("sh"))
         .localCheckpoint() // one signature pass for both join sides
       val blocked = d.select(col("doc_id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          q => call_function("shiftright", col("sh"), q * 15)
-            .bitwiseAND(lit(0x7FFFL)))).as(Seq("q", "blk")))
+        posexplode(DedupFunctions.simhashBlocks(col("sh"))).as(Seq("q", "blk")))
       val pairs = blocked.as("a").join(blocked.as("b"),
           col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -163,9 +161,7 @@ object TextQueries {
         .select(col("doc_id"), col("simhash").as("sh"))
         .localCheckpoint() // one signature pass for both join sides
       val blocked = d.select(col("doc_id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          q => call_function("shiftright", col("sh"), q * 15)
-            .bitwiseAND(lit(0x7FFFL)))).as(Seq("q", "blk")))
+        posexplode(DedupFunctions.simhashBlocks(col("sh"))).as(Seq("q", "blk")))
       // No distinct here: multi-block collisions dedup once, in the
       // union-level distinct below (one exchange instead of two).
       val nearPairs = blocked.as("a").join(blocked.as("b"),
@@ -257,6 +253,11 @@ object TextQueries {
     // never joined back (the df ≥ 2 formulation shuffles it twice).
     // State stays vocab-sized; the pair space is never materialized.
     "q56_contamination" -> ((s, dir) => {
+      // NOTE: `d` feeds two join sides and is deliberately NOT
+      // checkpointed — measured: materializing the exploded gram arrays
+      // costs 3.4 s at sf0.1 where the second codegen'd scan+shingle
+      // pass costs ~0.1 s. The q33/q34 checkpoint discipline applies to
+      // the interpreted SIGNATURE passes, not to this cheap expression.
       val d = Tables.table(s, dir, "documents")
         .filter(TextFunctions.tokenCount(col("text")) >= 3)
         .select(col("doc_id"), TextFunctions.wordNgrams(col("text"), 3).as("grams"))
@@ -318,9 +319,10 @@ object TextQueries {
     // re-partitioning, appends, and re-runs — the property a training
     // pipeline needs for leakage-free splits. Scan-stage only.
     "q60_split_assign" -> ((s, dir) => {
-      val bucket = conv(substring(
-          md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long") % 100
+      // THE 60-bit md5 hash (single definition — inlining the conv/
+      // substring expression here would give the hash two homes that
+      // could silently drift apart)
+      val bucket = TextFunctions.md5Hash60(col("doc_id").cast("string")) % 100
       Tables.table(s, dir, "documents")
         .select(col("doc_id"), bucket.as("bucket"),
           when(bucket < 80, lit("train"))

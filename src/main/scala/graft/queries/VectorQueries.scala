@@ -108,9 +108,13 @@ object VectorQueries {
         emb.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
           sqrt(call_function("float_vec_dot", col("embedding"), col("embedding")))
             .as(normAs))
+      // no broadcast() hint: the hint is unconditional and would force a
+      // driver collect of the whole vector table at any scale — the
+      // planner/AQE broadcasts when the side actually fits the
+      // threshold (it does at bench scale) and shuffle-joins otherwise
       val pairs = cand
-        .join(broadcast(side("d1", "ea", "na")), Seq("d1"))
-        .join(broadcast(side("d2", "eb", "nb")), Seq("d2"))
+        .join(side("d1", "ea", "na"), Seq("d1"))
+        .join(side("d2", "eb", "nb"), Seq("d2"))
       pairs
         .select(col("d1"), col("d2"),
           (call_function("float_vec_dot", col("ea"), col("eb")) /

@@ -31,12 +31,18 @@ object IncrementalStream {
   }
 
   /** Tumbling-window aggregation with late-data watermark — the streaming
-    * twin of the q40 batch query (same results on the same input). */
+    * twin of the q40 batch query (same results on the same input). The
+    * sum goes through DECIMAL(18,2) exactly like q40's: IEEE double
+    * addition is order-dependent, so a raw double sum would differ in
+    * the last bits between the streaming and batch plans and break the
+    * hash-equality comparison the twins exist for. */
   def hourlyCounts(events: DataFrame, tsCol: String, lateness: String): DataFrame =
     events
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 

@@ -40,12 +40,42 @@ object StatefulSessions {
     (closed.toSeq, open)
   }
 
-  /** Continuous-mode sessionization: state expires via EVENT-TIME
-    * timeout, so a session closes (and emits) once the watermark passes
-    * sessionEnd + gap — across micro-batches and restarts, with no
-    * end-of-input assumption. Input: (user, eventTimeUs, eventTime ts)
-    * where the caller has already applied `withWatermark` on the ts
-    * column. */
+  /** All of one user's not-yet-finalized session fragments, carried
+    * between micro-batches: non-overlapping, pairwise separated by more
+    * than the gap. */
+  case class OpenSessions(frags: Seq[OpenSession])
+
+  /** Classic interval-merge-with-gap: fold carried fragments and a
+    * sorted batch of point events into the minimal fragment set where
+    * anything within `gapUs` coalesces. */
+  private def mergeFragments(frags: Seq[OpenSession], times: Array[Long],
+                             gapUs: Long): Seq[OpenSession] = {
+    val pts = (frags.map(f => (f.startUs, f.endUs, f.n)) ++
+        times.map(t => (t, t, 1L)))
+      .sortBy(p => (p._1, p._2))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    pts.foreach { p =>
+      if (out.nonEmpty && p._1 - out.last._2 <= gapUs) {
+        val l = out.last
+        out(out.size - 1) = (l._1, math.max(l._2, p._2), l._3 + p._3)
+      } else out += p
+    }
+    out.map(x => OpenSession(x._1, x._2, x._3)).toSeq
+  }
+
+  /** Continuous-mode sessionization, batch-equivalent under late data:
+    * a session is emitted ONLY once the WATERMARK passes
+    * sessionEnd + gap — never merely because a later event closed its
+    * gap inside one batch. State therefore holds every fragment the
+    * watermark has not yet finalized (not just the newest), so an
+    * admissible late event merges into the fragment it belongs to
+    * instead of widening the wrong (newer) session backwards — the
+    * failure mode of keeping a single "open" session. Emission happens
+    * in the data path and via EVENT-TIME timeout (rounded UP to ms:
+    * rounding down would fire up to 1 ms early and split a
+    * just-inside-the-gap merge), across micro-batches and restarts.
+    * Input: (user, eventTimeUs, eventTime ts) where the caller has
+    * already applied `withWatermark` on the ts column. */
   def sessionizeContinuous(events: Dataset[(Long, Long, java.sql.Timestamp)],
                            gapUs: Long): Dataset[Session] = {
     val spark = events.sparkSession
@@ -54,21 +84,18 @@ object StatefulSessions {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
-         state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val o = state.get
-            state.remove()
-            Iterator.single(Session(user, o.startUs, o.endUs, o.n))
-          } else {
-            val times = it.map(_._2).toArray
-            java.util.Arrays.sort(times)
-            val (closed, open) = foldTimes(user, times, state.getOption, gapUs)
-            open.foreach { o =>
-              state.update(o)
-              state.setTimeoutTimestamp((o.endUs + gapUs) / 1000) // ms
-            }
-            closed.iterator
-          }
+         state: GroupState[OpenSessions]) =>
+          val times = it.map(_._2).toArray
+          java.util.Arrays.sort(times)
+          val merged = mergeFragments(
+            state.getOption.map(_.frags).getOrElse(Nil), times, gapUs)
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (done, live) = merged.partition(_.endUs + gapUs <= wmUs)
+          if (live.nonEmpty) {
+            state.update(OpenSessions(live))
+            state.setTimeoutTimestamp((live.map(_.endUs).min + gapUs + 999) / 1000)
+          } else state.remove()
+          done.iterator.map(o => Session(user, o.startUs, o.endUs, o.n))
       }
   }
 

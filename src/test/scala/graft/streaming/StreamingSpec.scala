@@ -206,6 +206,50 @@ class StreamingSpec extends SparkSpec {
     assert(closed == Seq((1L, BASE, BASE + 5 * MIN, 2L)), s"got $closed")
   }
 
+  test("continuous sessions: a late event joins ITS OWN session, not the newest") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val HOUR = 3600000000L
+    val MIN = 60000000L
+    val BASE = 1704067200000000L
+    val in = tmpDir("lm-in"); val out = tmpDir("lm-out"); val ckpt = tmpDir("lm-ckpt")
+    def drop(user: Long, times: Seq[Long], part: Int): Unit =
+      times.map(t => (user, t)).toDF("user_id", "us")
+        .write.mode("append").parquet(s"$in/p=$part")
+    def run(): Unit = {
+      val schema = Seq((1L, 1L)).toDF("user_id", "us").schema
+      val src = spark.readStream.schema(schema).parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "4 hours") // generous: the late event is admissible
+        .as[(Long, Long, java.sql.Timestamp)]
+      val q = graft.streaming.StatefulSessions
+        .sessionizeContinuous(src, gapUs = HOUR / 2)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: TWO gap-separated fragments in one batch — the older one
+    // must NOT be emitted yet (watermark has not passed its end + gap)
+    drop(1L, Seq(BASE, BASE + 20 * MIN, BASE + 3 * HOUR), 1)
+    run()
+    // batch 2: admissible late event 25min after the FIRST fragment's
+    // end: a single-open-session design would merge it into the 13:00
+    // fragment (widening it backwards to overlap); it belongs to the
+    // first
+    drop(1L, Seq(BASE + 25 * MIN), 2)
+    run()
+    // batch 3: watermark far past everything -> both sessions finalize
+    drop(2L, Seq(BASE + 12 * HOUR), 3)
+    run()
+    val closed = spark.read.parquet(out).as[(Long, Long, Long, Long)]
+      .collect().filter(_._1 == 1L).toSet
+    assert(closed == Set(
+      (1L, BASE, BASE + 25 * MIN, 3L),
+      (1L, BASE + 3 * HOUR, BASE + 3 * HOUR, 1L)), s"got $closed")
+  }
+
   test("second availableNow run with same checkpoint is a no-op (exactly-once)") {
     val s = spark; import s.implicits._
     val dir = tmpDir("stream-in2")
