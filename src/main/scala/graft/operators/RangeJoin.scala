@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic interval (range) join — one of the operators Spark genuinely
+  * lacks (alongside the as-of join, [[AsOfJoin]]): a naive
+  * `start <= t AND t < end` theta-join has no equi-key, so Catalyst
+  * plans a BroadcastNestedLoopJoin — every (point, interval) pair is
+  * tested, quadratic at scale.
+  *
+  * The scalable form BUCKETIZES time: each interval explodes into the
+  * fixed-width buckets it covers (`ceil(len/bucketUs)+1` rows — cheap
+  * while intervals are short relative to `bucketUs`), each point
+  * carries its single bucket, and the join becomes an EQUI-join on the
+  * bucket plus the exact containment filter. A point's bucket matches
+  * at most one exploded row per interval, so no post-join dedup is
+  * needed. Shuffles key on the bucket — linear in rows, skew bounded by
+  * bucket width (pick `bucketUs` near the median interval length; AQE
+  * skew-join covers hot buckets). Same shape Databricks' range-join
+  * optimization generates from a hint; here it is explicit and plain.
+  */
+object RangeJoin {
+
+  /** `points ⋈ intervals` on containment `start <= t < end` (epoch-us
+    * domain: times non-negative). Interval columns ride along in the
+    * result; empty/inverted intervals (`end <= start`) match nothing. */
+  def pointInInterval(points: DataFrame, pointTimeCol: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(!points.columns.contains("_rj_bucket") &&
+      !intervals.columns.contains("_rj_bucket"),
+      "inputs must not already have a _rj_bucket column")
+    val iv = intervals
+      .filter(col(endCol) > col(startCol)) // sequence() would run backwards
+      .withColumn("_rj_bucket", explode(expr(
+        s"sequence($startCol div $bucketUs, ($endCol - 1) div $bucketUs)")))
+    points
+      .withColumn("_rj_bucket", expr(s"$pointTimeCol div $bucketUs"))
+      .join(iv, Seq("_rj_bucket"))
+      .filter(col(startCol) <= col(pointTimeCol) &&
+        col(pointTimeCol) < col(endCol))
+      .drop("_rj_bucket")
+  }
+}
