@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Selections, UpdatePlanner}
+import graft.operators.{AsOfJoin, RangeJoin, Selections, UpdatePlanner}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -132,6 +132,28 @@ object TimeSeriesQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(D2)).cast("double").as("sum_value"))
         .orderBy("event_type", "hour_bucket")
+    }),
+
+    // Range (interval) join — the OTHER time-series join Spark lacks
+    // (operators.RangeJoin): 100 deterministic irregular maintenance
+    // windows (7 h apart, 1-5 h long) each aggregate the events they
+    // contain. The bucketized equi-join form — a naive containment
+    // theta-join would plan BroadcastNestedLoopJoin (all pairs); this
+    // plans a hash join keyed on the 1 h time bucket plus an exact
+    // filter, linear at any scale. Sums through decimal (order-free).
+    "q76_range_join" -> ((s, dir) => {
+      val HOUR = 3600000000L
+      val BASE = 1704067200000000L // 2024-01-01T00:00Z, the events epoch
+      val w = s.range(100).select(col("id").as("k"),
+          (lit(BASE) + col("id") * lit(7 * HOUR)).as("start_us"))
+        .withColumn("end_us",
+          col("start_us") + (pmod(col("k"), lit(5)) + 1) * lit(HOUR))
+      RangeJoin.pointInInterval(Tables.events(s, dir), "us",
+          w, "start_us", "end_us", bucketUs = HOUR)
+        .groupBy("k", "start_us", "end_us")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(D2)).cast("double").as("sum_value"))
+        .orderBy("k")
     }),
 
     // As-of join: each purchase gets the user's most recent prior-or-
@@ -350,6 +372,17 @@ object TimeSeriesQueries {
       """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, hour_bucket ORDER BY event_type, hour_bucket""".stripMargin,
+    "q76_range_join" ->
+      """WITH w AS (SELECT k, start_us,
+        |    start_us + (k % 5 + 1) * 3600000000 AS end_us
+        |  FROM (SELECT CAST(range AS BIGINT) AS k,
+        |          1704067200000000 + CAST(range AS BIGINT) * 25200000000 AS start_us
+        |        FROM range(100))),
+        |e AS (SELECT epoch_us(ts) AS us, value FROM events)
+        |SELECT k, start_us, end_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w JOIN e ON e.us >= w.start_us AND e.us < w.end_us
+        |GROUP BY k, start_us, end_us ORDER BY k""".stripMargin,
     "q47_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
         |           WHERE event_type = 'purchase'),

@@ -91,4 +91,28 @@ class OperatorsSpec extends SparkSpec {
     assert(n.filter(col("v").isNull).count() == 1)
     assert(n.agg(sum("v")).collect()(0).getDouble(0) == 3.0)
   }
+
+  test("range join == naive theta join, but plans an equi-join (no BNLJ)") {
+    val s = spark; import s.implicits._
+    // irregular intervals incl. bucket-straddling, empty (end==start),
+    // inverted, and adjacent ones; points on every boundary
+    val iv = Seq(
+      (1L, 100L, 250L), (2L, 250L, 260L), (3L, 300L, 300L),
+      (4L, 400L, 350L), (5L, 90L, 310L)).toDF("k", "lo", "hi")
+    val pts = (80L to 420L by 10).toDF("t")
+    val got = RangeJoin.pointInInterval(pts, "t", iv, "lo", "hi", bucketUs = 100L)
+    val naive = pts.join(iv, col("lo") <= col("t") && col("t") < col("hi"))
+    val (g, n) = (got.select("k", "t"), naive.select("k", "t"))
+    assert(g.exceptAll(n).isEmpty && n.exceptAll(g).isEmpty)
+    // one row per (point, containing interval): no dup from the explode
+    assert(got.count() == got.distinct().count())
+    // the whole point of the bucketized form: an equi-join, never the
+    // all-pairs BroadcastNestedLoopJoin the theta-join plans
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts.withColumn("_rj_bucket", lit(1)),
+        "t", iv, "lo", "hi", 100L)
+    }
+  }
 }
