@@ -4,6 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json") // the driver contract's default location
     val spark = GraftSession.local(cpus)
     // Warm the JVM/codegen once so per-query numbers measure the plan, not
     // first-call class loading.
@@ -12,18 +14,29 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // a failed query must be unmistakable in the recorded numbers: a
+      // silent time-to-crash would read as a (fast) success and a round
+      // where queries break would look like a speedup
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // sbt routes program stdout through its [info] logger, which the
     // driver's JSON extraction has failed to strip (BENCH_r01 recorded
     // "parsed": null) — also land the line in a file it can read directly.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_out.json"), json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     spark.stop()
   }
 }

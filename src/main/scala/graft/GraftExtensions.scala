@@ -12,23 +12,30 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *
   * [[GraftSession.registerFunctions]] remains the imperative fallback
   * for sessions built without extensions (e.g. a harness-owned
-  * session); both routes register identical builders.
+  * session); both routes register THE SAME builder values
+  * ([[GraftExtensions.builders]]) — one definition, so the two paths
+  * cannot drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))
+    }
+}
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("float_vec_dot"),
-      new ExpressionInfo(classOf[graft.plans.FloatVecDot].getName, "float_vec_dot"),
+object GraftExtensions {
+  /** (name, impl class name, builder) for every graft SQL function —
+    * the single home of the arity checks and literal extraction. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("float_vec_dot", classOf[graft.plans.FloatVecDot].getName,
       (exprs: Seq[Expression]) => {
         if (exprs.length != 2)
           throw new IllegalArgumentException(
             s"float_vec_dot requires exactly 2 arguments, got ${exprs.length}")
         graft.plans.FloatVecDot(exprs(0), exprs(1))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("kmv_minima"),
-      new ExpressionInfo(classOf[graft.plans.KmvMinima].getName, "kmv_minima"),
+      }),
+    ("kmv_minima", classOf[graft.plans.KmvMinima].getName,
       (exprs: Seq[Expression]) => {
         if (exprs.length != 2)
           throw new IllegalArgumentException(
@@ -42,5 +49,4 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.plans.KmvMinima(exprs(0), k).toAggregateExpression()
       }))
-  }
 }

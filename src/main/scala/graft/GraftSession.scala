@@ -80,37 +80,20 @@ object GraftSession {
       "spark.sql.autoBroadcastJoinThreshold" -> broadcastBytes.toString,
       "spark.sql.session.timeZone" -> "UTC",
       "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      // without this every nanosecond-precision parquet scan (the
+      // events table) crashes — the conf must be COMPLETE for a fresh
+      // deployment, same reason the local builder sets it
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
       "spark.sql.extensions" -> "graft.GraftExtensions")
   }
 
   /** Register graft's custom Catalyst expressions for SQL + call_function
-    * use (`float_vec_dot` — [[graft.plans.FloatVecDot]]; `kmv_minima` —
-    * [[graft.plans.KmvMinima]]). */
-  def registerFunctions(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_vec_dot",
-      exprs => {
-        if (exprs.length != 2)
-          throw new IllegalArgumentException(
-            s"float_vec_dot requires exactly 2 arguments, got ${exprs.length}")
-        graft.plans.FloatVecDot(exprs(0), exprs(1))
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_minima",
-      exprs => {
-        if (exprs.length != 2)
-          throw new IllegalArgumentException(
-            s"kmv_minima requires exactly 2 arguments (column, k literal), " +
-              s"got ${exprs.length}")
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
-          case _ => throw new IllegalArgumentException(
-            "kmv_minima's k must be an integer literal")
-        }
-        graft.plans.KmvMinima(exprs(0), k).toAggregateExpression()
-      },
-      "built-in")
-  }
+    * use — the SAME builder values the extensions path injects
+    * ([[GraftExtensions.builders]]), so the two registration routes
+    * cannot drift. */
+  def registerFunctions(spark: SparkSession): Unit =
+    GraftExtensions.builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

@@ -19,13 +19,18 @@ object SparkEntry {
     RelationalQueries.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++
-      TimeSeriesQueries.queries ++
-      GridQueries.queries ++
-      TextQueries.queries ++
-      VectorQueries.queries ++
-      MiscQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val packs = Seq(
+      RelationalQueries.queries, TimeSeriesQueries.queries,
+      GridQueries.queries, TextQueries.queries,
+      VectorQueries.queries, MiscQueries.queries)
+    val merged = packs.reduce(_ ++ _)
+    // a duplicate key across packs would SILENTLY shadow a query (and
+    // its oracle) out of the verify dump and the bench — fail loudly
+    require(merged.size == packs.map(_.size).sum,
+      "duplicate query keys across query packs")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */

@@ -16,22 +16,23 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a PREVIOUS run's output behind —
+        // the driver globs <outDir>/<name>/*.parquet, and stale files
+        // would let a broken query false-PASS the correctness gate
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => scala.util.Try(Files.delete(p)))
+        }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // json4s handles the escaping (control chars in builder-authored SQL
+    // would otherwise break the driver's json.load and zero the round) —
+    // the same library the descriptor/catalog JSON already uses.
+    import org.json4s._
+    val json = jackson.JsonMethods.compact(jackson.JsonMethods.render(
+      JObject(SparkEntry.oracleSql.toList.map { case (k, v) => k -> (JString(v): JValue) })))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
