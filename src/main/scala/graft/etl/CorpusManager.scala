@@ -142,6 +142,16 @@ class CorpusManager(
   private def fs = new org.apache.hadoop.fs.Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Commit primitives behind the lock / generation-claim / pointer-swap
+    * machinery, selected by an open-time capability check: object-store
+    * schemes without a configured [[graft.sources.ConditionalStore]] are
+    * rejected at construction (see [[graft.sources.CommitProtocol]]) so
+    * the exactly-one-ingest guarantee can't silently degrade. */
+  private val commits: graft.sources.CommitProtocol =
+    graft.sources.CommitProtocol.forStore(
+      new org.apache.hadoop.fs.Path(root),
+      spark.sparkContext.hadoopConfiguration)
+
   private def manifestPath = new org.apache.hadoop.fs.Path(root, "_corpus.json")
   private def gensDir = new org.apache.hadoop.fs.Path(root, "_gens")
 
@@ -203,25 +213,24 @@ class CorpusManager(
   private def withIngestLock[T](f: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(root, "_ingest.lock")
     fs.mkdirs(new org.apache.hadoop.fs.Path(root))
-    val out =
-      try fs.create(lock, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new java.util.ConcurrentModificationException(
-            s"another ingest holds $lock (or a crashed one left it: verify, " +
-              "delete the lock, retry — the crashed attempt's files are " +
-              "invisible orphans, reclaimed by vacuum())", e)
-      }
-    out.close()
+    try commits.putIfAbsent(lock, Array.emptyByteArray)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        throw new java.util.ConcurrentModificationException(
+          s"another ingest holds $lock (or a crashed one left it: verify, " +
+            "delete the lock, retry — the crashed attempt's files are " +
+            "invisible orphans, reclaimed by vacuum())", e)
+    }
     try f finally fs.delete(lock, false)
   }
 
   /** Atomic generation commit, the [[graft.sources.GriddedStore]]
-    * two-layer pattern: (1) CREATE-EXCLUSIVE claim of
+    * two-layer pattern: (1) `putIfAbsent` claim of
     * `_gens/gNNNNNN.json` (a second line of defense under the ingest
-    * lock); (2) pointer swap via FileContext rename-with-OVERWRITE, so
+    * lock); (2) pointer publish via `swapPointer`, so
     * a committed manifest always exists (no delete-then-rename crash
-    * window). The next generation comes from the CLAIM DIRECTORY
+    * window). Both primitives come from the open-time-checked
+    * [[graft.sources.CommitProtocol]]. The next generation comes from the CLAIM DIRECTORY
     * listing, not the pointer — a crash between claim and rename must
     * skip the orphaned number, not wedge on it forever. The manifest
     * carries the pinned artifact file lists: this swap IS the whole
@@ -258,20 +267,14 @@ class CorpusManager(
         "bands" -> arr(files.bands)))))
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     fs.mkdirs(gensDir)
-    val claim =
-      try fs.create(new org.apache.hadoop.fs.Path(gensDir, f"g$gen%06d.json"), false)
-      catch {
-        case e: java.io.IOException =>
-          throw new java.util.ConcurrentModificationException(
-            s"corpus generation $gen at $root was claimed by another writer", e)
-      }
-    try claim.write(bytes) finally claim.close()
-    val tmp = new org.apache.hadoop.fs.Path(root, "_corpus.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, manifestPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try commits.putIfAbsent(
+      new org.apache.hadoop.fs.Path(gensDir, f"g$gen%06d.json"), bytes)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        throw new java.util.ConcurrentModificationException(
+          s"corpus generation $gen at $root was claimed by another writer", e)
+    }
+    commits.swapPointer(manifestPath, bytes)
     m
   }
 

@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+import java.util.ConcurrentModificationException
+
+/** The two atomic primitives every graft commit path is built from.
+  *
+  * Both [[GriddedStore]]'s versioned manifest commit and
+  * [[graft.etl.CorpusManager]]'s generation/lock machinery reduce to
+  * exactly two filesystem guarantees:
+  *
+  *  1. '''putIfAbsent''' — exactly ONE of N racing writers creates the
+  *     key; the losers get [[ConcurrentModificationException]] ''before''
+  *     any of their state becomes visible. This is the manifest-version
+  *     claim, the corpus generation claim, and the ingest lock.
+  *  2. '''swapPointer''' — readers of the pointer key observe either the
+  *     old committed bytes or the new committed bytes, never a missing or
+  *     partial pointer. This is the `_descriptor.json` / `_corpus.json`
+  *     swap (the IPNS-publish analog — reference `utils/ipfs.py:97-151`).
+  *
+  * On HDFS-like filesystems these map to create-exclusive and
+  * rename-with-OVERWRITE ([[HadoopAtomicCommits]]). Object stores provide
+  * NEITHER: `create(path, overwrite=false)` on s3a is a client-side
+  * existence check (two racing writers both pass it) and rename is a
+  * non-atomic copy+delete. Routing every commit through this trait lets
+  * the store refuse — loudly, at open time — filesystems whose semantics
+  * would silently void the MVCC guarantees, and lets deployments plug in
+  * an object-store-native mode built on conditional writes
+  * (If-None-Match PUT, which S3/GCS/Azure all expose) via
+  * [[ConditionalStore]].
+  */
+trait CommitProtocol {
+
+  /** Create `path` with `bytes` iff nothing exists there. Exactly one of
+    * N concurrent callers wins; losers throw
+    * [[ConcurrentModificationException]]. */
+  def putIfAbsent(path: Path, bytes: Array[Byte]): Unit
+
+  /** Atomically publish `bytes` at the pointer `path`, replacing any
+    * previous committed pointer. Concurrent readers see old-or-new,
+    * never absent-or-partial. */
+  def swapPointer(path: Path, bytes: Array[Byte]): Unit
+}
+
+/** Deployment hook for object-store-native commits: the three
+  * conditional-write operations a store binding must supply. S3
+  * (conditional PUT, 2024+), GCS (`x-goog-if-generation-match: 0`) and
+  * Azure Blob (`If-None-Match: *`) all expose them; a lock service
+  * (e.g. a DynamoDB-style table) satisfies the contract equally.
+  *
+  * Implementations are loaded by class name from the Hadoop configuration
+  * key [[CommitProtocol$.ConditionalFactoryKey]] and must have a no-arg
+  * constructor; `initialize` is called once with the store's
+  * configuration before first use.
+  */
+trait ConditionalStore {
+  def initialize(conf: Configuration): Unit = ()
+
+  /** Conditional create (If-None-Match: *): write `bytes` at `path` iff
+    * the key does not exist, ATOMICALLY on the server side. Returns
+    * true iff this caller created it. */
+  def putIfNoneMatch(path: Path, bytes: Array[Byte]): Boolean
+
+  /** Unconditional whole-object PUT — atomic on every real object store
+    * (readers see the old object or the new one, never a torn write). */
+  def putAtomic(path: Path, bytes: Array[Byte]): Unit
+}
+
+/** Commit primitives for filesystems with real exclusive-create and
+  * atomic-rename semantics (HDFS, local, viewfs, abfs). */
+final class HadoopAtomicCommits(fs: FileSystem, conf: Configuration)
+    extends CommitProtocol {
+
+  override def putIfAbsent(path: Path, bytes: Array[Byte]): Unit = {
+    val out =
+      try fs.create(path, false) // exclusive create: the atomic claim
+      catch {
+        case e: java.io.IOException =>
+          throw new ConcurrentModificationException(
+            s"$path was claimed by another writer", e)
+      }
+    try out.write(bytes) finally out.close()
+  }
+
+  override def swapPointer(path: Path, bytes: Array[Byte]): Unit = {
+    // write-tmp + rename-with-OVERWRITE: NOT delete-then-rename, which
+    // would open a crash window with no pointer at all (a half-written
+    // store would then look fresh and get silently clobbered).
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val fc = FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(tmp, path, Options.Rename.OVERWRITE)
+  }
+}
+
+/** Commit primitives over a [[ConditionalStore]]: the claim is a
+  * server-side conditional create; the pointer swap is a whole-object
+  * PUT (atomic on object stores — no tmp file, no rename). */
+final class ConditionalCommits(store: ConditionalStore) extends CommitProtocol {
+
+  override def putIfAbsent(path: Path, bytes: Array[Byte]): Unit =
+    if (!store.putIfNoneMatch(path, bytes))
+      throw new ConcurrentModificationException(
+        s"$path was claimed by another writer (conditional write lost)")
+
+  override def swapPointer(path: Path, bytes: Array[Byte]): Unit =
+    store.putAtomic(path, bytes)
+}
+
+object CommitProtocol {
+
+  /** Hadoop configuration key naming a [[ConditionalStore]] implementation
+    * class. Required to open a graft store on an object-store scheme. */
+  val ConditionalFactoryKey = "graft.commit.conditional.store"
+
+  /** Filesystem schemes whose `create(overwrite=false)` is an atomic
+    * exclusive create AND whose rename is atomic — the two semantics
+    * [[HadoopAtomicCommits]] is built on. Everything else must bring a
+    * [[ConditionalStore]]. */
+  private val AtomicSchemes =
+    Set("file", "local", "hdfs", "viewfs", "webhdfs", "abfs", "abfss")
+
+  /** Capability check + protocol selection for the store rooted at
+    * `root`. Runs at store OPEN so the guarantee can never silently
+    * degrade: an object-store scheme without a configured
+    * [[ConditionalStore]] is rejected here with instructions, not
+    * discovered as torn metadata after a race in production. */
+  def forStore(root: Path, conf: Configuration): CommitProtocol = {
+    val scheme = Option(root.toUri.getScheme).getOrElse("file")
+    if (AtomicSchemes(scheme))
+      new HadoopAtomicCommits(root.getFileSystem(conf), conf)
+    else
+      Option(conf.get(ConditionalFactoryKey)) match {
+        case Some(cls) =>
+          val store = Class.forName(cls).getDeclaredConstructor()
+            .newInstance().asInstanceOf[ConditionalStore]
+          store.initialize(conf)
+          new ConditionalCommits(store)
+        case None =>
+          throw new UnsupportedOperationException(
+            s"graft store at $root: filesystem scheme '$scheme' does not " +
+              "provide the atomic exclusive-create + atomic-rename semantics " +
+              "the commit protocol requires (object-store rename is " +
+              "copy+delete; create-no-overwrite is a client-side check two " +
+              "racing writers both pass). Configure an object-store-native " +
+              s"commit mode by setting '$ConditionalFactoryKey' to a " +
+              "graft.sources.ConditionalStore implementation backed by " +
+              "conditional writes (S3 If-None-Match PUT, GCS " +
+              "if-generation-match, Azure If-None-Match) or a lock service.")
+      }
+  }
+}

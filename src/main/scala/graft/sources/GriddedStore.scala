@@ -54,6 +54,14 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
   private[sources] def fs: FileSystem =
     hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Commit primitives, selected by a capability check AT OPEN: schemes
+    * without atomic exclusive-create + atomic rename (s3a and friends)
+    * are rejected here unless a [[ConditionalStore]] commit mode is
+    * configured — the MVCC guarantees must fail loudly, never silently
+    * degrade to copy+delete "renames" (see [[CommitProtocol]]). */
+  private[sources] val commits: CommitProtocol =
+    CommitProtocol.forStore(hadoopPath, spark.sparkContext.hadoopConfiguration)
+
   def descriptorPath = new Path(root, "_descriptor.json")
   def dataPath: String = s"$root/data"
 
@@ -128,21 +136,26 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
 
   /** Versioned atomic descriptor commit. Two layers:
     *
-    *  1. The next manifest version is claimed with a CREATE-EXCLUSIVE
-    *     write of `_versions/vNNNNNN.json` — the filesystem grants
-    *     exactly one creator (atomic on HDFS-like stores), so two
-    *     concurrent writers cannot both commit: the loser gets a
-    *     ConcurrentModificationException before touching the pointer.
-    *     This is the optimistic-concurrency guard the single-file
-    *     descriptor lacked (reference gets it from the IPNS pointer
-    *     swap).
-    *  2. The committed pointer `_descriptor.json` is then swapped via
-    *     FileContext rename-with-OVERWRITE — NOT delete-then-rename,
-    *     which had a crash window where no descriptor existed at all: a
-    *     half-written store would then look fresh (`hasExisting=false`)
-    *     and `DatasetManager.parse` would route to `writeInitial` and
-    *     silently clobber data, defeating the `updateInProgress`
-    *     two-phase protection.
+    *  1. The next manifest version is claimed with
+    *     [[CommitProtocol.putIfAbsent]] on `_versions/vNNNNNN.json` —
+    *     exactly one creator wins, so two concurrent writers cannot both
+    *     commit: the loser gets a ConcurrentModificationException before
+    *     touching the pointer. This is the optimistic-concurrency guard
+    *     the single-file descriptor lacked (reference gets it from the
+    *     IPNS pointer swap).
+    *  2. The committed pointer `_descriptor.json` is then published via
+    *     [[CommitProtocol.swapPointer]] (rename-with-OVERWRITE on
+    *     HDFS-like stores; whole-object PUT in conditional mode) — NOT
+    *     delete-then-rename, which had a crash window where no
+    *     descriptor existed at all: a half-written store would then look
+    *     fresh (`hasExisting=false`) and `DatasetManager.parse` would
+    *     route to `writeInitial` and silently clobber data, defeating
+    *     the `updateInProgress` two-phase protection.
+    *
+    * Both primitives are selected by the open-time capability check
+    * (see the `commits` field): the guarantees hold on every filesystem
+    * a store can be OPENED on, because schemes that can't deliver them
+    * are rejected at construction.
     *
     * The metadata-only update path (`store.write_metadata_only`,
     * `store.py:702-717`). DATA mutations must NOT use this: they claim
@@ -195,20 +208,13 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       case None => d.toJson
     }
     val bytes = json.getBytes(StandardCharsets.UTF_8)
-    val vOut =
-      try fs.create(versionPath(version), false) // exclusive: the commit claim
-      catch {
-        case e: java.io.IOException =>
-          throw new java.util.ConcurrentModificationException(
-            s"manifest version $version at $root was claimed by another writer", e)
-      }
-    try vOut.write(bytes) finally vOut.close()
-    val tmp = new Path(root, "_descriptor.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, descriptorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try commits.putIfAbsent(versionPath(version), bytes) // the commit claim
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        throw new java.util.ConcurrentModificationException(
+          s"manifest version $version at $root was claimed by another writer", e)
+    }
+    commits.swapPointer(descriptorPath, bytes)
   }
 
   /** Lazy scan of the store as of the COMMITTED POINTER — reads exactly
@@ -222,7 +228,14 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     case Some(files) if files.nonEmpty =>
       spark.read.option("basePath", dataPath)
         .parquet(files.map(f => s"$root/$f"): _*)
-    case _ => spark.read.parquet(dataPath)
+    case Some(_) =>
+      // A manifest that pins an EMPTY list means "committed empty":
+      // scan the directory for its schema only and keep no rows —
+      // falling through to the dir scan would make crashed-writer
+      // orphans and retired files reader-visible (the phantom-
+      // visibility hole the pinning exists to close).
+      spark.read.parquet(dataPath).filter(lit(false))
+    case None => spark.read.parquet(dataPath) // legacy, pre-file-tracking
   }
 
   /** The store as of manifest version `v` — data time travel. Valid
@@ -233,7 +246,9 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     case Some(files) if files.nonEmpty =>
       spark.read.option("basePath", dataPath)
         .parquet(files.map(f => s"$root/$f"): _*)
-    case _ => spark.read.parquet(dataPath)
+    case Some(_) => // committed-empty version: schema only (see read())
+      spark.read.parquet(dataPath).filter(lit(false))
+    case None => spark.read.parquet(dataPath) // legacy, pre-file-tracking
   }
 
   /** Root-relative paths of the data files now on disk, confined to the

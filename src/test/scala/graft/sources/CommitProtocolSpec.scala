@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import java.util.ConcurrentModificationException
+
+/** The commit protocol's object-store story (VERDICT r2 item #1): the
+  * MVCC guarantees rest on atomic exclusive-create + atomic rename, which
+  * object stores don't provide — so the capability check must reject
+  * those schemes LOUDLY at open, and the pluggable conditional-write mode
+  * must restore the guarantees on them. Reference analog: the IPNS
+  * pointer swap (`utils/ipfs.py:97-151`) is the store-agnostic commit. */
+class CommitProtocolSpec extends SparkSpec {
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  private def desc(name: String) = DatasetDescriptor(
+    name = name, dataVar = "precip", category = Category.Observation,
+    missingValue = Some(-9999.0), cadenceUs = DAY_US,
+    chunk = ChunkGrid(timeBucketUs = 10 * DAY_US, maxRecordsPerFile = 200))
+
+  private def registerMockS3(): Unit =
+    hconf.set("fs.mocks3.impl", classOf[MockObjectStoreFileSystem].getName)
+
+  private def withConditionalMode[T](f: => T): T = {
+    hconf.set(CommitProtocol.ConditionalFactoryKey,
+      classOf[LocalConditionalStore].getName)
+    try f finally hconf.unset(CommitProtocol.ConditionalFactoryKey)
+  }
+
+  test("s3a without a conditional store is rejected at open, with instructions") {
+    val ex = intercept[UnsupportedOperationException] {
+      CommitProtocol.forStore(new Path("s3a://some-bucket/ds"), new Configuration(false))
+    }
+    assert(ex.getMessage.contains("s3a"))
+    assert(ex.getMessage.contains(CommitProtocol.ConditionalFactoryKey))
+  }
+
+  test("the hazard is real: exclusive create is NOT exclusive on the shim object store") {
+    registerMockS3()
+    val dir = tmpDir("mocks3-hazard")
+    val fs = new Path(s"mocks3://$dir").getFileSystem(hconf)
+    val p = new Path(s"mocks3://$dir/claim.json")
+    val a = fs.create(p, false); a.write(1); a.close()
+    // On HDFS/local this second create(overwrite=false) throws; on the
+    // object-store shim (as on raw S3 PUT) it silently wins the race —
+    // the exact failure mode the open-time capability check guards.
+    val b = fs.create(p, false); b.write(2); b.close()
+    assert(fs.exists(p))
+  }
+
+  test("non-atomic rename: a 'crash' between delete and copy loses the pointer") {
+    registerMockS3()
+    val dir = tmpDir("mocks3-rename")
+    val fs = new Path(s"mocks3://$dir").getFileSystem(hconf)
+    val pointer = new Path(s"mocks3://$dir/_descriptor.json")
+    val out = fs.create(pointer, true); out.write(7); out.close()
+    // delete-then-copy means the destination is absent mid-rename: the
+    // shim's rename deletes dst first, so interrupting after that step
+    // (simulated here by just the delete) leaves NO committed pointer —
+    // the torn-commit window swapPointer must never have.
+    fs.delete(pointer, false)
+    assert(!fs.exists(pointer))
+  }
+
+  test("GriddedStore open on an object-store scheme hard-fails loudly") {
+    registerMockS3()
+    val dir = tmpDir("mocks3-store-reject")
+    val ex = intercept[UnsupportedOperationException] {
+      new GriddedStore(s"mocks3://$dir", spark)
+    }
+    assert(ex.getMessage.contains("mocks3"))
+    assert(ex.getMessage.contains(CommitProtocol.ConditionalFactoryKey))
+  }
+
+  test("CorpusManager open on an object-store scheme hard-fails loudly") {
+    registerMockS3()
+    val dir = tmpDir("mocks3-corpus-reject")
+    val ex = intercept[UnsupportedOperationException] {
+      new graft.etl.CorpusManager("c", s"mocks3://$dir", spark)
+    }
+    assert(ex.getMessage.contains(CommitProtocol.ConditionalFactoryKey))
+  }
+
+  test("conditional mode: full store lifecycle works on the object-store scheme") {
+    registerMockS3()
+    withConditionalMode {
+      val dir = tmpDir("mocks3-store-ok")
+      val store = new GriddedStore(s"mocks3://$dir", spark)
+      store.writeInitial(cube(10, 2, 2), desc("cond"))
+      assert(store.read().count() == 10 * 4)
+      val d2 = store.update(cube(3, 2, 2, startDay = 10, valueOffset = 500.0))
+      assert(d2.dateRange.contains((0L, 12 * DAY_US)))
+      assert(store.read().count() == 13 * 4)
+      // pointer survived the whole-object-PUT publish path
+      assert(store.readDescriptor().exists(_.name == "cond"))
+    }
+  }
+
+  test("conditional mode: racing claims on the same version — exactly one wins") {
+    registerMockS3()
+    withConditionalMode {
+      val dir = tmpDir("mocks3-race")
+      val store = new GriddedStore(s"mocks3://$dir", spark)
+      val d = desc("race")
+      store.writeDescriptorAsVersion(1, d, Some(Nil))
+      // Even though the shim filesystem's create(overwrite=false) is NOT
+      // exclusive (see the hazard test), the conditional store's
+      // If-None-Match semantics make the second claim of version 1 lose
+      // loudly, before it can touch the pointer.
+      val ex = intercept[ConcurrentModificationException] {
+        store.writeDescriptorAsVersion(1, d.copy(name = "race-loser"), Some(Nil))
+      }
+      assert(ex.getMessage.contains("claimed by another writer"))
+      assert(store.readDescriptor().exists(_.name == "race"))
+    }
+  }
+
+  test("a manifest pinning an EMPTY file list reads as schema-only empty, not a dir scan") {
+    val root = tmpDir("store-empty-pin")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(5, 2, 2), desc("emptypin"))
+    // Commit a manifest that legitimately pins zero files: orphans and
+    // retired files in data/ must NOT become reader-visible.
+    store.writeDescriptor(store.readDescriptor().get, files = Some(Nil))
+    assert(store.read().count() == 0)
+    assert(store.read().columns.contains("precip")) // schema survives
+    // time travel to the populated version still sees the data
+    assert(store.readAt(2).count() == 5 * 4)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.fs.{FSDataOutputStream, Path, RawLocalFileSystem}
+import org.apache.hadoop.util.Progressable
+
+import java.net.URI
+
+/** A local-disk filesystem that SIMULATES object-store commit semantics —
+  * the two properties s3a actually has and HDFS does not:
+  *
+  *  - `create(path, overwrite = false)` is NOT exclusive: the existence
+  *    check is client-side, so two racing writers both "win" and the
+  *    second silently overwrites the first (S3 PUT semantics before
+  *    conditional writes are wired in).
+  *  - file rename is delete-then-copy, not an atomic move: a crash
+  *    mid-rename leaves the destination MISSING (the torn-pointer
+  *    window `CommitProtocol.swapPointer` exists to prevent).
+  *
+  * Registered under the `mocks3` scheme in specs via
+  * `fs.mocks3.impl` — data I/O (parquet read/write) behaves like local
+  * disk, only the commit-relevant semantics are degraded, which is
+  * exactly the s3a shape. */
+class MockObjectStoreFileSystem extends RawLocalFileSystem {
+
+  override def getScheme: String = "mocks3"
+  override def getUri: URI = URI.create("mocks3:///")
+
+  // Kill exclusivity: every create funnels through here; the
+  // overwrite=false flag is deliberately ignored, like an object-store
+  // PUT with no precondition.
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream =
+    super.create(f, permission, true, bufferSize, replication, blockSize,
+      progress)
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream =
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+
+  // Non-atomic file rename: delete destination, then copy, then delete
+  // source — a crash between the steps loses the destination entirely.
+  // Directory renames delegate to the real move so Spark's output
+  // committer still functions (the hazard under test is metadata-file
+  // renames, not task-commit mechanics).
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (!exists(src)) return false
+    if (getFileStatus(src).isDirectory) return super.rename(src, dst)
+    if (exists(dst)) delete(dst, false)
+    val in = open(src)
+    val out = super.create(dst, true)
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, true)
+    finally { /* streams closed by copyBytes */ }
+    delete(src, false)
+  }
+}
+
+/** Test double for [[ConditionalStore]]: conditional create via POSIX
+  * `createNewFile` (atomic on local disk — standing in for a server-side
+  * If-None-Match PUT) and pointer publish via `ATOMIC_MOVE` (standing in
+  * for an object store's atomic whole-object PUT). */
+class LocalConditionalStore extends ConditionalStore {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  override def putIfNoneMatch(path: Path, bytes: Array[Byte]): Boolean = {
+    val f = new java.io.File(path.toUri.getPath)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    if (!f.createNewFile()) false
+    else { Files.write(f.toPath, bytes); true }
+  }
+
+  override def putAtomic(path: Path, bytes: Array[Byte]): Unit = {
+    val f = new java.io.File(path.toUri.getPath)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val tmp = Files.createTempFile(
+      Paths.get(f.getParent), "._conditional", ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, f.toPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
