@@ -97,6 +97,43 @@ object DedupPipeline {
       .select(col("keeper").as("d1"), col(idCol).as("d2"))
   }
 
+  /** SimHash-family dup-graph edges with the exact-group star collapse —
+    * the q52 query shape AND the shape a SimHash production path must
+    * use: identical docs share both the md5 and the SimHash, so feeding
+    * them to the block join emits m(m−1)/2 clique rows per m-identical
+    * group. Instead each exact group contributes m−1 STAR edges
+    * (group-min → member, one hash-keyed window over (id, h, sh) rows)
+    * and only the group REPRESENTATIVES enter the Hamming blocking join.
+    * Connectivity is identical: a near edge (a, b) between group members
+    * factors through (repA, repB) — identical text ⇒ identical SimHash —
+    * plus the stars a—repA, b—repB. One scan computes both signatures
+    * ([[Signatures.simhash]] `keep`); text never joins or shuffles. */
+  def simhashEdges(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = Signatures
+      .simhash(docs.withColumn("h", md5(col(textCol))), idCol, textCol,
+        keep = Seq("h"))
+      .select(col(idCol), col("h"), col("simhash").as("sh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val withKeeper = sigs
+      .withColumn("keeper", min(col(idCol)).over(w))
+      .localCheckpoint() // one signature+window pass feeds star AND reps
+    val star = withKeeper.filter(col(idCol) =!= col("keeper"))
+      .select(col("keeper").as("src"), col(idCol).as("dst"))
+    val reps = withKeeper.filter(col(idCol) === col("keeper"))
+      .select(col(idCol), col("sh"))
+    val blocked = reps.select(col(idCol), col("sh"),
+      posexplode(DedupFunctions.simhashBlocks(col("sh"))).as(Seq("q", "blk")))
+    // No distinct on blocked: multi-block collisions dedup once, in the
+    // caller-visible union-level distinct below (one exchange, not two).
+    val nearPairs = blocked.as("a").join(blocked.as("b"),
+        col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(DedupFunctions.hamming64(col("a.sh"), col("b.sh")) <= maxHamming)
+      .select(col(s"a.$idCol").as("src"), col(s"b.$idCol").as("dst"))
+    nearPairs.unionByName(star).distinct()
+  }
+
   /** Exact-content-group REPRESENTATIVES of `docs`: the group-minimum
     * doc per distinct md5. Identical docs have IDENTICAL MinHash
     * signatures, so feeding a whole exact-dup group to the band join

@@ -185,31 +185,46 @@ object Signatures {
     * ±1 votes from bit b of each token's md5_60 sum positive. 60 bits
     * (not 64) so the token hash and the signature both round-trip
     * through the oracle's 15-hex-char BIGINT parse. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    spread(df.select(col(idCol).cast("long"), col(textCol))).as[(Long, String)]
-      .mapPartitions { it =>
-        val md = MessageDigest.getInstance("MD5")
-        val counts = new Array[Int](60)
-        it.map { case (id, text) =>
-          java.util.Arrays.fill(counts, 0)
-          text.split(" ", -1).foreach { t =>
-            val h = md5_60(md, t)
-            var i = 0
-            while (i < 60) {
-              if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
-              i += 1
-            }
-          }
-          var sh = 0L
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash(df, idCol, textCol, Nil)
+
+  /** [[simhash]] carrying extra columns through the signature pass, so
+    * callers that need (id, md5, simhash) — e.g. the q52 star-edge
+    * collapse — get both signatures from ONE scan instead of a join of
+    * two passes. `keep` columns ride along untouched. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              keep: Seq[String]): DataFrame = {
+    val in = spread(df.select(
+      (col(idCol).cast("long") +: keep.map(col)) :+ col(textCol): _*))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.fields.dropRight(1) :+
+        org.apache.spark.sql.types.StructField(
+          "simhash", org.apache.spark.sql.types.LongType, nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val textIdx = in.schema.fields.length - 1
+    in.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](60)
+      it.map { r =>
+        val text = r.getString(textIdx)
+        java.util.Arrays.fill(counts, 0)
+        text.split(" ", -1).foreach { t =>
+          val h = md5_60(md, t)
           var i = 0
           while (i < 60) {
-            if (counts(i) > 0) sh |= (1L << i)
+            if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
             i += 1
           }
-          (id, sh)
         }
-      }.toDF(idCol, "simhash")
+        var sh = 0L
+        var i = 0
+        while (i < 60) {
+          if (counts(i) > 0) sh |= (1L << i)
+          i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1) :+ sh)
+      }
+    }
   }
 }

@@ -147,33 +147,24 @@ object TextQueries {
         .orderBy("d1", "d2")
     }),
 
-    // Global dedup: connected components over the duplicate-pair graph
-    // (SimHash Hamming<=3 pairs + exact md5 pairs), emitting each
-    // non-canonical member with its cluster representative (min doc_id)
-    // and cluster size. The iteration working set is the dup graph only —
-    // never the corpus — so at 100 TB the per-round join/agg runs over a
-    // small fraction of rows. Oracle: DuckDB recursive CTE over the same
-    // md5-derived pair pipeline.
+    // Global dedup: connected components over the duplicate-pair graph,
+    // emitting each non-canonical member with its cluster representative
+    // (min doc_id) and cluster size. Exact-content groups collapse FIRST:
+    // identical docs share both the md5 and the SimHash, so the naive
+    // self-joins emit m(m-1)/2 pair rows per m-identical group (a
+    // boilerplate-heavy corpus makes that a job-killer). Instead the
+    // exact groups contribute m-1 STAR edges (group-min -> member, one
+    // hash-keyed window) and only the group REPRESENTATIVES enter the
+    // SimHash blocking join — connectivity is provably identical (any
+    // near edge between members factors through their reps via the
+    // star), the production DedupPipeline.exactStarEdges shape. The
+    // component loop's working set is the dup graph only — never the
+    // corpus. Oracle: DuckDB window-min star edges + rep-only blocking,
+    // recursive CTE unchanged.
     "q52_dedup_components" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val d = graft.functions.Signatures
-        .simhash(docs, "doc_id", "text")
-        .select(col("doc_id"), col("simhash").as("sh"))
-        .localCheckpoint() // one signature pass for both join sides
-      val blocked = d.select(col("doc_id"), col("sh"),
-        posexplode(DedupFunctions.simhashBlocks(col("sh"))).as(Seq("q", "blk")))
-      // No distinct here: multi-block collisions dedup once, in the
-      // union-level distinct below (one exchange instead of two).
-      val nearPairs = blocked.as("a").join(blocked.as("b"),
-          col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .filter(DedupFunctions.hamming64(col("a.sh"), col("b.sh")) <= 3)
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
-      val exactPairs = hashed.as("a").join(hashed.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      val edges = nearPairs.unionByName(exactPairs).distinct()
+      val edges = graft.functions.DedupPipeline
+        .simhashEdges(docs, "doc_id", "text")
       val labels = DedupFunctions.connectedComponents(edges)
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_reach"))
       labels.join(sizes, "lbl")
@@ -694,7 +685,11 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q52_dedup_components" ->
       """WITH RECURSIVE
-        |tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |kp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |       FROM documents),
+        |star AS (SELECT keeper AS d1, doc_id AS d2 FROM kp WHERE doc_id <> keeper),
+        |tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents
+        |       WHERE doc_id IN (SELECT doc_id FROM kp WHERE doc_id = keeper)),
         |th AS (SELECT doc_id, CAST('0x'||substr(md5(t),1,15) AS BIGINT) AS h FROM tk),
         |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS c
         |         FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
@@ -706,9 +701,7 @@ object TextQueries {
         |np AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
         |       FROM blk x JOIN blk y ON x.q = y.q AND x.blk = y.blk AND x.doc_id < y.doc_id
         |       WHERE bit_count(xor(x.sh, y.sh)) <= 3),
-        |ep AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a JOIN documents b
-        |       ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
-        |edges AS (SELECT d1, d2 FROM np UNION SELECT d1, d2 FROM ep),
+        |edges AS (SELECT d1, d2 FROM np UNION SELECT d1, d2 FROM star),
         |und AS (SELECT d1 AS src, d2 AS dst FROM edges UNION SELECT d2, d1 FROM edges),
         |comp(id, lbl) AS (
         |  SELECT doc_id, doc_id FROM documents

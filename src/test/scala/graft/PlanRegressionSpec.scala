@@ -104,6 +104,27 @@ class PlanRegressionSpec extends SparkSpec {
       s"expected map-side daily partials below the window:\n$plan")
   }
 
+  test("q52 edge generation never self-joins raw content-hash keys over uncollapsed docs") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val edges = graft.functions.DedupPipeline.simhashEdges(docs, "doc_id", "text")
+    // every equi-join key must be a block key (q, blk) — a join keyed on
+    // the md5 (h) or the simhash (sh) is the quadratic identical-group
+    // clique the star collapse exists to prevent
+    val joins = edges.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected the block-key candidate join")
+    val badKeys = joins.flatMap(_.condition).flatMap(_.collect {
+      case eq @ EqualTo(a: AttributeReference, b: AttributeReference)
+          if Set(a.name, b.name).intersect(Set("h", "sh")).nonEmpty => eq
+    })
+    assert(badKeys.isEmpty, s"content-hash equi-join found: $badKeys")
+    // and the join inputs are collapsed to exact-group representatives
+    val plan = edges.queryExecution.executedPlan.toString()
+    assert(plan.contains("keeper"),
+      s"expected the keeper-collapse filter on the join inputs:\n$plan")
+  }
+
   test("scan-heavy queries keep filters pushed into the parquet scan") {
     val q06 = SparkEntry.queries("q06_selective_filter")(spark, "/root/testdata/sf0.001")
     val plan = q06.queryExecution.executedPlan.toString()

@@ -58,6 +58,59 @@ class DedupPipelineSpec extends SparkSpec {
     assert(pairs.count() == 49)
   }
 
+  test("simhashEdges: a 1000-member identical group yields 999 star edges, not 499500") {
+    val s = spark; import s.implicits._
+    // Identical docs share md5 AND simhash, so the uncollapsed form
+    // cliques both the exact join and the block join: ~499500 pair rows
+    // for 1000 boilerplate copies. The collapsed form must emit exactly
+    // the m-1 star edges (keeper 0 -> member) and nothing else.
+    val docs = ((0 until 1000).map(i => (i.toLong, "standard page footer text")) ++
+      Seq((2000L, "a completely different document body here")))
+      .toDF("doc_id", "text")
+    val edges = DedupPipeline.simhashEdges(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    assert(edges.length == 999, s"expected 999 star edges, got ${edges.length}")
+    assert(edges.forall(_._1 == 0L))
+    assert(edges.map(_._2).toSet == (1L until 1000L).toSet)
+  }
+
+  test("simhashEdges connectivity == the uncollapsed all-pairs form") {
+    val s = spark; import s.implicits._
+    // Mixed corpus: 8 distinct base texts, some SimHash-near (one-token
+    // perturbations), plus exact-dup members of bases 0 and 1. The
+    // collapsed edge set differs from the naive one, but the connected
+    // components must be IDENTICAL — near edges between group members
+    // factor through their representatives.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val distinct = (0 until 8).map { k =>
+      (k.toLong, if (k == 0) base else base.replace(s"tok${k * 3}", s"zz$k"))
+    }
+    val members = Seq((100L, distinct(0)._2), (101L, distinct(0)._2),
+      (110L, distinct(1)._2))
+    val docs = (distinct ++ members).toDF("doc_id", "text").localCheckpoint()
+    // naive form: exact all-pairs + Hamming<=3 all-pairs over ALL docs
+    val sigs = Signatures.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = (distinct ++ members).toMap
+    val ids = texts.keys.toSeq.sorted
+    val naive = for {
+      i <- ids; j <- ids if i < j
+      near = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= 3
+      exact = texts(i) == texts(j)
+      if near || exact
+    } yield (i, j)
+    assert(naive.nonEmpty, "setup must plant pairs")
+    def labelsOf(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      DedupFunctions.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+    val naiveLabels = labelsOf(
+      naive.toDF("src", "dst"))
+    val collapsedLabels = labelsOf(
+      DedupPipeline.simhashEdges(docs, "doc_id", "text"))
+    assert(collapsedLabels == naiveLabels,
+      s"collapsed=${collapsedLabels.toSeq.sorted} naive=${naiveLabels.toSeq.sorted}")
+  }
+
   test("incremental run == batch cross-shard pairs, corpus never shuffled") {
     val s = spark; import s.implicits._
     val docs = planted().localCheckpoint()
