@@ -165,6 +165,47 @@ object VectorQueries {
         .limit(20)
     }),
 
+    // Trained-IVF ANN: the PRODUCTION coarse quantizer
+    // (VectorFunctions.kmeansTrain — the one AnnIndex.build ships) under
+    // the oracle gate. Two FIXED Lloyd iterations from the md5-ordered
+    // seed sample (deterministic, no RNG), then the final assignment and
+    // a 2-of-8-cell probe. Portability design: each iteration's centroid
+    // means round to FLOAT (absorbing double-sum order differences
+    // between engines), every cosine folds in index order, and the
+    // OUTPUT is fully discrete (ids + cell + probed flag) — argmax
+    // margins are ~1e-2 while cross-engine centroid wobble is ≤1 float
+    // ulp, so the row hash cannot drift. DuckDB replays the two
+    // iterations as chained CTEs (assign → per-(cell,dim) mean → assign).
+    "q77_ivf_trained" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val seeds = emb
+        .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+        .orderBy("h", "vec_id").limit(8)
+        .select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val cents = VectorFunctions.kmeansTrain(
+        emb, "vec_id", "embedding", seeds, maxIter = 2, tol = 0.0)
+      val assigned = VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      // nProbe=2 nearest trained cells to the query, same metric+tie-break
+      val qcells = cents.map { case (cid, ce) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < qv.length) {
+          val x = qv(i).toDouble; val y = ce(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        (cid, dot / (math.sqrt(na) * math.sqrt(nb)))
+      }.sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1)
+      assigned.select(col("vec_id"), col("cell"),
+          when(col("cell").isin(qcells.map(Long.box): _*), lit(1))
+            .otherwise(lit(0)).as("probed"))
+        .orderBy("vec_id")
+    }),
+
     // Int8 scalar quantization of embeddings (the storage/ANN-compression
     // op): per-vector symmetric scale = max |x|, q_i = floor(x/scale*127),
     // plus the reconstruction squared error. Pure per-row higher-order
@@ -210,6 +251,25 @@ object VectorQueries {
     "list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE)))"
   private def normSql(v: String) =
     s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def cosSql(a: String, b: String) =
+    s"(list_sum(list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))) / " +
+      s"(${normSql(a)} * ${normSql(b)}))"
+  // One Lloyd step in SQL: argmax-cosine assignment against `cents`,
+  // then per-(cell, dim) float-rounded means, empty cells keeping their
+  // previous centroid — the exact kmeansTrain step shape.
+  private def lloydStepSql(cents: String, asg: String, means: String,
+                           next: String) =
+    s"""$asg AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1),
+       |$means AS (SELECT a.cid, i,
+       |    CAST(SUM(CAST(e.embedding[i+1] AS DOUBLE)) / COUNT(*) AS FLOAT) AS cm
+       |  FROM embeddings e JOIN $asg a ON e.vec_id = a.vec_id
+       |  CROSS JOIN range(64) r(i) GROUP BY a.cid, i),
+       |$next AS (SELECT p.cid, COALESCE(l.ce, p.ce) AS ce FROM $cents p
+       |  LEFT JOIN (SELECT cid, list(cm ORDER BY i) AS ce FROM $means
+       |             GROUP BY cid) l ON p.cid = l.cid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q37_cosine_topk" ->
@@ -291,6 +351,20 @@ object VectorQueries {
         |  JOIN qc ON b.cid = qc.cid CROSS JOIN qv
         |  WHERE e.vec_id <> 0)
         |SELECT vec_id, cell, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q77_ivf_trained" ->
+      s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${lloydStepSql("seeds", "b1", "m1", "c1")},
+         |${lloydStepSql("c1", "b2", "m2", "c2")},
+         |b3 AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |qc AS (SELECT c.cid FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id = 0
+         |       ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid LIMIT 2)
+         |SELECT vec_id, cid AS cell,
+         |  CASE WHEN cid IN (SELECT cid FROM qc) THEN 1 ELSE 0 END AS probed
+         |FROM b3 ORDER BY vec_id""".stripMargin,
     "q57_quantize_int8" ->
       """WITH s AS (SELECT vec_id,
         |    GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS mx
