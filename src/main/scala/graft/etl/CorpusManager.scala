@@ -162,11 +162,7 @@ class CorpusManager(
 
   private def readJsonFile(path: org.apache.hadoop.fs.Path): Option[String] =
     if (!fs.exists(path)) None
-    else {
-      val in = fs.open(path)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    }
+    else Some(graft.sources.ManifestIO.readVerified(fs, path))
 
   def readManifest(): Option[CorpusManifest] =
     readJsonFile(manifestPath).map(parseManifest)
@@ -265,7 +261,8 @@ class CorpusManager(
         "docs" -> arr(files.docs), "sigs" -> arr(files.sigs),
         "hashes" -> arr(files.hashes), "sketch" -> arr(files.sketch),
         "bands" -> arr(files.bands)))))
-    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bytes = graft.sources.ManifestIO.seal(
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     fs.mkdirs(gensDir)
     try commits.putIfAbsent(
       new org.apache.hadoop.fs.Path(gensDir, f"g$gen%06d.json"), bytes)

@@ -73,11 +73,7 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
 
   private def pointerJson(): Option[String] =
     if (!hasExisting) None
-    else {
-      val in = fs.open(descriptorPath)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    }
+    else Some(ManifestIO.readVerified(fs, descriptorPath))
 
   /** Data-file list pinned by the COMMITTED pointer. Reads resolve
     * through the pointer, not the claim listing: a crashed commit's
@@ -110,11 +106,7 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
 
   private def readVersionJson(v: Long): Option[String] =
     if (!fs.exists(versionPath(v))) None
-    else {
-      val in = fs.open(versionPath(v))
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    }
+    else Some(ManifestIO.readVerified(fs, versionPath(v)))
 
   /** Root-relative data-file list pinned by manifest version `v`. None
     * for versions written before file tracking (legacy), a fresh store,
@@ -207,7 +199,9 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
           base.obj :+ ("files" -> (JArray(fl.sorted.map(JString(_)).toList): JValue)))))
       case None => d.toJson
     }
-    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    // integrity trailer: a silently-corrupted manifest must fail its own
+    // digest at read, like the reference's self-verifying CIDs
+    val bytes = ManifestIO.seal(json.getBytes(StandardCharsets.UTF_8))
     try commits.putIfAbsent(versionPath(version), bytes) // the commit claim
     catch {
       case e: java.util.ConcurrentModificationException =>

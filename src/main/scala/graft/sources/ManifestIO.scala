@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+/** Content-integrity envelope for manifest/pointer files — the
+  * self-verification the reference gets for free from content-addressed
+  * CIDs (`utils/ipfs.py:42-93`), where a corrupted block fails its own
+  * hash. Graft manifests live at mutable paths, so each file carries a
+  * sha256 trailer over its body:
+  *
+  * {{{
+  *   { ...manifest json... }
+  *   #sha256=<64 hex chars>
+  * }}}
+  *
+  * [[seal]] appends the trailer at write; [[open]] verifies and strips it
+  * at read, throwing loudly on any body/trailer mismatch — silent
+  * corruption of a committed manifest must never surface as a garbage
+  * descriptor or a quietly-wrong pinned file list. Files without a
+  * trailer are accepted as legacy (pre-digest) manifests; a crashed
+  * writer's truncated claim usually loses the whole trailer and falls
+  * into that path, where the JSON parse fails exactly as before. */
+object ManifestIO {
+
+  private val Marker = "\n#sha256="
+
+  private def sha256Hex(bytes: Array[Byte], len: Int): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(bytes, 0, len)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Body bytes + integrity trailer. */
+  def seal(body: Array[Byte]): Array[Byte] =
+    body ++ (Marker + sha256Hex(body, body.length) + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+
+  /** Verify-and-strip: returns the body text. No trailer → returned
+    * as-is (legacy manifest). Trailer present but wrong → throws; `what`
+    * names the file for the error message. */
+  def open(bytes: Array[Byte], what: String): String = {
+    val s = new String(bytes, StandardCharsets.UTF_8)
+    val idx = s.lastIndexOf(Marker)
+    if (idx < 0) s
+    else {
+      val body = s.substring(0, idx)
+      val expected = s.substring(idx + Marker.length).trim
+      val bodyBytes = body.getBytes(StandardCharsets.UTF_8)
+      val actual = sha256Hex(bodyBytes, bodyBytes.length)
+      if (actual != expected)
+        throw new IllegalStateException(
+          s"$what failed its sha256 integrity check (stored $expected, " +
+            s"computed $actual): the manifest bytes are corrupted; restore " +
+            "from a replica or an earlier committed version")
+      body
+    }
+  }
+
+  /** Read a whole file through a Hadoop FileSystem and [[open]] it. */
+  def readVerified(fs: org.apache.hadoop.fs.FileSystem,
+                   path: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(path)
+    val buf = new java.io.ByteArrayOutputStream()
+    try {
+      val chunk = new Array[Byte](65536)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close()
+    open(buf.toByteArray, path.toString)
+  }
+}

@@ -119,6 +119,53 @@ class CommitProtocolSpec extends SparkSpec {
     }
   }
 
+  test("a corrupted committed manifest fails its digest loudly, not as a garbage descriptor") {
+    val root = tmpDir("store-corrupt")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(5, 2, 2), desc("corrupt"))
+    // flip one byte inside the manifest BODY (not the trailer); drop the
+    // local FS's crc sidecar — object stores have no such sidecar, the
+    // manifest digest is exactly the portable replacement for it
+    val p = java.nio.file.Paths.get(root, "_descriptor.json")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    bytes(20) = (bytes(20) ^ 0x01).toByte
+    java.nio.file.Files.write(p, bytes)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, "._descriptor.json.crc"))
+    val ex = intercept[IllegalStateException] { store.readDescriptor() }
+    assert(ex.getMessage.contains("sha256"))
+    // data reads resolve through the pointer, so they fail loudly too
+    intercept[IllegalStateException] { store.read() }
+  }
+
+  test("a corrupted version manifest fails loudly on time travel") {
+    val root = tmpDir("store-corrupt-v")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(5, 2, 2), desc("corruptv"))
+    val v = store.latestVersionNumber()
+    val p = java.nio.file.Paths.get(root, "_versions", f"v$v%06d.json")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    bytes(20) = (bytes(20) ^ 0x01).toByte
+    java.nio.file.Files.write(p, bytes)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, "_versions", f".v$v%06d.json.crc"))
+    val ex = intercept[IllegalStateException] { store.readDescriptorAt(v) }
+    assert(ex.getMessage.contains("sha256"))
+  }
+
+  test("legacy manifests without a digest trailer still read") {
+    val root = tmpDir("store-legacy")
+    val store = new GriddedStore(root, spark)
+    val d = store.writeInitial(cube(5, 2, 2), desc("legacy"))
+    // rewrite the pointer as a bare pre-digest JSON file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_descriptor.json"),
+      d.toJson.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, "._descriptor.json.crc"))
+    assert(store.readDescriptor().exists(_.name == "legacy"))
+  }
+
   test("a manifest pinning an EMPTY file list reads as schema-only empty, not a dir scan") {
     val root = tmpDir("store-empty-pin")
     val store = new GriddedStore(root, spark)
