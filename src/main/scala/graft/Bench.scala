@@ -7,12 +7,18 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json") // the driver contract's default location
     val spark = GraftSession.local(cpus)
+    // optional comma-separated query filter (isolated timing runs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    require(selected.nonEmpty, s"no queries match $only")
     // Warm the JVM/codegen once so per-query numbers measure the plan, not
     // first-call class loading.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
+    selected.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -27,10 +33,16 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val failedSeq = results.collect { case (k, _, false) => k }
+    val failed = failedSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a round with failures must not offer a comparable total: summing
+    // only the survivors would make a regression-to-failure read as a
+    // speedup against a clean round
+    val total =
+      if (failedSeq.nonEmpty) "null"
+      else results.collect { case (_, v, true) => v }.sum.toString
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""ok":${failedSeq.isEmpty},""" +
       s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // sbt routes program stdout through its [info] logger, which the

@@ -129,48 +129,47 @@ object Signatures {
   }
 
   /** (id, sig: array<long>[perms]) — MinHash signatures over distinct
-    * word n-gram shingles. One md5 digest of (g + "#" + k) yields TWO
-    * 60-bit permutation hashes (hex chars 1-15 and 16-30), so perm 2k
-    * takes lane 0 and perm 2k+1 lane 1 — half the digests of the naive
-    * per-perm hash, with the oracle reading the same lanes via
-    * `substr(md5(g||'#'||(p//2)), 1+15*(p%2), 15)`. The digest streams
-    * over (shingle bytes, suffix bytes) directly — no per-perm string
-    * concatenation, byte-identical to hashing the concatenated string.
-    * Empty-shingle docs get all-MaxValue sigs (callers that band-join
-    * should filter them out first — two empty docs are not
+    * word n-gram shingles. ONE md5 digest per shingle yields two 60-bit
+    * base lanes h0/h1 (hex chars 1-15 and 16-30); permutation k's hash
+    * is the Kirsch–Mitzenmacher double-hash `(h0 + k·h1) mod 2^60` — so
+    * the per-shingle cost is one digest plus `perms` multiply-adds,
+    * instead of the `perms/2` digests of the per-perm scheme (the round-2
+    * q34 regression: MD5 was the dominant dedup-stage cost). Wrapped
+    * Long arithmetic is exact here: 2^60 divides 2^64, so the `& mask`
+    * of the overflowed sum equals the true value mod 2^60, and the
+    * oracle reproduces it with HUGEINT arithmetic on the same md5
+    * substrings. Empty-shingle docs get all-MaxValue sigs (callers that
+    * band-join should filter them out first — two empty docs are not
     * near-duplicates of each other). */
   def minhash(df: DataFrame, idCol: String, textCol: String,
               ngram: Int, perms: Int): DataFrame = {
-    require(perms % 2 == 0, "perms must be even (two hash lanes per digest)")
     val spark = df.sparkSession
     import spark.implicits._
+    val mask60 = (1L << 60) - 1
     spread(df.select(col(idCol).cast("long"), col(textCol))).as[(Long, String)]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
-        val suffixes = Array.tabulate(perms / 2)(k =>
-          s"#$k".getBytes(StandardCharsets.UTF_8))
         it.map { case (id, text) =>
           val sh = wordShingles(text, ngram)
           val sig = Array.fill(perms)(Long.MaxValue)
           var j = 0
           while (j < sh.length) {
-            val gb = sh(j).getBytes(StandardCharsets.UTF_8)
+            md.reset()
+            val d = md.digest(sh(j).getBytes(StandardCharsets.UTF_8))
+            var v0 = 0L
+            var i = 0
+            while (i < 8) { v0 = (v0 << 8) | (d(i) & 0xffL); i += 1 }
+            val h0 = v0 >>> 4 // hex chars 1..15
+            var v1 = 0L
+            i = 7
+            while (i < 15) { v1 = (v1 << 8) | (d(i) & 0xffL); i += 1 }
+            val h1 = v1 & 0x0FFFFFFFFFFFFFFFL // hex chars 16..30
             var k = 0
-            while (k < perms / 2) {
-              md.reset()
-              md.update(gb)
-              md.update(suffixes(k))
-              val d = md.digest()
-              var v0 = 0L
-              var i = 0
-              while (i < 8) { v0 = (v0 << 8) | (d(i) & 0xffL); i += 1 }
-              val lane0 = v0 >>> 4 // hex chars 1..15
-              var v1 = 0L
-              i = 7
-              while (i < 15) { v1 = (v1 << 8) | (d(i) & 0xffL); i += 1 }
-              val lane1 = v1 & 0x0FFFFFFFFFFFFFFFL // hex chars 16..30
-              if (lane0 < sig(2 * k)) sig(2 * k) = lane0
-              if (lane1 < sig(2 * k + 1)) sig(2 * k + 1) = lane1
+            var v = h0
+            while (k < perms) {
+              val vm = v & mask60 // (h0 + k·h1) mod 2^60, exact (see doc)
+              if (vm < sig(k)) sig(k) = vm
+              v += h1
               k += 1
             }
             j += 1

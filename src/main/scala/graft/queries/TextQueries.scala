@@ -112,11 +112,14 @@ object TextQueries {
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("n_bands"))
+      // identical broadcast subtree on both join-backs → Spark reuses
+      // ONE broadcast exchange (two renamed projections would build two)
+      val sigs = broadcast(d.select(col("doc_id"), col("sig")))
       pairs
-        .join(broadcast(d.select(col("doc_id").as("d1"), col("sig").as("sa"))), Seq("d1"))
-        .join(broadcast(d.select(col("doc_id").as("d2"), col("sig").as("sb"))), Seq("d2"))
+        .join(sigs.as("sa"), col("d1") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("d2") === col("sb.doc_id"))
         .select(col("d1"), col("d2"), col("n_bands"),
-          DedupFunctions.estimatedJaccard(col("sa"), col("sb")).as("est_jac"))
+          DedupFunctions.estimatedJaccard(col("sa.sig"), col("sb.sig")).as("est_jac"))
         .filter(col("est_jac") >= 0.5)
         .orderBy("d1", "d2")
     }),
@@ -646,9 +649,12 @@ object TextQueries {
         |           WHERE LEN(string_split(text,' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(LEN(toks)-2),
         |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS g FROM d),
+        |gh AS (SELECT doc_id, CAST('0x'||substr(md5(g),1,15) AS BIGINT) AS h0,
+        |              CAST('0x'||substr(md5(g),16,15) AS BIGINT) AS h1 FROM sh),
         |mh AS (SELECT doc_id, p,
-        |         MIN(CAST('0x'||substr(md5(g||'#'||(p//2)), CAST(1+15*(p%2) AS INTEGER), 15) AS BIGINT)) AS m
-        |       FROM sh CROSS JOIN range(64) t(p) GROUP BY doc_id, p),
+        |         MIN(CAST((CAST(h0 AS HUGEINT) + p * CAST(h1 AS HUGEINT))
+        |             % 1152921504606846976 AS BIGINT)) AS m
+        |       FROM gh CROSS JOIN range(64) t(p) GROUP BY doc_id, p),
         |sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
         |bands AS (SELECT doc_id, sig, b,
         |            array_to_string(sig[CAST(b*4+1 AS INTEGER):CAST(b*4+4 AS INTEGER)], ',') AS bk

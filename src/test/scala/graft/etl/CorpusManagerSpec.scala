@@ -20,7 +20,13 @@ class CorpusManagerSpec extends SparkSpec {
     text.split(" ").dropRight(1).mkString(" ") + " zzz"
 
   /** Same tokens, reversed order: no shared 3-gram shingles (NOT a
-    * near-dup) but an identical vocabulary — containment stays 1.0. */
+    * near-dup) but an identical vocabulary — containment stays 1.0.
+    * Only valid for seeds whose token sequence is not near-palindromic:
+    * seed 7's sequence (21 5 3 15 11 21 15 23 15 21 11 15) shares 7 of
+    * 13 trigrams with its own reversal — TRUE Jaccard 0.54, a genuine
+    * near-dup — which the round-2 hash family happened to underestimate
+    * below the 0.5 gate. The books-side fresh doc uses seed 9, whose
+    * reversal is fully disjoint. */
   private def reorder(text: String): String =
     text.split(" ").reverse.mkString(" ")
 
@@ -60,7 +66,7 @@ class CorpusManagerSpec extends SparkSpec {
     m.ingestInitial(docs(Seq(
       (1L, mkText(1), "web"), (4L, mkText(4), "web"),
       (5L, mkText(5), "books"), (6L, mkText(6), "books"),
-      (7L, mkText(7), "books"), (8L, "tiny doc", "books"))))
+      (7L, mkText(9), "books"), (8L, "tiny doc", "books"))))
 
     val r = m.ingestShard(docs(Seq(
       (101L, near(mkText(4)), "web"),          // near dup of corpus 4
@@ -69,7 +75,7 @@ class CorpusManagerSpec extends SparkSpec {
       (104L, near(reorder(mkText(4))), "web"), // intra-shard dup of 103
       (105L, near(near(mkText(6))), "books"),  // chain: 105 ≈ 106 ≈ corpus 6
       (106L, near(mkText(6)), "books"),
-      (107L, reorder(mkText(7)), "books"),     // fresh (vocab ⊆ corpus books)
+      (107L, reorder(mkText(9)), "books"),     // fresh (vocab ⊆ corpus books)
       (108L, null, "web"))))                   // rejected
     assert(r.input == 8 && r.rejected == 1)
     assert(r.ingested == 2 && r.duplicates == 5)
@@ -83,7 +89,7 @@ class CorpusManagerSpec extends SparkSpec {
     // second shard dedups against FIRST-shard appends (107) and admits a
     // never-seen source through the drift path as novel
     val r2 = m.ingestShard(docs(Seq(
-      (201L, near(reorder(mkText(7))), "books"),
+      (201L, near(reorder(mkText(9))), "books"),
       (202L, mkText(202), "code"))))
     assert(r2.ingested == 1 && r2.duplicates == 1)
     assert(corpusIds(m).contains(202L) && !corpusIds(m).contains(201L))
