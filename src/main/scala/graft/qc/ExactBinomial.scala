@@ -1,0 +1,132 @@
+package graft.qc
+
+/** Exact (Clopper–Pearson) binomial interval support — the
+  * `scipy.stats.binom_test` fidelity path the Wilson approximation
+  * in [[QualityChecks]] trades away (reference `utils/publish.py:998-1005`).
+  *
+  * Standard math, implemented from the published formulas:
+  *  - log-gamma via the Lanczos approximation (g = 7, 9 coefficients),
+  *  - regularized incomplete beta I_x(a,b) via the continued fraction
+  *    with modified Lentz evaluation,
+  *  - its inverse by bisection (deterministic, ~1 ulp at 100 steps),
+  *  - Clopper–Pearson bounds from the beta-quantile identity:
+  *      lo = BetaInv(α/2; x, n−x+1)        (0 when x = 0)
+  *      hi = BetaInv(1−α/2; x+1, n−x)      (1 when x = n)
+  *
+  * Everything is driver-side double math on (x, n) PAIRS — the QC check
+  * evaluates one row per group, so the per-row cost is irrelevant; the
+  * distributed work stays in the counting aggregate. */
+object ExactBinomial {
+
+  private val lanczosG = 7.0
+  private val lanczosCoefs = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  /** ln Γ(x) for x > 0 (Lanczos). */
+  private[qc] def logGamma(x: Double): Double =
+    if (x < 0.5)
+      // reflection: Γ(x)Γ(1−x) = π / sin(πx)
+      math.log(math.Pi / math.sin(math.Pi * x)) - logGamma(1.0 - x)
+    else {
+      val z = x - 1.0
+      var a = lanczosCoefs(0)
+      var i = 1
+      while (i < lanczosCoefs.length) { a += lanczosCoefs(i) / (z + i); i += 1 }
+      val t = z + lanczosG + 0.5
+      0.5 * math.log(2.0 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
+    }
+
+  private def logBeta(a: Double, b: Double): Double =
+    logGamma(a) + logGamma(b) - logGamma(a + b)
+
+  /** Continued fraction for the incomplete beta (modified Lentz). */
+  private def betaCF(x: Double, a: Double, b: Double): Double = {
+    val maxIter = 300
+    val eps = 1e-15
+    val fpmin = 1e-300
+    val qab = a + b
+    val qap = a + 1.0
+    val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < fpmin) d = fpmin
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    while (m <= maxIter) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < fpmin) d = fpmin
+      c = 1.0 + aa / c
+      if (math.abs(c) < fpmin) c = fpmin
+      d = 1.0 / d
+      h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < fpmin) d = fpmin
+      c = 1.0 + aa / c
+      if (math.abs(c) < fpmin) c = fpmin
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < eps) return h
+      m += 1
+    }
+    h // converged to tolerance or best effort at maxIter
+  }
+
+  /** Regularized incomplete beta I_x(a, b). */
+  private[qc] def regIncBeta(x: Double, a: Double, b: Double): Double = {
+    require(a > 0 && b > 0, s"beta parameters must be positive: ($a, $b)")
+    if (x <= 0.0) 0.0
+    else if (x >= 1.0) 1.0
+    else {
+      val front = math.exp(
+        a * math.log(x) + b * math.log(1.0 - x) - logBeta(a, b))
+      if (x < (a + 1.0) / (a + b + 2.0)) front * betaCF(x, a, b) / a
+      else 1.0 - front * betaCF(1.0 - x, b, a) / b
+    }
+  }
+
+  /** Inverse of [[regIncBeta]] in x for fixed (a, b): the Beta(a, b)
+    * quantile. Bisection — monotone, deterministic, no derivative
+    * blow-ups at the tails this check lives in. */
+  private[qc] def betaInv(p: Double, a: Double, b: Double): Double = {
+    require(p >= 0.0 && p <= 1.0, s"p out of range: $p")
+    if (p == 0.0) return 0.0
+    if (p == 1.0) return 1.0
+    var lo = 0.0
+    var hi = 1.0
+    var i = 0
+    while (i < 200) {
+      val mid = 0.5 * (lo + hi)
+      if (regIncBeta(mid, a, b) < p) lo = mid else hi = mid
+      i += 1
+    }
+    0.5 * (lo + hi)
+  }
+
+  /** Clopper–Pearson (exact) two-sided interval for `x` successes in
+    * `n` trials at significance `alpha`. Invariant (the defining one):
+    * P(X ≤ x | p = hi) = α/2 and P(X ≥ x | p = lo) = α/2, with the
+    * closed-form edges lo(0) = 0 and hi(n) = 1. */
+  def clopperPearson(x: Long, n: Long, alpha: Double): (Double, Double) = {
+    require(n > 0 && x >= 0 && x <= n, s"invalid ($x, $n)")
+    val lo = if (x == 0) 0.0
+      else betaInv(alpha / 2.0, x.toDouble, (n - x + 1).toDouble)
+    val hi = if (x == n) 1.0
+      else betaInv(1.0 - alpha / 2.0, (x + 1).toDouble, (n - x).toDouble)
+    (lo, hi)
+  }
+
+  /** Binomial CDF P(X ≤ x) via the incomplete-beta identity
+    * P(X ≤ x) = I_{1−p}(n−x, x+1) — used by the spec to verify the
+    * Clopper–Pearson invariant without external tables. */
+  def binomCdf(x: Long, n: Long, p: Double): Double =
+    if (x >= n) 1.0
+    else if (x < 0) 0.0
+    else regIncBeta(1.0 - p, (n - x).toDouble, (x + 1).toDouble)
+}

@@ -32,10 +32,9 @@ object QualityChecks {
     * slightly anti-conservative for tiny n·p (an expected frequency the
     * exact test would just reject can fall inside the Wilson interval).
     * For the reference's use (n = cells per group, ≥10⁴, p ≈ 0.1) the
-    * intervals agree to well under the check's tolerance; a
-    * Clopper-Pearson (exact inversion) option would close the gap at
-    * the cost of an incomplete-beta implementation, which Spark's
-    * built-in functions do not provide. */
+    * intervals agree to well under the check's tolerance; for tiny n·p
+    * use `missingFrequency(..., exact = true)`, which computes the
+    * Clopper-Pearson (exact inversion) interval via [[ExactBinomial]]. */
   def wilson(phat: Column, nd: Column, z: Double): (Column, Column) = {
     val zc = lit(z)
     val z2 = zc * zc
@@ -46,18 +45,31 @@ object QualityChecks {
   }
 
   /** NaN/missing-frequency check per group (`publish.py:577-602`):
-    * observed missing fraction with Wilson CI at alpha=1e-5. The caller
-    * compares `expected` against [ci_lo, ci_hi] — outside ⇒
-    * NanFrequencyMismatch. */
+    * observed missing fraction with a CI at alpha=1e-5 — Wilson by
+    * default (closed-form, codegen'd), Clopper-Pearson when
+    * `exact = true` (the reference's `binom_test` semantics: correct at
+    * tiny n·p where Wilson is anti-conservative). The exact bounds are
+    * a driver-math UDF over the per-group (x, n) pair — one row per
+    * group, so the distributed work stays in the counting aggregate
+    * either way. The caller compares `expected` against [ci_lo, ci_hi]
+    * — outside ⇒ NanFrequencyMismatch. */
   def missingFrequency(df: DataFrame, groupKey: String, isMissing: Column,
-                       z: Double = Z_ALPHA_1E5): DataFrame = {
+                       z: Double = Z_ALPHA_1E5, exact: Boolean = false,
+                       alpha: Double = 1e-5): DataFrame = {
     val base = df.groupBy(groupKey)
       .agg(count(lit(1)).as("n"),
         count(when(isMissing, lit(1))).as("n_missing"))
       .withColumn("nd", col("n").cast("double"))
       .withColumn("phat", col("n_missing").cast("double") / col("n").cast("double"))
-    val (lo, hi) = wilson(col("phat"), col("nd"), z)
-    base.withColumn("ci_lo", lo).withColumn("ci_hi", hi).drop("nd")
+    if (exact) {
+      val cp = udf((x: Long, n: Long) => ExactBinomial.clopperPearson(x, n, alpha))
+      base.withColumn("ci", cp(col("n_missing"), col("n")))
+        .withColumn("ci_lo", col("ci._1")).withColumn("ci_hi", col("ci._2"))
+        .drop("ci", "nd")
+    } else {
+      val (lo, hi) = wilson(col("phat"), col("nd"), z)
+      base.withColumn("ci_lo", lo).withColumn("ci_hi", hi).drop("nd")
+    }
   }
 
   /** Extreme-value bounds check per group (`publish.py:567-575`,

@@ -19,6 +19,55 @@ class QualityChecksSpec extends SparkSpec {
     assert(0.5 > r.getDouble(2))
   }
 
+  test("Clopper-Pearson: closed-form edges and published 95% values") {
+    // x = 0: lo = 0, hi = 1 - (alpha/2)^(1/n) exactly (the analytic edge)
+    val (lo0, hi0) = ExactBinomial.clopperPearson(0, 10, 0.05)
+    assert(lo0 == 0.0)
+    assert(math.abs(hi0 - (1.0 - math.pow(0.025, 0.1))) < 1e-12)
+    assert(math.abs(hi0 - 0.30850) < 1e-4) // the textbook 0/10 interval
+    // x = n mirrors it
+    val (lon, hin) = ExactBinomial.clopperPearson(10, 10, 0.05)
+    assert(hin == 1.0 && math.abs(lon - math.pow(0.025, 0.1)) < 1e-12)
+    // the textbook 5/10 interval, symmetric about 1/2
+    val (lo5, hi5) = ExactBinomial.clopperPearson(5, 10, 0.05)
+    assert(math.abs(lo5 - 0.18709) < 1e-4 && math.abs(hi5 - 0.81291) < 1e-4)
+    assert(math.abs((lo5 + hi5) - 1.0) < 1e-10)
+  }
+
+  test("Clopper-Pearson invariant: the bounds solve the exact tail equations") {
+    // defining property: P(X <= x | p = hi) = a/2 and P(X >= x | p = lo) = a/2
+    for ((x, n, a) <- Seq((1L, 100L, 1e-5), (3L, 50L, 0.01),
+        (2L, 10000L, 1e-5), (40L, 400L, 0.05))) {
+      val (lo, hi) = ExactBinomial.clopperPearson(x, n, a)
+      assert(math.abs(ExactBinomial.binomCdf(x, n, hi) - a / 2) < 1e-9,
+        s"upper tail ($x,$n,$a)")
+      assert(math.abs((1.0 - ExactBinomial.binomCdf(x - 1, n, lo)) - a / 2) < 1e-9,
+        s"lower tail ($x,$n,$a)")
+    }
+  }
+
+  test("exact gate rejects expectations the Wilson approximation lets pass at tiny n*p") {
+    val s = spark; import s.implicits._
+    // 1 missing of 200 at alpha=1e-5: Wilson's large-z quadratic widens
+    // the interval past the exact bound (hi 0.098 vs 0.072), so the
+    // CHECK is anti-conservative — expectations the exact binomial test
+    // rejects still fall inside the Wilson interval and pass
+    val df = (1 to 200).map(i => (1, i <= 1)).toDF("g", "miss")
+    val w = QualityChecks.missingFrequency(df, "g", col("miss"))
+      .select("ci_lo", "ci_hi").collect()(0)
+    val e = QualityChecks.missingFrequency(df, "g", col("miss"), exact = true)
+      .select("ci_lo", "ci_hi").collect()(0)
+    val (exLo, exHi) = ExactBinomial.clopperPearson(1, 200, 1e-5)
+    assert(e.getDouble(0) == exLo && e.getDouble(1) == exHi) // UDF wiring
+    assert(e.getDouble(1) < w.getDouble(1),
+      s"exact hi ${e.getDouble(1)} must be below Wilson hi ${w.getDouble(1)}")
+    // an expected frequency between the two upper bounds: Wilson accepts
+    // it, the exact gate (the reference's binom_test behavior) rejects
+    val expected = (w.getDouble(1) + e.getDouble(1)) / 2
+    assert(expected < w.getDouble(1), "Wilson would accept")
+    assert(expected > e.getDouble(1), "exact rejects")
+  }
+
   test("extremeValues counts out-of-bounds cells (publish.py:567-575)") {
     val s = spark; import s.implicits._
     val df = Seq(("a", -91.0), ("a", 10.0), ("a", 61.0), ("b", 0.0))
