@@ -79,15 +79,18 @@ object DedupFunctions {
     * labels, and its label's label (path halving). The jump term
     * shortcuts label chains (sf0.1's chained dup graph: 10 rounds vs 13
     * without it); discovery of a lower min still travels edge-by-edge,
-    * so worst-case rounds stay O(diameter) — the edge-rewriting
-    * large-star/small-star variant is the O(log n) upgrade if
-    * adversarial graphs ever dominate, at a higher per-round cost. Each
+    * so worst-case rounds stay O(diameter). After `propagationRounds`
+    * without convergence the loop hands the graph (plus the label
+    * shortcuts it already earned) to [[starComponents]] — the
+    * edge-rewriting large-star/small-star contraction, O(log² n) rounds
+    * for any id layout, at a higher per-round cost. Each propagation
     * round is two equi-joins + one partial-aggregated groupBy on the
     * (small) edge frame, partitioned by the graph's own size; labels are
     * localCheckpoint'd per round so lineage does not grow with
     * iterations.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          propagationRounds: Int = 12): DataFrame = {
     val undFull = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -134,7 +137,12 @@ object DedupFunctions {
     }
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    val switchAfter = math.min(propagationRounds, maxIter)
+    // (Running the loop with AQE disabled was tried — the per-round
+    // re-planning looked like overhead — and measured 2.3× SLOWER:
+    // AQE's post-shuffle coalescing of the 32 tiny exchange partitions
+    // is worth far more than its planning cost here.)
+    while (!converged && i < switchAfter) {
       // ONE step per materialization. (Fusing two steps per job was
       // tried to halve scheduling overhead: the doubled plan — six
       // joins + two aggregates — cost MORE in optimizer/AQE time than
@@ -144,7 +152,75 @@ object DedupFunctions {
       labels = next.select("id", "lbl")
       i += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    if (converged) labels
+    else {
+      // Adversarial shape: min-label propagation advances edge-by-edge
+      // on graphs whose id layout keeps label chains short (an
+      // interleaved-id dup chain — web-crawl chains do this — needs
+      // O(diameter) rounds). Switch to large-star/small-star edge
+      // contraction, O(log² n) rounds REGARDLESS of id layout. The
+      // accumulated labels are connectivity they already paid for:
+      // seeding (id, lbl) edges alongside the originals preserves
+      // components and lets the star rounds start from the shortcuts.
+      val seeded = und.unionByName(
+        labels.filter(col("id") =!= col("lbl"))
+          .select(col("id").as("src"), col("lbl").as("dst")))
+      starComponents(seeded, maxIter)._1
+    }
+  }
+
+  /** Large-star/small-star connected components (the alternating edge
+    * contraction of Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"): converges in O(log² n) rounds for ANY id layout,
+    * where min-label propagation needs O(diameter). Each round is two
+    * groupBy+join passes over the current edge set, which only shrinks.
+    * At the fixed point every component is a star rooted at its minimum
+    * id; returns ((id, lbl) labels for every endpoint, rounds used).
+    *
+    *  - large-star: ∀u, m = min({u} ∪ Γ(u)); emit (v, m) for v ∈ Γ(u),
+    *    v > u — strictly-larger neighbors re-hang under the local min.
+    *  - small-star: ∀u with smaller neighbors Γ⁻(u), m = min(Γ⁻(u));
+    *    emit (v, m) for v ∈ Γ⁻(u), plus (u, m) — u and its smaller
+    *    neighbors consolidate under their min.
+    *
+    * Kept package-private: [[connectedComponents]] fronts it and only
+    * falls back here when propagation stalls — the propagation loop is
+    * cheaper per round on the near-clique graphs dedup actually makes. */
+  private[functions] def starComponents(edges: DataFrame,
+                                        maxIter: Int = 50): (DataFrame, Int) = {
+    def undirected(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = undirected(e)
+      val m = und.groupBy("src").agg(least(col("src"), min("dst")).as("m"))
+      und.join(m, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val smaller = undirected(e).filter(col("dst") < col("src"))
+      val m = smaller.groupBy("src").agg(min("dst").as("m"))
+      val hang = smaller.join(m, "src").filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      hang.unionByName(m.select(col("src"), col("m").as("dst"))).distinct()
+    }
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixed point = identical edge sets (both are distinct lists)
+      done = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      rounds += 1
+    }
+    require(done, s"starComponents did not converge in $maxIter rounds")
+    // the fixed point is a star forest rooted at component minima:
+    // every edge is (member, root); roots label themselves
+    val labels = e.select(col("src").as("id"), col("dst").as("lbl"))
+      .unionByName(e.select(col("dst").as("id"), col("dst").as("lbl")))
+      .distinct()
+    (labels, rounds)
   }
 }

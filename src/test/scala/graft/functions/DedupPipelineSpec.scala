@@ -111,6 +111,51 @@ class DedupPipelineSpec extends SparkSpec {
       s"collapsed=${collapsedLabels.toSeq.sorted} naive=${naiveLabels.toSeq.sorted}")
   }
 
+  test("adversarial 10k-node chain: star fallback converges in O(log n) rounds") {
+    val s = spark; import s.implicits._
+    // A path whose ids interleave high/low (0, 9999, 1, 9998, 2, ...):
+    // every label chain is 1 hop, so pointer jumping never shortcuts and
+    // pure min propagation advances ~2 positions per round — ~2500
+    // rounds for 10k nodes. Web-crawl dup chains produce exactly this
+    // shape. The star contraction must converge in tens of rounds.
+    val n = 10000
+    val order = (0 until n).map(i => if (i % 2 == 0) (i / 2).toLong else (n - 1 - i / 2).toLong)
+    val edges = order.sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst").repartition(8)
+    val (labels, rounds) = DedupFunctions.starComponents(edges)
+    assert(rounds <= 30, s"expected O(log n) rounds, used $rounds")
+    val lbl = labels.as[(Long, Long)].collect()
+    assert(lbl.length == n)
+    assert(lbl.forall(_._2 == 0L), "single component rooted at the minimum")
+    // and the fronting API must survive the same graph (propagation
+    // would blow its round budget; the automatic switch saves it)
+    val viaFront = DedupFunctions.connectedComponents(edges)
+      .as[(Long, Long)].collect()
+    assert(viaFront.length == n && viaFront.forall(_._2 == 0L))
+  }
+
+  test("star contraction labels == propagation labels on varied graph shapes") {
+    val s = spark; import s.implicits._
+    // deterministic mixed graph: cliques, a chain, a binary tree, rings,
+    // singleton pairs — star labels must equal the propagation loop's
+    val rnd = new scala.util.Random(7)
+    val cliques = for (c <- 0 until 5; i <- 0 until 6; j <- i + 1 until 6)
+      yield ((1000 * c + rnd.nextInt(900)).toLong, (1000 * c + 900 + i * 10 + j).toLong)
+    val chain = (0 until 40).map(i => (10000L + i, 10000L + i + 1))
+    val tree = (1 until 64).map(i => (20000L + i, 20000L + i / 2))
+    val ring = (0 until 30).map(i => (30000L + i, 30000L + (i + 1) % 30))
+    val pairs = (0 until 10).map(i => (40000L + 2 * i, 40001L + 2 * i))
+    val edges = (cliques ++ chain ++ tree ++ ring ++ pairs)
+      .toDF("src", "dst")
+    val prop = DedupFunctions.connectedComponents(edges, maxIter = 100,
+        propagationRounds = 100)
+      .as[(Long, Long)].collect().toMap
+    val star = DedupFunctions.starComponents(edges)._1
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop,
+      s"diff=${(star.toSet diff prop.toSet) ++ (prop.toSet diff star.toSet)}")
+  }
+
   test("incremental run == batch cross-shard pairs, corpus never shuffled") {
     val s = spark; import s.implicits._
     val docs = planted().localCheckpoint()
