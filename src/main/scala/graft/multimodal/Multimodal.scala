@@ -24,6 +24,31 @@ import org.apache.spark.sql.functions._
   * of a `mapInPandas` batch UDF), and the output is a flat typed frame
   * that joins/filters like any other.
   */
+/** Pluggable video/container codec hook. The JDK ships no MP4/H.264
+  * codec, so graft's default chain decodes what a bare JVM can (MJPEG
+  * AVIs — [[Multimodal.MjpegAviDecoder]]) and reports everything else as
+  * the flagged synthetic fallback (`realDecode=false`). A deployment
+  * with a real codec (e.g. a JavaCV/FFmpeg binding) registers it by
+  * passing `decoders = MjpegAviDecoder +: Seq(myMp4Decoder)` to
+  * [[Multimodal.decodeMeta]]/[[Multimodal.sampleFrameStats]] — bytes a
+  * registered decoder `accepts` are NEVER routed to the synthetic
+  * fallback. Implementations must be serializable (they ride in task
+  * closures) and stateless or cheaply re-usable per partition. */
+trait FrameDecoder extends Serializable {
+  def name: String
+
+  /** Cheap container sniff — called per row; must not throw. */
+  def accepts(bytes: Array[Byte]): Boolean
+
+  /** (width, height, nFrames), or None when the bytes turn out to be
+    * undecodable after all (then the flagged fallback applies). */
+  def probe(bytes: Array[Byte]): Option[(Int, Int, Int)]
+
+  /** Every `stride`-th frame as (frameIdx, width, height,
+    * meanIntensity). */
+  def frames(bytes: Array[Byte], stride: Int): Seq[(Int, Int, Int, Double)]
+}
+
 object Multimodal {
 
   case class MediaMeta(
@@ -200,23 +225,40 @@ object Multimodal {
     } catch { case _: Exception => None } finally in.close()
   }
 
-  /** Real frame extraction + feature step: decode every `stride`-th
-    * frame and compute its mean channel intensity. MJPEG/AVI first —
-    * each sampled `##dc` chunk is one complete JPEG decoded through
-    * ImageIO — then the multi-frame image path (animated GIF; per-frame
-    * RASTER stats, not composited). Deterministic: integer pixel sums,
-    * one double division at the end. */
-  private[multimodal] def frameStats(b: Array[Byte], stride: Int):
-      Seq[(Int, Int, Int, Double)] = {
-    require(stride > 0, "stride must be positive")
-    if (parseAvi(b).isDefined)
-      return aviFrames(b).zipWithIndex
+  /** The default [[FrameDecoder]]: MJPEG-in-AVI via the hand RIFF
+    * parser, each sampled `##dc` chunk one complete JPEG decoded through
+    * the JDK's own codec. Deterministic: integer pixel sums, one double
+    * division per frame. */
+  object MjpegAviDecoder extends FrameDecoder {
+    val name = "mjpeg-avi"
+    override def accepts(b: Array[Byte]): Boolean =
+      b.length >= 12 && fourcc(b, 0, "RIFF") && fourcc(b, 8, "AVI ")
+    override def probe(b: Array[Byte]): Option[(Int, Int, Int)] = parseAvi(b)
+    override def frames(b: Array[Byte], stride: Int): Seq[(Int, Int, Int, Double)] =
+      aviFrames(b).zipWithIndex
         .collect { case (fb, idx) if idx % stride == 0 =>
           imageFrameStats(fb, 1).headOption.map { case (_, w, h, m) =>
             (idx, w, h, m)
           }
         }.flatten
-    imageFrameStats(b, stride)
+  }
+
+  /** The decoders a bare JVM supports. Deployments append real codec
+    * bindings (MP4/H.264 etc.) — see [[FrameDecoder]]. */
+  val DefaultDecoders: Seq[FrameDecoder] = Seq(MjpegAviDecoder)
+
+  /** Real frame extraction + feature step: the first accepting
+    * [[FrameDecoder]] wins; bytes no decoder claims go through the
+    * multi-frame ImageIO path (animated GIF; per-frame RASTER stats,
+    * not composited). */
+  private[multimodal] def frameStats(b: Array[Byte], stride: Int,
+      decoders: Seq[FrameDecoder] = DefaultDecoders):
+      Seq[(Int, Int, Int, Double)] = {
+    require(stride > 0, "stride must be positive")
+    decoders.find(_.accepts(b)) match {
+      case Some(d) => d.frames(b, stride)
+      case None => imageFrameStats(b, stride)
+    }
   }
 
   private def imageFrameStats(b: Array[Byte], stride: Int):
@@ -265,14 +307,15 @@ object Multimodal {
     * the honest behavior for genuinely un-decodable media (MP4 etc.,
     * which the JDK has no codec for). */
   def sampleFrameStats(df: DataFrame, idCol: String, binCol: String,
-                       stride: Int): Dataset[FrameStat] = {
+                       stride: Int,
+                       decoders: Seq[FrameDecoder] = DefaultDecoders): Dataset[FrameStat] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         val b = if (bytes == null) Array.empty[Byte] else bytes
-        frameStats(b, stride).map { case (i, w, h, m) =>
+        frameStats(b, stride, decoders).map { case (i, w, h, m) =>
           FrameStat(id, i, w, h, m)
         }
       })
@@ -290,7 +333,8 @@ object Multimodal {
     * (idCol: long, binCol: binary, kindCol: string). One decoder pass per
     * partition; no shuffle. */
   def decodeMeta(df: DataFrame, idCol: String, binCol: String,
-                 kindCol: String): Dataset[MediaMeta] = {
+                 kindCol: String,
+                 decoders: Seq[FrameDecoder] = DefaultDecoders): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol), col(kindCol))
@@ -308,9 +352,11 @@ object Multimodal {
           }).orElse(parseWav(b).map { case (rate, ch, bits, _, dataLen) =>
             MediaMeta(id, kind, b.length, sha, 0, 0, 1, rate,
               dataLen.toLong / (ch * bits / 8), realDecode = true)
-          }).orElse(parseAvi(b).map { case (w, h, nf) =>
-            MediaMeta(id, kind, b.length, sha, w, h, nf, 0, 0L, realDecode = true)
-          }).orElse(parseImageIO(b).map { case (w, h, nf) =>
+          }).orElse(decoders.find(_.accepts(b)).flatMap(_.probe(b))
+            .map { case (w, h, nf) =>
+              MediaMeta(id, kind, b.length, sha, w, h, nf, 0, 0L, realDecode = true)
+            })
+          .orElse(parseImageIO(b).map { case (w, h, nf) =>
             MediaMeta(id, kind, b.length, sha, w, h, nf, 0, 0L, realDecode = true)
           }).getOrElse {
             val (w, h, f) = syntheticDims(b, kind)

@@ -3,6 +3,20 @@ package graft.multimodal
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Stand-in for a real codec binding (JavaCV/FFmpeg): sniffs the MP4
+  * `ftyp` box and returns deterministic frames — what a deployment's
+  * registered decoder looks like to the pipeline. Top-level object so
+  * the task closure serializes without capturing the suite. */
+object FakeMp4Decoder extends graft.multimodal.FrameDecoder {
+  val name = "fake-mp4"
+  override def accepts(b: Array[Byte]): Boolean =
+    b.length >= 8 && new String(b, 4, 4, "US-ASCII") == "ftyp"
+  override def probe(b: Array[Byte]): Option[(Int, Int, Int)] =
+    Some((320, 240, 12))
+  override def frames(b: Array[Byte], stride: Int): Seq[(Int, Int, Int, Double)] =
+    (0 until 12 by stride).map(i => (i, 320, 240, i * 1.5))
+}
+
 class MultimodalSpec extends SparkSpec {
 
   // ---- real-format fixtures (built byte-by-byte, no codec libs) --------
@@ -55,6 +69,36 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(1).realDecode && meta(1).width == 8 && meta(1).height == 5)
     assert(meta(2).realDecode && meta(2).sampleRate == 16000 && meta(2).nSamples == 4)
     assert(!meta(3).realDecode && meta(3).width > 0) // honest synthetic path
+  }
+
+  test("registered FrameDecoder takes MP4 off the synthetic fallback; unregistered stays flagged") {
+    val s = spark; import s.implicits._
+    // minimal MP4 sniffable bytes: size + 'ftyp' box header + junk
+    val mp4ish = java.nio.ByteBuffer.allocate(32)
+      .putInt(20).put("ftypisom".getBytes("US-ASCII")).array()
+    val rows = Seq((1L, mp4ish, "video"))
+    // without a registered codec: the honest flagged fallback
+    val bare = Multimodal.decodeMeta(
+      rows.toDF("id", "bin", "kind"), "id", "bin", "kind").collect()(0)
+    assert(!bare.realDecode)
+    // with a (stub) MP4 decoder registered: NEVER the synthetic path
+    val decoded = Multimodal.decodeMeta(
+        rows.toDF("id", "bin", "kind"), "id", "bin", "kind",
+        decoders = Multimodal.DefaultDecoders :+ FakeMp4Decoder)
+      .collect()(0)
+    assert(decoded.realDecode, "registered decoder must preempt the fallback")
+    assert(decoded.width == 320 && decoded.height == 240 && decoded.nFrames == 12)
+    // frame extraction routes through the decoder too
+    val frames = Multimodal.sampleFrameStats(
+        rows.toDF("id", "bin", "kind"), "id", "bin", stride = 5,
+        decoders = Multimodal.DefaultDecoders :+ FakeMp4Decoder)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 5, 10))
+    assert(frames.forall(f => f.width == 320 && f.height == 240))
+    // and the MJPEG default still owns AVI bytes even with extras present
+    assert(Multimodal.MjpegAviDecoder.accepts(
+      "RIFF....AVI ".getBytes("US-ASCII")))
+    assert(!FakeMp4Decoder.accepts("RIFF....AVI ".getBytes("US-ASCII")))
   }
 
   test("decodeMeta: content hash dedups identical media") {
