@@ -581,8 +581,16 @@ class CorpusManager(
     val newHashes = rewrite(hashesDf(), hashesPath, n)
     val newSketch = rewrite(sketchDf(), sketchPath, 1) // k longs × sources
     val v2 = man.bandsVersion + 1
+    // The band table is dir-scanned (its join property lives in catalog
+    // bucket metadata, not a pinned list), so crashed-ingest orphan rows
+    // are present here — harmless to reads (the verify join requires
+    // both ids in the PINNED sig/hash tables) but rewriting them into
+    // bands_v(N+1) would pin them forever and vacuum could never
+    // reclaim them. Semi-join against the pinned signatures to drop
+    // orphans at the one moment the table is rewritten anyway.
     BucketedSignatureStore.write(
-      BucketedSignatureStore.table(spark, bandsTable(man.bandsVersion)),
+      BucketedSignatureStore.table(spark, bandsTable(man.bandsVersion))
+        .join(sigsDf().select(idCol), Seq(idCol), "left_semi"),
       bandsTable(v2), bandsDir(v2), numBuckets, bandKeys)
     commitManifest(man.nDocs, v2, CorpusFiles(
       newDocs, newSigs, newHashes, newSketch, listDir(bandsDir(v2)).toSeq))

@@ -42,7 +42,15 @@ object StatefulSessions {
 
   /** All of one user's not-yet-finalized session fragments, carried
     * between micro-batches: non-overlapping, pairwise separated by more
-    * than the gap. */
+    * than the gap.
+    *
+    * UPGRADE NOTE: round 2 changed the flatMapGroupsWithState state type
+    * from the single-fragment `GroupState[OpenSession]` to this
+    * multi-fragment form. Streaming checkpoints encode the state type:
+    * a stream restarted from a pre-change checkpoint will fail (or
+    * misdecode) deserializing old state — discard the checkpoint and
+    * re-run from the source (sessionization rebuilds deterministically)
+    * when upgrading across that boundary. */
   case class OpenSessions(frags: Seq[OpenSession])
 
   /** Classic interval-merge-with-gap: fold carried fragments and a
