@@ -1,6 +1,82 @@
 package graft
 
 object Bench {
+
+  /** Queries for the ×10 tier: the shuffle/AQE-sensitive set, where the
+    * sf0.1 numbers sit at the scheduling floor and scale effects are
+    * invisible. */
+  private val Tier2Queries = Seq(
+    "q01_pricing_summary", "q04_semi_join", "q09_sessionize",
+    "q11_running_total", "q34_minhash_lsh", "q35_simhash",
+    "q46_embedding_dedup", "q52_dedup_components", "q56_contamination",
+    "q65_climatology_anomaly", "q67_rolling_daily", "q75_bigram_lm",
+    "q77_ivf_trained")
+
+  /** Tables the tier-2 set reads. Each is replicated `factor`× with its
+    * id keys shifted per replica (joins/groups keep realistic key
+    * cardinality instead of 10× rows per key); document text gets a
+    * per-replica suffix token so the dedup queries see near-dup chains
+    * across replicas — the load they exist to handle — rather than one
+    * giant exact group. */
+  private def ensureTier2(spark: org.apache.spark.sql.SparkSession,
+                          baseDir: String, outDir: String, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(outDir, "_TIER_READY")
+    if (fs.exists(marker)) return
+    def replicate(table: String, shift: Map[String, Long],
+                  textCol: Option[String] = None): Unit = {
+      val base = spark.read.parquet(s"$baseDir/$table.parquet")
+      val copies = (0 until factor).map { i =>
+        val shifted = shift.foldLeft(base) { case (df, (c, m)) =>
+          df.withColumn(c, col(c) + lit(i * m)) }
+        textCol.fold(shifted)(t =>
+          shifted.withColumn(t,
+            if (i == 0) col(t) else concat(col(t), lit(s" r$i"))))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    // shift spans: max key + 1, computed once per table family
+    val oMax = spark.read.parquet(s"$baseDir/orders.parquet")
+      .agg(max("o_orderkey")).collect()(0).getLong(0) + 1
+    val cMax = spark.read.parquet(s"$baseDir/customer.parquet")
+      .agg(max("c_custkey")).collect()(0).getLong(0) + 1
+    val uMax = spark.read.parquet(s"$baseDir/events.parquet")
+      .agg(max("user_id")).collect()(0).getLong(0) + 1
+    val dMax = spark.read.parquet(s"$baseDir/documents.parquet")
+      .agg(max("doc_id")).collect()(0).getLong(0) + 1
+    val vMax = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .agg(max("vec_id")).collect()(0).getLong(0) + 1
+    replicate("lineitem", Map("l_orderkey" -> oMax))
+    replicate("orders", Map("o_orderkey" -> oMax, "o_custkey" -> cMax))
+    replicate("customer", Map("c_custkey" -> cMax))
+    replicate("events", Map("user_id" -> uMax))
+    replicate("documents", Map("doc_id" -> dMax), textCol = Some("text"))
+    replicate("embeddings", Map("vec_id" -> vMax))
+    fs.create(marker, true).close()
+  }
+
+  /** Previous round's per-query times, from a driver-written
+    * BENCH_r*.json (the one JSON line is embedded in its `tail` field)
+    * or a plain bench_out.json. Empty map when absent/unparseable. */
+  private def baselineQueries(path: String): Map[String, Double] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val m = """\{"metric":.*?"queries":\{(.*?)\}""".r
+        .findFirstMatchIn(text.replace("\\\"", "\""))
+      m.map(_.group(1).split(",").flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            scala.util.Try(k.trim.stripPrefix("\"").stripSuffix("\"") ->
+              v.trim.toDouble).toOption
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -41,9 +117,59 @@ object Bench {
     val total =
       if (failedSeq.nonEmpty) "null"
       else results.collect { case (_, v, true) => v }.sum.toString
+
+    // ---- tier 2: ×10 data, shuffle/AQE-visible ---------------------------
+    val tier2Json =
+      if (sys.env.getOrElse("SPARK_GRAFT_TIER2", "1") == "0" || only.isDefined) ""
+      else {
+        val factor = 10
+        val t2dir = sys.env.getOrElse("SPARK_GRAFT_TIER2_DIR",
+          "/tmp/graft_tier2_x10")
+        try {
+          ensureTier2(spark, sfDir, t2dir, factor)
+          val t2 = SparkEntry.queries.toSeq.sortBy(_._1)
+            .filter { case (n, _) => Tier2Queries.contains(n) }
+            .map { case (name, fn) =>
+              val t0 = System.nanoTime()
+              val ok = try { fn(spark, t2dir).count(); true }
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench:tier2] $name failed: ${e.getMessage}")
+                  false
+                }
+              (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+            }
+          val t2qs = t2.map { case (k, v, _) => "\"" + k + "\":" + v }
+            .mkString("{", ",", "}")
+          val t2failed = t2.collect { case (k, _, false) => "\"" + k + "\"" }
+            .mkString("[", ",", "]")
+          val t2total =
+            if (t2.exists(!_._3)) "null"
+            else t2.collect { case (_, v, true) => v }.sum.toString
+          s""","tier2":{"factor":$factor,"total":$t2total,""" +
+            s""""queries":$t2qs,"failed":$t2failed}"""
+        } catch { case e: Exception =>
+          System.err.println(s"[bench:tier2] skipped: ${e.getMessage}")
+          ""
+        }
+      }
+
+    // ---- regression callout vs the previous round ------------------------
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "/root/repo/BENCH_r02.json")
+    val prev = baselineQueries(baselinePath)
+    val regressions = results.collect {
+      case (name, now, true)
+        if prev.get(name).exists(p => p > 0.3 && now > p * 1.25) =>
+          val p = prev(name)
+          System.err.println(
+            f"[bench] REGRESSION $name: $p%.2fs -> $now%.2fs (${now / p}%.2fx)")
+          s"""{"q":"$name","prev":$p,"now":$now}"""
+    }.mkString("[", ",", "]")
+
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""ok":${failedSeq.isEmpty},""" +
-      s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s""""queries":$qs,"failed":$failed,""" +
+      s""""regressions":$regressions,"sf":"$sfDir"$tier2Json}"""
     println(json)
     // sbt routes program stdout through its [info] logger, which the
     // driver's JSON extraction has failed to strip (BENCH_r01 recorded
