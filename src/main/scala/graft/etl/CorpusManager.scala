@@ -54,7 +54,8 @@ case class CorpusFiles(
     sigs: Seq[String],
     hashes: Seq[String],
     sketch: Seq[String],
-    bands: Seq[String])
+    bands: Seq[String],
+    vecs: Seq[String] = Nil)
 
 /** A shard's vocabulary diverged below the configured containment
   * floor — the documents-side analog of
@@ -81,6 +82,15 @@ class VocabDriftException(msg: String) extends RuntimeException(msg)
   *   - `sketch/` — per-source KMV vocabulary sketches (k longs per
   *     source), merged after every ingest; drift checks are O(k) per
   *     source-pair instead of a vocab join.
+  *   - `ann/` (when `embCol` is set) — the embedding twin of the band
+  *     table: IVF quantizer centroids (trained once, at initial ingest)
+  *     and the corpus vectors with their cell assignment, bucketed on
+  *     `cell` so shard-vs-corpus near-dup candidate joins plan
+  *     exchange-free; verified cosine pairs join the same dup graph as
+  *     the text pairs. Honest boundary: candidates come from the top-1
+  *     cell only, so a near-dup pair straddling a quantizer cell
+  *     boundary is missed — the LSH multi-table path (q46) is the
+  *     recall-guaranteed alternative when that matters.
   *
   * Snapshot isolation (the [[graft.sources.GriddedStore]] discipline):
   * every committed manifest pins the exact file list of each artifact,
@@ -128,7 +138,10 @@ class CorpusManager(
     sourceCol: String = "source",
     minTokens: Int = 1,
     sketchK: Int = 256,
-    minVocabContainment: Option[Double] = None) {
+    minVocabContainment: Option[Double] = None,
+    embCol: Option[String] = None,
+    embNearCos: Double = 0.98,
+    annCells: Int = 16) {
 
   def docsPath: String = s"$root/docs"
   def dedupPath: String = s"$root/dedup"
@@ -138,6 +151,9 @@ class CorpusManager(
   private def bandsDir(v: Long): String = s"$dedupPath/bands_v$v"
   private def bandsTable(v: Long): String = s"${name}_bands_v$v"
   private val bandKeys = Seq("band", "bk")
+  def vecsPath: String = s"$root/ann/vectors"
+  private def centsPath: String = s"$root/ann/centroids"
+  private def vecsTable: String = s"${name}_vecs"
 
   private def fs = new org.apache.hadoop.fs.Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -193,7 +209,14 @@ class CorpusManager(
     import org.json4s._
     implicit val fmt: Formats = DefaultFormats
     scala.util.Try(jackson.JsonMethods.parse(txt) \ "files")
-      .toOption.collect { case o: JObject => o.extract[CorpusFiles] }
+      .toOption.collect { case o: JObject =>
+        // manifests older than the embedding artifact carry no "vecs"
+        val withVecs =
+          if ((o \ "vecs") == JNothing)
+            JObject(o.obj :+ ("vecs" -> (JArray(Nil): JValue)))
+          else o
+        withVecs.extract[CorpusFiles]
+      }
   }
 
   /** Serialize every mutating operation behind a CREATE-EXCLUSIVE
@@ -260,7 +283,7 @@ class CorpusManager(
       "files" -> JObject(
         "docs" -> arr(files.docs), "sigs" -> arr(files.sigs),
         "hashes" -> arr(files.hashes), "sketch" -> arr(files.sketch),
-        "bands" -> arr(files.bands)))))
+        "bands" -> arr(files.bands), "vecs" -> arr(files.vecs)))))
     val bytes = graft.sources.ManifestIO.seal(
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     fs.mkdirs(gensDir)
@@ -342,6 +365,89 @@ class CorpusManager(
       .agg(call_function("kmv_minima", TextFunctions.md5Hash60(col("tok")),
         lit(sketchK)).as("minima"))
 
+  // ---- embedding-side near-dup (the vector twin of the band table) -----
+
+  /** Persisted IVF quantizer centroids (trained once, at initial
+    * ingest). */
+  private[etl] def readCentroids(): Array[(Long, Array[Float])] = {
+    val s2 = spark
+    import s2.implicits._
+    spark.read.parquet(centsPath).as[(Long, Array[Float])].collect().sortBy(_._1)
+  }
+
+  /** Train the coarse quantizer on the initial keepers (md5-ordered
+    * seeds → spherical k-means, the [[graft.functions.AnnIndex]] recipe)
+    * and persist the centroid sidecar. */
+  private def trainQuantizer(kept: DataFrame, e: String): Array[(Long, Array[Float])] = {
+    val s2 = spark
+    import s2.implicits._
+    val seeds = kept
+      .withColumn("h_", md5(col(idCol).cast("string").cast("binary")))
+      .orderBy("h_", idCol).limit(annCells)
+      .select(col(idCol).cast("long"), col(e))
+      .as[(Long, Array[Float])].collect()
+    val cents = graft.functions.VectorFunctions
+      .kmeansTrain(kept.select(col(idCol), col(e)), idCol, e, seeds)
+    cents.toSeq.toDF("cell", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(centsPath)
+    cents
+  }
+
+  /** IVF cell assignment of (id, emb) rows with the persisted
+    * quantizer. */
+  private[etl] def assignCells(df: DataFrame, e: String,
+                               cents: Array[(Long, Array[Float])]): DataFrame =
+    graft.functions.VectorFunctions
+      .ivfAssign(df.select(col(idCol), col(e)), idCol, e, cents)
+
+  /** Embedding near-dup candidate pairs of the shard against the CORPUS
+    * vector table: candidates only from shared IVF cells — the bucketed
+    * (cell)-keyed table joins exchange-free on the corpus side, the
+    * vector twin of the band-table path — then exact-cosine verify.
+    * Corpus-side ids are semi-joined against the PINNED hash table:
+    * unlike band rows (where the verify join already requires pinned
+    * signatures), a crashed ingest's orphan VECTOR row could otherwise
+    * make a shard doc look like a duplicate of a doc that never
+    * committed. Package-private so the spec can assert the plan. */
+  /** The scan-and-verify stage of [[embCandidates]]: shard rows meet the
+    * (cell)-bucketed corpus vector table on their cell and survive the
+    * exact-cosine verify — the corpus side must scan bucketed, no
+    * exchange. Split out so the spec can assert exactly this plan. */
+  private[etl] def embVerifiedPairs(shardAssigned: DataFrame): DataFrame = {
+    val e = embCol.get
+    BucketedSignatureStore.table(spark, vecsTable).as("c")
+      .join(shardAssigned.as("s"), Seq("cell"))
+      .filter(graft.functions.VectorFunctions.cosineFast(
+        col(s"c.$e"), col(s"s.$e")) >= embNearCos)
+      .select(col(s"c.$idCol").as("cid_"), col(s"s.$idCol").as("sid_"))
+  }
+
+  private[etl] def embCandidates(shardAssigned: DataFrame): DataFrame =
+    // The orphan guard must run on the VERIFIED pairs (tiny), never the
+    // vector table: the optimizer's semi-join pushdown would otherwise
+    // move it below the cell join, re-shuffling the bucketed table by id
+    // and forfeiting the exchange-free scan — the checkpoint is the
+    // reorder barrier that keeps it above (measured: pushdown happens
+    // without it), and the pair set it materializes is dup-graph-sized.
+    embVerifiedPairs(shardAssigned).localCheckpoint()
+      .join(hashesDf().select(col(idCol).as("cid_")), Seq("cid_"), "left_semi")
+      .select(least(col("cid_"), col("sid_")).as("d1"),
+        greatest(col("cid_"), col("sid_")).as("d2"))
+      .distinct()
+
+  /** Within-batch embedding near-dup pairs: cell-local self-join +
+    * cosine verify (candidates never leave their cell). */
+  private def embIntraPairs(assigned: DataFrame): DataFrame = {
+    val e = embCol.get
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(graft.functions.VectorFunctions.cosineFast(
+        col(s"a.$e"), col(s"b.$e")) >= embNearCos)
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+  }
+
   /** First ingest: gate → batch dedup ([[DedupPipeline.run]]) → write
     * the canonical corpus, then persist the dedup artifacts (signatures,
     * bucketed bands, exact hashes) and the vocabulary sketch so every
@@ -351,7 +457,24 @@ class CorpusManager(
     require(!hasExisting, s"corpus $name already exists at $root — use ingestShard")
     val (ok, rej) = qualityGate(docs)
     val accepted = ok.localCheckpoint() // gate once; feeds dedup + counts
-    val (_, _, keepers) = DedupPipeline.run(accepted, idCol, textCol, p)
+    val (_, _, textKeepers) = DedupPipeline.run(accepted, idCol, textCol, p)
+    // embedding-side near-dup among the text-unique keepers: train the
+    // quantizer, assign cells, drop non-minimum members of cell-local
+    // cosine components (text dups collapsed first, so both signals
+    // apply without double work)
+    val keepers = embCol match {
+      case Some(e) =>
+        val tk = textKeepers.localCheckpoint()
+        val cents = trainQuantizer(tk, e)
+        val assigned = assignCells(tk, e, cents).localCheckpoint()
+        val labels = graft.functions.DedupFunctions.connectedComponents(
+          embIntraPairs(assigned)
+            .select(col("d1").as("src"), col("d2").as("dst")))
+        val drops = labels.filter(col("lbl") < col("id"))
+          .select(col("id").as(idCol))
+        tk.join(drops, Seq(idCol), "left_anti")
+      case None => textKeepers
+    }
     keepers.write.mode("overwrite").parquet(docsPath)
     // re-read: 3 derived passes scan parquet, not the dedup DAG
     val kept = spark.read.parquet(docsPath)
@@ -362,11 +485,17 @@ class CorpusManager(
     kept.select(col(idCol), md5(col(textCol)).as("h"))
       .write.mode("overwrite").parquet(hashesPath)
     vocabSketch(kept).write.mode("overwrite").parquet(sketchPath)
+    // the vector twin of the band table: (cell)-bucketed so shard
+    // candidate joins plan exchange-free on the corpus side
+    embCol.foreach { e =>
+      BucketedSignatureStore.write(assignCells(kept, e, readCentroids()),
+        vecsTable, vecsPath, numBuckets, Seq("cell"))
+    }
     val (nIn, nRej, nKept) = (docs.count(), rej.count(), kept.count())
     commitManifest(nKept, 1, CorpusFiles(
       listDir(docsPath).toSeq, listDir(sigsPath).toSeq,
       listDir(hashesPath).toSeq, listDir(sketchPath).toSeq,
-      listDir(bandsDir(1)).toSeq))
+      listDir(bandsDir(1)).toSeq, listDir(vecsPath).toSeq))
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, Nil)
   }
 
@@ -457,7 +586,18 @@ class CorpusManager(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col(idCol) =!= col("keeper"))
       .select(col("keeper").as("d1"), col(idCol).as("d2"))
-    val pairs = nearPairs.unionByName(exactCross).unionByName(exactIntra)
+    // embedding near-dup edges join the SAME dup graph: cross pairs from
+    // the (cell)-bucketed corpus vector table (exchange-free corpus
+    // side), intra pairs cell-locally within the shard
+    val shardAssigned = embCol.map { e =>
+      assignCells(shard, e, readCentroids()).localCheckpoint()
+    }
+    val embEdges = shardAssigned.map { a =>
+      embCandidates(a).unionByName(embIntraPairs(a))
+    }
+    val pairs = embEdges.foldLeft(
+        nearPairs.unionByName(exactCross).unionByName(exactIntra))(
+        _ unionByName _)
       .distinct().localCheckpoint()
 
     // -- cluster and resolve drops (working set = the dup graph) --------
@@ -502,7 +642,7 @@ class CorpusManager(
     val before = Map(
       docsPath -> listDir(docsPath), sigsPath -> listDir(sigsPath),
       hashesPath -> listDir(hashesPath), sketchPath -> listDir(sketchPath),
-      activeBands -> listDir(activeBands))
+      activeBands -> listDir(activeBands), vecsPath -> listDir(vecsPath))
     def fresh(dir: String): Seq[String] = (listDir(dir) -- before(dir)).toSeq
 
     keepers.write.mode("append").parquet(docsPath)
@@ -513,12 +653,17 @@ class CorpusManager(
     mergeSketches(keeperSketch)
     keepers.select(col(idCol), md5(col(textCol)).as("h"))
       .write.mode("append").parquet(hashesPath)
+    embCol.foreach { e =>
+      BucketedSignatureStore.append(
+        assignCells(keepers, e, readCentroids()), vecsTable,
+        numBuckets, Seq("cell"))
+    }
 
     val (nIn, nRej, nKept) = (newDocs.count(), rej.count(), keepers.count())
     commitManifest(man.nDocs + nKept, man.bandsVersion, CorpusFiles(
       prev.docs ++ fresh(docsPath), prev.sigs ++ fresh(sigsPath),
       prev.hashes ++ fresh(hashesPath), fresh(sketchPath),
-      prev.bands ++ fresh(activeBands)))
+      prev.bands ++ fresh(activeBands), prev.vecs ++ fresh(vecsPath)))
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, drift)
   }
 

@@ -39,6 +39,58 @@ class CorpusManagerSpec extends SparkSpec {
   private def corpusIds(m: CorpusManager): Set[Long] =
     m.corpus().select("doc_id").collect().map(_.getLong(0)).toSet
 
+  test("embedding near-dups drop via the IVF candidate path; corpus join exchange-free") {
+    val s = spark; import s.implicits._
+    def vec(hot: Int, eps: Float = 0f, epsDim: Int = 0): Array[Float] = {
+      val a = new Array[Float](8); a(hot) = 1f
+      if (eps != 0f) a(epsDim) = eps
+      a
+    }
+    val m = new CorpusManager("cm_emb", tmpDir("cmemb"), spark,
+      numBuckets = 4, minTokens = 2,
+      embCol = Some("emb"), embNearCos = 0.95, annCells = 4)
+    try {
+      // ids chosen so the md5-ordered quantizer seeds are exactly the
+      // four distinct directions (md5 order: 6 < 77 < 88 < 9 < ... < 99)
+      val init = Seq(
+        (6L, mkText(1), "web", vec(0)),
+        (77L, mkText(4), "web", vec(1)),
+        (88L, mkText(5), "web", vec(2)),
+        (9L, mkText(6), "web", vec(3)),
+        // embedding near-dup of doc 6 WITHIN the initial batch (text is
+        // fresh — only the vector signal can catch it)
+        (99L, mkText(202), "web", vec(0, eps = 0.05f, epsDim = 7)))
+        .toDF("doc_id", "text", "source", "emb")
+      val r0 = m.ingestInitial(init)
+      assert(r0.ingested == 4 && r0.duplicates == 1,
+        s"initial: $r0")
+      assert(!m.corpus().select("doc_id").as[Long].collect().contains(99L))
+      // shard: 101 has FRESH text but an embedding ≈ corpus doc 77 →
+      // must drop via the vector path; 102 is fresh on both signals
+      val shard = Seq(
+        (101L, mkText(11), "web", vec(1, eps = 0.05f, epsDim = 6)),
+        (102L, mkText(12), "web", vec(5)))
+        .toDF("doc_id", "text", "source", "emb")
+      val r1 = m.ingestShard(shard)
+      assert(r1.ingested == 1 && r1.duplicates == 1, s"shard: $r1")
+      val ids = m.corpus().select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(102L) && !ids.contains(101L))
+      // the corpus side of the candidate join is the (cell)-bucketed
+      // vector table: the join must plan exchange-free on that side
+      val assigned = m.assignCells(shard, "emb", m.readCentroids())
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val plan = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        m.embVerifiedPairs(assigned).queryExecution.executedPlan.toString()
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cm_emb_vecs")
+      spark.sql("DROP TABLE IF EXISTS cm_emb_bands_v1")
+      spark.sql("DROP TABLE IF EXISTS cm_emb_shard_bands")
+    }
+  }
+
   test("initial ingest: quality gate + batch dedup + artifacts") {
     val m = new CorpusManager("cm_spec1", tmpDir("cm1"), spark,
       numBuckets = 4, minTokens = 2)

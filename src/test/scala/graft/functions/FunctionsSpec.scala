@@ -323,11 +323,17 @@ class FunctionsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L)
     assert(got == expected)
-    // maxIter too small for the chain's diameter must fail loudly, not
-    // return a half-propagated labeling.
+    // A propagation budget too small for the chain's diameter must NOT
+    // return a half-propagated labeling: the star fallback takes over
+    // and still produces the correct components.
     val long = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val viaFallback = DedupFunctions.connectedComponents(long, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback == (1L to 30L).map(_ -> 1L).toMap)
+    // and when even the star contraction cannot finish in the budget,
+    // the failure is loud, never a partial labeling
     intercept[IllegalArgumentException] {
-      DedupFunctions.connectedComponents(long, maxIter = 3).collect()
+      DedupFunctions.starComponents(long, maxIter = 1)._1.collect()
     }
   }
 }
