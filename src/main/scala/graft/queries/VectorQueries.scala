@@ -96,6 +96,10 @@ object VectorQueries {
           col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+      // (A distinct HERE — dedup-before-verify — was measured at the ×10
+      // tier: 16.9 s vs 6.3 s for verify-then-dedup. The pair-space
+      // shuffle costs far more than re-verifying multi-table collisions
+      // with the codegen'd dot product; see the dedup note below.)
       // Verify-then-dedup: the exact cosine verify stays inside
       // whole-stage codegen (FloatVecDot; no typed-encoder round-trip
       // per pair), with each vector's norm computed ONCE in its (small)
@@ -204,6 +208,34 @@ object VectorQueries {
           when(col("cell").isin(qcells.map(Long.box): _*), lit(1))
             .otherwise(lit(0)).as("probed"))
         .orderBy("vec_id")
+    }),
+
+    // IVF-cell near-duplicate detection: the CorpusManager ingest shape
+    // under the oracle gate. Candidates are pairs sharing their IVF cell
+    // (md5-ordered-sample quantizer, same as q51), verified by exact
+    // cosine — at scale the corpus side is the (cell)-bucketed vector
+    // table and this join plans exchange-free. Complements q46's LSH
+    // multi-table path: cheaper candidates (one cell vs 24 tables),
+    // recall bounded by cell-boundary splits (honest trade, documented
+    // at CorpusManager).
+    "q78_cell_near_dup" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb
+        .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+        .orderBy("h", "vec_id").limit(16)
+        .select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val assigned = VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
+        .localCheckpoint() // both join sides, one typed assignment pass
+      assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          VectorFunctions.cosineFast(col("a.embedding"), col("b.embedding"))
+            .as("cos"))
+        .filter(col("cos") >= 0.45)
+        .orderBy("d1", "d2")
     }),
 
     // Int8 scalar quantization of embeddings (the storage/ANN-compression
@@ -351,6 +383,20 @@ object VectorQueries {
         |  JOIN qc ON b.cid = qc.cid CROSS JOIN qv
         |  WHERE e.vec_id <> 0)
         |SELECT vec_id, cell, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q78_cell_near_dup" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+         |SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |  ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |JOIN embeddings ea ON a.vec_id = ea.vec_id
+         |JOIN embeddings eb ON b.vec_id = eb.vec_id
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
+         |ORDER BY d1, d2""".stripMargin,
     "q77_ivf_trained" ->
       s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
          |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
