@@ -25,23 +25,56 @@ class StacCatalog(val root: String, spark: SparkSession) {
     * in-place `fs.create(p, true)` would truncate first, so a crash
     * mid-write leaves a torn file that wedges every later read of the
     * catalog with a parse error. */
-  private def write(p: Path, j: JValue): Unit = {
-    fs.mkdirs(p.getParent)
+  private def sidecar(p: Path) = new Path(p.getParent, p.getName + ".sha256")
+
+  private def staged(p: Path, bytes: Array[Byte]): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(JsonMethods.pretty(JsonMethods.render(j)).getBytes("UTF-8"))
-    finally out.close()
+    try out.write(bytes) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.getUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Crash-safe JSON write: stage to a sibling tmp file, then
+    * rename-with-OVERWRITE (the GriddedStore pointer discipline) — an
+    * in-place `fs.create(p, true)` would truncate first, so a crash
+    * mid-write leaves a torn file that wedges every later read of the
+    * catalog with a parse error. The content digest lives in a `.sha256`
+    * SIDECAR (a trailer would make the file non-JSON for external STAC
+    * consumers), written AFTER the main swap: a crash between the two
+    * leaves a stale sidecar and the next read fails LOUDLY
+    * (conservative — recompute the sidecar after verifying the JSON),
+    * never silently serves corrupted metadata. */
+  private def write(p: Path, j: JValue): Unit = {
+    fs.mkdirs(p.getParent)
+    val bytes = JsonMethods.pretty(JsonMethods.render(j)).getBytes("UTF-8")
+    staged(p, bytes)
+    staged(sidecar(p),
+      graft.sources.ManifestIO.sha256Hex(bytes).getBytes("UTF-8"))
   }
 
   private def readJson(p: Path): Option[JValue] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(JsonMethods.parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString))
-      finally in.close()
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (fs.exists(sidecar(p))) {
+        val sin = fs.open(sidecar(p))
+        val expected =
+          try scala.io.Source.fromInputStream(sin, "UTF-8").mkString.trim
+          finally sin.close()
+        val actual = graft.sources.ManifestIO.sha256Hex(text.getBytes("UTF-8"))
+        if (actual != expected)
+          throw new IllegalStateException(
+            s"$p failed its sha256 integrity check (sidecar $expected, " +
+              s"computed $actual): catalog file corrupted or a crash " +
+              "interrupted the write — verify the JSON and recompute " +
+              "the sidecar")
+      }
+      Some(JsonMethods.parse(text))
     }
 
   def rootPath = new Path(root, "catalog.json")

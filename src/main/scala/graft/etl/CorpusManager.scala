@@ -737,8 +737,13 @@ class CorpusManager(
       BucketedSignatureStore.table(spark, bandsTable(man.bandsVersion))
         .join(sigsDf().select(idCol), Seq(idCol), "left_semi"),
       bandsTable(v2), bandsDir(v2), numBuckets, bandKeys)
+    // the vector artifact is not rewritten by compaction (its bucketed
+    // layout is already the compact form); carry its pinned list forward
+    // so the compacted manifest does not silently unpin it
+    val vecs = snapshotFiles().map(_.vecs).getOrElse(listDir(vecsPath).toSeq)
     commitManifest(man.nDocs, v2, CorpusFiles(
-      newDocs, newSigs, newHashes, newSketch, listDir(bandsDir(v2)).toSeq))
+      newDocs, newSigs, newHashes, newSketch, listDir(bandsDir(v2)).toSeq,
+      vecs))
   }
 
   /** Delete artifact files not referenced by the newest `retainLast`

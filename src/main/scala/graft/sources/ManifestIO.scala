@@ -24,6 +24,12 @@ object ManifestIO {
 
   private val Marker = "\n#sha256="
 
+  /** Hex sha256 of `bytes` — shared by the trailer scheme here and the
+    * sidecar scheme [[graft.catalog.StacCatalog]] uses (STAC files must
+    * stay pure JSON for external consumers, so their digest lives in a
+    * `.sha256` sidecar instead of a trailer). */
+  def sha256Hex(bytes: Array[Byte]): String = sha256Hex(bytes, bytes.length)
+
   private def sha256Hex(bytes: Array[Byte], len: Int): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(bytes, 0, len)

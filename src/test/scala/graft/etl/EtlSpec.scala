@@ -181,6 +181,32 @@ class EtlSpec extends SparkSpec {
       coll.contains("100") && coll.contains("400"))
   }
 
+  test("catalog files carry sha256 sidecars; corruption fails loudly, bare JSON stays readable") {
+    val cat = new StacCatalog(tmpDir("cat-dig"), spark)
+    cat.upsertCollection("c", Array(-10.0, -5.0, 10.0, 5.0), (100L, 200L))
+    val p = cat.collectionPath("c").toString.stripPrefix("file:")
+    // sidecar written and verifying
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p + ".sha256")))
+    assert(cat.readCollection("c").isDefined)
+    // flip a byte in the JSON body -> loud failure, not garbage metadata
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    bytes(10) = (bytes(10) ^ 0x01).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    java.nio.file.Files.deleteIfExists( // local-FS crc sidecar; object stores have none
+      java.nio.file.Paths.get(cat.collectionPath("c").getParent.toString
+        .stripPrefix("file:"), "." + cat.collectionPath("c").getName + ".crc"))
+    val ex = intercept[IllegalStateException] { cat.readCollection("c") }
+    assert(ex.getMessage.contains("sha256"))
+    // a file WITHOUT a sidecar (externally produced STAC) still reads
+    java.nio.file.Files.delete(java.nio.file.Paths.get(p + ".sha256"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      """{"type":"Collection","id":"c","links":[]}""".getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(cat.collectionPath("c").getParent.toString
+        .stripPrefix("file:"), "." + cat.collectionPath("c").getName + ".crc"))
+    assert(cat.readCollection("c").isDefined)
+  }
+
   test("catalog tree is walkable: root -> collection -> item -> prev chain") {
     val d = DatasetDescriptor("walk-ds", "precip", Category.Observation,
       None, DAY_US, ChunkGrid(10 * DAY_US, 500))
