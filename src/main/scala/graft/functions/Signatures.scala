@@ -129,47 +129,74 @@ object Signatures {
   }
 
   /** (id, sig: array<long>[perms]) — MinHash signatures over distinct
-    * word n-gram shingles. ONE md5 digest per shingle yields two 60-bit
-    * base lanes h0/h1 (hex chars 1-15 and 16-30); permutation k's hash
-    * is the Kirsch–Mitzenmacher double-hash `(h0 + k·h1) mod 2^60` — so
-    * the per-shingle cost is one digest plus `perms` multiply-adds,
-    * instead of the `perms/2` digests of the per-perm scheme (the round-2
-    * q34 regression: MD5 was the dominant dedup-stage cost). Wrapped
-    * Long arithmetic is exact here: 2^60 divides 2^64, so the `& mask`
-    * of the overflowed sum equals the true value mod 2^60, and the
-    * oracle reproduces it with HUGEINT arithmetic on the same md5
+    * word n-gram shingles. TWO md5 digests per shingle (md5(g) and
+    * md5(g + "#")) each yield two 60-bit base lanes (hex chars 1-15 and
+    * 16-30), driving two INDEPENDENT Kirsch–Mitzenmacher double-hash
+    * families: perm k < perms/2 hashes to `(h0 + k·h1) mod 2^60`, the
+    * upper half to `(h2 + k'·h3) mod 2^60` — so the per-shingle cost is
+    * two digests plus `perms` multiply-adds, instead of the `perms/2`
+    * digests of the round-2 per-perm scheme (16× fewer; MD5 was the
+    * dominant dedup-stage cost).
+    *
+    * Why two families, not one: with a single (h0, h1) pair, a shingle
+    * that happens to minimize BOTH lanes is the argmin for EVERY k, so
+    * a near-pair whose symmetric difference contains such a shingle
+    * misses at ~(2/|shingles|)² probability REGARDLESS of its true
+    * Jaccard — the 2M-doc rehearsal caught exactly this (4 of 60 000
+    * planted edges lost). Independent halves square that floor away
+    * (observed: none at 2M).
+    *
+    * Wrapped Long arithmetic is exact here: 2^60 divides 2^64, so the
+    * `& mask` of the overflowed sum equals the true value mod 2^60, and
+    * the oracle reproduces it with HUGEINT arithmetic on the same md5
     * substrings. Empty-shingle docs get all-MaxValue sigs (callers that
     * band-join should filter them out first — two empty docs are not
     * near-duplicates of each other). */
   def minhash(df: DataFrame, idCol: String, textCol: String,
               ngram: Int, perms: Int): DataFrame = {
+    require(perms % 2 == 0, "perms must be even (two hash families)")
     val spark = df.sparkSession
     import spark.implicits._
     val mask60 = (1L << 60) - 1
+    val half = perms / 2
     spread(df.select(col(idCol).cast("long"), col(textCol))).as[(Long, String)]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
+        val suffix = "#".getBytes(StandardCharsets.UTF_8)
+        def lanes(d: Array[Byte]): (Long, Long) = {
+          var v0 = 0L
+          var i = 0
+          while (i < 8) { v0 = (v0 << 8) | (d(i) & 0xffL); i += 1 }
+          var v1 = 0L
+          i = 7
+          while (i < 15) { v1 = (v1 << 8) | (d(i) & 0xffL); i += 1 }
+          (v0 >>> 4, v1 & 0x0FFFFFFFFFFFFFFFL) // hex chars 1..15, 16..30
+        }
         it.map { case (id, text) =>
           val sh = wordShingles(text, ngram)
           val sig = Array.fill(perms)(Long.MaxValue)
           var j = 0
           while (j < sh.length) {
+            val gb = sh(j).getBytes(StandardCharsets.UTF_8)
             md.reset()
-            val d = md.digest(sh(j).getBytes(StandardCharsets.UTF_8))
-            var v0 = 0L
-            var i = 0
-            while (i < 8) { v0 = (v0 << 8) | (d(i) & 0xffL); i += 1 }
-            val h0 = v0 >>> 4 // hex chars 1..15
-            var v1 = 0L
-            i = 7
-            while (i < 15) { v1 = (v1 << 8) | (d(i) & 0xffL); i += 1 }
-            val h1 = v1 & 0x0FFFFFFFFFFFFFFFL // hex chars 16..30
+            val (h0, h1) = lanes(md.digest(gb))
+            md.reset()
+            md.update(gb)
+            md.update(suffix)
+            val (h2, h3) = lanes(md.digest())
             var k = 0
             var v = h0
-            while (k < perms) {
+            while (k < half) {
               val vm = v & mask60 // (h0 + k·h1) mod 2^60, exact (see doc)
               if (vm < sig(k)) sig(k) = vm
               v += h1
+              k += 1
+            }
+            v = h2
+            while (k < perms) {
+              val vm = v & mask60
+              if (vm < sig(k)) sig(k) = vm
+              v += h3
               k += 1
             }
             j += 1

@@ -650,9 +650,13 @@ object TextQueries {
         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(LEN(toks)-2),
         |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS g FROM d),
         |gh AS (SELECT doc_id, CAST('0x'||substr(md5(g),1,15) AS BIGINT) AS h0,
-        |              CAST('0x'||substr(md5(g),16,15) AS BIGINT) AS h1 FROM sh),
+        |              CAST('0x'||substr(md5(g),16,15) AS BIGINT) AS h1,
+        |              CAST('0x'||substr(md5(g||'#'),1,15) AS BIGINT) AS h2,
+        |              CAST('0x'||substr(md5(g||'#'),16,15) AS BIGINT) AS h3 FROM sh),
         |mh AS (SELECT doc_id, p,
-        |         MIN(CAST((CAST(h0 AS HUGEINT) + p * CAST(h1 AS HUGEINT))
+        |         MIN(CAST((CASE WHEN p < 32
+        |               THEN CAST(h0 AS HUGEINT) + p * CAST(h1 AS HUGEINT)
+        |               ELSE CAST(h2 AS HUGEINT) + (p - 32) * CAST(h3 AS HUGEINT) END)
         |             % 1152921504606846976 AS BIGINT)) AS m
         |       FROM gh CROSS JOIN range(64) t(p) GROUP BY doc_id, p),
         |sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
