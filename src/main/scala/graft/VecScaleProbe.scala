@@ -1,0 +1,116 @@
+package graft
+
+import graft.etl.CorpusManager
+import org.apache.spark.sql.functions._
+
+/** Embedding-dedup scale rehearsal: the CorpusManager vector path
+  * ([[graft.etl.CorpusManager]] `embCol`) on a synthetic corpus with
+  * planted embedding near-dup groups, run initial + incremental like
+  * [[TextScaleProbe]]. Recovery of EVERY planted group is REQUIRED —
+  * the probe throws on any miss — and per-stage wall times print for
+  * the scale ledger in PLANS.md.
+  *
+  * Shape: `n` docs in groups of 4 sharing a unit direction (32-dim;
+  * random 32-dim directions collide above cos 0.98 with probability
+  * ~1e-21, so distinct groups never pair), each member perturbed by
+  * small deterministic noise (cos(member, base) ≈ 0.999). Texts are
+  * all distinct — only the VECTOR signal can dedup. The last shard
+  * group reuses group 0's direction, planting a cross-corpus near-dup.
+  *
+  * annCells sizing matters here the way shuffle partitions do
+  * elsewhere: intra-batch candidates are cell-local SELF-joins, so a
+  * cell holding k vectors contributes k²/2 pairs — size cells ~√N (the
+  * standard IVF rule) or the candidate stage goes quadratic-per-cell.
+  */
+object VecScaleProbe {
+
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    require(n % 40 == 0, "n must be a multiple of 40 (groups of 4, 90/10 split)")
+    val spark = GraftSession.local(32)
+    import spark.implicits._
+
+    val dims = 32
+    val cut = (n * 9L) / 10 // group-aligned: n % 40 == 0
+    // Deterministic direction per group + per-member noise, computed in
+    // a typed pass (no driver-side data). The last shard group reuses
+    // group 0's direction — the planted cross-corpus near-dup.
+    val lastGroup = (n - 4) / 4
+    def vecOf(id: Long): Array[Float] = {
+      val g0 = id / 4
+      val g = if (g0 == lastGroup) 0L else g0
+      val v = new Array[Float](dims)
+      var j = 0
+      var s = g * 2654435761L + 1
+      var norm = 0.0
+      while (j < dims) {
+        s = s * 6364136223846793005L + 1442695040888963407L // LCG
+        v(j) = ((s >>> 33).toDouble / (1L << 31).toDouble - 0.5).toFloat
+        norm += v(j) * v(j)
+        j += 1
+      }
+      j = 0
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      var t = id * 1099511628211L + 7
+      while (j < dims) {
+        t = t * 6364136223846793005L + 1442695040888963407L
+        val noise = ((t >>> 33).toDouble / (1L << 31).toDouble - 0.5) * 0.02
+        v(j) = v(j) * inv + noise.toFloat
+        j += 1
+      }
+      v
+    }
+    // texts fully distinct per doc (no shared shingles — a shared trigram
+    // pair across docs would put the TEXT band join at O(N²))
+    val docs = spark.range(n).as[Long].map { id =>
+      (id, s"t${id}a t${id}b t${id}c t${id}d t${id}e", "src", vecOf(id))
+    }.toDF("doc_id", "text", "source", "emb")
+      .repartition(64).localCheckpoint()
+
+    val root = java.nio.file.Files.createTempDirectory("vec-probe").toString
+    val m = new CorpusManager("vecprobe", root, spark,
+      numBuckets = 16, minTokens = 1,
+      embCol = Some("emb"), embNearCos = 0.98,
+      annCells = 256, embDims = dims,
+      // uniform-random directions are the LSH worst case (no cluster
+      // structure): bits sized for a bounded bucket load at this n
+      embBits = 16)
+
+    try {
+      val rInit = timed(s"manager initial ingest ($cut docs)") {
+        m.ingestInitial(docs.filter(col("doc_id") < cut))
+      }
+      // every complete group of 4 collapses to its minimum member
+      val expectInit = cut / 4
+      println(s"PROBE initial ingested ${rInit.ingested} (expect $expectInit)")
+      require(rInit.ingested == expectInit && rInit.duplicates == cut - expectInit,
+        s"initial embedding dedup wrong: $rInit")
+
+      val rShard = timed(s"manager shard ingest (${n - cut} docs)") {
+        m.ingestShard(docs.filter(col("doc_id") >= cut))
+      }
+      // shard groups collapse 4→1 except the planted cross group, whose
+      // members ALL drop against the committed corpus copy of group 0
+      val shardGroups = (n - cut) / 4
+      val expectShard = shardGroups - 1
+      println(s"PROBE shard ingested ${rShard.ingested} (expect $expectShard)")
+      require(rShard.ingested == expectShard,
+        s"shard embedding dedup wrong: $rShard")
+      require(rShard.duplicates == (n - cut) - expectShard,
+        s"shard duplicate count wrong: $rShard")
+      println("PROBE vec-dedup recovery complete (all planted groups)")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS vecprobe_vecs")
+      spark.sql("DROP TABLE IF EXISTS vecprobe_bands_v1")
+      spark.sql("DROP TABLE IF EXISTS vecprobe_shard_bands")
+      spark.stop()
+    }
+  }
+}

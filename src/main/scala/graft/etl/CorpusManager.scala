@@ -85,12 +85,14 @@ class VocabDriftException(msg: String) extends RuntimeException(msg)
   *   - `ann/` (when `embCol` is set) — the embedding twin of the band
   *     table: IVF quantizer centroids (trained once, at initial ingest)
   *     and the corpus vectors with their cell assignment, bucketed on
-  *     `cell` so shard-vs-corpus near-dup candidate joins plan
-  *     exchange-free; verified cosine pairs join the same dup graph as
-  *     the text pairs. Honest boundary: candidates come from the top-1
-  *     cell only, so a near-dup pair straddling a quantizer cell
-  *     boundary is missed — the LSH multi-table path (q46) is the
-  *     recall-guaranteed alternative when that matters.
+  *     `cell` so shard-vs-CORPUS near-dup candidate joins plan
+  *     exchange-free; WITHIN-batch candidates come from multi-table
+  *     hyperplane LSH instead (cell self-joins are quadratic per cell —
+  *     see `embIntraPairs`); verified cosine pairs join the same dup
+  *     graph as the text pairs. Honest boundary: cross candidates come
+  *     from the top-1 cell only, so a near-dup pair straddling a
+  *     quantizer cell boundary is missed — the LSH multi-table path
+  *     (q46) is the recall-guaranteed alternative when that matters.
   *
   * Snapshot isolation (the [[graft.sources.GriddedStore]] discipline):
   * every committed manifest pins the exact file list of each artifact,
@@ -141,7 +143,10 @@ class CorpusManager(
     minVocabContainment: Option[Double] = None,
     embCol: Option[String] = None,
     embNearCos: Double = 0.98,
-    annCells: Int = 16) {
+    annCells: Int = 16,
+    embDims: Int = 64,
+    embTables: Int = 8,
+    embBits: Int = 12) {
 
   def docsPath: String = s"$root/docs"
   def dedupPath: String = s"$root/dedup"
@@ -435,16 +440,35 @@ class CorpusManager(
         greatest(col("cid_"), col("sid_")).as("d2"))
       .distinct()
 
-  /** Within-batch embedding near-dup pairs: cell-local self-join +
-    * cosine verify (candidates never leave their cell). */
-  private def embIntraPairs(assigned: DataFrame): DataFrame = {
+  /** Within-batch embedding near-dup pairs: multi-table hyperplane-LSH
+    * candidates (the q46 machinery — `embTables` tables × `embBits`-bit
+    * md5-derived buckets) + exact-cosine verify. NOT the IVF cells: a
+    * cell-local SELF-join is quadratic per cell (a cell holding k
+    * vectors contributes k²/2 candidates), and training enough cells to
+    * bound k is O(N·C·dims) per Lloyd pass — whereas LSH bits are free
+    * to grow (candidate volume ~ N²·E[(1−θ/π)^bits]·tables; size
+    * `embBits` ≈ log₂(batch/50) for a bounded bucket load). The cells
+    * stay what they are good at: the exchange-free shard-vs-CORPUS
+    * bucketed join ([[embCandidates]]). */
+  private def embIntraPairs(batch: DataFrame): DataFrame = {
     val e = embCol.get
-    assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") &&
+    val bk = graft.functions.VectorFunctions
+      .ndBuckets(batch.select(col(idCol), col(e)), idCol, e,
+        embTables, embBits, embDims, salt = "cm-nd")
+      .select(col(idCol), posexplode(col("buckets")).as(Seq("t", "bk")))
+      .localCheckpoint() // both join sides, one typed bucket pass
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(graft.functions.VectorFunctions.cosineFast(
-        col(s"a.$e"), col(s"b.$e")) >= embNearCos)
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+    def side(idAs: String, vecAs: String) =
+      batch.select(col(idCol).as(idAs), col(e).as(vecAs))
+    cand
+      .join(side("d1", "ea"), Seq("d1"))
+      .join(side("d2", "eb"), Seq("d2"))
+      .filter(graft.functions.VectorFunctions.cosineFast(
+        col("ea"), col("eb")) >= embNearCos)
+      .select(col("d1"), col("d2"))
       .distinct()
   }
 
@@ -458,17 +482,15 @@ class CorpusManager(
     val (ok, rej) = qualityGate(docs)
     val accepted = ok.localCheckpoint() // gate once; feeds dedup + counts
     val (_, _, textKeepers) = DedupPipeline.run(accepted, idCol, textCol, p)
-    // embedding-side near-dup among the text-unique keepers: train the
-    // quantizer, assign cells, drop non-minimum members of cell-local
-    // cosine components (text dups collapsed first, so both signals
-    // apply without double work)
+    // embedding-side near-dup among the text-unique keepers: LSH-bucket
+    // candidates + cosine verify, drop non-minimum component members
+    // (text dups collapsed first, so both signals apply without double
+    // work)
     val keepers = embCol match {
-      case Some(e) =>
+      case Some(_) =>
         val tk = textKeepers.localCheckpoint()
-        val cents = trainQuantizer(tk, e)
-        val assigned = assignCells(tk, e, cents).localCheckpoint()
         val labels = graft.functions.DedupFunctions.connectedComponents(
-          embIntraPairs(assigned)
+          embIntraPairs(tk)
             .select(col("d1").as("src"), col("d2").as("dst")))
         val drops = labels.filter(col("lbl") < col("id"))
           .select(col("id").as(idCol))
@@ -485,10 +507,13 @@ class CorpusManager(
     kept.select(col(idCol), md5(col(textCol)).as("h"))
       .write.mode("overwrite").parquet(hashesPath)
     vocabSketch(kept).write.mode("overwrite").parquet(sketchPath)
-    // the vector twin of the band table: (cell)-bucketed so shard
-    // candidate joins plan exchange-free on the corpus side
+    // the vector twin of the band table: train the coarse quantizer on
+    // the final keepers, persist its centroids, and write the corpus
+    // vectors (cell)-bucketed so shard candidate joins plan
+    // exchange-free on the corpus side
     embCol.foreach { e =>
-      BucketedSignatureStore.write(assignCells(kept, e, readCentroids()),
+      BucketedSignatureStore.write(
+        assignCells(kept, e, trainQuantizer(kept, e)),
         vecsTable, vecsPath, numBuckets, Seq("cell"))
     }
     val (nIn, nRej, nKept) = (docs.count(), rej.count(), kept.count())
@@ -588,12 +613,12 @@ class CorpusManager(
       .select(col("keeper").as("d1"), col(idCol).as("d2"))
     // embedding near-dup edges join the SAME dup graph: cross pairs from
     // the (cell)-bucketed corpus vector table (exchange-free corpus
-    // side), intra pairs cell-locally within the shard
+    // side), intra pairs from the shard-local LSH buckets
     val shardAssigned = embCol.map { e =>
       assignCells(shard, e, readCentroids()).localCheckpoint()
     }
     val embEdges = shardAssigned.map { a =>
-      embCandidates(a).unionByName(embIntraPairs(a))
+      embCandidates(a).unionByName(embIntraPairs(shard))
     }
     val pairs = embEdges.foldLeft(
         nearPairs.unionByName(exactCross).unionByName(exactIntra))(

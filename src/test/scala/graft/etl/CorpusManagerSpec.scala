@@ -48,7 +48,7 @@ class CorpusManagerSpec extends SparkSpec {
     }
     val m = new CorpusManager("cm_emb", tmpDir("cmemb"), spark,
       numBuckets = 4, minTokens = 2,
-      embCol = Some("emb"), embNearCos = 0.95, annCells = 4)
+      embCol = Some("emb"), embNearCos = 0.95, annCells = 4, embDims = 8)
     try {
       // ids chosen so the md5-ordered quantizer seeds are exactly the
       // four distinct directions (md5 order: 6 < 77 < 88 < 9 < ... < 99)
