@@ -64,6 +64,66 @@ object VectorFunctions {
       }.toDF("d1", "d2", "cos")
   }
 
+  /** Blocked exhaustive pair join: every unordered id pair exactly once,
+    * with cosine, as an EQUI-join — the scale plan for low-threshold
+    * similarity joins, where LSH candidate generation cannot win.
+    *
+    * Why not LSH here: for a report threshold near cos 0.45, a true
+    * pair's per-bit hyperplane collision probability is ~0.65 vs 0.5
+    * for a random pair. Any (tables T, bits b) preserving recall r at
+    * the threshold needs T ≈ ln(1/(1−r))/0.65^b, which puts the random
+    * candidate load T·2^(−b) ≥ 1 — MORE pairs than the exhaustive join
+    * produces, plus the bucketing cost on top (measured: the former
+    * 24×4-bit form emitted 1.5 colliding tables per random pair). LSH
+    * pays off only when true pairs are far from random (cos ≳ 0.8);
+    * that regime is served by [[ndBuckets]] (CorpusManager's intra-batch
+    * candidates) and the IVF cell path (q78).
+    *
+    * Blocking (the classic √P replication scheme): block = id mod nb; a
+    * vector in block i goes to every key (i, q≥i) on the left and every
+    * key (p≤i, i) on the right, so pair {i,j} meets at exactly one key
+    * (min(bi,bj), max(bi,bj)), in exactly one orientation when the
+    * blocks differ; intra-block pairs appear in both orientations and
+    * keep only d1<d2. Output ids are canonicalized least/greatest
+    * (cosine is orientation-symmetric: IEEE multiply commutes).
+    * Each side is replicated ~nb/2× (vectors + one precomputed norm —
+    * shuffle stays linear in corpus size), work is spread over
+    * nb(nb+1)/2 equi-join groups sized corpus/nb, and the per-pair dot
+    * is the codegen'd FloatVecDot. No pair is emitted twice, so no
+    * distinct/groupBy dedup is needed after the threshold filter. */
+  def blockedAllPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      vecCol: String, nBlocks: Int = 0): org.apache.spark.sql.DataFrame = {
+    val nb =
+      if (nBlocks > 0) nBlocks
+      else { // ~4 block-pair tasks per core for stragglerless balance
+        val p = df.sparkSession.sparkContext.defaultParallelism
+        math.max(4, math.ceil(math.sqrt(8.0 * p)).toInt)
+      }
+    val numKeys = nb * (nb + 1) / 2
+    def d(x: Column, y: Column) = call_function("float_vec_dot", x, y)
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("blk", pmod(col("id"), lit(nb.toLong)).cast("int"))
+      .withColumn("nrm", sqrt(d(col("v"), col("v"))))
+    // explicit partition count: the block-pair shuffle is BYTE-light but
+    // COMPUTE-dense ((corpus/nb)² dots per key), so AQE's byte-based
+    // advisory would coalesce it to a couple of tasks and serialize the
+    // quadratic work; repartition(n, keys) is exempt from coalescing
+    val left = base.select(col("id").as("d1"), col("v").as("ea"),
+      col("nrm").as("na"), col("blk").as("p"),
+      explode(sequence(col("blk"), lit(nb - 1))).as("q"))
+      .repartition(numKeys, col("p"), col("q"))
+    val right = base.select(col("id").as("d2"), col("v").as("eb"),
+      col("nrm").as("nb"), col("blk").as("qr"),
+      explode(sequence(lit(0), col("blk"))).as("pr"))
+      .repartition(numKeys, col("pr"), col("qr"))
+    left.join(right,
+        col("p") === col("pr") && col("q") === col("qr") &&
+          (col("p") =!= col("q") || col("d1") < col("d2")))
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"),
+        (d(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+  }
+
   /** Driver-side Rademacher ±1 sign vector for one plane: sign j is the
     * low bit of the first md5 hex char of "prefix#j". Computed once at
     * plan time and inlined as literals, so executors do no hashing and

@@ -70,61 +70,26 @@ object VectorQueries {
         .limit(20)
     }),
 
-    // Embedding-cosine near-duplicate detection, the SHIPPED scale path:
-    // LSH-bucket prefilter (24 tables × 4-bit md5-derived hyperplane
-    // buckets) → exact cosine verify on candidate pairs only. The pair
-    // space never materializes: candidates come from (table, bucket)
-    // equi-join collisions only, and embeddings are fetched by id
-    // equi-join (broadcast when the corpus side fits, shuffle join
-    // otherwise) — at 100 TB the signature table is a fraction of
-    // corpus size and nothing is O(N²). Parameters
-    // (24, 4) give observed recall 1.0 vs the all-pairs baseline at both
-    // sf0.01 and sf0.1 (the baseline survives as a test-only oracle in
-    // FunctionsSpec). The DuckDB oracle recomputes the same bucketed
-    // pipeline, so this is hash-exact, not rows-only.
+    // Embedding-cosine similarity join at a LOW report threshold (0.45):
+    // blocked exhaustive pair join (VectorFunctions.blockedAllPairs).
+    // Round-2 shipped a 24-table × 4-bit LSH prefilter here; the ×10
+    // bench tier exposed the math: at this threshold a true pair's
+    // per-bit collision probability (~0.65) is too close to random
+    // (0.5) for ANY recall-preserving (tables, bits) to emit fewer
+    // candidates than the exhaustive join — the LSH form produced 1.5
+    // colliding tables per RANDOM pair, i.e. super-quadratic
+    // candidates plus bucketing cost, and lost to brute force at every
+    // scale. The blocked form does the N²/2 dots exactly once, as an
+    // equi-join on block-pair keys: work spreads over nb(nb+1)/2
+    // uniform tasks, shuffle stays linear (each vector+norm replicated
+    // ~nb/2×), recall is 1.0 by construction. LSH/IVF candidate
+    // pruning remains the shipped path where it wins — high-threshold
+    // near-dup (CorpusManager intra-batch, cos≈0.98; q78's IVF cells).
     "q46_embedding_dedup" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val bk = VectorFunctions
-        .ndBuckets(emb, "vec_id", "embedding", 24, 4, 64, "nd")
-        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bk")))
-        // ids+buckets only (24 small rows per vector) — at scale this is
-        // "write the signature table, then self-join it"; both join
-        // sides would otherwise recompute the typed bucket pass
-        .localCheckpoint()
-      val cand = bk.as("x").join(bk.as("y"),
-          col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
-      // (A distinct HERE — dedup-before-verify — was measured at the ×10
-      // tier: 16.9 s vs 6.3 s for verify-then-dedup. The pair-space
-      // shuffle costs far more than re-verifying multi-table collisions
-      // with the codegen'd dot product; see the dedup note below.)
-      // Verify-then-dedup: the exact cosine verify stays inside
-      // whole-stage codegen (FloatVecDot; no typed-encoder round-trip
-      // per pair), with each vector's norm computed ONCE in its (small)
-      // side frame rather than per candidate pair. Duplicate candidates
-      // from multi-table collisions are verified redundantly and deduped
-      // AFTER the threshold filter, when only true near-dups remain —
-      // no million-row distinct/shuffle before the filter. Same result
-      // set as dedup-first (cosine per pair is deterministic).
-      def side(idAs: String, vecAs: String, normAs: String) =
-        emb.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
-          sqrt(call_function("float_vec_dot", col("embedding"), col("embedding")))
-            .as(normAs))
-      // no broadcast() hint: the hint is unconditional and would force a
-      // driver collect of the whole vector table at any scale — the
-      // planner/AQE broadcasts when the side actually fits the
-      // threshold (it does at bench scale) and shuffle-joins otherwise
-      val pairs = cand
-        .join(side("d1", "ea", "na"), Seq("d1"))
-        .join(side("d2", "eb", "nb"), Seq("d2"))
-      pairs
-        .select(col("d1"), col("d2"),
-          (call_function("float_vec_dot", col("ea"), col("eb")) /
-            (col("na") * col("nb"))).as("cos"))
+      VectorFunctions.blockedAllPairs(emb, "vec_id", "embedding")
         .filter(col("cos") >= 0.45)
-        .groupBy("d1", "d2").agg(min("cos").as("cos")) // dedup (cos identical per pair)
         .orderBy("d1", "d2")
     }),
 
@@ -344,24 +309,11 @@ object VectorQueries {
         |   sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
         |FROM cand ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     "q46_embedding_dedup" ->
-      """WITH planes AS (SELECT t, p, list_transform(range(64), j ->
-        |        CASE WHEN CAST('0x'||substr(md5('nd#'||t||'#'||p||'#'||j),1,1) AS INTEGER)%2=1
-        |             THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sg
-        |      FROM range(24) a(t) CROSS JOIN range(4) b(p)),
-        |proj AS (SELECT vec_id, t, p, list_sum(list_transform(range(64),
-        |           j -> CAST(embedding[j+1] AS DOUBLE) * sg[j+1])) AS pr
-        |      FROM embeddings CROSS JOIN planes),
-        |buck AS (SELECT vec_id, t, CAST(SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
-        |                                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bk
-        |      FROM proj GROUP BY vec_id, t),
-        |cand AS (SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
-        |      FROM buck x JOIN buck y ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id),
-        |sc AS (SELECT d1, d2,
-        |  list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) /
-        |  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
-        |   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
-        |  FROM cand JOIN embeddings a ON d1 = a.vec_id JOIN embeddings b ON d2 = b.vec_id)
-        |SELECT d1, d2, cos FROM sc WHERE cos >= 0.45 ORDER BY d1, d2""".stripMargin,
+      s"""SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
+         |ORDER BY d1, d2""".stripMargin,
     "q51_ann_ivf" ->
       """WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
         |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),

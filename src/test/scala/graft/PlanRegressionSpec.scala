@@ -16,12 +16,12 @@ class PlanRegressionSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
-  test("q46 near-dup never materializes the pair space (no BroadcastNestedLoopJoin)") {
+  test("q46 similarity join is an equi-join on block-pair keys (no BNLJ)") {
     val plan = SparkEntry.queries("q46_embedding_dedup")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("BroadcastNestedLoopJoin"),
-      "q46 must build candidates from the (table, bucket) equi-join, " +
-        "not an all-pairs non-equi join")
+      "q46 must pair blocks via the (p,q) equi-join — a non-equi " +
+        "all-pairs join funnels the whole corpus through one task")
   }
 
   test("q49 ranks per target with a partial aggregate, not a window") {

@@ -185,22 +185,28 @@ class FunctionsSpec extends SparkSpec {
     assert(b(0) != b(2)) // antipodal vector flips every plane
   }
 
-  test("q46 bucketed near-dup has full recall vs the all-pairs baseline (test-only oracle)") {
-    // The all-pairs brute force was round 1's oracle-checked q46; it is
-    // now demoted to THIS test: the shipped bucketed operator must find
-    // every pair the exhaustive scan finds at the declared threshold.
-    // Deterministic (md5-derived planes), so exact equality is stable.
+  test("q46 blocked pair join: every unordered pair exactly once, equal to naive join") {
+    // The blocking scheme (id mod nb; pair {i<j} meets at exactly one
+    // block-pair key) must emit each pair once — no misses (recall) and
+    // no duplicates (which would double-report rows above threshold).
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    // several nb values, including nb > distinct blocks and nb = 1
+    for (nb <- Seq(1, 3, 7, 16)) {
+      val pairs = VectorFunctions.blockedAllPairs(emb, "vec_id", "embedding", nb)
+      assert(pairs.count() == n * (n - 1) / 2, s"nb=$nb pair multiset wrong")
+    }
     val a = emb.select(col("vec_id").as("d1"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("d2"), col("embedding").as("eb"))
     val brute = VectorFunctions.cosinePairs(a.join(b, col("d1") < col("d2")))
       .filter(col("cos") >= 0.45)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val bucketed = graft.SparkEntry.queries("q46_embedding_dedup")(spark, dir)
+    val blocked = graft.SparkEntry.queries("q46_embedding_dedup")(spark, dir)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(bucketed == brute,
-      s"bucketed=${bucketed.size} brute=${brute.size} missed=${brute -- bucketed}")
+    assert(blocked == brute,
+      s"blocked=${blocked.size} brute=${brute.size} missed=${brute -- blocked}")
   }
 
   test("simhash blocking guarantee: every planted pair at Hamming <= 3 is emitted") {
