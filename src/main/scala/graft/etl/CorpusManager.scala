@@ -82,17 +82,20 @@ class VocabDriftException(msg: String) extends RuntimeException(msg)
   *   - `sketch/` — per-source KMV vocabulary sketches (k longs per
   *     source), merged after every ingest; drift checks are O(k) per
   *     source-pair instead of a vocab join.
-  *   - `ann/` (when `embCol` is set) — the embedding twin of the band
-  *     table: IVF quantizer centroids (trained once, at initial ingest)
-  *     and the corpus vectors with their cell assignment, bucketed on
-  *     `cell` so shard-vs-CORPUS near-dup candidate joins plan
-  *     exchange-free; WITHIN-batch candidates come from multi-table
-  *     hyperplane LSH instead (cell self-joins are quadratic per cell —
-  *     see `embIntraPairs`); verified cosine pairs join the same dup
-  *     graph as the text pairs. Honest boundary: cross candidates come
-  *     from the top-1 cell only, so a near-dup pair straddling a
-  *     quantizer cell boundary is missed — the LSH multi-table path
-  *     (q46) is the recall-guaranteed alternative when that matters.
+  *   - `ann/v{N}/` (when `embCol` is set) — the embedding twin of the
+  *     band table, versioned with it: IVF quantizer centroids (trained
+  *     at initial ingest, RETRAINED on the whole corpus at each
+  *     compaction so shard drift cannot skew cells or push near pairs
+  *     across stale boundaries) and the corpus vectors with their cell
+  *     assignment, bucketed on `cell` so shard-vs-CORPUS near-dup
+  *     candidate joins plan exchange-free; WITHIN-batch candidates come
+  *     from multi-table hyperplane LSH instead (cell self-joins are
+  *     quadratic per cell — see `embIntraPairs`); verified cosine pairs
+  *     join the same dup graph as the text pairs. Honest boundary:
+  *     cross candidates come from the top-1 cell only, so a near-dup
+  *     pair straddling a quantizer cell boundary is missed — the
+  *     multi-table LSH shape is the recall-guaranteed alternative when
+  *     that matters.
   *
   * Snapshot isolation (the [[graft.sources.GriddedStore]] discipline):
   * every committed manifest pins the exact file list of each artifact,
@@ -156,9 +159,15 @@ class CorpusManager(
   private def bandsDir(v: Long): String = s"$dedupPath/bands_v$v"
   private def bandsTable(v: Long): String = s"${name}_bands_v$v"
   private val bandKeys = Seq("band", "bk")
-  def vecsPath: String = s"$root/ann/vectors"
-  private def centsPath: String = s"$root/ann/centroids"
-  private def vecsTable: String = s"${name}_vecs"
+  // The ANN artifacts (coarse-quantizer centroids + the (cell)-bucketed
+  // corpus vector table) are VERSIONED together, keyed by the same
+  // counter as the band table: compaction retrains the quantizer and
+  // rewrites the vectors under v(N+1) while readers pinned to older
+  // manifests keep their v(N) files untouched.
+  private def annDir(v: Long): String = s"$root/ann/v$v"
+  def vecsPath(v: Long): String = s"${annDir(v)}/vectors"
+  private def centsPath(v: Long): String = s"${annDir(v)}/centroids"
+  private def vecsTable(v: Long): String = s"${name}_vecs_v$v"
 
   private def fs = new org.apache.hadoop.fs.Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -372,18 +381,22 @@ class CorpusManager(
 
   // ---- embedding-side near-dup (the vector twin of the band table) -----
 
-  /** Persisted IVF quantizer centroids (trained once, at initial
-    * ingest). */
-  private[etl] def readCentroids(): Array[(Long, Array[Float])] = {
+  /** Persisted IVF quantizer centroids of the LIVE ann version (trained
+    * at initial ingest, retrained by [[compactArtifacts]]). */
+  private[etl] def readCentroids(): Array[(Long, Array[Float])] =
+    readCentroidsAt(readManifest().get.bandsVersion)
+
+  private[etl] def readCentroidsAt(v: Long): Array[(Long, Array[Float])] = {
     val s2 = spark
     import s2.implicits._
-    spark.read.parquet(centsPath).as[(Long, Array[Float])].collect().sortBy(_._1)
+    spark.read.parquet(centsPath(v)).as[(Long, Array[Float])].collect().sortBy(_._1)
   }
 
-  /** Train the coarse quantizer on the initial keepers (md5-ordered
+  /** Train the coarse quantizer on the given corpus vectors (md5-ordered
     * seeds → spherical k-means, the [[graft.functions.AnnIndex]] recipe)
-    * and persist the centroid sidecar. */
-  private def trainQuantizer(kept: DataFrame, e: String): Array[(Long, Array[Float])] = {
+    * and persist the centroid sidecar for ann version `v`. */
+  private def trainQuantizer(kept: DataFrame, e: String,
+                             v: Long): Array[(Long, Array[Float])] = {
     val s2 = spark
     import s2.implicits._
     val seeds = kept
@@ -394,7 +407,7 @@ class CorpusManager(
     val cents = graft.functions.VectorFunctions
       .kmeansTrain(kept.select(col(idCol), col(e)), idCol, e, seeds)
     cents.toSeq.toDF("cell", "ce")
-      .coalesce(1).write.mode("overwrite").parquet(centsPath)
+      .coalesce(1).write.mode("overwrite").parquet(centsPath(v))
     cents
   }
 
@@ -420,7 +433,7 @@ class CorpusManager(
     * exchange. Split out so the spec can assert exactly this plan. */
   private[etl] def embVerifiedPairs(shardAssigned: DataFrame): DataFrame = {
     val e = embCol.get
-    BucketedSignatureStore.table(spark, vecsTable).as("c")
+    BucketedSignatureStore.table(spark, vecsTable(readManifest().get.bandsVersion)).as("c")
       .join(shardAssigned.as("s"), Seq("cell"))
       .filter(graft.functions.VectorFunctions.cosineFast(
         col(s"c.$e"), col(s"s.$e")) >= embNearCos)
@@ -513,14 +526,14 @@ class CorpusManager(
     // exchange-free on the corpus side
     embCol.foreach { e =>
       BucketedSignatureStore.write(
-        assignCells(kept, e, trainQuantizer(kept, e)),
-        vecsTable, vecsPath, numBuckets, Seq("cell"))
+        assignCells(kept, e, trainQuantizer(kept, e, 1)),
+        vecsTable(1), vecsPath(1), numBuckets, Seq("cell"))
     }
     val (nIn, nRej, nKept) = (docs.count(), rej.count(), kept.count())
     commitManifest(nKept, 1, CorpusFiles(
       listDir(docsPath).toSeq, listDir(sigsPath).toSeq,
       listDir(hashesPath).toSeq, listDir(sketchPath).toSeq,
-      listDir(bandsDir(1)).toSeq, listDir(vecsPath).toSeq))
+      listDir(bandsDir(1)).toSeq, listDir(vecsPath(1)).toSeq))
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, Nil)
   }
 
@@ -664,10 +677,11 @@ class CorpusManager(
       listDir(hashesPath).toSeq, listDir(sketchPath).toSeq,
       listDir(bandsDir(man.bandsVersion)).toSeq))
     val activeBands = bandsDir(man.bandsVersion)
+    val activeVecs = vecsPath(man.bandsVersion)
     val before = Map(
       docsPath -> listDir(docsPath), sigsPath -> listDir(sigsPath),
       hashesPath -> listDir(hashesPath), sketchPath -> listDir(sketchPath),
-      activeBands -> listDir(activeBands), vecsPath -> listDir(vecsPath))
+      activeBands -> listDir(activeBands), activeVecs -> listDir(activeVecs))
     def fresh(dir: String): Seq[String] = (listDir(dir) -- before(dir)).toSeq
 
     keepers.write.mode("append").parquet(docsPath)
@@ -680,7 +694,7 @@ class CorpusManager(
       .write.mode("append").parquet(hashesPath)
     embCol.foreach { e =>
       BucketedSignatureStore.append(
-        assignCells(keepers, e, readCentroids()), vecsTable,
+        assignCells(keepers, e, readCentroids()), vecsTable(man.bandsVersion),
         numBuckets, Seq("cell"))
     }
 
@@ -688,7 +702,7 @@ class CorpusManager(
     commitManifest(man.nDocs + nKept, man.bandsVersion, CorpusFiles(
       prev.docs ++ fresh(docsPath), prev.sigs ++ fresh(sigsPath),
       prev.hashes ++ fresh(hashesPath), fresh(sketchPath),
-      prev.bands ++ fresh(activeBands), prev.vecs ++ fresh(vecsPath)))
+      prev.bands ++ fresh(activeBands), prev.vecs ++ fresh(activeVecs)))
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, drift)
   }
 
@@ -762,13 +776,31 @@ class CorpusManager(
       BucketedSignatureStore.table(spark, bandsTable(man.bandsVersion))
         .join(sigsDf().select(idCol), Seq(idCol), "left_semi"),
       bandsTable(v2), bandsDir(v2), numBuckets, bandKeys)
-    // the vector artifact is not rewritten by compaction (its bucketed
-    // layout is already the compact form); carry its pinned list forward
-    // so the compacted manifest does not silently unpin it
-    val vecs = snapshotFiles().map(_.vecs).getOrElse(listDir(vecsPath).toSeq)
+    // Retrain the coarse quantizer on the full compacted corpus: shard
+    // appends assign with the centroids trained at INITIAL ingest, so as
+    // shards accumulate the quantizer drifts away from the corpus
+    // distribution — cells skew (the shard candidate join's cost is
+    // quadratic in the biggest cell) and genuinely-near vectors straddle
+    // stale cell boundaries, costing recall. Compaction is the one
+    // moment the artifact set is rewritten anyway, so the retrain and
+    // the reassignment ride the same pass, versioned v(N+1) beside the
+    // band table; readers pinned to older manifests keep their ann/v(N)
+    // files (and the matching centroid sidecar) untouched.
+    val newVecs = embCol match {
+      case Some(e) =>
+        val prevVecs = snapshotFiles().map(_.vecs)
+          .getOrElse(listDir(vecsPath(man.bandsVersion)).toSeq)
+        val cur = spark.read.parquet(prevVecs.map(f => s"$root/$f"): _*)
+          .select(col(idCol), col(e))
+        BucketedSignatureStore.write(
+          assignCells(cur, e, trainQuantizer(cur, e, v2)),
+          vecsTable(v2), vecsPath(v2), numBuckets, Seq("cell"))
+        listDir(vecsPath(v2)).toSeq
+      case None => snapshotFiles().map(_.vecs).getOrElse(Nil)
+    }
     commitManifest(man.nDocs, v2, CorpusFiles(
       newDocs, newSigs, newHashes, newSketch, listDir(bandsDir(v2)).toSeq,
-      vecs))
+      newVecs))
   }
 
   /** Delete artifact files not referenced by the newest `retainLast`
@@ -795,15 +827,27 @@ class CorpusManager(
       s"no retained manifest pins file lists (legacy store at $root); " +
         "vacuum would treat every artifact file as an orphan")
     val referenced = retained
-      .flatMap(f => f.docs ++ f.sigs ++ f.hashes ++ f.sketch ++ f.bands).toSet
+      .flatMap(f => f.docs ++ f.sigs ++ f.hashes ++ f.sketch ++ f.bands ++
+        f.vecs).toSet
     val dedupP = new org.apache.hadoop.fs.Path(dedupPath)
     val bandVersions =
       if (!fs.exists(dedupP)) Nil
       else fs.listStatus(dedupP).map(_.getPath.getName)
         .collect { case d if d.matches("bands_v\\d+") =>
           d.stripPrefix("bands_v").toLong }.toSeq
+    val annP = new org.apache.hadoop.fs.Path(s"$root/ann")
+    val annVersions =
+      if (!fs.exists(annP)) Nil
+      else fs.listStatus(annP).map(_.getPath.getName)
+        .collect { case d if d.matches("v\\d+") =>
+          d.stripPrefix("v").toLong }.toSeq
+    // vector files participate like every other artifact (crashed shard
+    // ingests leave orphan vector rows; compaction leaves whole stale
+    // versions); the centroid sidecars are NOT file-tracked — they live
+    // and die with their version dir below
     val all = listDir(docsPath) ++ listDir(sigsPath) ++ listDir(hashesPath) ++
-      listDir(sketchPath) ++ bandVersions.flatMap(v => listDir(bandsDir(v)))
+      listDir(sketchPath) ++ bandVersions.flatMap(v => listDir(bandsDir(v))) ++
+      annVersions.flatMap(v => listDir(vecsPath(v)))
     val doomed = (all -- referenced).toSeq.sorted
     doomed.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
@@ -816,9 +860,19 @@ class CorpusManager(
         fs.delete(new org.apache.hadoop.fs.Path(bandsDir(v)), true)
         spark.sql(s"DROP TABLE IF EXISTS ${bandsTable(v)}")
       }
-    // the active table may have lost orphan files — drop its cached index
+    // same for ann versions: an emptied vector dir means no retained
+    // manifest pins this quantizer generation — its centroid sidecar
+    // goes with it
+    annVersions.filterNot(_ == man.bandsVersion)
+      .filterNot(v => listDir(vecsPath(v)).nonEmpty).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(annDir(v)), true)
+        spark.sql(s"DROP TABLE IF EXISTS ${vecsTable(v)}")
+      }
+    // the active tables may have lost orphan files — drop cached indexes
     if (spark.catalog.tableExists(bandsTable(man.bandsVersion)))
       spark.catalog.refreshTable(bandsTable(man.bandsVersion))
+    if (spark.catalog.tableExists(vecsTable(man.bandsVersion)))
+      spark.catalog.refreshTable(vecsTable(man.bandsVersion))
     doomed
   }
 

@@ -85,9 +85,79 @@ class CorpusManagerSpec extends SparkSpec {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       assert(plan.contains("Bucketed: true"), plan)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS cm_emb_vecs")
+      spark.sql("DROP TABLE IF EXISTS cm_emb_vecs_v1")
       spark.sql("DROP TABLE IF EXISTS cm_emb_bands_v1")
       spark.sql("DROP TABLE IF EXISTS cm_emb_shard_bands")
+    }
+  }
+
+  test("compaction retrains the quantizer; stale cells separate; old ann version vacuumed") {
+    val s = spark; import s.implicits._
+    def vec(hot: Int, eps: Float = 0f, epsDim: Int = 0): Array[Float] = {
+      val a = new Array[Float](8); a(hot) = 1f
+      if (eps != 0f) a(epsDim) = eps
+      a
+    }
+    val m = new CorpusManager("cm_rt", tmpDir("cmrt"), spark,
+      numBuckets = 4, minTokens = 2,
+      embCol = Some("emb"), embNearCos = 0.95, annCells = 4, embDims = 8)
+    try {
+      // initial corpus: 4 docs in orthogonal directions 0-3; md5 order
+      // (6 < 77 < 88 < 9) makes each its own quantizer seed → the v1
+      // cells are exactly directions 0-3
+      m.ingestInitial(Seq(
+        (6L, mkText(1), "web", vec(0)), (77L, mkText(4), "web", vec(1)),
+        (88L, mkText(5), "web", vec(2)), (9L, mkText(6), "web", vec(3)))
+        .toDF("doc_id", "text", "source", "emb"))
+      // shard: two docs in NEW directions 4 and 5 — orthogonal to every
+      // v1 centroid, so the stale quantizer ties them into one cell
+      val r1 = m.ingestShard(Seq(
+        (170L, mkText(21), "web", vec(4)), (301L, mkText(22), "web", vec(5)))
+        .toDF("doc_id", "text", "source", "emb"))
+      assert(r1.ingested == 2, s"shard1: $r1")
+      val newDirs = Seq((170L, mkText(21), "web", vec(4)),
+        (301L, mkText(22), "web", vec(5))).toDF("doc_id", "text", "source", "emb")
+      val stale = m.assignCells(newDirs, "emb", m.readCentroids())
+        .select("doc_id", "cell").as[(Long, Long)].collect().toMap
+      assert(stale(170L) == stale(301L),
+        "stale quantizer cannot separate the post-training directions")
+      // compaction retrains on the full corpus: 170 is now the lowest
+      // md5 seed → its direction becomes a cell of its own
+      m.compactArtifacts()
+      assert(m.readManifest().get.bandsVersion == 2L)
+      assert(m.readCentroidsAt(1).map(_._1).toSet !=
+        m.readCentroidsAt(2).map(_._1).toSet, "retrain must reseed")
+      val fresh = m.assignCells(newDirs, "emb", m.readCentroids())
+        .select("doc_id", "cell").as[(Long, Long)].collect().toMap
+      assert(fresh(170L) != fresh(301L),
+        s"retrained quantizer must separate directions 4 and 5: $fresh")
+      // post-compaction shard: 401 has fresh text but an embedding near
+      // corpus doc 170 — must drop through the RETRAINED cell path; 402
+      // is fresh on both signals
+      val r2 = m.ingestShard(Seq(
+        (401L, mkText(31), "web", vec(4, eps = 0.05f, epsDim = 7)),
+        (402L, mkText(32), "web", vec(6)))
+        .toDF("doc_id", "text", "source", "emb"))
+      assert(r2.ingested == 1 && r2.duplicates == 1, s"shard2: $r2")
+      assert(!corpusIds(m).contains(401L) && corpusIds(m).contains(402L))
+      // v2 is the one the candidate join reads, still bucketed
+      val assigned = m.assignCells(newDirs, "emb", m.readCentroids())
+      val plan = m.embVerifiedPairs(assigned).queryExecution.executedPlan.toString()
+      assert(plan.contains("cm_rt_vecs_v2") || plan.contains("Bucketed: true"), plan)
+      // retain only the live generation: ann/v1 (vectors + centroid
+      // sidecar) must be reclaimed, v2 untouched, reads intact
+      m.vacuum(retainLast = 1)
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(m.vecsPath(1))),
+        "vacuum must reclaim the superseded ann version")
+      assert(fsys.exists(new org.apache.hadoop.fs.Path(m.vecsPath(2))))
+      assert(!spark.catalog.tableExists("cm_rt_vecs_v1"))
+      assert(corpusIds(m).contains(402L))
+    } finally {
+      Seq("cm_rt_vecs_v1", "cm_rt_vecs_v2", "cm_rt_bands_v1",
+        "cm_rt_bands_v2", "cm_rt_shard_bands")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
