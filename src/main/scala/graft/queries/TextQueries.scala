@@ -598,6 +598,39 @@ object TextQueries {
         .withColumn("rare_ratio",
           col("n_rare").cast("double") / col("n_bigrams").cast("double"))
         .orderBy("doc_id")
+    }),
+
+    // Reference-model quality filter (the cross-corpus twin of q75's
+    // self-scored LM): train a bigram model on the REFERENCE subset (a
+    // curated sample — here the md5-free deterministic 1-in-5 of the
+    // 'en' docs, standing in for the "known-good corpus" slot), score
+    // EVERY doc by the fraction of its bigram instances unseen in that
+    // model, and emit a keep flag at OOV ≤ 0.15. Scale shape: the model
+    // is reference-corpus-sized (NOT broadcastable at 100 TB), so the
+    // score is one equi-join on the (a,b) bigram key with both sides
+    // partitioned by it; the tokenize pass is shared between model and
+    // doc counts via one checkpoint. Single-token docs have no bigrams
+    // and drop out of both engines identically.
+    "q79_lm_filter" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val bg = graft.functions.Signatures.skipGramRowsById(
+        docs, "doc_id", "text", 1)
+        .localCheckpoint() // one tokenize pass feeds model AND doc counts
+      val refIds = docs
+        .filter(col("lang") === "en" && col("doc_id") % 5 === 0)
+        .select("doc_id")
+      val model = bg.join(refIds, Seq("doc_id"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val docBg = bg.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n_inst"))
+      val ratio = col("n_oov").cast("double") / col("n_bigrams").cast("double")
+      docBg.join(model, Seq("a", "b"), "left")
+        .groupBy("doc_id")
+        .agg(sum("n_inst").cast("bigint").as("n_bigrams"),
+          sum(when(col("c_ab").isNull, col("n_inst")).otherwise(lit(0L)))
+            .cast("bigint").as("n_oov"))
+        .withColumn("oov_ratio", ratio)
+        .withColumn("keep", when(ratio <= 0.15, lit(1)).otherwise(lit(0)))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -916,5 +949,25 @@ object TextQueries {
         |  MIN(p) AS min_p,
         |  CAST(SUM(CASE WHEN p < 0.01 THEN n_inst ELSE 0 END) AS DOUBLE) /
         |    CAST(SUM(n_inst) AS DOUBLE) AS rare_ratio
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q79_lm_filter" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, lang, t, unnest(range(1, len(t) + 1)) AS i FROM d),
+        |tk AS (SELECT doc_id, lang, i, t[i] AS tok FROM pos),
+        |bg AS (SELECT x.doc_id, x.lang, x.tok AS a, y.tok AS b FROM tk x JOIN tk y
+        |       ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+        |model AS (SELECT a, b, COUNT(*) AS c_ab FROM bg
+        |          WHERE lang = 'en' AND doc_id % 5 = 0 GROUP BY a, b),
+        |docbg AS (SELECT doc_id, a, b, COUNT(*) AS n_inst
+        |          FROM bg GROUP BY doc_id, a, b),
+        |sc AS (SELECT doc_id, SUM(n_inst) AS nb,
+        |    SUM(CASE WHEN m.c_ab IS NULL THEN n_inst ELSE 0 END) AS no
+        |  FROM docbg db LEFT JOIN model m ON db.a = m.a AND db.b = m.b
+        |  GROUP BY doc_id)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+        |  CAST(no AS BIGINT) AS n_oov,
+        |  CAST(no AS DOUBLE) / CAST(nb AS DOUBLE) AS oov_ratio,
+        |  CAST(CASE WHEN CAST(no AS DOUBLE) / CAST(nb AS DOUBLE) <= 0.15
+        |       THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin)
 }
