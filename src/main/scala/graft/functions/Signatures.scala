@@ -95,6 +95,28 @@ object Signatures {
       .toDF(idCol, srcCol, "g")
   }
 
+  /** POSITIONED n-gram rows `(id, pos, g)` — every occurrence with its
+    * 0-based token offset, NOT the distinct set: span-level operators
+    * (shared-substring dedup) need to know WHERE a gram sits so
+    * adjacent shared grams can merge into maximal spans. Same
+    * imperative single-pass rationale and `split(" ", -1)` contract as
+    * [[ngramRows]]. */
+  def ngramPosRows(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    spread(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < n) Iterator.empty
+        else (0 to t.length - n).iterator.map { i =>
+          (id, i, t.slice(i, i + n).mkString(" "))
+        }
+      })
+      .toDF(idCol, "pos", "g")
+  }
+
   /** Skip-gram pair rows `(a, b)` for token offsets 1..maxOff — one
     * imperative tokenize pass per document, for the same reason as
     * [[ngramRows]]: the HOF route (`explode(concat(transform(...)))`)

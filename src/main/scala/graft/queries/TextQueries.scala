@@ -631,6 +631,38 @@ object TextQueries {
         .withColumn("oov_ratio", ratio)
         .withColumn("keep", when(ratio <= 0.15, lit(1)).otherwise(lit(0)))
         .orderBy("doc_id")
+    }),
+
+    // Exact substring-span dedup: per document, the MAXIMAL token spans
+    // (≥ 8 tokens) that also occur verbatim in at least one OTHER
+    // document — the span-level exact-dedup operator (trim repeated
+    // licence headers / navigation chrome from otherwise-unique docs),
+    // complementing q28's whole-doc and q34/q35's near-whole-doc forms.
+    // Shape: one positioned 8-gram pass; grams occurring in ≥2 distinct
+    // docs (one gram-keyed groupBy) semi-join back (same key); adjacent
+    // shared positions merge into maximal spans with gaps-and-islands
+    // (pos − row_number per doc). Every stage is linear in the gram
+    // count and keyed by gram or doc — nothing is pairwise, so span
+    // detection costs the same whether a header is shared by 2 docs or
+    // 2 million.
+    "q80_shared_spans" -> ((s, dir) => {
+      val n = 8
+      val g = graft.functions.Signatures.ngramPosRows(
+          Tables.table(s, dir, "documents"), "doc_id", "text", n)
+        .localCheckpoint() // one tokenize pass feeds shared set AND span scan
+      val shared = g.groupBy("g")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+        .select("g")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      g.join(shared, Seq("g"), "left_semi")
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(min("pos").as("span_start"),
+          (max("pos") + lit(n - 1)).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_len"))
+        .orderBy("doc_id", "span_start")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -969,5 +1001,21 @@ object TextQueries {
         |  CAST(no AS DOUBLE) / CAST(nb AS DOUBLE) AS oov_ratio,
         |  CAST(CASE WHEN CAST(no AS DOUBLE) / CAST(nb AS DOUBLE) <= 0.15
         |       THEN 1 ELSE 0 END AS INTEGER) AS keep
-        |FROM sc ORDER BY doc_id""".stripMargin)
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q80_shared_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(len(t) - 7)) AS i FROM d
+        |        WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |        array_to_string(t[i+1:i+8], ' ') AS gm FROM pos),
+        |sh AS (SELECT gm FROM g GROUP BY gm HAVING COUNT(DISTINCT doc_id) >= 2),
+        |sp AS (SELECT doc_id, pos,
+        |        pos - CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+        |                   AS INTEGER) AS grp
+        |      FROM g JOIN sh USING (gm)),
+        |isl AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+        |        FROM sp GROUP BY doc_id, grp)
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_len
+        |FROM isl ORDER BY doc_id, span_start""".stripMargin)
 }
