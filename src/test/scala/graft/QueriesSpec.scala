@@ -66,4 +66,24 @@ class QueriesSpec extends SparkSpec {
     val dup = packed.groupBy("source", "bin").count().filter(col("count") > 1)
     assert(dup.isEmpty)
   }
+
+  test("q80 span semantics: planted shared header merges to one maximal span") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    // 12-token header shared verbatim by docs 1 and 2 (distinct tails),
+    // doc 3 fully unique: expect exactly one span per sharing doc,
+    // covering tokens [0, 11] — adjacent shared 8-grams MERGED, not
+    // reported per-gram — and nothing for doc 3.
+    val header = (0 until 12).map(i => s"h$i").mkString(" ")
+    val docs = Seq(
+      (1L, header + " " + (0 until 6).map(i => s"a$i").mkString(" ")),
+      (2L, header + " " + (0 until 6).map(i => s"b$i").mkString(" ")),
+      (3L, (0 until 20).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("q80fix")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = SparkEntry.queries("q80_shared_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(spans.toSet == Set((1L, 0, 11, 12), (2L, 0, 11, 12)), spans.toSeq)
+  }
 }
