@@ -163,7 +163,11 @@ class CorpusManager(
   // corpus vector table) are VERSIONED together, keyed by the same
   // counter as the band table: compaction retrains the quantizer and
   // rewrites the vectors under v(N+1) while readers pinned to older
-  // manifests keep their v(N) files untouched.
+  // manifests keep their v(N) files untouched. Layout note: earlier
+  // revisions wrote a single unversioned ann/{vectors,centroids}; a
+  // store from that layout has no ann/v1 and must re-ingest (loud
+  // failure on the missing path — no silent fallback to a dir whose
+  // cells a retrained quantizer would contradict).
   private def annDir(v: Long): String = s"$root/ann/v$v"
   def vecsPath(v: Long): String = s"${annDir(v)}/vectors"
   private def centsPath(v: Long): String = s"${annDir(v)}/centroids"

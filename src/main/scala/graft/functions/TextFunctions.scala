@@ -55,6 +55,33 @@ object TextFunctions {
 
   /** Distinct word n-gram shingles (for Jaccard / MinHash). Documents
     * shorter than n shingle to an empty array. */
+  /** Remove token spans from documents — the ACT step of substring-span
+    * dedup (q80 detects, this strips): each doc's text loses every token
+    * whose 0-based index falls inside one of its `(span_start,
+    * span_end)` rows (inclusive, the q80 output contract). One
+    * doc-keyed aggregate of the (tiny, span-count-sized) span table +
+    * one left join; the token surgery is per-row array functions, so
+    * the corpus scan stays embarrassingly parallel and docs without
+    * spans pass through untouched. Tokenization is `split(" ", -1)` —
+    * the q80/oracle contract — and the rebuilt text re-joins with
+    * single spaces. */
+  def stripSpans(docs: org.apache.spark.sql.DataFrame,
+                 spans: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    docs.join(sp, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(split(col(textCol), " ", -1), (t, i) =>
+              !exists(col("__spans"),
+                s => i >= s.getField("s") && i <= s.getField("e"))),
+            " ")))
+      .drop("__spans")
+  }
+
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val grams = transform(

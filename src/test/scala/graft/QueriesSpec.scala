@@ -85,5 +85,15 @@ class QueriesSpec extends SparkSpec {
     val spans = SparkEntry.queries("q80_shared_spans")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
     assert(spans.toSet == Set((1L, 0, 11, 12), (2L, 0, 11, 12)), spans.toSeq)
+
+    // the ACT step: stripping the detected spans leaves exactly the
+    // unshared tails; docs without spans pass through byte-identical
+    val stripped = graft.functions.TextFunctions.stripSpans(
+        docs, SparkEntry.queries("q80_shared_spans")(spark, dir),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(stripped(1L) == (0 until 6).map(i => s"a$i").mkString(" "))
+    assert(stripped(2L) == (0 until 6).map(i => s"b$i").mkString(" "))
+    assert(stripped(3L) == (0 until 20).map(i => s"c$i").mkString(" "))
   }
 }
