@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Diagnostic twin of the scale probes: decomposes q52's cost
+  * (signature+edge build vs components loop vs final report) at
+  * `SPARK_GRAFT_SF_DIR` (default: the ×10 tier dir). Set
+  * `GRAFT_CC_DEBUG=1` for per-round change counts — the numbers behind
+  * the stall-switch heuristic in
+  * [[graft.functions.DedupFunctions.connectedComponents]]. */
+object Q52Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_tier2_x10")
+    val spark = GraftSession.local(32)
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[q52probe] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val docs = Tables.table(spark, dir, "documents")
+    // warm
+    docs.count()
+    val edges = timed("simhashEdges (build+materialize)") {
+      graft.functions.DedupPipeline.simhashEdges(docs, "doc_id", "text")
+        .localCheckpoint()
+    }
+    System.err.println(s"[q52probe] edges=${edges.count()}")
+    val labels = timed("connectedComponents") {
+      val l = graft.functions.DedupFunctions.connectedComponents(edges)
+      l.count(); l
+    }
+    timed("sizes+join+sort (rest of q52)") {
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_reach"))
+      labels.join(sizes, "lbl").filter(col("lbl") < col("id"))
+        .orderBy("id").count()
+    }
+    spark.stop()
+  }
+}

@@ -79,18 +79,27 @@ object DedupFunctions {
     * labels, and its label's label (path halving). The jump term
     * shortcuts label chains (sf0.1's chained dup graph: 10 rounds vs 13
     * without it); discovery of a lower min still travels edge-by-edge,
-    * so worst-case rounds stay O(diameter). After `propagationRounds`
-    * without convergence the loop hands the graph (plus the label
-    * shortcuts it already earned) to [[starComponents]] — the
-    * edge-rewriting large-star/small-star contraction, O(log² n) rounds
-    * for any id layout, at a higher per-round cost. Each propagation
+    * so worst-case rounds stay O(diameter). The loop hands the graph
+    * (plus the label shortcuts it already earned) to
+    * [[starComponents]] — the edge-rewriting large-star/small-star
+    * contraction, O(log² n) rounds for any id layout, at a higher
+    * per-round cost — as soon as propagation STALLS: two consecutive
+    * rounds whose change count stays above 70% of the previous round's
+    * (clique-heavy dup graphs collapse geometrically; a plateau means a
+    * chain frontier advancing edge-by-edge, where star wins — measured
+    * at the ×10 tier: the fixed 12-round budget burned 5.7 s before
+    * switching, the stall cut switches by round ~5), or after
+    * `propagationRounds` at the latest (`stallSwitch = false` restores
+    * the fixed budget — the star-vs-propagation equivalence spec uses
+    * it to compare PURE propagation). Each propagation
     * round is two equi-joins + one partial-aggregated groupBy on the
     * (small) edge frame, partitioned by the graph's own size; labels are
     * localCheckpoint'd per round so lineage does not grow with
     * iterations.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          propagationRounds: Int = 12): DataFrame = {
+                          propagationRounds: Int = 12,
+                          stallSwitch: Boolean = true): DataFrame = {
     val undFull = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -142,15 +151,27 @@ object DedupFunctions {
     // re-planning looked like overhead — and measured 2.3× SLOWER:
     // AQE's post-shuffle coalescing of the 32 tiny exchange partitions
     // is worth far more than its planning cost here.)
-    while (!converged && i < switchAfter) {
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var prevChanges = Long.MaxValue
+    var stalled = 0
+    while (!converged && i < switchAfter && stalled < 2) {
       // ONE step per materialization. (Fusing two steps per job was
       // tried to halve scheduling overhead: the doubled plan — six
       // joins + two aggregates — cost MORE in optimizer/AQE time than
       // it saved in job launches. Measured 5.6 s vs 4.3 s on q52.)
+      val t0 = System.nanoTime()
       val next = step(labels.withColumn("old", col("lbl"))).localCheckpoint()
-      converged = next.filter(col("lbl") =!= col("old")).isEmpty
+      val changes = next.filter(col("lbl") =!= col("old")).count()
+      converged = changes == 0L
+      if (stallSwitch && prevChanges != Long.MaxValue &&
+          changes * 10 > prevChanges * 7) stalled += 1
+      else stalled = 0
+      prevChanges = changes
       labels = next.select("id", "lbl")
       i += 1
+      if (dbg) System.err.println(
+        f"[cc] round $i ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"changes=$changes stalled=$stalled")
     }
     if (converged) labels
     else {

@@ -101,8 +101,12 @@ object VectorFunctions {
       }
     val numKeys = nb * (nb + 1) / 2
     def d(x: Column, y: Column) = call_function("float_vec_dot", x, y)
+    // blocks come from a HASH of the id, not id mod nb: blocking never
+    // affects the result set (every pair meets exactly once either
+    // way), and hashing keeps block sizes uniform under adversarial id
+    // patterns (e.g. ids all sharing a residue after a filtered scan)
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("blk", pmod(col("id"), lit(nb.toLong)).cast("int"))
+      .withColumn("blk", pmod(hash(col("id")), lit(nb)).cast("int"))
       .withColumn("nrm", sqrt(d(col("v"), col("v"))))
     // explicit partition count: the block-pair shuffle is BYTE-light but
     // COMPUTE-dense ((corpus/nb)² dots per key), so AQE's byte-based

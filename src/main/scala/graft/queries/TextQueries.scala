@@ -650,8 +650,11 @@ object TextQueries {
       val g = graft.functions.Signatures.ngramPosRows(
           Tables.table(s, dir, "documents"), "doc_id", "text", n)
         .localCheckpoint() // one tokenize pass feeds shared set AND span scan
+      // "≥ 2 distinct docs" as min≠max — a plain partial-aggregable
+      // min/max pair instead of countDistinct's two-phase expansion
       val shared = g.groupBy("g")
-        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+        .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+        .filter(col("d0") =!= col("d1"))
         .select("g")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")

@@ -148,7 +148,7 @@ class DedupPipelineSpec extends SparkSpec {
     val edges = (cliques ++ chain ++ tree ++ ring ++ pairs)
       .toDF("src", "dst")
     val prop = DedupFunctions.connectedComponents(edges, maxIter = 100,
-        propagationRounds = 100)
+        propagationRounds = 100, stallSwitch = false) // PURE propagation
       .as[(Long, Long)].collect().toMap
     val star = DedupFunctions.starComponents(edges)._1
       .as[(Long, Long)].collect().toMap
