@@ -647,18 +647,25 @@ object TextQueries {
     // 2 million.
     "q80_shared_spans" -> ((s, dir) => {
       val n = 8
+      // both the shared-set aggregate and the join-back key on md5(gram),
+      // never the raw string: the gram table is token-count-sized, so at
+      // corpus scale the two gram-keyed shuffles carry ~16-byte digests
+      // instead of ~70-byte 8-gram strings (~4× narrower); the oracle
+      // computes the identical md5 keys, so even the 2^-128 collision
+      // case cannot split the engines
       val g = graft.functions.Signatures.ngramPosRows(
           Tables.table(s, dir, "documents"), "doc_id", "text", n)
+        .withColumn("k", md5(col("g"))).drop("g")
         .localCheckpoint() // one tokenize pass feeds shared set AND span scan
       // "≥ 2 distinct docs" as min≠max — a plain partial-aggregable
       // min/max pair instead of countDistinct's two-phase expansion
-      val shared = g.groupBy("g")
+      val shared = g.groupBy("k")
         .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
         .filter(col("d0") =!= col("d1"))
-        .select("g")
+        .select("k")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
-      g.join(shared, Seq("g"), "left_semi")
+      g.join(shared, Seq("k"), "left_semi")
         .withColumn("grp", col("pos") - row_number().over(w))
         .groupBy("doc_id", "grp")
         .agg(min("pos").as("span_start"),
@@ -1010,12 +1017,12 @@ object TextQueries {
         |pos AS (SELECT doc_id, t, unnest(range(len(t) - 7)) AS i FROM d
         |        WHERE len(t) >= 8),
         |g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
-        |        array_to_string(t[i+1:i+8], ' ') AS gm FROM pos),
-        |sh AS (SELECT gm FROM g GROUP BY gm HAVING COUNT(DISTINCT doc_id) >= 2),
+        |        md5(array_to_string(t[i+1:i+8], ' ')) AS k FROM pos),
+        |sh AS (SELECT k FROM g GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2),
         |sp AS (SELECT doc_id, pos,
         |        pos - CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
         |                   AS INTEGER) AS grp
-        |      FROM g JOIN sh USING (gm)),
+        |      FROM g JOIN sh USING (k)),
         |isl AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
         |        FROM sp GROUP BY doc_id, grp)
         |SELECT doc_id, span_start, span_end,
