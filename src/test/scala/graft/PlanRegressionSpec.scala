@@ -22,6 +22,13 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "q46 must pair blocks via the (p,q) equi-join — a non-equi " +
         "all-pairs join funnels the whole corpus through one task")
+    // the block-pair shuffle is byte-light but compute-dense; the
+    // explicit repartition(numKeys, p, q) is what stops AQE's byte-based
+    // advisory from coalescing the quadratic work onto 1-2 tasks
+    // (measured 6.2 s vs 2.6 s at the ×10 tier) — it must stay in plan
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      "q46's explicit block-pair repartition was optimized away — AQE " +
+        "will serialize the pair compute onto a couple of tasks")
   }
 
   test("q49 ranks per target with a partial aggregate, not a window") {
