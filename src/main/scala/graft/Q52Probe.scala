@@ -20,6 +20,12 @@ object Q52Probe {
     val docs = Tables.table(spark, dir, "documents")
     // warm
     docs.count()
+    timed("simhash signatures only") {
+      graft.functions.Signatures
+        .simhash(docs.withColumn("h", md5(col("text"))), "doc_id", "text",
+          keep = Seq("h"))
+        .count()
+    }
     val edges = timed("simhashEdges (build+materialize)") {
       graft.functions.DedupPipeline.simhashEdges(docs, "doc_id", "text")
         .localCheckpoint()

@@ -458,8 +458,10 @@ class CorpusManager(
       .distinct()
 
   /** Within-batch embedding near-dup pairs: multi-table hyperplane-LSH
-    * candidates (the q46 machinery — `embTables` tables × `embBits`-bit
-    * md5-derived buckets) + exact-cosine verify. NOT the IVF cells: a
+    * candidates ([[graft.functions.VectorFunctions.ndBuckets]] —
+    * `embTables` tables × `embBits`-bit md5-derived buckets; LSH earns
+    * its keep HERE because `embNearCos` is high, unlike q46's
+    * low-threshold regime) + exact-cosine verify. NOT the IVF cells: a
     * cell-local SELF-join is quadratic per cell (a cell holding k
     * vectors contributes k²/2 candidates), and training enough cells to
     * bound k is O(N·C·dims) per Lloyd pass — whereas LSH bits are free

@@ -227,13 +227,18 @@ object DedupFunctions {
     }
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var eCount = e.count()
     var rounds = 0
     var done = false
     while (!done && rounds < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // fixed point = identical edge sets (both are distinct lists)
-      done = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // fixed point = identical edge sets. Both are DISTINCT lists, so
+      // equal counts + next⊆e ⟹ equality — one anti-join per round
+      // instead of the two of a symmetric exceptAll pair.
+      val nextCount = next.count()
+      done = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
       rounds += 1
     }
     require(done, s"starComponents did not converge in $maxIter rounds")

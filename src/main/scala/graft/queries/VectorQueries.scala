@@ -179,10 +179,10 @@ object VectorQueries {
     // under the oracle gate. Candidates are pairs sharing their IVF cell
     // (md5-ordered-sample quantizer, same as q51), verified by exact
     // cosine — at scale the corpus side is the (cell)-bucketed vector
-    // table and this join plans exchange-free. Complements q46's LSH
-    // multi-table path: cheaper candidates (one cell vs 24 tables),
-    // recall bounded by cell-boundary splits (honest trade, documented
-    // at CorpusManager).
+    // table and this join plans exchange-free. Complements the
+    // multi-table LSH path (CorpusManager's intra-batch candidates):
+    // cheaper candidates (one cell vs many tables), recall bounded by
+    // cell-boundary splits (honest trade, documented at CorpusManager).
     "q78_cell_near_dup" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))

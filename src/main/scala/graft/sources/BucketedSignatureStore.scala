@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed persistence for dedup signature/band tables — the "write the
   * signature table once, join it many times" scale path that the inline
-  * dedup queries (`q34`/`q46`) stand in for with `localCheckpoint`.
+  * dedup queries (e.g. `q34`) stand in for with `localCheckpoint`.
   *
   * Spark bucketing records hash-distribution metadata in the catalog:
   * rows are written into `numBuckets` files by hash of the bucket
