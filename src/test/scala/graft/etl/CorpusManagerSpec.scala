@@ -161,6 +161,50 @@ class CorpusManagerSpec extends SparkSpec {
     }
   }
 
+  test("compaction retry over a crashed attempt's half-written ann version") {
+    val s = spark; import s.implicits._
+    def vec(hot: Int, eps: Float = 0f): Array[Float] = {
+      val a = new Array[Float](8); a(hot) = 1f
+      if (eps != 0f) a(7) = eps
+      a
+    }
+    val root = tmpDir("cmcrash")
+    val m = new CorpusManager("cm_cr", root, spark,
+      numBuckets = 4, minTokens = 2,
+      embCol = Some("emb"), embNearCos = 0.95, annCells = 4, embDims = 8)
+    try {
+      m.ingestInitial(Seq(
+        (6L, mkText(1), "web", vec(0)), (77L, mkText(4), "web", vec(1)),
+        (88L, mkText(5), "web", vec(2)), (9L, mkText(6), "web", vec(3)))
+        .toDF("doc_id", "text", "source", "emb"))
+      // a CRASHED earlier compaction: ann/v2 exists with garbage vectors
+      // and a stale centroid sidecar, but the manifest never moved —
+      // exactly the state a failure between the vector rewrite and the
+      // manifest commit leaves behind
+      Seq((999L, Array.fill(8)(9f), 0L)).toDF("doc_id", "emb", "cell")
+        .write.parquet(m.vecsPath(2))
+      Seq((0L, Array.fill(8)(1f))).toDF("cell", "ce")
+        .write.parquet(s"$root/ann/v2/centroids")
+      assert(m.readManifest().get.bandsVersion == 1L) // pointer untouched
+      // the RETRY must overwrite the orphan wholesale (no merged garbage)
+      m.compactArtifacts()
+      assert(m.readManifest().get.bandsVersion == 2L)
+      assert(!m.readCentroidsAt(2).map(_._1).contains(0L),
+        "retry must replace the crashed attempt's centroid sidecar")
+      // post-retry dedup through the v2 table: near-dup of doc 77 by
+      // vector only; the garbage 999 row must be gone, not a candidate
+      val r = m.ingestShard(Seq(
+        (201L, mkText(11), "web", vec(1, eps = 0.05f)))
+        .toDF("doc_id", "text", "source", "emb"))
+      assert(r.ingested == 0 && r.duplicates == 1, s"$r")
+      assert(!corpusIds(m).contains(999L))
+    } finally {
+      Seq("cm_cr_vecs_v1", "cm_cr_vecs_v2", "cm_cr_bands_v1",
+        "cm_cr_bands_v2", "cm_cr_shard_bands")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("initial ingest: quality gate + batch dedup + artifacts") {
     val m = new CorpusManager("cm_spec1", tmpDir("cm1"), spark,
       numBuckets = 4, minTokens = 2)
