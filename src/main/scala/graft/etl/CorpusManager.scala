@@ -796,6 +796,9 @@ class CorpusManager(
       case Some(e) =>
         val prevVecs = snapshotFiles().map(_.vecs)
           .getOrElse(listDir(vecsPath(man.bandsVersion)).toSeq)
+        require(prevVecs.nonEmpty, s"corpus $name has no vector artifact " +
+          "— it was ingested without embCol; embedding dedup needs a " +
+          "re-ingest, not a config flip on an existing store")
         val cur = spark.read.parquet(prevVecs.map(f => s"$root/$f"): _*)
           .select(col(idCol), col(e))
         BucketedSignatureStore.write(
