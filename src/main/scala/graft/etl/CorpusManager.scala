@@ -471,6 +471,19 @@ class CorpusManager(
     * bucketed join ([[embCandidates]]). */
   private def embIntraPairs(batch: DataFrame): DataFrame = {
     val e = embCol.get
+    // Regime dispatch: below cos ≈ 0.8 a true pair's per-bit hyperplane
+    // collision probability sits too close to a random pair's 0.5 for
+    // ANY recall-preserving (tables, bits) to emit fewer candidates
+    // than the exhaustive join (the q46 lesson — see
+    // [[graft.functions.VectorFunctions.blockedAllPairs]]); LSH there
+    // would silently cost recall AND outspend brute force, so the
+    // blocked equi-join takes over. The default 0.98 stays on LSH.
+    if (embNearCos < 0.8) {
+      return graft.functions.VectorFunctions
+        .blockedAllPairs(batch.select(col(idCol), col(e)), idCol, e)
+        .filter(col("cos") >= embNearCos)
+        .select(col("d1"), col("d2"))
+    }
     val bk = graft.functions.VectorFunctions
       .ndBuckets(batch.select(col(idCol), col(e)), idCol, e,
         embTables, embBits, embDims, salt = "cm-nd")

@@ -161,6 +161,30 @@ class CorpusManagerSpec extends SparkSpec {
     }
   }
 
+  test("low-threshold embNearCos routes intra-batch candidates to the blocked join") {
+    val s = spark; import s.implicits._
+    // a cos≈0.6 planted pair: at 8×12-bit LSH its per-table collision
+    // probability is ~1.4%, so the bucket path would usually MISS it —
+    // the low-threshold regime must go through the exhaustive blocked
+    // join, which finds it deterministically
+    val m = new CorpusManager("cm_lo", tmpDir("cmlo"), spark,
+      numBuckets = 4, minTokens = 2,
+      embCol = Some("emb"), embNearCos = 0.5, annCells = 2, embDims = 8)
+    try {
+      val v1 = { val a = new Array[Float](8); a(0) = 1f; a }
+      val v2 = { val a = new Array[Float](8); a(0) = 0.6f; a(1) = 0.8f; a }
+      val v3 = { val a = new Array[Float](8); a(3) = 1f; a }
+      val r = m.ingestInitial(Seq(
+        (1L, mkText(1), "web", v1), (2L, mkText(4), "web", v2),
+        (3L, mkText(5), "web", v3)).toDF("doc_id", "text", "source", "emb"))
+      assert(r.ingested == 2 && r.duplicates == 1, s"$r")
+      assert(corpusIds(m) == Set(1L, 3L))
+    } finally {
+      Seq("cm_lo_vecs_v1", "cm_lo_bands_v1")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("compaction retry over a crashed attempt's half-written ann version") {
     val s = spark; import s.implicits._
     def vec(hot: Int, eps: Float = 0f): Array[Float] = {
