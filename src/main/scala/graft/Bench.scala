@@ -60,13 +60,23 @@ object Bench {
 
   /** Previous round's per-query times, from a driver-written
     * BENCH_r*.json (the one JSON line is embedded in its `tail` field)
-    * or a plain bench_out.json. Empty map when absent/unparseable. */
-  private def baselineQueries(path: String): Map[String, Double] =
+    * or a plain bench_out.json. `section = "tier2"` scopes the parse to
+    * the ×10 tier's queries map. Empty map when absent/unparseable. */
+  private def baselineQueries(path: String,
+                              section: String = ""): Map[String, Double] =
     try {
-      val text = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      val m = """\{"metric":.*?"queries":\{(.*?)\}""".r
-        .findFirstMatchIn(text.replace("\\\"", "\""))
+      val full = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8").replace("\\\"", "\"")
+      val text =
+        if (section.isEmpty) full
+        else {
+          val i = full.indexOf("\"" + section + "\":{")
+          if (i < 0) "" else full.substring(i)
+        }
+      val pat =
+        (if (section.isEmpty) """\{"metric":.*?"queries":\{(.*?)\}"""
+         else """"queries":\{(.*?)\}""").r
+      val m = pat.findFirstMatchIn(text)
       m.map(_.group(1).split(",").flatMap { kv =>
         kv.split(":") match {
           case Array(k, v) =>
@@ -76,6 +86,20 @@ object Bench {
         }
       }.toMap).getOrElse(Map.empty)
     } catch { case _: Exception => Map.empty }
+
+  /** >25% per-query slowdowns vs a previous map, as a JSON array (and
+    * stderr callouts) — the bench polices its own regressions so a
+    * round-over-round diff never depends on a human reading two files. */
+  private def regressionJson(tag: String, prev: Map[String, Double],
+                             now: Seq[(String, Double, Boolean)]): String =
+    now.collect {
+      case (name, t, true)
+        if prev.get(name).exists(p => p > 0.3 && t > p * 1.25) =>
+          val p = prev(name)
+          System.err.println(
+            f"[bench$tag] REGRESSION $name: $p%.2fs -> $t%.2fs (${t / p}%.2fx)")
+          s"""{"q":"$name","prev":$p,"now":$t}"""
+    }.mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,8 +169,11 @@ object Bench {
           val t2total =
             if (t2.exists(!_._3)) "null"
             else t2.collect { case (_, v, true) => v }.sum.toString
+          val t2prev = baselineQueries(sys.env.getOrElse(
+            "SPARK_GRAFT_BENCH_BASELINE", "/root/repo/BENCH_r02.json"), "tier2")
+          val t2regr = regressionJson(":tier2", t2prev, t2)
           s""","tier2":{"factor":$factor,"total":$t2total,""" +
-            s""""queries":$t2qs,"failed":$t2failed}"""
+            s""""queries":$t2qs,"failed":$t2failed,"regressions":$t2regr}"""
         } catch { case e: Exception =>
           System.err.println(s"[bench:tier2] skipped: ${e.getMessage}")
           ""
@@ -156,15 +183,7 @@ object Bench {
     // ---- regression callout vs the previous round ------------------------
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "/root/repo/BENCH_r02.json")
-    val prev = baselineQueries(baselinePath)
-    val regressions = results.collect {
-      case (name, now, true)
-        if prev.get(name).exists(p => p > 0.3 && now > p * 1.25) =>
-          val p = prev(name)
-          System.err.println(
-            f"[bench] REGRESSION $name: $p%.2fs -> $now%.2fs (${now / p}%.2fx)")
-          s"""{"q":"$name","prev":$p,"now":$now}"""
-    }.mkString("[", ",", "]")
+    val regressions = regressionJson("", baselineQueries(baselinePath), results)
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""ok":${failedSeq.isEmpty},""" +
