@@ -58,41 +58,71 @@ object Bench {
     fs.create(marker, true).close()
   }
 
+  /** Every `"qNN_name":<seconds>` pair in `text`. This is deliberately
+    * anchor-free: the driver's BENCH_r*.json keeps only the LAST ~3 kB of
+    * output in its `tail` field, so the head of the JSON line (and with it
+    * any `{"metric":` or even `"queries":{` anchor) may be truncated away
+    * mid-pair. Query names are the only keys shaped `q\d+_...` followed by
+    * a number — regression entries use `"q"/"prev"/"now"` keys and failed
+    * lists carry bare names with no colon, so neither can false-match. */
+  private[graft] def queryTimes(text: String): Map[String, Double] = {
+    val pair = """"(q\d+[A-Za-z0-9_]*)":(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)""".r
+    pair.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Split a bench dump into (tier-1 text, tier-2 text) at the
+    * `"tier2":{` marker; a truncated file missing the marker is all
+    * tier 1 — wrong only if truncation also ate the marker itself, in
+    * which case only tier-2 pairs survive and they'd be misfiled, so a
+    * marker-less text that still contains `"factor":` is treated as
+    * tier 2. */
+  private[graft] def splitTiers(full: String): (String, String) = {
+    val i = full.indexOf("\"tier2\":{")
+    if (i >= 0) (full.substring(0, i), full.substring(i))
+    else if (full.contains("\"factor\":")) ("", full)
+    else (full, "")
+  }
+
   /** Previous round's per-query times, from a driver-written
-    * BENCH_r*.json (the one JSON line is embedded in its `tail` field)
-    * or a plain bench_out.json. `section = "tier2"` scopes the parse to
-    * the ×10 tier's queries map. Empty map when absent/unparseable. */
-  private def baselineQueries(path: String,
-                              section: String = ""): Map[String, Double] =
+    * BENCH_r*.json (the one JSON line is embedded in its `tail` field,
+    * possibly truncated mid-JSON) or a plain bench_out.json.
+    * `section = "tier2"` scopes to the ×10 tier. Empty map when
+    * absent/unparseable — callers must surface that as
+    * `baseline_missing`, never as a clean no-regressions result. */
+  private[graft] def baselineQueries(path: String,
+                                     section: String = ""): Map[String, Double] =
     try {
       val full = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8").replace("\\\"", "\"")
-      val text =
-        if (section.isEmpty) full
-        else {
-          val i = full.indexOf("\"" + section + "\":{")
-          if (i < 0) "" else full.substring(i)
-        }
-      val pat =
-        (if (section.isEmpty) """\{"metric":.*?"queries":\{(.*?)\}"""
-         else """"queries":\{(.*?)\}""").r
-      val m = pat.findFirstMatchIn(text)
-      m.map(_.group(1).split(",").flatMap { kv =>
-        kv.split(":") match {
-          case Array(k, v) =>
-            scala.util.Try(k.trim.stripPrefix("\"").stripSuffix("\"") ->
-              v.trim.toDouble).toOption
-          case _ => None
-        }
-      }.toMap).getOrElse(Map.empty)
+      val (t1, t2) = splitTiers(full)
+      queryTimes(if (section == "tier2") t2 else t1)
     } catch { case _: Exception => Map.empty }
 
-  /** >25% per-query slowdowns vs a previous map, as a JSON array (and
+  /** Latest BENCH_r*.json beside the repo — the previous round's record.
+    * Falls back to the round-2 file so an env-less run still compares. */
+  private[graft] def latestBaseline(dir: String = "/root/repo"): String = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .map(_.getPath).sorted.lastOption
+      .getOrElse(s"$dir/BENCH_r02.json")
+  }
+
+  /** >25% per-query slowdowns vs a previous map, as a JSON fragment (and
     * stderr callouts) — the bench polices its own regressions so a
-    * round-over-round diff never depends on a human reading two files. */
-  private def regressionJson(tag: String, prev: Map[String, Double],
-                             now: Seq[(String, Double, Boolean)]): String =
-    now.collect {
+    * round-over-round diff never depends on a human reading two files.
+    * An empty baseline yields `"baseline_missing":true`, NOT a clean
+    * `[]`: a clean empty list must always mean "compared and found
+    * nothing", never "had nothing to compare against". */
+  private[graft] def regressionJson(tag: String, prev: Map[String, Double],
+                                    now: Seq[(String, Double, Boolean)]): String = {
+    if (prev.isEmpty) {
+      System.err.println(s"[bench$tag] baseline missing/unparseable — " +
+        "regression policing DID NOT RUN this round")
+      return """"regressions":[],"baseline_missing":true"""
+    }
+    val items = now.collect {
       case (name, t, true)
         if prev.get(name).exists(p => p > 0.3 && t > p * 1.25) =>
           val p = prev(name)
@@ -100,6 +130,8 @@ object Bench {
             f"[bench$tag] REGRESSION $name: $p%.2fs -> $t%.2fs (${t / p}%.2fx)")
           s"""{"q":"$name","prev":$p,"now":$t}"""
     }.mkString("[", ",", "]")
+    s""""regressions":$items,"baseline_missing":false"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -170,10 +202,10 @@ object Bench {
             if (t2.exists(!_._3)) "null"
             else t2.collect { case (_, v, true) => v }.sum.toString
           val t2prev = baselineQueries(sys.env.getOrElse(
-            "SPARK_GRAFT_BENCH_BASELINE", "/root/repo/BENCH_r02.json"), "tier2")
+            "SPARK_GRAFT_BENCH_BASELINE", latestBaseline()), "tier2")
           val t2regr = regressionJson(":tier2", t2prev, t2)
           s""","tier2":{"factor":$factor,"total":$t2total,""" +
-            s""""queries":$t2qs,"failed":$t2failed,"regressions":$t2regr}"""
+            s""""queries":$t2qs,"failed":$t2failed,$t2regr}"""
         } catch { case e: Exception =>
           System.err.println(s"[bench:tier2] skipped: ${e.getMessage}")
           ""
@@ -182,13 +214,13 @@ object Bench {
 
     // ---- regression callout vs the previous round ------------------------
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-      "/root/repo/BENCH_r02.json")
+      latestBaseline())
     val regressions = regressionJson("", baselineQueries(baselinePath), results)
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""ok":${failedSeq.isEmpty},""" +
       s""""queries":$qs,"failed":$failed,""" +
-      s""""regressions":$regressions,"sf":"$sfDir"$tier2Json}"""
+      s"""$regressions,"sf":"$sfDir"$tier2Json}"""
     println(json)
     // sbt routes program stdout through its [info] logger, which the
     // driver's JSON extraction has failed to strip (BENCH_r01 recorded

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's round-over-round regression policing is only as good as
+  * its ability to read the PREVIOUS round's record — and the driver's
+  * BENCH_r*.json keeps just the last ~3 kB of output, truncating the
+  * JSON line's head mid-pair. These tests feed exactly that shape and
+  * assert the baseline still parses, and that an unparseable baseline
+  * is surfaced as `baseline_missing`, never as a clean `[]`. */
+class BenchParseSpec extends AnyFunSuite {
+
+  private def write(content: String): String = {
+    val f = java.nio.file.Files.createTempFile("bench_tail", ".json")
+    java.nio.file.Files.writeString(f, content)
+    f.toString
+  }
+
+  test("queryTimes recovers pairs with no JSON anchors, skipping torn heads") {
+    val torn = """n_join":0.52,"q39_ann_lsh":0.67,"q52_dedup_components":4.88"""
+    val m = Bench.queryTimes(torn)
+    assert(m == Map("q39_ann_lsh" -> 0.67, "q52_dedup_components" -> 4.88))
+  }
+
+  test("queryTimes ignores regression entries and failed lists") {
+    val text = """"queries":{"q25_qc":1.41},"failed":["q12_gaps"],""" +
+      """"regressions":[{"q":"q25_qc","prev":1.03,"now":1.41}]"""
+    assert(Bench.queryTimes(text) == Map("q25_qc" -> 1.41))
+  }
+
+  test("splitTiers files pairs to the right tier, with and without marker") {
+    val full = """"q01_a":1.0,"tier2":{"factor":10,"queries":{"q01_a":9.0}"""
+    val (t1, t2) = Bench.splitTiers(full)
+    assert(Bench.queryTimes(t1) == Map("q01_a" -> 1.0))
+    assert(Bench.queryTimes(t2) == Map("q01_a" -> 9.0))
+    // marker itself truncated away but factor survives -> all tier 2
+    val t2only = """2":{"factor":10,"total":37.6,"queries":{"q52_d":11.9}"""
+    val (a, b) = Bench.splitTiers(t2only)
+    assert(Bench.queryTimes(a).isEmpty && Bench.queryTimes(b) == Map("q52_d" -> 11.9))
+    // no marker, no factor -> all tier 1
+    val t1only = """"q07_x":0.3}"""
+    assert(Bench.splitTiers(t1only) == (t1only, ""))
+  }
+
+  test("a driver-shaped truncated tail parses for both tiers") {
+    // the driver wraps the bench line in a JSON file whose `tail` field
+    // holds the escaped, head-truncated output
+    val tail = """ms\":0.34,\"q52_dedup_components\":4.88,\"q53_bm25\":0.78},""" +
+      """\"failed\":[],\"regressions\":[],\"baseline_missing\":false,""" +
+      """\"sf\":\"/root/testdata/sf0.1\",\"tier2\":{\"factor\":10,""" +
+      """\"total\":37.65,\"queries\":{\"q52_dedup_components\":11.98,""" +
+      """\"q80_shared_spans\":2.98},\"failed\":[],\"regressions\":[]}}"""
+    val path = write(s"""{"n": 3, "rc": 0, "tail": "$tail", "parsed": null}""")
+    assert(Bench.baselineQueries(path) ==
+      Map("q52_dedup_components" -> 4.88, "q53_bm25" -> 0.78))
+    assert(Bench.baselineQueries(path, "tier2") ==
+      Map("q52_dedup_components" -> 11.98, "q80_shared_spans" -> 2.98))
+  }
+
+  test("the actual BENCH_r03.json recovers q52 in both tiers") {
+    val r03 = "/root/repo/BENCH_r03.json"
+    assume(new java.io.File(r03).exists())
+    val t1 = Bench.baselineQueries(r03)
+    val t2 = Bench.baselineQueries(r03, "tier2")
+    // r03's tail is truncated mid-q38; everything after must survive
+    assert(math.abs(t1("q52_dedup_components") - 4.887165696) < 1e-9)
+    assert(t1.size >= 40, s"expected q38..q80 tier-1 entries, got ${t1.size}")
+    assert(math.abs(t2("q52_dedup_components") - 11.986504775) < 1e-9)
+    assert(t2.size == 15)
+  }
+
+  test("empty baseline emits baseline_missing:true, never a clean []") {
+    val out = Bench.regressionJson("", Map.empty, Seq(("q01_a", 1.0, true)))
+    assert(out.contains("\"baseline_missing\":true"))
+    val ok = Bench.regressionJson("",
+      Map("q01_a" -> 0.5), Seq(("q01_a", 1.0, true)))
+    assert(ok.contains("\"baseline_missing\":false"))
+    assert(ok.contains("{\"q\":\"q01_a\",\"prev\":0.5,\"now\":1.0}"))
+  }
+
+  test("latestBaseline picks the newest round file") {
+    val dir = java.nio.file.Files.createTempDirectory("benchbase").toString
+    for (n <- Seq("BENCH_r02.json", "BENCH_r03.json", "BENCH_r10.json"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, n), "{}")
+    assert(Bench.latestBaseline(dir).endsWith("BENCH_r10.json"))
+  }
+}
