@@ -21,10 +21,31 @@ object Q52Probe {
     // warm
     docs.count()
     timed("simhash signatures only") {
-      graft.functions.Signatures
-        .simhash(docs.withColumn("h", md5(col("text"))), "doc_id", "text",
-          keep = Seq("h"))
-        .count()
+      graft.functions.Signatures.simhash(docs, "doc_id", "text").count()
+    }
+    // decomposition of simhashEdges (mirrors DedupPipeline.simhashEdges
+    // step-for-step as a diagnostic; the real query path is below)
+    locally {
+      import graft.functions.{DedupFunctions, Signatures}
+      val sigs = Signatures.simhash(docs, "doc_id", "text")
+        .select(col("doc_id"), col("simhash").as("sh"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+      val withKeeper = timed("  simhashEdges: sig+window+checkpoint") {
+        sigs.withColumn("keeper", min(col("doc_id")).over(w)).localCheckpoint()
+      }
+      val reps = withKeeper.filter(col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("sh"))
+      System.err.println(s"[q52probe] distinct-sh reps=${reps.count()}")
+      val blocked = reps.select(col("doc_id"), col("sh"),
+        posexplode(DedupFunctions.simhashBlocks(col("sh"))).as(Seq("q", "blk")))
+      timed("  simhashEdges: block self-join+hamming") {
+        blocked.as("a").join(blocked.as("b"),
+            col("a.q") === col("b.q") && col("a.blk") === col("b.blk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .filter(DedupFunctions.hamming64(col("a.sh"), col("b.sh")) <= 3)
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+          .count()
+      }
     }
     val edges = timed("simhashEdges (build+materialize)") {
       graft.functions.DedupPipeline.simhashEdges(docs, "doc_id", "text")

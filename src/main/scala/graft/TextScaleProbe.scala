@@ -69,8 +69,12 @@ object TextScaleProbe {
     }
     println(s"PROBE verified edges ${edges.count()} (expect ${3 * nDocs / 100})")
 
-    val labels = timed("connected components") {
-      DedupFunctions.connectedComponents(edges).localCheckpoint()
+    // driver finisher OFF: this probe rehearses the DISTRIBUTED loop —
+    // the path a 100 TB dup graph (edge count above the driver bound)
+    // actually takes.
+    val labels = timed("connected components (distributed loop)") {
+      DedupFunctions.connectedComponents(edges, driverFinishEdges = 0L)
+        .localCheckpoint()
     }
     val nComp = labels.select("lbl").distinct().count()
     val nMembers = labels.count()

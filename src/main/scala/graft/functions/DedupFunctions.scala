@@ -99,10 +99,23 @@ object DedupFunctions {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
                           propagationRounds: Int = 12,
-                          stallSwitch: Boolean = true): DataFrame = {
-    val undFull = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+                          stallSwitch: Boolean = true,
+                          driverFinishEdges: Long = 1000000L): DataFrame = {
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint()
+    val eN = raw.count()
+    // A dup graph at or under `driverFinishEdges` edges (default 10⁶ —
+    // 16 MB of pairs, a LongMap of ≤ 2·10⁶ entries) is finished with
+    // ONE collect + union-find: the iterative machinery below exists
+    // for graphs that do NOT fit on the driver, and running it on one
+    // that does pays tens of scheduling round-trips to move megabytes.
+    // Same principle as Spark's broadcast-join threshold — driver-sized
+    // data earns a driver algorithm, with an explicit, configurable
+    // bound. Set 0 to force the distributed path (the equivalence
+    // specs do).
+    if (eN <= driverFinishEdges) return driverComponents(raw)
+    val undFull = raw
+      .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
     // Partition the LOOP by the dup graph's own size, not the session
     // default: every round schedules `p` tasks per stage, and the graph
     // is usually orders of magnitude smaller than the corpus (at sf0.1:
@@ -110,9 +123,9 @@ object DedupFunctions {
     // parallelism via the 50k-edges-per-partition target). Without this
     // the iteration pays (rounds × stages × session-parallelism) task
     // launches to move a few hundred rows.
-    val p = math.max(1L, math.min(undFull.rdd.getNumPartitions.toLong,
-      undFull.count() / 50000L + 1L)).toInt
-    val und = undFull.coalesce(p)
+    val p = math.max(1L, math.min(raw.rdd.getNumPartitions.toLong * 2,
+      (2 * eN) / 50000L + 1L)).toInt
+    val und = undFull.coalesce(p).localCheckpoint()
     // Initialize with round 1 fused in: every endpoint starts at
     // min(self, direct neighbors) — one aggregate instead of a
     // distinct + a full join round. Near-clique dup clusters converge
@@ -152,6 +165,15 @@ object DedupFunctions {
     // AQE's post-shuffle coalescing of the 32 tiny exchange partitions
     // is worth far more than its planning cost here.)
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    // The change count folds into the SAME job that materializes the
+    // round (typed pass + accumulator) instead of a second count()
+    // action — at graph scale each extra action is a full scheduling
+    // round-trip, and the loop used to pay two per iteration. Spark
+    // applies action-stage accumulator updates exactly once per task,
+    // so retries cannot inflate the count.
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("cc_changes")
     var prevChanges = Long.MaxValue
     var stalled = 0
     while (!converged && i < switchAfter && stalled < 2) {
@@ -160,14 +182,24 @@ object DedupFunctions {
       // joins + two aggregates — cost MORE in optimizer/AQE time than
       // it saved in job launches. Measured 5.6 s vs 4.3 s on q52.)
       val t0 = System.nanoTime()
-      val next = step(labels.withColumn("old", col("lbl"))).localCheckpoint()
-      val changes = next.filter(col("lbl") =!= col("old")).count()
+      acc.reset()
+      val next = step(labels.withColumn("old", col("lbl")))
+        .select(col("id").cast("long"), col("old").cast("long"),
+          col("lbl").cast("long"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(_.map { case (id, old, lbl) =>
+          if (old != lbl) acc.add(1L)
+          (id, lbl)
+        })
+        .toDF("id", "lbl")
+        .localCheckpoint()
+      val changes = acc.value.longValue
       converged = changes == 0L
       if (stallSwitch && prevChanges != Long.MaxValue &&
           changes * 10 > prevChanges * 7) stalled += 1
       else stalled = 0
       prevChanges = changes
-      labels = next.select("id", "lbl")
+      labels = next
       i += 1
       if (dbg) System.err.println(
         f"[cc] round $i ${(System.nanoTime() - t0) / 1e9}%.2f s " +
@@ -186,8 +218,48 @@ object DedupFunctions {
       val seeded = und.unionByName(
         labels.filter(col("id") =!= col("lbl"))
           .select(col("id").as("src"), col("lbl").as("dst")))
-      starComponents(seeded, maxIter)._1
+      starComponents(seeded, maxIter, driverFinishEdges)._1
     }
+  }
+
+  /** Driver-side union-find over a BOUNDED edge list — the finisher for
+    * dup graphs small enough to collect (the caller enforces the bound;
+    * see [[connectedComponents]]'s `driverFinishEdges`). Path-compressed
+    * union-by-minimum, so the final root of every node IS the component
+    * minimum — the same labels the distributed loops converge to.
+    * Self-loops register their endpoint (it appears in the output
+    * labeled with itself), matching the iterative paths. */
+  private[functions] def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new scala.collection.mutable.LongMap[Long](
+      math.max(16, pairs.length * 2))
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    var i = 0
+    while (i < pairs.length) {
+      val (s, d) = pairs(i)
+      if (!parent.contains(s)) parent(s) = s
+      if (!parent.contains(d)) parent(d) = d
+      if (s != d) {
+        val rs = find(s)
+        val rd = find(d)
+        // union by MINIMUM root: the surviving root only ever gets
+        // smaller, so at the end every root is its component's min id
+        if (rs < rd) parent(rd) = rs
+        else if (rd < rs) parent(rs) = rd
+      }
+      i += 1
+    }
+    val ids = parent.keys.toArray
+    spark.createDataset(ids.toSeq.map(k => (k, find(k)))).toDF("id", "lbl")
   }
 
   /** Large-star/small-star connected components (the alternating edge
@@ -208,7 +280,9 @@ object DedupFunctions {
     * falls back here when propagation stalls — the propagation loop is
     * cheaper per round on the near-clique graphs dedup actually makes. */
   private[functions] def starComponents(edges: DataFrame,
-                                        maxIter: Int = 50): (DataFrame, Int) = {
+                                        maxIter: Int = 50,
+                                        driverFinishEdges: Long = 0L)
+      : (DataFrame, Int) = {
     def undirected(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
     def largeStar(e: DataFrame): DataFrame = {
@@ -225,21 +299,46 @@ object DedupFunctions {
         .select(col("dst").as("src"), col("m").as("dst"))
       hang.unionByName(m.select(col("src"), col("m").as("dst"))).distinct()
     }
-    var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-    var eCount = e.count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // Edge-count-while-materializing: the row count rides the checkpoint
+    // job in an accumulator, so a round costs ONE action (plus the
+    // subset probe only when counts tie) instead of checkpoint + count.
+    val acc = spark.sparkContext.longAccumulator("star_edges")
+    def matCount(df: DataFrame): (DataFrame, Long) = {
+      acc.reset()
+      val out = df.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { p => acc.add(1L); p })
+        .toDF("src", "dst")
+        .localCheckpoint()
+      (out, acc.value.longValue)
+    }
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var (e, eCount) = matCount(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
     var rounds = 0
     var done = false
+    // Star rounds only ever SHRINK the edge set; the moment it fits the
+    // driver bound, one union-find finishes what would otherwise be
+    // several more scheduling-floor rounds (self-loop handling is moot
+    // here — both inputs are already src≠dst-filtered).
+    if (eCount <= driverFinishEdges) return (driverComponents(e), rounds)
     while (!done && rounds < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val t0 = System.nanoTime()
+      val (next, nextCount) = matCount(smallStar(largeStar(e)))
+      if (nextCount <= driverFinishEdges)
+        return (driverComponents(next), rounds + 1)
       // fixed point = identical edge sets. Both are DISTINCT lists, so
       // equal counts + next⊆e ⟹ equality — one anti-join per round
       // instead of the two of a symmetric exceptAll pair.
-      val nextCount = next.count()
       done = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
       eCount = nextCount
       rounds += 1
+      if (dbg) System.err.println(
+        f"[star] round $rounds ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"edges=$nextCount done=$done")
     }
     require(done, s"starComponents did not converge in $maxIter rounds")
     // the fixed point is a star forest rooted at component minima:

@@ -97,24 +97,28 @@ object DedupPipeline {
       .select(col("keeper").as("d1"), col(idCol).as("d2"))
   }
 
-  /** SimHash-family dup-graph edges with the exact-group star collapse —
-    * the q52 query shape AND the shape a SimHash production path must
-    * use: identical docs share both the md5 and the SimHash, so feeding
-    * them to the block join emits m(m−1)/2 clique rows per m-identical
-    * group. Instead each exact group contributes m−1 STAR edges
-    * (group-min → member, one hash-keyed window over (id, h, sh) rows)
-    * and only the group REPRESENTATIVES enter the Hamming blocking join.
-    * Connectivity is identical: a near edge (a, b) between group members
-    * factors through (repA, repB) — identical text ⇒ identical SimHash —
-    * plus the stars a—repA, b—repB. One scan computes both signatures
-    * ([[Signatures.simhash]] `keep`); text never joins or shuffles. */
+  /** SimHash-family dup-graph edges with the equal-signature star
+    * collapse — the q52 query shape AND the shape a SimHash production
+    * path must use. Identical text implies an identical SimHash, so the
+    * exact-group collapse and the "many near-identical docs share one
+    * signature" collapse are the SAME move one level up: group docs by
+    * the 60-bit signature itself, emit m−1 STAR edges per m-doc group
+    * (group-min → member, one long-keyed window — no md5-of-text pass
+    * at all), and let only the DISTINCT-signature representatives enter
+    * the Hamming blocking join. Both clique sources die at once: an
+    * m-identical boilerplate group costs m−1 edges, and a replica chain
+    * whose members vote to the same signature costs one blocking row,
+    * not m. Connectivity and the endpoint set are provably those of the
+    * exact-collapse form (equal-sh docs are pairwise Hamming-0 ⇒ one
+    * component either way; a near edge between groups factors through
+    * their reps, whose signatures are the groups' signatures), so the
+    * q52 oracle — which replays the md5-star form — hash-matches
+    * unchanged. Text never joins or shuffles. */
   def simhashEdges(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = Signatures
-      .simhash(docs.withColumn("h", md5(col(textCol))), idCol, textCol,
-        keep = Seq("h"))
-      .select(col(idCol), col("h"), col("simhash").as("sh"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val sigs = Signatures.simhash(docs, idCol, textCol)
+      .select(col(idCol), col("simhash").as("sh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
     val withKeeper = sigs
       .withColumn("keeper", min(col(idCol)).over(w))
       .localCheckpoint() // one signature+window pass feeds star AND reps

@@ -128,10 +128,18 @@ class DedupPipelineSpec extends SparkSpec {
     assert(lbl.length == n)
     assert(lbl.forall(_._2 == 0L), "single component rooted at the minimum")
     // and the fronting API must survive the same graph (propagation
-    // would blow its round budget; the automatic switch saves it)
-    val viaFront = DedupFunctions.connectedComponents(edges)
+    // would blow its round budget; the automatic switch saves it) —
+    // driver finisher forced OFF so the distributed path actually runs
+    val viaFront = DedupFunctions
+      .connectedComponents(edges, driverFinishEdges = 0L)
       .as[(Long, Long)].collect()
     assert(viaFront.length == n && viaFront.forall(_._2 == 0L))
+    // the star loop's own driver finisher (edge set fits the bound
+    // immediately) must produce the identical labeling
+    val viaDriver = DedupFunctions
+      .starComponents(edges, driverFinishEdges = Long.MaxValue)._1
+      .as[(Long, Long)].collect()
+    assert(viaDriver.length == n && viaDriver.forall(_._2 == 0L))
   }
 
   test("star contraction labels == propagation labels on varied graph shapes") {
@@ -148,7 +156,8 @@ class DedupPipelineSpec extends SparkSpec {
     val edges = (cliques ++ chain ++ tree ++ ring ++ pairs)
       .toDF("src", "dst")
     val prop = DedupFunctions.connectedComponents(edges, maxIter = 100,
-        propagationRounds = 100, stallSwitch = false) // PURE propagation
+        propagationRounds = 100, stallSwitch = false, // PURE propagation
+        driverFinishEdges = 0L)
       .as[(Long, Long)].collect().toMap
     val star = DedupFunctions.starComponents(edges)._1
       .as[(Long, Long)].collect().toMap

@@ -322,18 +322,24 @@ class FunctionsSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (10L, 12L), // triangle
       (20L, 21L), (21L, 20L), (20L, 21L) // pair with dup/reversed edges
     ).toDF("src", "dst")
-    val got = DedupFunctions.connectedComponents(edges)
+    val got = DedupFunctions.connectedComponents(edges) // driver finisher
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L)
     assert(got == expected)
+    // the distributed loop (driver finisher off) must agree exactly
+    val gotDist = DedupFunctions
+      .connectedComponents(edges, driverFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expected)
     // A propagation budget too small for the chain's diameter must NOT
     // return a half-propagated labeling: the star fallback takes over
     // and still produces the correct components.
     val long = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
-    val viaFallback = DedupFunctions.connectedComponents(long, maxIter = 3)
+    val viaFallback = DedupFunctions
+      .connectedComponents(long, maxIter = 3, driverFinishEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaFallback == (1L to 30L).map(_ -> 1L).toMap)
     // and when even the star contraction cannot finish in the budget,

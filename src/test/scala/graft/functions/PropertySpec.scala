@@ -77,7 +77,12 @@ class PropertySpec extends SparkSpec {
     } yield edges
     for ((edges, k) <- samples(graph, 12, 77L).zipWithIndex) {
       val df = edges.toDF("src", "dst")
-      val got = DedupFunctions.connectedComponents(df)
+      // distributed path (finisher off) AND the default driver-finish
+      // path must both match the reference union-find
+      val got = DedupFunctions
+        .connectedComponents(df, driverFinishEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      val gotDriver = DedupFunctions.connectedComponents(df)
         .as[(Long, Long)].collect().toMap
       // reference union-find
       val parent = scala.collection.mutable.Map[Long, Long]()
@@ -96,6 +101,7 @@ class PropertySpec extends SparkSpec {
         val m = ms.min; ms.map(_ -> m)
       }
       assert(got == expected, s"graph #$k: $edges")
+      assert(gotDriver == expected, s"graph #$k (driver finisher): $edges")
     }
   }
 
