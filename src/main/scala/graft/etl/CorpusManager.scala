@@ -825,6 +825,49 @@ class CorpusManager(
       newVecs))
   }
 
+  /** One-shot migration for stores created BEFORE the versioned ANN
+    * layout — a pre-versioning `ann/{vectors,centroids}` store, or one
+    * ingested before the embedding path existed. Builds `ann/v{N}` for
+    * the CURRENT bandsVersion from the PINNED docs table (which carries
+    * the embedding column): trains the quantizer with the same
+    * deterministic recipe as `ingestInitial` (md5-ordered seeds →
+    * Lloyd), writes the (cell)-bucketed vector table, and commits a
+    * manifest pinning the new files — docs, signatures, bands and
+    * sketches are untouched, so existing corpora skip the full
+    * re-ingest the layout change otherwise demands. Subsequent shard
+    * dedup is then IDENTICAL to a store whose vectors were written at
+    * initial ingest: the quantizer is a function of the (unchanged)
+    * canonical corpus. Pre-versioning `ann/vectors` files are left in
+    * place, unpinned (no manifest references them; their cell
+    * assignments predate quantizer versioning and must not be trusted)
+    * — delete the legacy dir once pre-migration readers drain.
+    * Crash-safe: the bucketed write overwrites, and the manifest swap
+    * is the commit point; a crashed attempt leaves reader-invisible
+    * files and a retry rewrites them. Refuses (loudly) when the live
+    * manifest already pins vectors — nothing to migrate — or when
+    * `embCol` is unset. */
+  def migrateAnnLayout(): CorpusManifest = withIngestLock {
+    require(hasExisting, s"corpus $name has no initial ingest at $root")
+    val e = embCol.getOrElse(throw new IllegalArgumentException(
+      s"corpus $name: migrateAnnLayout needs embCol configured"))
+    val man = readManifest().get
+    val files = snapshotFiles().get
+    require(files.vecs.isEmpty,
+      s"corpus $name already pins ${files.vecs.size} vector files " +
+        s"(ann/v${man.bandsVersion}) — nothing to migrate")
+    val cur = corpus()
+    require(cur.columns.contains(e),
+      s"corpus $name docs carry no '$e' column — the embedding source " +
+        "is absent, so there is nothing to build the ANN artifact from")
+    val v = man.bandsVersion
+    val vecs = cur.select(col(idCol), col(e))
+    BucketedSignatureStore.write(
+      assignCells(vecs, e, trainQuantizer(vecs, e, v)),
+      vecsTable(v), vecsPath(v), numBuckets, Seq("cell"))
+    commitManifest(man.nDocs, v,
+      files.copy(vecs = listDir(vecsPath(v)).toSeq))
+  }
+
   /** Delete artifact files not referenced by the newest `retainLast`
     * COMMITTED manifests — crashed-ingest orphans, superseded sketch
     * generations, pre-compaction files — and drop band-table versions

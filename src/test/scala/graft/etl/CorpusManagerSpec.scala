@@ -161,6 +161,90 @@ class CorpusManagerSpec extends SparkSpec {
     }
   }
 
+  test("migrateAnnLayout: legacy store gains ann/v1 and matches a fresh ingest") {
+    val s = spark; import s.implicits._
+    def vec(hot: Int, eps: Float = 0f, epsDim: Int = 0): Array[Float] = {
+      val a = new Array[Float](8); a(hot) = 1f
+      if (eps != 0f) a(epsDim) = eps
+      a
+    }
+    val init = Seq(
+      (6L, mkText(1), "web", vec(0)), (77L, mkText(4), "web", vec(1)),
+      (88L, mkText(5), "web", vec(2)), (9L, mkText(6), "web", vec(3)))
+      .toDF("doc_id", "text", "source", "emb")
+    // shard: 101 has FRESH text but an embedding ≈ corpus doc 77 — only
+    // the vector path can drop it; 102 is fresh on both signals
+    val shard = Seq(
+      (101L, mkText(11), "web", vec(1, eps = 0.05f, epsDim = 6)),
+      (102L, mkText(12), "web", vec(5)))
+      .toDF("doc_id", "text", "source", "emb")
+    val legacyRoot = tmpDir("cmmig-legacy")
+    try {
+      // the legacy store: ingested BEFORE the embedding path — docs
+      // carry the emb column, but no ann artifact exists and the
+      // manifest pins no vector files
+      val legacy = new CorpusManager("cm_mig", legacyRoot, spark,
+        numBuckets = 4, minTokens = 2)
+      legacy.ingestInitial(init)
+      assert(legacy.snapshotFiles().get.vecs.isEmpty)
+      // reopened with embCol: no config-flip shortcut — the vector
+      // artifact genuinely is not there (compaction would refuse too)
+      val m = new CorpusManager("cm_mig", legacyRoot, spark,
+        numBuckets = 4, minTokens = 2,
+        embCol = Some("emb"), embNearCos = 0.95, annCells = 4, embDims = 8)
+      val man = m.migrateAnnLayout()
+      assert(man.bandsVersion == 1L, "migration keeps the live version")
+      assert(m.snapshotFiles().get.vecs.nonEmpty,
+        "migration must pin the new vector files")
+      // a second migrate has nothing to do — loudly
+      val again = intercept[IllegalArgumentException] { m.migrateAnnLayout() }
+      assert(again.getMessage.contains("nothing to migrate"))
+      // fresh twin: same docs, vectors written at initial ingest
+      val freshM = new CorpusManager("cm_fresh", tmpDir("cmmig-fresh"), spark,
+        numBuckets = 4, minTokens = 2,
+        embCol = Some("emb"), embNearCos = 0.95, annCells = 4, embDims = 8)
+      freshM.ingestInitial(init)
+      // identical quantizer: trained on the same canonical corpus with
+      // the same deterministic seed order
+      assert(m.readCentroids().map(_._2.toSeq).toSeq ==
+        freshM.readCentroids().map(_._2.toSeq).toSeq)
+      // dedup parity: the same shard takes the same drops on both
+      val rm = m.ingestShard(shard)
+      val rf = freshM.ingestShard(shard)
+      assert(rm.ingested == rf.ingested && rm.duplicates == rf.duplicates,
+        s"migrated=$rm fresh=$rf")
+      assert(rm.duplicates == 1, s"vector near-dup must drop: $rm")
+      assert(corpusIds(m) == corpusIds(freshM))
+      assert(!corpusIds(m).contains(101L) && corpusIds(m).contains(102L))
+    } finally {
+      Seq("cm_mig_vecs_v1", "cm_mig_bands_v1", "cm_mig_shard_bands",
+        "cm_fresh_vecs_v1", "cm_fresh_bands_v1", "cm_fresh_shard_bands")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("migrateAnnLayout refusals: unset embCol, missing emb column") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("cmmig-refuse")
+    val noEmb = new CorpusManager("cm_mr", root, spark,
+      numBuckets = 4, minTokens = 2)
+    try {
+      noEmb.ingestInitial(docs(Seq((1L, mkText(1), "web"), (2L, mkText(2), "web"))))
+      val e1 = intercept[IllegalArgumentException] { noEmb.migrateAnnLayout() }
+      assert(e1.getMessage.contains("embCol"))
+      // embCol configured but the docs never carried the column: the
+      // failure names the missing source instead of an AnalysisException
+      val m = new CorpusManager("cm_mr", root, spark,
+        numBuckets = 4, minTokens = 2,
+        embCol = Some("emb"), embNearCos = 0.95, annCells = 4, embDims = 8)
+      val e2 = intercept[IllegalArgumentException] { m.migrateAnnLayout() }
+      assert(e2.getMessage.contains("no 'emb' column"))
+    } finally {
+      Seq("cm_mr_bands_v1", "cm_mr_shard_bands")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("low-threshold embNearCos routes intra-batch candidates to the blocked join") {
     val s = spark; import s.implicits._
     // a cos≈0.6 planted pair: at 8×12-bit LSH its per-table collision
