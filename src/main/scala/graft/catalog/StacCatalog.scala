@@ -54,28 +54,49 @@ class StacCatalog(val root: String, spark: SparkSession) {
       graft.sources.ManifestIO.sha256Hex(bytes).getBytes("UTF-8"))
   }
 
-  private def readJson(p: Path): Option[JValue] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      if (fs.exists(sidecar(p))) {
-        val sin = fs.open(sidecar(p))
+  /** Verified read. The writer swaps the JSON and its sidecar as two
+    * separate renames, so a reader racing a HEALTHY update can observe
+    * new JSON + stale sidecar for an instant; one re-read of both files
+    * resolves that transient (the second rename has then landed —
+    * old-consistent or new-consistent either way), so only genuine
+    * corruption or a crashed writer surfaces as an error. */
+  private def readJson(p: Path): Option[JValue] = {
+    def readBoth(): Option[(String, Option[String])] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
         val expected =
-          try scala.io.Source.fromInputStream(sin, "UTF-8").mkString.trim
-          finally sin.close()
-        val actual = graft.sources.ManifestIO.sha256Hex(text.getBytes("UTF-8"))
-        if (actual != expected)
-          throw new IllegalStateException(
-            s"$p failed its sha256 integrity check (sidecar $expected, " +
-              s"computed $actual): catalog file corrupted or a crash " +
-              "interrupted the write — verify the JSON and recompute " +
-              "the sidecar")
+          if (!fs.exists(sidecar(p))) None
+          else {
+            val sin = fs.open(sidecar(p))
+            try Some(scala.io.Source.fromInputStream(sin, "UTF-8").mkString.trim)
+            finally sin.close()
+          }
+        Some((text, expected))
       }
-      Some(JsonMethods.parse(text))
+    def verified(r: (String, Option[String])): Boolean = r match {
+      case (text, expected) => expected.forall(
+        _ == graft.sources.ManifestIO.sha256Hex(text.getBytes("UTF-8")))
     }
+    readBoth() match {
+      case None => None
+      case Some(r) if verified(r) => Some(JsonMethods.parse(r._1))
+      case Some(_) => readBoth() match { // transient mid-swap window
+        case None => None
+        case Some(r) if verified(r) => Some(JsonMethods.parse(r._1))
+        case Some((text, expected)) =>
+          val actual = graft.sources.ManifestIO.sha256Hex(text.getBytes("UTF-8"))
+          throw new IllegalStateException(
+            s"$p failed its sha256 integrity check twice " +
+              s"(sidecar ${expected.getOrElse("?")}, computed $actual): " +
+              "catalog file corrupted or a crash interrupted the write — " +
+              "verify the JSON and recompute the sidecar")
+      }
+    }
+  }
 
   def rootPath = new Path(root, "catalog.json")
   def collectionPath(name: String) = new Path(root, s"collections/$name.json")

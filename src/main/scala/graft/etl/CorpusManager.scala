@@ -42,7 +42,13 @@ case class CorpusManifest(
     minEstJaccard: Double,
     numBuckets: Int,
     bandsVersion: Long = 1,
-    parent: Long = 0)
+    parent: Long = 0,
+    // signature-scheme version the persisted sigs/bands were computed
+    // under (Signatures.SchemeVersion); manifests older than the field
+    // parse as 1 — the oldest scheme — so a pre-stamp store routes to
+    // migrateSignatureScheme() rather than silently band-joining
+    // incomparable signatures
+    sigScheme: Long = 1)
 
 /** Root-relative data-file lists pinned by a committed manifest — the
   * corpus twin of [[graft.sources.GriddedStore]]'s snapshot manifests.
@@ -273,7 +279,9 @@ class CorpusManager(
     * carries the pinned artifact file lists: this swap IS the whole
     * ingest's commit point. */
   private def commitManifest(nDocsTotal: Long, bandsVersion: Long,
-                             files: CorpusFiles): CorpusManifest = {
+                             files: CorpusFiles,
+                             sigScheme: Long = graft.functions.Signatures
+                               .SchemeVersion): CorpusManifest = {
     val claimed =
       if (!fs.exists(gensDir)) 0L
       else fs.listStatus(gensDir).map(_.getPath.getName)
@@ -287,7 +295,7 @@ class CorpusManager(
     // be a crashed commit's orphan, which no reader was ever pinned to)
     val m = CorpusManifest(name, gen, nDocsTotal,
       p.ngram, p.perms, p.bands, p.minEstJaccard, numBuckets, bandsVersion,
-      parentGen)
+      parentGen, sigScheme)
     import org.json4s._
     def arr(xs: Seq[String]): JValue = JArray(xs.sorted.map(JString(_)).toList)
     val json = jackson.JsonMethods.pretty(jackson.JsonMethods.render(JObject(
@@ -298,6 +306,7 @@ class CorpusManager(
       "numBuckets" -> JInt(m.numBuckets),
       "bandsVersion" -> JLong(m.bandsVersion),
       "parent" -> JLong(m.parent),
+      "sigScheme" -> JLong(m.sigScheme),
       "files" -> JObject(
         "docs" -> arr(files.docs), "sigs" -> arr(files.sigs),
         "hashes" -> arr(files.hashes), "sketch" -> arr(files.sketch),
@@ -593,8 +602,24 @@ class CorpusManager(
     * lose the new doc. Serialized behind the ingest lock
     * ([[withIngestLock]]).
     */
+  /** Refuse a store whose persisted signatures/bands were computed
+    * under a DIFFERENT scheme than this build computes: a shard's
+    * new-scheme signatures band-join old-scheme corpus rows into
+    * near-zero collisions, silently losing near-dup recall — the
+    * failure must be loud, before any artifact is touched. */
+  private def requireCurrentSigScheme(man: CorpusManifest): Unit = {
+    val cur = graft.functions.Signatures.SchemeVersion
+    if (man.sigScheme != cur) throw new IllegalStateException(
+      s"corpus $name was ingested under signature scheme " +
+        s"${man.sigScheme}, but this build computes scheme $cur — " +
+        "band-joining across schemes silently loses near-dup recall. " +
+        "Run migrateSignatureScheme() to recompute the signature/band " +
+        "artifacts from the canonical docs, or re-ingest.")
+  }
+
   def ingestShard(newDocs: DataFrame): IngestReport = withIngestLock {
     require(hasExisting, s"corpus $name has no initial ingest at $root")
+    readManifest().foreach(requireCurrentSigScheme)
     val (ok, rej) = qualityGate(newDocs)
     val shard = ok.localCheckpoint()
     val nInCorpus = shard.select(col(idCol)).distinct()
@@ -772,6 +797,7 @@ class CorpusManager(
   def compactArtifacts(partitions: Int = 0): CorpusManifest = withIngestLock {
     require(hasExisting, s"corpus $name has no initial ingest at $root")
     val man = readManifest().get
+    requireCurrentSigScheme(man) // compaction COPIES sig/band rows forward
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
     def rewrite(df: DataFrame, dir: String, parts: Int): Seq[String] = {
@@ -864,8 +890,53 @@ class CorpusManager(
     BucketedSignatureStore.write(
       assignCells(vecs, e, trainQuantizer(vecs, e, v)),
       vecsTable(v), vecsPath(v), numBuckets, Seq("cell"))
+    // the quantizer is scheme-independent; carry the store's signature
+    // scheme through so this migration cannot mask a pending
+    // migrateSignatureScheme()
     commitManifest(man.nDocs, v,
-      files.copy(vecs = listDir(vecsPath(v)).toSeq))
+      files.copy(vecs = listDir(vecsPath(v)).toSeq), man.sigScheme)
+  }
+
+  /** Recompute the signature/band artifacts under the CURRENT
+    * [[graft.functions.Signatures.SchemeVersion]] — the remedy
+    * [[requireCurrentSigScheme]] directs to when a store's persisted
+    * signatures predate a scheme change. Appends a fresh signature
+    * generation (readers pinned to older manifests keep their files),
+    * writes the band table as `bands_v(N+1)`, retrains/rewrites the ANN
+    * artifacts beside it when `embCol` is set (they are versioned WITH
+    * the band table), and commits a manifest stamped with the current
+    * scheme. Hashes and sketches are scheme-independent and carry
+    * forward. Docs are untouched — this is the cheap alternative to a
+    * full re-ingest, and it changes no dedup DECISIONS (those were
+    * already taken); it restores the comparability of future shard
+    * signatures with the persisted corpus. */
+  def migrateSignatureScheme(): CorpusManifest = withIngestLock {
+    require(hasExisting, s"corpus $name has no initial ingest at $root")
+    val man = readManifest().get
+    val cur = graft.functions.Signatures.SchemeVersion
+    require(man.sigScheme != cur,
+      s"corpus $name is already at signature scheme $cur — nothing to migrate")
+    val files = snapshotFiles().get
+    val kept = corpus()
+    val beforeSigs = listDir(sigsPath)
+    val (sigs, bands) = DedupPipeline.signatureTables(kept, idCol, textCol, p)
+    sigs.write.mode("append").parquet(sigsPath)
+    val newSigs = (listDir(sigsPath) -- beforeSigs).toSeq
+    val v2 = man.bandsVersion + 1
+    BucketedSignatureStore.write(bands, bandsTable(v2), bandsDir(v2),
+      numBuckets, bandKeys)
+    val newVecs = embCol match {
+      case Some(e) if files.vecs.nonEmpty =>
+        val curVecs = spark.read.parquet(files.vecs.map(f => s"$root/$f"): _*)
+          .select(col(idCol), col(e))
+        BucketedSignatureStore.write(
+          assignCells(curVecs, e, trainQuantizer(curVecs, e, v2)),
+          vecsTable(v2), vecsPath(v2), numBuckets, Seq("cell"))
+        listDir(vecsPath(v2)).toSeq
+      case _ => files.vecs
+    }
+    commitManifest(man.nDocs, v2, files.copy(
+      sigs = newSigs, bands = listDir(bandsDir(v2)).toSeq, vecs = newVecs))
   }
 
   /** Delete artifact files not referenced by the newest `retainLast`

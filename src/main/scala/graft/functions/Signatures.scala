@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object Signatures {
 
+  /** Version of the SIGNATURE SCHEME — the exact function from text to
+    * MinHash signature/band rows. Persisted artifacts (corpus signature
+    * and band tables) are only comparable to signatures computed under
+    * the SAME scheme: band-joining across schemes silently loses
+    * near-dup recall, so [[graft.etl.CorpusManager]] stamps this into
+    * every committed manifest and refuses mismatched stores loudly.
+    * History: 1 = one md5 digest per perm-pair (hex lanes per perm);
+    * 2 = two Kirsch–Mitzenmacher double-hash families from two digests
+    * per shingle (current — see [[minhash]]). Bump on ANY change to
+    * [[minhash]]/[[wordShingles]] output. */
+  val SchemeVersion = 2L
+
   /** First 60 bits (15 hex chars) of md5(s) — always non-negative, so
     * signed-long MIN agrees between JVM and SQL engines. */
   private[graft] def md5_60(md: MessageDigest, s: String): Long = {

@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   * with a real codec (e.g. a JavaCV/FFmpeg binding) registers it by
   * passing `decoders = MjpegAviDecoder +: Seq(myMp4Decoder)` to
   * [[Multimodal.decodeMeta]]/[[Multimodal.sampleFrameStats]] — bytes a
-  * registered decoder `accepts` are NEVER routed to the synthetic
-  * fallback. Implementations must be serializable (they ride in task
-  * closures) and stateless or cheaply re-usable per partition. */
+  * registered decoder `accepts` are probed by THAT decoder first; only
+  * when its `probe` then returns None (accepted container, undecodable
+  * payload) do they fall through to the ImageIO/synthetic chain, which
+  * reports them as the flagged fallback rather than failing the row.
+  * Implementations must be serializable (they ride in task closures)
+  * and stateless or cheaply re-usable per partition. */
 trait FrameDecoder extends Serializable {
   def name: String
 

@@ -45,24 +45,38 @@ object QualityChecks {
   }
 
   /** NaN/missing-frequency check per group (`publish.py:577-602`):
-    * observed missing fraction with a CI at alpha=1e-5 — Wilson by
-    * default (closed-form, codegen'd), Clopper-Pearson when
+    * observed missing fraction with a CI at significance 1e-5 — Wilson
+    * by default (closed-form, codegen'd), Clopper-Pearson when
     * `exact = true` (the reference's `binom_test` semantics: correct at
     * tiny n·p where Wilson is anti-conservative). The exact bounds are
     * a driver-math UDF over the per-group (x, n) pair — one row per
     * group, so the distributed work stays in the counting aggregate
     * either way. The caller compares `expected` against [ci_lo, ci_hi]
-    * — outside ⇒ NanFrequencyMismatch. */
+    * — outside ⇒ NanFrequencyMismatch.
+    *
+    * Significance parameters: `z` is the Wilson interval's normal
+    * quantile; `alpha` is the exact interval's level. They are NOT
+    * interchangeable, so a custom `z` with `exact = true` and no
+    * explicit `alpha` is REFUSED rather than quietly evaluated at the
+    * default 1e-5 — pass the alpha your z encodes (for two-sided
+    * Wilson-z parity, alpha = 2·(1−Φ(z))). */
   def missingFrequency(df: DataFrame, groupKey: String, isMissing: Column,
                        z: Double = Z_ALPHA_1E5, exact: Boolean = false,
-                       alpha: Double = 1e-5): DataFrame = {
+                       alpha: Double = Double.NaN): DataFrame = {
     val base = df.groupBy(groupKey)
       .agg(count(lit(1)).as("n"),
         count(when(isMissing, lit(1))).as("n_missing"))
       .withColumn("nd", col("n").cast("double"))
       .withColumn("phat", col("n_missing").cast("double") / col("n").cast("double"))
     if (exact) {
-      val cp = udf((x: Long, n: Long) => ExactBinomial.clopperPearson(x, n, alpha))
+      require(z == Z_ALPHA_1E5 || !alpha.isNaN,
+        "missingFrequency(exact = true): z parameterizes only the Wilson " +
+          s"interval; a custom z ($z) would be silently ignored and the " +
+          "Clopper-Pearson bounds evaluated at the default alpha=1e-5 — " +
+          "pass alpha explicitly for the exact path")
+      val effAlpha = if (alpha.isNaN) 1e-5 else alpha
+      val cp = udf((x: Long, n: Long) =>
+        ExactBinomial.clopperPearson(x, n, effAlpha))
       base.withColumn("ci", cp(col("n_missing"), col("n")))
         .withColumn("ci_lo", col("ci._1")).withColumn("ci_hi", col("ci._2"))
         .drop("ci", "nd")

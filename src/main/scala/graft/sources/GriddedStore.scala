@@ -122,6 +122,40 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
         case _ => None
       }
 
+  /** Data schema recorded by the manifest (Spark DataType JSON) — the
+    * committed-empty read path builds its zero-row frame from THIS, so
+    * an empty-pin store stays readable after vacuum reclaims every
+    * unpinned file under data/ (directory schema inference has nothing
+    * left to infer from). None for manifests older than the field. */
+  private def extractSchema(json: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    scala.util.Try(org.json4s.jackson.JsonMethods.parse(json) \ "data_schema")
+      .toOption.flatMap {
+        case org.json4s.JString(s) => scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(s)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+        case _ => None
+      }
+
+  private def snapshotSchema(): Option[org.apache.spark.sql.types.StructType] =
+    pointerJson().flatMap(extractSchema)
+
+  private def snapshotSchemaAt(v: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    readVersionJson(v).flatMap(extractSchema)
+
+  private def emptyPinned(
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema match {
+      case Some(s) =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+      case None =>
+        // pre-schema-field manifest: directory schema inference is the
+        // only source left (fails once vacuum has emptied data/ — such
+        // stores re-commit once to gain the schema field)
+        spark.read.parquet(dataPath).filter(lit(false))
+    }
+
   /** All manifest versions, ascending. */
   def descriptorHistory(): Seq[(Long, DatasetDescriptor)] =
     (1L to latestVersionNumber()).flatMap(v => readDescriptorAt(v).map(v -> _))
@@ -189,14 +223,27 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       version: Long, d: DatasetDescriptor,
       files: Option[Seq[String]] = None): Unit = {
     fs.mkdirs(versionsDir)
-    // the version manifest = descriptor fields + the pinned file list;
-    // DatasetDescriptor.fromJson ignores the extra field on read-back
+    // the version manifest = descriptor fields + the pinned file list +
+    // the data schema (Spark DataType JSON — read back by the
+    // committed-empty path, which must not depend on data/ still
+    // containing inferable files); DatasetDescriptor.fromJson ignores
+    // the extra fields on read-back. Non-empty pins derive the schema
+    // from the pinned files themselves (one footer read per commit);
+    // empty pins carry the committed pointer's schema forward.
     val json = files match {
       case Some(fl) =>
         import org.json4s._
+        val schemaJson: Option[String] =
+          if (fl.nonEmpty) scala.util.Try(
+            spark.read.option("basePath", dataPath)
+              .parquet(fl.map(f => s"$root/$f"): _*).schema.json).toOption
+          else snapshotSchema().map(_.json)
         val base = jackson.JsonMethods.parse(d.toJson).asInstanceOf[JObject]
+        val withFiles = base.obj :+
+          ("files" -> (JArray(fl.sorted.map(JString(_)).toList): JValue))
         jackson.JsonMethods.pretty(jackson.JsonMethods.render(JObject(
-          base.obj :+ ("files" -> (JArray(fl.sorted.map(JString(_)).toList): JValue)))))
+          schemaJson.fold(withFiles)(s => withFiles :+
+            ("data_schema" -> (JString(s): JValue))))))
       case None => d.toJson
     }
     // integrity trailer: a silently-corrupted manifest must fail its own
@@ -224,11 +271,12 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
         .parquet(files.map(f => s"$root/$f"): _*)
     case Some(_) =>
       // A manifest that pins an EMPTY list means "committed empty":
-      // scan the directory for its schema only and keep no rows —
-      // falling through to the dir scan would make crashed-writer
-      // orphans and retired files reader-visible (the phantom-
-      // visibility hole the pinning exists to close).
-      spark.read.parquet(dataPath).filter(lit(false))
+      // a zero-row frame with the MANIFEST-RECORDED schema — falling
+      // through to a dir scan would make crashed-writer orphans and
+      // retired files reader-visible (the phantom-visibility hole the
+      // pinning exists to close), and dir schema inference dies the
+      // moment vacuum reclaims the orphans.
+      emptyPinned(snapshotSchema())
     case None => spark.read.parquet(dataPath) // legacy, pre-file-tracking
   }
 
@@ -241,7 +289,7 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       spark.read.option("basePath", dataPath)
         .parquet(files.map(f => s"$root/$f"): _*)
     case Some(_) => // committed-empty version: schema only (see read())
-      spark.read.parquet(dataPath).filter(lit(false))
+      emptyPinned(snapshotSchemaAt(v))
     case None => spark.read.parquet(dataPath) // legacy, pre-file-tracking
   }
 

@@ -223,6 +223,53 @@ class CorpusManagerSpec extends SparkSpec {
     }
   }
 
+  test("signature-scheme mismatch refuses ingest/compaction; migration restores it") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("cmscheme")
+    val m = new CorpusManager("cm_sig", root, spark,
+      numBuckets = 4, minTokens = 2)
+    try {
+      m.ingestInitial(docs(Seq(
+        (1L, mkText(1), "web"), (2L, mkText(2), "web"), (3L, mkText(3), "web"))))
+      assert(m.readManifest().get.sigScheme ==
+        graft.functions.Signatures.SchemeVersion)
+      // doctor the committed pointer to claim the pre-stamp scheme (1):
+      // exactly what a store ingested under the old hash family looks
+      // like after the upgrade (absent field parses as 1)
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val ptr = new org.apache.hadoop.fs.Path(root, "_corpus.json")
+      val txt = graft.sources.ManifestIO.readVerified(fsys, ptr)
+        .replace("\"sigScheme\" : 2", "\"sigScheme\" : 1")
+      assert(txt.contains("\"sigScheme\" : 1"), s"doctoring failed: $txt")
+      val out = fsys.create(ptr, true)
+      try out.write(graft.sources.ManifestIO.seal(txt.getBytes("UTF-8")))
+      finally out.close()
+      // every signature-consuming mutation refuses loudly, pre-write
+      val shard = docs(Seq((10L, near(mkText(1)), "web"),
+        (11L, mkText(9), "web")))
+      val e1 = intercept[IllegalStateException] { m.ingestShard(shard) }
+      assert(e1.getMessage.contains("signature scheme"))
+      val e2 = intercept[IllegalStateException] { m.compactArtifacts() }
+      assert(e2.getMessage.contains("signature scheme"))
+      // the migration recomputes sigs/bands from the canonical docs and
+      // stamps the current scheme; normal operation resumes, with
+      // near-dup recall intact (10 ≈ corpus doc 1 must drop)
+      val man2 = m.migrateSignatureScheme()
+      assert(man2.sigScheme == graft.functions.Signatures.SchemeVersion)
+      assert(man2.bandsVersion == 2L, "band table rewritten as v2")
+      val r = m.ingestShard(shard)
+      assert(r.ingested == 1 && r.duplicates == 1, s"post-migration: $r")
+      assert(!corpusIds(m).contains(10L) && corpusIds(m).contains(11L))
+      // nothing to migrate on a current store
+      val e3 = intercept[IllegalArgumentException] { m.migrateSignatureScheme() }
+      assert(e3.getMessage.contains("nothing to migrate"))
+    } finally {
+      Seq("cm_sig_bands_v1", "cm_sig_bands_v2", "cm_sig_shard_bands")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("migrateAnnLayout refusals: unset embCol, missing emb column") {
     val s = spark; import s.implicits._
     val root = tmpDir("cmmig-refuse")

@@ -68,6 +68,25 @@ class QualityChecksSpec extends SparkSpec {
     assert(expected > e.getDouble(1), "exact rejects")
   }
 
+  test("exact=true with a custom z and no alpha is refused, not silently 1e-5") {
+    val s = spark; import s.implicits._
+    val df = (1 to 50).map(i => (1, i <= 2)).toDF("g", "miss")
+    // z parameterizes only the Wilson interval: running Clopper-Pearson
+    // at the default alpha would be a quietly different significance
+    // level than the caller's z encodes
+    val ex = intercept[IllegalArgumentException] {
+      QualityChecks.missingFrequency(df, "g", col("miss"),
+        z = 2.5758, exact = true).collect()
+    }
+    assert(ex.getMessage.contains("alpha"))
+    // explicit alpha beside the custom z is honored
+    val r = QualityChecks.missingFrequency(df, "g", col("miss"),
+      z = 2.5758, exact = true, alpha = 0.01)
+      .select("ci_lo", "ci_hi").collect()(0)
+    val (lo, hi) = ExactBinomial.clopperPearson(2, 50, 0.01)
+    assert(r.getDouble(0) == lo && r.getDouble(1) == hi)
+  }
+
   test("extremeValues counts out-of-bounds cells (publish.py:567-575)") {
     val s = spark; import s.implicits._
     val df = Seq(("a", -91.0), ("a", 10.0), ("a", 61.0), ("b", 0.0))

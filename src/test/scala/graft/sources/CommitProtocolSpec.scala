@@ -325,5 +325,13 @@ class CommitProtocolSpec extends SparkSpec {
     assert(store.read().columns.contains("precip")) // schema survives
     // time travel to the populated version still sees the data
     assert(store.readAt(2).count() == 5 * 4)
+    // the acid case: vacuum to the empty pin alone — every file under
+    // data/ is now an orphan and gets reclaimed, so nothing is left to
+    // infer a schema from. The read must still produce the typed empty
+    // frame (the manifest records the schema), not an AnalysisException.
+    store.vacuum(retainLast = 1)
+    assert(store.read().count() == 0)
+    assert(store.read().columns.contains("precip"),
+      "schema must come from the manifest once data/ is empty")
   }
 }
