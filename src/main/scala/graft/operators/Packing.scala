@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hierarchical running-offset (distributed prefix sum) for sequence
+  * packing — the scale-safe form of `sum(w) OVER (PARTITION BY source
+  * ORDER BY id)`.
+  *
+  * The flat window is correct but unbounded in SOURCE size: one window
+  * partition per source means one task owns every row of a source, so a
+  * corpus where one crawl contributes half the tokens serializes its
+  * entire prefix sum through a single task at 100 TB. The classic fix is
+  * the two-level scan: split each source into ORDER-ALIGNED sub-shards
+  * (`id div span` — integral ranges, so every id in sub-shard k precedes
+  * every id in k+1), prefix-sum each sub-shard independently (bounded by
+  * `span` ids per window partition), prefix-sum the per-sub-shard TOTALS
+  * within each source (one row per sub-shard — driver-trivial data
+  * sizes), and add the stitched offset back. The result is bit-identical
+  * to the flat window wherever the order column is unique, which is why
+  * the q61 oracle replays the flat SQL unchanged.
+  *
+  * Scale shape: the row-level work is one hash exchange on
+  * (src, sub-shard) + bounded sorts; the totals table is
+  * |sources|·|sub-shards| rows (~100k at 100 TB with the default span),
+  * so its per-source window and the broadcast join-back are noise. No
+  * task ever holds more than one sub-shard.
+  */
+object Packing {
+
+  /** `df` plus a `cum` column: the running sum of `weightCol` over
+    * `orderCol` order within each `srcCol` group, computed
+    * hierarchically (see class doc). `orderCol` must be an integral
+    * column, unique within its source (ties make ANY prefix sum
+    * order-ambiguous, the flat window included). `span` bounds how many
+    * distinct order values one window partition may own. */
+  def runningOffsets(df: DataFrame, srcCol: String, orderCol: String,
+                     weightCol: String, span: Long = 1L << 20): DataFrame = {
+    require(span > 0, s"span must be positive, got $span")
+    // `div` truncates toward zero, which still maps ids onto contiguous,
+    // monotone ranges (…[-s,-1]→0 boundary aside, ranges never
+    // interleave), so sub-shard order agrees with id order.
+    val dfSub = df.withColumn("_sub", expr(s"$orderCol div $span"))
+    val wLocal = Window.partitionBy(srcCol, "_sub").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = dfSub.withColumn("_lcum", sum(col(weightCol)).over(wLocal))
+    // totals aggregate straight off the scan (map-side partials: the
+    // shuffle carries one partial row per task per sub-shard, not rows)
+    val totals = dfSub.groupBy(srcCol, "_sub")
+      .agg(sum(col(weightCol)).as("_subtot"))
+    val wOff = Window.partitionBy(srcCol).orderBy("_sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_off", coalesce(sum("_subtot").over(wOff), lit(0L)))
+      .select(col(srcCol), col("_sub"), col("_off"))
+    local.join(broadcast(offsets), Seq(srcCol, "_sub"))
+      .withColumn("cum", col("_lcum") + col("_off"))
+      .drop("_sub", "_lcum", "_off")
+  }
+}

@@ -328,19 +328,19 @@ object TextQueries {
     // Sequence packing (contiguous fill): docs are packed into
     // 256-token context bins in doc_id order WITHIN each source shard —
     // bin = the budget-multiple its running token offset lands in. The
-    // window is partitioned by source, so shards pack independently and
-    // in parallel; this is exactly how a real pipeline packs at 100 TB
-    // (per-shard prefix sums, no global coordination).
+    // running offsets come from graft.operators.Packing's HIERARCHICAL
+    // prefix sum (sub-shard windows + per-source offset stitch), so one
+    // dominant source cannot serialize its whole prefix sum through a
+    // single window task at 100 TB; the result is bit-identical to the
+    // flat per-source window the oracle replays. span=4096 so even the
+    // small gate data exercises the two-level path.
     "q61_pack_sequences" -> ((s, dir) => {
       val budget = 256
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          TextFunctions.tokenCount(col("text")).as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
+      graft.operators.Packing.runningOffsets(
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("n_tok")),
+        "source", "doc_id", "n_tok", span = 4096L)
         .select(col("source"),
           floor((col("cum") - col("n_tok")) / lit(budget)).cast("long").as("bin"),
           col("n_tok"))

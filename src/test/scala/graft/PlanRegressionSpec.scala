@@ -62,12 +62,17 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
-  test("q61 packing windows partition by source (no single-partition window)") {
+  test("q61 packing shards the prefix-sum window below source granularity") {
     val plan = SparkEntry.queries("q61_pack_sequences")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()
     assert(plan.contains("Window"), "expected the prefix-sum window")
     assert(!plan.contains("SinglePartition"),
-      "the packing prefix sum must stay sharded by source")
+      "the packing prefix sum must stay sharded")
+    // the row-level window must key on (source, _sub) — a window whose
+    // partition spec is source alone serializes a dominant source's
+    // whole prefix sum through one task at scale
+    assert("windowspecdefinition\\([^)]*_sub".r.findFirstIn(plan).isDefined,
+      s"row-level window must partition by the sub-shard column:\n$plan")
   }
 
   test("q56 contamination never joins back over the exploded gram table") {

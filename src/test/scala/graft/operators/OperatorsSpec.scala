@@ -115,4 +115,31 @@ class OperatorsSpec extends SparkSpec {
         "t", iv, "lo", "hi", 100L)
     }
   }
+
+  test("hierarchical packing offsets match the flat window under a dominant source") {
+    val s = spark; import s.implicits._
+    // one source owns 90% of the rows — the exact skew that serializes
+    // a flat per-source window through a single task at scale
+    val rows = (1L to 9000L).map(i => (i, "big", (i % 7 + 1).toInt)) ++
+      (9001L to 10000L).map(i => (i, s"s${i % 5}", (i % 3 + 1).toInt))
+    val df = rows.toDF("id", "src", "w").repartition(8)
+    val got = Packing.runningOffsets(df, "src", "id", "w", span = 512L)
+    // equivalence against the flat form, row by row
+    val wFlat = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val flat = df.withColumn("cum", sum("w").over(wFlat))
+    assert(got.select("id", "cum").exceptAll(flat.select("id", "cum")).isEmpty &&
+      flat.select("id", "cum").exceptAll(got.select("id", "cum")).isEmpty)
+    // the row-level window is keyed below source granularity: the
+    // dominant source's 9000 rows split across ~18 span-512 sub-shards
+    val plan = got.queryExecution.executedPlan.toString()
+    assert("windowspecdefinition\\([^)]*_sub".r.findFirstIn(plan).isDefined,
+      s"expected a (src, _sub)-keyed window:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan)
+    intercept[IllegalArgumentException] {
+      Packing.runningOffsets(df, "src", "id", "w", span = 0L)
+    }
+  }
 }
