@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import graft.functions.Signatures
+
+/** Microbenchmark for the signature-pass cost decomposition: per-shingle
+  * lane hashing (md5 vs xxh64) in isolation, then the full KM signature
+  * inner loop, on synthetic shingles shaped like the scale probes'
+  * (three ~5-char tokens). Driver-only, no Spark — this isolates the
+  * hash primitive from shuffle/checkpoint/codegen noise so a "fast
+  * hasher" claim is grounded in the component it actually changes. */
+object HasherProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(2000000)
+    val rnd = new java.util.Random(42)
+    val shingles = Array.fill(n)(
+      s"w${rnd.nextInt(5000)} w${rnd.nextInt(5000)} w${rnd.nextInt(5000)}")
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val sink = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2fs (sink $sink)")
+    }
+    for (round <- 1 to 3) {
+      println(s"-- round $round (first is JIT warmup)")
+      for (h <- Seq(Signatures.Md5SigHasher, Signatures.Xxh64SigHasher)) {
+        val lanes = h.lanes()
+        timed(s"${h.name} lanes only") {
+          var acc = 0L
+          var i = 0
+          while (i < n) {
+            val (a, b, c, d) = lanes(shingles(i).getBytes(StandardCharsets.UTF_8))
+            acc ^= a ^ b ^ c ^ d
+            i += 1
+          }
+          acc
+        }
+        timed(s"${h.name} lanes + 64-perm KM loop") {
+          val mask60 = (1L << 60) - 1
+          val sig = new Array[Long](64)
+          var acc = 0L
+          var i = 0
+          while (i < n) {
+            java.util.Arrays.fill(sig, Long.MaxValue)
+            val (h0, h1, h2, h3) = lanes(shingles(i).getBytes(StandardCharsets.UTF_8))
+            var k = 0
+            var v = h0
+            while (k < 32) {
+              val vm = v & mask60
+              if (vm < sig(k)) sig(k) = vm
+              v += h1; k += 1
+            }
+            v = h2
+            while (k < 64) {
+              val vm = v & mask60
+              if (vm < sig(k)) sig(k) = vm
+              v += h3; k += 1
+            }
+            acc ^= sig(0)
+            i += 1
+          }
+          acc
+        }
+      }
+    }
+  }
+}

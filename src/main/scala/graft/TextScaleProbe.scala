@@ -21,6 +21,18 @@ object TextScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
     val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
+    // GRAFT_HASHER=xxh64 rehearses the production (non-oracle) signature
+    // scheme; every planted-recovery requirement below applies to BOTH
+    // schemes — recall is a property of the KM construction, not of the
+    // hash primitive.
+    val hasher = sys.env.get("GRAFT_HASHER") match {
+      case Some("xxh64") => Signatures.Xxh64SigHasher
+      case Some("md5") | None => Signatures.Md5SigHasher
+      case Some(other) => throw new IllegalArgumentException(
+        s"GRAFT_HASHER must be md5 or xxh64, got $other")
+    }
+    val params = graft.functions.DedupPipeline.Params(hasher = hasher)
+    println(s"PROBE hasher ${hasher.name} (scheme ${hasher.scheme})")
 
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -48,7 +60,7 @@ object TextScaleProbe {
     println(s"PROBE exact dup groups $exact (expect ${nDocs / 100})")
 
     val sigs = timed("minhash signatures (64 perms)") {
-      Signatures.minhash(docs, "doc_id", "text", 3, 64)
+      Signatures.minhash(docs, "doc_id", "text", 3, 64, hasher)
         .withColumn("bands", DedupFunctions.bandKeys(col("sig"), 16, 4))
         .localCheckpoint()
     }
@@ -95,11 +107,11 @@ object TextScaleProbe {
     val incPath = java.nio.file.Files.createTempDirectory("dedup_inc").toString
     timed(s"persist corpus ($cut docs, bucketed bands)") {
       graft.functions.DedupPipeline.persist(corpus, "doc_id", "text",
-        "probe", incPath, 64)
+        "probe", incPath, 64, params)
     }
     val incPairs = timed(s"incremental shard dedup (${nDocs - cut} docs)") {
       graft.functions.DedupPipeline.runIncremental(spark, shard, "doc_id",
-        "text", "probe", incPath, 64).localCheckpoint()
+        "text", "probe", incPath, 64, params).localCheckpoint()
     }
     // planted clusters whose members straddle the cut: every (base,
     // copy) / (base, near) / (copy, near) pair with ≥1 member ≥ cut —
@@ -127,7 +139,8 @@ object TextScaleProbe {
     // in the corpus) and non-minima of shard-only clusters.
     val root = java.nio.file.Files.createTempDirectory("corpus_mgr").toString
     val mdocs = mdocsWithSource(docs)
-    val mgr = new graft.etl.CorpusManager("probe_mgr", root, spark, numBuckets = 64)
+    val mgr = new graft.etl.CorpusManager("probe_mgr", root, spark,
+      p = params, numBuckets = 64)
     val rInit = timed(s"manager initial ingest ($cut docs)") {
       mgr.ingestInitial(mdocs.filter(col("doc_id") < cut))
     }

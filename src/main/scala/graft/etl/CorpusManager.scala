@@ -44,10 +44,10 @@ case class CorpusManifest(
     bandsVersion: Long = 1,
     parent: Long = 0,
     // signature-scheme version the persisted sigs/bands were computed
-    // under (Signatures.SchemeVersion); manifests older than the field
-    // parse as 1 — the oldest scheme — so a pre-stamp store routes to
-    // migrateSignatureScheme() rather than silently band-joining
-    // incomparable signatures
+    // under (Signatures.SigHasher.scheme of the configured hasher);
+    // manifests older than the field parse as 1 — the oldest scheme —
+    // so a pre-stamp store routes to migrateSignatureScheme() rather
+    // than silently band-joining incomparable signatures
     sigScheme: Long = 1)
 
 /** Root-relative data-file lists pinned by a committed manifest — the
@@ -280,8 +280,7 @@ class CorpusManager(
     * ingest's commit point. */
   private def commitManifest(nDocsTotal: Long, bandsVersion: Long,
                              files: CorpusFiles,
-                             sigScheme: Long = graft.functions.Signatures
-                               .SchemeVersion): CorpusManifest = {
+                             sigScheme: Long = p.hasher.scheme): CorpusManifest = {
     val claimed =
       if (!fs.exists(gensDir)) 0L
       else fs.listStatus(gensDir).map(_.getPath.getName)
@@ -608,13 +607,14 @@ class CorpusManager(
     * near-zero collisions, silently losing near-dup recall — the
     * failure must be loud, before any artifact is touched. */
   private def requireCurrentSigScheme(man: CorpusManifest): Unit = {
-    val cur = graft.functions.Signatures.SchemeVersion
+    val cur = p.hasher.scheme
     if (man.sigScheme != cur) throw new IllegalStateException(
       s"corpus $name was ingested under signature scheme " +
-        s"${man.sigScheme}, but this build computes scheme $cur — " +
-        "band-joining across schemes silently loses near-dup recall. " +
-        "Run migrateSignatureScheme() to recompute the signature/band " +
-        "artifacts from the canonical docs, or re-ingest.")
+        s"${man.sigScheme}, but this manager is configured with scheme " +
+        s"$cur (hasher ${p.hasher.name}) — band-joining across schemes " +
+        "silently loses near-dup recall. Run migrateSignatureScheme() " +
+        "to recompute the signature/band artifacts from the canonical " +
+        "docs under the configured hasher, or re-ingest.")
   }
 
   def ingestShard(newDocs: DataFrame): IngestReport = withIngestLock {
@@ -913,7 +913,7 @@ class CorpusManager(
   def migrateSignatureScheme(): CorpusManifest = withIngestLock {
     require(hasExisting, s"corpus $name has no initial ingest at $root")
     val man = readManifest().get
-    val cur = graft.functions.Signatures.SchemeVersion
+    val cur = p.hasher.scheme
     require(man.sigScheme != cur,
       s"corpus $name is already at signature scheme $cur — nothing to migrate")
     val files = snapshotFiles().get

@@ -28,13 +28,18 @@ object DedupPipeline {
 
   /** MinHash/LSH parameters. The (bands × rowsPerBand = perms) split
     * sets the collision threshold ≈ (1/bands)^(1/rowsPerBand) — the
-    * defaults target Jaccard ≳ 0.5. */
+    * defaults target Jaccard ≳ 0.5. `hasher` picks the signature
+    * scheme: md5 (default — every hash replayable by a SQL oracle) or
+    * xxh64 (several times cheaper per shingle, rows-only checkable);
+    * persisted artifacts carry the scheme id and are only comparable
+    * within it (see [[Signatures.SigHasher]]). */
   case class Params(
       ngram: Int = 3,
       perms: Int = 64,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      minEstJaccard: Double = 0.5) {
+      minEstJaccard: Double = 0.5,
+      hasher: Signatures.SigHasher = Signatures.Md5SigHasher) {
     require(bands * rowsPerBand == perms, "bands × rowsPerBand must equal perms")
   }
 
@@ -50,7 +55,7 @@ object DedupPipeline {
                       p: Params): (DataFrame, DataFrame) = {
     val sigs = Signatures.minhash(
         docs.filter(TextFunctions.tokenCount(col(textCol)) >= p.ngram),
-        idCol, textCol, p.ngram, p.perms)
+        idCol, textCol, p.ngram, p.perms, p.hasher)
       .localCheckpoint()
     val bandRows = sigs
       .withColumn("bands", DedupFunctions.bandKeys(col("sig"), p.bands, p.rowsPerBand))
@@ -115,8 +120,9 @@ object DedupPipeline {
     * q52 oracle — which replays the md5-star form — hash-matches
     * unchanged. Text never joins or shuffles. */
   def simhashEdges(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = Signatures.simhash(docs, idCol, textCol)
+                   maxHamming: Int = 3,
+                   hasher: Signatures.SigHasher = Signatures.Md5SigHasher): DataFrame = {
+    val sigs = Signatures.simhash(docs, idCol, textCol, Nil, hasher)
       .select(col(idCol), col("simhash").as("sh"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
     val withKeeper = sigs

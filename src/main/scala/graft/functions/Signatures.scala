@@ -29,17 +29,100 @@ import org.apache.spark.sql.functions._
   */
 object Signatures {
 
-  /** Version of the SIGNATURE SCHEME — the exact function from text to
-    * MinHash signature/band rows. Persisted artifacts (corpus signature
-    * and band tables) are only comparable to signatures computed under
-    * the SAME scheme: band-joining across schemes silently loses
-    * near-dup recall, so [[graft.etl.CorpusManager]] stamps this into
-    * every committed manifest and refuses mismatched stores loudly.
-    * History: 1 = one md5 digest per perm-pair (hex lanes per perm);
-    * 2 = two Kirsch–Mitzenmacher double-hash families from two digests
-    * per shingle (current — see [[minhash]]). Bump on ANY change to
-    * [[minhash]]/[[wordShingles]] output. */
-  val SchemeVersion = 2L
+  /** The hash primitive behind a signature scheme — pluggable because
+    * the two legitimate deployments want different things:
+    *
+    *   - [[Md5SigHasher]] (default): every hash is reproducible in any
+    *     SQL engine from `md5(s)` substrings, so the whole shingle →
+    *     minhash → band → bucket-join pipeline is oracle-checkable
+    *     bit-for-bit. MD5 is the single dominant CPU cost of the
+    *     signature pass.
+    *   - [[Xxh64SigHasher]]: xxHash64 (Spark's own `XXH64`, the codegen
+    *     backing of `functions.xxhash64`) — engine-specific, so only
+    *     rows-only checks are possible, but several times cheaper per
+    *     shingle. The production choice when no external oracle needs
+    *     to replay the hashes.
+    *
+    * Each `scheme` id names the exact text → signature function.
+    * Persisted artifacts are only comparable to signatures computed
+    * under the SAME scheme, so [[graft.etl.CorpusManager]] stamps the
+    * id into every committed manifest and refuses mismatched stores
+    * loudly (switching hashers on a live corpus routes through
+    * `migrateSignatureScheme()`). Scheme history: 1 = one md5 digest
+    * per perm-pair (hex lanes per perm, round 1-2); 2 = two
+    * Kirsch–Mitzenmacher families from two md5 digests per shingle
+    * (current default); 3 = the same KM construction over four seeded
+    * xxHash64 lanes. Bump/add an id on ANY change to the hashing or
+    * [[wordShingles]] output.
+    *
+    * Implementations are objects (serializable singletons); the
+    * per-partition factories exist because MessageDigest instances are
+    * stateful and must not cross task threads. */
+  trait SigHasher extends Serializable {
+    def name: String
+    def scheme: Long
+    /** Per-partition instance: four independent 60-bit lanes per
+      * shingle — (h0, h1) and (h2, h3) drive the two KM families. */
+    def lanes(): Array[Byte] => (Long, Long, Long, Long)
+    /** Per-partition instance: one 60-bit hash per token (the SimHash
+      * vote hash). */
+    def hash60(): String => Long
+  }
+
+  /** Oracle-reproducible md5 lanes (see [[SigHasher]]): two digests per
+    * shingle, hex chars 1-15 and 16-30 of each. */
+  object Md5SigHasher extends SigHasher {
+    val name = "md5"
+    val scheme = 2L
+    def lanes(): Array[Byte] => (Long, Long, Long, Long) = {
+      val md = MessageDigest.getInstance("MD5")
+      val suffix = "#".getBytes(StandardCharsets.UTF_8)
+      def split(d: Array[Byte]): (Long, Long) = {
+        var v0 = 0L
+        var i = 0
+        while (i < 8) { v0 = (v0 << 8) | (d(i) & 0xffL); i += 1 }
+        var v1 = 0L
+        i = 7
+        while (i < 15) { v1 = (v1 << 8) | (d(i) & 0xffL); i += 1 }
+        (v0 >>> 4, v1 & 0x0FFFFFFFFFFFFFFFL) // hex chars 1..15, 16..30
+      }
+      gb => {
+        md.reset()
+        val (h0, h1) = split(md.digest(gb))
+        md.reset()
+        md.update(gb)
+        md.update(suffix)
+        val (h2, h3) = split(md.digest())
+        (h0, h1, h2, h3)
+      }
+    }
+    def hash60(): String => Long = {
+      val md = MessageDigest.getInstance("MD5")
+      s => md5_60(md, s)
+    }
+  }
+
+  /** xxHash64 lanes: four seeded calls per shingle (~5× cheaper than
+    * the two md5 digests — no per-digest allocation, ~0.1 ns/byte), each
+    * `>>> 4` to the same non-negative 60-bit domain the md5 scheme
+    * uses. Seeds are arbitrary distinct constants; stateless, so the
+    * per-partition factories return shared closures. */
+  object Xxh64SigHasher extends SigHasher {
+    val name = "xxh64"
+    val scheme = 3L
+    private def xx(b: Array[Byte], seed: Long): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+    def lanes(): Array[Byte] => (Long, Long, Long, Long) =
+      gb => (xx(gb, 0L) >>> 4, xx(gb, 1L) >>> 4,
+        xx(gb, 2L) >>> 4, xx(gb, 3L) >>> 4)
+    def hash60(): String => Long =
+      s => xx(s.getBytes(StandardCharsets.UTF_8), 0L) >>> 4
+  }
+
+  /** Scheme id of the DEFAULT (md5, oracle-checkable) hasher — what a
+    * store ingested with default params is stamped with. */
+  val SchemeVersion: Long = Md5SigHasher.scheme
 
   /** First 60 bits (15 hex chars) of md5(s) — always non-negative, so
     * signed-long MIN agrees between JVM and SQL engines. */
@@ -187,7 +270,15 @@ object Signatures {
     * band-join should filter them out first — two empty docs are not
     * near-duplicates of each other). */
   def minhash(df: DataFrame, idCol: String, textCol: String,
-              ngram: Int, perms: Int): DataFrame = {
+              ngram: Int, perms: Int): DataFrame =
+    minhash(df, idCol, textCol, ngram, perms, Md5SigHasher)
+
+  /** [[minhash]] under an explicit [[SigHasher]] — [[Xxh64SigHasher]]
+    * for production runs that don't need oracle-replayable hashes. The
+    * KM construction, shingling and signature layout are identical
+    * across hashers; only the four base lanes change. */
+  def minhash(df: DataFrame, idCol: String, textCol: String,
+              ngram: Int, perms: Int, hasher: SigHasher): DataFrame = {
     require(perms % 2 == 0, "perms must be even (two hash families)")
     val spark = df.sparkSession
     import spark.implicits._
@@ -195,29 +286,14 @@ object Signatures {
     val half = perms / 2
     spread(df.select(col(idCol).cast("long"), col(textCol))).as[(Long, String)]
       .mapPartitions { it =>
-        val md = MessageDigest.getInstance("MD5")
-        val suffix = "#".getBytes(StandardCharsets.UTF_8)
-        def lanes(d: Array[Byte]): (Long, Long) = {
-          var v0 = 0L
-          var i = 0
-          while (i < 8) { v0 = (v0 << 8) | (d(i) & 0xffL); i += 1 }
-          var v1 = 0L
-          i = 7
-          while (i < 15) { v1 = (v1 << 8) | (d(i) & 0xffL); i += 1 }
-          (v0 >>> 4, v1 & 0x0FFFFFFFFFFFFFFFL) // hex chars 1..15, 16..30
-        }
+        val lanes = hasher.lanes()
         it.map { case (id, text) =>
           val sh = wordShingles(text, ngram)
           val sig = Array.fill(perms)(Long.MaxValue)
           var j = 0
           while (j < sh.length) {
             val gb = sh(j).getBytes(StandardCharsets.UTF_8)
-            md.reset()
-            val (h0, h1) = lanes(md.digest(gb))
-            md.reset()
-            md.update(gb)
-            md.update(suffix)
-            val (h2, h3) = lanes(md.digest())
+            val (h0, h1, h2, h3) = lanes(gb)
             var k = 0
             var v = h0
             while (k < half) {
@@ -253,7 +329,13 @@ object Signatures {
     * collapse — get both signatures from ONE scan instead of a join of
     * two passes. `keep` columns ride along untouched. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              keep: Seq[String]): DataFrame = {
+              keep: Seq[String]): DataFrame =
+    simhash(df, idCol, textCol, keep, Md5SigHasher)
+
+  /** [[simhash]] under an explicit [[SigHasher]] (see [[minhash]]'s
+    * hasher overload): same vote construction, pluggable token hash. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              keep: Seq[String], hasher: SigHasher): DataFrame = {
     val in = spread(df.select(
       (col(idCol).cast("long") +: keep.map(col)) :+ col(textCol): _*))
     val outSchema = org.apache.spark.sql.types.StructType(
@@ -264,13 +346,13 @@ object Signatures {
       org.apache.spark.sql.Encoders.row(outSchema)
     val textIdx = in.schema.fields.length - 1
     in.mapPartitions { it =>
-      val md = MessageDigest.getInstance("MD5")
+      val h60 = hasher.hash60()
       val counts = new Array[Int](60)
       it.map { r =>
         val text = r.getString(textIdx)
         java.util.Arrays.fill(counts, 0)
         text.split(" ", -1).foreach { t =>
-          val h = md5_60(md, t)
+          val h = h60(t)
           var i = 0
           while (i < 60) {
             if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1

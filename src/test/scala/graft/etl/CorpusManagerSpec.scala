@@ -270,6 +270,42 @@ class CorpusManagerSpec extends SparkSpec {
     }
   }
 
+  test("hasher choice stamps the scheme; switching hashers routes through migration") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("cmxxh")
+    val xxp = graft.functions.DedupPipeline.Params(
+      hasher = graft.functions.Signatures.Xxh64SigHasher)
+    val mx = new CorpusManager("cm_xxh", root, spark, p = xxp,
+      numBuckets = 4, minTokens = 2)
+    try {
+      mx.ingestInitial(docs(Seq(
+        (1L, mkText(1), "web"), (2L, mkText(2), "web"), (3L, mkText(3), "web"))))
+      assert(mx.readManifest().get.sigScheme ==
+        graft.functions.Signatures.Xxh64SigHasher.scheme)
+      // the xxh64-scheme store works under the xxh64 manager: near-dup
+      // recall through the persisted bands, same as md5
+      val r = mx.ingestShard(docs(Seq((10L, near(mkText(1)), "web"),
+        (11L, mkText(9), "web"))))
+      assert(r.ingested == 1 && r.duplicates == 1, s"xxh64 ingest: $r")
+      // a DEFAULT (md5) manager on the same store refuses loudly...
+      val mm = new CorpusManager("cm_xxh", root, spark,
+        numBuckets = 4, minTokens = 2)
+      val e = intercept[IllegalStateException] {
+        mm.ingestShard(docs(Seq((12L, mkText(4), "web"))))
+      }
+      assert(e.getMessage.contains("signature scheme"))
+      // ...and migration under the md5 manager recomputes + re-stamps
+      val man2 = mm.migrateSignatureScheme()
+      assert(man2.sigScheme == graft.functions.Signatures.Md5SigHasher.scheme)
+      val r2 = mm.ingestShard(docs(Seq((12L, near(mkText(2)), "web"),
+        (13L, mkText(8), "web"))))
+      assert(r2.ingested == 1 && r2.duplicates == 1, s"post-migration: $r2")
+    } finally {
+      Seq("cm_xxh_bands_v1", "cm_xxh_bands_v2", "cm_xxh_shard_bands")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("migrateAnnLayout refusals: unset embCol, missing emb column") {
     val s = spark; import s.implicits._
     val root = tmpDir("cmmig-refuse")

@@ -20,22 +20,35 @@ class DedupPipelineSpec extends SparkSpec {
     (base ++ exact ++ near).toDF("doc_id", "text")
   }
 
-  test("batch run finds planted clusters and keeps canonical docs") {
+  test("batch run finds planted clusters and keeps canonical docs (both hashers)") {
     val s = spark; import s.implicits._
     val docs = planted()
-    val (pairs, labels, keepers) = DedupPipeline.run(docs, "doc_id", "text")
-    val pairSet = pairs.as[(Long, Long)].collect().toSet
-    for (i <- 0 until 10) {
-      assert(pairSet.contains((i.toLong, 100L + i)), s"exact dup $i missing")
-      assert(pairSet.contains((i.toLong, 200L + i)), s"near dup $i missing")
+    // recall is a property of the KM construction, not of the hash
+    // primitive: the oracle-replayable md5 scheme and the production
+    // xxh64 scheme must BOTH recover every planted cluster
+    for (h <- Seq(Signatures.Md5SigHasher, Signatures.Xxh64SigHasher)) {
+      val p = DedupPipeline.Params(hasher = h)
+      val (pairs, labels, keepers) = DedupPipeline.run(docs, "doc_id", "text", p)
+      val pairSet = pairs.as[(Long, Long)].collect().toSet
+      for (i <- 0 until 10) {
+        assert(pairSet.contains((i.toLong, 100L + i)), s"[${h.name}] exact dup $i missing")
+        assert(pairSet.contains((i.toLong, 200L + i)), s"[${h.name}] near dup $i missing")
+      }
+      // canonical keeper = min id: doc i survives, 100+i and 200+i do not
+      val kept = keepers.select("doc_id").as[Long].collect().toSet
+      assert((0 until 50).forall(i => kept.contains(i.toLong)), h.name)
+      assert((0 until 10).forall(i =>
+        !kept.contains(100L + i) && !kept.contains(200L + i)), h.name)
+      // labels point at the cluster minimum
+      val lbl = labels.as[(Long, Long)].collect().toMap
+      assert((0 until 10).forall(i => lbl(100L + i) == i && lbl(200L + i) == i), h.name)
     }
-    // canonical keeper = min id: doc i survives, 100+i and 200+i do not
-    val kept = keepers.select("doc_id").as[Long].collect().toSet
-    assert((0 until 50).forall(i => kept.contains(i.toLong)))
-    assert((0 until 10).forall(i => !kept.contains(100L + i) && !kept.contains(200L + i)))
-    // labels point at the cluster minimum
-    val lbl = labels.as[(Long, Long)].collect().toMap
-    assert((0 until 10).forall(i => lbl(100L + i) == i && lbl(200L + i) == i))
+    // the schemes are genuinely different functions — the manifest stamp
+    // exists because band-joining across them would be silent nonsense
+    val sm = Signatures.minhash(docs, "doc_id", "text", 3, 8, Signatures.Md5SigHasher)
+    val sx = Signatures.minhash(docs, "doc_id", "text", 3, 8, Signatures.Xxh64SigHasher)
+    assert(sm.join(sx.withColumnRenamed("sig", "sig2"), "doc_id")
+      .filter(col("sig") === col("sig2")).isEmpty)
   }
 
   test("exact-dup groups yield star edges, not the quadratic pair space") {
