@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.TimeUnit
+
+/** Out-of-process [[FrameDecoder]] binding — the example contract for
+  * codecs the JVM cannot host (MP4/H.264 via an ffmpeg-style helper).
+  * The JDK-only synthetic fallback stays the default; a deployment
+  * registers this decoder with the helper of its choice:
+  *
+  * {{{
+  *   val mp4 = PipedFrameDecoder("mp4-ffmpeg",
+  *     command = Seq("/usr/local/bin/graft-mp4-helper"),
+  *     magics = Seq(4 -> "ftyp"))             // ISO-BMFF brand box
+  *   Multimodal.decodeMeta(df, "id", "bin", "kind",
+  *     decoders = Multimodal.DefaultDecoders :+ mp4)
+  * }}}
+  *
+  * Helper contract (line-oriented, media bytes on stdin):
+  *   - `helper probe`           → one line `width height nFrames`, exit 0
+  *   - `helper frames <stride>` → one line per sampled frame:
+  *                                `frameIdx width height meanIntensity`
+  *
+  * An ffmpeg binding is a few lines of shell — e.g. probe via
+  * `ffprobe -show_streams -` and frames via
+  * `ffmpeg -i - -vf select='not(mod(n\,STRIDE))',signalstats -f null -`
+  * with the PSNR/YAVG lines reformatted. The contract deliberately
+  * carries only numbers, so ANY helper language works and nothing the
+  * subprocess prints is ever interpreted as more than four numbers.
+  *
+  * Failure isolation is the design center: a helper that is missing,
+  * crashes, times out, or prints garbage makes `probe` return None /
+  * `frames` return Nil for THAT ROW — the row then reports through the
+  * flagged synthetic fallback (`realDecode=false`) exactly like any
+  * other undecodable payload, and the job never fails. The subprocess
+  * is hard-killed at `timeoutMs` (a stuck helper must not wedge a task
+  * slot), and stdin feeding runs on its own thread so a helper that
+  * stops reading cannot deadlock the task against a full pipe.
+  *
+  * One process per DECODED ROW, not per batch — acceptable because only
+  * rows whose magic matches reach the helper, and video decode cost
+  * dwarfs a fork. Serializable: holds only strings and ints.
+  */
+case class PipedFrameDecoder(
+    name: String,
+    command: Seq[String],
+    magics: Seq[(Int, String)],
+    timeoutMs: Long = 30000L) extends FrameDecoder {
+  require(command.nonEmpty, "command must name the helper executable")
+  require(magics.nonEmpty, "at least one (offset, magic) container sniff")
+
+  override def accepts(b: Array[Byte]): Boolean =
+    magics.exists { case (off, m) =>
+      val mb = m.getBytes(StandardCharsets.US_ASCII)
+      off >= 0 && off + mb.length <= b.length &&
+        mb.indices.forall(i => b(off + i) == mb(i))
+    }
+
+  /** Run the helper, feed `bytes`, return its stdout lines — None on any
+    * failure (missing binary, nonzero exit, timeout). */
+  private def run(args: Seq[String], bytes: Array[Byte]): Option[Seq[String]] =
+    try {
+      val pb = new ProcessBuilder((command ++ args): _*)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val feeder = new Thread(() =>
+        try {
+          proc.getOutputStream.write(bytes)
+          proc.getOutputStream.close()
+        } catch { case _: java.io.IOException => () }) // helper closed early
+      feeder.setDaemon(true)
+      feeder.start()
+      val out = new java.io.ByteArrayOutputStream()
+      val drainer = new Thread(() =>
+        try proc.getInputStream.transferTo(out)
+        catch { case _: java.io.IOException => () })
+      drainer.setDaemon(true)
+      drainer.start()
+      if (!proc.waitFor(timeoutMs, TimeUnit.MILLISECONDS)) {
+        proc.destroyForcibly()
+        None
+      } else if (proc.exitValue() != 0) None
+      else {
+        drainer.join(1000)
+        Some(out.toString(StandardCharsets.UTF_8).linesIterator.toSeq)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  override def probe(b: Array[Byte]): Option[(Int, Int, Int)] =
+    run(Seq("probe"), b).flatMap(_.headOption).flatMap { line =>
+      line.trim.split("\\s+") match {
+        case Array(w, h, n) =>
+          try Some((w.toInt, h.toInt, n.toInt))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }
+
+  override def frames(b: Array[Byte], stride: Int): Seq[(Int, Int, Int, Double)] =
+    run(Seq("frames", stride.toString), b).toSeq.flatten.flatMap { line =>
+      line.trim.split("\\s+") match {
+        case Array(i, w, h, m) =>
+          try Some((i.toInt, w.toInt, h.toInt, m.toDouble))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }
+}

@@ -101,6 +101,60 @@ class MultimodalSpec extends SparkSpec {
     assert(!FakeMp4Decoder.accepts("RIFF....AVI ".getBytes("US-ASCII")))
   }
 
+  test("PipedFrameDecoder: helper subprocess decodes; crash/garbage/timeout isolate to the flagged fallback") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("piped")
+    def script(name: String, body: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.write(p, ("#!/bin/sh\n" + body).getBytes("UTF-8"))
+      p.toFile.setExecutable(true)
+      Seq(p.toString)
+    }
+    val mp4ish = java.nio.ByteBuffer.allocate(32)
+      .putInt(20).put("ftypisom".getBytes("US-ASCII")).array()
+    val rows = Seq((1L, mp4ish, "video"))
+    val magics = Seq(4 -> "ftyp")
+    // the helper echoes the stdin byte count as nFrames — proof the
+    // media bytes actually flow through the pipe
+    val ok = PipedFrameDecoder("mp4-ok", script("ok.sh",
+      """n=$(wc -c)
+        |if [ "$1" = probe ]; then echo "320 240 $n"
+        |else i=0; while [ $i -lt 9 ]; do echo "$i 320 240 12.5"; i=$((i+$2)); done; fi
+        |""".stripMargin), magics)
+    val decoded = Multimodal.decodeMeta(
+        rows.toDF("id", "bin", "kind"), "id", "bin", "kind",
+        decoders = Multimodal.DefaultDecoders :+ ok).collect()(0)
+    assert(decoded.realDecode, "helper decode must preempt the fallback")
+    assert(decoded.width == 320 && decoded.height == 240 && decoded.nFrames == 32)
+    val frames = Multimodal.sampleFrameStats(
+        rows.toDF("id", "bin", "kind"), "id", "bin", stride = 3,
+        decoders = Multimodal.DefaultDecoders :+ ok)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 3, 6), frames.toSeq)
+    // failure isolation: a helper that crashes, prints garbage, hangs,
+    // or does not exist must yield the FLAGGED fallback row — never a
+    // task failure
+    val broken = Seq(
+      PipedFrameDecoder("mp4-crash", script("crash.sh", "exit 1\n"), magics),
+      PipedFrameDecoder("mp4-garbage",
+        script("garbage.sh", "echo not numbers at all\n"), magics),
+      PipedFrameDecoder("mp4-hang", script("hang.sh", "sleep 3\n"),
+        magics, timeoutMs = 300L),
+      PipedFrameDecoder("mp4-missing", Seq(s"$dir/no_such_helper"), magics))
+    for (d <- broken) {
+      val m = Multimodal.decodeMeta(
+          rows.toDF("id", "bin", "kind"), "id", "bin", "kind",
+          decoders = Multimodal.DefaultDecoders :+ d).collect()(0)
+      assert(!m.realDecode, s"${d.name}: must fall back flagged, not fail")
+      assert(Multimodal.sampleFrameStats(
+        rows.toDF("id", "bin", "kind"), "id", "bin", stride = 1,
+        decoders = Multimodal.DefaultDecoders :+ d).collect().isEmpty,
+        s"${d.name}: no fabricated frames")
+    }
+    // non-matching magic never reaches the helper (AVI stays MJPEG's)
+    assert(!ok.accepts("RIFF....AVI ".getBytes("US-ASCII")))
+  }
+
   test("decodeMeta: content hash dedups identical media") {
     val s = spark; import s.implicits._
     val img = p6(4, 4)((x, y) => (x, y, x + y))
