@@ -98,10 +98,13 @@ class VocabDriftException(msg: String) extends RuntimeException(msg)
   *     from multi-table hyperplane LSH instead (cell self-joins are
   *     quadratic per cell — see `embIntraPairs`); verified cosine pairs
   *     join the same dup graph as the text pairs. Honest boundary:
-  *     cross candidates come from the top-1 cell only, so a near-dup
-  *     pair straddling a quantizer cell boundary is missed — the
-  *     multi-table LSH shape is the recall-guaranteed alternative when
-  *     that matters.
+  *     with the default `embProbes = 1` cross candidates come from the
+  *     shard doc's top cell only, so a near-dup pair straddling a
+  *     quantizer cell boundary is missed; `embProbes = P` probes the
+  *     runner-up cells too (shard side replicated ×P, corpus layout
+  *     and exchange-free scan unchanged), shrinking — not closing —
+  *     that hole. The multi-table LSH shape is the recall-guaranteed
+  *     alternative when it matters.
   *
   * Snapshot isolation (the [[graft.sources.GriddedStore]] discipline):
   * every committed manifest pins the exact file list of each artifact,
@@ -155,7 +158,8 @@ class CorpusManager(
     annCells: Int = 16,
     embDims: Int = 64,
     embTables: Int = 8,
-    embBits: Int = 12) {
+    embBits: Int = 12,
+    embProbes: Int = 1) {
 
   def docsPath: String = s"$root/docs"
   def dedupPath: String = s"$root/dedup"
@@ -670,9 +674,18 @@ class CorpusManager(
       .select(col("keeper").as("d1"), col(idCol).as("d2"))
     // embedding near-dup edges join the SAME dup graph: cross pairs from
     // the (cell)-bucketed corpus vector table (exchange-free corpus
-    // side), intra pairs from the shard-local LSH buckets
+    // side), intra pairs from the shard-local LSH buckets. The shard
+    // side probes its top-`embProbes` cells (corpus storage stays
+    // top-1): a near-dup pair straddling a quantizer cell boundary is
+    // found whenever the boundary cell is among the shard doc's
+    // runner-ups — the IVF multi-probe move, replicating only the
+    // shard ×embProbes. embProbes = 1 keeps the honest single-cell
+    // boundary; multi-table LSH remains the recall-GUARANTEED shape.
     val shardAssigned = embCol.map { e =>
-      assignCells(shard, e, readCentroids()).localCheckpoint()
+      graft.functions.VectorFunctions.ivfAssignMulti(
+          shard.select(col(idCol), col(e)), idCol, e,
+          readCentroids(), embProbes)
+        .localCheckpoint()
     }
     val embEdges = shardAssigned.map { a =>
       embCandidates(a).unionByName(embIntraPairs(shard))

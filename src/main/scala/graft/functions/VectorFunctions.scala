@@ -210,6 +210,60 @@ object VectorFunctions {
       }.toDF(idCol, vecCol, "cell")
   }
 
+  /** Multi-probe [[ivfAssign]]: `nProbe` rows per vector, one for each
+    * of its top-`nProbe` cells by centroid cosine (ties → lowest
+    * centroid id; `nProbe = 1` is exactly [[ivfAssign]]). The PROBE-side
+    * move of IVF search applied to the near-dup ingest join: a vector
+    * near a cell boundary meets corpus vectors stored in its runner-up
+    * cells too, shrinking the boundary-miss recall hole at the cost of
+    * replicating only the (small) probing side ×nProbe — the corpus
+    * side keeps its top-1 storage layout and exchange-free bucketed
+    * scan. Selection is nProbe linear passes over the C cosines (no
+    * sort; nProbe ≪ C). */
+  def ivfAssignMulti(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     vecCol: String, centroids: Array[(Long, Array[Float])],
+                     nProbe: Int): org.apache.spark.sql.DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    if (nProbe == 1) return ivfAssign(df, idCol, vecCol, centroids)
+    val cents = centroids.sortBy(_._1) // ascending id = the tie-break order
+    val p = math.min(nProbe, cents.length)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Signatures.spread(df.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          val cos = new Array[Double](cents.length)
+          var c = 0
+          while (c < cents.length) {
+            val ce = cents(c)._2
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < v.length) {
+              val x = v(i).toDouble; val y = ce(i).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            cos(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+            c += 1
+          }
+          val taken = new Array[Boolean](cents.length)
+          (0 until p).iterator.map { _ =>
+            var best = -1
+            var bestCos = Double.NegativeInfinity
+            var j = 0
+            while (j < cents.length) {
+              // strict > prefers the earlier (lower-id) centroid on ties
+              if (!taken(j) && cos(j) > bestCos) { bestCos = cos(j); best = j }
+              j += 1
+            }
+            taken(best) = true
+            (id, v, cents(best)._1)
+          }
+        }
+      }.toDF(idCol, vecCol, "cell")
+  }
+
   /** Distributed Lloyd iterations for the IVF coarse quantizer
     * (spherical k-means): assignment is one O(N·C) typed pass
     * ([[ivfAssign]], cosine metric), recomputation reduces per-partition

@@ -91,6 +91,73 @@ class CorpusManagerSpec extends SparkSpec {
     }
   }
 
+  test("embProbes=2 finds a near-dup pair straddling a quantizer cell boundary that top-1 misses") {
+    val s = spark; import s.implicits._
+    // Geometry (24 dims): cell anchors along e0 and e1, eps-spread in
+    // distinct spare dims so no two anchors are embedding-dups of each
+    // other; the corpus straddler c = (1, 0.9, 0…) assigns to cell0,
+    // while the shard doc sh = (0.8, 1, 0…) has top-1 cell1 and
+    // runner-up cell0 — yet cos(c, sh) = 0.987, a true near-dup. The 9
+    // anchors per cell keep the trained centroids pinned to their axes
+    // so c cannot drag cell0's centroid over the boundary. Seeds: ids
+    // 27 and 63 are the two md5-lowest, one per anchor group.
+    def unit(hot: Int, eps: Int = -1): Array[Float] = {
+      val a = new Array[Float](24); a(hot) = 1f
+      if (eps >= 0) a(eps) = 0.3f
+      a
+    }
+    val straddler = { val a = new Array[Float](24); a(0) = 1f; a(1) = 0.9f; a }
+    val shardVec = { val a = new Array[Float](24); a(0) = 0.8f; a(1) = 1f; a }
+    val e0Ids = Seq(27L, 1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L)
+    val e1Ids = Seq(63L, 5L, 7L, 8L, 9L, 15L, 16L, 17L, 18L)
+    // mkText seeds must stay distinct mod 30 (the helper's vocab period)
+    // or two "fresh" texts silently collide into an exact dup
+    val init = (e0Ids.zipWithIndex.map { case (id, i) =>
+        (id, mkText(1 + i), "web", unit(0, 2 + i)) } ++
+      e1Ids.zipWithIndex.map { case (id, i) =>
+        (id, mkText(11 + i), "web", unit(1, 11 + i)) } :+
+      ((10L, mkText(21), "web", straddler)))
+      .toDF("doc_id", "text", "source", "emb")
+    val shard = Seq((101L, mkText(22), "web", shardVec))
+      .toDF("doc_id", "text", "source", "emb")
+    def mgr(tag: String, probes: Int) = new CorpusManager(s"cm_np$tag",
+      tmpDir(s"cmnp$tag"), spark, numBuckets = 4, minTokens = 2,
+      embCol = Some("emb"), embNearCos = 0.95, annCells = 2, embDims = 24,
+      embProbes = probes)
+    val m1 = mgr("1", 1)
+    val m2 = mgr("2", 2)
+    try {
+      assert(m1.ingestInitial(init).ingested == 19, "no intra dups planted")
+      assert(m2.ingestInitial(init).ingested == 19)
+      // the geometry holds: under the trained quantizer the straddler
+      // and the shard doc sit in DIFFERENT top-1 cells
+      val cents = m1.readCentroids()
+      val top1 = graft.functions.VectorFunctions.ivfAssignMulti(
+          init.filter(col("doc_id") === 10L).unionByName(shard)
+            .select(col("doc_id"), col("emb")), "doc_id", "emb", cents, 1)
+        .select("doc_id", "cell").as[(Long, Long)].collect().toMap
+      assert(top1(10L) != top1(101L), s"straddle geometry broken: $top1")
+      // ...and the shard doc's runner-up cell IS the straddler's cell
+      val top2 = graft.functions.VectorFunctions.ivfAssignMulti(
+          shard.select(col("doc_id"), col("emb")), "doc_id", "emb", cents, 2)
+        .select("cell").as[Long].collect().toSet
+      assert(top2 == Set(top1(10L), top1(101L)), s"probe cells: $top2")
+      // top-1 probing misses the boundary pair — the documented hole
+      val r1 = m1.ingestShard(shard)
+      assert(r1.ingested == 1 && r1.duplicates == 0,
+        s"embProbes=1 must miss the straddle: $r1")
+      // two probes find it: 101 drops against corpus doc 10
+      val r2 = m2.ingestShard(shard)
+      assert(r2.ingested == 0 && r2.duplicates == 1,
+        s"embProbes=2 must catch the straddle: $r2")
+      assert(corpusIds(m1).contains(101L) && !corpusIds(m2).contains(101L))
+    } finally {
+      Seq("cm_np1_vecs_v1", "cm_np2_vecs_v1", "cm_np1_bands_v1",
+        "cm_np2_bands_v1", "cm_np1_shard_bands", "cm_np2_shard_bands")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("compaction retrains the quantizer; stale cells separate; old ann version vacuumed") {
     val s = spark; import s.implicits._
     def vec(hot: Int, eps: Float = 0f, epsDim: Int = 0): Array[Float] = {
