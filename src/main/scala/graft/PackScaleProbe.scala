@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for hierarchical packing
+  * ([[graft.operators.Packing.runningOffsets]]): 10M rows where ONE
+  * source owns 90% — the skew that makes the flat per-source window
+  * serialize 9M rows through a single task. Measures flat vs
+  * hierarchical wall-clock on identical data and REQUIRES bit-identical
+  * offsets (distributed exceptAll both ways), so it is a
+  * correctness-at-scale check first and a stopwatch second. */
+object PackScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    val n = args.headOption.map(_.toInt).getOrElse(10000000)
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    // 90% of ids land in source "dominant", the rest spread over 64
+    // small sources; weights 1..7 per row
+    val df = spark.range(n).select(col("id"),
+        when(pmod(col("id"), lit(10)) < 9, lit("dominant"))
+          .otherwise(concat(lit("s"), pmod(col("id"), lit(64)))).as("src"),
+        (pmod(col("id"), lit(7)) + 1).as("w"))
+      .localCheckpoint()
+    println(s"PROBE rows ${df.count()} (dominant source ~${9L * n / 10})")
+
+    val wFlat = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val flat = timed("flat per-source window (9M-row single task)") {
+      df.withColumn("cum", sum("w").over(wFlat))
+        .select("id", "cum").localCheckpoint()
+    }
+    val hier = timed("hierarchical (span 262144 sub-shards + stitch)") {
+      graft.operators.Packing.runningOffsets(df, "src", "id", "w",
+          span = 1L << 18)
+        .select("id", "cum").localCheckpoint()
+    }
+    require(timed("equivalence (exceptAll both ways)") {
+      hier.exceptAll(flat).isEmpty && flat.exceptAll(hier).isEmpty
+    }, "hierarchical offsets must be bit-identical to the flat window")
+    println("PROBE equivalence OK")
+    spark.stop()
+  }
+}

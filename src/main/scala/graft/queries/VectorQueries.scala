@@ -203,6 +203,44 @@ object VectorQueries {
         .orderBy("d1", "d2")
     }),
 
+    // Cluster-balanced subsampling: the topic-balancing curation op — a
+    // web-scale corpus is dominated by its biggest embedding clusters,
+    // so training mixes keep the k lowest md5-ranked members PER
+    // trained-quantizer cell, where k = the smallest cell's size (every
+    // cluster contributes equal mass; md5 rank = the q44/q60
+    // deterministic-sampling trick, so the oracle replays the exact
+    // keep set). Reuses q77's gated trainer (2 fixed Lloyd iterations,
+    // float-rounded means). Scale shape: one typed assignment pass, one
+    // (cell)-keyed window over narrow (vec_id, cell) rows, and the
+    // 1-row cell-floor broadcast; output fully discrete. The per-cell
+    // window serializes a single giant cell at extreme skew — but the
+    // quantizer is trained on the same corpus, so cells track cluster
+    // mass by construction; a pathological mass would surface in the
+    // assignment counts this query itself reports.
+    "q81_cluster_balanced_sample" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val seeds = emb
+        .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+        .orderBy("h", "vec_id").limit(8)
+        .select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val cents = VectorFunctions.kmeansTrain(
+        emb, "vec_id", "embedding", seeds, maxIter = 2, tol = 0.0)
+      val assigned = VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cell"))
+        .localCheckpoint() // feeds the rank window AND the cell floor
+      val w = Window.partitionBy("cell")
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      val floorK = assigned.groupBy("cell").agg(count(lit(1)).as("cn"))
+        .agg(min("cn").as("k"))
+      assigned.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(floorK))
+        .select(col("vec_id"), col("cell"),
+          when(col("rk") <= col("k"), lit(1)).otherwise(lit(0)).as("kept"))
+        .orderBy("vec_id")
+    }),
+
     // Int8 scalar quantization of embeddings (the storage/ANN-compression
     // op): per-vector symmetric scale = max |x|, q_i = floor(x/scale*127),
     // plus the reconstruction squared error. Pure per-row higher-order
@@ -363,6 +401,23 @@ object VectorQueries {
          |SELECT vec_id, cid AS cell,
          |  CASE WHEN cid IN (SELECT cid FROM qc) THEN 1 ELSE 0 END AS probed
          |FROM b3 ORDER BY vec_id""".stripMargin,
+    "q81_cluster_balanced_sample" ->
+      s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${lloydStepSql("seeds", "b1", "m1", "c1")},
+         |${lloydStepSql("c1", "b2", "m2", "c2")},
+         |b3 AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |rk AS (SELECT vec_id, cid AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY cid
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY cid) AS cn FROM b3),
+         |fk AS (SELECT MIN(cn) AS k FROM (SELECT DISTINCT cell, cn FROM rk))
+         |SELECT vec_id, cell,
+         |  CASE WHEN rk.rk <= fk.k THEN 1 ELSE 0 END AS kept
+         |FROM rk CROSS JOIN fk ORDER BY vec_id""".stripMargin,
     "q57_quantize_int8" ->
       """WITH s AS (SELECT vec_id,
         |    GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS mx

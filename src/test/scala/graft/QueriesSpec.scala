@@ -67,6 +67,19 @@ class QueriesSpec extends SparkSpec {
     assert(dup.isEmpty)
   }
 
+  test("q81 balanced sample keeps exactly the cell-floor count per cell") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q81_cluster_balanced_sample")(
+      spark, "/root/testdata/sf0.001")
+    val perCell = r.groupBy("cell")
+      .agg(sum("kept").as("nk"), count(lit(1)).as("cn"))
+    val k = perCell.agg(min("cn")).head().getLong(0)
+    assert(k > 0, "trained cells must all be non-empty")
+    // every cluster contributes EQUAL mass — the balancing contract
+    assert(perCell.filter(col("nk") =!= k).isEmpty,
+      "each cell must keep exactly the smallest cell's size")
+  }
+
   test("q80 span semantics: planted shared header merges to one maximal span") {
     import org.apache.spark.sql.functions._
     val s = spark; import s.implicits._
