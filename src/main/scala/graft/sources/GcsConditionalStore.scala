@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** Production [[ConditionalStore]] binding for Google Cloud Storage —
+  * the GCS twin of [[S3ConditionalStore]], completing the conditional
+  * seam both README and the S3 Scaladoc point at. GCS has exposed
+  * generation preconditions natively for years:
+  *
+  *  - `putIfNoneMatch` → `PUT` with `x-goog-if-generation-match: 0`
+  *    ("only if no live object generation exists"). HTTP 200 = this
+  *    caller created the object; 412 (PreconditionFailed) = a live
+  *    generation exists — the claim is reported lost. (If OUR create
+  *    succeeded but its response was lost, the retry's 412 reports a
+  *    lost claim for an object we own: conservative and safe — the
+  *    caller re-claims at the next version and the orphan stays
+  *    reader-invisible, the same posture as the S3 binding.)
+  *  - `putAtomic` → plain whole-object `PUT` (objects become visible
+  *    atomically at their new generation; readers see old-or-new).
+  *
+  * Auth is a bearer token (GCS XML API over `storage.googleapis.com`),
+  * resolved in order:
+  *  1. `graft.gcs.token` (Hadoop conf) — tests, short-lived jobs;
+  *  2. `GOOGLE_OAUTH_ACCESS_TOKEN` env — workstation / CI;
+  *  3. the GCE/GKE metadata server
+  *     (`…/instance/service-accounts/default/token`, header
+  *     `Metadata-Flavor: Google`) — the in-cluster path; the token is
+  *     cached until shortly before its `expires_in`.
+  * No service-account-key signing ships on purpose: a pure-JDK RS256
+  * JWT flow would hold long-lived private keys in executor memory,
+  * while every GCP runtime already provides the metadata path.
+  *
+  * Configuration (Hadoop conf): `graft.gcs.endpoint` (default
+  * `https://storage.googleapis.com`; point at a mock for tests),
+  * `graft.gcs.token`, `graft.gcs.metadata.endpoint`,
+  * `graft.gcs.max.attempts`.
+  *
+  * Enable with:
+  * {{{
+  * spark.hadoop.graft.commit.conditional.store = graft.sources.GcsConditionalStore
+  * }}}
+  */
+final class GcsConditionalStore extends ConditionalStore {
+
+  private var endpoint: URI = _
+  private var metadataEndpoint: URI = _
+  private var confToken: Option[String] = None
+  private var client: HttpClient = _
+  private var maxAttempts: Int = 5
+
+  // metadata-server token cache: (token, expiry epoch-ms); refreshed
+  // 60 s before expiry. Volatile is enough — a duplicate refresh race
+  // just fetches the same token twice.
+  @volatile private var cached: (String, Long) = ("", 0L)
+
+  override def initialize(conf: Configuration): Unit = {
+    endpoint = URI.create(
+      conf.get("graft.gcs.endpoint", "https://storage.googleapis.com"))
+    metadataEndpoint = URI.create(conf.get("graft.gcs.metadata.endpoint",
+      "http://metadata.google.internal"))
+    confToken = Option(conf.get("graft.gcs.token"))
+      .orElse(sys.env.get("GOOGLE_OAUTH_ACCESS_TOKEN"))
+    maxAttempts = conf.getInt("graft.gcs.max.attempts", 5)
+    client = HttpClient.newHttpClient()
+  }
+
+  override def putIfNoneMatch(path: Path, bytes: Array[Byte]): Boolean =
+    put(path, bytes, conditional = true)
+
+  override def putAtomic(path: Path, bytes: Array[Byte]): Unit =
+    put(path, bytes, conditional = false)
+
+  private def token(): String = confToken.getOrElse {
+    val now = System.currentTimeMillis()
+    val (t, exp) = cached
+    if (t.nonEmpty && now < exp) t
+    else {
+      val req = HttpRequest.newBuilder(metadataEndpoint.resolve(
+          "/computeMetadata/v1/instance/service-accounts/default/token"))
+        .header("Metadata-Flavor", "Google").GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200) throw new java.io.IOException(
+        s"GcsConditionalStore: metadata token fetch failed " +
+          s"(HTTP ${resp.statusCode()}); set graft.gcs.token or " +
+          "GOOGLE_OAUTH_ACCESS_TOKEN outside GCP")
+      val json = org.json4s.jackson.JsonMethods.parse(resp.body())
+      val tok = (json \ "access_token") match {
+        case org.json4s.JString(s) => s
+        case _ => throw new java.io.IOException(
+          "GcsConditionalStore: metadata response had no access_token")
+      }
+      val ttlSec = (json \ "expires_in") match {
+        case org.json4s.JInt(n) => n.toLong
+        case _ => 300L
+      }
+      cached = (tok, now + math.max(ttlSec - 60, 30) * 1000)
+      tok
+    }
+  }
+
+  private def put(path: Path, bytes: Array[Byte], conditional: Boolean)
+      : Boolean = {
+    val bucket = path.toUri.getAuthority
+    require(bucket != null && bucket.nonEmpty,
+      s"GcsConditionalStore: no bucket in $path")
+    val key = path.toUri.getPath.stripPrefix("/")
+    val uri = "/" + SigV4.encodePath(s"$bucket/$key") // same RFC3986 rule
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val b = HttpRequest.newBuilder(endpoint.resolve(uri))
+        .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
+        .header("Authorization", s"Bearer ${token()}")
+      if (conditional) b.header("x-goog-if-generation-match", "0")
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() match {
+        case 200 => return true
+        case 412 if conditional => return false
+        case 401 | 403 =>
+          throw new java.io.IOException(
+            s"GCS PUT $uri unauthorized (HTTP ${resp.statusCode()}): " +
+              s"${resp.body().take(400)}")
+        case 429 | 500 | 502 | 503 if attempt < maxAttempts =>
+          Thread.sleep(25L << attempt)
+        case code =>
+          throw new java.io.IOException(
+            s"GCS PUT $uri failed: HTTP $code ${resp.body().take(400)}")
+      }
+    }
+    false // unreachable
+  }
+}

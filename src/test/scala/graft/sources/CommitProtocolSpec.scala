@@ -298,6 +298,138 @@ class CommitProtocolSpec extends SparkSpec {
     }
   }
 
+  // ---- GcsConditionalStore: the GCS conditional-write binding ----
+
+  /** In-process GCS endpoint: PUT-only, generation-precondition-aware,
+    * bearer-VERIFYING, plus a metadata-server context so the in-cluster
+    * token path is exercised end to end (not just the conf token). */
+  private def withMockGcs[T](expectToken: String)(
+      f: (Int, java.util.concurrent.ConcurrentHashMap[String, Array[Byte]],
+          java.util.concurrent.atomic.AtomicInteger,
+          java.util.concurrent.atomic.AtomicInteger) => T): T = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val objects = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    val injected429 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tokenFetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/computeMetadata/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        if (!Option(ex.getRequestHeaders.getFirst("Metadata-Flavor"))
+            .contains("Google")) {
+          failures.add("metadata fetch without Metadata-Flavor: Google")
+          ex.sendResponseHeaders(403, -1)
+        } else {
+          tokenFetches.incrementAndGet()
+          val body = s"""{"access_token":"$expectToken","expires_in":3599,""" +
+            """"token_type":"Bearer"}"""
+          val b = body.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+        }
+      } finally ex.close()
+    })
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val body = ex.getRequestBody.readAllBytes()
+        val key = ex.getRequestURI.getRawPath
+        val h = ex.getRequestHeaders
+        if (!Option(h.getFirst("Authorization"))
+            .contains(s"Bearer $expectToken")) {
+          failures.add(s"$key: bad Authorization " +
+            Option(h.getFirst("Authorization")).getOrElse("<none>"))
+          ex.sendResponseHeaders(401, -1)
+        } else if (injected429.get() > 0 && injected429.decrementAndGet() >= 0) {
+          ex.sendResponseHeaders(429, -1)
+        } else if (Option(h.getFirst("x-goog-if-generation-match"))
+            .contains("0")) {
+          if (objects.putIfAbsent(key, body) == null) ex.sendResponseHeaders(200, -1)
+          else ex.sendResponseHeaders(412, -1)
+        } else {
+          objects.put(key, body)
+          ex.sendResponseHeaders(200, -1)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val r = f(server.getAddress.getPort, objects, injected429, tokenFetches)
+      assert(failures.isEmpty, s"mock rejected requests: $failures")
+      r
+    } finally server.stop(0)
+  }
+
+  test("GCS binding: claim/swap with the conf token; racing claims pick one winner") {
+    withMockGcs("tok-conf") { (port, objects, _, _) =>
+      val c = new Configuration(false)
+      c.set("graft.gcs.endpoint", s"http://127.0.0.1:$port")
+      c.set("graft.gcs.token", "tok-conf")
+      val gcs = new GcsConditionalStore
+      gcs.initialize(c)
+      val proto = new ConditionalCommits(gcs)
+      val claim = new Path("gs://bkt/ds/_versions/v000001.json")
+      proto.putIfAbsent(claim, "one".getBytes)
+      intercept[ConcurrentModificationException] {
+        proto.putIfAbsent(claim, "two".getBytes)
+      }
+      assert(objects.get("/bkt/ds/_versions/v000001.json")
+        .sameElements("one".getBytes), "loser must not clobber the claim")
+      val ptr = new Path("gs://bkt/ds/_descriptor.json")
+      proto.swapPointer(ptr, "d1".getBytes)
+      proto.swapPointer(ptr, "d2".getBytes)
+      assert(objects.get("/bkt/ds/_descriptor.json").sameElements("d2".getBytes))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val results = Await.result(Future.sequence((1 to 8).map { i =>
+        Future(try {
+          proto.putIfAbsent(new Path("gs://bkt/race/c.json"), s"w$i".getBytes); 1
+        } catch { case _: ConcurrentModificationException => 0 })
+      }), 60.seconds)
+      assert(results.sum == 1, s"exactly one writer must win, got $results")
+    }
+  }
+
+  test("GCS binding: metadata-server token path, cached across requests; 429 retried") {
+    withMockGcs("tok-metadata") { (port, objects, injected429, tokenFetches) =>
+      val c = new Configuration(false)
+      c.set("graft.gcs.endpoint", s"http://127.0.0.1:$port")
+      c.set("graft.gcs.metadata.endpoint", s"http://127.0.0.1:$port")
+      // no graft.gcs.token: the binding must fall through to the
+      // metadata server with the Metadata-Flavor header (env may carry
+      // GOOGLE_OAUTH_ACCESS_TOKEN in a dev shell — skip if so)
+      assume(sys.env.get("GOOGLE_OAUTH_ACCESS_TOKEN").isEmpty)
+      val gcs = new GcsConditionalStore
+      gcs.initialize(c)
+      injected429.set(2)
+      assert(gcs.putIfNoneMatch(new Path("gs://bkt/k"), "v".getBytes))
+      assert(injected429.get() == 0, "retries must have consumed the 429s")
+      assert(objects.get("/bkt/k").sameElements("v".getBytes))
+      assert(!gcs.putIfNoneMatch(new Path("gs://bkt/k"), "v2".getBytes))
+      gcs.putAtomic(new Path("gs://bkt/p"), "swap".getBytes)
+      assert(tokenFetches.get() == 1,
+        s"token must be fetched once and cached, got ${tokenFetches.get()}")
+    }
+  }
+
+  test("forStore on gs wires the GCS binding; GriddedStore lifecycle runs on it") {
+    withMockGcs("tok-conf") { (port, objects, _, _) =>
+      val conf = new Configuration(false)
+      conf.set("graft.gcs.endpoint", s"http://127.0.0.1:$port")
+      conf.set("graft.gcs.token", "tok-conf")
+      conf.set(CommitProtocol.ConditionalFactoryKey,
+        classOf[GcsConditionalStore].getName)
+      val proto = CommitProtocol.forStore(new Path("gs://bkt/store"), conf)
+      proto.putIfAbsent(new Path("gs://bkt/store/_versions/v000001.json"),
+        "m".getBytes)
+      intercept[ConcurrentModificationException] {
+        proto.putIfAbsent(new Path("gs://bkt/store/_versions/v000001.json"),
+          "m2".getBytes)
+      }
+      assert(objects.containsKey("/bkt/store/_versions/v000001.json"))
+    }
+  }
+
   test("forStore on s3a wires the S3 binding from configuration") {
     withMockS3 { (port, objects, _) =>
       val conf = s3Conf(port)
