@@ -48,5 +48,37 @@ object GraftExtensions {
             "kmv_minima's k must be an integer literal")
         }
         graft.plans.KmvMinima(exprs(0), k).toAggregateExpression()
+      }),
+    // Spark's runtime-filter Bloom sketch, exposed as a user-callable
+    // pair. Catalyst builds these internally for InjectRuntimeFilter but
+    // does not register them; graft's decontamination path (q82) wants
+    // the same codegen'd machinery under explicit control: build the
+    // sketch over the small (test/blocklist) side, ship it as a binary
+    // literal, and filter the big side's scan BEFORE its shuffle. Both
+    // sides must agree on the hashing convention — pass xxhash64(col)
+    // (LongType) to bloom_agg AND bloom_might_contain; the sketch
+    // stores/tests the pre-hashed long directly.
+    ("bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val agg = exprs match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, n) => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+          case _ => throw new IllegalArgumentException(
+            s"bloom_agg takes (column[, estNumItems[, numBits]]), got ${exprs.length} args")
+        }
+        agg.toAggregateExpression()
+      }),
+    ("bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"bloom_might_contain requires exactly 2 arguments (sketch, " +
+              s"xxhash64 value), got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))
       }))
 }

@@ -673,6 +673,85 @@ object TextQueries {
         .select(col("doc_id"), col("span_start"), col("span_end"),
           (col("span_end") - col("span_start") + 1).as("span_len"))
         .orderBy("doc_id", "span_start")
+    }),
+
+    // Bloom-prefiltered decontamination: the held-out set's 3-grams are
+    // folded into Spark's runtime-filter Bloom sketch (bloom_agg — one
+    // distributed pass, the driver holds only the ~100 kB sketch), the
+    // sketch ships to the train side as a binary literal, and
+    // bloom_might_contain filters the exploded train grams IN THE SCAN
+    // STAGE, before their shuffle. The exact left-semi verify join then
+    // kills the sketch's false positives, so the result is exact and the
+    // oracle is the plain semi-join. At 100 TB this is the shape that
+    // matters: a benchmark/blocklist gram set too big to broadcast raw
+    // (tens of GB of strings) still fits as a Bloom sketch at ~1.2 bytes
+    // per gram, and only fpp·|train grams| + true hits reach the
+    // verify-join exchange instead of every gram in the corpus.
+    "q82_bloom_decontaminate" -> ((s, dir) => {
+      val minToks = TextFunctions.tokenCount(col("text")) >= 3
+      val docs = Tables.table(s, dir, "documents").filter(minToks)
+      val testGrams = docs.filter(col("doc_id") % 10 === 0)
+        .select(explode(TextFunctions.wordNgrams(col("text"), 3)).as("g"))
+        .distinct()
+      val sketch = testGrams
+        .agg(call_function("bloom_agg", xxhash64(col("g")),
+          lit(100000L), lit(1000000L)))
+        .head.getAs[Array[Byte]](0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          TextFunctions.wordNgrams(col("text"), 3).as("grams"))
+      val hits = train.select(col("doc_id"), explode(col("grams")).as("g"))
+        .filter(call_function("bloom_might_contain",
+          lit(sketch), xxhash64(col("g"))))
+        .join(testGrams, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      val nh = coalesce(col("n_hit"), lit(0L))
+      train.select(col("doc_id"), size(col("grams")).cast("bigint").as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), nh.as("n_hit"),
+          (nh.cast("double") / col("n_grams")).as("contamination"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic training order: every doc gets a (shard, pos) from a
+    // salted md5 — stable under re-partitioning, appends, and re-runs,
+    // which is what makes a training run resumable and a data order
+    // auditable. One hash-partitioned shuffle on `shard`; the position
+    // is a per-shard sort, never a global one — at 100 TB shards map to
+    // output files and each sorts independently.
+    "q83_shuffle_shard" -> ((s, dir) => {
+      val hv = TextFunctions.md5Hash60(
+        concat(lit("shuf42:"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("hv", "doc_id")
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), hv.as("hv"))
+        .withColumn("shard", (col("hv") % 8).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
+    // Source-level quality gating (the domain/host filtering pass of
+    // corpus cleaning): per-doc stopword evidence rolls up to the source,
+    // and a doc survives only if its SOURCE's pooled stopword ratio
+    // clears the bar — a doc-level ratio is too noisy on short docs, the
+    // pooled one is not. Integer sums keep the aggregate order-free; the
+    // source table is domains-sized, so the join back is a broadcast —
+    // the corpus never shuffles.
+    "q84_source_gate" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.wordSetCount(toks, STOPWORDS).cast("bigint").as("n_stop"),
+          size(toks).cast("bigint").as("n_toks"))
+      val src = d.groupBy("source")
+        .agg(sum("n_stop").as("s_stop"), sum("n_toks").as("s_toks"))
+      val ratio = col("s_stop").cast("double") / col("s_toks").cast("double")
+      d.join(broadcast(src), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_stop"), col("n_toks"),
+          ratio.as("src_ratio"), (ratio >= 0.05).as("kept"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1027,5 +1106,43 @@ object TextQueries {
         |        FROM sp GROUP BY doc_id, grp)
         |SELECT doc_id, span_start, span_end,
         |  span_end - span_start + 1 AS span_len
-        |FROM isl ORDER BY doc_id, span_start""".stripMargin)
+        |FROM isl ORDER BY doc_id, span_start""".stripMargin,
+    // the Bloom sketch is a pure prefilter whose false positives the
+    // exact semi-join removes, so the oracle is the join-only form
+    "q82_bloom_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |           WHERE LEN(string_split(text,' ')) >= 3),
+        |tg AS (SELECT DISTINCT unnest(list_transform(range(LEN(toks)-2),
+        |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS g
+        |       FROM d WHERE doc_id % 10 = 0),
+        |tr AS (SELECT DISTINCT doc_id, unnest(list_transform(range(LEN(toks)-2),
+        |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS g
+        |       FROM d WHERE doc_id % 10 <> 0),
+        |ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+        |h AS (SELECT doc_id, COUNT(*) AS n_hit FROM tr
+        |      WHERE g IN (SELECT g FROM tg) GROUP BY doc_id)
+        |SELECT ng.doc_id, CAST(ng.n_grams AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / ng.n_grams AS contamination
+        |FROM ng LEFT JOIN h USING (doc_id) ORDER BY ng.doc_id""".stripMargin,
+    "q83_shuffle_shard" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST('0x'||substr(md5('shuf42:'||CAST(doc_id AS VARCHAR)),1,15)
+        |      AS BIGINT) AS hv FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+        |    AS INTEGER) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "q84_source_gate" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(LEN(list_filter(string_split(text,' '),
+        |      x -> x IN ('the','a','of','and'))) AS BIGINT) AS n_stop,
+        |    CAST(LEN(string_split(text,' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |s AS (SELECT source, SUM(n_stop) AS s_stop, SUM(n_toks) AS s_toks
+        |      FROM d GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_stop, d.n_toks,
+        |  CAST(s.s_stop AS DOUBLE) / s.s_toks AS src_ratio,
+        |  CAST(s.s_stop AS DOUBLE) / s.s_toks >= 0.05 AS kept
+        |FROM d JOIN s USING (source) ORDER BY d.doc_id""".stripMargin)
 }

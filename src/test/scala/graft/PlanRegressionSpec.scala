@@ -31,6 +31,42 @@ class PlanRegressionSpec extends SparkSpec {
         "will serialize the pair compute onto a couple of tasks")
   }
 
+  test("q82 bloom prefilter sits below the exact verify semi-join") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val qe = SparkEntry.queries("q82_bloom_decontaminate")(
+      spark, "/root/testdata/sf0.001").queryExecution
+    val semis = qe.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, "the exact verify must be a left-semi join")
+    // the whole point of the sketch is to cut the PROBE side before its
+    // exchange — a bloom filter that runs after the join (or got
+    // optimized out) silently reverts to shuffling every gram
+    assert(semis.exists(_.left.collectFirst {
+      case f: Filter
+        if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }.nonEmpty),
+      "bloom_might_contain must filter the train grams below the " +
+        "semi-join, in the scan stage")
+  }
+
+  test("q83 shuffles once on shard; q84 joins the source stats broadcast") {
+    val p83 = SparkEntry.queries("q83_shuffle_shard")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    // one hash exchange for the per-shard window (+ the presentation
+    // sort's range exchange) — a global sort here would serialize the
+    // whole corpus through one ordering at scale
+    assert(p83.linesIterator.count(_.contains("hashpartitioning(shard")) >= 1)
+    assert(!p83.contains("hashpartitioning(doc_id"),
+      "q83 must not re-shuffle on doc_id — shard is the only key")
+    val p84 = SparkEntry.queries("q84_source_gate")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    assert(p84.contains("BroadcastHashJoin"),
+      "q84's join-back of domains-sized source stats must broadcast — " +
+        "a shuffled join here moves the whole corpus for a tiny dim")
+  }
+
   test("q49 ranks per target with a partial aggregate, not a window") {
     val plan = SparkEntry.queries("q49_nearest_cell")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()

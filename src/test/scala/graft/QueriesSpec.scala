@@ -67,6 +67,62 @@ class QueriesSpec extends SparkSpec {
     assert(dup.isEmpty)
   }
 
+  test("q82 bloom path is exact: equals the join-only computation; test docs excluded") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q82_bloom_decontaminate")(spark, dir)
+    // no held-out doc leaks into the output; hits bounded by gram counts
+    assert(r.filter(col("doc_id") % 10 === 0).isEmpty)
+    assert(r.filter(col("n_hit") > col("n_grams")).isEmpty)
+    // reference: the identical computation with NO bloom prefilter — the
+    // sketch's false positives must all die in the exact verify join
+    val docs = graft.Tables.table(spark, dir, "documents")
+      .filter(TextFunctions.tokenCount(col("text")) >= 3)
+    val tg = docs.filter(col("doc_id") % 10 === 0)
+      .select(explode(TextFunctions.wordNgrams(col("text"), 3)).as("g"))
+      .distinct()
+    val tr = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(TextFunctions.wordNgrams(col("text"), 3)).as("g"))
+    val exact = tr.join(tg, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit2"))
+    assert(r.join(exact, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_hit2"), lit(0L)) =!= col("n_hit")).isEmpty,
+      "bloom prefilter changed the exact result")
+    // contamination must actually exist at this sf, or the test is vacuous
+    assert(r.agg(sum("n_hit")).head().getLong(0) > 0)
+  }
+
+  test("q83 shuffle order is a bijection: contiguous pos per shard, all shards fed") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q83_shuffle_shard")(spark, dir)
+    val n = graft.Tables.table(spark, dir, "documents").count()
+    assert(r.count() == n)
+    assert(r.select("doc_id").distinct().count() == n)
+    // pos is exactly 1..count within each shard — resumable order needs
+    // no gaps and no collisions
+    val per = r.groupBy("shard").agg(count(lit(1)).as("cnt"),
+      max("pos").as("mx"), countDistinct("pos").as("dp"))
+    assert(per.filter(col("mx") =!= col("cnt") || col("dp") =!= col("cnt")).isEmpty)
+    assert(per.count() == 8, "all 8 shards must be populated at this size")
+  }
+
+  test("q84 gate is a source-level decision: uniform per source, pooled ratio exact") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q84_source_gate")(spark, dir)
+    assert(r.filter(col("n_stop") > col("n_toks")).isEmpty)
+    // kept and src_ratio are functions of the source alone
+    assert(r.groupBy("source")
+      .agg(countDistinct("kept").as("dk"), countDistinct("src_ratio").as("dr"))
+      .filter(col("dk") =!= 1 || col("dr") =!= 1).isEmpty)
+    // the published pooled ratio is the integer-sum ratio, recomputed
+    assert(r.groupBy("source", "src_ratio")
+      .agg((sum("n_stop").cast("double") / sum("n_toks")).as("r2"))
+      .filter(abs(col("src_ratio") - col("r2")) > 1e-12).isEmpty)
+  }
+
   test("q81 balanced sample keeps exactly the cell-floor count per cell") {
     import org.apache.spark.sql.functions._
     val r = SparkEntry.queries("q81_cluster_balanced_sample")(
