@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Production [[ConditionalStore]] binding for Azure Blob Storage —
+  * the third cloud binding alongside [[S3ConditionalStore]] and
+  * [[GcsConditionalStore]], covering the `wasb`/`wasbs` schemes that
+  * [[CommitProtocol.forStore]] routes to the conditional path (ADLS
+  * Gen2's `abfs[s]` has real atomic rename and uses
+  * [[HadoopAtomicCommits]] instead).
+  *
+  *  - `putIfNoneMatch` → `Put Blob` with `If-None-Match: *` ("only if
+  *    no blob exists"). HTTP 201 = this caller created the blob;
+  *    409 (BlobAlreadyExists) or 412 = a blob exists — the claim is
+  *    reported lost. (If OUR create succeeded but its response was
+  *    lost, the retry's 409 reports a lost claim for a blob we own:
+  *    conservative and safe — the caller re-claims at the next version
+  *    and the orphan stays reader-invisible, matching the S3/GCS
+  *    bindings' posture.)
+  *  - `putAtomic` → plain `Put Blob` (a block-blob PUT replaces the
+  *    blob atomically; readers see old-or-new, never a torn write).
+  *
+  * Auth is a bearer token (OAuth, audience `https://storage.azure.com/`),
+  * resolved in order:
+  *  1. `graft.azure.token` (Hadoop conf) — tests, short-lived jobs;
+  *  2. `AZURE_STORAGE_TOKEN` env — workstation / CI;
+  *  3. the Azure IMDS endpoint
+  *     (`/metadata/identity/oauth2/token?...resource=https://storage.azure.com/`,
+  *     header `Metadata: true`) — the in-cluster managed-identity path;
+  *     the token is cached until shortly before its `expires_in`.
+  * No shared-key signing ships on purpose: account keys are root
+  * credentials Azure itself steers deployments away from, and every
+  * Azure runtime with a managed identity already provides the IMDS
+  * path.
+  *
+  * Configuration (Hadoop conf): `graft.azure.endpoint` (e.g.
+  * `https://myaccount.blob.core.windows.net`; point at a mock for
+  * tests), `graft.azure.token`, `graft.azure.metadata.endpoint`,
+  * `graft.azure.max.attempts`. When `graft.azure.endpoint` is unset and
+  * the path authority has the `container@account.host` form, the
+  * endpoint is derived as `https://` + the part after `@`.
+  *
+  * Enable with:
+  * {{{
+  * spark.hadoop.graft.commit.conditional.store = graft.sources.AzureConditionalStore
+  * }}}
+  */
+final class AzureConditionalStore extends ConditionalStore {
+
+  private var endpoint: Option[URI] = None
+  private var metadataEndpoint: URI = _
+  private var confToken: Option[String] = None
+  private var client: HttpClient = _
+  private var maxAttempts: Int = 5
+
+  // IMDS token cache: (token, expiry epoch-ms); refreshed 60 s before
+  // expiry. Volatile is enough — a duplicate refresh race just fetches
+  // the same token twice.
+  @volatile private var cached: (String, Long) = ("", 0L)
+
+  override def initialize(conf: Configuration): Unit = {
+    endpoint = Option(conf.get("graft.azure.endpoint")).map(URI.create)
+    metadataEndpoint = URI.create(conf.get("graft.azure.metadata.endpoint",
+      "http://169.254.169.254"))
+    confToken = Option(conf.get("graft.azure.token"))
+      .orElse(sys.env.get("AZURE_STORAGE_TOKEN"))
+    maxAttempts = conf.getInt("graft.azure.max.attempts", 5)
+    client = HttpClient.newHttpClient()
+  }
+
+  override def putIfNoneMatch(path: Path, bytes: Array[Byte]): Boolean =
+    put(path, bytes, conditional = true)
+
+  override def putAtomic(path: Path, bytes: Array[Byte]): Unit =
+    put(path, bytes, conditional = false)
+
+  private def token(): String = confToken.getOrElse {
+    val now = System.currentTimeMillis()
+    val (t, exp) = cached
+    if (t.nonEmpty && now < exp) t
+    else {
+      val req = HttpRequest.newBuilder(metadataEndpoint.resolve(
+          "/metadata/identity/oauth2/token?api-version=2018-02-01" +
+            "&resource=https%3A%2F%2Fstorage.azure.com%2F"))
+        .header("Metadata", "true").GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200) throw new java.io.IOException(
+        s"AzureConditionalStore: IMDS token fetch failed " +
+          s"(HTTP ${resp.statusCode()}); set graft.azure.token or " +
+          "AZURE_STORAGE_TOKEN outside Azure")
+      val json = org.json4s.jackson.JsonMethods.parse(resp.body())
+      val tok = (json \ "access_token") match {
+        case org.json4s.JString(s) => s
+        case _ => throw new java.io.IOException(
+          "AzureConditionalStore: IMDS response had no access_token")
+      }
+      // IMDS serializes expires_in as a STRING ("3599"), unlike GCS
+      val ttlSec = (json \ "expires_in") match {
+        case org.json4s.JString(s) => scala.util.Try(s.toLong).getOrElse(300L)
+        case org.json4s.JInt(n) => n.toLong
+        case _ => 300L
+      }
+      cached = (tok, now + math.max(ttlSec - 60, 30) * 1000)
+      tok
+    }
+  }
+
+  /** (container, endpoint) from the path: `wasbs://container@host/...`
+    * carries both; a bare `wasbs://container/...` needs the endpoint
+    * conf. */
+  private def target(path: Path): (String, URI) = {
+    val auth = path.toUri.getAuthority
+    require(auth != null && auth.nonEmpty,
+      s"AzureConditionalStore: no container in $path")
+    auth.split("@", 2) match {
+      case Array(c, host) => (c, endpoint.getOrElse(URI.create(s"https://$host")))
+      case Array(c) => (c, endpoint.getOrElse(throw new IllegalArgumentException(
+        s"AzureConditionalStore: $path names no account host and " +
+          "graft.azure.endpoint is unset")))
+    }
+  }
+
+  private def put(path: Path, bytes: Array[Byte], conditional: Boolean)
+      : Boolean = {
+    val (container, ep) = target(path)
+    val key = path.toUri.getPath.stripPrefix("/")
+    val uri = "/" + SigV4.encodePath(s"$container/$key") // same RFC3986 rule
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val b = HttpRequest.newBuilder(ep.resolve(uri))
+        .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
+        .header("Authorization", s"Bearer ${token()}")
+        .header("x-ms-version", "2021-08-06") // OAuth requires ≥ 2017-11-09
+        .header("x-ms-blob-type", "BlockBlob")
+      if (conditional) b.header("If-None-Match", "*")
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() match {
+        case 200 | 201 => return true
+        // Put Blob + If-None-Match:* → 409 BlobAlreadyExists (412 kept
+        // for proxies that translate the etag precondition literally)
+        case 409 | 412 if conditional => return false
+        case 401 | 403 =>
+          throw new java.io.IOException(
+            s"Azure PUT $uri unauthorized (HTTP ${resp.statusCode()}): " +
+              s"${resp.body().take(400)}")
+        case 429 | 500 | 502 | 503 if attempt < maxAttempts =>
+          Thread.sleep(25L << attempt)
+        case code =>
+          throw new java.io.IOException(
+            s"Azure PUT $uri failed: HTTP $code ${resp.body().take(400)}")
+      }
+    }
+    false // unreachable
+  }
+}

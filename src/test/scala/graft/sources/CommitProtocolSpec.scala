@@ -446,6 +446,151 @@ class CommitProtocolSpec extends SparkSpec {
     }
   }
 
+  // ---- AzureConditionalStore: the Azure Blob conditional-write binding ----
+
+  /** In-process Azure Blob endpoint: PUT-only, If-None-Match-aware,
+    * bearer-VERIFYING, header-checking (x-ms-blob-type / x-ms-version),
+    * plus an IMDS context so the managed-identity token path is
+    * exercised end to end — including IMDS's string-typed expires_in. */
+  private def withMockAzure[T](expectToken: String)(
+      f: (Int, java.util.concurrent.ConcurrentHashMap[String, Array[Byte]],
+          java.util.concurrent.atomic.AtomicInteger,
+          java.util.concurrent.atomic.AtomicInteger) => T): T = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val objects = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    val injected503 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tokenFetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/metadata/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        if (!Option(ex.getRequestHeaders.getFirst("Metadata")).contains("true")) {
+          failures.add("IMDS fetch without Metadata: true")
+          ex.sendResponseHeaders(400, -1)
+        } else if (!Option(ex.getRequestURI.getQuery).exists(
+            _.contains("resource=https://storage.azure.com/"))) {
+          failures.add(s"IMDS fetch with wrong audience: ${ex.getRequestURI}")
+          ex.sendResponseHeaders(400, -1)
+        } else {
+          tokenFetches.incrementAndGet()
+          // IMDS serializes expires_in as a STRING — the binding must parse it
+          val body = s"""{"access_token":"$expectToken","expires_in":"3599",""" +
+            """"token_type":"Bearer"}"""
+          val b = body.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+        }
+      } finally ex.close()
+    })
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val body = ex.getRequestBody.readAllBytes()
+        val key = ex.getRequestURI.getRawPath
+        val h = ex.getRequestHeaders
+        if (!Option(h.getFirst("Authorization"))
+            .contains(s"Bearer $expectToken")) {
+          failures.add(s"$key: bad Authorization " +
+            Option(h.getFirst("Authorization")).getOrElse("<none>"))
+          ex.sendResponseHeaders(401, -1)
+        } else if (!Option(h.getFirst("x-ms-blob-type")).contains("BlockBlob")) {
+          failures.add(s"$key: missing x-ms-blob-type: BlockBlob")
+          ex.sendResponseHeaders(400, -1)
+        } else if (Option(h.getFirst("x-ms-version")).isEmpty) {
+          failures.add(s"$key: missing x-ms-version")
+          ex.sendResponseHeaders(400, -1)
+        } else if (injected503.get() > 0 && injected503.decrementAndGet() >= 0) {
+          ex.sendResponseHeaders(503, -1)
+        } else if (Option(h.getFirst("If-None-Match")).contains("*")) {
+          if (objects.putIfAbsent(key, body) == null) ex.sendResponseHeaders(201, -1)
+          else ex.sendResponseHeaders(409, -1) // BlobAlreadyExists
+        } else {
+          objects.put(key, body)
+          ex.sendResponseHeaders(201, -1)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val r = f(server.getAddress.getPort, objects, injected503, tokenFetches)
+      assert(failures.isEmpty, s"mock rejected requests: $failures")
+      r
+    } finally server.stop(0)
+  }
+
+  test("Azure binding: claim/swap with the conf token; racing claims pick one winner") {
+    withMockAzure("tok-az") { (port, objects, _, _) =>
+      val c = new Configuration(false)
+      c.set("graft.azure.endpoint", s"http://127.0.0.1:$port")
+      c.set("graft.azure.token", "tok-az")
+      val az = new AzureConditionalStore
+      az.initialize(c)
+      val proto = new ConditionalCommits(az)
+      val claim = new Path("wasbs://bkt/ds/_versions/v000001.json")
+      proto.putIfAbsent(claim, "one".getBytes)
+      intercept[ConcurrentModificationException] {
+        proto.putIfAbsent(claim, "two".getBytes)
+      }
+      assert(objects.get("/bkt/ds/_versions/v000001.json")
+        .sameElements("one".getBytes), "loser must not clobber the claim")
+      val ptr = new Path("wasbs://bkt/ds/_descriptor.json")
+      proto.swapPointer(ptr, "d1".getBytes)
+      proto.swapPointer(ptr, "d2".getBytes)
+      assert(objects.get("/bkt/ds/_descriptor.json").sameElements("d2".getBytes))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val results = Await.result(Future.sequence((1 to 8).map { i =>
+        Future(try {
+          proto.putIfAbsent(new Path("wasbs://bkt/race/c.json"), s"w$i".getBytes); 1
+        } catch { case _: ConcurrentModificationException => 0 })
+      }), 60.seconds)
+      assert(results.sum == 1, s"exactly one writer must win, got $results")
+    }
+  }
+
+  test("Azure binding: IMDS token path cached; 503 retried; container@host endpoint") {
+    withMockAzure("tok-imds") { (port, objects, injected503, tokenFetches) =>
+      val c = new Configuration(false)
+      c.set("graft.azure.metadata.endpoint", s"http://127.0.0.1:$port")
+      // no graft.azure.endpoint: the container@host authority must
+      // carry the endpoint (scheme-relative host → http for the mock is
+      // not derivable, so set endpoint for the data plane but leave the
+      // account form exercised through `target` via authority parsing)
+      c.set("graft.azure.endpoint", s"http://127.0.0.1:$port")
+      assume(sys.env.get("AZURE_STORAGE_TOKEN").isEmpty)
+      val az = new AzureConditionalStore
+      az.initialize(c)
+      injected503.set(2)
+      assert(az.putIfNoneMatch(
+        new Path("wasbs://bkt@acct.blob.example/k"), "v".getBytes))
+      assert(injected503.get() == 0, "retries must have consumed the 503s")
+      assert(objects.get("/bkt/k").sameElements("v".getBytes))
+      assert(!az.putIfNoneMatch(
+        new Path("wasbs://bkt@acct.blob.example/k"), "v2".getBytes))
+      az.putAtomic(new Path("wasbs://bkt@acct.blob.example/p"), "swap".getBytes)
+      assert(tokenFetches.get() == 1,
+        s"token must be fetched once and cached, got ${tokenFetches.get()}")
+    }
+  }
+
+  test("forStore on wasbs wires the Azure binding from configuration") {
+    withMockAzure("tok-az") { (port, objects, _, _) =>
+      val conf = new Configuration(false)
+      conf.set("graft.azure.endpoint", s"http://127.0.0.1:$port")
+      conf.set("graft.azure.token", "tok-az")
+      conf.set(CommitProtocol.ConditionalFactoryKey,
+        classOf[AzureConditionalStore].getName)
+      val proto = CommitProtocol.forStore(new Path("wasbs://bkt/store"), conf)
+      proto.putIfAbsent(new Path("wasbs://bkt/store/_versions/v000001.json"),
+        "m".getBytes)
+      intercept[ConcurrentModificationException] {
+        proto.putIfAbsent(new Path("wasbs://bkt/store/_versions/v000001.json"),
+          "m2".getBytes)
+      }
+      assert(objects.containsKey("/bkt/store/_versions/v000001.json"))
+    }
+  }
+
   test("a manifest pinning an EMPTY file list reads as schema-only empty, not a dir scan") {
     val root = tmpDir("store-empty-pin")
     val store = new GriddedStore(root, spark)
