@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Diagnostic for the q82 decontamination shape: how much of the train
+  * gram stream does the Bloom prefilter actually keep off the verify
+  * exchange, and what does each stage cost, at `SPARK_GRAFT_SF_DIR`
+  * (default sf0.1)? The sketch is sized like the query (1 M bits); the
+  * printed keep-rate is the fraction of exploded train grams that
+  * survive `bloom_might_contain` — i.e. what the semi-join shuffle
+  * carries instead of the full stream. */
+object BloomProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(32)
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[bloomprobe] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    import graft.functions.TextFunctions
+    val minToks = TextFunctions.tokenCount(col("text")) >= 3
+    val docs = Tables.table(spark, dir, "documents").filter(minToks)
+    docs.count() // warm
+    val testGrams = docs.filter(col("doc_id") % 10 === 0)
+      .select(explode(TextFunctions.wordNgrams(col("text"), 3)).as("g"))
+      .distinct()
+    val nTest = timed("test grams (distinct)")(testGrams.count())
+    val sketch = timed("bloom build") {
+      testGrams.agg(call_function("bloom_agg", xxhash64(col("g")),
+        lit(100000L), lit(1000000L))).head.getAs[Array[Byte]](0)
+    }
+    val trainGrams = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(TextFunctions.wordNgrams(col("text"), 3)).as("g"))
+    val nTrain = timed("train grams (total)")(trainGrams.count())
+    val nKept = timed("bloom survivors") {
+      trainGrams.filter(call_function("bloom_might_contain",
+        lit(sketch), xxhash64(col("g")))).count()
+    }
+    val nTrue = timed("true hits (exact semi-join)") {
+      trainGrams.join(testGrams, Seq("g"), "left_semi").count()
+    }
+    System.err.println(
+      f"[bloomprobe] sketch ${sketch.length}%d B over $nTest%d test grams; " +
+        f"train $nTrain%d grams -> $nKept%d past bloom " +
+        f"(keep ${100.0 * nKept / nTrain}%.2f%%), $nTrue%d true " +
+        f"(fp overhead ${if (nTrue == 0) 0.0 else (nKept - nTrue) * 100.0 / nTrain}%.2f%% of stream)")
+    spark.stop()
+  }
+}

@@ -732,6 +732,51 @@ object TextQueries {
         .orderBy("shard", "pos")
     }),
 
+    // BPE merge mining (vocab induction, one round): adjacent sub-token
+    // pair frequencies over the BPE-ish tokenizer ([[TextFunctions
+    // .subTokens]] — whitespace + letter/digit boundaries), top 50 merge
+    // candidates. Pair generation is a pure scan-stage HOF; the single
+    // shuffle is vocab²-bounded (not corpus-bounded) with map-side
+    // partials, and the top-k is a TakeOrdered — at 100 TB the exchange
+    // carries distinct-pair partials, never the token stream.
+    "q85_bpe_merges" -> ((s, dir) => {
+      val pairs = transform(sequence(lit(0), size(col("t")) - 2),
+        i => concat(element_at(col("t"), i + 1), lit(" "),
+          element_at(col("t"), i + 2)))
+      Tables.table(s, dir, "documents")
+        .select(TextFunctions.subTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(pairs).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)
+    }),
+
+    // Hashed tf-idf features (the hashing trick): feature index =
+    // md5-hash of the token mod D, so the feature space is bounded at D
+    // with NO vocabulary table and no vocab join — the trick that makes
+    // featurization one pass at any corpus size. tf aggregates on
+    // (doc, idx); df falls out of the tf rows (already distinct per
+    // doc); the D-row df table joins back broadcast. The weight keeps
+    // idf rational (tf·N/df, one multiply + one divide, no ln) so both
+    // engines compute bit-identical doubles.
+    "q86_feature_hash" -> ((s, dir) => {
+      val dBuckets = 1024
+      val docs = Tables.table(s, dir, "documents")
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          (TextFunctions.md5Hash60(col("tok")) % dBuckets).cast("int").as("idx"))
+        .groupBy("doc_id", "idx").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("idx").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfT), Seq("idx"))
+        .select(col("doc_id"), col("idx"), col("tf"), col("df"),
+          (col("tf").cast("double") * lit(nDocs) / col("df")).as("weight"))
+        .orderBy("doc_id", "idx")
+    }),
+
     // Source-level quality gating (the domain/host filtering pass of
     // corpus cleaning): per-doc stopword evidence rolls up to the source,
     // and a doc survives only if its SOURCE's pooled stopword ratio
@@ -1133,6 +1178,31 @@ object TextQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
         |    AS INTEGER) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+    // the lookahead-free DuckDB mirror of subTokens: insert a space at
+    // every letter↔digit boundary, then split on whitespace
+    "q85_bpe_merges" ->
+      """WITH t AS (SELECT string_split_regex(
+        |    regexp_replace(regexp_replace(text,
+        |      '([a-z])([0-9])', '\1 \2', 'g'),
+        |      '([0-9])([a-z])', '\1 \2', 'g'), '\s+') AS st
+        |  FROM documents),
+        |p AS (SELECT unnest(list_transform(range(LEN(st)-1),
+        |        i -> st[i+1]||' '||st[i+2])) AS pair
+        |      FROM t WHERE LEN(st) >= 2)
+        |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "q86_feature_hash" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 1024
+        |      AS INTEGER) AS idx
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |        FROM documents)),
+        |tf AS (SELECT doc_id, idx, COUNT(*) AS tf FROM f GROUP BY doc_id, idx),
+        |df AS (SELECT idx, COUNT(*) AS df FROM tf GROUP BY idx)
+        |SELECT tf.doc_id, tf.idx, tf.tf, df.df,
+        |  CAST(tf.tf AS DOUBLE) * (SELECT COUNT(*) FROM documents) / df.df
+        |    AS weight
+        |FROM tf JOIN df USING (idx) ORDER BY tf.doc_id, tf.idx""".stripMargin,
     "q84_source_gate" ->
       """WITH d AS (SELECT doc_id, source,
         |    CAST(LEN(list_filter(string_split(text,' '),

@@ -25,6 +25,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(minima == Map("a" -> List(1L, 3L, 5L), "b" -> List(2L)))
   }
 
+  test("bloom_agg / bloom_might_contain resolve in SQL and round-trip membership") {
+    val fresh = spark.newSession()
+    fresh.sql(
+      """SELECT bloom_agg(xxhash64(v), 100L, 8000L) AS sk FROM VALUES
+        |  ('alpha'), ('beta'), ('gamma') AS t(v)""".stripMargin)
+      .createOrReplaceTempView("sk")
+    // members always hit; a non-member may false-positive but the three
+    // members must never false-negative
+    val hits = fresh.sql(
+      """SELECT v, bloom_might_contain((SELECT sk FROM sk), xxhash64(v)) AS h
+        |FROM VALUES ('alpha'), ('beta'), ('gamma') AS t(v)""".stripMargin)
+      .collect().map(_.getBoolean(1))
+    assert(hits.forall(identity), "bloom must contain every inserted key")
+  }
+
   test("clusterConf scales with cluster shape and input size") {
     // wave rule: 2 × total cores
     val small = GraftSession.clusterConf(10, 4, 16)

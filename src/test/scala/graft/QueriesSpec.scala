@@ -123,6 +123,48 @@ class QueriesSpec extends SparkSpec {
       .filter(abs(col("src_ratio") - col("r2")) > 1e-12).isEmpty)
   }
 
+  test("q85 merge counts equal an independent lag-window recount") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q85_bpe_merges")(spark, dir).collect()
+    assert(r.length == 50)
+    assert(r.sliding(2).forall(p => p(0).getLong(1) >= p(1).getLong(1)),
+      "counts must be non-increasing")
+    // independent route: posexplode + lag over position, same pairs
+    val toks = graft.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.subTokens(col("text")))
+          .as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val recount = toks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(concat(col("prev"), lit(" "), col("tok")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+    val top = recount.orderBy(col("n").desc, col("pair")).limit(50).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      top.map(x => (x.getString(0), x.getLong(1))).toSeq,
+      "HOF pair generation must equal the window recount")
+  }
+
+  test("q86 conserves tokens, bounds df by nDocs, and weights are tf*N/df") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q86_feature_hash")(spark, dir)
+    val docs = graft.Tables.table(spark, dir, "documents")
+    val nDocs = docs.count()
+    val totalToks = docs
+      .select(sum(graft.functions.TextFunctions.tokenCount(col("text"))))
+      .head().getLong(0)
+    assert(r.agg(sum("tf")).head().getLong(0) == totalToks,
+      "hashing must not lose token mass")
+    assert(r.filter(col("idx") < 0 || col("idx") >= 1024).isEmpty)
+    assert(r.filter(col("df") > nDocs || col("df") < 1).isEmpty)
+    assert(r.filter(
+      col("weight") =!= col("tf").cast("double") * nDocs / col("df")).isEmpty)
+  }
+
   test("q81 balanced sample keeps exactly the cell-floor count per cell") {
     import org.apache.spark.sql.functions._
     val r = SparkEntry.queries("q81_cluster_balanced_sample")(
