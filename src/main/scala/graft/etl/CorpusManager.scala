@@ -159,7 +159,10 @@ class CorpusManager(
     embDims: Int = 64,
     embTables: Int = 8,
     embBits: Int = 12,
-    embProbes: Int = 1) {
+    embProbes: Int = 1,
+    blocklist: Option[DataFrame] = None,
+    blocklistN: Int = 3,
+    maxContamination: Double = 0.5) {
 
   def docsPath: String = s"$root/docs"
   def dedupPath: String = s"$root/dedup"
@@ -384,6 +387,49 @@ class CorpusManager(
     (docs.filter(ok), docs.filter(!coalesce(ok, lit(false))))
   }
 
+  /** Blocklist decontamination gate (the q82 shape at ingest): a doc is
+    * rejected when more than `maxContamination` of its distinct
+    * `blocklistN`-grams appear in the configured `blocklist` (one
+    * string column `g` of blocked grams — a benchmark's n-grams, a
+    * held-out eval set). The blocklist folds into a Bloom sketch in one
+    * pass and ships as a binary literal, so the codegen'd
+    * `bloom_might_contain` cuts the doc-gram stream in the scan stage;
+    * the exact left-semi verify join removes the sketch's false
+    * positives, so the gate decision is exact. At 100 TB the verify
+    * exchange carries only fpp·|doc grams| + true hits — the blocklist
+    * itself never broadcasts as strings. No-op when unconfigured. */
+  def contaminationGate(docs: DataFrame): (DataFrame, DataFrame) =
+    blocklist match {
+      case None => (docs, docs.limit(0))
+      case Some(bl) =>
+        val blG = bl.select(col("g").cast("string").as("g"))
+          .filter(col("g").isNotNull).distinct().localCheckpoint()
+        val nBl = math.max(blG.count(), 1L)
+        // ~16 bits/gram (fpp well under 1%), capped below Spark's
+        // runtime-filter ceiling so the aggregate never clamps silently
+        val bits = math.min(16L * nBl, 33554432L)
+        val sketch = blG.agg(call_function("bloom_agg",
+            xxhash64(col("g")), lit(nBl), lit(bits)))
+          .head.getAs[Array[Byte]](0)
+        val hits = docs
+          .select(col(idCol),
+            explode(TextFunctions.wordNgrams(col(textCol), blocklistN)).as("g"))
+          .filter(call_function("bloom_might_contain",
+            lit(sketch), xxhash64(col("g"))))
+          .join(blG, Seq("g"), "left_semi")
+          .groupBy(idCol).agg(count(lit(1)).as("_nhit"))
+        val contaminated = docs
+          .select(col(idCol), size(TextFunctions.wordNgrams(
+            col(textCol), blocklistN)).as("_ng"))
+          .join(hits, Seq(idCol))
+          .filter(col("_nhit").cast("double") >
+            greatest(col("_ng"), lit(1)).cast("double") * maxContamination)
+          .select(col(idCol))
+          .localCheckpoint() // one decision, two consumers (keep + reject)
+        (docs.join(contaminated, Seq(idCol), "left_anti"),
+          docs.join(contaminated, Seq(idCol), "left_semi"))
+    }
+
   /** Per-source KMV vocabulary sketch: k smallest 60-bit token hashes.
     * One distinct pass + map-side-combined `kmv_minima` — the shuffle
     * carries k longs per (partition, source). */
@@ -523,7 +569,9 @@ class CorpusManager(
     * every artifact's file list pinned. */
   def ingestInitial(docs: DataFrame): IngestReport = withIngestLock {
     require(!hasExisting, s"corpus $name already exists at $root — use ingestShard")
-    val (ok, rej) = qualityGate(docs)
+    val (okQ, rejQ) = qualityGate(docs)
+    val (ok, rejC) = contaminationGate(okQ)
+    val rej = rejQ.unionByName(rejC)
     val accepted = ok.localCheckpoint() // gate once; feeds dedup + counts
     val (_, _, textKeepers) = DedupPipeline.run(accepted, idCol, textCol, p)
     // embedding-side near-dup among the text-unique keepers: LSH-bucket
@@ -624,7 +672,9 @@ class CorpusManager(
   def ingestShard(newDocs: DataFrame): IngestReport = withIngestLock {
     require(hasExisting, s"corpus $name has no initial ingest at $root")
     readManifest().foreach(requireCurrentSigScheme)
-    val (ok, rej) = qualityGate(newDocs)
+    val (okQ, rejQ) = qualityGate(newDocs)
+    val (ok, rejC) = contaminationGate(okQ)
+    val rej = rejQ.unionByName(rejC)
     val shard = ok.localCheckpoint()
     val nInCorpus = shard.select(col(idCol)).distinct()
       .join(corpus().select(col(idCol)), Seq(idCol), "left_semi").count()

@@ -67,6 +67,17 @@ class PlanRegressionSpec extends SparkSpec {
         "a shuffled join here moves the whole corpus for a tiny dim")
   }
 
+  test("q85 tops out via TakeOrdered; q86 broadcasts the df join-back") {
+    val p85 = SparkEntry.queries("q85_bpe_merges")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    assert(p85.contains("TakeOrderedAndProject"),
+      "q85's top-50 must be a TakeOrdered, not a global sort")
+    val p86 = SparkEntry.queries("q86_feature_hash")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    assert(p86.contains("BroadcastHashJoin"),
+      "q86's df table is at most D rows — the join-back must broadcast")
+  }
+
   test("q49 ranks per target with a partial aggregate, not a window") {
     val plan = SparkEntry.queries("q49_nearest_cell")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()

@@ -731,6 +731,40 @@ class CorpusManagerSpec extends SparkSpec {
     assert(ex.getMessage.contains("web"))
   }
 
+  test("blocklist decontamination gate rejects contaminated docs at ingest, exactly") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("cmblock")
+    // blocklist = every 3-gram of seed-1's text (a "benchmark" doc)
+    val blocked = mkText(1).split(" ").sliding(3)
+      .map(_.mkString(" ")).toSeq.toDF("g")
+    val m = new CorpusManager("cm_bl", root, spark, numBuckets = 4,
+      minTokens = 2, blocklist = Some(blocked), maxContamination = 0.5)
+    // doc 1 IS the benchmark text (contamination 1.0 -> rejected);
+    // doc 2 shares no 3-gram (clean); doc 3 fails the quality gate —
+    // both reject classes must land in `rejected` together
+    val r = m.ingestInitial(docs(Seq(
+      (1L, mkText(1), "web"),
+      (2L, mkText(9), "web"),
+      (3L, "solo", "web"))))
+    assert(r.rejected == 2, s"benchmark copy + short doc, got ${r.rejected}")
+    assert(r.ingested == 1)
+    assert(corpusIds(m) == Set(2L))
+    // shard path runs the same gate: a half-contaminated doc (5 of 10
+    // 3-grams blocked = 0.5, NOT > 0.5) survives; a fully-blocked one dies
+    val half = (mkText(1).split(" ").take(7) ++ Seq("q1", "q2", "q3", "q4", "q5"))
+      .mkString(" ")
+    val r2 = m.ingestShard(docs(Seq(
+      (10L, half, "web"),
+      (11L, mkText(1), "web"))))
+    assert(r2.ingested == 1 && r2.rejected == 1,
+      s"got ingested=${r2.ingested} rejected=${r2.rejected}")
+    assert(corpusIds(m) == Set(2L, 10L))
+    // unconfigured manager on the same store: gate is a no-op
+    val m2 = new CorpusManager("cm_bl", root, spark, numBuckets = 4,
+      minTokens = 2)
+    assert(m2.ingestShard(docs(Seq((12L, mkText(1), "web")))).ingested == 1)
+  }
+
   test("drift gate aborts before any write") {
     val m = new CorpusManager("cm_spec3", tmpDir("cm3"), spark,
       numBuckets = 4, minTokens = 2, minVocabContainment = Some(0.8))
