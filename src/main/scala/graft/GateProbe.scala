@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the CorpusManager blocklist decontamination gate
+  * (the q82 shape at ingest): N docs (default 500k, 60 tokens over a
+  * 5k-word vocab, generated distributively), with a planted benchmark
+  * slice — every id%100==50 doc is "benchmark" text whose 3-grams form
+  * the blocklist, and every id%100==51 doc is an exact copy of it (a
+  * leaked benchmark doc). The gate must reject EXACTLY the benchmark
+  * docs and their copies (contamination 1.0) and keep everything else
+  * (random cross-doc gram collisions sit ~4 orders of magnitude under
+  * the 0.5 threshold) — correctness-at-scale, not just a stopwatch. */
+object GateProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    // id%100==51 copies id-1 (the benchmark doc); everything else is its
+    // own 60-token random text
+    val seed = col("id") - when(pmod(col("id"), lit(100)) === 51, 1L).otherwise(0L)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(59)),
+          j => concat(lit("w"), pmod(xxhash64(seed, j), lit(5000)))), " ").as("text"),
+        lit("web").as("source"))
+      .localCheckpoint()
+    println(s"PROBE corpus ${docs.count()} docs")
+    val blocklist = timed("blocklist build (benchmark 3-grams)") {
+      docs.filter(pmod(col("doc_id"), lit(100)) === 50)
+        .select(explode(graft.functions.TextFunctions
+          .wordNgrams(col("text"), 3)).as("g"))
+        .distinct().localCheckpoint()
+    }
+    println(s"PROBE blocklist ${blocklist.count()} grams")
+    val m = new graft.etl.CorpusManager("gateprobe",
+      java.nio.file.Files.createTempDirectory("gateprobe").toString, spark,
+      blocklist = Some(blocklist), maxContamination = 0.5)
+    // the gate's contamination decision is materialized EAGERLY inside
+    // contaminationGate (one localCheckpoint feeds both sides), so the
+    // call itself carries the sketch build + gram explode + bloom cut +
+    // exact verify — time it as one unit
+    val (kept, rejected) = timed("gate decision (sketch + explode + bloom + verify)") {
+      m.contaminationGate(docs)
+    }
+    val nRej = timed("gate — rejected side (anti/semi join only)")(rejected.count())
+    val nKeep = timed("gate — kept side")(kept.count())
+    val expectRej = docs.filter(pmod(col("doc_id"), lit(100)).isin(50, 51)).count()
+    println(s"PROBE rejected $nRej (expect $expectRej), kept $nKeep")
+    val wrong = rejected.filter(!pmod(col("doc_id"), lit(100)).isin(50, 51)).count()
+    require(nRej == expectRej && wrong == 0,
+      s"gate must reject exactly the planted contamination: " +
+        s"rejected=$nRej expect=$expectRej falsePositives=$wrong")
+    println("PROBE planted contamination exactly recovered")
+    spark.stop()
+  }
+}

@@ -267,6 +267,47 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Quantized embedding covariance (the stats pass behind whitening /
+    // PCA preprocessing): embeddings quantize against ONE global scale
+    // (dataset max |x|, a driver scalar), and every upper-triangle
+    // (i, j) covariance is computed in EXACT integer arithmetic —
+    // Σq_i·q_j, Σq_i as BIGINTs, one rational division at the end — so
+    // the result is summation-order-free at any parallelism. Scale
+    // shape: the pair generation is a scan-stage HOF (D(D+1)/2 rows per
+    // vector), the aggregate is map-side combined into a D²-bounded
+    // state (2080 groups at D=64), and the per-dim sums join back
+    // broadcast; the shuffle carries partials-per-partition, never the
+    // vectors. The integer trick is what survives 100 TB: float
+    // covariance needs either a non-deterministic double Σ or a decimal
+    // cast of arbitrary products — quantized ints need neither.
+    "q87_embedding_covariance" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val absd = transform(col("embedding"), x => abs(x.cast("double")))
+      val gmx = math.max(emb
+        .agg(max(aggregate(absd, lit(0.0), (a, x) => greatest(a, x))))
+        .head.getDouble(0), 1e-12)
+      val nv = emb.count()
+      val qe = transform(col("embedding"),
+        x => floor(x.cast("double") / gmx * 127).cast("long"))
+      val pairs = flatten(transform(sequence(lit(0), lit(63)), i =>
+        transform(sequence(i, lit(63)), j => struct(
+          i.cast("int").as("i"), j.cast("int").as("j"),
+          (element_at(col("qe"), i + 1) * element_at(col("qe"), j + 1)).as("p")))))
+      val sij = emb.select(qe.as("qe"))
+        .select(explode(pairs).as("pr"))
+        .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.p").as("p"))
+        .groupBy("i", "j").agg(sum("p").as("s_ij"))
+      val si = emb.select(posexplode(qe).as(Seq("i", "qv")))
+        .groupBy("i").agg(sum("qv").as("s"))
+      val cov = (col("s_ij") * nv - col("s_i") * col("s_j")).cast("double") /
+        (nv.toDouble * nv.toDouble)
+      sij
+        .join(broadcast(si.select(col("i"), col("s").as("s_i"))), Seq("i"))
+        .join(broadcast(si.select(col("i").as("j"), col("s").as("s_j"))), Seq("j"))
+        .select(col("i"), col("j"), col("s_ij"), cov.as("cov"))
+        .orderBy("i", "j")
+    }),
+
     // Per-label embedding stats: norm aggregation by label (groupBy over
     // a derived per-row double; decimal-cast for order-independent sums).
     "q42_label_norms" -> ((s, dir) => {
@@ -429,6 +470,26 @@ object VectorQueries {
         |    x -> (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / mx * 127) * mx / 127)
         |       * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / mx * 127) * mx / 127))) AS sq_err
         |FROM embeddings e JOIN s ON e.vec_id = s.vec_id ORDER BY e.vec_id""".stripMargin,
+    "q87_embedding_covariance" ->
+      """WITH g AS (SELECT GREATEST(MAX(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))))), 1e-12) AS gmx FROM embeddings),
+        |q AS (SELECT list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) / gmx * 127) AS BIGINT)) AS qe
+        |      FROM embeddings CROSS JOIN g),
+        |nv AS (SELECT COUNT(*) AS n FROM embeddings),
+        |pr AS (SELECT qe, unnest(range(64)) AS i FROM q),
+        |pr2 AS (SELECT i, unnest(range(i, 64)) AS j, qe FROM pr),
+        |s2 AS (SELECT i, j, CAST(SUM(qe[i+1] * qe[j+1]) AS BIGINT) AS s_ij
+        |       FROM pr2 GROUP BY i, j),
+        |d AS (SELECT i, CAST(SUM(qv) AS BIGINT) AS s
+        |      FROM (SELECT unnest(qe) AS qv, unnest(range(64)) AS i FROM q)
+        |      GROUP BY i)
+        |SELECT CAST(s2.i AS INTEGER) AS i, CAST(s2.j AS INTEGER) AS j, s2.s_ij,
+        |  CAST(s2.s_ij * nv.n - di.s * dj.s AS DOUBLE)
+        |    / (CAST(nv.n AS DOUBLE) * nv.n) AS cov
+        |FROM s2 CROSS JOIN nv
+        |  JOIN d di ON di.i = s2.i JOIN d dj ON dj.i = s2.j
+        |ORDER BY 1, 2""".stripMargin,
     "q42_label_norms" ->
       s"""WITH n AS (SELECT label,
          |    CAST(${normSql("embedding")} AS DECIMAL(18,9)) AS nrm FROM embeddings)

@@ -165,6 +165,36 @@ class QueriesSpec extends SparkSpec {
       col("weight") =!= col("tf").cast("double") * nDocs / col("df")).isEmpty)
   }
 
+  test("q87 covariance matches an independent per-dim recount; diagonals non-negative") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q87_embedding_covariance")(spark, dir)
+      .collect().map(x => ((x.getInt(0), x.getInt(1)), (x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.size == 64 * 65 / 2, "full upper triangle")
+    assert(r.forall { case ((i, j), _) => i <= j })
+    assert(r.filter { case ((i, j), _) => i == j }.forall(_._2._2 >= 0.0),
+      "variances must be non-negative")
+    // independent route for one diagonal + one off-diagonal: quantize in
+    // a plain projection, aggregate the raw moments directly
+    val emb = graft.Tables.table(spark, dir, "embeddings")
+    val absd = transform(col("embedding"), x => abs(x.cast("double")))
+    val gmx = math.max(emb
+      .agg(max(aggregate(absd, lit(0.0), (a, x) => greatest(a, x))))
+      .head.getDouble(0), 1e-12)
+    val n = emb.count()
+    def q(k: Int) =
+      floor(element_at(col("embedding"), k + 1).cast("double") / gmx * 127).cast("long")
+    val m = emb.agg(
+      sum(q(0) * q(0)).as("s00"), sum(q(0) * q(5)).as("s05"),
+      sum(q(0)).as("s0"), sum(q(5)).as("s5")).head()
+    def cov(sij: Long, si: Long, sj: Long) =
+      (sij * n - si * sj).toDouble / (n.toDouble * n.toDouble)
+    assert(r((0, 0))._1 == m.getLong(0) &&
+      r((0, 0))._2 == cov(m.getLong(0), m.getLong(2), m.getLong(2)))
+    assert(r((0, 5))._1 == m.getLong(1) &&
+      r((0, 5))._2 == cov(m.getLong(1), m.getLong(2), m.getLong(3)))
+  }
+
   test("q81 balanced sample keeps exactly the cell-floor count per cell") {
     import org.apache.spark.sql.functions._
     val r = SparkEntry.queries("q81_cluster_balanced_sample")(
