@@ -308,6 +308,44 @@ object VectorQueries {
         .orderBy("i", "j")
     }),
 
+    // PCA projection (the whitening APPLY pass): the top principal
+    // direction comes from 2 power-iteration rounds over q87's exact
+    // covariance — a 64×64 matrix, i.e. axes-sized DRIVER state (the
+    // centroid discipline: the driver holds dims², never rows) — and
+    // the projection of every embedding onto it is one scan-stage
+    // zip_with/aggregate fold, no shuffle at any corpus size. Every
+    // fold (matrix·vector, norms, projection) runs in ascending index
+    // order on both engines, so the doubles match bit-for-bit; the
+    // oracle replays the q87 moments AND the power iteration as
+    // chained CTEs with order-pinned list folds.
+    "q88_pca_project" -> ((s, dir) => {
+      val covRows = queries("q87_embedding_covariance")(s, dir)
+        .select(col("i"), col("j"), col("cov")).collect()
+      val a = Array.ofDim[Double](64, 64)
+      covRows.foreach { r =>
+        val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        a(i)(j) = c; a(j)(i) = c
+      }
+      def mult(v: Array[Double]): Array[Double] = Array.tabulate(64) { i =>
+        var acc = 0.0; var j = 0
+        while (j < 64) { acc += a(i)(j) * v(j); j += 1 }
+        acc
+      }
+      def norm(v: Array[Double]): Double =
+        math.sqrt(v.foldLeft(0.0)((s0, x) => s0 + x * x))
+      val u1 = mult(Array.fill(64)(0.125)) // v0 = uniform unit vector
+      val v1 = { val n = norm(u1); u1.map(_ / n) }
+      val u2 = mult(v1)
+      val v2 = { val n = norm(u2); u2.map(_ / n) }
+      val vLit = array(v2.map(lit(_)): _*)
+      Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          aggregate(
+            zip_with(col("embedding"), vLit, (x, w) => x.cast("double") * w),
+            lit(0.0), (acc, x) => acc + x).as("proj"))
+        .orderBy("vec_id")
+    }),
+
     // Per-label embedding stats: norm aggregation by label (groupBy over
     // a derived per-row double; decimal-cast for order-independent sums).
     "q42_label_norms" -> ((s, dir) => {
@@ -490,6 +528,43 @@ object VectorQueries {
         |FROM s2 CROSS JOIN nv
         |  JOIN d di ON di.i = s2.i JOIN d dj ON dj.i = s2.j
         |ORDER BY 1, 2""".stripMargin,
+    // q87's moment CTEs + a 2-round power iteration with order-pinned
+    // list folds (list(x ORDER BY k) + list_sum = the same ascending-
+    // index left fold the driver loop runs), then the projection
+    "q88_pca_project" ->
+      """WITH g AS (SELECT GREATEST(MAX(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))))), 1e-12) AS gmx FROM embeddings),
+        |q AS (SELECT list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) / gmx * 127) AS BIGINT)) AS qe
+        |      FROM embeddings CROSS JOIN g),
+        |nv AS (SELECT COUNT(*) AS n FROM embeddings),
+        |pr AS (SELECT qe, unnest(range(64)) AS i FROM q),
+        |pr2 AS (SELECT i, unnest(range(i, 64)) AS j, qe FROM pr),
+        |s2 AS (SELECT i, j, CAST(SUM(qe[i+1] * qe[j+1]) AS BIGINT) AS s_ij
+        |       FROM pr2 GROUP BY i, j),
+        |d AS (SELECT i, CAST(SUM(qv) AS BIGINT) AS s
+        |      FROM (SELECT unnest(qe) AS qv, unnest(range(64)) AS i FROM q)
+        |      GROUP BY i),
+        |c AS (SELECT s2.i AS i, s2.j AS j,
+        |        CAST(s2.s_ij * nv.n - di.s * dj.s AS DOUBLE)
+        |          / (CAST(nv.n AS DOUBLE) * nv.n) AS cov
+        |      FROM s2 CROSS JOIN nv
+        |        JOIN d di ON di.i = s2.i JOIN d dj ON dj.i = s2.j),
+        |full_m AS (SELECT i, j, cov FROM c
+        |           UNION ALL SELECT j AS i, i AS j, cov FROM c WHERE i <> j),
+        |u1 AS (SELECT i, list_sum(list(cov * 0.125 ORDER BY j)) AS u
+        |       FROM full_m GROUP BY i),
+        |n1 AS (SELECT sqrt(list_sum(list(u * u ORDER BY i))) AS n FROM u1),
+        |v1 AS (SELECT i, u / n1.n AS v FROM u1 CROSS JOIN n1),
+        |u2 AS (SELECT f.i AS i, list_sum(list(f.cov * v1.v ORDER BY f.j)) AS u
+        |       FROM full_m f JOIN v1 ON v1.i = f.j GROUP BY f.i),
+        |n2 AS (SELECT sqrt(list_sum(list(u * u ORDER BY i))) AS n FROM u2),
+        |v2 AS (SELECT list(u2.u / n2.n ORDER BY u2.i) AS vl
+        |       FROM u2 CROSS JOIN n2)
+        |SELECT vec_id,
+        |  list_sum(list_transform(range(64),
+        |    k -> CAST(embedding[k+1] AS DOUBLE) * vl[k+1])) AS proj
+        |FROM embeddings CROSS JOIN v2 ORDER BY vec_id""".stripMargin,
     "q42_label_norms" ->
       s"""WITH n AS (SELECT label,
          |    CAST(${normSql("embedding")} AS DECIMAL(18,9)) AS nrm FROM embeddings)

@@ -195,6 +195,24 @@ class QueriesSpec extends SparkSpec {
       r((0, 5))._2 == cov(m.getLong(1), m.getLong(2), m.getLong(3)))
   }
 
+  test("q88 projections obey Cauchy-Schwarz against a unit direction") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q88_pca_project")(spark, dir)
+    val emb = graft.Tables.table(spark, dir, "embeddings")
+    assert(r.count() == emb.count())
+    // |x · v| <= ||x|| for unit v — a violated bound means the direction
+    // was not normalized or the fold orders diverged
+    val joined = r.join(emb, "vec_id")
+      .select(col("proj"),
+        sqrt(aggregate(transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x)).as("nrm"))
+    assert(joined.filter(abs(col("proj")) > col("nrm") + 1e-9).isEmpty)
+    // the direction must capture real variance: projections not degenerate
+    assert(r.select(countDistinct("proj")).head().getLong(0) > 1)
+  }
+
   test("q81 balanced sample keeps exactly the cell-floor count per cell") {
     import org.apache.spark.sql.functions._
     val r = SparkEntry.queries("q81_cluster_balanced_sample")(
