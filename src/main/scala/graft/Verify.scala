@@ -11,7 +11,13 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local iteration aid: comma-separated name prefixes; unset = all
+    // (the driver never sets it, so the gate always sees every query)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    def selected(name: String) =
+      only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -32,7 +38,8 @@ object Verify {
     // the same library the descriptor/catalog JSON already uses.
     import org.json4s._
     val json = jackson.JsonMethods.compact(jackson.JsonMethods.render(
-      JObject(SparkEntry.oracleSql.toList.map { case (k, v) => k -> (JString(v): JValue) })))
+      JObject(SparkEntry.oracleSql.toList.filter(kv => selected(kv._1))
+        .map { case (k, v) => k -> (JString(v): JValue) })))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -797,6 +797,107 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("n_stop"), col("n_toks"),
           ratio.as("src_ratio"), (ratio >= 0.05).as("kept"))
         .orderBy("doc_id")
+    }),
+
+    // Segment-level exact dedup (the CCNet paragraph-dedup shape,
+    // arXiv:1911.00359): documents split into fixed 10-token segments,
+    // each segment keyed by its md5 digest (the q80 narrow-shuffle
+    // trick), and only the FIRST occurrence corpus-wide survives —
+    // keep-first by (doc_id, seg_idx) — so boilerplate shared across
+    // documents is stored once. Differs from q80 (unanchored shared
+    // 8-gram spans, detect-only) in granularity and rule: fixed
+    // boundaries, global keep-first, and the output is the per-doc
+    // surviving token mass. Two shuffles at any scale: one digest-keyed
+    // window over narrow (digest, doc, idx) rows, one doc-keyed rollup.
+    "q90_segment_dedup" -> ((s, dir) => {
+      val segLen = 10
+      val segs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0), floor((size(col("t")) - 1) / segLen).cast("int")),
+            i => slice(col("t"), i * segLen + 1, lit(segLen))))
+          .as(Seq("seg_idx", "seg")))
+        .select(col("doc_id"), col("seg_idx"),
+          md5(concat_ws(" ", col("seg")).cast("binary")).as("k"),
+          size(col("seg")).cast("bigint").as("seg_toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("doc_id", "seg_idx")
+      segs.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_segs"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+          sum(when(col("rn") === 1, col("seg_toks")).otherwise(0L))
+            .as("kept_toks"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-flavored importance weighting (arXiv:2302.03169 shape):
+    // hashed-bigram features (q86's hashing trick — a 1024-bucket space,
+    // no vocabulary), per-bucket document frequencies under the TARGET
+    // distribution (lang = 'en') and the RAW corpus, and a per-doc
+    // importance score = Σ target-df / Σ raw-df over the doc's buckets —
+    // the log-ratio replaced by one rational division so both engines
+    // compute bit-identical doubles (integer sums, one divide). Top-100
+    // selection is a TakeOrdered. Scale shape: both df tables are
+    // D-row broadcasts; the only corpus-sized shuffle is the per-doc
+    // rollup, and the bucket space bounds model state at any corpus size.
+    "q91_dsir_importance" -> ((s, dir) => {
+      val dBuckets = 1024
+      val toks = TextFunctions.tokens(col("text"))
+      val bg = Tables.table(s, dir, "documents")
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(0), size(toks) - 2),
+            i => concat(element_at(toks, i + 1), lit(" "),
+              element_at(toks, i + 2)))).as("g"))
+        .select(col("doc_id"), col("lang"),
+          (TextFunctions.md5Hash60(col("g")) % dBuckets).cast("int").as("idx"))
+        .distinct()
+        .localCheckpoint() // feeds both df tables AND the rollup
+      val tc = bg.filter(col("lang") === "en")
+        .groupBy("idx").agg(count(lit(1)).as("t_b"))
+      val rc = bg.groupBy("idx").agg(count(lit(1)).as("r_b"))
+      bg.join(broadcast(rc), Seq("idx"))
+        .join(broadcast(tc), Seq("idx"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("t_b"), lit(0L))).as("s_t"),
+          sum(col("r_b")).as("s_r"))
+        .select(col("doc_id"), col("s_t"), col("s_r"),
+          (col("s_t").cast("double") / col("s_r")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(100)
+    }),
+
+    // Gopher-style rule filter (arXiv:2112.11446 Table A1 shape): the
+    // composite document-quality gate — token-count bounds, mean-word-
+    // length bounds, minimum stopword evidence, and a most-repeated-token
+    // dominance cap — each rule published as its own flag plus the
+    // conjunction. Every comparison is integer cross-multiplied (word
+    // chars = chars minus separators; dominance = max_rep·8 ≤ n_toks) so
+    // no double ever forms. Pure scan-stage at any corpus size: no
+    // shuffle, no join, codegen-friendly HOFs only; the per-doc
+    // distinct-token recount is O(len²) in the doc, not the corpus.
+    "q92_gopher_rules" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val d = Tables.table(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("int").as("n_toks"),
+        length(col("text")).cast("int").as("len_chars"),
+        TextFunctions.wordSetCount(toks, STOPWORDS).cast("int").as("n_stop"),
+        array_max(transform(array_distinct(toks),
+          w => size(filter(toks, x => x === w)))).cast("int").as("max_rep"))
+      val wordChars = col("len_chars") - (col("n_toks") - 1)
+      d.select(col("doc_id"), col("n_toks"), col("len_chars"),
+          col("n_stop"), col("max_rep"),
+          (col("n_toks") >= 20 && col("n_toks") <= 90).as("len_ok"),
+          (wordChars >= col("n_toks") * 3 &&
+            wordChars <= col("n_toks") * 8).as("wlen_ok"),
+          (col("n_stop") >= 2).as("stop_ok"),
+          (col("max_rep") * 8 <= col("n_toks")).as("rep_ok"))
+        .withColumn("kept",
+          col("len_ok") && col("wlen_ok") && col("stop_ok") && col("rep_ok"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1214,5 +1315,60 @@ object TextQueries {
         |SELECT d.doc_id, d.source, d.n_stop, d.n_toks,
         |  CAST(s.s_stop AS DOUBLE) / s.s_toks AS src_ratio,
         |  CAST(s.s_stop AS DOUBLE) / s.s_toks >= 0.05 AS kept
-        |FROM d JOIN s USING (source) ORDER BY d.doc_id""".stripMargin)
+        |FROM d JOIN s USING (source) ORDER BY d.doc_id""".stripMargin,
+    "q90_segment_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |e AS (SELECT doc_id, t,
+        |        unnest(range(CAST(FLOOR((LEN(t)-1)/10) AS BIGINT)+1)) AS i
+        |      FROM d),
+        |seg AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+        |        md5(array_to_string(t[i*10+1 : i*10+10], ' ')) AS k,
+        |        CAST(LEN(t[i*10+1 : i*10+10]) AS BIGINT) AS seg_toks
+        |        FROM e),
+        |rk AS (SELECT doc_id, seg_toks,
+        |       ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, seg_idx) AS rn
+        |       FROM seg)
+        |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_segs,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN seg_toks ELSE 0 END) AS BIGINT)
+        |    AS kept_toks
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q91_dsir_importance" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks
+        |           FROM documents WHERE LEN(string_split(text,' ')) >= 2),
+        |bg AS (SELECT DISTINCT doc_id, lang,
+        |       CAST(CAST('0x'||substr(md5(g),1,15) AS BIGINT) % 1024
+        |         AS INTEGER) AS idx
+        |       FROM (SELECT doc_id, lang,
+        |             unnest(list_transform(range(LEN(toks)-1),
+        |               i -> toks[i+1]||' '||toks[i+2])) AS g FROM t)),
+        |tc AS (SELECT idx, COUNT(*) AS t_b FROM bg WHERE lang = 'en'
+        |       GROUP BY idx),
+        |rc AS (SELECT idx, COUNT(*) AS r_b FROM bg GROUP BY idx),
+        |sc AS (SELECT doc_id, SUM(COALESCE(t_b, 0)) AS s_t, SUM(r_b) AS s_r
+        |       FROM bg JOIN rc USING (idx) LEFT JOIN tc USING (idx)
+        |       GROUP BY doc_id)
+        |SELECT doc_id, CAST(s_t AS BIGINT) AS s_t, CAST(s_r AS BIGINT) AS s_r,
+        |  CAST(s_t AS DOUBLE) / s_r AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+    "q92_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |             CAST(LENGTH(text) AS INTEGER) AS len_chars FROM documents),
+        |d AS (SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_toks, len_chars,
+        |        CAST(LEN(list_filter(toks,
+        |          x -> x IN ('the','a','of','and'))) AS INTEGER) AS n_stop,
+        |        CAST(list_max(list_transform(list_distinct(toks),
+        |          w -> LEN(list_filter(toks, x -> x = w)))) AS INTEGER) AS max_rep
+        |      FROM t)
+        |SELECT doc_id, n_toks, len_chars, n_stop, max_rep,
+        |  (n_toks >= 20 AND n_toks <= 90) AS len_ok,
+        |  (len_chars - (n_toks-1) >= n_toks*3
+        |    AND len_chars - (n_toks-1) <= n_toks*8) AS wlen_ok,
+        |  (n_stop >= 2) AS stop_ok,
+        |  (max_rep * 8 <= n_toks) AS rep_ok,
+        |  ((n_toks >= 20 AND n_toks <= 90)
+        |    AND (len_chars - (n_toks-1) >= n_toks*3
+        |         AND len_chars - (n_toks-1) <= n_toks*8)
+        |    AND n_stop >= 2 AND max_rep * 8 <= n_toks) AS kept
+        |FROM d ORDER BY doc_id""".stripMargin)
 }

@@ -241,6 +241,41 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // Semantic dedup (the SemDeDup curation op, arXiv:2303.09540 shape):
+    // cluster with the PRODUCTION trained quantizer (q77's 2 fixed Lloyd
+    // iterations — the oracle replays them as chained CTEs), then inside
+    // each cell verify candidate pairs by exact cosine and keep only the
+    // LOWEST-id member of every near-dup pair (drop the rest). Scale
+    // shape: identical to q78's ingest join — the pair space is
+    // cell-bounded, the corpus side is the (cell)-bucketed vector table,
+    // and the drop set that joins back is near-dup-sized, not
+    // corpus-sized. Output is fully discrete (id, cell, kept flag), so
+    // the row hash cannot drift on centroid wobble.
+    "q89_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val seeds = emb
+        .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+        .orderBy("h", "vec_id").limit(8)
+        .select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val cents = VectorFunctions.kmeansTrain(
+        emb, "vec_id", "embedding", seeds, maxIter = 2, tol = 0.0)
+      val assigned = VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
+        .localCheckpoint() // both pair sides AND the survivor join
+      val dropped = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(VectorFunctions.cosineFast(
+          col("a.embedding"), col("b.embedding")) >= 0.4)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      assigned.select("vec_id", "cell")
+        .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("hit").isNotNull, lit(0)).otherwise(lit(1)).as("kept"))
+        .orderBy("vec_id")
+    }),
+
     // Int8 scalar quantization of embeddings (the storage/ANN-compression
     // op): per-vector symmetric scale = max |x|, q_i = floor(x/scale*127),
     // plus the reconstruction squared error. Pure per-row higher-order
@@ -497,6 +532,25 @@ object VectorQueries {
          |SELECT vec_id, cell,
          |  CASE WHEN rk.rk <= fk.k THEN 1 ELSE 0 END AS kept
          |FROM rk CROSS JOIN fk ORDER BY vec_id""".stripMargin,
+    "q89_semantic_dedup" ->
+      s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${lloydStepSql("seeds", "b1", "m1", "c1")},
+         |${lloydStepSql("c1", "b2", "m2", "c2")},
+         |b3 AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |drp AS (SELECT b.vec_id FROM b3 a JOIN b3 b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON a.vec_id = ea.vec_id
+         |  JOIN embeddings eb ON b.vec_id = eb.vec_id
+         |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4
+         |  GROUP BY b.vec_id)
+         |SELECT b3.vec_id, b3.cid AS cell,
+         |  CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM b3 LEFT JOIN drp ON b3.vec_id = drp.vec_id
+         |ORDER BY b3.vec_id""".stripMargin,
     "q57_quantize_int8" ->
       """WITH s AS (SELECT vec_id,
         |    GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS mx

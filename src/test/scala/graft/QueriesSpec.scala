@@ -226,6 +226,86 @@ class QueriesSpec extends SparkSpec {
       "each cell must keep exactly the smallest cell's size")
   }
 
+  test("q89 semantic dedup: planted duplicate vector is dropped, cell minima survive") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    // 40 deterministic vectors + vec 100 = an exact copy of vec 5: the
+    // copy must land in vec 5's cell and be dropped (cos = 1 ≥ 0.4),
+    // while the lowest id in every cell is kept by construction.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val rows = base :+ (100L, base(5)._2.clone())
+    val dir = tmpDir("q89fix")
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("q89_semantic_dedup")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(r.length == 41)
+    assert(r.find(_._1 == 100L).get._3 == 0, "exact copy must be dropped")
+    val byCell = r.groupBy(_._2)
+    byCell.foreach { case (cell, members) =>
+      assert(members.minBy(_._1)._3 == 1,
+        s"lowest id in cell $cell must survive")
+    }
+    // copy and original share a cell (argmax cosine is id-independent)
+    assert(r.find(_._1 == 100L).get._2 == r.find(_._1 == 5L).get._2)
+  }
+
+  test("q90 segment dedup: keep-first semantics on a planted duplicate doc") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val twenty = (0 until 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, twenty),                                   // 2 segments, all first
+      (2L, twenty),                                   // exact copy: keeps 0
+      (3L, (0 until 15).map(i => s"u$i").mkString(" "))) // unique 10+5
+      .toDF("doc_id", "text")
+    val dir = tmpDir("q90fix")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q90_segment_dedup")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getLong(3)))
+      .toSet
+    assert(r == Set((1L, 2, 2, 20L), (2L, 2, 0, 0L), (3L, 2, 2, 15L)), r)
+  }
+
+  test("q91 importance scores are rational df ratios, bounded and sorted") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q91_dsir_importance")(spark, dir)
+    val rows = r.collect()
+    // target-df never exceeds raw-df; score is exactly the published ratio
+    assert(rows.forall(x => x.getLong(1) <= x.getLong(2)))
+    assert(rows.forall(x =>
+      x.getDouble(3) == x.getLong(1).toDouble / x.getLong(2)))
+    // output arrives in selection order: non-increasing score
+    assert(rows.map(_.getDouble(3)).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)))
+    // the target slice itself must rank high: the top doc's score beats
+    // the corpus mean share of 'en' or the weighting did nothing
+    val docs = graft.Tables.table(spark, dir, "documents")
+    val enFrac = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    assert(rows.head.getDouble(3) > enFrac, "weighting must beat the prior")
+  }
+
+  test("q92 gopher flags recompute from published integers; conjunction exact") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q92_gopher_rules")(spark, dir)
+    val wc = col("len_chars") - (col("n_toks") - 1)
+    assert(r.filter(col("len_ok") =!=
+      (col("n_toks") >= 20 && col("n_toks") <= 90)).isEmpty)
+    assert(r.filter(col("wlen_ok") =!=
+      (wc >= col("n_toks") * 3 && wc <= col("n_toks") * 8)).isEmpty)
+    assert(r.filter(col("stop_ok") =!= (col("n_stop") >= 2)).isEmpty)
+    assert(r.filter(col("rep_ok") =!= (col("max_rep") * 8 <= col("n_toks"))).isEmpty)
+    assert(r.filter(col("kept") =!= (col("len_ok") && col("wlen_ok") &&
+      col("stop_ok") && col("rep_ok"))).isEmpty)
+    // the gate must neither pass nor reject everything at this sf
+    val n = r.count(); val k = r.filter(col("kept")).count()
+    assert(k > 0 && k < n, s"degenerate gate: $k of $n")
+  }
+
   test("q80 span semantics: planted shared header merges to one maximal span") {
     import org.apache.spark.sql.functions._
     val s = spark; import s.implicits._
