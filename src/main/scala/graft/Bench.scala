@@ -11,7 +11,8 @@ object Bench {
     "q46_embedding_dedup", "q52_dedup_components", "q56_contamination",
     "q65_climatology_anomaly", "q67_rolling_daily", "q75_bigram_lm",
     "q77_ivf_trained", "q79_lm_filter", "q80_shared_spans",
-    "q82_bloom_decontaminate")
+    "q82_bloom_decontaminate", "q89_semantic_dedup", "q90_segment_dedup",
+    "q91_dsir_importance")
 
   /** Tables the tier-2 set reads. Each is replicated `factor`× with its
     * id keys shifted per replica (joins/groups keep realistic key

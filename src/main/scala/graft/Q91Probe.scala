@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Decompose q91's ×10 cost: (a) the md5 bigram-hash pass that
+  * materializes the per-doc bucket arrays, (b) the 1024-group df
+  * aggregate + driver collect, (c) the literal-array scoring scan +
+  * TakeOrdered — and the same pass under xxhash64 to price the
+  * oracle-parity md5 tax (the q34 lesson: the digest IS the cost). */
+object Q91Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_tier2_x10")
+    val spark = GraftSession.local(32)
+    val dBuckets = 1024
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val toks = TextFunctions.tokens(col("text"))
+    def run(tag: String, hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+      val idxs = array_distinct(transform(sequence(lit(0), size(toks) - 2),
+        i => (hash(concat(element_at(toks, i + 1), lit(" "),
+          element_at(toks, i + 2))) % dBuckets).cast("int")))
+      val docs = timed(s"$tag hash-pass+checkpoint") {
+        Tables.table(spark, dir, "documents")
+          .filter(size(toks) >= 2)
+          .select(col("doc_id"), col("lang"), idxs.as("idxs"))
+          .localCheckpoint()
+      }
+      val dfRows = timed(s"$tag df-agg+collect") {
+        docs.select(col("lang"), explode(col("idxs")).as("idx"))
+          .groupBy("idx").agg(count(lit(1)).as("r_b"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+          .collect()
+      }
+      val tArr = Array.fill(dBuckets)(0L)
+      val rArr = Array.fill(dBuckets)(0L)
+      dfRows.foreach { r =>
+        val i = r.getInt(0); rArr(i) = r.getLong(1); tArr(i) = r.getLong(2)
+      }
+      val tLit = typedlit(tArr.toSeq)
+      val rLit = typedlit(rArr.toSeq)
+      timed(s"$tag score+topk") {
+        docs.select(col("doc_id"),
+            aggregate(col("idxs"), lit(0L),
+              (a, x) => a + element_at(tLit, x + 1)).as("s_t"),
+            aggregate(col("idxs"), lit(0L),
+              (a, x) => a + element_at(rLit, x + 1)).as("s_r"))
+          .select(col("doc_id"), col("s_t"), col("s_r"),
+            (col("s_t").cast("double") / col("s_r")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(100).count()
+      }
+      docs.unpersist()
+    }
+    run("warm", TextFunctions.md5Hash60)      // first pass absorbs JIT
+    run("md5", TextFunctions.md5Hash60)
+    run("xxh", c => pmod(xxhash64(c), lit(1024)))
+    // variant: materialize the token array BEFORE the indexing HOF (the
+    // q85/q90 shape) so the split never re-evaluates inside the lambda
+    def runMat(tag: String): Unit = {
+      val idxs = array_distinct(transform(sequence(lit(0), size(col("t")) - 2),
+        i => (TextFunctions.md5Hash60(
+          concat(element_at(col("t"), i + 1), lit(" "),
+            element_at(col("t"), i + 2))) % dBuckets).cast("int")))
+      val docs = timed(s"$tag hash-pass+checkpoint") {
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), toks.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("lang"), idxs.as("idxs"))
+          .localCheckpoint()
+      }
+      docs.unpersist()
+    }
+    runMat("mat1")
+    runMat("mat2")
+    // variant: zip_with over aligned slices — one pass, no indexing
+    def runZip(tag: String): Unit = {
+      val t = col("t")
+      val idxs = array_distinct(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => (TextFunctions.md5Hash60(concat(a, lit(" "), b))
+          % dBuckets).cast("int")))
+      val docs = timed(s"$tag hash-pass+checkpoint") {
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), toks.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("lang"), idxs.as("idxs"))
+          .localCheckpoint()
+      }
+      docs.unpersist()
+    }
+    runZip("zip1")
+    runZip("zip2")
+    spark.stop()
+  }
+}

@@ -162,7 +162,9 @@ class CorpusManager(
     embProbes: Int = 1,
     blocklist: Option[DataFrame] = None,
     blocklistN: Int = 3,
-    maxContamination: Double = 0.5) {
+    maxContamination: Double = 0.5,
+    gopherGate: Boolean = false,
+    gopherStopwords: Seq[String] = Seq("the", "a", "of", "and")) {
 
   def docsPath: String = s"$root/docs"
   def dedupPath: String = s"$root/dedup"
@@ -379,11 +381,18 @@ class CorpusManager(
 
   /** Pre-ingest quality gate (`pre_parse_quality_check` analog for
     * documents): non-null text with at least `minTokens` whitespace
-    * tokens. Returns (accepted, rejected). Both are filters over the
-    * same scan — codegen'd predicates, no shuffle. */
+    * tokens, plus — when `gopherGate` is set — the Gopher composite
+    * rule conjunction ([[TextFunctions.gopherKept]], the exact q92
+    * predicate: token-count bounds, mean-word-length bounds, stopword
+    * minimum, repeated-token dominance cap). Returns (accepted,
+    * rejected). Both are filters over the same scan — codegen'd
+    * predicates, no shuffle at any corpus size. */
   def qualityGate(docs: DataFrame): (DataFrame, DataFrame) = {
-    val ok = col(textCol).isNotNull &&
+    val base = col(textCol).isNotNull &&
       TextFunctions.tokenCount(col(textCol)) >= minTokens
+    val ok = if (gopherGate)
+      base && TextFunctions.gopherKept(col(textCol), gopherStopwords)
+    else base
     (docs.filter(ok), docs.filter(!coalesce(ok, lit(false))))
   }
 

@@ -82,11 +82,75 @@ object TextFunctions {
       .drop("__spans")
   }
 
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
-  }
+  /** Gopher-style composite rule flags (arXiv:2112.11446 Table A1
+    * shape; the q92 operator and CorpusManager's optional rule gate
+    * share THIS definition so the published flags and the ingest
+    * decision cannot drift). Returns a struct of four booleans:
+    * `len_ok` (token count within bounds), `wlen_ok` (mean word length
+    * within bounds — integer cross-multiplied: word chars = chars minus
+    * separators), `stop_ok` (minimum stopword evidence), `rep_ok`
+    * (most-repeated-token dominance cap: max_rep·domDenom ≤ n_toks).
+    * Pure scan-stage HOFs; the dominance recount is O(len²) in the DOC,
+    * not the corpus. */
+  def gopherFlags(text: Column, stopwords: Seq[String],
+                  minToks: Int = 20, maxToks: Int = 90,
+                  minWordLen: Int = 3, maxWordLen: Int = 8,
+                  minStop: Int = 2, domDenom: Int = 8): Column =
+    bindTokens(text, toks => {
+      val nToks = size(toks)
+      val wordChars = length(text) - (nToks - 1)
+      val nStop = wordSetCount(toks, stopwords)
+      val maxRep = array_max(transform(array_distinct(toks),
+        w => size(filter(toks, x => x === w))))
+      struct(
+        nToks.cast("int").as("n_toks"),
+        length(text).cast("int").as("len_chars"),
+        nStop.cast("int").as("n_stop"),
+        maxRep.cast("int").as("max_rep"),
+        (nToks >= minToks && nToks <= maxToks).as("len_ok"),
+        (wordChars >= nToks * minWordLen &&
+          wordChars <= nToks * maxWordLen).as("wlen_ok"),
+        (nStop >= minStop).as("stop_ok"),
+        (maxRep * domDenom <= nToks).as("rep_ok"))
+    })
+
+  /** The conjunction of [[gopherFlags]] — the ingest-gate form. One
+    * bound lambda, so the predicate costs one tokenize per row even as
+    * a bare filter condition (a `getField` fan-out over [[gopherFlags]]
+    * would re-evaluate the whole struct per field in a filter, where no
+    * projection materializes it first). */
+  def gopherKept(text: Column, stopwords: Seq[String],
+                 minToks: Int = 20, maxToks: Int = 90,
+                 minWordLen: Int = 3, maxWordLen: Int = 8,
+                 minStop: Int = 2, domDenom: Int = 8): Column =
+    bindTokens(text, toks => {
+      val nToks = size(toks)
+      val wordChars = length(text) - (nToks - 1)
+      val maxRep = array_max(transform(array_distinct(toks),
+        w => size(filter(toks, x => x === w))))
+      nToks >= minToks && nToks <= maxToks &&
+        wordChars >= nToks * minWordLen && wordChars <= nToks * maxWordLen &&
+        wordSetCount(toks, stopwords) >= minStop &&
+        maxRep * domDenom <= nToks
+    })
+
+  /** Higher-order functions evaluate INTERPRETED (CodegenFallback), so a
+    * non-trivial expression referenced inside a lambda re-evaluates at
+    * every element — an inline `tokens(text)` under `element_at` costs
+    * O(len) splits per gram, O(len²) per doc (measured 5× on q91's ×10
+    * hash pass, and the same effect Signatures documents on q71). The
+    * fix when a helper must stay a single Column: BIND the array as a
+    * one-element-array lambda argument — `transform(array(tokens(text)),
+    * t => …)` evaluates the split once and `t` is a cheap variable
+    * reference everywhere inside. */
+  private def bindTokens(text: Column, body: Column => Column): Column =
+    element_at(transform(array(tokens(text)), body), 1)
+
+  def wordNgrams(text: Column, n: Int): Column =
+    bindTokens(text, t => {
+      val grams = transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))
+      array_distinct(when(size(t) >= n, grams).otherwise(array()))
+    })
 }

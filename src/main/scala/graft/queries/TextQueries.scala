@@ -839,30 +839,45 @@ object TextQueries {
     // importance score = Σ target-df / Σ raw-df over the doc's buckets —
     // the log-ratio replaced by one rational division so both engines
     // compute bit-identical doubles (integer sums, one divide). Top-100
-    // selection is a TakeOrdered. Scale shape: both df tables are
-    // D-row broadcasts; the only corpus-sized shuffle is the per-doc
-    // rollup, and the bucket space bounds model state at any corpus size.
+    // selection is a TakeOrdered. Scale shape: in-doc dedup happens in
+    // the SCAN stage (array_distinct over the hashed array — there is no
+    // corpus-sized distinct), the df aggregate map-side-combines into
+    // 1024 groups, and the learned model is two 1024-long literal arrays
+    // the driver holds (the q88 axes-sized-state discipline) — so
+    // scoring is a second scan-stage fold over the checkpointed bucket
+    // arrays and NOTHING corpus-sized ever crosses an exchange.
     "q91_dsir_importance" -> ((s, dir) => {
       val dBuckets = 1024
-      val toks = TextFunctions.tokens(col("text"))
-      val bg = Tables.table(s, dir, "documents")
-        .filter(size(toks) >= 2)
+      // token array MATERIALIZED before the indexing HOF (q85's shape):
+      // HOF lambdas run interpreted, so an inline tokens(text) under
+      // element_at re-splits per element — measured 5× on this pass
+      val idxs = array_distinct(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => (TextFunctions.md5Hash60(
+          concat(element_at(col("t"), i + 1), lit(" "),
+            element_at(col("t"), i + 2))) % dBuckets).cast("int")))
+      val docs = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          explode(transform(sequence(lit(0), size(toks) - 2),
-            i => concat(element_at(toks, i + 1), lit(" "),
-              element_at(toks, i + 2)))).as("g"))
-        .select(col("doc_id"), col("lang"),
-          (TextFunctions.md5Hash60(col("g")) % dBuckets).cast("int").as("idx"))
-        .distinct()
-        .localCheckpoint() // feeds both df tables AND the rollup
-      val tc = bg.filter(col("lang") === "en")
-        .groupBy("idx").agg(count(lit(1)).as("t_b"))
-      val rc = bg.groupBy("idx").agg(count(lit(1)).as("r_b"))
-      bg.join(broadcast(rc), Seq("idx"))
-        .join(broadcast(tc), Seq("idx"), "left")
-        .groupBy("doc_id")
-        .agg(sum(coalesce(col("t_b"), lit(0L))).as("s_t"),
-          sum(col("r_b")).as("s_r"))
+          TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), idxs.as("idxs"))
+        .localCheckpoint() // ONE md5 pass feeds the df model AND scoring
+      val dfRows = docs.select(col("lang"), explode(col("idxs")).as("idx"))
+        .groupBy("idx").agg(count(lit(1)).as("r_b"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+        .collect()
+      val tArr = Array.fill(dBuckets)(0L)
+      val rArr = Array.fill(dBuckets)(0L)
+      dfRows.foreach { r =>
+        val i = r.getInt(0); rArr(i) = r.getLong(1); tArr(i) = r.getLong(2)
+      }
+      val tLit = typedlit(tArr.toSeq)
+      val rLit = typedlit(rArr.toSeq)
+      docs.select(col("doc_id"),
+          aggregate(col("idxs"), lit(0L),
+            (a, x) => a + element_at(tLit, x + 1)).as("s_t"),
+          aggregate(col("idxs"), lit(0L),
+            (a, x) => a + element_at(rLit, x + 1)).as("s_r"))
         .select(col("doc_id"), col("s_t"), col("s_r"),
           (col("s_t").cast("double") / col("s_r")).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
@@ -879,22 +894,14 @@ object TextQueries {
     // shuffle, no join, codegen-friendly HOFs only; the per-doc
     // distinct-token recount is O(len²) in the doc, not the corpus.
     "q92_gopher_rules" -> ((s, dir) => {
-      val toks = TextFunctions.tokens(col("text"))
-      val d = Tables.table(s, dir, "documents").select(
-        col("doc_id"),
-        size(toks).cast("int").as("n_toks"),
-        length(col("text")).cast("int").as("len_chars"),
-        TextFunctions.wordSetCount(toks, STOPWORDS).cast("int").as("n_stop"),
-        array_max(transform(array_distinct(toks),
-          w => size(filter(toks, x => x === w)))).cast("int").as("max_rep"))
-      val wordChars = col("len_chars") - (col("n_toks") - 1)
-      d.select(col("doc_id"), col("n_toks"), col("len_chars"),
-          col("n_stop"), col("max_rep"),
-          (col("n_toks") >= 20 && col("n_toks") <= 90).as("len_ok"),
-          (wordChars >= col("n_toks") * 3 &&
-            wordChars <= col("n_toks") * 8).as("wlen_ok"),
-          (col("n_stop") >= 2).as("stop_ok"),
-          (col("max_rep") * 8 <= col("n_toks")).as("rep_ok"))
+      // the struct materializes ONCE per row in the first projection;
+      // the field fan-out below reads attributes, never re-evaluates
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.gopherFlags(col("text"), STOPWORDS).as("f"))
+        .select(col("doc_id"), col("f.n_toks"), col("f.len_chars"),
+          col("f.n_stop"), col("f.max_rep"), col("f.len_ok"),
+          col("f.wlen_ok"), col("f.stop_ok"), col("f.rep_ok"))
         .withColumn("kept",
           col("len_ok") && col("wlen_ok") && col("stop_ok") && col("rep_ok"))
         .orderBy("doc_id")

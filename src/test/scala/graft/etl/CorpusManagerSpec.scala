@@ -484,6 +484,35 @@ class CorpusManagerSpec extends SparkSpec {
     intercept[IllegalArgumentException] { m.ingestInitial(docs(Nil)) }
   }
 
+  test("gopherGate rejects rule-violating docs at ingest; off by default") {
+    // passes all four rules: 24 tokens, two stopwords, 4-7 char words,
+    // max repetition 2 ≤ 24/8
+    val good = ((0 until 11).flatMap(i => Seq(s"word$i", s"item$i")) ++
+      Seq("the", "of")).mkString(" ")
+    val stutter = Seq.fill(30)("spam").mkString(" ")   // dominance + stopwords
+    val tiny = "the of tiny doc"                       // token count
+    val gated = new CorpusManager("cm_gg", tmpDir("cmgg"), spark,
+      numBuckets = 4, minTokens = 2, gopherGate = true)
+    val r = gated.ingestInitial(docs(Seq(
+      (1L, good, "web"), (2L, stutter, "web"), (3L, tiny, "web"))))
+    assert(r.rejected == 2 && corpusIds(gated) == Set(1L))
+    // same docs, gate off: only the minTokens baseline applies
+    val open = new CorpusManager("cm_gg2", tmpDir("cmgg2"), spark,
+      numBuckets = 4, minTokens = 2)
+    open.ingestInitial(docs(Seq(
+      (1L, good, "web"), (2L, stutter, "web"), (3L, tiny, "web"))))
+    assert(corpusIds(open) == Set(1L, 2L, 3L))
+    // the gate decision is exactly the q92 predicate
+    import graft.functions.TextFunctions
+    val flags = docs(Seq((1L, good, "web"), (2L, stutter, "web"),
+        (3L, tiny, "web")))
+      .select(col("doc_id"),
+        TextFunctions.gopherKept(col("text"),
+          Seq("the", "a", "of", "and")).as("kept"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("shard ingest: cross/intra/transitive/exact dedup, drift, appends") {
     val m = new CorpusManager("cm_spec2", tmpDir("cm2"), spark,
       numBuckets = 4, minTokens = 2)
