@@ -18,12 +18,23 @@ object Tables {
 
   /** `events` with `us`: event time as epoch MICROseconds (long).
     *
-    * The driver writes `ts` with nanosecond precision; Spark reads it as a
-    * long (nanos) under `nanosAsLong`. `ts div 1000` is integral division,
-    * i.e. truncation — byte-identical to DuckDB's TIMESTAMP_NS → TIMESTAMP
-    * conversion, which the oracle side sees. (A double division would lose
-    * precision above 2^53 ns.)
+    * The driver has shipped `ts` at two parquet precisions across rounds,
+    * so the derivation is schema-adaptive:
+    *  - nanosecond parquet: Spark reads a long (nanos) under `nanosAsLong`;
+    *    `ts div 1000` is integral division, i.e. truncation — byte-identical
+    *    to DuckDB's TIMESTAMP_NS → TIMESTAMP conversion. (A double division
+    *    would lose precision above 2^53 ns.)
+    *  - microsecond parquet: Spark reads TIMESTAMP_NTZ; with the session
+    *    timezone pinned to UTC ([[GraftSession]]), casting NTZ → LTZ is an
+    *    epoch-preserving identity and `unix_micros` yields the same number
+    *    DuckDB's `epoch_us(ts)` computes on the naive value.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events").withColumn("us", expr("ts div 1000"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+    val us = e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    e.withColumn("us", us)
+  }
 }
