@@ -86,10 +86,26 @@ object Bench {
     else (full, "")
   }
 
+  /** Scope a tier's text to its cold (`"queries"`) or warm map. Each
+    * tier's JSON is built cold-map-first, `"warm":{` after, so the
+    * marker cleanly separates them; a file from before the warm
+    * methodology has no marker and is all cold. If the driver's ~3 kB
+    * tail truncation eats the marker but leaves warm pairs, those pairs
+    * misread as cold — they are FASTER numbers, so the failure mode is
+    * a missed callout, never a false alarm; the driver files' tails
+    * keep the (later) tier-2 + warm sections intact in practice. */
+  private def warmSplit(tierText: String, warm: Boolean): String = {
+    val w = tierText.indexOf("\"warm\":{")
+    if (w < 0) { if (warm) "" else tierText }
+    else if (warm) tierText.substring(w)
+    else tierText.substring(0, w)
+  }
+
   /** Previous round's per-query times, from a driver-written
     * BENCH_r*.json (the one JSON line is embedded in its `tail` field,
     * possibly truncated mid-JSON) or a plain bench_out.json.
-    * `section = "tier2"` scopes to the ×10 tier. Empty map when
+    * `section`: "" = tier-1 cold, "warm" = tier-1 second-run,
+    * "tier2" = ×10 cold, "tier2warm" = ×10 second-run. Empty map when
     * absent/unparseable — callers must surface that as
     * `baseline_missing`, never as a clean no-regressions result. */
   private[graft] def baselineQueries(path: String,
@@ -98,8 +114,39 @@ object Bench {
       val full = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8").replace("\\\"", "\"")
       val (t1, t2) = splitTiers(full)
-      queryTimes(if (section == "tier2") t2 else t1)
+      val tier = if (section.startsWith("tier2")) t2 else t1
+      queryTimes(warmSplit(tier, section.endsWith("warm")))
     } catch { case _: Exception => Map.empty }
+
+  /** Fixed-work xorshift throughput (million iterations/sec), single
+    * thread and 32-way — a host calibration constant embedded in every
+    * bench record. The local[32] hosts these rounds run on have shown a
+    * ~1.6× per-core speed spread AND session-to-session drift (round-5
+    * measured identical code+data 2–3× slower cold than round 3);
+    * without a same-JVM yardstick in the record, cross-round per-query
+    * diffs conflate host drift with plan regressions. */
+  private[graft] def hostScore(): (Long, Long) = {
+    def burn(iters: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    var sink = burn(20000000L) // JIT warm
+    val n1 = 300000000L
+    var t0 = System.nanoTime()
+    sink ^= burn(n1)
+    val single = n1 * 1000L / math.max(1L, System.nanoTime() - t0)
+    val nT = 150000000L
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val ts = (1 to 32).map { _ =>
+      new Thread(() => { acc.addAndGet(burn(nT) | 1L); () })
+    }
+    t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val multi = nT * 32L * 1000L / math.max(1L, System.nanoTime() - t0)
+    if ((sink ^ acc.get) == 42L) System.err.print("") // defeat DCE
+    (single, multi)
+  }
 
   /** Latest BENCH_r*.json beside the repo — the previous round's record.
     * Falls back to the round-2 file so an env-less run still compares. */
@@ -118,11 +165,12 @@ object Bench {
     * `[]`: a clean empty list must always mean "compared and found
     * nothing", never "had nothing to compare against". */
   private[graft] def regressionJson(tag: String, prev: Map[String, Double],
-                                    now: Seq[(String, Double, Boolean)]): String = {
+                                    now: Seq[(String, Double, Boolean)],
+                                    keyPrefix: String = ""): String = {
     if (prev.isEmpty) {
       System.err.println(s"[bench$tag] baseline missing/unparseable — " +
         "regression policing DID NOT RUN this round")
-      return """"regressions":[],"baseline_missing":true"""
+      return s""""${keyPrefix}regressions":[],"${keyPrefix}baseline_missing":true"""
     }
     val items = now.collect {
       case (name, t, true)
@@ -132,7 +180,7 @@ object Bench {
             f"[bench$tag] REGRESSION $name: $p%.2fs -> $t%.2fs (${t / p}%.2fx)")
           s"""{"q":"$name","prev":$p,"now":$t}"""
     }.mkString("[", ",", "]")
-    s""""regressions":$items,"baseline_missing":false"""
+    s""""${keyPrefix}regressions":$items,"${keyPrefix}baseline_missing":false"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -152,21 +200,42 @@ object Bench {
     selected.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = selected.map { case (name, fn) =>
+    // Each query is timed COLD (first execution: plan + codegen + JIT —
+    // the number every previous round recorded) and then WARM (immediate
+    // second execution: steady-state plan cost). The warm number is the
+    // scale-relevant one — at real data sizes one-time compilation
+    // amortizes to zero — and it is far less sensitive to the host's
+    // session-to-session cold-compile drift (measured this round: cold
+    // 3–4× slower than round 3 on identical code, warm within ~1.3×,
+    // i.e. the per-core-speed spread).
+    def timed(run: () => Unit, tag: String, name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // a failed query must be unmistakable in the recorded numbers: a
-      // silent time-to-crash would read as a (fast) success and a round
-      // where queries break would look like a speedup
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      try { run(); ((System.nanoTime() - t0) / 1e9, true) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench$tag] $name failed: ${e.getMessage}")
+        (-1.0, false)
+      }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def measure(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame)], dir: String, tag: String)
+        : Seq[(String, Double, Double, Boolean)] =
+      qs.map { case (name, fn) =>
+        // a failed query must be unmistakable in the recorded numbers: a
+        // silent time-to-crash would read as a (fast) success and a round
+        // where queries break would look like a speedup
+        val (cold, ok) = timed(() => fn(spark, dir).count(), tag, name)
+        val (warm, _) =
+          if (ok) timed(() => fn(spark, dir).count(), tag + ":warm", name)
+          else (-1.0, false)
+        (name, cold, warm, ok)
+      }
+    def mapJson(rs: Seq[(String, Double, Double, Boolean)], warm: Boolean) =
+      rs.map { case (k, c, w, _) => "\"" + k + "\":" + (if (warm) w else c) }
+        .mkString("{", ",", "}")
+    val results0 = measure(selected, sfDir, "")
+    val results = results0.map { case (k, c, _, ok) => (k, c, ok) }
+    val qs = mapJson(results0, warm = false)
+    val warmQs = mapJson(results0, warm = true)
     val failedSeq = results.collect { case (k, _, false) => k }
     val failed = failedSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a round with failures must not offer a comparable total: summing
@@ -175,6 +244,9 @@ object Bench {
     val total =
       if (failedSeq.nonEmpty) "null"
       else results.collect { case (_, v, true) => v }.sum.toString
+    val warmTotal =
+      if (failedSeq.nonEmpty) "null"
+      else results0.collect { case (_, _, w, true) => w }.sum.toString
 
     // ---- tier 2: ×10 data, shuffle/AQE-visible ---------------------------
     val tier2Json =
@@ -185,29 +257,33 @@ object Bench {
           "/tmp/graft_tier2_x10")
         try {
           ensureTier2(spark, sfDir, t2dir, factor)
-          val t2 = SparkEntry.queries.toSeq.sortBy(_._1)
-            .filter { case (n, _) => Tier2Queries.contains(n) }
-            .map { case (name, fn) =>
-              val t0 = System.nanoTime()
-              val ok = try { fn(spark, t2dir).count(); true }
-                catch { case e: Throwable =>
-                  System.err.println(s"[bench:tier2] $name failed: ${e.getMessage}")
-                  false
-                }
-              (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
-            }
-          val t2qs = t2.map { case (k, v, _) => "\"" + k + "\":" + v }
-            .mkString("{", ",", "}")
-          val t2failed = t2.collect { case (k, _, false) => "\"" + k + "\"" }
+          val t20 = measure(SparkEntry.queries.toSeq.sortBy(_._1)
+            .filter { case (n, _) => Tier2Queries.contains(n) }, t2dir, ":tier2")
+          val t2 = t20.map { case (k, c, _, ok) => (k, c, ok) }
+          val t2qs = mapJson(t20, warm = false)
+          val t2warm = mapJson(t20, warm = true)
+          val t2failed = t20.collect { case (k, _, _, false) => "\"" + k + "\"" }
             .mkString("[", ",", "]")
           val t2total =
-            if (t2.exists(!_._3)) "null"
-            else t2.collect { case (_, v, true) => v }.sum.toString
-          val t2prev = baselineQueries(sys.env.getOrElse(
-            "SPARK_GRAFT_BENCH_BASELINE", latestBaseline()), "tier2")
+            if (t20.exists(!_._4)) "null"
+            else t20.collect { case (_, v, _, true) => v }.sum.toString
+          val t2warmTotal =
+            if (t20.exists(!_._4)) "null"
+            else t20.collect { case (_, _, w, true) => w }.sum.toString
+          val basePath = sys.env.getOrElse(
+            "SPARK_GRAFT_BENCH_BASELINE", latestBaseline())
+          val t2prev = baselineQueries(basePath, "tier2")
           val t2regr = regressionJson(":tier2", t2prev, t2)
+          // warm-vs-warm policing, once a warm baseline exists (files
+          // from before the warm methodology simply lack the section —
+          // that is a missing baseline and says so)
+          val t2warmRegr = regressionJson(":tier2:warm",
+            baselineQueries(basePath, "tier2warm"),
+            t20.map { case (k, _, w, ok) => (k, w, ok) }, "warm_")
           s""","tier2":{"factor":$factor,"total":$t2total,""" +
-            s""""queries":$t2qs,"failed":$t2failed,$t2regr}"""
+            s""""queries":$t2qs,"failed":$t2failed,""" +
+            s""""warm_total":$t2warmTotal,"warm":$t2warm,""" +
+            s"""$t2regr,$t2warmRegr}"""
         } catch { case e: Exception =>
           System.err.println(s"[bench:tier2] skipped: ${e.getMessage}")
           ""
@@ -218,11 +294,16 @@ object Bench {
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       latestBaseline())
     val regressions = regressionJson("", baselineQueries(baselinePath), results)
+    val warmRegr = regressionJson(":warm", baselineQueries(baselinePath, "warm"),
+      results0.map { case (k, _, w, ok) => (k, w, ok) }, "warm_")
+    val (hostSingle, hostMulti) = hostScore()
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""ok":${failedSeq.isEmpty},""" +
+      s""""host":{"single_miters":$hostSingle,"multi32_miters":$hostMulti},""" +
       s""""queries":$qs,"failed":$failed,""" +
-      s"""$regressions,"sf":"$sfDir"$tier2Json}"""
+      s""""warm_total":$warmTotal,"warm":$warmQs,""" +
+      s"""$regressions,$warmRegr,"sf":"$sfDir"$tier2Json}"""
     println(json)
     // sbt routes program stdout through its [info] logger, which the
     // driver's JSON extraction has failed to strip (BENCH_r01 recorded

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Repeated in-JVM timings of one query — separates JIT/codegen warmup
+  * from steady-state cost when a bench number looks off. Usage:
+  * `SPARK_GRAFT_PROBE_Q=q76_range_join SPARK_GRAFT_PROBE_N=6 runMain
+  * graft.RepeatProbe`. */
+object RepeatProbe {
+  def main(args: Array[String]): Unit = {
+    val q = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q", "q76_range_join")
+    val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "6").toInt
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.driver.memory", "8g")
+      .appName("repeat-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(q)
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      println(f"[$q rep $i] ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}

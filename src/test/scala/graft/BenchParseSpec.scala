@@ -69,6 +69,30 @@ class BenchParseSpec extends AnyFunSuite {
     assert(t2.size == 15)
   }
 
+  test("warm sections parse separately per tier; pre-warm files are all cold") {
+    val full = """{"metric":"total","value":1.0,"queries":{"q01_a":1.5},""" +
+      """"failed":[],"warm_total":0.4,"warm":{"q01_a":0.4},"regressions":[],""" +
+      """"tier2":{"factor":10,"queries":{"q01_a":9.0},"failed":[],""" +
+      """"warm_total":3.0,"warm":{"q01_a":3.0},"regressions":[]}}"""
+    val p = write(full)
+    assert(Bench.baselineQueries(p) == Map("q01_a" -> 1.5))
+    assert(Bench.baselineQueries(p, "warm") == Map("q01_a" -> 0.4))
+    assert(Bench.baselineQueries(p, "tier2") == Map("q01_a" -> 9.0))
+    assert(Bench.baselineQueries(p, "tier2warm") == Map("q01_a" -> 3.0))
+    // a file from before the warm methodology: cold parses, warm is
+    // MISSING (so the caller flags warm_baseline_missing, not clean [])
+    val old = write(""""queries":{"q01_a":1.5},"failed":[]""")
+    assert(Bench.baselineQueries(old) == Map("q01_a" -> 1.5))
+    assert(Bench.baselineQueries(old, "warm").isEmpty)
+  }
+
+  test("regressionJson keyPrefix names warm keys so tiers can coexist") {
+    val out = Bench.regressionJson(":warm", Map.empty,
+      Seq(("q01_a", 1.0, true)), "warm_")
+    assert(out.contains("\"warm_baseline_missing\":true"))
+    assert(out.contains("\"warm_regressions\":[]"))
+  }
+
   test("empty baseline emits baseline_missing:true, never a clean []") {
     val out = Bench.regressionJson("", Map.empty, Seq(("q01_a", 1.0, true)))
     assert(out.contains("\"baseline_missing\":true"))
