@@ -374,4 +374,154 @@ object VectorFunctions {
         }
       }.toDF(idCol, vecCol, "buckets")
   }
+
+  /** Product-quantization codebooks: the vector space split into `m`
+    * contiguous subspaces of `dims/m` dims, each with its own `k`-way
+    * L2 Lloyd codebook (reference analog: the array-chunk encoding
+    * choices of `gridded_etl_tools/utils/encryption.py`-adjacent zarr
+    * codecs are per-chunk too, but PQ itself is beyond-ref — the
+    * standard memory-bound ANN compression, Jégou et al. 2011, TPAMI).
+    *
+    * Portability discipline (the q77/q88 rules): seeds are caller-fixed,
+    * every iteration's means round to FLOAT (absorbing cross-engine
+    * double-sum order), every distance folds subvector dims in index
+    * order, argmin tie-breaks on the lower centroid id. All `m`
+    * subspaces train in ONE pass per iteration — the shuffled state is
+    * m·k·(dims/m) sums, map-side combined; the corpus never moves.
+    *
+    * Returns codebooks(sub)(cid) = float centroid of that subspace. */
+  def pqTrain(df: org.apache.spark.sql.DataFrame, idCol: String,
+              vecCol: String, seeds: Array[Array[Array[Float]]],
+              iters: Int): Array[Array[Array[Float]]] = {
+    val m = seeds.length
+    require(m > 0 && seeds.forall(_.nonEmpty), "need seeds per subspace")
+    val k = seeds.head.length
+    val sub = seeds.head.head.length
+    val spark = df.sparkSession
+    import spark.implicits._
+    var books = seeds.map(_.map(_.clone()))
+    val src = Signatures.spread(df.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])].localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val cur = books
+      // one pass: per (subspace, cid) dim-sums + counts, map-side combined
+      val sums = src.mapPartitions { rows =>
+        val acc = scala.collection.mutable.LongMap
+          .empty[(Array[Double], Long)]
+        rows.foreach { case (_, v) =>
+          var s = 0
+          while (s < m) {
+            val cid = pqArgmin(v, s * sub, cur(s))
+            val key = s.toLong * k + cid
+            val (ds, n) = acc.getOrElseUpdate(key, (new Array[Double](sub), 0L))
+            var i = 0
+            while (i < sub) { ds(i) += v(s * sub + i).toDouble; i += 1 }
+            acc(key) = (ds, n + 1)
+            s += 1
+          }
+        }
+        acc.iterator.map { case (key, (ds, n)) => (key, ds, n) }
+      }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val ds = new Array[Double](sub)
+          var i = 0
+          while (i < sub) { ds(i) = a._2(i) + b._2(i); i += 1 }
+          (a._1, ds, a._3 + b._3)
+        }
+        .map(_._2).collect()
+        .map { case (key, ds, n) => key -> ((ds, n)) }.toMap
+      books = Array.tabulate(m)(s => Array.tabulate(k) { cid =>
+        sums.get(s.toLong * k + cid) match {
+          case Some((ds, n)) if n > 0 =>
+            Array.tabulate(sub)(i => (ds(i) / n).toFloat)
+          case _ => books(s)(cid) // empty cell keeps its centroid
+        }
+      })
+      it += 1
+    }
+    books
+  }
+
+  /** Index of the L2-nearest centroid for the subvector of `v` starting
+    * at `off` — strict-< scan in ascending cid order, so equal
+    * distances keep the LOWER cid (the oracle's `ORDER BY d, cid`). */
+  private[functions] def pqArgmin(v: Array[Float], off: Int,
+                                  book: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val ce = book(c)
+      var d = 0.0
+      var i = 0
+      while (i < ce.length) {
+        val x = v(off + i).toDouble - ce(i).toDouble
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ-encode every vector: one scan emitting `(id, codes)` where
+    * codes(s) is the argmin centroid of subspace s. Driver state is the
+    * codebooks (m·k·sub floats); nothing shuffles. */
+  def pqEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+               vecCol: String,
+               books: Array[Array[Array[Float]]]): org.apache.spark.sql.DataFrame = {
+    val m = books.length
+    val sub = books.head.head.length
+    val spark = df.sparkSession
+    import spark.implicits._
+    Signatures.spread(df.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.map { case (id, v) =>
+          (id, Array.tabulate(m)(s => pqArgmin(v, s * sub, books(s))))
+        }
+      }.toDF(idCol, "codes")
+  }
+
+  /** Asymmetric-distance top-`n` against one query vector: the PQ
+    * search step. The per-subspace lookup table LUT(s)(cid) =
+    * ‖q_s − cent(s)(cid)‖² is computed ON THE DRIVER (m·k doubles,
+    * index-order folds), the scan scores each row by m table lookups
+    * summed in ascending-subspace order — bit-identical across engines
+    * because every addend derives from float-rounded centroids — and
+    * TakeOrdered returns `n` rows by (distance, id). */
+  def pqAdcTopK(codes: org.apache.spark.sql.DataFrame, idCol: String,
+                query: Array[Float], books: Array[Array[Array[Float]]],
+                n: Int): org.apache.spark.sql.DataFrame = {
+    val m = books.length
+    val sub = books.head.head.length
+    val lut: Array[Array[Double]] = Array.tabulate(m) { s =>
+      books(s).map { ce =>
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = query(s * sub + i).toDouble - ce(i).toDouble
+          d += x * x
+          i += 1
+        }
+        d
+      }
+    }
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val scored = codes.select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { rows =>
+        rows.map { case (id, cs) =>
+          var d = 0.0
+          var s = 0
+          while (s < m) { d += lut(s)(cs(s)); s += 1 }
+          (id, cs, d)
+        }
+      }.toDF(idCol, "codes", "adc")
+    scored.orderBy(col("adc").asc, col(idCol).asc).limit(n)
+  }
 }

@@ -394,7 +394,61 @@ object VectorQueries {
           min(col("nrm")).cast("double").as("min_norm"),
           max(col("nrm")).cast("double").as("max_norm"))
         .orderBy("label")
+    }),
+
+    // Product quantization (Jégou et al. 2011): 4 subspaces × 16 dims,
+    // 4-way L2 codebook each, trained 2 Lloyd iterations from the
+    // md5-ordered seed sample, every vector encoded to 4 small codes —
+    // the memory-bound ANN compression (64 floats → 4 bytes here). All
+    // portability rules of q77 apply (float-rounded means, index-order
+    // folds, lower-cid tie-break); the OUTPUT is fully discrete codes,
+    // so the row hash cannot drift. DuckDB replays each subspace's two
+    // Lloyd steps as chained CTEs over list slices.
+    "q93_pq_codes" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val books = VectorFunctions.pqTrain(
+        emb, "vec_id", "embedding", pqSeeds(emb), iters = 2)
+      VectorFunctions.pqEncode(emb, "vec_id", "embedding", books)
+        .select(col("vec_id"),
+          col("codes")(0).as("c0"), col("codes")(1).as("c1"),
+          col("codes")(2).as("c2"), col("codes")(3).as("c3"))
+        .orderBy("vec_id")
+    }),
+
+    // Asymmetric-distance search over the PQ codes: the query's
+    // per-subspace distance tables are driver-computed (m·k doubles),
+    // each row scores as 4 lookups summed in subspace order, top-20 by
+    // (distance, id) via TakeOrdered. This is the scan PQ buys at 100 TB:
+    // codes are 16× narrower than raw vectors and the LUT replaces all
+    // per-row float arithmetic beyond 4 additions.
+    "q94_pq_adc" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val books = VectorFunctions.pqTrain(
+        emb, "vec_id", "embedding", pqSeeds(emb), iters = 2)
+      val codes = VectorFunctions.pqEncode(emb, "vec_id", "embedding", books)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      VectorFunctions.pqAdcTopK(codes, "vec_id", qv, books, 20)
+        .select(col("vec_id"),
+          col("codes")(0).as("c0"), col("codes")(1).as("c1"),
+          col("codes")(2).as("c2"), col("codes")(3).as("c3"),
+          col("adc"))
     }))
+
+  /** PQ seed codebooks: subvectors of the 4 md5-ordered sample vectors,
+    * cid = rank in that md5 order (the oracle's ROW_NUMBER()−1) — the
+    * q77 deterministic-seed discipline. */
+  private def pqSeeds(emb: DataFrame): Array[Array[Array[Float]]] = {
+    val sample = emb
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy("h", "vec_id").limit(4)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    Array.tabulate(4)(s => sample.map(v => v.slice(s * 16, (s + 1) * 16)))
+  }
 
   private val dotSql =
     "list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE)))"
@@ -420,7 +474,84 @@ object VectorQueries {
        |  LEFT JOIN (SELECT cid, list(cm ORDER BY i) AS ce FROM $means
        |             GROUP BY cid) l ON p.cid = l.cid)""".stripMargin
 
+  // ---- PQ oracle scaffolding -------------------------------------------
+  // Squared-L2 between subspace `s` of a full vector and a 16-dim
+  // centroid list, dims folded in index order (both engines' list_sum /
+  // while-loop are the same left fold).
+  private def pqL2Sql(s: Int, vec: String, ce: String) = {
+    val off = s * 16
+    s"list_sum(list_transform(range(16), i -> " +
+      s"(CAST($vec[$off+i+1] AS DOUBLE) - CAST($ce[i+1] AS DOUBLE)) * " +
+      s"(CAST($vec[$off+i+1] AS DOUBLE) - CAST($ce[i+1] AS DOUBLE))))"
+  }
+
+  // One L2 Lloyd step for subspace `s`: argmin assignment (lower cid on
+  // ties), float-rounded per-(cid, dim) means, empty cells keeping
+  // their centroid — the exact pqTrain step.
+  private def pqLloydSql(s: Int, cb: String, asg: String, means: String,
+                         next: String) =
+    s"""$asg AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${pqL2Sql(s, "e.embedding", "c.ce")} ASC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN $cb c) WHERE rn = 1),
+       |$means AS (SELECT a.cid, i,
+       |    CAST(SUM(CAST(e.embedding[${s * 16}+i+1] AS DOUBLE)) / COUNT(*) AS FLOAT) AS cm
+       |  FROM embeddings e JOIN $asg a ON e.vec_id = a.vec_id
+       |  CROSS JOIN range(16) r(i) GROUP BY a.cid, i),
+       |$next AS (SELECT p.cid, COALESCE(l.ce, p.ce) AS ce FROM $cb p
+       |  LEFT JOIN (SELECT cid, list(cm ORDER BY i) AS ce FROM $means
+       |             GROUP BY cid) l ON p.cid = l.cid)""".stripMargin
+
+  // Full 4-subspace chain: md5-ordered 4-sample seeds (cid = sample
+  // rank), two Lloyd iterations per subspace, final assignment f_s.
+  private def pqChainSql: String = {
+    val seeds =
+      s"""samp AS (SELECT embedding AS v, md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+         |         FROM embeddings ORDER BY h, vec_id LIMIT 4),
+         |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid, v
+         |          FROM samp)""".stripMargin
+    val perSub = (0 until 4).map { s =>
+      val cb0 = s"cb0_$s AS (SELECT cid, v[${s * 16 + 1} : ${(s + 1) * 16}] AS ce FROM seeds)"
+      val l1 = pqLloydSql(s, s"cb0_$s", s"a1_$s", s"m1_$s", s"cb1_$s")
+      val l2 = pqLloydSql(s, s"cb1_$s", s"a2_$s", s"m2_$s", s"cb2_$s")
+      val fin =
+        s"""f_$s AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${pqL2Sql(s, "e.embedding", "c.ce")} ASC, c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN cb2_$s c) WHERE rn = 1)""".stripMargin
+      Seq(cb0, l1, l2, fin).mkString(",\n")
+    }.mkString(",\n")
+    seeds + ",\n" + perSub
+  }
+
   val oracles: Map[String, String] = Map(
+    "q93_pq_codes" ->
+      s"""WITH $pqChainSql
+         |SELECT e.vec_id,
+         |  CAST(f_0.cid AS INTEGER) AS c0, CAST(f_1.cid AS INTEGER) AS c1,
+         |  CAST(f_2.cid AS INTEGER) AS c2, CAST(f_3.cid AS INTEGER) AS c3
+         |FROM embeddings e
+         |JOIN f_0 ON e.vec_id = f_0.vec_id
+         |JOIN f_1 ON e.vec_id = f_1.vec_id
+         |JOIN f_2 ON e.vec_id = f_2.vec_id
+         |JOIN f_3 ON e.vec_id = f_3.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
+    "q94_pq_adc" ->
+      s"""WITH $pqChainSql,
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |${(0 until 4).map(s =>
+            s"lut_$s AS (SELECT c.cid, ${pqL2Sql(s, "q.q", "c.ce")} AS d " +
+              s"FROM cb2_$s c CROSS JOIN qv q)").mkString(",\n")}
+         |SELECT e.vec_id,
+         |  CAST(f_0.cid AS INTEGER) AS c0, CAST(f_1.cid AS INTEGER) AS c1,
+         |  CAST(f_2.cid AS INTEGER) AS c2, CAST(f_3.cid AS INTEGER) AS c3,
+         |  ((l0.d + l1.d) + l2.d) + l3.d AS adc
+         |FROM embeddings e
+         |JOIN f_0 ON e.vec_id = f_0.vec_id JOIN lut_0 l0 ON f_0.cid = l0.cid
+         |JOIN f_1 ON e.vec_id = f_1.vec_id JOIN lut_1 l1 ON f_1.cid = l1.cid
+         |JOIN f_2 ON e.vec_id = f_2.vec_id JOIN lut_2 l2 ON f_2.cid = l2.cid
+         |JOIN f_3 ON e.vec_id = f_3.vec_id JOIN lut_3 l3 ON f_3.cid = l3.cid
+         |ORDER BY adc, e.vec_id LIMIT 20""".stripMargin,
     "q37_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id,

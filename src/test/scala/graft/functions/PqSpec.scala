@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization: codebook training recovers planted subspace
+  * cluster structure, encoding is the argmin contract (lower cid on
+  * ties), and ADC scoring equals the sum of true subspace distances to
+  * the reconstruction (the PQ identity ADC(q, x) = Σ_s ‖q_s − c_{x_s}‖²). */
+class PqSpec extends SparkSpec {
+
+  // 2 subspaces × 4 dims; two well-separated clusters per subspace.
+  // Vector i lives in cluster (i%2) of subspace 0 and (i/2%2) of
+  // subspace 1, with a tiny deterministic wobble so means move.
+  private def planted(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map { i =>
+      val a = if (i % 2 == 0) 0f else 10f
+      val b = if ((i / 2) % 2 == 0) 0f else 10f
+      val w = (i % 5) * 0.01f
+      (i.toLong, Array(a + w, a, a, a, b, b + w, b, b))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def seedsFrom(vs: Array[Array[Float]]): Array[Array[Array[Float]]] =
+    Array.tabulate(2)(s => vs.map(_.slice(s * 4, (s + 1) * 4)))
+
+  test("pqTrain + pqEncode: same planted cluster -> same code, all codes used") {
+    val df = planted(40)
+    // seed with the first 2 vectors (covers one cluster combo each)
+    val seedVecs = df.orderBy("vec_id").limit(2).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val books = VectorFunctions.pqTrain(df, "vec_id", "embedding",
+      seedsFrom(seedVecs), iters = 3)
+    val codes = VectorFunctions.pqEncode(df, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    // same subspace-cluster membership must map to the same code
+    for (i <- 0 until 40; j <- 0 until 40) {
+      if (i % 2 == j % 2)
+        assert(codes(i)(0) == codes(j)(0), s"sub0 split $i vs $j")
+      if ((i / 2) % 2 == (j / 2) % 2)
+        assert(codes(i)(1) == codes(j)(1), s"sub1 split $i vs $j")
+    }
+    // distinct clusters must get distinct codes (separation is 10 >> wobble)
+    assert(codes(0)(0) != codes(1)(0))
+    assert(codes(0)(1) != codes(2)(1))
+  }
+
+  test("pqArgmin tie-breaks to the lower cid") {
+    val book = Array(Array(1f, 0f), Array(1f, 0f), Array(0f, 0f))
+    // equidistant to cid 0 and 1 (identical centroids) -> picks 0
+    assert(VectorFunctions.pqArgmin(Array(1f, 0f), 0, book) == 0)
+    // nearest is the distinct cid 2
+    assert(VectorFunctions.pqArgmin(Array(0.1f, 0f), 0, book) == 2)
+  }
+
+  test("pqAdcTopK: adc equals the exact subspace-distance sum; ranking sane") {
+    val df = planted(40)
+    val seedVecs = df.orderBy("vec_id").limit(2).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val books = VectorFunctions.pqTrain(df, "vec_id", "embedding",
+      seedsFrom(seedVecs), iters = 3)
+    val codes = VectorFunctions.pqEncode(df, "vec_id", "embedding", books)
+    val q = df.filter(col("vec_id") === 0).collect()(0)
+      .getSeq[Float](1).toArray
+    val top = VectorFunctions.pqAdcTopK(codes, "vec_id", q, books, 40)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toArray,
+        r.getDouble(2)))
+    // recompute each row's adc from the codebooks directly
+    top.foreach { case (_, cs, adc) =>
+      val expect = (0 until 2).map { s =>
+        val ce = books(s)(cs(s))
+        (0 until 4).map { i =>
+          val d = q(s * 4 + i).toDouble - ce(i).toDouble; d * d
+        }.sum
+      }.sum
+      assert(math.abs(adc - expect) < 1e-12)
+    }
+    // every vector sharing vec 0's cluster combo must rank before any
+    // vector sharing neither subspace cluster
+    val rank = top.map(_._1).zipWithIndex.toMap
+    val sameBoth = (0 until 40).filter(i => i % 2 == 0 && (i / 2) % 2 == 0)
+    val diffBoth = (0 until 40).filter(i => i % 2 == 1 && (i / 2) % 2 == 1)
+    for (a <- sameBoth; b <- diffBoth)
+      assert(rank(a.toLong) < rank(b.toLong), s"$a should outrank $b")
+    // sorted ascending by adc
+    assert(top.map(_._3).sliding(2).forall(p => p.head <= p.last))
+  }
+}
