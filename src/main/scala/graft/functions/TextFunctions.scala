@@ -153,4 +153,55 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))
       array_distinct(when(size(t) >= n, grams).otherwise(array()))
     })
+
+  /** Content-defined chunking (FastCDC/rsync family, token granularity):
+    * a boundary falls AFTER token i when the md5-60 of the `gram`-token
+    * window ending at i is ≡ 0 mod `mask` (expected chunk ≈ `mask`
+    * tokens). Boundaries depend only on LOCAL content, so an edit early
+    * in a doc re-synchronizes at the next boundary — downstream chunks
+    * keep their digests, which is what makes CDC chunks dedupable
+    * across near-identical docs where fixed-width segments all shift.
+    *
+    * One typed pass per row (split, rolling gram digests, chunk
+    * assembly) emits `(id, chunk_idx, dig, c_toks)` directly — no
+    * explode, no per-doc window, nothing shuffles. Tokenization is
+    * `split(" ", -1)` and digests are md5 hex, the oracle contract. */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, gram: Int = 4,
+                mask: Long = 16L): org.apache.spark.sql.DataFrame = {
+    require(gram >= 1 && mask >= 1, "gram and mask must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+        rows.flatMap { case (id, text) =>
+          val t = text.split(" ", -1)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, String, Long)]
+          var start = 0
+          var idx = 0
+          var i = 0
+          while (i < t.length) {
+            val boundary = i >= gram - 1 && (Signatures
+              .md5_60(md, t.slice(i - gram + 1, i + 1).mkString(" "))
+                % mask) == 0L
+            if (boundary || i == t.length - 1) {
+              val body = t.slice(start, i + 1).mkString(" ")
+              md.reset()
+              out += ((id, idx,
+                hex(md.digest(body.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))),
+                (i + 1 - start).toLong))
+              start = i + 1
+              idx += 1
+            }
+            i += 1
+          }
+          out
+        }
+      }.toDF(idCol, "chunk_idx", "dig", "c_toks")
+  }
 }

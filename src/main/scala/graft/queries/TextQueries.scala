@@ -182,6 +182,76 @@ object TextQueries {
     // to DECIMAL(28,12) before the sum so the aggregate is
     // order-independent (same trick as q01's decimal sums). df/stats are
     // tiny aggregates (broadcast); only the token explode shuffles.
+    // Near-dup cluster RESOLUTION: q52 finds the clusters; this picks
+    // which member survives — the highest pooled-stopword-quality doc
+    // (ties to the lower doc_id), the policy real curation uses instead
+    // of q52's min-id convention (the min-id doc may be the worst copy).
+    // Scale shape: the labels frame is dup-graph-sized, so the quality
+    // join broadcasts it against the corpus scan and the ranking window
+    // partitions by component over dup-graph-sized rows only; the
+    // corpus never shuffles. Score doubles are one IEEE division of
+    // exactly-representable integers — bit-identical cross-engine.
+    "q95_cluster_keep_best" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val edges = graft.functions.DedupPipeline
+        .simhashEdges(docs, "doc_id", "text")
+      val labels = DedupFunctions.connectedComponents(edges)
+      val toks = TextFunctions.tokens(col("text"))
+      val qual = docs.select(col("doc_id"),
+        TextFunctions.wordSetCount(toks, STOPWORDS).cast("bigint").as("n_stop"),
+        size(toks).cast("bigint").as("n_toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component")
+        .orderBy(col("score").desc, col("doc_id"))
+      labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+        .join(qual, "doc_id")
+        .withColumn("score",
+          col("n_stop").cast("double") * 10000 / col("n_toks"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("component"), col("n_stop"),
+          col("n_toks"), (col("rk") === 1).as("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Inverted-index postings build (the retrieval-side artifact a
+    // curation stack emits next to the corpus): per token, document
+    // frequency, total term frequency, and the first-5 posting doc ids.
+    // The capped postings use the kmv_minima TypedImperativeAggregate —
+    // k smallest doc ids with O(k) state and map-side partials — so a
+    // stopword token costs k longs per partition in the exchange, NOT a
+    // per-token window sort of its corpus-sized posting list (the skew
+    // that kills naive index builds at 100 TB).
+    "q96_inverted_index" -> ((s, dir) => {
+      val tk = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tf = tk.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      tf.groupBy("tok")
+        .agg(count(lit(1)).cast("bigint").as("df"),
+          sum("tf").cast("bigint").as("total_tf"),
+          concat_ws(",",
+            call_function("kmv_minima", col("doc_id"), lit(5))).as("postings"))
+        .orderBy("tok")
+    }),
+
+    // Content-defined chunking (the FastCDC/rsync family, token
+    // granularity): a chunk boundary falls AFTER token i when the
+    // md5-60 of the 4-token gram ending at i is ≡ 0 mod 16 — boundaries
+    // depend only on local content, so an insertion early in a doc
+    // shifts chunk CONTENTS by one token but every later boundary
+    // re-synchronizes, which is what makes CDC chunks dedupable across
+    // near-identical docs where fixed segments (q90) all shift. One
+    // typed pass emits chunk rows directly (token split, rolling gram
+    // digests, chunk assembly — all per-row, no explode, no per-doc
+    // window); the only shuffle is the digest-keyed share count.
+    "q97_cdc_chunks" -> ((s, dir) => {
+      val chunks = TextFunctions.cdcChunks(
+        Tables.table(s, dir, "documents"), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("dig")
+      chunks.withColumn("shared", count(lit(1)).over(w).cast("bigint"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q53_bm25" -> ((s, dir) => {
       val terms = Seq("spark", "merge", "window")
       val docs = Tables.table(s, dir, "documents")
@@ -1027,6 +1097,77 @@ object TextQueries {
         |)
         |SELECT id AS doc_id, MIN(lbl) AS component, CAST(COUNT(*) AS BIGINT) AS n_reach
         |FROM comp GROUP BY id HAVING MIN(lbl) < id ORDER BY doc_id""".stripMargin,
+    "q95_cluster_keep_best" ->
+      """WITH RECURSIVE
+        |kp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |       FROM documents),
+        |star AS (SELECT keeper AS d1, doc_id AS d2 FROM kp WHERE doc_id <> keeper),
+        |tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents
+        |       WHERE doc_id IN (SELECT doc_id FROM kp WHERE doc_id = keeper)),
+        |th AS (SELECT doc_id, CAST('0x'||substr(md5(t),1,15) AS BIGINT) AS h FROM tk),
+        |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |         FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+        |sg AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |                                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+        |       FROM bits GROUP BY doc_id),
+        |blk AS (SELECT doc_id, sh, q, (sh >> CAST(q*15 AS INTEGER)) & 32767 AS blk
+        |        FROM sg CROSS JOIN range(4) r(q)),
+        |np AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |       FROM blk x JOIN blk y ON x.q = y.q AND x.blk = y.blk AND x.doc_id < y.doc_id
+        |       WHERE bit_count(xor(x.sh, y.sh)) <= 3),
+        |edges AS (SELECT d1, d2 FROM np UNION SELECT d1, d2 FROM star),
+        |und AS (SELECT d1 AS src, d2 AS dst FROM edges UNION SELECT d2, d1 FROM edges),
+        |comp(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.dst, c.lbl FROM comp c JOIN und u ON c.id = u.src
+        |),
+        |lab AS (SELECT id, MIN(lbl) AS component FROM comp GROUP BY id),
+        |mem AS (SELECT id, component FROM (
+        |  SELECT id, component, COUNT(*) OVER (PARTITION BY component) AS n
+        |  FROM lab) WHERE n > 1),
+        |q AS (SELECT doc_id,
+        |    CAST(LEN(list_filter(string_split(text,' '),
+        |      x -> x IN ('the','a','of','and'))) AS BIGINT) AS n_stop,
+        |    CAST(LEN(string_split(text,' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |rk AS (SELECT m.id, m.component, q.n_stop, q.n_toks,
+        |    ROW_NUMBER() OVER (PARTITION BY m.component
+        |      ORDER BY CAST(q.n_stop*10000 AS DOUBLE)/q.n_toks DESC, m.id) AS rk
+        |  FROM mem m JOIN q ON m.id = q.doc_id)
+        |SELECT id AS doc_id, component, n_stop, n_toks, rk = 1 AS kept
+        |FROM rk ORDER BY doc_id""".stripMargin,
+    "q96_inverted_index" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT tok, doc_id, COUNT(*) AS tf FROM tk GROUP BY tok, doc_id),
+        |rk AS (SELECT tok, doc_id, tf,
+        |       ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+        |       FROM tf)
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |  array_to_string(list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 5), ',')
+        |    AS postings
+        |FROM rk GROUP BY tok ORDER BY tok""".stripMargin,
+    "q97_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(LEN(t))) AS i FROM d),
+        |fl AS (SELECT doc_id, CAST(i AS INTEGER) AS p, t[CAST(i+1 AS INTEGER)] AS tok,
+        |    CASE WHEN i >= 3 AND CAST('0x'||substr(md5(
+        |        array_to_string(t[CAST(i-2 AS INTEGER) : CAST(i+1 AS INTEGER)],' ')),1,15) AS BIGINT) % 16 = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM pos),
+        |ck AS (SELECT doc_id, p, tok,
+        |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+        |  FROM fl),
+        |ch AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        |    md5(string_agg(tok, ' ' ORDER BY p)) AS dig,
+        |    CAST(COUNT(*) AS BIGINT) AS c_toks
+        |  FROM ck GROUP BY doc_id, ci)
+        |SELECT doc_id, chunk_idx, dig, c_toks,
+        |  CAST(COUNT(*) OVER (PARTITION BY dig) AS BIGINT) AS shared
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "q53_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |dl AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM d),

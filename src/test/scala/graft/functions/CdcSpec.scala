@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking: the re-synchronization property that is
+  * the whole point of CDC — an edit early in a document changes the
+  * chunks it touches but downstream chunk digests RECOVER, so
+  * near-identical docs share most chunks (fixed-width segments would
+  * all shift and share none). */
+class CdcSpec extends SparkSpec {
+
+  private def mkDoc(n: Int): String =
+    (0 until n).map(i => s"w${i % 97}x${(i * 7) % 31}").mkString(" ")
+
+  test("chunks tile the document: token conservation + contiguous idx") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, mkDoc(500)), (2L, ""), (3L, "one"),
+      (4L, mkDoc(40))).toDF("doc_id", "text")
+    val ch = TextFunctions.cdcChunks(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // token totals conserved (split(" ",-1) of "" is one empty token)
+    val toks = ch.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(toks == Map(1L -> 500L, 2L -> 1L, 3L -> 1L, 4L -> 40L))
+    // chunk_idx contiguous from 0 per doc
+    ch.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(rows.indices))
+    }
+  }
+
+  test("an early edit re-synchronizes: suffix chunks keep their digests") {
+    val s = spark
+    import s.implicits._
+    val base = mkDoc(500)
+    val edited = "INSERTED " + base // one-token insertion at the front
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = TextFunctions.cdcChunks(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val d1 = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val d2 = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(d1.length > 5, s"want several chunks, got ${d1.length}")
+    // all but the first O(1) chunks must be shared verbatim
+    val shared = d1.toSet.intersect(d2.toSet).size
+    assert(shared >= d1.length - 2,
+      s"re-sync failed: only $shared of ${d1.length} chunks survive the edit")
+    // and a fixed-width segmentation of the same pair shares ~nothing:
+    // shifting every boundary by one token changes every segment
+    val fixed1 = base.split(" ", -1).grouped(16).map(_.mkString(" ")).toSet
+    val fixed2 = edited.split(" ", -1).grouped(16).map(_.mkString(" ")).toSet
+    assert(fixed1.intersect(fixed2).size <= 1,
+      "fixture too easy: fixed segmentation also survived the edit")
+  }
+
+  test("deterministic: same text, same chunk digests across runs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((7L, mkDoc(200))).toDF("doc_id", "text")
+    val a = TextFunctions.cdcChunks(docs, "doc_id", "text").collect().toSeq
+    val b = TextFunctions.cdcChunks(docs, "doc_id", "text").collect().toSeq
+    assert(a == b)
+  }
+}
