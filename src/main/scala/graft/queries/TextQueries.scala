@@ -252,6 +252,64 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // CDC-chunk global dedup (q97's chunks + q90's keep-first rule):
+    // only the first (doc_id, chunk_idx) occurrence of each chunk digest
+    // survives corpus-wide, rolled up to per-doc surviving token mass.
+    // Because CDC boundaries re-synchronize after edits, this catches
+    // shared content BETWEEN near-identical docs that fixed segments
+    // (q90) miss. Two shuffles at any scale: the digest-keyed window
+    // over narrow chunk rows, then the doc-keyed rollup.
+    "q98_cdc_dedup" -> ((s, dir) => {
+      val chunks = TextFunctions.cdcChunks(
+        Tables.table(s, dir, "documents"), "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dig").orderBy("doc_id", "chunk_idx")
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_chunks"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+          sum(when(col("rn") === 1, col("c_toks")).otherwise(0L))
+            .cast("bigint").as("kept_toks"))
+        .orderBy("doc_id")
+    }),
+
+    // Containment near-sup detection: candidates from the q34 MinHash
+    // band join, verified by EXACT containment |A∩B| / min(|A|,|B|)
+    // over distinct 3-gram shingle sets. Containment (not Jaccard)
+    // catches the asymmetric cases curation cares about — a doc
+    // embedding another as a quote scores ~1.0 containment but low
+    // Jaccard. The verify joins shingle arrays per DISTINCT candidate
+    // pair from one reused broadcast (the q34 discipline).
+    "q99_containment" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .filter(TextFunctions.tokenCount(col("text")) >= 3)
+      val d = graft.functions.Signatures
+        .minhash(docs, "doc_id", "text", 3, 64)
+        .withColumn("bands", DedupFunctions.bandKeys(col("sig"), 16, 4))
+        .localCheckpoint()
+      val banded = d.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "bk")))
+      val pairs = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val grams = broadcast(docs.select(col("doc_id"),
+        TextFunctions.wordNgrams(col("text"), 3).as("g")))
+      pairs
+        .join(grams.as("ga"), col("d1") === col("ga.doc_id"))
+        .join(grams.as("gb"), col("d2") === col("gb.doc_id"))
+        .select(col("d1"), col("d2"),
+          size(col("ga.g")).cast("bigint").as("na"),
+          size(col("gb.g")).cast("bigint").as("nb"),
+          size(array_intersect(col("ga.g"), col("gb.g")))
+            .cast("bigint").as("inter"))
+        .withColumn("cont",
+          col("inter").cast("double") / least(col("na"), col("nb")))
+        .filter(col("cont") >= 0.5)
+        .orderBy("d1", "d2")
+    }),
+
     "q53_bm25" -> ((s, dir) => {
       val terms = Seq("spark", "merge", "window")
       val docs = Tables.table(s, dir, "documents")
@@ -1168,6 +1226,61 @@ object TextQueries {
         |SELECT doc_id, chunk_idx, dig, c_toks,
         |  CAST(COUNT(*) OVER (PARTITION BY dig) AS BIGINT) AS shared
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q98_cdc_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(LEN(t))) AS i FROM d),
+        |fl AS (SELECT doc_id, CAST(i AS INTEGER) AS p, t[CAST(i+1 AS INTEGER)] AS tok,
+        |    CASE WHEN i >= 3 AND CAST('0x'||substr(md5(
+        |        array_to_string(t[CAST(i-2 AS INTEGER) : CAST(i+1 AS INTEGER)],' ')),1,15) AS BIGINT) % 16 = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM pos),
+        |ck AS (SELECT doc_id, p, tok,
+        |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+        |  FROM fl),
+        |ch AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        |    md5(string_agg(tok, ' ' ORDER BY p)) AS dig,
+        |    CAST(COUNT(*) AS BIGINT) AS c_toks
+        |  FROM ck GROUP BY doc_id, ci),
+        |rk AS (SELECT doc_id, c_toks,
+        |    ROW_NUMBER() OVER (PARTITION BY dig ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN c_toks ELSE 0 END) AS BIGINT) AS kept_toks
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q99_containment" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |           WHERE LEN(string_split(text,' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(LEN(toks)-2),
+        |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS g FROM d),
+        |gh AS (SELECT doc_id, CAST('0x'||substr(md5(g),1,15) AS BIGINT) AS h0,
+        |              CAST('0x'||substr(md5(g),16,15) AS BIGINT) AS h1,
+        |              CAST('0x'||substr(md5(g||'#'),1,15) AS BIGINT) AS h2,
+        |              CAST('0x'||substr(md5(g||'#'),16,15) AS BIGINT) AS h3 FROM sh),
+        |mh AS (SELECT doc_id, p,
+        |         MIN(CAST((CASE WHEN p < 32
+        |               THEN CAST(h0 AS HUGEINT) + p * CAST(h1 AS HUGEINT)
+        |               ELSE CAST(h2 AS HUGEINT) + (p - 32) * CAST(h3 AS HUGEINT) END)
+        |             % 1152921504606846976 AS BIGINT)) AS m
+        |       FROM gh CROSS JOIN range(64) t(p) GROUP BY doc_id, p),
+        |sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, b,
+        |            array_to_string(sig[CAST(b*4+1 AS INTEGER):CAST(b*4+4 AS INTEGER)], ',') AS bk
+        |          FROM sig CROSS JOIN range(16) t(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+        |  JOIN sh b ON b.doc_id = c.d2 AND a.g = b.g
+        |  GROUP BY c.d1, c.d2)
+        |SELECT i.d1, i.d2, sa.n AS na, sb.n AS nb, i.inter,
+        |  CAST(i.inter AS DOUBLE) / LEAST(sa.n, sb.n) AS cont
+        |FROM inter i JOIN sz sa ON i.d1 = sa.doc_id
+        |JOIN sz sb ON i.d2 = sb.doc_id
+        |WHERE CAST(i.inter AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.5
+        |ORDER BY i.d1, i.d2""".stripMargin,
     "q53_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |dl AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM d),
