@@ -133,6 +133,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(joins == 1, s"expected 1 doc-keyed join, got $joins:\n$plan")
   }
 
+  test("q96 postings build with partial KMV aggregation, no per-token sort") {
+    val plan = SparkEntry.queries("q96_inverted_index")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      "capped postings must not window-sort each token's posting list " +
+        "(stopword-token skew at scale)")
+    assert(plan.contains("partial_kmv_minima"),
+      s"expected map-side partial KMV postings:\n$plan")
+  }
+
   test("q62 KMV sketches with a partial aggregate, not a per-group sort") {
     val plan = SparkEntry.queries("q62_kmv_distinct")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()
