@@ -228,6 +228,14 @@ object Bench {
         val (warm, _) =
           if (ok) timed(() => fn(spark, dir).count(), tag + ":warm", name)
           else (-1.0, false)
+        // localCheckpoint blocks outlive their query (the BlockManager
+        // keeps them until JVM exit); 90+ queries of accumulation
+        // squeezes execution memory and taxes the LATER queries'
+        // numbers with the EARLIER queries' storage (measured: q34 ×10
+        // 11.2 s in-suite vs 3.0 s isolated). Each query measures from
+        // a clean slate — which is also how a real user runs one.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         (name, cold, warm, ok)
       }
     def mapJson(rs: Seq[(String, Double, Double, Boolean)], warm: Boolean) =

@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the round-5 operators: content-defined chunking
+  * (+ keep-first dedup rollup) over distributively generated documents
+  * with planted shared suffixes, and product-quantization train/encode
+  * over generated vectors. Both paths must stay LINEAR in N (each is a
+  * typed scan plus at most narrow digest-keyed shuffles), and the CDC
+  * pass must actually recover the planted sharing: every replica pair
+  * shares its suffix chunks, so the keep-first rollup's dropped-token
+  * mass is bounded below by the planted suffix mass.
+  *
+  * `runMain graft.CdcScaleProbe [nDocs] [nVecs]` (defaults 500k / 200k).
+  */
+object CdcScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    import spark.implicits._
+    val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
+    val nVecs = args.drop(1).headOption.map(_.toInt).getOrElse(200000)
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    // ---- CDC: ~60-token docs; every 10th doc is followed by a copy
+    // whose first 5 tokens differ (prefix edit) — CDC must re-sync and
+    // share the suffix chunks.
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        transform(sequence(lit(0), lit(59)), i =>
+          when(col("id") % 10 === 1 && i < 5,
+            concat(lit("edit"), col("id"), lit("_"), i))
+            .otherwise(concat(lit("w"),
+              pmod((col("id") - pmod(col("id"), lit(10))) * 61 + i * 7,
+                lit(5000)))))).as("text"))
+      .localCheckpoint()
+
+    val chunks = timed(s"cdc_chunks n=$nDocs") {
+      val c = TextFunctions.cdcChunks(docs, "doc_id", "text")
+        .localCheckpoint()
+      c.count()
+      c
+    }
+    val rolled = timed(s"cdc_dedup n=$nDocs") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dig").orderBy("doc_id", "chunk_idx")
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(sum(when(col("rn") === 1, col("c_toks")).otherwise(0L)).as("kept"),
+          sum("c_toks").as("total"))
+        .agg(sum("kept").as("kept"), sum("total").as("total"))
+        .collect()(0)
+    }
+    val kept = rolled.getLong(0); val total = rolled.getLong(1)
+    println(s"PROBE cdc kept=$kept total=$total " +
+      f"dropped=${100.0 * (total - kept) / total}%.1f%%")
+    // base/copy pairs: copy docs (id%10==1) are ~55/60 suffix-identical
+    // to their base (id%10==0); keep-first must drop a large share of
+    // the copies' mass. Lower bound: nDocs/10 copies × ≥40 shared toks.
+    require(total - kept >= (nDocs / 10L) * 40L,
+      s"planted suffix sharing not recovered: dropped=${total - kept}")
+
+    // ---- PQ: 64-dim vectors in 16 planted product clusters
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (pmod(col("id"), lit(4)) * when(j < 32, 1.0).otherwise(0.0) +
+          pmod(col("id") / 4, lit(4)) * when(j < 32, 0.0).otherwise(1.0) +
+          pmod(col("id") * 31 + j, lit(97)).cast("double") / lit(1000.0))
+          .cast("float")).as("embedding"))
+      .localCheckpoint()
+    val seeds = vecs.filter(col("vec_id") < 4).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val books = timed(s"pq_train n=$nVecs") {
+      VectorFunctions.pqTrain(vecs, "vec_id", "embedding",
+        Array.tabulate(4)(s => seeds.map(_.slice(s * 16, (s + 1) * 16))),
+        iters = 2)
+    }
+    val nCodes = timed(s"pq_encode n=$nVecs") {
+      VectorFunctions.pqEncode(vecs, "vec_id", "embedding", books).count()
+    }
+    require(nCodes == nVecs, s"encode row count $nCodes != $nVecs")
+    println(s"PROBE pq ok n=$nCodes")
+    spark.stop()
+  }
+}
