@@ -1,0 +1,15 @@
+package graft
+
+/** Dump the formatted physical plan of one query (plan-shape audits):
+  * `SPARK_GRAFT_PROBE_Q=q97_cdc_chunks runMain graft.PlanDump`. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val q = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q", "q97_cdc_chunks")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    spark.stop()
+  }
+}

@@ -133,6 +133,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(joins == 1, s"expected 1 doc-keyed join, got $joins:\n$plan")
   }
 
+  test("q97 CDC chunks: one typed pass, one data exchange (dig window)") {
+    val plan = SparkEntry.queries("q97_cdc_chunks")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("MapPartitions"),
+      "chunking must be the single typed pass (no explode/groupBy assembly)")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, // dig window hash + final orderBy range
+      s"expected at most 2 exchanges (dig window + output sort), got $exchanges:\n$plan")
+  }
+
   test("q96 postings build with partial KMV aggregation, no per-token sort") {
     val plan = SparkEntry.queries("q96_inverted_index")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()
