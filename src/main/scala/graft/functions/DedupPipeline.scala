@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.sources.BucketedSignatureStore
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus deduplication — the productized composition of the
@@ -177,6 +177,33 @@ object DedupPipeline {
       labels.filter(col("lbl") < col("id")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
     (pairs, labels, keepers)
+  }
+
+  /** Resolve dedup clusters under a QUALITY policy instead of [[run]]'s
+    * min-id convention: per cluster, the member maximizing `quality`
+    * (ties to the lower id) survives; every other member is dropped —
+    * the q95 semantic productized (the min-id doc may be the worst
+    * copy; curation keeps the best one). `labels` is
+    * [[DedupFunctions.connectedComponents]] output: `(id, lbl)` for
+    * every member of a non-trivial cluster. Docs in no cluster pass
+    * through untouched.
+    *
+    * Scale shape: `labels` is dup-graph-sized, so the membership join
+    * broadcasts against the corpus scan, the ranking window partitions
+    * by cluster over dup-graph-sized rows, and the final anti-join's
+    * right side is the (smaller still) dropped-id list — the corpus
+    * never shuffles, and `quality` is evaluated only on members. */
+  def resolveKeepBest(docs: DataFrame, idCol: String, labels: DataFrame,
+                      quality: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lbl").orderBy(col("__q").desc, col(idCol))
+    val dropped = docs
+      .join(labels.select(col("id").as(idCol), col("lbl")), Seq(idCol))
+      .withColumn("__q", quality)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") =!= 1)
+      .select(col(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Persist a corpus's signature + band tables for incremental runs:

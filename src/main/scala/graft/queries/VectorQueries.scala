@@ -435,6 +435,52 @@ object VectorQueries {
           col("codes")(0).as("c0"), col("codes")(1).as("c1"),
           col("codes")(2).as("c2"), col("codes")(3).as("c3"),
           col("adc"))
+    }),
+
+    // IVF-PQ hybrid — the industry-standard ANN index (FAISS IVFPQ):
+    // the trained coarse quantizer (q77's 2-Lloyd chain) prunes the
+    // search to nProbe=2 cells, and only members of probed cells are
+    // ADC-scored against the query's PQ lookup tables (q94's scan).
+    // At 100 TB the vector table is partitioned by cell, so the probe
+    // reads exactly 2 partitions and scores 16×-compressed codes —
+    // scan cost ∝ probed fraction, not corpus size. Top-10 by
+    // (adc, id) via TakeOrdered.
+    "q100_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      // coarse quantizer: q77's trained IVF (8 cells, cosine metric)
+      val iseeds = emb
+        .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+        .orderBy("h", "vec_id").limit(8)
+        .select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val cents = VectorFunctions.kmeansTrain(
+        emb, "vec_id", "embedding", iseeds, maxIter = 2, tol = 0.0)
+      val assigned = VectorFunctions
+        .ivfAssign(emb, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cell"))
+      // fine quantizer: q93's PQ codebooks + codes
+      val books = VectorFunctions.pqTrain(
+        emb, "vec_id", "embedding", pqSeeds(emb), iters = 2)
+      val codes = VectorFunctions.pqEncode(emb, "vec_id", "embedding", books)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      // nProbe=2 nearest trained cells (q77's metric + tie-break)
+      val qcells = cents.map { case (cid, ce) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < qv.length) {
+          val x = qv(i).toDouble; val y = ce(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        (cid, dot / (math.sqrt(na) * math.sqrt(nb)))
+      }.sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1)
+      val probed = codes.join(assigned, "vec_id")
+        .filter(col("cell").isin(qcells.map(Long.box): _*))
+      VectorFunctions.pqAdcTopK(probed, "vec_id", qv, books, 10)
+        .join(assigned, "vec_id") // 10-row side broadcasts
+        .select(col("vec_id"), col("cell"), col("adc"))
     }))
 
   /** PQ seed codebooks: subvectors of the 4 md5-ordered sample vectors,
@@ -552,6 +598,31 @@ object VectorQueries {
          |JOIN f_2 ON e.vec_id = f_2.vec_id JOIN lut_2 l2 ON f_2.cid = l2.cid
          |JOIN f_3 ON e.vec_id = f_3.vec_id JOIN lut_3 l3 ON f_3.cid = l3.cid
          |ORDER BY adc, e.vec_id LIMIT 20""".stripMargin,
+    "q100_ivf_pq" ->
+      s"""WITH $pqChainSql,
+         |iseeds AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${lloydStepSql("iseeds", "ia1", "im1", "ic1")},
+         |${lloydStepSql("ic1", "ia2", "im2", "ic2")},
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN ic2 c) WHERE rn = 1),
+         |qc AS (SELECT c.cid FROM embeddings e CROSS JOIN ic2 c WHERE e.vec_id = 0
+         |       ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid LIMIT 2),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |${(0 until 4).map(s =>
+            s"lut_$s AS (SELECT c.cid, ${pqL2Sql(s, "q.q", "c.ce")} AS d " +
+              s"FROM cb2_$s c CROSS JOIN qv q)").mkString(",\n")}
+         |SELECT e.vec_id, a.cell, ((l0.d + l1.d) + l2.d) + l3.d AS adc
+         |FROM embeddings e
+         |JOIN asg a ON e.vec_id = a.vec_id
+         |JOIN f_0 ON e.vec_id = f_0.vec_id JOIN lut_0 l0 ON f_0.cid = l0.cid
+         |JOIN f_1 ON e.vec_id = f_1.vec_id JOIN lut_1 l1 ON f_1.cid = l1.cid
+         |JOIN f_2 ON e.vec_id = f_2.vec_id JOIN lut_2 l2 ON f_2.cid = l2.cid
+         |JOIN f_3 ON e.vec_id = f_3.vec_id JOIN lut_3 l3 ON f_3.cid = l3.cid
+         |WHERE a.cell IN (SELECT cid FROM qc)
+         |ORDER BY adc, e.vec_id LIMIT 10""".stripMargin,
     "q37_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id,
