@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+
 
 /** Repeated in-JVM timings of one query — separates JIT/codegen warmup
   * from steady-state cost when a bench number looks off. Usage:
@@ -11,11 +11,10 @@ object RepeatProbe {
     val q = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q", "q76_range_join")
     val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "6").toInt
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.driver.memory", "8g")
-      .appName("repeat-probe").getOrCreate()
+    // GraftSession (not a bare builder): queries using the registered
+    // functions (kmv_minima, bloom_agg, float_vec_dot) resolve.
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(q)
     (1 to n).foreach { i =>
