@@ -176,32 +176,42 @@ object TextFunctions {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
         rows.flatMap { case (id, text) =>
-          val t = text.split(" ", -1)
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Int, String, Long)]
-          var start = 0
-          var idx = 0
-          var i = 0
-          while (i < t.length) {
-            val boundary = i >= gram - 1 && (Signatures
-              .md5_60(md, t.slice(i - gram + 1, i + 1).mkString(" "))
-                % mask) == 0L
-            if (boundary || i == t.length - 1) {
-              val body = t.slice(start, i + 1).mkString(" ")
-              md.reset()
-              out += ((id, idx,
-                hex(md.digest(body.getBytes(
-                  java.nio.charset.StandardCharsets.UTF_8))),
-                (i + 1 - start).toLong))
-              start = i + 1
-              idx += 1
-            }
-            i += 1
+          cdcChunksOf(text, md, gram, mask).map {
+            case (idx, dig, n) => (id, idx, dig, n)
           }
-          out
         }
       }.toDF(idCol, "chunk_idx", "dig", "c_toks")
+  }
+
+  /** The chunker core — ONE definition shared by the batch pass above
+    * and the streaming twin ([[graft.streaming.StreamingChunks]]), so
+    * the two cannot drift: `(chunk_idx, md5-hex digest, token count)`
+    * per chunk of `text`. */
+  private[graft] def cdcChunksOf(text: String,
+                                 md: java.security.MessageDigest,
+                                 gram: Int,
+                                 mask: Long): Seq[(Int, String, Long)] = {
+    val t = text.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var start = 0
+    var idx = 0
+    var i = 0
+    while (i < t.length) {
+      val boundary = i >= gram - 1 && (Signatures
+        .md5_60(md, t.slice(i - gram + 1, i + 1).mkString(" ")) % mask) == 0L
+      if (boundary || i == t.length - 1) {
+        val body = t.slice(start, i + 1).mkString(" ")
+        md.reset()
+        out += ((idx,
+          md.digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString,
+          (i + 1 - start).toLong))
+        start = i + 1
+        idx += 1
+      }
+      i += 1
+    }
+    out.toSeq
   }
 }

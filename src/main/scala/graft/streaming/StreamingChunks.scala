@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of the CDC keep-first dedup (q97 chunking + q98's
+  * rule, run incrementally): each arriving document chunks in the same
+  * per-row typed pass as the batch operator (ONE chunker definition —
+  * [[TextFunctions.cdcChunksOf]]), and only chunk digests never seen
+  * before survive. Under `Trigger.AvailableNow` with a shared
+  * checkpoint this is the corpus-dedup semantic: the digest state IS
+  * the corpus chunk set, persisted across runs, so a re-drop of known
+  * content emits nothing — the reference's resume-from-watermark
+  * discipline applied to content rather than files.
+  *
+  * State sizing: one state row per DISTINCT chunk digest. Unbounded
+  * streams should either pass `eventTime` (Spark's
+  * `dropDuplicatesWithinWatermark` then evicts state older than the
+  * watermark horizon — dedup within the lateness window, the CCNet
+  * "recent shards" regime) or cap the corpus via the batch
+  * [[graft.etl.CorpusManager]] path; the unwindowed form is for
+  * bounded backlogs where the full digest set is the intent. */
+object StreamingChunks {
+
+  /** `(id, chunk_idx, dig, c_toks)` rows for globally-first chunks of a
+    * STREAMING `docs` frame. `eventTime = Some((tsCol, delay))` bounds
+    * the dedup state to the watermark horizon; `None` keeps exact
+    * unbounded keep-first. */
+  def cdcKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+                   eventTime: Option[(String, String)] = None,
+                   gram: Int = 4, mask: Long = 16L): DataFrame = {
+    require(docs.isStreaming, "cdcKeepFirst is the streaming twin — " +
+      "use TextFunctions.cdcChunks + a digest window for batch frames")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    eventTime match {
+      case None =>
+        docs.select(col(idCol).cast("long"), col(textCol))
+          .as[(Long, String)]
+          .mapPartitions { rows =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            rows.flatMap { case (id, text) =>
+              TextFunctions.cdcChunksOf(text, md, gram, mask).map {
+                case (idx, dig, n) => (id, idx, dig, n)
+              }
+            }
+          }.toDF(idCol, "chunk_idx", "dig", "c_toks")
+          .dropDuplicates("dig")
+      case Some((tsCol, delay)) =>
+        docs.select(col(idCol).cast("long"), col(textCol),
+            col(tsCol).cast("timestamp"))
+          .as[(Long, String, java.sql.Timestamp)]
+          .mapPartitions { rows =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            rows.flatMap { case (id, text, ts) =>
+              TextFunctions.cdcChunksOf(text, md, gram, mask).map {
+                case (idx, dig, n) => (id, idx, dig, n, ts)
+              }
+            }
+          }.toDF(idCol, "chunk_idx", "dig", "c_toks", tsCol)
+          .withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("dig")
+    }
+  }
+}

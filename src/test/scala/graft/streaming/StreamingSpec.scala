@@ -95,6 +95,52 @@ class StreamingSpec extends SparkSpec {
       "duplicate keys survived the streaming dedup")
   }
 
+  test("streaming CDC keep-first: re-dropped content emits nothing; edits emit only new chunks") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("cdc-stream-in")
+    val ckpt = tmpDir("cdc-stream-ckpt")
+    val out = tmpDir("cdc-stream-out")
+    val base = (0 until 300).map(i => s"w${i % 89}y${(i * 13) % 41}")
+      .mkString(" ")
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(dir)
+    def run(): Unit = {
+      val src = IncrementalStream.source(spark, dir,
+        Seq((0L, "")).toDF("doc_id", "text").schema)
+      IncrementalStream.runAvailableNowToParquet(
+        StreamingChunks.cdcKeepFirst(src, "doc_id", "text"), out, ckpt)
+    }
+    // run 1: doc 1 — all its chunks are first occurrences
+    drop(Seq((1L, base)))
+    run()
+    val after1 = spark.read.parquet(out)
+    val n1 = after1.count()
+    assert(n1 > 5, s"expected several chunks, got $n1")
+    assert(after1.select("doc_id").distinct().as[Long].collect()
+      .sameElements(Array(1L)))
+
+    // run 2 (same checkpoint): an exact re-drop of doc 1's text under a
+    // new id, plus a prefix-edited copy — the re-drop must emit ZERO
+    // chunks (state persisted across runs), the edit only its changed
+    // prefix chunks
+    drop(Seq((2L, base), (3L, "EDITED " + base)))
+    run()
+    val after2 = spark.read.parquet(out)
+    assert(after2.filter(col("doc_id") === 2L).count() == 0,
+      "an exact content re-drop must be fully suppressed by chunk state")
+    val d3 = after2.filter(col("doc_id") === 3L).count()
+    assert(d3 >= 1 && d3 <= 2,
+      s"the prefix edit should emit only its changed head chunks, got $d3")
+    // batch equivalence: total surviving digests == batch keep-first
+    // over the same three docs
+    val batch = graft.functions.TextFunctions.cdcChunks(
+      Seq((1L, base), (2L, base), (3L, "EDITED " + base))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("dig").distinct().count()
+    assert(after2.select("dig").distinct().count() == batch)
+    assert(after2.count() == batch, "one surviving row per distinct digest")
+  }
+
   test("stateful flatMapGroupsWithState sessionize == window sessionize (q09 semantics)") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.expressions.Window
