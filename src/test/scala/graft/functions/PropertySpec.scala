@@ -105,6 +105,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cdcChunksOf: tiling invariants on random texts (incl. empty tokens)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    samples(text, 300, 23L).foreach { t =>
+      val chunks = TextFunctions.cdcChunksOf(t, md, 4, 16L)
+      val toks = t.split(" ", -1)
+      // tiling: token counts conserve, indices contiguous from 0
+      assert(chunks.map(_._3).sum == toks.length, s"mass lost on '$t'")
+      assert(chunks.map(_._1) == chunks.indices, s"idx gap on '$t'")
+      // every chunk non-empty; digests are 32-char md5 hex
+      assert(chunks.forall(c => c._3 >= 1 && c._2.length == 32))
+      // deterministic (the shared MessageDigest resets correctly)
+      assert(chunks == TextFunctions.cdcChunksOf(t, md, 4, 16L))
+      // chunk bodies reconstruct the text: digests of sequential token
+      // slices of the claimed lengths must match the emitted digests
+      var off = 0
+      chunks.foreach { case (_, dig, n) =>
+        val body = toks.slice(off, off + n.toInt).mkString(" ")
+        md.reset()
+        val expect = md.digest(body.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(dig == expect, s"digest mismatch at offset $off of '$t'")
+        off += n.toInt
+      }
+    }
+  }
+
   test("hamming64 column == Long.bitCount reference on random 60-bit pairs") {
     val s = spark; import s.implicits._
     val pair = for {
