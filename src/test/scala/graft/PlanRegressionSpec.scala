@@ -133,6 +133,15 @@ class PlanRegressionSpec extends SparkSpec {
     assert(joins == 1, s"expected 1 doc-keyed join, got $joins:\n$plan")
   }
 
+  test("q95 keep-best: dup-graph labels broadcast, corpus scan unshuffled") {
+    val plan = SparkEntry.queries("q95_cluster_keep_best")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"membership join must broadcast the dup-graph-sized labels:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge membership join would shuffle the corpus by id")
+  }
+
   test("q97 CDC chunks: one typed pass, one data exchange (dig window)") {
     val plan = SparkEntry.queries("q97_cdc_chunks")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()
