@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.{DedupPipeline, TextFunctions}
+import graft.operators.Packing
+import org.apache.spark.sql.functions._
+
+/** Runnable end-to-end curation chain — executable documentation of how
+  * the library's stages compose on a real corpus directory:
+  *
+  *   1. Gopher rule gate (pure scan; q92's predicate as a filter)
+  *   2. dedup: exact ∪ MinHash-LSH near-dup → connected components,
+  *      resolved KEEP-BEST by pooled-stopword quality (q95's policy via
+  *      [[DedupPipeline.resolveKeepBest]])
+  *   3. CDC chunk-level storage stats over the survivors (q97/q98)
+  *   4. sequence packing offsets (hierarchical prefix sums, q61's op)
+  *   5. deterministic train/val/test split (q60's salted-md5 trick)
+  *
+  * `runMain graft.CurationDemo [sfDir] [outDir]` — prints one line per
+  * stage and writes the packed, split corpus partitioned by split.
+  */
+object CurationDemo {
+  private val STOPWORDS = Seq("the", "a", "of", "and")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.drop(1).headOption
+      .getOrElse(java.nio.file.Files.createTempDirectory("curated").toString)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.table(spark, sfDir, "documents")
+    val n0 = docs.count()
+
+    // 1. quality gate
+    val gated = docs.filter(TextFunctions.gopherKept(col("text"), STOPWORDS))
+      .localCheckpoint()
+    val n1 = gated.count()
+    println(s"DEMO gate: $n0 -> $n1 docs (${n0 - n1} rejected)")
+
+    // 2. dedup + keep-best resolution
+    val (_, labels, _) = DedupPipeline.run(gated, "doc_id", "text")
+    val toks = TextFunctions.tokens(col("text"))
+    val quality = TextFunctions.wordSetCount(toks, STOPWORDS)
+      .cast("double") * 10000 / size(toks)
+    val kept = DedupPipeline
+      .resolveKeepBest(gated, "doc_id", labels, quality)
+      .localCheckpoint()
+    val n2 = kept.count()
+    println(s"DEMO dedup: $n1 -> $n2 docs (${n1 - n2} cluster members dropped)")
+
+    // 3. chunk-level storage stats
+    val chunks = TextFunctions.cdcChunks(kept, "doc_id", "text")
+    val stats = chunks.agg(
+      sum("c_toks").as("total"),
+      count_distinct(col("dig")).as("uniq")).collect()(0)
+    println(s"DEMO cdc: ${stats.getLong(0)} tokens in ${stats.getLong(1)} " +
+      "distinct chunks")
+
+    // 4+5. pack offsets + deterministic split, written partitioned
+    val weighted = kept
+      .withColumn("n_toks", size(TextFunctions.tokens(col("text"))).cast("long"))
+      .withColumn("src", lit("all"))
+    val packed = Packing.runningOffsets(weighted, "src", "doc_id", "n_toks")
+      .withColumn("split",
+        when(conv(substring(md5(concat(lit("split#"),
+          col("doc_id").cast("string").cast("binary"))), 1, 15), 16, 10)
+          .cast("long") % 100 < 90, "train")
+          .when(conv(substring(md5(concat(lit("split#"),
+            col("doc_id").cast("string").cast("binary"))), 1, 15), 16, 10)
+            .cast("long") % 100 < 95, "val")
+          .otherwise(lit("test")))
+      .drop("src")
+    packed.write.mode("overwrite").partitionBy("split").parquet(outDir)
+    val bySplit = spark.read.parquet(outDir).groupBy("split")
+      .agg(count(lit(1)).as("n"), sum("n_toks").as("toks"))
+      .orderBy("split").collect()
+    bySplit.foreach(r => println(
+      s"DEMO split ${r.getString(0)}: ${r.getLong(1)} docs, " +
+        s"${r.getLong(2)} tokens -> $outDir"))
+    spark.stop()
+  }
+}
