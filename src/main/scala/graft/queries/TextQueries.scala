@@ -624,6 +624,46 @@ object TextQueries {
         .orderBy(col("exact_n").desc, col("tok"))
     }),
 
+    // Sketch-then-verify heavy hitters — the streaming-frequent-items
+    // pattern q70's sketch exists FOR: the CMS prunes the candidate set
+    // (no false negatives — est ≥ true count always), and exact
+    // counting runs ONLY on the pruned candidates via a broadcast
+    // semi-join, so the token stream is never grouped by full vocab.
+    // At 100 TB the sketch is 2048 counters per partition map-side and
+    // candidates are support-bounded (≤ 1/support items can exceed the
+    // threshold), so the verify join-back stays broadcast-sized no
+    // matter the corpus. Output: candidate tokens with est + exact and
+    // the is_heavy verdict (false = a CMS collision the verify killed).
+    "q101_heavy_hitters" -> ((s, dir) => {
+      val W = 512
+      def bucket(j: Column, tok: Column): Column =
+        pmod(TextFunctions.md5Hash60(concat(j.cast("string"), tok)), lit(W))
+      val js = (0 until 4).map(lit(_))
+      val toks = Tables.table(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .localCheckpoint() // sketch pass + verify pass, one tokenize
+      val sketch = toks
+        .select(explode(array(js.map(j =>
+          struct(j.as("j"), bucket(j, col("tok")).as("b"))): _*)).as("jb"))
+        .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val thr = toks.agg(expr("count(1) div 30").as("thr")) // support ~3.3%
+      val est = toks.select(col("tok")).distinct()
+        .select(col("tok"), explode(array(js.map(j =>
+          struct(j.as("j"), bucket(j, col("tok")).as("b"))): _*)).as("jb"))
+        .select(col("tok"), col("jb.j").as("j"), col("jb.b").as("b"))
+        .join(broadcast(sketch), Seq("j", "b"))
+        .groupBy("tok").agg(min("c").as("est_n"))
+      val cands = est.crossJoin(broadcast(thr))
+        .filter(col("est_n") >= col("thr"))
+      val exact = toks.join(broadcast(cands.select("tok")), Seq("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      cands.join(exact, Seq("tok"))
+        .select(col("tok"), col("est_n"), col("exact_n"), col("thr"),
+          (col("exact_n") >= col("thr")).as("is_heavy"))
+        .orderBy("tok")
+    }),
+
     // Skip-gram co-occurrence (window ≤ 2) with a rational PMI-style
     // lift — the word2vec/phrase-mining preprocessing shape. Pairs come
     // from a typed one-pass-per-doc generator (Signatures.skipGramRows;
@@ -1425,6 +1465,22 @@ object TextQueries {
         |SELECT tok, exact_n, MIN(c) AS est_n
         |FROM pr JOIN sk USING (j, b)
         |GROUP BY tok, exact_n ORDER BY exact_n DESC, tok""".stripMargin,
+    "q101_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |j(j) AS (VALUES (0), (1), (2), (3)),
+        |r AS (SELECT j, CAST('0x'||substr(md5(CAST(j AS VARCHAR)||tok),1,15) AS BIGINT) % 512 AS b
+        |      FROM toks CROSS JOIN j),
+        |sk AS (SELECT j, b, COUNT(*) AS c FROM r GROUP BY j, b),
+        |thr AS (SELECT COUNT(*) // 30 AS thr FROM toks),
+        |pr AS (SELECT tok, j,
+        |    CAST('0x'||substr(md5(CAST(j AS VARCHAR)||tok),1,15) AS BIGINT) % 512 AS b
+        |  FROM (SELECT DISTINCT tok FROM toks) CROSS JOIN j),
+        |est AS (SELECT tok, MIN(c) AS est_n FROM pr JOIN sk USING (j, b) GROUP BY tok),
+        |cands AS (SELECT tok, est_n, thr FROM est CROSS JOIN thr WHERE est_n >= thr),
+        |ex AS (SELECT t.tok, COUNT(*) AS exact_n FROM toks t
+        |       JOIN (SELECT tok FROM cands) c ON t.tok = c.tok GROUP BY t.tok)
+        |SELECT c.tok, c.est_n, ex.exact_n, c.thr, ex.exact_n >= c.thr AS is_heavy
+        |FROM cands c JOIN ex ON c.tok = ex.tok ORDER BY c.tok""".stripMargin,
     "q71_cooccurrence" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),
