@@ -167,51 +167,68 @@ object TextFunctions {
     * explode, no per-doc window, nothing shuffles. Tokenization is
     * `split(" ", -1)` and digests are md5 hex, the oracle contract. */
   def cdcChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                textCol: String, gram: Int = 4,
-                mask: Long = 16L): org.apache.spark.sql.DataFrame = {
+                textCol: String, gram: Int = 4, mask: Long = 16L,
+                hasher: Signatures.SigHasher = Signatures.Md5SigHasher)
+      : org.apache.spark.sql.DataFrame = {
     require(gram >= 1 && mask >= 1, "gram and mask must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { rows =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val chunker = chunkerOf(hasher, gram, mask)
         rows.flatMap { case (id, text) =>
-          cdcChunksOf(text, md, gram, mask).map {
-            case (idx, dig, n) => (id, idx, dig, n)
-          }
+          chunker(text).map { case (idx, dig, n) => (id, idx, dig, n) }
         }
       }.toDF(idCol, "chunk_idx", "dig", "c_toks")
   }
 
-  /** The chunker core — ONE definition shared by the batch pass above
-    * and the streaming twin ([[graft.streaming.StreamingChunks]]), so
-    * the two cannot drift: `(chunk_idx, md5-hex digest, token count)`
-    * per chunk of `text`. */
+  /** Per-partition chunker factory — ONE definition shared by the batch
+    * pass above and the streaming twin
+    * ([[graft.streaming.StreamingChunks]]), so the two cannot drift:
+    * `(chunk_idx, md5-hex digest, token count)` per chunk. The
+    * BOUNDARY hash routes through the pluggable [[Signatures.SigHasher]]
+    * (the boundary test is one 60-bit hash per token — the same CPU
+    * class as the signature passes, so the xxh64 production hasher
+    * applies; boundary placement moves with the hasher, which is fine:
+    * any content-local boundary rule re-synchronizes). The CHUNK digest
+    * stays md5 hex regardless — it is the content ADDRESS, compared
+    * across stores and replayed by the oracle, and its cost is one
+    * digest per chunk (~1/16th of rows), not per token. */
+  private[graft] def chunkerOf(hasher: Signatures.SigHasher, gram: Int,
+                               mask: Long): String => Seq[(Int, String, Long)] = {
+    val bh = hasher.hash60()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    text => {
+      val t = text.split(" ", -1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      var start = 0
+      var idx = 0
+      var i = 0
+      while (i < t.length) {
+        val boundary = i >= gram - 1 &&
+          (bh(t.slice(i - gram + 1, i + 1).mkString(" ")) % mask) == 0L
+        if (boundary || i == t.length - 1) {
+          val body = t.slice(start, i + 1).mkString(" ")
+          md.reset()
+          out += ((idx,
+            md.digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString,
+            (i + 1 - start).toLong))
+          start = i + 1
+          idx += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** Back-compat core used by existing call sites/specs: md5 boundary
+    * hash via an explicit digest instance. */
   private[graft] def cdcChunksOf(text: String,
                                  md: java.security.MessageDigest,
                                  gram: Int,
-                                 mask: Long): Seq[(Int, String, Long)] = {
-    val t = text.split(" ", -1)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    var start = 0
-    var idx = 0
-    var i = 0
-    while (i < t.length) {
-      val boundary = i >= gram - 1 && (Signatures
-        .md5_60(md, t.slice(i - gram + 1, i + 1).mkString(" ")) % mask) == 0L
-      if (boundary || i == t.length - 1) {
-        val body = t.slice(start, i + 1).mkString(" ")
-        md.reset()
-        out += ((idx,
-          md.digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .map("%02x".format(_)).mkString,
-          (i + 1 - start).toLong))
-        start = i + 1
-        idx += 1
-      }
-      i += 1
-    }
-    out.toSeq
-  }
+                                 mask: Long): Seq[(Int, String, Long)] =
+    chunkerOf(Signatures.Md5SigHasher, gram, mask)(text)
 }

@@ -29,7 +29,9 @@ object StreamingChunks {
     * unbounded keep-first. */
   def cdcKeepFirst(docs: DataFrame, idCol: String, textCol: String,
                    eventTime: Option[(String, String)] = None,
-                   gram: Int = 4, mask: Long = 16L): DataFrame = {
+                   gram: Int = 4, mask: Long = 16L,
+                   hasher: graft.functions.Signatures.SigHasher =
+                     graft.functions.Signatures.Md5SigHasher): DataFrame = {
     require(docs.isStreaming, "cdcKeepFirst is the streaming twin — " +
       "use TextFunctions.cdcChunks + a digest window for batch frames")
     val spark = docs.sparkSession
@@ -39,11 +41,9 @@ object StreamingChunks {
         docs.select(col(idCol).cast("long"), col(textCol))
           .as[(Long, String)]
           .mapPartitions { rows =>
-            val md = java.security.MessageDigest.getInstance("MD5")
+            val chunker = TextFunctions.chunkerOf(hasher, gram, mask)
             rows.flatMap { case (id, text) =>
-              TextFunctions.cdcChunksOf(text, md, gram, mask).map {
-                case (idx, dig, n) => (id, idx, dig, n)
-              }
+              chunker(text).map { case (idx, dig, n) => (id, idx, dig, n) }
             }
           }.toDF(idCol, "chunk_idx", "dig", "c_toks")
           .dropDuplicates("dig")
@@ -52,11 +52,9 @@ object StreamingChunks {
             col(tsCol).cast("timestamp"))
           .as[(Long, String, java.sql.Timestamp)]
           .mapPartitions { rows =>
-            val md = java.security.MessageDigest.getInstance("MD5")
+            val chunker = TextFunctions.chunkerOf(hasher, gram, mask)
             rows.flatMap { case (id, text, ts) =>
-              TextFunctions.cdcChunksOf(text, md, gram, mask).map {
-                case (idx, dig, n) => (id, idx, dig, n, ts)
-              }
+              chunker(text).map { case (idx, dig, n) => (id, idx, dig, n, ts) }
             }
           }.toDF(idCol, "chunk_idx", "dig", "c_toks", tsCol)
           .withWatermark(tsCol, delay)

@@ -52,6 +52,31 @@ class CdcSpec extends SparkSpec {
       "fixture too easy: fixed segmentation also survived the edit")
   }
 
+  test("xxh64 boundary hasher: invariants + re-sync hold, md5 default unchanged") {
+    val s = spark
+    import s.implicits._
+    val base = mkDoc(500)
+    val docs = Seq((1L, base), (2L, "INSERTED " + base)).toDF("doc_id", "text")
+    val xx = TextFunctions.cdcChunks(docs, "doc_id", "text",
+      hasher = Signatures.Xxh64SigHasher).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // tiling conserved under the production hasher
+    assert(xx.filter(_._1 == 1L).map(_._4).sum == 500L)
+    // re-synchronization is structural, not hasher-specific
+    val d1 = xx.filter(_._1 == 1L).map(_._3).toSet
+    val d2 = xx.filter(_._1 == 2L).map(_._3).toSet
+    assert(d1.intersect(d2).size >= d1.size - 2)
+    // the md5 DEFAULT is bit-identical to the explicit-digest core (the
+    // oracle contract must not move under the hasher refactor)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val viaCore = TextFunctions.cdcChunksOf(base, md, 4, 16L)
+    val viaDefault = TextFunctions.cdcChunks(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(viaCore == viaDefault)
+  }
+
   test("deterministic: same text, same chunk digests across runs") {
     val s = spark
     import s.implicits._
