@@ -41,8 +41,17 @@ object CdcScaleProbe {
                 lit(5000)))))).as("text"))
       .localCheckpoint()
 
+    // GRAFT_HASHER=xxh64 rehearses the production boundary hasher
+    // (chunk digests stay md5 — the content address)
+    val hasher = sys.env.get("GRAFT_HASHER") match {
+      case Some("xxh64") => graft.functions.Signatures.Xxh64SigHasher
+      case Some("md5") | None => graft.functions.Signatures.Md5SigHasher
+      case Some(other) => throw new IllegalArgumentException(
+        s"GRAFT_HASHER must be md5 or xxh64, got $other")
+    }
+    println(s"PROBE boundary hasher ${hasher.name}")
     val chunks = timed(s"cdc_chunks n=$nDocs") {
-      val c = TextFunctions.cdcChunks(docs, "doc_id", "text")
+      val c = TextFunctions.cdcChunks(docs, "doc_id", "text", hasher = hasher)
         .localCheckpoint()
       c.count()
       c
