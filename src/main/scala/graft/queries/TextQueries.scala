@@ -664,6 +664,43 @@ object TextQueries {
         .orderBy("tok")
     }),
 
+    // HyperLogLog distinct-shingle sketch per source (Flajolet et al.
+    // 2007) — the fixed-size (m=64 registers) companion to q62's KMV:
+    // bucket = low 6 bits of the md5-60 hash, rho = leading-zero rank
+    // of the remaining 54 bits. The whole sketch is two ordinary
+    // aggregations — (source, bucket) → max(rho), then source → the
+    // harmonic register sum — so map-side partial aggregation does the
+    // sketching and each source costs 64 registers of state regardless
+    // of corpus size; at 100 TB this is the per-partition-mergeable
+    // shape (registers merge by max — spec'd). The register sum is
+    // carried as the EXACT integer Σ 2^(55-M_j) (≤ 64·2^55 < 2^63, so
+    // BIGINT — no float harmonic sum to drift), and the only double op
+    // is one literal/sum division, rounded at 9 dp. No ln anywhere:
+    // 3-shingle cardinality (~1k/source) sits far above the 2.5m
+    // linear-counting regime, and zero_regs is emitted so a caller can
+    // see when that regime would apply.
+    "q102_hll_distinct" -> ((s, dir) => {
+      val w = shiftright(col("hv"), 6)
+      val sh = Tables.table(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.wordNgrams(col("text"), 3)).as("shingle"))
+        .distinct()
+        .withColumn("hv", TextFunctions.md5Hash60(col("shingle")))
+      sh.select(col("source"), pmod(col("hv"), lit(64L)).as("bucket"),
+          when(w === 0, lit(55)).otherwise(lit(55) - length(bin(w))).as("rho"))
+        .groupBy("source", "bucket")
+        .agg(max("rho").as("m"), count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg((lit(64L) - count(lit(1))).as("zero_regs"),
+          (sum(expr("shiftleft(cast(1 as bigint), cast(55 - m as int))")) +
+            (lit(64L) - count(lit(1))) * lit(1L << 55)).as("reg_sum"),
+          sum("cnt").as("exact_nd"))
+        .select(col("source"), col("zero_regs"), col("reg_sum"),
+          round(lit(1.0462993238608057e20) / col("reg_sum"), 9).as("est_nd"),
+          col("exact_nd"))
+        .orderBy("source")
+    }),
+
     // Skip-gram co-occurrence (window ≤ 2) with a rational PMI-style
     // lift — the word2vec/phrase-mining preprocessing shape. Pairs come
     // from a typed one-pass-per-doc generator (Signatures.skipGramRows;
@@ -1481,6 +1518,30 @@ object TextQueries {
         |       JOIN (SELECT tok FROM cands) c ON t.tok = c.tok GROUP BY t.tok)
         |SELECT c.tok, c.est_n, ex.exact_n, c.thr, ex.exact_n >= c.thr AS is_heavy
         |FROM cands c JOIN ex ON c.tok = ex.tok ORDER BY c.tok""".stripMargin,
+    // HLL replay: same md5-60 hash as q62; the register sum is exact
+    // integer arithmetic (1<<(55-m)), so only the final division is a
+    // double — one op, rounded at 9 dp on both engines.
+    "q102_hll_distinct" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |       FROM w, unnest(range(1, len(ts) - 1)) AS t(i)
+        |       WHERE len(ts) >= 3),
+        |h AS (SELECT source,
+        |        CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS hv FROM sh),
+        |b AS (SELECT source, hv % 64 AS bucket,
+        |        CASE WHEN hv // 64 = 0 THEN 55
+        |             ELSE 55 - length(bin(hv // 64)) END AS rho FROM h),
+        |r AS (SELECT source, bucket, MAX(rho) AS m, COUNT(*) AS cnt
+        |      FROM b GROUP BY source, bucket),
+        |a AS (SELECT source, CAST(64 - COUNT(*) AS BIGINT) AS zero_regs,
+        |        CAST(SUM(1::BIGINT << (55 - m))
+        |          + (64 - COUNT(*)) * (1::BIGINT << 55) AS BIGINT) AS reg_sum,
+        |        CAST(SUM(cnt) AS BIGINT) AS exact_nd
+        |      FROM r GROUP BY source)
+        |SELECT source, zero_regs, reg_sum,
+        |  ROUND(1.0462993238608057e20 / reg_sum, 9) AS est_nd, exact_nd
+        |FROM a ORDER BY source""".stripMargin,
     "q71_cooccurrence" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),

@@ -335,4 +335,43 @@ class QueriesSpec extends SparkSpec {
     assert(stripped(2L) == (0 until 6).map(i => s"b$i").mkString(" "))
     assert(stripped(3L) == (0 until 20).map(i => s"c$i").mkString(" "))
   }
+
+  test("q102 HLL: estimate within the m=64 error band; registers merge by max") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q102_hll_distinct")(spark, dir)
+      .select("source", "est_nd", "exact_nd", "reg_sum").collect()
+    assert(out.nonEmpty)
+    // standard error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    out.foreach { r =>
+      val (est, exact) = (r.getDouble(1), r.getLong(2).toDouble)
+      assert(math.abs(est / exact - 1.0) < 0.4, s"${r.getString(0)}: $est vs $exact")
+    }
+
+    // Mergeability — the property that makes HLL the 100 TB shape:
+    // registers from two disjoint halves of the corpus, merged by MAX,
+    // must reproduce the full-corpus register sum exactly.
+    def regs(pred: org.apache.spark.sql.Column) = {
+      val t = graft.functions.TextFunctions
+      graft.Tables.table(spark, dir, "documents").filter(pred)
+        .select(col("source"), explode(t.wordNgrams(col("text"), 3)).as("sh"))
+        .distinct()
+        .withColumn("hv", t.md5Hash60(col("sh")))
+        .select(col("source"), pmod(col("hv"), lit(64L)).as("bucket"),
+          when(shiftright(col("hv"), 6) === 0, lit(55))
+            .otherwise(lit(55) - length(bin(shiftright(col("hv"), 6)))).as("rho"))
+        .groupBy("source", "bucket").agg(max("rho").as("m"))
+    }
+    val full = regs(lit(true))
+    val merged = regs(col("doc_id") % 2 === 0)
+      .unionByName(regs(col("doc_id") % 2 === 1))
+      .groupBy("source", "bucket").agg(max("m").as("m"))
+    def sums(df: org.apache.spark.sql.DataFrame) = df.groupBy("source")
+      .agg((sum(expr("shiftleft(cast(1 as bigint), cast(55 - m as int))")) +
+        (lit(64L) - count(lit(1))) * lit(1L << 55)).as("reg_sum"))
+    val diff = sums(full).withColumnRenamed("reg_sum", "a")
+      .join(sums(merged).withColumnRenamed("reg_sum", "b"), Seq("source"), "full")
+      .filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+    assert(diff.isEmpty)
+  }
 }
