@@ -701,6 +701,56 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Distributed model training under the oracle gate: a linear probe
+    // (hashed 16-bucket token histogram → n_chars) trained by TWO full-
+    // batch gradient-descent steps — the quality-classifier training
+    // shape (fastText/DSIR-style hashed features, closed-form-free).
+    // Each GD step is one map-side-combined aggregation over corpus-
+    // sized feature rows; the driver holds only w (16 doubles), exactly
+    // the q77/q93 Lloyd posture. Determinism: step 1's gradient is an
+    // exact integer Σ x·y; step 2's Σ x·r is decimal-cast per row
+    // (order-free exact sum); per-doc dot products fold in ascending
+    // bucket order on both engines. The DuckDB oracle replays both
+    // steps as chained CTEs — the sixth first-try iterative-numeric
+    // replay family (GD joins Lloyd, power iteration, ADC).
+    "q103_linear_probe" -> ((s, dir) => {
+      val d = 16
+      val eta = 0.002
+      val feats = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("n_chars"),
+          pmod(TextFunctions.md5Hash60(col("tok")), lit(d.toLong)).as("bucket"))
+        .groupBy("doc_id", "n_chars", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // one tokenize feeds Sxy, the residual pass, scoring
+      val n = Tables.table(s, dir, "documents").count()
+      val sxy = feats.groupBy("bucket")
+        .agg(sum(col("cnt") * col("n_chars")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w1 = Array.tabulate(d)(j => eta * (sxy.getOrElse(j.toLong, 0L).toDouble / n))
+      def dotW(w: Array[Double]): Column = {
+        val wl = array(w.map(lit(_)): _*)
+        aggregate(array_sort(col("xs")), lit(0.0), (acc, e) =>
+          acc + e.getField("cnt").cast("double") *
+            element_at(wl, e.getField("bucket").cast("int") + 1))
+      }
+      val rows = feats.groupBy("doc_id", "n_chars")
+        .agg(collect_list(struct(col("bucket"), col("cnt"))).as("xs"))
+        .localCheckpoint() // residual pass + final scoring
+      val g2 = rows.withColumn("r", dotW(w1) - col("n_chars"))
+        .select(explode(col("xs")).as("e"), col("r"))
+        .groupBy(col("e.bucket").as("bucket"))
+        .agg(sum((col("e.cnt").cast("double") * col("r"))
+          .cast(org.apache.spark.sql.types.DecimalType(25, 9))).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      val w2 = Array.tabulate(d) { j =>
+        w1(j) - eta * (g2.get(j.toLong).map(_.doubleValue).getOrElse(0.0) / n)
+      }
+      rows.select(col("doc_id"), dotW(w2).as("pred"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Skip-gram co-occurrence (window ≤ 2) with a rational PMI-style
     // lift — the word2vec/phrase-mining preprocessing shape. Pairs come
     // from a typed one-pass-per-doc generator (Signatures.skipGramRows;
@@ -1542,6 +1592,38 @@ object TextQueries {
         |SELECT source, zero_regs, reg_sum,
         |  ROUND(1.0462993238608057e20 / reg_sum, 9) AS est_nd, exact_nd
         |FROM a ORDER BY source""".stripMargin,
+    // Two GD steps replayed as chained CTEs: integer Sxy, ordered-fold
+    // dot products (list_sum ORDER BY bucket = the ascending fold the
+    // Spark `aggregate` runs), decimal-exact Σ x·r, double ops in the
+    // identical sequence (eta * (x / n)).
+    "q103_linear_probe" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |        CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % 16 AS bucket,
+        |        COUNT(*) AS cnt
+        |      FROM (SELECT doc_id, n_chars,
+        |              unnest(string_split(text, ' ')) AS tok FROM documents)
+        |      GROUP BY 1, 2, 3),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |sxy AS (SELECT bucket, SUM(cnt * n_chars) AS s FROM f GROUP BY bucket),
+        |w1 AS (SELECT b.bucket,
+        |         0.002 * (CAST(COALESCE(s.s, 0) AS DOUBLE) / nn.n) AS w
+        |       FROM (SELECT unnest(range(16)) AS bucket) b
+        |       LEFT JOIN sxy s ON s.bucket = b.bucket CROSS JOIN nn),
+        |r AS (SELECT f.doc_id, f.n_chars,
+        |        list_sum(list(f.cnt * w1.w ORDER BY f.bucket)) - f.n_chars AS r
+        |      FROM f JOIN w1 ON w1.bucket = f.bucket
+        |      GROUP BY f.doc_id, f.n_chars),
+        |g2 AS (SELECT f.bucket,
+        |         CAST(SUM(CAST(f.cnt * r.r AS DECIMAL(25,9))) AS DOUBLE) AS g
+        |       FROM f JOIN r ON r.doc_id = f.doc_id GROUP BY f.bucket),
+        |w2 AS (SELECT w1.bucket,
+        |         w1.w - 0.002 * (COALESCE(g2.g, 0) / nn.n) AS w
+        |       FROM w1 LEFT JOIN g2 ON g2.bucket = w1.bucket CROSS JOIN nn)
+        |SELECT f.doc_id,
+        |  list_sum(list(f.cnt * w2.w ORDER BY f.bucket)) AS pred,
+        |  f.n_chars
+        |FROM f JOIN w2 ON w2.bucket = f.bucket
+        |GROUP BY f.doc_id, f.n_chars ORDER BY f.doc_id""".stripMargin,
     "q71_cooccurrence" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),

@@ -374,4 +374,16 @@ class QueriesSpec extends SparkSpec {
       .filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
     assert(diff.isEmpty)
   }
+
+  test("q103 GD probe learns: predictions track the target, loss beats the zero model") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q103_linear_probe")(spark, "/root/testdata/sf0.01")
+      .agg(corr(col("pred"), col("n_chars")).as("c"),
+        sum(pow(col("pred") - col("n_chars"), 2)).as("l2"),
+        sum(pow(col("n_chars"), 2)).as("l0"))
+      .head()
+    assert(out.getDouble(0) > 0.9, s"corr ${out.getDouble(0)}")
+    assert(out.getDouble(1) < 0.1 * out.getDouble(2),
+      s"two GD steps should cut squared loss >10x vs w=0: ${out.getDouble(1)} vs ${out.getDouble(2)}")
+  }
 }
