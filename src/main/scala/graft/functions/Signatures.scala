@@ -212,6 +212,58 @@ object Signatures {
       .toDF(idCol, "pos", "g")
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    * per document, hash every `k`-token gram, slide a `w`-gram window,
+    * and keep each window's minimal hash (leftmost on ties) — the local
+    * fingerprint-selection rule behind MOSS-style plagiarism and
+    * substring-overlap detection. Guarantee: any run of ≥ w+k-1 tokens
+    * shared verbatim by two documents shares at least one fingerprint;
+    * expected density 2/(w+1) of the gram count. Documents with fewer
+    * than `w` grams winnow a single whole-document window.
+    *
+    * One typed pass per row — gram hashing AND window minima are
+    * document-local, so selection costs O(grams·w) CPU in the scan
+    * stage with ZERO shuffle at any corpus size (the declarative form
+    * would explode every gram into w window rows and shuffle the w×
+    * stream to group per window). Hashes come from `hasher.hash60`
+    * (default md5 — reproduced digit-for-digit by the DuckDB oracle;
+    * pass [[Xxh64SigHasher]] for ungated production runs). */
+  def winnowRows(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 4, w: Int = 8,
+                 hasher: SigHasher = Md5SigHasher): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    spread(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val h60 = hasher.hash60()
+        it.flatMap { case (id, text) =>
+          val t = text.split(" ", -1)
+          val g = t.length - k + 1
+          if (g <= 0) Iterator.empty
+          else {
+            val hv = Array.tabulate(g)(i => h60(t.slice(i, i + k).mkString(" ")))
+            val out = scala.collection.mutable.LinkedHashSet.empty[Int]
+            var j = 0
+            val lastWin = math.max(0, g - w)
+            while (j <= lastWin) {
+              var best = j
+              var p = j + 1
+              val end = math.min(j + w, g)
+              while (p < end) {
+                if (hv(p) < hv(best)) best = p
+                p += 1
+              }
+              out += best
+              j += 1
+            }
+            out.iterator.map(p => (id, p, hv(p)))
+          }
+        }
+      }
+      .toDF(idCol, "pos", "hv")
+  }
+
   /** Skip-gram pair rows `(a, b)` for token offsets 1..maxOff — one
     * imperative tokenize pass per document, for the same reason as
     * [[ngramRows]]: the HOF route (`explode(concat(transform(...)))`)

@@ -751,6 +751,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Winnowing fingerprint selection (Schleimer et al. 2003 — the MOSS
+    // algorithm): per doc, min-hash of each sliding 8-gram-hash window
+    // (leftmost tie), guaranteeing any ≥ 11-token verbatim overlap
+    // between docs shares a fingerprint at ~2/(w+1) of q80's full
+    // positioned-gram density. Selection is document-LOCAL, so the
+    // typed generator does it in the scan stage with zero shuffle —
+    // the declarative form would explode every gram into w window rows
+    // and shuffle an 8× gram stream (see Signatures.winnowRows). The
+    // oracle pays that 8× explode to replay selection as window-grouped
+    // struct minima — same semantics, independent mechanics.
+    "q104_winnow_fingerprints" -> ((s, dir) => {
+      graft.functions.Signatures.winnowRows(
+          Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "pos")
+    }),
+
     // Skip-gram co-occurrence (window ≤ 2) with a rational PMI-style
     // lift — the word2vec/phrase-mining preprocessing shape. Pairs come
     // from a typed one-pass-per-doc generator (Signatures.skipGramRows;
@@ -1624,6 +1640,26 @@ object TextQueries {
         |  f.n_chars
         |FROM f JOIN w2 ON w2.bucket = f.bucket
         |GROUP BY f.doc_id, f.n_chars ORDER BY f.doc_id""".stripMargin,
+    // Winnowing replay: every gram joins its ≤8 covering windows, each
+    // window takes the lexicographic (hv, pos) struct minimum, distinct
+    // selections are the fingerprints. Windows are [j, j+7] for
+    // j = 0..G-8 (one whole-doc window when G < 8).
+    "q104_winnow_fingerprints" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |        CAST('0x'||substr(md5(ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]),
+        |          1, 15) AS BIGINT) AS hv,
+        |        len(ts) - 3 AS gcnt
+        |      FROM t, unnest(range(1, len(ts) - 2)) AS u(i)
+        |      WHERE len(ts) >= 4),
+        |w AS (SELECT doc_id, pos, hv,
+        |        unnest(range(greatest(0, pos - 7),
+        |                     least(pos, greatest(0, gcnt - 8)) + 1)) AS win
+        |      FROM g),
+        |sel AS (SELECT doc_id, win, min(struct_pack(h := hv, p := pos)) AS m
+        |        FROM w GROUP BY doc_id, win)
+        |SELECT DISTINCT doc_id, m.p AS pos, m.h AS hv
+        |FROM sel ORDER BY doc_id, pos""".stripMargin,
     "q71_cooccurrence" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),

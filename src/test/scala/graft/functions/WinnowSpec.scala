@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprint selection (Signatures.winnowRows): the
+  * SIGMOD'03 guarantee — any verbatim token run of length ≥ w+k-1
+  * shared by two documents shares at least one fingerprint — plus the
+  * density bound and edit-locality (selection is window-local, so an
+  * edit cannot disturb fingerprints more than w grams away). */
+class WinnowSpec extends SparkSpec {
+
+  private val K = 4
+  private val W = 8
+
+  private def fps(docs: org.apache.spark.sql.DataFrame) =
+    Signatures.winnowRows(docs, "doc_id", "text", K, W)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+  test("shared >= w+k-1 token run guarantees a common fingerprint") {
+    val s = spark
+    import s.implicits._
+    // an 11-token (= w+k-1) run planted mid-doc in two otherwise
+    // disjoint documents
+    val run = (0 until (W + K - 1)).map(i => s"shared$i").mkString(" ")
+    val a = ((0 until 30).map(i => s"a$i") :+ run) .mkString(" ") +
+      " " + (30 until 50).map(i => s"a$i").mkString(" ")
+    val b = ((0 until 25).map(i => s"b$i") :+ run).mkString(" ") +
+      " " + (25 until 60).map(i => s"b$i").mkString(" ")
+    val out = fps(Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+    val ha = out.filter(_._1 == 1L).map(_._3).toSet
+    val hb = out.filter(_._1 == 2L).map(_._3).toSet
+    assert(ha.intersect(hb).nonEmpty,
+      "w+k-1 shared tokens must yield a shared fingerprint")
+    // and fully disjoint docs share nothing
+    val out2 = fps(Seq(
+      (1L, (0 until 60).map(i => s"x$i").mkString(" ")),
+      (2L, (0 until 60).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text"))
+    assert(out2.filter(_._1 == 1L).map(_._3).toSet
+      .intersect(out2.filter(_._1 == 2L).map(_._3).toSet).isEmpty)
+  }
+
+  test("density: every window contributes; count within [G/w, G] and near 2G/(w+1)") {
+    val s = spark
+    import s.implicits._
+    val text = (0 until 800).map(i => s"t${i * 2654435761L % 1009}").mkString(" ")
+    val out = fps(Seq((1L, text)).toDF("doc_id", "text"))
+    val g = 800 - K + 1
+    // hard bounds: at least one fingerprint per w grams, at most one per gram
+    assert(out.length >= g / W && out.length <= g)
+    // expected density 2/(w+1) — allow a wide band
+    val density = out.length.toDouble / g
+    assert(density > 0.1 && density < 0.4, s"density $density")
+    // positions are distinct and in-range
+    assert(out.map(_._2).distinct.length == out.length)
+    assert(out.forall(p => p._2 >= 0 && p._2 < g))
+  }
+
+  test("edit locality: a point edit changes no fingerprint beyond w+k grams away") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 200).map(i => s"v${i * 31 % 83}n$i").mkString(" ")
+    val edited = {
+      val t = base.split(" ", -1); t(100) = "EDITED"; t.mkString(" ")
+    }
+    val out = fps(Seq((1L, base), (2L, edited)).toDF("doc_id", "text"))
+    val a = out.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet
+    val b = out.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet
+    // fingerprints strictly outside [100-(w+k), 100+w+k] must be identical
+    val far: ((Int, Long)) => Boolean =
+      p => p._1 < 100 - (W + K) || p._1 > 100 + W + K
+    assert(a.filter(far) == b.filter(far))
+    // and the edit is actually visible somewhere
+    assert(a != b)
+  }
+
+  test("docs shorter than one window winnow a single whole-doc window") {
+    val s = spark
+    import s.implicits._
+    val out = fps(Seq(
+      (1L, (0 until 6).map(i => s"s$i").mkString(" ")), // 3 grams < w
+      (2L, "a b c"), // 0 grams (len < k)
+      (3L, "a b c d")). // exactly 1 gram
+      toDF("doc_id", "text"))
+    assert(out.count(_._1 == 1L) == 1) // one window -> one fingerprint
+    assert(!out.exists(_._1 == 2L))
+    assert(out.count(_._1 == 3L) == 1)
+  }
+}
