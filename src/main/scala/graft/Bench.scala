@@ -13,7 +13,8 @@ object Bench {
     "q77_ivf_trained", "q79_lm_filter", "q80_shared_spans",
     "q82_bloom_decontaminate", "q89_semantic_dedup", "q90_segment_dedup",
     "q91_dsir_importance", "q93_pq_codes", "q96_inverted_index",
-    "q97_cdc_chunks", "q98_cdc_dedup", "q100_ivf_pq")
+    "q97_cdc_chunks", "q98_cdc_dedup", "q100_ivf_pq",
+    "q102_hll_distinct", "q104_winnow_fingerprints", "q105_winnow_overlap")
 
   /** Tables the tier-2 set reads. Each is replicated `factor`× with its
     * id keys shifted per replica (joins/groups keep realistic key

@@ -767,6 +767,38 @@ object TextQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // Winnowing overlap detection — the MOSS use-case end-to-end:
+    // q104's fingerprints (≈ 2/(w+1) of the gram density), distinct per
+    // doc, df-bounded (2..50 — drops boilerplate fingerprints shared
+    // corpus-wide, exactly q56's df-cap rationale), then ONE
+    // fingerprint-keyed equi-join → pairs with ≥3 shared fingerprints
+    // and fingerprint-containment. vs q33's full-gram Jaccard join this
+    // carries ~22% of the rows through the shuffle with the same
+    // shared-run guarantee; the df cap bounds any fingerprint's join
+    // fan-out at 50² regardless of corpus size.
+    "q105_winnow_overlap" -> ((s, dir) => {
+      val fp = graft.functions.Signatures.winnowRows(
+          Tables.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("hv")).distinct()
+        .localCheckpoint() // feeds the df cap, per-doc sizes, and the pair join
+      val keep = fp.groupBy("hv").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 50).select("hv")
+      val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+      val capped = fp.join(keep, Seq("hv"), "left_semi")
+      val pairs = capped.select(col("hv"), col("doc_id").as("doc_a"))
+        .join(capped.select(col("hv"), col("doc_id").as("doc_b")), "hv")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      pairs
+        .join(sz.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            least(col("nfp_a"), col("nfp_b")), 9).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Skip-gram co-occurrence (window ≤ 2) with a rational PMI-style
     // lift — the word2vec/phrase-mining preprocessing shape. Pairs come
     // from a typed one-pass-per-doc generator (Signatures.skipGramRows;
@@ -1660,6 +1692,33 @@ object TextQueries {
         |        FROM w GROUP BY doc_id, win)
         |SELECT DISTINCT doc_id, m.p AS pos, m.h AS hv
         |FROM sel ORDER BY doc_id, pos""".stripMargin,
+    "q105_winnow_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |        CAST('0x'||substr(md5(ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]),
+        |          1, 15) AS BIGINT) AS hv,
+        |        len(ts) - 3 AS gcnt
+        |      FROM t, unnest(range(1, len(ts) - 2)) AS u(i)
+        |      WHERE len(ts) >= 4),
+        |w AS (SELECT doc_id, pos, hv,
+        |        unnest(range(greatest(0, pos - 7),
+        |                     least(pos, greatest(0, gcnt - 8)) + 1)) AS win
+        |      FROM g),
+        |sel AS (SELECT doc_id, win, min(struct_pack(h := hv, p := pos)) AS m
+        |        FROM w GROUP BY doc_id, win),
+        |fp AS (SELECT DISTINCT doc_id, m.h AS hv FROM sel),
+        |keep AS (SELECT hv FROM (SELECT hv, COUNT(*) AS df FROM fp GROUP BY hv)
+        |         WHERE df BETWEEN 2 AND 50),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM fp GROUP BY doc_id),
+        |c AS (SELECT fp.doc_id, fp.hv FROM fp JOIN keep USING (hv)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_shared
+        |      FROM c a JOIN c b ON a.hv = b.hv AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT doc_a, doc_b, n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE) / least(sa.nfp, sb.nfp), 9) AS containment
+        |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q71_cooccurrence" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),

@@ -74,6 +74,26 @@ class WinnowSpec extends SparkSpec {
     assert(a != b)
   }
 
+  test("q105 overlap: a 30-token planted run yields the pair with n_shared >= 3") {
+    val s = spark
+    import s.implicits._
+    // every fingerprint serves at most w windows, so a run containing
+    // 20 fully-interior windows must contribute >= ceil(20/8) = 3
+    // distinct shared fingerprints — the q105 threshold is guaranteed
+    val run = (0 until 30).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, (0 until 40).map(i => s"a$i").mkString(" ") + " " + run),
+      (2L, run + " " + (0 until 40).map(i => s"b$i").mkString(" ")),
+      (3L, (0 until 80).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("q105")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q105_winnow_overlap")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(out.head._3 >= 3, s"n_shared ${out.head._3}")
+  }
+
   test("docs shorter than one window winnow a single whole-doc window") {
     val s = spark
     import s.implicits._
