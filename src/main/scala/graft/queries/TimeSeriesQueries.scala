@@ -134,6 +134,51 @@ object TimeSeriesQueries {
         .orderBy("event_type", "hour_bucket")
     }),
 
+    // PageRank (2 damped iterations, d=0.85) over the item-transition
+    // graph mined from the event stream: per user, consecutive distinct
+    // `props.k` items form directed weighted edges — the Markov-chain
+    // item ranking. Unlike q88/q103 (driver holds the model), the rank
+    // vector here stays DISTRIBUTED: each iteration is one edge⋈rank
+    // join + one dst-keyed aggregation, the shape that survives a
+    // node set too big for any driver. Edge table and node set are
+    // checkpointed once and reused across iterations (lineage stays
+    // flat no matter the iteration count). Per-edge contributions are
+    // decimal-cast before the in-sum, so accumulation is order-free
+    // and the DuckDB replay (chained per-iteration CTEs) is exact.
+    // Dangling-node mass is dropped (simple-variant PageRank),
+    // documented here and replayed identically.
+    "q106_pagerank" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("us"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val lw = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val edges = ev.withColumn("src", lag("k", 1).over(lw))
+        .filter(col("src").isNotNull && col("src") =!= col("k"))
+        .groupBy(col("src"), col("k").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val ewo = edges.join(
+          edges.groupBy("src").agg(sum("w").as("outw")), "src")
+        .localCheckpoint() // reused by both iterations
+      val nodes = ev.select("k").distinct().localCheckpoint()
+      val n = nodes.count()
+      def step(ranks: DataFrame): DataFrame = {
+        val contrib = ewo
+          .join(ranks.withColumnRenamed("k", "src"), "src")
+          .select(col("dst"),
+            ((col("pr") * col("w")) / col("outw"))
+              .cast(DecimalType(28, 15)).as("c"))
+          .groupBy("dst").agg(sum("c").as("cs"))
+        nodes.join(contrib.withColumnRenamed("dst", "k"), Seq("k"), "left")
+          .select(col("k"),
+            (lit(0.15) / n +
+              lit(0.85) * coalesce(col("cs").cast("double"), lit(0.0))).as("pr"))
+      }
+      val r0 = nodes.select(col("k"), (lit(1.0) / n).as("pr"))
+      step(step(r0))
+        .select(col("k"), round(col("pr"), 9).as("pr"))
+        .orderBy("k")
+    }),
+
     // Range (interval) join — the OTHER time-series join Spark lacks
     // (operators.RangeJoin): 100 deterministic irregular maintenance
     // windows (7 h apart, 1-5 h long) each aggregate the events they
@@ -372,6 +417,33 @@ object TimeSeriesQueries {
       """SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, hour_bucket ORDER BY event_type, hour_bucket""".stripMargin,
+    // two damped iterations as chained CTEs; DOUBLE casts everywhere a
+    // DuckDB decimal literal would otherwise force decimal arithmetic
+    "q106_pagerank" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |        CAST(props->>'$.k' AS BIGINT) AS k FROM events),
+        |tr AS (SELECT LAG(k) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         k AS dst FROM ev),
+        |ed AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+        |       WHERE src IS NOT NULL AND src <> dst GROUP BY src, dst),
+        |ewo AS (SELECT ed.src, ed.dst, ed.w, o.outw
+        |        FROM ed JOIN (SELECT src, SUM(w) AS outw FROM ed GROUP BY src) o
+        |          ON o.src = ed.src),
+        |nodes AS (SELECT DISTINCT k FROM ev),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT k, CAST(1.0 AS DOUBLE) / nn.n AS pr
+        |       FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst, SUM(CAST((r.pr * e.w) / e.outw AS DECIMAL(28,15))) AS cs
+        |       FROM ewo e JOIN r0 r ON r.k = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.k, CAST(0.15 AS DOUBLE) / nn.n +
+        |         CAST(0.85 AS DOUBLE) * COALESCE(CAST(c1.cs AS DOUBLE), 0.0) AS pr
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = nodes.k),
+        |c2 AS (SELECT e.dst, SUM(CAST((r.pr * e.w) / e.outw AS DECIMAL(28,15))) AS cs
+        |       FROM ewo e JOIN r1 r ON r.k = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.k, CAST(0.15 AS DOUBLE) / nn.n +
+        |         CAST(0.85 AS DOUBLE) * COALESCE(CAST(c2.cs AS DOUBLE), 0.0) AS pr
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nodes.k)
+        |SELECT k, ROUND(pr, 9) AS pr FROM r2 ORDER BY k""".stripMargin,
     "q76_range_join" ->
       """WITH w AS (SELECT k, start_us,
         |    start_us + (k % 5 + 1) * 3600000000 AS end_us

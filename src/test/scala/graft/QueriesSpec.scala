@@ -386,4 +386,33 @@ class QueriesSpec extends SparkSpec {
     assert(out.getDouble(1) < 0.1 * out.getDouble(2),
       s"two GD steps should cut squared loss >10x vs w=0: ${out.getDouble(1)} vs ${out.getDouble(2)}")
   }
+
+  test("q106 PageRank: in-link mass ranks nodes; sourceless nodes sit at the floor") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    // user 10: items 1,2,1,2 -> edges 1->2 (w=2), 2->1 (w=1)
+    // user 20: items 3,2     -> edge  3->2 (w=1); node 3 has no in-links
+    val rows = Seq(
+      (0L, 10L, 1L), (1L, 10L, 2L), (2L, 10L, 1L), (3L, 10L, 2L),
+      (4L, 20L, 3L), (5L, 20L, 2L))
+      .map { case (eid, u, k) =>
+        (eid, eid * 1000000000L, u, "view", 1.0, s"""{"k": $k}""")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir("q106")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val pr = SparkEntry.queries("q106_pagerank")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    // hand-computed 2-iteration values:
+    //   r1 = (0.05+0.85*(1/3), 0.05+0.85*(2/3), 0.05)
+    //   r2(1) = 0.05+0.85*r1(2) = 0.574166667
+    //   r2(2) = 0.05+0.85*(r1(1)+r1(3)) = 0.375833333
+    assert(pr(1L) == 0.574166667, pr.toString)
+    assert(pr(2L) == 0.375833333, pr.toString)
+    // no in-links -> exactly the damping floor (1-d)/N = 0.05
+    assert(pr(3L) == 0.05, pr(3L).toString)
+    // simple-variant mass bound: total <= 1 (dangling mass dropped)
+    assert(pr.values.sum <= 1.0 + 1e-9)
+  }
 }
