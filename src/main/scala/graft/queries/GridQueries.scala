@@ -121,6 +121,69 @@ object GridQueries {
         .orderBy("blat", "blon")
     }),
 
+    // Bilinear interpolation at fractional grid coordinates — xarray's
+    // `interp()` (the reference's selection surface stops at nearest:
+    // `utils/publish.py:864`; interp is the natural next step of §2.4).
+    // The 2-D field is the (day × hour-of-day) mean-value grid (a filled
+    // regular lattice, unlike the 1-D lat/lon manifold). Scale shape:
+    // the query points explode to exactly 4 corner keys each and
+    // BROADCAST against the aggregated grid (grid rows = days × 24 —
+    // grows with the time span, never with event volume), so the only
+    // shuffle over event-sized data is the grid aggregation itself
+    // (map-side partial, decimal sums). The 4 corner values come back
+    // via one conditional-min pivot, not 4 self-joins. Weight algebra
+    // is parenthesized identically to the oracle so doubles match bit
+    // for bit; points missing any corner are dropped (interp-at-edge
+    // returns no value, the xarray NaN analog).
+    "q107_bilinear_interp" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select(expr("us div 86400000000").as("aday"),
+          expr("(us div 3600000000) % 24").as("hour"),
+          col("value"))
+      // one broadcast scalar (the q65 split pattern): day 0 = first day
+      val minDay = e.agg(min("aday")).head.getLong(0)
+      val g = e
+        .select((col("aday") - lit(minDay)).as("day"), col("hour"), col("value"))
+        .groupBy("day", "hour")
+        .agg((sum(col("value").cast(DecimalType(38, 10))).cast("double") /
+          count(lit(1)).cast("double")).as("v"))
+      val pts = Seq(
+        (0, 2.25, 3.5), (1, 5.75, 10.25), (2, 11.5, 17.75),
+        (3, 17.1, 6.9), (4, 22.8, 20.4), (5, 27.3, 12.6))
+        .toDF("qid", "d", "h")
+        .withColumn("d0", floor(col("d")).cast("long"))
+        .withColumn("h0", floor(col("h")).cast("long"))
+        .withColumn("fd", col("d") - floor(col("d")))
+        .withColumn("fh", col("h") - floor(col("h")))
+      val corners = pts.select(col("qid"), col("fd"), col("fh"),
+          col("d0"), col("h0"),
+          explode(array(
+            struct(lit(0L).as("di"), lit(0L).as("hi")),
+            struct(lit(1L).as("di"), lit(0L).as("hi")),
+            struct(lit(0L).as("di"), lit(1L).as("hi")),
+            struct(lit(1L).as("di"), lit(1L).as("hi")))).as("c"))
+        .select(col("qid"), col("fd"), col("fh"),
+          (col("d0") + col("c.di")).as("day"),
+          (col("h0") + col("c.hi")).as("hour"),
+          col("c.di").as("di"), col("c.hi").as("hi"))
+      g.join(broadcast(corners), Seq("day", "hour"))
+        .groupBy("qid", "fd", "fh")
+        .agg(
+          min(when(col("di") === 0 && col("hi") === 0, col("v"))).as("v00"),
+          min(when(col("di") === 1 && col("hi") === 0, col("v"))).as("v10"),
+          min(when(col("di") === 0 && col("hi") === 1, col("v"))).as("v01"),
+          min(when(col("di") === 1 && col("hi") === 1, col("v"))).as("v11"),
+          count(lit(1)).as("nc"))
+        .filter(col("nc") === 4)
+        .select(col("qid"),
+          (col("v00") * ((lit(1.0) - col("fd")) * (lit(1.0) - col("fh"))) +
+            col("v10") * (col("fd") * (lit(1.0) - col("fh"))) +
+            col("v01") * ((lit(1.0) - col("fd")) * col("fh")) +
+            col("v11") * (col("fd") * col("fh"))).as("val"))
+        .orderBy("qid")
+    }),
+
     // Spatial/temporal extent aggregation (`convenience.py:444-464`, bbox).
     "q27_extent" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -209,5 +272,27 @@ object GridQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_val,
         |  MIN(lat) AS lat_min, MAX(lat) AS lat_max,
         |  MIN(lon) AS lon_min, MAX(lon) AS lon_max
-        |FROM e GROUP BY blat, blon ORDER BY blat, blon""".stripMargin)
+        |FROM e GROUP BY blat, blon ORDER BY blat, blon""".stripMargin,
+    // weight algebra parenthesized exactly as the Spark side
+    "q107_bilinear_interp" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS aday,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour, value FROM events),
+        |md AS (SELECT MIN(aday) AS m FROM e),
+        |g AS (SELECT aday - md.m AS day, hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM e CROSS JOIN md GROUP BY 1, 2),
+        |p0(qid, d, h) AS (VALUES (0, 2.25, 3.5), (1, 5.75, 10.25), (2, 11.5, 17.75),
+        |  (3, 17.1, 6.9), (4, 22.8, 20.4), (5, 27.3, 12.6)),
+        |p AS (SELECT qid, CAST(d AS DOUBLE) AS d, CAST(h AS DOUBLE) AS h FROM p0),
+        |pc AS (SELECT qid, CAST(FLOOR(d) AS BIGINT) AS d0, CAST(FLOOR(h) AS BIGINT) AS h0,
+        |    d - FLOOR(d) AS fd, h - FLOOR(h) AS fh FROM p),
+        |j AS (SELECT pc.qid, pc.fd, pc.fh, g00.v AS v00, g10.v AS v10, g01.v AS v01, g11.v AS v11
+        |  FROM pc
+        |  JOIN g g00 ON g00.day = pc.d0     AND g00.hour = pc.h0
+        |  JOIN g g10 ON g10.day = pc.d0 + 1 AND g10.hour = pc.h0
+        |  JOIN g g01 ON g01.day = pc.d0     AND g01.hour = pc.h0 + 1
+        |  JOIN g g11 ON g11.day = pc.d0 + 1 AND g11.hour = pc.h0 + 1)
+        |SELECT qid, v00 * ((1.0 - fd) * (1.0 - fh)) + v10 * (fd * (1.0 - fh)) +
+        |  v01 * ((1.0 - fd) * fh) + v11 * (fd * fh) AS val
+        |FROM j ORDER BY qid""".stripMargin)
 }

@@ -179,6 +179,42 @@ object TimeSeriesQueries {
         .orderBy("k")
     }),
 
+    // Label-propagation community detection (2 synchronous rounds) over
+    // the same item-transition graph as q106: every node starts in its
+    // own community (label = node id); each round a node adopts the
+    // label with the greatest total incoming edge weight (ties → the
+    // SMALLEST label, the determinism LPA normally lacks). Like q106
+    // the label vector stays DISTRIBUTED — one edge⋈label join + one
+    // (dst,label) aggregation + one per-dst argmax per round — and the
+    // argmax is min(struct(-w, label)) so it partial-aggregates
+    // map-side instead of windowing the vote table. All-integer
+    // arithmetic: hash-exact with no rounding discipline needed.
+    "q108_label_prop" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("us"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val lw = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val edges = ev.withColumn("src", lag("k", 1).over(lw))
+        .filter(col("src").isNotNull && col("src") =!= col("k"))
+        .groupBy(col("src"), col("k").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint() // reused by both rounds
+      val nodes = ev.select("k").distinct()
+      def step(lab: DataFrame): DataFrame = {
+        val votes = edges
+          .join(lab.withColumnRenamed("k", "src"), "src")
+          .groupBy(col("dst"), col("label"))
+          .agg(sum("w").as("wv"))
+        val best = votes.groupBy("dst")
+          .agg(min(struct((-col("wv")).as("nw"), col("label").as("l"))).as("m"))
+          .select(col("dst").as("k"), col("m.l").as("newl"))
+        lab.join(best, Seq("k"), "left")
+          .select(col("k"), coalesce(col("newl"), col("label")).as("label"))
+      }
+      val l0 = nodes.select(col("k"), col("k").as("label"))
+      step(step(l0)).orderBy("k")
+    }),
+
     // Range (interval) join — the OTHER time-series join Spark lacks
     // (operators.RangeJoin): 100 deterministic irregular maintenance
     // windows (7 h apart, 1-5 h long) each aggregate the events they
@@ -444,6 +480,35 @@ object TimeSeriesQueries {
         |         CAST(0.85 AS DOUBLE) * COALESCE(CAST(c2.cs AS DOUBLE), 0.0) AS pr
         |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nodes.k)
         |SELECT k, ROUND(pr, 9) AS pr FROM r2 ORDER BY k""".stripMargin,
+    // two synchronous LPA rounds as chained CTEs; the per-dst argmax is
+    // replayed as ROW_NUMBER ordered (wv DESC, label) — identical to the
+    // Spark side's min(struct(-wv, label)) because (dst,label) is unique
+    "q108_label_prop" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |        CAST(props->>'$.k' AS BIGINT) AS k FROM events),
+        |tr AS (SELECT LAG(k) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         k AS dst FROM ev),
+        |ed AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM tr
+        |       WHERE src IS NOT NULL AND src <> dst GROUP BY src, dst),
+        |nodes AS (SELECT DISTINCT k FROM ev),
+        |l0 AS (SELECT k, k AS label FROM nodes),
+        |v1 AS (SELECT e.dst, l.label, SUM(e.w) AS wv
+        |       FROM ed e JOIN l0 l ON l.k = e.src GROUP BY e.dst, l.label),
+        |b1 AS (SELECT dst, label FROM (
+        |         SELECT dst, label, ROW_NUMBER() OVER
+        |           (PARTITION BY dst ORDER BY wv DESC, label) AS rn FROM v1)
+        |       WHERE rn = 1),
+        |l1 AS (SELECT l0.k, COALESCE(b1.label, l0.label) AS label
+        |       FROM l0 LEFT JOIN b1 ON b1.dst = l0.k),
+        |v2 AS (SELECT e.dst, l.label, SUM(e.w) AS wv
+        |       FROM ed e JOIN l1 l ON l.k = e.src GROUP BY e.dst, l.label),
+        |b2 AS (SELECT dst, label FROM (
+        |         SELECT dst, label, ROW_NUMBER() OVER
+        |           (PARTITION BY dst ORDER BY wv DESC, label) AS rn FROM v2)
+        |       WHERE rn = 1),
+        |l2 AS (SELECT l1.k, COALESCE(b2.label, l1.label) AS label
+        |       FROM l1 LEFT JOIN b2 ON b2.dst = l1.k)
+        |SELECT k, label FROM l2 ORDER BY k""".stripMargin,
     "q76_range_join" ->
       """WITH w AS (SELECT k, start_us,
         |    start_us + (k % 5 + 1) * 3600000000 AS end_us
