@@ -215,6 +215,90 @@ object TimeSeriesQueries {
       step(step(l0)).orderBy("k")
     }),
 
+    // Triangle enumeration over the k-NN-sparsified item graph. The raw
+    // transition graph is near-complete (every popular item touches
+    // every other), so first each node keeps its top-6 neighbors by
+    // (weight desc, id) — a PER-NODE window, no global ranking, the
+    // sparsification that still works when the item vocabulary is 10^9.
+    // Enumeration is the compact-forward algorithm with DEGREE-ORDERED
+    // orientation (each edge points low→high (degree, id)), which
+    // bounds every join fan-out by the max ORIENTED out-degree — on a
+    // skewed graph id-ordering puts all of a hub's edges on one side
+    // while degree-ordering splits them. The oracle replays the naive
+    // id-ordered form; both enumerate each triangle exactly once, so
+    // the canonical (a<b<c) output sets are identical.
+    "q109_triangles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("us"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val lw = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val und = ev.withColumn("src", lag("k", 1).over(lw))
+        .filter(col("src").isNotNull && col("src") =!= col("k"))
+        .groupBy(least(col("src"), col("k")).as("a"),
+          greatest(col("src"), col("k")).as("b"))
+        .agg(count(lit(1)).as("w"))
+      val adj = und.select(col("a").as("node"), col("b").as("nbr"), col("w"))
+        .union(und.select(col("b").as("node"), col("a").as("nbr"), col("w")))
+      val aw = Window.partitionBy("node").orderBy(col("w").desc, col("nbr"))
+      val kept = adj.withColumn("rn", row_number().over(aw))
+        .filter(col("rn") <= 6)
+        .select(least(col("node"), col("nbr")).as("a"),
+          greatest(col("node"), col("nbr")).as("b"))
+        .distinct()
+        .localCheckpoint() // reused: degrees + three enumeration sides
+      val deg = kept.select(col("a").as("n")).union(kept.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val oriented = kept
+        .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+        .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      val wedges = oriented.join(
+          oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2")), "u")
+        .filter(col("dv") < col("dv2") ||
+          (col("dv") === col("dv2") && col("v") < col("v2")))
+      val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
+      wedges.join(closing, col("cu") === col("v") && col("cv") === col("v2"))
+        .select(sort_array(array(col("u"), col("v"), col("v2"))).as("t"))
+        .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+          col("t").getItem(2).as("c"))
+        .orderBy("a", "b", "c")
+    }),
+
+    // Item-item co-engagement cosine ("users who touched i also touched
+    // j"): binary user×item incidence, co-counts via ONE self-join on
+    // user_id, cosine normalization by sqrt(n_i·n_j), top-5 per item.
+    // The distinct() bounds every user's contribution to its item SET
+    // (at 100 TB add a per-user item cap — heavy users contribute
+    // quadratically to the pair stage otherwise; here the vocab is the
+    // cap). Pair counts partial-aggregate map-side; the top-5 window
+    // partitions per item, never globally.
+    "q110_coengagement" -> ((s, dir) => {
+      val ui = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .distinct()
+      val ni = ui.groupBy("k").agg(count(lit(1)).as("n"))
+      val pairs = ui.join(ui.withColumnRenamed("k", "k2"), "user_id")
+        .filter(col("k") < col("k2"))
+        .groupBy("k", "k2").agg(count(lit(1)).as("co"))
+      val sims = pairs
+        .join(ni.withColumnRenamed("n", "n1"), "k")
+        .join(ni.withColumnRenamed("k", "k2").withColumnRenamed("n", "n2"), "k2")
+        .select(col("k"), col("k2"),
+          (col("co").cast("double") /
+            sqrt((col("n1") * col("n2")).cast("double"))).as("sim"))
+      val w = Window.partitionBy("k").orderBy(col("sim").desc, col("k2"))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("k", "k2", "sim", "rn")
+        .orderBy("k", "rn")
+    }),
+
     // Range (interval) join — the OTHER time-series join Spark lacks
     // (operators.RangeJoin): 100 deterministic irregular maintenance
     // windows (7 h apart, 1-5 h long) each aggregate the events they
@@ -509,6 +593,40 @@ object TimeSeriesQueries {
         |l2 AS (SELECT l1.k, COALESCE(b2.label, l1.label) AS label
         |       FROM l1 LEFT JOIN b2 ON b2.dst = l1.k)
         |SELECT k, label FROM l2 ORDER BY k""".stripMargin,
+    // naive id-ordered enumeration (a<b<c via three kept-edge joins);
+    // the Spark side degree-orders but enumerates the same triangle set
+    "q109_triangles" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |        CAST(props->>'$.k' AS BIGINT) AS k FROM events),
+        |tr AS (SELECT LAG(k) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src,
+        |         k AS dst FROM ev),
+        |und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS w FROM tr
+        |       WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+        |adj AS (SELECT a AS node, b AS nbr, w FROM und
+        |        UNION ALL SELECT b, a, w FROM und),
+        |kept AS (SELECT DISTINCT LEAST(node, nbr) AS a, GREATEST(node, nbr) AS b
+        |         FROM (SELECT node, nbr, ROW_NUMBER() OVER
+        |             (PARTITION BY node ORDER BY w DESC, nbr) AS rn FROM adj)
+        |         WHERE rn <= 6)
+        |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |FROM kept e1
+        |JOIN kept e2 ON e2.a = e1.b
+        |JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b
+        |ORDER BY e1.a, e1.b, e2.b""".stripMargin,
+    "q110_coengagement" ->
+      """WITH ev AS (SELECT user_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events),
+        |ui AS (SELECT DISTINCT user_id, k FROM ev),
+        |ni AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM ui GROUP BY k),
+        |pr AS (SELECT a.k, b.k AS k2, CAST(COUNT(*) AS BIGINT) AS co
+        |       FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.k < b.k
+        |       GROUP BY a.k, b.k),
+        |sm AS (SELECT pr.k, pr.k2,
+        |         CAST(pr.co AS DOUBLE) / SQRT(CAST(n1.n * n2.n AS DOUBLE)) AS sim
+        |       FROM pr JOIN ni n1 ON n1.k = pr.k JOIN ni n2 ON n2.k = pr.k2),
+        |r AS (SELECT k, k2, sim, CAST(ROW_NUMBER() OVER
+        |        (PARTITION BY k ORDER BY sim DESC, k2) AS INTEGER) AS rn FROM sm)
+        |SELECT k, k2, sim, rn FROM r WHERE rn <= 5 ORDER BY k, rn""".stripMargin,
     "q76_range_join" ->
       """WITH w AS (SELECT k, start_us,
         |    start_us + (k % 5 + 1) * 3600000000 AS end_us
