@@ -70,6 +70,27 @@ object VectorQueries {
         .limit(20)
     }),
 
+    // ANN quality evaluation — recall@20 of the two approximate
+    // retrieval paths (q39 hyperplane-LSH multi-probe, q51 IVF nProbe=4)
+    // against the exact top-20 ground truth (q37), the harness every
+    // production ANN deployment runs before trusting an index. Reuses
+    // the EXACT same query definitions (no re-implementation drift);
+    // each side is a top-20 set, so the overlap join is bounded work no
+    // matter the corpus size — the expensive parts are the retrievals
+    // themselves, whose scale shapes are argued at their definitions.
+    "q112_ann_recall" -> ((s, dir) => {
+      val exact = queries("q37_cosine_topk")(s, dir).select("vec_id").distinct()
+      def row(method: String, got: DataFrame): DataFrame =
+        got.select("vec_id").distinct()
+          .join(exact.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("n_retrieved"), count(col("hit")).as("n_overlap"))
+          .select(lit(method).as("method"), col("n_retrieved"), col("n_overlap"),
+            (col("n_overlap").cast("double") / lit(20.0).cast("double")).as("recall"))
+      row("ivf", queries("q51_ann_ivf")(s, dir))
+        .unionAll(row("lsh", queries("q39_ann_lsh")(s, dir)))
+        .orderBy("method")
+    }),
+
     // Embedding-cosine similarity join at a LOW report threshold (0.45):
     // blocked exhaustive pair join (VectorFunctions.blockedAllPairs).
     // Round-2 shipped a 24-table × 4-bit LSH prefilter here; the ×10
@@ -503,6 +524,61 @@ object VectorQueries {
   private def cosSql(a: String, b: String) =
     s"(list_sum(list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))) / " +
       s"(${normSql(a)} * ${normSql(b)}))"
+
+  // Full oracle statements for the three retrieval methods, held as vals
+  // so q112's recall harness can re-embed them verbatim as CTE bodies
+  // (nested WITH is legal in DuckDB) — the eval replays EXACTLY the
+  // retrieval SQL the gate already proves, no second transcription.
+  private val q37Sql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  $dotSql / (${normSql("embedding")} * ${normSql("qe")}) AS cos
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+  private val q39Sql =
+    """WITH planes AS (SELECT p, list_transform(range(64), j ->
+      |        CASE WHEN CAST('0x'||substr(md5('plane#'||p||'#'||j),1,1) AS INTEGER)%2=1
+      |             THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sg FROM range(8) t(p)),
+      |proj AS (SELECT vec_id, p, list_sum(list_transform(range(64),
+      |           j -> CAST(embedding[j+1] AS DOUBLE) * sg[j+1])) AS pr
+      |         FROM embeddings CROSS JOIN planes),
+      |buck AS (SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+      |                                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      |         FROM proj GROUP BY vec_id),
+      |qv AS (SELECT b.bucket AS qb0, e.embedding AS qe FROM buck b
+      |       JOIN embeddings e ON b.vec_id = e.vec_id WHERE e.vec_id = 0),
+      |probes AS (SELECT qb0 AS qbucket, qe FROM qv
+      |           UNION ALL SELECT xor(qb0, CAST(1 AS BIGINT) << CAST(b AS INTEGER)), qe
+      |           FROM qv CROSS JOIN range(8) t(b)),
+      |cand AS (SELECT e.vec_id, bk.bucket, p.qe, e.embedding FROM embeddings e
+      |         JOIN buck bk ON e.vec_id = bk.vec_id JOIN probes p ON bk.bucket = p.qbucket
+      |         WHERE e.vec_id <> 0)
+      |SELECT vec_id, bucket,
+      |  list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+      |FROM cand ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+  private val q51Sql =
+    """WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |asg AS (SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.ce[i+1] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings e CROSS JOIN cents c),
+      |best AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |    FROM asg) WHERE rn = 1),
+      |qc AS (SELECT cid FROM asg WHERE vec_id = 0 ORDER BY cos DESC, cid LIMIT 4),
+      |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |cand AS (SELECT e.vec_id, b.cid AS cell,
+      |    list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings e JOIN best b ON e.vec_id = b.vec_id
+      |  JOIN qc ON b.cid = qc.cid CROSS JOIN qv
+      |  WHERE e.vec_id <> 0)
+      |SELECT vec_id, cell, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
   // One Lloyd step in SQL: argmax-cosine assignment against `cents`,
   // then per-(cell, dim) float-rounded means, empty cells keeping their
   // previous centroid — the exact kmeansTrain step shape.
@@ -623,12 +699,7 @@ object VectorQueries {
          |JOIN f_3 ON e.vec_id = f_3.vec_id JOIN lut_3 l3 ON f_3.cid = l3.cid
          |WHERE a.cell IN (SELECT cid FROM qc)
          |ORDER BY adc, e.vec_id LIMIT 10""".stripMargin,
-    "q37_cosine_topk" ->
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         |SELECT vec_id,
-         |  $dotSql / (${normSql("embedding")} * ${normSql("qe")}) AS cos
-         |FROM embeddings, q WHERE vec_id <> 0
-         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q37_cosine_topk" -> q37Sql,
     "q38_knn_join" ->
       s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
          |scored AS (
@@ -639,56 +710,30 @@ object VectorQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT qid, nid, cos, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
-    "q39_ann_lsh" ->
-      """WITH planes AS (SELECT p, list_transform(range(64), j ->
-        |        CASE WHEN CAST('0x'||substr(md5('plane#'||p||'#'||j),1,1) AS INTEGER)%2=1
-        |             THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sg FROM range(8) t(p)),
-        |proj AS (SELECT vec_id, p, list_sum(list_transform(range(64),
-        |           j -> CAST(embedding[j+1] AS DOUBLE) * sg[j+1])) AS pr
-        |         FROM embeddings CROSS JOIN planes),
-        |buck AS (SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
-        |                                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-        |         FROM proj GROUP BY vec_id),
-        |qv AS (SELECT b.bucket AS qb0, e.embedding AS qe FROM buck b
-        |       JOIN embeddings e ON b.vec_id = e.vec_id WHERE e.vec_id = 0),
-        |probes AS (SELECT qb0 AS qbucket, qe FROM qv
-        |           UNION ALL SELECT xor(qb0, CAST(1 AS BIGINT) << CAST(b AS INTEGER)), qe
-        |           FROM qv CROSS JOIN range(8) t(b)),
-        |cand AS (SELECT e.vec_id, bk.bucket, p.qe, e.embedding FROM embeddings e
-        |         JOIN buck bk ON e.vec_id = bk.vec_id JOIN probes p ON bk.bucket = p.qbucket
-        |         WHERE e.vec_id <> 0)
-        |SELECT vec_id, bucket,
-        |  list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE))) /
-        |  (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
-        |   sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
-        |FROM cand ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q39_ann_lsh" -> q39Sql,
     "q46_embedding_dedup" ->
       s"""SELECT a.vec_id AS d1, b.vec_id AS d2,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
          |ORDER BY d1, d2""".stripMargin,
-    "q51_ann_ivf" ->
-      """WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-        |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |asg AS (SELECT e.vec_id, c.cid,
-        |    list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.ce[i+1] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
-        |  FROM embeddings e CROSS JOIN cents c),
-        |best AS (SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-        |    FROM asg) WHERE rn = 1),
-        |qc AS (SELECT cid FROM asg WHERE vec_id = 0 ORDER BY cos DESC, cid LIMIT 4),
-        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |cand AS (SELECT e.vec_id, b.cid AS cell,
-        |    list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
-        |  FROM embeddings e JOIN best b ON e.vec_id = b.vec_id
-        |  JOIN qc ON b.cid = qc.cid CROSS JOIN qv
-        |  WHERE e.vec_id <> 0)
-        |SELECT vec_id, cell, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q51_ann_ivf" -> q51Sql,
+    // the three retrieval statements embedded verbatim as CTE bodies
+    "q112_ann_recall" ->
+      s"""WITH exact AS ($q37Sql),
+         |lshr AS ($q39Sql),
+         |ivfr AS ($q51Sql)
+         |SELECT method, n_retrieved, n_overlap,
+         |  CAST(n_overlap AS DOUBLE) / CAST(20.0 AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT 'ivf' AS method, COUNT(*) AS n_retrieved, COUNT(e.vec_id) AS n_overlap
+         |  FROM (SELECT DISTINCT vec_id FROM ivfr) g
+         |  LEFT JOIN (SELECT DISTINCT vec_id FROM exact) e ON e.vec_id = g.vec_id
+         |  UNION ALL
+         |  SELECT 'lsh' AS method, COUNT(*) AS n_retrieved, COUNT(e.vec_id) AS n_overlap
+         |  FROM (SELECT DISTINCT vec_id FROM lshr) g
+         |  LEFT JOIN (SELECT DISTINCT vec_id FROM exact) e ON e.vec_id = g.vec_id)
+         |ORDER BY method""".stripMargin,
     "q78_cell_near_dup" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
          |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
