@@ -14,7 +14,9 @@ object Bench {
     "q82_bloom_decontaminate", "q89_semantic_dedup", "q90_segment_dedup",
     "q91_dsir_importance", "q93_pq_codes", "q96_inverted_index",
     "q97_cdc_chunks", "q98_cdc_dedup", "q100_ivf_pq",
-    "q102_hll_distinct", "q104_winnow_fingerprints", "q105_winnow_overlap")
+    "q102_hll_distinct", "q104_winnow_fingerprints", "q105_winnow_overlap",
+    "q106_pagerank", "q108_label_prop", "q109_triangles",
+    "q110_coengagement", "q111_fuzzy_join")
 
   /** Tables the tier-2 set reads. Each is replicated `factor`× with its
     * id keys shifted per replica (joins/groups keep realistic key

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed graph analytics over edge-list DataFrames — the operator
+  * family behind q106/q108/q109 (PageRank, label-propagation communities,
+  * triangle enumeration) plus the k-NN sparsifier that keeps derived
+  * similarity/transition graphs tractable when they are near-complete.
+  *
+  * Scale posture shared by every operator here: the vertex state
+  * (ranks, labels) and the edge list stay DISTRIBUTED — each iteration
+  * is an edge⋈state equi-join plus a destination-keyed aggregation, the
+  * shape that survives a node set too big for any driver. Nothing in
+  * this file collects, windows globally, or assumes the graph fits on
+  * one machine. (Connected components live in
+  * `graft.functions.DedupFunctions` — they predate this module and
+  * carry the dedup-specific star-contraction machinery.)
+  */
+object GraphOps {
+
+  /** Per-node top-k sparsification of an undirected weighted edge list
+    * `(a, b, w)` (a<b): each node ranks its incident edges by
+    * (weight desc, neighbor id) and an edge survives if EITHER endpoint
+    * ranks it ≤ k. The window partitions per node — no global ranking —
+    * so the sparsifier works unchanged at a 10^9-node vocabulary.
+    * Returns distinct `(a, b)` with a<b.
+    */
+  def sparsifyTopK(und: DataFrame, k: Int): DataFrame = {
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"), col("w"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr"), col("w")))
+    val aw = Window.partitionBy("node").orderBy(col("w").desc, col("nbr"))
+    adj.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") <= k)
+      .select(least(col("node"), col("nbr")).as("a"),
+        greatest(col("node"), col("nbr")).as("b"))
+      .distinct()
+  }
+
+  /** Compact-forward triangle enumeration over an undirected edge list
+    * `(a, b)` (a<b, distinct). Edges are oriented low→high by
+    * (degree, id) — on a skewed graph id-ordering leaves all of a hub's
+    * edges on one side while degree-ordering splits them, bounding the
+    * wedge join's fan-out by the max ORIENTED out-degree (≈ O(√m) for
+    * any graph). Output: canonical `(a, b, c)` triples with a<b<c, each
+    * triangle exactly once — independent of the orientation order, so a
+    * naive id-ordered replay (the DuckDB oracle) enumerates the
+    * identical set.
+    */
+  def triangles(kept: DataFrame): DataFrame = {
+    val deg = kept.select(col("a").as("n")).union(kept.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = kept
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    val wedges = oriented.join(
+        oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2")), "u")
+      .filter(col("dv") < col("dv2") ||
+        (col("dv") === col("dv2") && col("v") < col("v2")))
+    val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
+    wedges.join(closing, col("cu") === col("v") && col("cv") === col("v2"))
+      .select(sort_array(array(col("u"), col("v"), col("v2"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+  }
+
+  /** `rounds` synchronous label-propagation rounds over a directed
+    * weighted edge list `(src, dst, w)`: every node starts in its own
+    * community (label = id); each round a node adopts the incoming
+    * label with the greatest total edge weight, ties to the SMALLEST
+    * label (the determinism plain LPA lacks). The per-dst argmax is
+    * `min(struct(-w, label))` so it partial-aggregates map-side instead
+    * of windowing the vote table. Returns `(k, label)`.
+    */
+  def labelPropagate(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    def step(lab: DataFrame): DataFrame = {
+      val votes = edges
+        .join(lab.withColumnRenamed("k", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(sum("w").as("wv"))
+      val best = votes.groupBy("dst")
+        .agg(min(struct((-col("wv")).as("nw"), col("label").as("l"))).as("m"))
+        .select(col("dst").as("k"), col("m.l").as("newl"))
+      lab.join(best, Seq("k"), "left")
+        .select(col("k"), coalesce(col("newl"), col("label")).as("label"))
+    }
+    (1 to rounds).foldLeft(nodes.select(col("k"), col("k").as("label")))(
+      (lab, _) => step(lab))
+  }
+
+  /** `iters` damped PageRank iterations (simple variant: dangling-node
+    * mass dropped) over `(src, dst, w)` + a node set. Per-edge
+    * contributions are decimal-cast before the in-sum so accumulation
+    * is order-free (bit-exact replay in any engine). `edges`/`nodes`
+    * should be checkpointed by the CALLER if reused — this function
+    * derives the out-weight table once internally. Returns `(k, pr)`.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int, nNodes: Long,
+               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    // teleport is a SEPARATE literal, not 1-damping: 1.0-0.85 in doubles
+    // is 0.15000000000000002, which would silently break bit-exact
+    // replay against an oracle written with the 0.15 literal
+    val ewo = edges.join(
+      edges.groupBy("src").agg(sum("w").as("outw")), "src")
+    def step(ranks: DataFrame): DataFrame = {
+      val contrib = ewo
+        .join(ranks.withColumnRenamed("k", "src"), "src")
+        .select(col("dst"),
+          ((col("pr") * col("w")) / col("outw"))
+            .cast(DecimalType(28, 15)).as("c"))
+        .groupBy("dst").agg(sum("c").as("cs"))
+      nodes.join(contrib.withColumnRenamed("dst", "k"), Seq("k"), "left")
+        .select(col("k"),
+          (lit(teleport) / nNodes +
+            lit(damping) * coalesce(col("cs").cast("double"), lit(0.0))).as("pr"))
+    }
+    val r0 = nodes.select(col("k"), (lit(1.0) / nNodes).as("pr"))
+    (1 to iters).foldLeft(r0)((r, _) => step(r))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin, Selections, UpdatePlanner}
+import graft.operators.{AsOfJoin, GraphOps, RangeJoin, Selections, UpdatePlanner}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -156,25 +156,10 @@ object TimeSeriesQueries {
         .filter(col("src").isNotNull && col("src") =!= col("k"))
         .groupBy(col("src"), col("k").as("dst"))
         .agg(count(lit(1)).as("w"))
-      val ewo = edges.join(
-          edges.groupBy("src").agg(sum("w").as("outw")), "src")
         .localCheckpoint() // reused by both iterations
       val nodes = ev.select("k").distinct().localCheckpoint()
       val n = nodes.count()
-      def step(ranks: DataFrame): DataFrame = {
-        val contrib = ewo
-          .join(ranks.withColumnRenamed("k", "src"), "src")
-          .select(col("dst"),
-            ((col("pr") * col("w")) / col("outw"))
-              .cast(DecimalType(28, 15)).as("c"))
-          .groupBy("dst").agg(sum("c").as("cs"))
-        nodes.join(contrib.withColumnRenamed("dst", "k"), Seq("k"), "left")
-          .select(col("k"),
-            (lit(0.15) / n +
-              lit(0.85) * coalesce(col("cs").cast("double"), lit(0.0))).as("pr"))
-      }
-      val r0 = nodes.select(col("k"), (lit(1.0) / n).as("pr"))
-      step(step(r0))
+      GraphOps.pageRank(edges, nodes, iters = 2, nNodes = n)
         .select(col("k"), round(col("pr"), 9).as("pr"))
         .orderBy("k")
     }),
@@ -200,19 +185,7 @@ object TimeSeriesQueries {
         .agg(count(lit(1)).as("w"))
         .localCheckpoint() // reused by both rounds
       val nodes = ev.select("k").distinct()
-      def step(lab: DataFrame): DataFrame = {
-        val votes = edges
-          .join(lab.withColumnRenamed("k", "src"), "src")
-          .groupBy(col("dst"), col("label"))
-          .agg(sum("w").as("wv"))
-        val best = votes.groupBy("dst")
-          .agg(min(struct((-col("wv")).as("nw"), col("label").as("l"))).as("m"))
-          .select(col("dst").as("k"), col("m.l").as("newl"))
-        lab.join(best, Seq("k"), "left")
-          .select(col("k"), coalesce(col("newl"), col("label")).as("label"))
-      }
-      val l0 = nodes.select(col("k"), col("k").as("label"))
-      step(step(l0)).orderBy("k")
+      GraphOps.labelPropagate(edges, nodes, rounds = 2).orderBy("k")
     }),
 
     // Triangle enumeration over the k-NN-sparsified item graph. The raw
@@ -237,36 +210,9 @@ object TimeSeriesQueries {
         .groupBy(least(col("src"), col("k")).as("a"),
           greatest(col("src"), col("k")).as("b"))
         .agg(count(lit(1)).as("w"))
-      val adj = und.select(col("a").as("node"), col("b").as("nbr"), col("w"))
-        .union(und.select(col("b").as("node"), col("a").as("nbr"), col("w")))
-      val aw = Window.partitionBy("node").orderBy(col("w").desc, col("nbr"))
-      val kept = adj.withColumn("rn", row_number().over(aw))
-        .filter(col("rn") <= 6)
-        .select(least(col("node"), col("nbr")).as("a"),
-          greatest(col("node"), col("nbr")).as("b"))
-        .distinct()
+      val kept = GraphOps.sparsifyTopK(und, 6)
         .localCheckpoint() // reused: degrees + three enumeration sides
-      val deg = kept.select(col("a").as("n")).union(kept.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val oriented = kept
-        .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
-        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
-        .select(when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
-          .otherwise(
-            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
-      val wedges = oriented.join(
-          oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2")), "u")
-        .filter(col("dv") < col("dv2") ||
-          (col("dv") === col("dv2") && col("v") < col("v2")))
-      val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
-      wedges.join(closing, col("cu") === col("v") && col("cv") === col("v2"))
-        .select(sort_array(array(col("u"), col("v"), col("v2"))).as("t"))
-        .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
-          col("t").getItem(2).as("c"))
-        .orderBy("a", "b", "c")
+      GraphOps.triangles(kept).orderBy("a", "b", "c")
     }),
 
     // Item-item co-engagement cosine ("users who touched i also touched

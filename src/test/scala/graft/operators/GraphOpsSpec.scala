@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property tests for the distributed graph family (q106/q108/q109):
+  * triangle enumeration vs a naive Scala reference, sparsifier
+  * membership rules, LPA community recovery + tie determinism, and
+  * PageRank vs a driver-side power iteration.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  /** Erdős–Rényi undirected edge set (a<b) with deterministic weights. */
+  private def erdosRenyi(n: Int, p: Double, seed: Long): Seq[(Long, Long, Long)] = {
+    val r = rng(seed)
+    for {
+      a <- 0 until n; b <- (a + 1) until n
+      if r.nextDouble() < p
+    } yield (a.toLong, b.toLong, (r.nextInt(5) + 1).toLong)
+  }
+
+  test("triangles: degree-ordered enumeration == naive reference on random graphs") {
+    val s = spark; import s.implicits._
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val edges = erdosRenyi(40, 0.2, seed)
+      val df = edges.toDF("a", "b", "w").select("a", "b")
+      val got = GraphOps.triangles(df).select("a", "b", "c")
+        .as[(Long, Long, Long)].collect().toSet
+      // naive reference: adjacency set, enumerate a<b<c triples
+      val adj = edges.flatMap { case (a, b, _) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keys.toSeq.sorted
+      val want = (for {
+        a <- nodes; b <- adj(a).filter(_ > a); c <- adj(a).filter(_ > b)
+        if adj(b).contains(c)
+      } yield (a, b, c)).toSet
+      assert(got == want, s"seed $seed: ${got.size} vs ${want.size} triangles")
+      // each triangle exactly once (no orientation double-count)
+      assert(GraphOps.triangles(df).count() == want.size)
+    }
+  }
+
+  test("sparsifyTopK: kept iff EITHER endpoint ranks the edge in its top-k") {
+    val s = spark; import s.implicits._
+    val edges = erdosRenyi(30, 0.4, 7L)
+    val df = edges.toDF("a", "b", "w")
+    val k = 3
+    val got = GraphOps.sparsifyTopK(df, k)
+      .as[(Long, Long)].collect().toSet
+    // reference: rank per node by (w desc, nbr asc)
+    val inc = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .groupBy(_._1).view
+      .mapValues(_.sortBy { case (_, nbr, w) => (-w, nbr) }.take(k)
+        .map { case (_, nbr, _) => nbr }.toSet).toMap
+    val want = edges.collect { case (a, b, _)
+      if inc(a).contains(b) || inc(b).contains(a) => (a, b) }.toSet
+    assert(got == want)
+  }
+
+  test("labelPropagate: two cliques with a weak bridge resolve to two communities") {
+    val s = spark; import s.implicits._
+    // cliques {0..4} and {10..14}, heavy internal edges both directions,
+    // one light bridge 4->10
+    val internal = for {
+      base <- Seq(0L, 10L); i <- 0 until 5; j <- 0 until 5 if i != j
+    } yield (base + i, base + j, 10L)
+    val bridge = Seq((4L, 10L, 1L))
+    val edges = (internal ++ bridge).toDF("src", "dst", "w")
+    val nodes = ((0L to 4L) ++ (10L to 14L)).toDF("k")
+    val labels = GraphOps.labelPropagate(edges, nodes, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // min-label tie-break pulls each clique to its smallest member
+    assert((0L to 4L).map(labels).toSet == Set(0L))
+    assert((10L to 14L).map(labels).toSet == Set(10L))
+  }
+
+  test("labelPropagate: equal-weight tie goes to the smaller label") {
+    val s = spark; import s.implicits._
+    // node 2 receives equal weight from labels 0 and 1
+    val edges = Seq((0L, 2L, 5L), (1L, 2L, 5L)).toDF("src", "dst", "w")
+    val nodes = Seq(0L, 1L, 2L).toDF("k")
+    val labels = GraphOps.labelPropagate(edges, nodes, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(2L) == 0L)
+    assert(labels(0L) == 0L && labels(1L) == 1L) // no in-edges: keep own
+  }
+
+  test("pageRank matches a driver-side power iteration") {
+    val s = spark; import s.implicits._
+    val edges = erdosRenyi(25, 0.25, 11L)
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w + 1)) }
+    val nodeIds = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodeIds.size
+    val df = edges.toDF("src", "dst", "w")
+    val nodes = nodeIds.toDF("k")
+    val got = GraphOps.pageRank(df, nodes, iters = 3, nNodes = n)
+      .as[(Long, Double)].collect().toMap
+    // reference power iteration (same simple variant: dangling mass dropped)
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodeIds.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _, w) => pr(src) * w / outw(src) }.sum).toMap
+      pr = nodeIds.map(k =>
+        k -> (0.15 / n + 0.85 * contrib.getOrElse(k, 0.0))).toMap
+    }
+    nodeIds.foreach { k =>
+      assert(math.abs(got(k) - pr(k)) < 1e-12, s"node $k: ${got(k)} vs ${pr(k)}")
+    }
+    // total mass bounded by 1 (dangling drop can only lose mass)
+    assert(got.values.sum <= 1.0 + 1e-9)
+  }
+}
