@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy self-join (entity resolution at Levenshtein distance
+  * ≤ 1 or ≤ 2) via SymSpell-style DELETION-NEIGHBORHOOD blocking: every
+  * string emits itself plus every string reachable by up to `maxDist`
+  * character deletions; two strings within edit distance d necessarily
+  * share a ≤d-deletion variant (substitute → delete on both sides,
+  * insert/delete → delete on the longer side), so candidate generation
+  * is a plain EQUI-JOIN on the variant — O(L^d) replication per row,
+  * linear in corpus size, where the naive form is the |C|² levenshtein
+  * cross join. Candidates are over-generated (one pair can share many
+  * variants) → distinct, then ONE verifying levenshtein per pair.
+  *
+  * All variant generation is native Spark HOFs (`transform`/`flatten`),
+  * no UDF — the scan stage stays codegen-compatible.
+  */
+object FuzzyJoin {
+
+  /** s with the 1-based i-th character deleted. */
+  private def del1(s: Column, i: Column): Column =
+    concat(substr(s, lit(1), i - 1), substr(s, i + 1, length(s)))
+
+  /** The ≤maxDeletes-deletion neighborhood of s, including s itself.
+    * Guards short strings: Spark's `sequence(1, 0)` counts DOWN, so an
+    * unguarded empty/1-char string would fabricate variants. */
+  def deletionVariants(s: Column, maxDeletes: Int): Column = {
+    require(maxDeletes == 1 || maxDeletes == 2,
+      s"maxDeletes must be 1 or 2, got $maxDeletes")
+    val empty = array().cast("array<string>")
+    val d1 = when(length(s) >= 1,
+      transform(sequence(lit(1), length(s)), i => del1(s, i))).otherwise(empty)
+    val base = array_union(array(s), d1)
+    if (maxDeletes == 1) base
+    else {
+      // delete original positions i < j: drop i first, then the shifted
+      // j-1 (covered by the inner index running from i to L-1)
+      val d2 = when(length(s) >= 2,
+        flatten(transform(sequence(lit(1), length(s)), i =>
+          transform(sequence(i, length(s) - 1), j =>
+            del1(del1(s, i), j))))).otherwise(empty)
+      array_union(base, d2)
+    }
+  }
+
+  /** All pairs (id1 < id2) of rows whose `strCol` values are within
+    * Levenshtein distance `maxDist`, with the strings attached:
+    * `(id1, id2, s1, s2)`. */
+  def blockedPairs(df: DataFrame, idCol: String, strCol: String,
+                   maxDist: Int): DataFrame = {
+    val vars = df.select(col(idCol).as("_fj_id"), col(strCol).as("_fj_s"),
+        explode(deletionVariants(col(strCol), maxDist)).as("_fj_v"))
+      .distinct() // duplicate variants of one string → one block entry
+    vars.alias("x")
+      .join(vars.alias("y"),
+        col("x._fj_v") === col("y._fj_v") && col("x._fj_id") < col("y._fj_id"))
+      .select(col("x._fj_id").as("id1"), col("y._fj_id").as("id2"),
+        col("x._fj_s").as("s1"), col("y._fj_s").as("s2"))
+      .distinct()
+      .filter(levenshtein(col("s1"), col("s2")) <= maxDist)
+  }
+}

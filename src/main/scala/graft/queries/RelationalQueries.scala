@@ -159,33 +159,18 @@ object RelationalQueries {
         .limit(100)
     }),
 
-    // Blocked fuzzy join (entity resolution at edit distance ≤ 1) via
-    // SymSpell-style DELETION-NEIGHBORHOOD blocking: every name emits
-    // itself plus its |s| one-character deletions; two names within
-    // edit distance 1 (substitute / insert / delete) necessarily share
-    // a variant, so the candidate generator is a plain EQUI-JOIN on the
-    // variant string — length+1 (~19×) replication, linear at any
-    // corpus size, where the naive form is the |C|² levenshtein cross
-    // join the ORACLE runs (fine at 1.5k rows, impossible at 10^9).
-    // Shared variants over-generate (one pair can share several), so
-    // candidates are distinct-ed before the single verifying
-    // levenshtein call per pair.
+    // Blocked fuzzy join (entity resolution at edit distance ≤ 1):
+    // operators.FuzzyJoin's SymSpell deletion-neighborhood blocking —
+    // candidate generation is an equi-join on shared ≤1-deletion
+    // variants (length+1 ≈ 19× replication, linear at any corpus
+    // size) where the naive form is the |C|² levenshtein cross join
+    // the ORACLE runs (fine at 1.5k rows, impossible at 10^9).
     "q111_fuzzy_join" -> ((s, dir) => {
       val c = Tables.table(s, dir, "customer")
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
-      val vars = c.select(col("id"), col("name"),
-          explode(array_union(
-            array(col("name")),
-            expr("transform(sequence(1, length(name)), i -> " +
-              "concat(substring(name, 1, i-1), substring(name, i+1, length(name))))")
-          )).as("v"))
-      val cand = vars.alias("x")
-        .join(vars.alias("y"), col("x.v") === col("y.v") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("id1"), col("x.name").as("name1"),
-          col("y.id").as("id2"), col("y.name").as("name2"))
-        .distinct()
-      cand.filter(levenshtein(col("name1"), col("name2")) <= 1)
-        .select("id1", "id2", "name1", "name2")
+      graft.operators.FuzzyJoin.blockedPairs(c, "id", "name", maxDist = 1)
+        .select(col("id1"), col("id2"),
+          col("s1").as("name1"), col("s2").as("name2"))
         .orderBy("id1", "id2")
     }))
 

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Deletion-neighborhood fuzzy join (q111): completeness + precision vs
+  * a naive quadratic levenshtein reference, at both supported radii. */
+class FuzzyJoinSpec extends SparkSpec {
+
+  /** classic DP levenshtein — the driver-side ground truth */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** strings with planted near-duplicates: random bases plus mutated
+    * copies (substitution / insertion / deletion / double mutation) */
+  private def corpus(seed: Long): Seq[(Long, String)] = {
+    val r = new scala.util.Random(seed)
+    val alpha = "abcd" // small alphabet → accidental collisions too
+    def rand(n: Int) = Seq.fill(n)(alpha(r.nextInt(alpha.length))).mkString
+    val bases = Seq.fill(25)(rand(4 + r.nextInt(8)))
+    val mutated = bases.flatMap { b =>
+      val subst = b.updated(r.nextInt(b.length), alpha(r.nextInt(alpha.length)))
+      val ins = {
+        val p = r.nextInt(b.length + 1)
+        b.take(p) + alpha(r.nextInt(alpha.length)) + b.drop(p)
+      }
+      val del = { val p = r.nextInt(b.length); b.take(p) + b.drop(p + 1) }
+      val double = subst.updated(r.nextInt(subst.length), alpha(r.nextInt(alpha.length)))
+      Seq(b, subst, ins, del, double)
+    }
+    mutated.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+
+  test("blockedPairs == naive quadratic reference at maxDist 1 and 2") {
+    val s = spark; import s.implicits._
+    for (seed <- Seq(5L, 6L); maxDist <- Seq(1, 2)) {
+      val rows = corpus(seed)
+      val df = rows.toDF("id", "s")
+      val got = FuzzyJoin.blockedPairs(df, "id", "s", maxDist)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (i1, s1) <- rows; (i2, s2) <- rows
+        if i1 < i2 && lev(s1, s2) <= maxDist
+      } yield (i1, i2)).toSet
+      assert(got == want,
+        s"seed $seed maxDist $maxDist: ${got.size} vs ${want.size} pairs")
+    }
+  }
+
+  test("short strings are guarded (no fabricated variants from sequence-down)") {
+    val s = spark; import s.implicits._
+    val df = Seq((0L, ""), (1L, "a"), (2L, "b"), (3L, "ab")).toDF("id", "s")
+    val got = FuzzyJoin.blockedPairs(df, "id", "s", 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // lev("","a")=1, lev("","b")=1, lev("a","b")=1, lev("a","ab")=1,
+    // lev("b","ab")=1, lev("","ab")=2
+    assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
