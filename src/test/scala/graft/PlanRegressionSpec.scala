@@ -218,4 +218,42 @@ class PlanRegressionSpec extends SparkSpec {
     val plan = q06.queryExecution.executedPlan.toString()
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
   }
+
+  test("q107 interp broadcasts the corner keys against the aggregated grid") {
+    val plan = SparkEntry.queries("q107_bilinear_interp")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    // the 24 corner rows are the build side; the grid (days×24, still
+    // unbounded in the time span) must NEVER shuffle for this join —
+    // a sort-merge here would re-exchange the grid per query batch
+    assert(plan.contains("BroadcastHashJoin"),
+      "corner lookup must be a broadcast hash join")
+    assert(!plan.contains("SortMergeJoin"),
+      "the grid side must not shuffle for the corner lookup")
+  }
+
+  test("q111 fuzzy join candidates come from the variant equi-join") {
+    val plan = SparkEntry.queries("q111_fuzzy_join")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    // the whole point of deletion-neighborhood blocking is that the
+    // candidate generator is an EQUI-join on the variant string; a
+    // BNLJ/cartesian means the levenshtein slid into the join condition
+    // and every pair is being compared
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "fuzzy join degraded to an all-pairs comparison")
+    assert(plan.contains("_fj_v"),
+      "join must be keyed on the deletion-variant column")
+  }
+
+  test("q109 triangle enumeration never ranks or sorts globally") {
+    val plan = SparkEntry.queries("q109_triangles")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    // the sparsifier's window partitions per node and the wedge/closing
+    // joins are equi-joins — any SinglePartition exchange means a
+    // global ranking snuck in and the operator stops scaling with nodes
+    assert(!plan.contains("SinglePartition"),
+      "q109 must have no single-partition stage")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
 }
