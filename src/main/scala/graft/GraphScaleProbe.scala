@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the graph family (q106/q108/q109/q110): a
+  * distributively generated planted-partition graph — C communities of
+  * equal size, heavy intra-community edges, sparse inter-community
+  * noise — through sparsifyTopK, triangles, labelPropagate and
+  * pageRank. Every stage must stay linear-ish in |E|, and recovery is
+  * REQUIRED, not eyeballed: LPA must label ≥99% of nodes by their
+  * planted community, the rank mass must stay ≤ 1, and triangle counts
+  * must be dominated by intra-community closures.
+  *
+  * `runMain graft.GraphScaleProbe [nNodes] [degree]` (defaults 1M / 8).
+  */
+object GraphScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    val nNodes = args.headOption.map(_.toInt).getOrElse(1000000)
+    val degree = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val commSize = 100 // planted communities of 100 nodes
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    // ---- planted-partition edges, generated distributively:
+    // each node emits `degree` heavy edges inside its community (weight
+    // 5..9, deterministic) and 1 light cross-community edge (weight 1).
+    val edges = timed("gen-edges") {
+      val intra = spark.range(nNodes.toLong * degree).select(
+        (col("id") / degree).cast("long").as("src"),
+        col("id").as("e"))
+        .select(col("src"),
+          // neighbor inside the same community block, never self
+          ((col("src") - pmod(col("src"), lit(commSize))) +
+            pmod(col("src") * 31 + col("e") * 7 + 1, lit(commSize))).as("dst"),
+          (pmod(col("e") * 13, lit(5)) + 5).as("w"))
+        .filter(col("src") =!= col("dst"))
+      val inter = spark.range(nNodes).select(
+        col("id").as("src"),
+        pmod(col("id") * 2654435761L + 99991L, lit(nNodes)).as("dst"),
+        lit(1L).as("w"))
+        .filter(col("src") =!= col("dst"))
+      intra.union(inter)
+        .groupBy("src", "dst").agg(sum("w").as("w"))
+        .localCheckpoint()
+    }
+    val nEdges = edges.count()
+    println(s"PROBE edges=$nEdges nodes=$nNodes")
+    val nodes = timed("nodes") {
+      spark.range(nNodes).select(col("id").as("k")).localCheckpoint()
+    }
+
+    // ---- LPA: 3 rounds; planted recovery required
+    val labels = timed("lpa-3-rounds") {
+      val l = GraphOps.labelPropagate(edges, nodes, rounds = 3).localCheckpoint()
+      l.count(); l
+    }
+    // recovery metric: a node's adopted label must come from its OWN
+    // planted community (full single-label collapse needs more rounds
+    // than 3 — what must NOT happen is labels leaking across the weak
+    // inter-community edges)
+    val agree = labels
+      .select((col("k") - pmod(col("k"), lit(commSize)) ===
+        col("label") - pmod(col("label"), lit(commSize))).cast("long").as("ok"))
+      .agg(sum("ok")).head.getLong(0)
+    val frac = agree.toDouble / nNodes
+    println(f"PROBE lpa-label-purity $frac%.4f")
+    require(frac >= 0.99, s"LPA label purity only $frac")
+
+    // ---- PageRank: 3 distributed iterations; mass conservation bound
+    val mass = timed("pagerank-3-iters") {
+      GraphOps.pageRank(edges, nodes, iters = 3, nNodes = nNodes)
+        .agg(sum("pr")).head.getDouble(0)
+    }
+    println(f"PROBE pagerank-mass $mass%.6f")
+    require(mass <= 1.0 + 1e-6, s"rank mass $mass exceeds 1")
+
+    // ---- sparsify + triangles: undirected form of the same graph
+    val und = timed("undirect") {
+      val u = edges.groupBy(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(sum("w").as("w")).localCheckpoint()
+      u.count(); u
+    }
+    val kept = timed("sparsify-top6") {
+      val k = GraphOps.sparsifyTopK(und, 6).localCheckpoint()
+      println(s"PROBE kept-edges ${k.count()}")
+      k
+    }
+    val tris = timed("triangles") {
+      GraphOps.triangles(kept)
+        .select((col("a") - pmod(col("a"), lit(commSize)) ===
+          col("c") - pmod(col("c"), lit(commSize))).as("intra"))
+        .groupBy("intra").count()
+        .collect().map(r => (r.getBoolean(0), r.getLong(1))).toMap
+    }
+    val intra = tris.getOrElse(true, 0L); val cross = tris.getOrElse(false, 0L)
+    println(s"PROBE triangles intra=$intra cross=$cross")
+    require(intra > cross * 10,
+      "triangles must be dominated by intra-community closures")
+
+    spark.stop()
+  }
+}
