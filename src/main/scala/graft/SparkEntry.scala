@@ -23,7 +23,8 @@ object SparkEntry {
     val packs = Seq(
       RelationalQueries.queries, TimeSeriesQueries.queries,
       GridQueries.queries, TextQueries.queries,
-      VectorQueries.queries, MiscQueries.queries)
+      VectorQueries.queries, MiscQueries.queries,
+      TokenizerQueries.queries)
     val merged = packs.reduce(_ ++ _)
     // a duplicate key across packs would SILENTLY shadow a query (and
     // its oracle) out of the verify dump and the bench — fail loudly
@@ -40,5 +41,6 @@ object SparkEntry {
       GridQueries.oracles ++
       TextQueries.oracles ++
       VectorQueries.oracles ++
-      MiscQueries.oracles
+      MiscQueries.oracles ++
+      TokenizerQueries.oracles
 }

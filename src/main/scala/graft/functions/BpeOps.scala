@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) tokenizer training and encoding.
+  *
+  * The classic corpus-scale trick (used by every production BPE trainer
+  * since Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+  * with Subword Units"): training never touches the corpus after one
+  * initial word-count aggregation. The iteration state is the DISTINCT-WORD
+  * table `(word, wc, pos, sym)` — vocab-sized (Heaps' law: ~10^6–10^8
+  * entries at 100 TB, vs 10^13 corpus tokens) — and every merge round is
+  * two vocab-sized jobs: a map-side-combined pair count and a windowed
+  * rewrite of only the words containing the chosen pair. The driver holds
+  * just the merge list (k rows). Encoding is the same machinery run with a
+  * fixed rule list, then one `word -> units` join back onto the corpus —
+  * broadcastable whenever the vocab fits, a hash join on `word` otherwise.
+  *
+  * Merge-round semantics (the part both engines must agree on exactly):
+  * a round merges every non-overlapping adjacent occurrence of the pair
+  * `(a, b)`, leftmost-first. Overlaps only arise in runs like `aaa` with
+  * pair `(a,a)`; leftmost-greedy keeps the 1st, 3rd, ... candidate of each
+  * run of adjacent candidates. That is gaps-and-islands + parity over
+  * per-word windows — deterministic (pos is unique per word) and
+  * expressible identically in Spark and ANSI SQL, which is what makes the
+  * q113/q114 oracle rows hash-exact.
+  *
+  * Reference scope: the reference pipeline stops at whitespace tokens
+  * (`documents`-style text QC); BPE training/encode is beyond-reference,
+  * part of the training-data-pipeline surface.
+  */
+object BpeOps {
+
+  /** One learned merge rule. */
+  final case class MergeRule(iter: Int, a: String, b: String, count: Long)
+
+  /** `(word, wc)` — the only corpus-sized job in training. One shuffle,
+    * map-side combined, output vocab-sized. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** Initial symbol table `(word, wc, pos, sym)`: one row per character,
+    * pos 1-based. Scan-stage explode over the vocab-sized word table. */
+  def initSymbols(words: DataFrame): DataFrame =
+    words.select(col("word"), col("wc"),
+        // split at interior positions only: a plain zero-width pattern
+        // also matches at end-of-string and (Spark split keeps trailing
+        // empties) would emit a phantom "" symbol per word
+        posexplode(split(col("word"), "(?!^)(?!$)")).as(Seq("p0", "sym")))
+      .select(col("word"), col("wc"), (col("p0") + 1).as("pos"), col("sym"))
+
+  /** Adjacent-pair frequencies `(a, b, cnt)` weighted by word count.
+    * Per-word lead window (words are short; no skew), then one
+    * map-side-combined groupBy on the pair — vocab-bounded shuffle. */
+  def pairCounts(syms: DataFrame): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    syms.withColumn("nxt", lead(col("sym"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("sym").as("a"), col("nxt").as("b"))
+      .agg(sum(col("wc")).as("cnt"))
+  }
+
+  /** Highest-count pair; ties break to the lexicographically smallest
+    * `(a, b)` so training is deterministic. Driver-side single row. */
+  def bestPair(syms: DataFrame): Option[MergeRule] =
+    pairCounts(syms).orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1).collect().headOption
+      .map(r => MergeRule(0, r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** One merge round: replace every non-overlapping adjacent `(a, b)`
+    * occurrence with the concatenated symbol, leftmost-first.
+    *
+    * `rid` numbers the rows of a word; a candidate is a row whose
+    * `(sym, nxt)` equals the pair. Candidates with consecutive `rid`
+    * overlap (they share the middle symbol), so within each maximal run
+    * of rid-adjacent candidates (island = `rid - row_number` among
+    * candidates) only the odd-ranked ones merge. A row is absorbed iff
+    * its predecessor merged. Three per-word window passes, all over the
+    * vocab-sized symbol table. */
+  def mergeRound(syms: DataFrame, a: String, b: String): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    val wc = Window.partitionBy("word", "cand").orderBy("pos")
+    val wi = Window.partitionBy("word", "cand", "isl").orderBy("pos")
+    syms
+      .withColumn("nxt", lead(col("sym"), 1).over(w))
+      .withColumn("rid", row_number().over(w))
+      .withColumn("cand", // coalesce: last row of a word has NULL nxt
+        coalesce(col("sym") === lit(a) && col("nxt") === lit(b), lit(false)))
+      .withColumn("isl", col("rid") - row_number().over(wc))
+      .withColumn("keep", col("cand") && row_number().over(wi) % 2 === 1)
+      .withColumn("prev_keep", lag(col("keep"), 1, false).over(w))
+      .where(!col("prev_keep"))
+      .select(col("word"), col("wc"), col("pos"),
+        when(col("keep"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+  }
+
+  /** `mergeRound` restricted to the words that can contain the pair.
+    * Because symbols are contiguous substrings of their word, `(a, b)`
+    * adjacent implies the word contains the string `a + b` — so the
+    * substring test is a safe over-approximation and each round rewrites
+    * only the (typically small) affected slice of the vocab. Results are
+    * identical to the unfiltered round (spec-asserted). */
+  def mergeRoundFiltered(syms: DataFrame, a: String, b: String): DataFrame = {
+    val hit = col("word").contains(a + b)
+    mergeRound(syms.where(hit), a, b).unionByName(syms.where(!hit))
+  }
+
+  /** Train `iters` merges. Per round: one vocab-sized pair count (argmax
+    * collected to the driver — one row), one filtered rewrite. Lineage is
+    * cut with `localCheckpoint` every `checkpointEvery` rounds so a
+    * 30k-merge production run does not accumulate a 30k-stage plan. */
+  def train(docs: DataFrame, textCol: String, iters: Int,
+            checkpointEvery: Int = 8): (Seq[MergeRule], DataFrame) = {
+    var syms = initSymbols(wordCounts(docs, textCol))
+    val rules = Seq.newBuilder[MergeRule]
+    var i = 1
+    var done = false
+    while (i <= iters && !done) {
+      bestPair(syms) match {
+        case Some(r) =>
+          rules += r.copy(iter = i)
+          syms = mergeRoundFiltered(syms, r.a, r.b)
+          if (i % checkpointEvery == 0)
+            syms = syms.localCheckpoint(eager = true)
+        case None => done = true
+      }
+      i += 1
+    }
+    (rules.result(), syms)
+  }
+
+  /** Apply a fixed rule list in order (the BPE encode path) to a symbol
+    * table. Unlike training this needs no pair counts — k chained
+    * filtered rewrites over the vocab-sized table. */
+  def applyRules(syms: DataFrame, rules: Seq[(String, String)],
+                 checkpointEvery: Int = 8): DataFrame =
+    rules.zipWithIndex.foldLeft(syms) { case (s, ((a, b), i)) =>
+      val next = mergeRoundFiltered(s, a, b)
+      if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(eager = true)
+      else next
+    }
+
+  /** Per-word unit count `(word, units)` from a final symbol table. */
+  def unitCounts(syms: DataFrame): DataFrame =
+    syms.groupBy("word").agg(count(lit(1)).as("units"))
+
+  /** Encode a corpus against a trained `(word, units)` table: explode to
+    * words, join, per-doc totals. The join side is vocab-sized —
+    * broadcast it when it fits; at 100 TB vocab scale Spark falls back
+    * to a hash join on `word`, still one shuffle of corpus words. */
+  def encodeDocCounts(docs: DataFrame, idCol: String, textCol: String,
+                      units: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .join(broadcast(units), "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
+}

@@ -194,6 +194,43 @@ object GridQueries {
           min("lon").as("lon_min"), max("lon").as("lon_max"),
           min("us").as("t_min"), max("us").as("t_max"),
           count(lit(1)).as("n"))
+    }),
+
+    // Conservative (area-weighted) regridding, 0.25° -> 0.375° — the
+    // xESMF `conservative` method the climate community uses when a
+    // coarsen ratio is fractional (q66 handles only integer ratios; the
+    // reference's grids stop at nearest/coarsen, SURVEY §2.4/§2.6).
+    // Exactness design: both grids are DYADIC (2/8 and 3/8 degree), so
+    // in eighth-degree integer units source cell i spans [2i, 2i+2) and
+    // target t spans [3t, 3t+3); the overlap per axis is an INTEGER in
+    // {1, 2} and the whole regrid is BIGINT arithmetic — order-free,
+    // hash-exact. Scale shape: ONE event-sized map-side-combined
+    // shuffle to source cells, then a grid-sized explode to <=4 target
+    // candidates per cell (regular-axis formula, q18/q66 principle — no
+    // join against a target-grid table) and a grid-sized re-aggregate.
+    "q115_conservative_regrid" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("lat", (col("value") - 100.0) / 2.0)
+        .withColumn("lon", Normalize.wrapLongitude(col("value") * 3.7 - 250.0))
+        .select(
+          floor((col("lat") + 90.0) / 0.25).cast("long").as("i"),
+          floor((col("lon") + 180.0) / 0.25).cast("long").as("j"),
+          floor(col("value") * 8.0).cast("long").as("v8"))
+      val cells = e.groupBy("i", "j").agg(sum("v8").as("m"))
+      cells
+        .withColumn("t", explode(sequence(
+          expr("(2*i) div 3"), expr("(2*i+1) div 3"))))
+        .withColumn("u", explode(sequence(
+          expr("(2*j) div 3"), expr("(2*j+1) div 3"))))
+        .withColumn("w",
+          (least(lit(2) * col("i") + 2, lit(3) * col("t") + 3) -
+            greatest(lit(2) * col("i"), lit(3) * col("t"))) *
+          (least(lit(2) * col("j") + 2, lit(3) * col("u") + 3) -
+            greatest(lit(2) * col("j"), lit(3) * col("u"))))
+        .groupBy("t", "u").agg(sum(col("m") * col("w")).as("mass"))
+        .select(col("t").as("tlat"), col("u").as("tlon"), col("mass"),
+          (col("mass") / 32.0).as("value_sum"))
+        .orderBy("tlat", "tlon")
     }))
 
   private val wilsonSql: String = {
@@ -294,5 +331,22 @@ object GridQueries {
         |  JOIN g g11 ON g11.day = pc.d0 + 1 AND g11.hour = pc.h0 + 1)
         |SELECT qid, v00 * ((1.0 - fd) * (1.0 - fh)) + v10 * (fd * (1.0 - fh)) +
         |  v01 * ((1.0 - fd) * fh) + v11 * (fd * fh) AS val
-        |FROM j ORDER BY qid""".stripMargin)
+        |FROM j ORDER BY qid""".stripMargin,
+    "q115_conservative_regrid" ->
+      """WITH src AS (SELECT
+        |    CAST(FLOOR((((value - 100.0) / 2.0) + 90.0) / 0.25) AS BIGINT) AS i,
+        |    CAST(FLOOR((((((value * 3.7 - 250.0) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) + 180.0) / 0.25) AS BIGINT) AS j,
+        |    CAST(FLOOR(value * 8.0) AS BIGINT) AS v8
+        |  FROM events),
+        |cells AS (SELECT i, j, CAST(SUM(v8) AS BIGINT) AS m FROM src GROUP BY 1, 2),
+        |tl AS (SELECT i, j, m,
+        |    unnest(generate_series((2 * i) // 3, (2 * i + 1) // 3)) AS t FROM cells),
+        |tb AS (SELECT i, j, m, t,
+        |    unnest(generate_series((2 * j) // 3, (2 * j + 1) // 3)) AS u FROM tl),
+        |wt AS (SELECT t, u, m,
+        |    (LEAST(2 * i + 2, 3 * t + 3) - GREATEST(2 * i, 3 * t)) *
+        |    (LEAST(2 * j + 2, 3 * u + 3) - GREATEST(2 * j, 3 * u)) AS w FROM tb)
+        |SELECT t AS tlat, u AS tlon, CAST(SUM(m * w) AS BIGINT) AS mass,
+        |  CAST(SUM(m * w) AS BIGINT) / 32.0 AS value_sum
+        |FROM wt GROUP BY t, u ORDER BY tlat, tlon""".stripMargin)
 }

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.BpeOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer training + encoding over `documents` — the BPE surface of
+  * the training-data pipeline (see [[graft.functions.BpeOps]] for the
+  * vocab-sized-iteration scale argument). The DuckDB oracles replay the
+  * merge rounds as chained CTEs: every round is windows + groupBy over
+  * integer counts and string symbols, so both engines agree bit-exactly
+  * (sixth first-try-exact iterative replay family after q77/q88/q93/q94/
+  * q100).
+  */
+object TokenizerQueries {
+
+  /** q114's fixed rule list — the encode path applies merges learned
+    * elsewhere, in learned order (canonical BPE inference). */
+  private val EncodeRules = Seq(("t", "h"), ("th", "e"), ("a", "t"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BPE training, 3 merges: corpus -> word counts (the ONLY
+    // corpus-sized job) -> per-round vocab-sized pair-count + rewrite.
+    "q113_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+      val (rules, _) = BpeOps.train(docs, "text", iters = 3)
+      rules.map(r => (r.iter, r.a, r.b, r.a + r.b, r.count))
+        .toDF("iter", "left_sym", "right_sym", "merged", "pair_count")
+        .orderBy("iter")
+    }),
+
+    // BPE encode with a fixed rule list: rules applied on the
+    // vocab-sized word table, then one word->units join back to docs.
+    "q114_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val syms = BpeOps.initSymbols(BpeOps.wordCounts(docs, "text"))
+      val units = BpeOps.unitCounts(BpeOps.applyRules(syms, EncodeRules))
+      BpeOps.encodeDocCounts(docs, "doc_id", "text", units)
+        .orderBy("doc_id")
+    }))
+
+  /** One BPE merge round as chained CTEs over an input symbol table
+    * `$in`, producing `$out`. `$a`/`$b` are SQL expressions for the pair
+    * (literals for encode, scalar subqueries for training). Mirrors
+    * [[BpeOps.mergeRound]] exactly: rid-adjacent candidates overlap, odd
+    * island ranks merge, a row is absorbed iff its predecessor merged. */
+  private def roundSql(in: String, out: String, tag: String,
+                       a: String, b: String): String = s"""
+    r$tag AS (SELECT word, wc, pos, sym,
+                lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+                row_number() OVER (PARTITION BY word ORDER BY pos) AS rid
+              FROM $in),
+    c$tag AS (SELECT r$tag.*,
+                coalesce(sym = $a AND nxt = $b, false) AS cand
+              FROM r$tag),
+    i$tag AS (SELECT c$tag.*,
+                rid - row_number() OVER (PARTITION BY word, cand ORDER BY pos) AS isl
+              FROM c$tag),
+    k$tag AS (SELECT i$tag.*,
+                cand AND (row_number() OVER (PARTITION BY word, cand, isl ORDER BY pos) % 2 = 1) AS keep
+              FROM i$tag),
+    $out AS (SELECT word, wc, pos,
+               CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+             FROM (SELECT k$tag.*,
+                     lag(keep, 1, false) OVER (PARTITION BY word ORDER BY pos) AS prev_keep
+                   FROM k$tag) t
+             WHERE NOT prev_keep)"""
+
+  /** Pair-count + argmax CTEs for training round `$tag` over `$in`. */
+  private def bestSql(in: String, tag: String): String = s"""
+    p$tag AS (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt
+              FROM (SELECT wc, sym,
+                      lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                    FROM $in) t
+              WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    b$tag AS (SELECT a, b, cnt FROM p$tag
+              ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""
+
+  private val wordCte = """
+    w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+          WHERE word <> '' GROUP BY 1),
+    s0 AS (SELECT word, wc, CAST(i AS INTEGER) AS pos,
+             substring(word, CAST(i AS INTEGER), 1) AS sym
+           FROM (SELECT word, wc,
+                   unnest(generate_series(1, length(word))) AS i FROM w) t)"""
+
+  val oracles: Map[String, String] = Map(
+    "q113_bpe_train" -> s"""
+      WITH $wordCte,
+      ${bestSql("s0", "1")},
+      ${roundSql("s0", "s1", "1", "(SELECT a FROM b1)", "(SELECT b FROM b1)")},
+      ${bestSql("s1", "2")},
+      ${roundSql("s1", "s2", "2", "(SELECT a FROM b2)", "(SELECT b FROM b2)")},
+      ${bestSql("s2", "3")}
+      SELECT CAST(1 AS INTEGER) AS iter, a AS left_sym, b AS right_sym,
+             a || b AS merged, cnt AS pair_count FROM b1
+      UNION ALL SELECT 2, a, b, a || b, cnt FROM b2
+      UNION ALL SELECT 3, a, b, a || b, cnt FROM b3
+      ORDER BY iter""",
+
+    "q114_bpe_encode" -> s"""
+      WITH $wordCte,
+      ${roundSql("s0", "s1", "1", "'t'", "'h'")},
+      ${roundSql("s1", "s2", "2", "'th'", "'e'")},
+      ${roundSql("s2", "s3", "3", "'a'", "'t'")},
+      u AS (SELECT word, CAST(count(*) AS BIGINT) AS units FROM s3 GROUP BY 1),
+      d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(units) AS BIGINT) AS n_units
+      FROM d JOIN u USING (word) WHERE word <> ''
+      GROUP BY doc_id ORDER BY doc_id""")
+}

@@ -415,4 +415,20 @@ class QueriesSpec extends SparkSpec {
     // simple-variant mass bound: total <= 1 (dangling mass dropped)
     assert(pr.values.sum <= 1.0 + 1e-9)
   }
+
+  test("q115 conservative regrid conserves mass exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // every 0.25° source cell overlaps the 0.375° grid with total weight
+    // 2 (eighths) per axis -> regridded mass must equal 4x source mass,
+    // as BIGINTs (the integer-exactness claim, not an epsilon test)
+    val out = SparkEntry.queries("q115_conservative_regrid")(spark, dir)
+    val mass = out.agg(sum("mass")).head.getLong(0)
+    val src = graft.Tables.events(spark, dir)
+      .select(floor(col("value") * 8.0).cast("long").as("v8"))
+      .agg(sum("v8")).head.getLong(0)
+    assert(mass == 4L * src, s"$mass vs 4*$src")
+    // and value_sum is the exact dyadic rescale of mass
+    assert(out.filter(col("value_sum") =!= col("mass") / 32.0).isEmpty)
+  }
 }

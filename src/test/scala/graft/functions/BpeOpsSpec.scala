@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE merge-round semantics — especially the one case where engines
+  * can silently disagree: overlapping candidates (`aaaa` with pair
+  * `(a,a)`), which must merge leftmost-greedy. */
+class BpeOpsSpec extends SparkSpec {
+
+  private def docs(texts: String*): DataFrame = {
+    val s = spark; import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+  }
+
+  private def encoded(syms: DataFrame): Map[String, Seq[String]] =
+    syms.groupBy("word")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        x => x.getField("sym")), " ").as("units"))
+      .collect().map(r => r.getString(0) -> r.getString(1).split(" ").toSeq)
+      .toMap
+
+  test("mergeRound: leftmost-greedy on overlap runs") {
+    val syms = BpeOps.initSymbols(
+      BpeOps.wordCounts(docs("aaaa aaa aa baab"), "text"))
+    val out = encoded(BpeOps.mergeRound(syms, "a", "a"))
+    assert(out("aaaa") == Seq("aa", "aa")) // 1st+3rd candidates, not 2nd
+    assert(out("aaa") == Seq("aa", "a"))
+    assert(out("aa") == Seq("aa"))
+    assert(out("baab") == Seq("b", "aa", "b"))
+  }
+
+  test("mergeRound: multi-char symbols and repeated pairs in one word") {
+    val syms0 = BpeOps.initSymbols(BpeOps.wordCounts(docs("ththe the"), "text"))
+    val s1 = BpeOps.mergeRound(syms0, "t", "h")
+    assert(encoded(s1)("ththe") == Seq("th", "th", "e"))
+    val s2 = BpeOps.mergeRound(s1, "th", "e")
+    assert(encoded(s2)("ththe") == Seq("th", "the"))
+    assert(encoded(s2)("the") == Seq("the"))
+  }
+
+  test("mergeRoundFiltered matches the unfiltered round") {
+    val syms = BpeOps.initSymbols(
+      BpeOps.wordCounts(docs("abab cdcd abcd xyz aabb"), "text"))
+    for ((a, b) <- Seq(("a", "b"), ("c", "d"), ("x", "z"))) {
+      val full = encoded(BpeOps.mergeRound(syms, a, b))
+      val filt = encoded(BpeOps.mergeRoundFiltered(syms, a, b))
+      assert(filt == full, s"pair ($a,$b)")
+    }
+  }
+
+  test("train: picks max-count pair, lexicographic tie-break, stated counts") {
+    // "ab" appears 3x (wc-weighted), "cd" 3x -> tie, (a,b) < (c,d) wins
+    // round 1; round 2 then sees cd at 3.
+    val d = docs("ab ab ab cd cd cd")
+    val (rules, _) = BpeOps.train(d, "text", iters = 2)
+    assert(rules.map(r => (r.iter, r.a, r.b, r.count)) ==
+      Seq((1, "a", "b", 3L), (2, "c", "d", 3L)))
+  }
+
+  test("train + encode: units are the trained segmentation, totals conserve") {
+    val d = docs("the the cat", "the hat")
+    val (rules, syms) = BpeOps.train(d, "text", iters = 2)
+    // th=3 and he=3 tie -> (h,e) wins lexicographically; then (t,he)=3:
+    // "the" becomes one unit either way
+    assert(rules.map(r => (r.a, r.b)) == Seq(("h", "e"), ("t", "he")))
+    val units = BpeOps.unitCounts(syms)
+    val perDoc = BpeOps.encodeDocCounts(d, "id", "text", units)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(perDoc(0) == ((3L, 1L + 1L + 3L))) // the=1, the=1, cat=3 units
+    assert(perDoc(1) == ((2L, 1L + 3L)))
+  }
+
+  test("applyRules in order reproduces a training trajectory") {
+    val d = docs("the the cat", "the hat")
+    val (rules, syms) = BpeOps.train(d, "text", iters = 2)
+    val replay = BpeOps.applyRules(
+      BpeOps.initSymbols(BpeOps.wordCounts(d, "text")),
+      rules.map(r => (r.a, r.b)))
+    assert(encoded(replay) == encoded(syms))
+  }
+}
