@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.BpeOps
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for BPE training: N docs (default 2M, 60 tokens over
+  * a 5k-word vocabulary, generated distributively) plus a planted
+  * 48x-repeated "zq" marker token per doc, so the first three merges are
+  * forced — (z,q) at 48N, (zq,zq) at 47N, (zqzq,zqzq) at 23N; the
+  * largest organic pair, (w, leading-digit), runs at ~13.3N — and the
+  * probe REQUIRES exactly those rules with exactly those counts.
+  *
+  * What this rehearses: the corpus is touched exactly once (word
+  * counts); every one of the 12 training rounds then runs on the
+  * vocab-sized symbol table (~5k words), so round time must stay flat
+  * as N grows — the Sennrich word-count trick that makes BPE trainable
+  * at 100 TB. The encode pass joins the trained word->units table back
+  * against the full corpus and must conserve token counts exactly.
+  */
+object BpeScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    val nDocs = args.headOption.map(_.toInt).getOrElse(2000000)
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    val marker = "zq" * 48
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat(array_join(transform(sequence(lit(0), lit(59)),
+          j => concat(lit("w"),
+            pmod(xxhash64(col("id"), j), lit(5000)))), " "),
+        lit(" " + marker)).as("text"))
+      .localCheckpoint(true)
+
+    val words = timed("word_counts (the one corpus-sized job)") {
+      val w = BpeOps.wordCounts(docs, "text").localCheckpoint(true)
+      println(s"PROBE vocab ${w.count()} words")
+      w
+    }
+
+    val syms0 = BpeOps.initSymbols(words)
+    var syms = syms0
+    val rules = Seq.newBuilder[BpeOps.MergeRule]
+    timed("train_12_rounds (vocab-sized)") {
+      var i = 1
+      while (i <= 12) {
+        val t0 = System.nanoTime()
+        val r = BpeOps.bestPair(syms).get
+        rules += r.copy(iter = i)
+        syms = BpeOps.mergeRoundFiltered(syms, r.a, r.b)
+        // cut lineage every round: the table is vocab-sized (cheap to
+        // materialize) while 6 stacked window ops per un-checkpointed
+        // round make replanning+recompute the dominant cost (measured
+        // 0.6s/round checkpointed vs 20s+ by round 6 without)
+        syms = syms.localCheckpoint(eager = true)
+        println(f"PROBE   round $i (${r.a},${r.b}) cnt=${r.count} " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+        i += 1
+      }
+    }
+    val got = rules.result().take(3).map(r => (r.a, r.b, r.count))
+    val want = Seq(("z", "q", 48L * nDocs), ("zq", "zq", 47L * nDocs),
+      ("zqzq", "zqzq", 23L * nDocs))
+    require(got == want, s"planted merges not recovered: $got vs $want")
+    println("PROBE planted merges recovered exactly")
+
+    val units = BpeOps.unitCounts(syms).localCheckpoint(true)
+    val perDoc = timed("encode (corpus-sized join)") {
+      val d = BpeOps.encodeDocCounts(docs, "doc_id", "text", units)
+        .agg(sum("n_tokens"), sum("n_units")).head()
+      (d.getLong(0), d.getLong(1))
+    }
+    require(perDoc._1 == 61L * nDocs,
+      s"token conservation broke: ${perDoc._1} vs ${61L * nDocs}")
+    // cross-check: corpus-side unit total == vocab-side wc-weighted total
+    val vocabUnits = words.join(units, "word")
+      .agg(sum(col("wc") * col("units"))).head().getLong(0)
+    require(perDoc._2 == vocabUnits,
+      s"unit totals disagree: corpus ${perDoc._2} vs vocab $vocabUnits")
+    println(s"PROBE encode conserves: ${perDoc._1} tokens -> ${perDoc._2} units")
+    spark.stop()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustered layout — the storage-side half of
+  * multi-column scan pruning at 100 TB.
+  *
+  * Parquet footers carry per-file/per-row-group min/max for every
+  * column, and the scan planner prunes files whose ranges miss the
+  * predicate. A single-column sort gives perfect pruning on that column
+  * and none on any other; interleaving the bits of two (or more) range
+  * keys before sorting bounds BOTH columns' spread inside each file, so
+  * a box predicate on (lat, lon) — or (date, tenant), (source, time) —
+  * skips all but O(perimeter) of the files instead of scanning one full
+  * dimension. This is the layout trick behind Delta/Iceberg `ZORDER BY`
+  * clustering, built here from codegen'd built-ins only.
+  *
+  * The interleave uses the classic parallel bit-spread (4 shift/mask
+  * rounds per key, constant-folded masks) rather than a 32-term
+  * bit-by-bit OR chain — a handful of long ops per row inside
+  * whole-stage codegen, no UDF.
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of a non-negative long so bit k lands at
+    * position 2k (0b1111 -> 0b1010101). */
+  private[operators] def spread16(x: Column): Column = {
+    val a = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (c.bitwiseOR(shiftleft(c, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton code of two bucket indices (each clamped to [0, 2^16)). */
+  def zvalue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 16, "bits must be in [1,16]")
+    val mask = lit((1L << bits) - 1)
+    spread16(x.bitwiseAND(mask))
+      .bitwiseOR(shiftleft(spread16(y.bitwiseAND(mask)), 1))
+  }
+
+  /** Equal-width bucket index of a numeric column over [lo, hi). */
+  def bucket(c: Column, lo: Double, hi: Double, buckets: Int): Column =
+    least(lit(buckets - 1), greatest(lit(0),
+      floor((c - lit(lo)) / lit((hi - lo) / buckets)).cast("long")))
+
+  /** Cluster `df` along the Morton curve of two bucketed range keys and
+    * return the frame to write: range-partitioned (so files tile the
+    * curve — each file owns a compact z-range, i.e. a small rectangle
+    * union) and sorted within partitions (so row groups sub-tile it).
+    * `numFiles` is the target file count; at 100 TB pick it from the
+    * target file size, not the executor count. */
+  def cluster(df: DataFrame, x: Column, y: Column,
+              numFiles: Int, bits: Int = 16): DataFrame = {
+    val z = zvalue(x, y, bits).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

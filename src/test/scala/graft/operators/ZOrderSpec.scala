@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering: Morton-code correctness against a bit-by-bit
+  * reference, and the layout claim itself — a z-clustered table prunes
+  * parquet files on BOTH range keys, where a single-column sort prunes
+  * on one and scans everything for the other. */
+class ZOrderSpec extends SparkSpec {
+
+  private def mortonRef(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, k) =>
+      acc | ((x >> k & 1L) << (2 * k)) | ((y >> k & 1L) << (2 * k + 1))
+    }
+
+  test("zvalue matches the bit-by-bit Morton reference") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L))
+    val got = pairs.toDF("x", "y")
+      .select(ZOrder.zvalue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pairs.map { case (x, y) => mortonRef(x, y) })
+  }
+
+  test("bucket clamps to [0, buckets)") {
+    val s = spark; import s.implicits._
+    val got = Seq(-500.0, -90.0, 0.0, 89.999, 90.0, 500.0).toDF("v")
+      .select(ZOrder.bucket(col("v"), -90.0, 90.0, 256).as("b"))
+      .collect().map(_.getLong(0))
+    assert(got.min == 0L && got.max == 255L)
+    assert(got.toSeq == Seq(0L, 0L, 128L, 255L, 255L, 255L))
+  }
+
+  /** Files whose [min,max] of `c` intersects [lo,hi]. */
+  private def candidateFiles(dir: String, c: String,
+                             lo: Double, hi: Double): (Int, Int) = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    val n = files.count { f =>
+      val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+      r.getDouble(0) <= hi && r.getDouble(1) >= lo
+    }
+    (n, files.size)
+  }
+
+  test("z-clustered layout prunes files on both keys; lat-sort only on lat") {
+    val df = spark.range(50000).select(col("id"),
+      (pmod(hash(col("id")), lit(1000)) / 1000.0 * 180.0 - 90.0).as("lat"),
+      (pmod(hash(col("id") * 7 + 1), lit(1000)) / 1000.0 * 360.0 - 180.0).as("lon"))
+
+    val zDir = tmpDir("zorder")
+    ZOrder.cluster(df,
+        ZOrder.bucket(col("lat"), -90.0, 90.0, 256),
+        ZOrder.bucket(col("lon"), -180.0, 180.0, 256), numFiles = 64)
+      .write.mode("overwrite").parquet(zDir)
+
+    val latDir = tmpDir("latsort")
+    df.repartitionByRange(64, col("lat")).sortWithinPartitions("lat")
+      .write.mode("overwrite").parquet(latDir)
+
+    // a lon-only stripe (11% of the range): the lat-sorted layout can
+    // prune nothing; the z layout must skip at least half the files
+    val (zLon, zn) = candidateFiles(zDir, "lon", -10.0, 30.0)
+    val (latLon, ln) = candidateFiles(latDir, "lon", -10.0, 30.0)
+    assert(latLon == ln, "lat-sorted layout unexpectedly pruned on lon")
+    assert(zLon <= zn / 2, s"z layout kept $zLon of $zn files for a lon stripe")
+
+    // and lat stays prunable under z too (both dimensions bounded)
+    val (zLat, _) = candidateFiles(zDir, "lat", -10.0, 30.0)
+    assert(zLat <= zn / 2, s"z layout kept $zLat of $zn files for a lat stripe")
+
+    // layout changes bytes, never answers
+    val q = (d: String) => spark.read.parquet(d)
+      .filter(col("lat").between(-10, 30) && col("lon").between(-10, 30)).count()
+    assert(q(zDir) == q(latDir))
+  }
+}
