@@ -16,7 +16,8 @@ object Bench {
     "q97_cdc_chunks", "q98_cdc_dedup", "q100_ivf_pq",
     "q102_hll_distinct", "q104_winnow_fingerprints", "q105_winnow_overlap",
     "q106_pagerank", "q108_label_prop", "q109_triangles",
-    "q110_coengagement", "q111_fuzzy_join")
+    "q110_coengagement", "q111_fuzzy_join",
+    "q113_bpe_train", "q114_bpe_encode")
 
   /** Tables the tier-2 set reads. Each is replicated `factor`× with its
     * id keys shifted per replica (joins/groups keep realistic key

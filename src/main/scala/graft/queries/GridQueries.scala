@@ -231,7 +231,47 @@ object GridQueries {
         .select(col("t").as("tlat"), col("u").as("tlon"), col("mass"),
           (col("mass") / 32.0).as("value_sum"))
         .orderBy("tlat", "tlon")
+    }),
+
+    // Point-in-polygon region tagging — the shapefile-selection step of
+    // every climate pipeline (the reference selects by bbox only;
+    // polygons are the natural completion of §2.4's spatial surface).
+    // Convex CCW polygons with integer vertices: a point is inside iff
+    // every edge cross product (x2-x1)(py-y1)-(y2-y1)(px-x1) >= 0 —
+    // one deterministic double expression, identical op order in both
+    // engines. Scale shape: the polygon-edge table is broadcast (a
+    // BNLJ against a dozen rows), the scan stays one pass over events
+    // with per-row O(edges) work and a map-side-combined aggregate; a
+    // concave production shape swaps the min-cross test for ray-cast
+    // parity, same plan.
+    "q116_point_in_polygon" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Polygons.flatMap { case (pid, verts) =>
+        verts.zip(verts.tail :+ verts.head).map { case ((x1, y1), (x2, y2)) =>
+          (pid, x1, y1, x2, y2)
+        }
+      }.toDF("poly_id", "x1", "y1", "x2", "y2")
+      val pts = Tables.events(s, dir)
+        .withColumn("lat", (col("value") - 100.0) / 2.0)
+        .withColumn("lon", Normalize.wrapLongitude(col("value") * 3.7 - 250.0))
+        .withColumn("v8", floor(col("value") * 8.0).cast("long"))
+      pts.join(broadcast(edges))
+        .withColumn("cross",
+          (col("x2") - col("x1")) * (col("lat") - col("y1")) -
+            (col("y2") - col("y1")) * (col("lon") - col("x1")))
+        .groupBy("event_id", "poly_id")
+        .agg(min("cross").as("mc"), min("v8").as("v8"))
+        .where(col("mc") >= 0.0)
+        .groupBy("poly_id")
+        .agg(count(lit(1)).as("n_inside"), sum("v8").as("mass"))
+        .orderBy("poly_id")
     }))
+
+  /** Convex CCW test polygons in (lon, lat) with integer vertices. */
+  private val Polygons: Seq[(Int, Seq[(Int, Int)])] = Seq(
+    1 -> Seq((-10, -10), (40, -10), (15, 35)),
+    2 -> Seq((-120, -40), (-60, -40), (-60, 20), (-120, 20)),
+    3 -> Seq((60, 0), (100, -20), (140, 10), (120, 50), (80, 45)))
 
   private val wilsonSql: String = {
     val z = "4.417173413469023"
@@ -348,5 +388,21 @@ object GridQueries {
         |    (LEAST(2 * j + 2, 3 * u + 3) - GREATEST(2 * j, 3 * u)) AS w FROM tb)
         |SELECT t AS tlat, u AS tlon, CAST(SUM(m * w) AS BIGINT) AS mass,
         |  CAST(SUM(m * w) AS BIGINT) / 32.0 AS value_sum
-        |FROM wt GROUP BY t, u ORDER BY tlat, tlon""".stripMargin)
+        |FROM wt GROUP BY t, u ORDER BY tlat, tlon""".stripMargin,
+    "q116_point_in_polygon" ->
+      """WITH edges(poly_id, x1, y1, x2, y2) AS (VALUES
+        |  (1,-10,-10,40,-10),(1,40,-10,15,35),(1,15,35,-10,-10),
+        |  (2,-120,-40,-60,-40),(2,-60,-40,-60,20),(2,-60,20,-120,20),(2,-120,20,-120,-40),
+        |  (3,60,0,100,-20),(3,100,-20,140,10),(3,140,10,120,50),(3,120,50,80,45),(3,80,45,60,0)),
+        |pts AS (SELECT event_id,
+        |    (value - 100.0) / 2.0 AS lat,
+        |    ((((value * 3.7 - 250.0) + 180.0) % 360.0 + 360.0) % 360.0) - 180.0 AS lon,
+        |    CAST(FLOOR(value * 8.0) AS BIGINT) AS v8
+        |  FROM events),
+        |pp AS (SELECT event_id, poly_id,
+        |    MIN((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) AS mc,
+        |    MIN(v8) AS v8
+        |  FROM pts, edges GROUP BY 1, 2)
+        |SELECT poly_id, COUNT(*) AS n_inside, CAST(SUM(v8) AS BIGINT) AS mass
+        |FROM pp WHERE mc >= 0.0 GROUP BY 1 ORDER BY 1""".stripMargin)
 }

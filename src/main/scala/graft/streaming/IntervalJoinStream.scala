@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join (SURVEY §2.13) — the
+  * streaming twin of the batch range join (q76 / `operators.RangeJoin`):
+  * each left row pairs with right rows sharing a key whose event time
+  * falls in `[l.ts - before, l.ts + after]`.
+  *
+  * Scale mechanics: BOTH sides carry watermarks and the join condition
+  * bounds the right timestamp by the left one in both directions, which
+  * is exactly what Spark's symmetric hash join needs to EVICT state —
+  * each side buffers only `lateness + window` of data per key, so state
+  * is O(rate × window), not O(stream). Without the two-sided time bound
+  * the state store grows forever; that, not correctness, is what kills
+  * naive stream joins at production scale.
+  */
+object IntervalJoinStream {
+
+  /** Inner interval join on `keyCol`. `before`/`after`/`lateness` are
+    * SQL interval strings (e.g. "30 minutes"). Column names must be
+    * disjoint apart from `keyCol`; timestamps stay event-time typed. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   ltsCol: String, rtsCol: String,
+                   before: String, after: String,
+                   lateness: String): DataFrame = {
+    val l = left.withWatermark(ltsCol, lateness)
+    val r = right.withWatermark(rtsCol, lateness)
+    l.join(r, l(keyCol) === r(keyCol) &&
+        col(rtsCol) >= col(ltsCol) - expr(s"interval $before") &&
+        col(rtsCol) <= col(ltsCol) + expr(s"interval $after"))
+      .drop(r(keyCol))
+  }
+
+  /** The batch plan the streaming twin must agree with (same expression
+    * tree, minus watermarks). */
+  def intervalJoinBatch(left: DataFrame, right: DataFrame, keyCol: String,
+                        ltsCol: String, rtsCol: String,
+                        before: String, after: String): DataFrame =
+    left.join(right, left(keyCol) === right(keyCol) &&
+        col(rtsCol) >= col(ltsCol) - expr(s"interval $before") &&
+        col(rtsCol) <= col(ltsCol) + expr(s"interval $after"))
+      .drop(right(keyCol))
+}

@@ -315,4 +315,52 @@ class StreamingSpec extends SparkSpec {
     run() // same checkpoint: nothing new to process
     assert(spark.read.parquet(out).count() == n1 && n1 > 0)
   }
+
+  test("stream-stream interval join == batch interval join") {
+    val s = spark; import s.implicits._
+    val MIN = 60000L
+    val T0 = 86400000L // off epoch 0: the initial watermark IS epoch 0,
+                       // and a row exactly ON the watermark is dropped
+    // impressions every 10 min per user; clicks at offsets that land
+    // inside (+7min), at the edge (+30min exactly), and outside (+45min)
+    val imps = (0 until 60).map { i =>
+      (i.toLong % 3, new java.sql.Timestamp(T0 + i * 10 * MIN), s"imp$i")
+    }.toDF("user_id", "its", "imp")
+    val clicks = (0 until 60).map { i =>
+      val off = (i % 3) match { case 0 => 7L; case 1 => 30L; case _ => 45L }
+      (i.toLong % 3, new java.sql.Timestamp(T0 + (i * 10 + off) * MIN), s"clk$i")
+    }.toDF("user_id", "cts", "clk")
+    val (ld, rd) = (tmpDir("ij-left"), tmpDir("ij-right"))
+    // one file per side: multiple part-files can land in different
+    // micro-batches, and a later file would advance the watermark past
+    // the earliest events — the documented late-drop semantic, not the
+    // in-order agreement this twin asserts
+    imps.coalesce(1).write.mode("overwrite").parquet(ld)
+    clicks.coalesce(1).write.mode("overwrite").parquet(rd)
+
+    val joined = IntervalJoinStream.intervalJoin(
+      IncrementalStream.source(spark, ld, imps.schema),
+      IncrementalStream.source(spark, rd, clicks.schema),
+      "user_id", "its", "cts", "0 minutes", "30 minutes", "10 minutes")
+    val out = tmpDir("ij-out")
+    IncrementalStream.runAvailableNowToParquet(joined, out, tmpDir("ij-ckpt"))
+
+    val streamed = spark.read.parquet(out)
+    val batch = IntervalJoinStream.intervalJoinBatch(
+      imps, clicks, "user_id", "its", "cts", "0 minutes", "30 minutes")
+    assert(batch.count() > 0)
+    if (streamed.count() != batch.count()) {
+      batch.select(streamed.columns.map(col).toSeq: _*).exceptAll(streamed)
+        .show(10, false)
+      streamed.exceptAll(batch.select(streamed.columns.map(col).toSeq: _*))
+        .show(10, false)
+    }
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch.select(streamed.columns.map(col).toSeq: _*))
+      .count() == 0)
+    // the window edge is inclusive, beyond it excluded: spot-check one user
+    val perImp = batch.filter(col("user_id") === 0 && col("imp") === "imp0")
+    assert(perImp.count() == 1) // its own +7min click only
+  }
 }
