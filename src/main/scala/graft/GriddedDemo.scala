@@ -1,0 +1,120 @@
+package graft
+
+import graft.etl.DatasetManager
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end gridded-dataset lifecycle — executable documentation of
+  * the reference's core workflow (`dataset_manager.py` parse →
+  * `utils/publish.py` QC/write → `utils/metadata.py` STAC chain), the
+  * gridded twin of [[CurationDemo]]: initial parse, contiguous append,
+  * in-range region correction, pruned reads, data time travel, STAC
+  * prev-chain walk, vacuum — with every stage REQUIRED to verify, not
+  * just timed.
+  *
+  * Data is generated distributively (no driver-side rows): default 2
+  * years daily × 120×240 cells ≈ 21M cells initial + a 30-day append +
+  * a 10-day × 20×20 correction. Args: nDays nLat nLon.
+  */
+object GriddedDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val (nDays, nLat, nLon) = (
+      args.lift(0).map(_.toInt).getOrElse(730),
+      args.lift(1).map(_.toInt).getOrElse(120),
+      args.lift(2).map(_.toInt).getOrElse(240))
+    val DAY_US = 86400000000L
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"DEMO $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    /** days [d0, d0+len) over the full grid, deterministic values. */
+    def slab(d0: Long, len: Long, offset: Double): DataFrame =
+      spark.range(len * nLat * nLon).select(
+        ((expr(s"id div ${nLat * nLon}") + d0) * DAY_US).as("time"),
+        (lit(-15.0) + pmod(expr(s"id div $nLon"), lit(nLat.toLong)) * 0.25)
+          .as("latitude"),
+        (lit(10.0) + pmod(col("id"), lit(nLon.toLong)) * 0.25).as("longitude"),
+        (pmod(col("id") * 37L, lit(1000L)).cast("double") / 10.0 + offset)
+          .as("precip"))
+
+    val root = java.nio.file.Files.createTempDirectory("gridded-demo").toString
+    val d = DatasetDescriptor("demo-precip", "precip", Category.Observation,
+      missingValue = Some(-9999.0), cadenceUs = DAY_US,
+      chunk = ChunkGrid(30 * DAY_US, 2000000),
+      attrs = Map("units" -> "mm"))
+    val mgr = new DatasetManager(d, s"$root/store", s"$root/catalog", spark,
+      extremeBounds = Some((-1.0, 10000.0)))
+
+    // 1. initial parse (writeInitial + pre/post QC + STAC publish)
+    val v1 = timed(s"initial_parse (${nDays}d x $nLat x $nLon)") {
+      mgr.parse(mgr.normalize(slab(0, nDays, 0.0))).get
+    }
+    require(v1.dateRange.contains((0L, (nDays - 1) * DAY_US)), v1.dateRange)
+
+    // 2. contiguous 30-day append
+    val v2 = timed("append_30d") {
+      mgr.parse(mgr.normalize(slab(nDays, 30, 1.0))).get
+    }
+    require(v2.dateRange.contains((0L, (nDays + 29) * DAY_US)), v2.dateRange)
+
+    // 3. region correction: 10 in-range days, 20x20 subgrid, +5000 bias
+    val correction = slab(100, 10, 5000.0)
+      .where(col("latitude") < -15.0 + 20 * 0.25 &&
+        col("longitude") < 10.0 + 20 * 0.25)
+    val nCorr = correction.count()
+    timed(s"region_correction ($nCorr cells)") {
+      mgr.parse(mgr.normalize(correction)).get
+    }
+
+    // 4. pruned reads: one day slice, one point history
+    val daySlice = timed("read_day_slice") {
+      mgr.store.read().where(col("time") === 100 * DAY_US).count()
+    }
+    require(daySlice == nLat.toLong * nLon, s"day slice $daySlice")
+    val pointHist = timed("read_point_history") {
+      mgr.store.read().where(col("latitude") === -15.0 &&
+        col("longitude") === 10.0).count()
+    }
+    require(pointHist == nDays + 30L, s"point history $pointHist")
+
+    // 5. correction visible only at the latest version (data time travel)
+    val latestVersion = mgr.store.latestVersionNumber()
+    val correctedNow = mgr.store.read()
+      .where(col("precip") >= 5000.0).count()
+    require(correctedNow == nCorr, s"corrected cells $correctedNow vs $nCorr")
+    val correctedBefore = timed("time_travel_pre_correction") {
+      mgr.store.readAt(latestVersion - 1)
+        .where(col("precip") >= 5000.0).count()
+    }
+    require(correctedBefore == 0L, s"pre-correction high cells $correctedBefore")
+
+    // 6. STAC prev-chain: three commits → three prev-linked items
+    def chainLen(v: Option[String], acc: Int): Int = v match {
+      case None => acc
+      case Some(ver) =>
+        val item = mgr.catalog.readItem("demo-precip", ver)
+        require(item.isDefined, s"missing STAC item $ver")
+        val prev = mgr.catalog.links(item.get)
+          .collectFirst { case ("prev", href) =>
+            href.split("/").last.stripSuffix(".json") }
+        chainLen(prev, acc + 1)
+    }
+    val chain = chainLen(mgr.catalog.latestVersion("demo-precip"), 0)
+    require(chain == 3, s"STAC chain length $chain")
+
+    // 7. vacuum: reclaim pre-correction files, latest still reads
+    val reclaimed = timed("vacuum")(mgr.store.vacuum(retainLast = 1))
+    val total = mgr.store.read().count()
+    require(total == (nDays + 30L) * nLat * nLon, s"post-vacuum count $total")
+    println(s"DEMO ok: ${total} cells live, ${reclaimed.size} files reclaimed, " +
+      s"store v$latestVersion, STAC chain 3")
+    spark.stop()
+  }
+}

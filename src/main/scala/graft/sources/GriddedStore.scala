@@ -568,12 +568,20 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
         // Region replace: for each affected bucket, merge surviving
         // existing rows with the update rows and write the merged bucket
         // as NEW files (the `region=` write, `publish.py:332-371`).
+        // Survivorship is CELL-keyed (anti-join on the full dim tuple):
+        // a correction covering a spatial subset of a day replaces only
+        // the cells it provides, like the reference's zarr hyperslab
+        // region write — a time-keyed survivor rule would silently drop
+        // the rest of the partially-updated slice. The anti-join is
+        // bucket-confined on both sides; Spark broadcasts the update
+        // keys when they fit and falls back to a shuffled join keyed on
+        // the dims when a correction is genuinely bucket-sized.
         val insertRows = p.join(broadcast(insertT), Seq(t), "left_semi")
         insertBuckets = insertRows.select("time_bucket").distinct()
           .collect().map(_.getLong(0)).toSeq // one entry per affected bucket
         val survivors = read()
           .filter(col("time_bucket").isin(insertBuckets: _*))
-          .join(broadcast(insertT), Seq(t), "left_anti")
+          .join(insertRows.select(d.dims.map(col): _*), d.dims, "left_anti")
           .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
         writeBuckets(survivors.unionByName(insertRows), d, SaveMode.Append)
       }

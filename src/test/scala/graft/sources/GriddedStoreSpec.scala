@@ -74,6 +74,26 @@ class GriddedStoreSpec extends SparkSpec {
     assert(untouched == 9 * 100.0)
   }
 
+  test("partial-slice insert keeps the slice's other cells (cell-keyed survivors)") {
+    val root = tmpDir("store-cellins")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(10, 4, 4), desc("cellins"))
+    // correct ONE cell of day 3: the other 15 cells of that day and every
+    // other day must survive — a time-keyed survivor rule would silently
+    // drop the 15 (the reference's zarr region write is hyperslab-scoped)
+    val corr = cube(1, 1, 1, startDay = 3, valueOffset = 7777.0)
+    store.update(corr)
+    assert(store.read().count() == 10 * 16)
+    val day3 = store.read().where(col("time") === 3 * DAY_US)
+    assert(day3.count() == 16)
+    val corrected = day3.where(col("latitude") === -1.0 &&
+      col("longitude") === 10.0).select("precip").collect()(0).getDouble(0)
+    assert(corrected == 7777.0) // cube's local day index is 0
+    val neighbor = day3.where(col("latitude") === -0.75 &&
+      col("longitude") === 10.25).select("precip").collect()(0).getDouble(0)
+    assert(neighbor == 3 * 100.0 + 11.0) // la=1,lo=1: untouched original
+  }
+
   test("update before dataset start fails; empty update fails") {
     val root = tmpDir("store-guards")
     val store = new GriddedStore(root, spark)
