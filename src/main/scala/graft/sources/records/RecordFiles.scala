@@ -1,0 +1,55 @@
+package graft.sources.records
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Writer side of the `.grec` format — one file PER PARTITION, written
+  * by the executors (`foreachPartition`), so ingest parallelism equals
+  * write parallelism and the driver never touches payload bytes. The
+  * stripe index (every `stripeRecords` records) is what makes the files
+  * splittable on read; pick it so a stripe is a few tens of MB at
+  * production payload sizes. */
+object RecordFiles {
+
+  /** Write `df`'s `payloadCol` (binary) to `dir/part-NNNNN.grec`. */
+  def write(df: DataFrame, payloadCol: String, dir: String,
+            stripeRecords: Int = 1000): Unit = {
+    val spark = df.sparkSession
+    val carrier = new ConfCarrier(spark.sessionState.newHadoopConf())
+    df.select(payloadCol).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new Path(dir, f"part-$pid%05d.grec")
+          val fs = p.getFileSystem(carrier.toConf)
+          val out = fs.create(p, true)
+          val index = Seq.newBuilder[(Long, Int)]
+          var stripeStart = 0L
+          var inStripe = 0
+          var pos = 0L
+          it.foreach { r =>
+            val bytes = r.getAs[Array[Byte]](0)
+            if (inStripe == stripeRecords) {
+              index += ((stripeStart, inStripe))
+              stripeStart = pos
+              inStripe = 0
+            }
+            out.writeInt(bytes.length)
+            out.write(bytes)
+            pos += 4L + bytes.length
+            inStripe += 1
+          }
+          if (inStripe > 0) index += ((stripeStart, inStripe))
+          val entries = index.result()
+          entries.foreach { case (off, n) => out.writeLong(off); out.writeInt(n) }
+          out.writeInt(entries.size)
+          out.writeInt(RecordsSource.Magic)
+          out.close()
+        }
+    }
+  }
+
+  /** Read back via the V2 source. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.records.RecordsSource").load(dir)
+}
