@@ -17,11 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * cannot drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, clazz, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.Strategy)
+  }
 }
 
 object GraftExtensions {

@@ -91,9 +91,15 @@ object GraftSession {
     * use — the SAME builder values the extensions path injects
     * ([[GraftExtensions.builders]]), so the two registration routes
     * cannot drift. */
-  def registerFunctions(spark: SparkSession): Unit =
+  def registerFunctions(spark: SparkSession): Unit = {
     GraftExtensions.builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    // whole-operator strategies (same set GraftExtensions injects)
+    if (!spark.experimental.extraStrategies.contains(
+        graft.plans.TopKPerKey.Strategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKey.Strategy
+  }
 }

@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Per-key top-k as a WHOLE-OPERATOR plan (SURVEY preference order (c):
+  * custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`, registered via
+  * `SparkSessionExtensions`).
+  *
+  * WHY: the DataFrame spelling —
+  * `row_number().over(Window.partitionBy(keys).orderBy(ord)) <= k` —
+  * plans as Exchange → **full SORT of every row** → Window → Filter.
+  * The sort is O(n log n) in PARTITION size and materializes the whole
+  * partition, when the answer only ever needs k rows per key. This
+  * operator keeps a bounded k-heap per key instead:
+  *
+  *   partial TopKPerKeyExec   (per input partition, before the shuffle)
+  *       → Exchange on keys   (carries ≤ k rows per (partition, key) —
+  *                             the map-side-combine win; a hot key
+  *                             ships 32·k rows, not its millions)
+  *   final TopKPerKeyExec     (per key, ≤ partitions·k rows in memory)
+  *
+  * Memory is O(distinct-keys-per-partition × k) rows; no sort, no spill
+  * path needed. Output order within a key is UNSPECIFIED (callers sort
+  * the k survivors if they care — k is small). The ordering should be
+  * TOTAL (include a tiebreaker) for deterministic results, same as the
+  * window form.
+  */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder],
+                      k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+  /** `df` reduced to the first `k` rows per `keys` group under `order`
+    * (pass `col.desc`/`col.asc`; bare columns sort ascending). */
+  def of(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    val sortOrders = order.map(PlanBridge.expr).map {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    }
+    PlanBridge.ofRows(df.sparkSession,
+      TopKPerKey(keys.map(PlanBridge.expr), sortOrders, k,
+        df.queryExecution.analyzed))
+  }
+
+  /** Plans the logical node as partial-then-final heap execs; the
+    * final's required distribution makes EnsureRequirements insert the
+    * keys exchange between them. */
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case TopKPerKey(keys, order, k, child) =>
+        TopKPerKeyExec(keys, order, k, partial = false,
+          TopKPerKeyExec(keys, order, k, partial = true,
+            planLater(child))) :: Nil
+      case _ => Nil
+    }
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+                          k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keys))
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val ords = order
+    val attrs = child.output
+    val limit = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, attrs)
+      val rowOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .create(ords, attrs)
+      // per key: a max-heap (reverse ordering) of the k best rows seen,
+      // so the root is the current worst survivor — O(log k) replace
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](
+            limit, rowOrd.reversed())
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < limit) heap.add(row.copy())
+        else if (rowOrd.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}

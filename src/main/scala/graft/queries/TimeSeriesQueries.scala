@@ -41,10 +41,18 @@ object TimeSeriesQueries {
 
     // Top-k per group via ranking window.
     "q10_topk_per_user" -> ((s, dir) => {
+      // the k-heap whole-operator plan (plans.TopKPerKey): partial heaps
+      // before the shuffle bound what a hot user ships to 32·k rows, and
+      // nothing ever sorts a full partition. The rank column is re-derived
+      // by a window over the ALREADY k-BOUNDED survivors (≤ 3 rows per
+      // user), so the only Sort in the plan runs on k·users rows.
       val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      val top = graft.plans.TopKPerKey.of(
+        e.select("user_id", "event_id", "value"),
+        keys = Seq(col("user_id")),
+        order = Seq(col("value").desc, col("event_id").asc), k = 3)
       val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
-      e.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      top.withColumn("rn", row_number().over(w))
         .select("user_id", "event_id", "value", "rn")
         .orderBy("user_id", "rn")
     }),

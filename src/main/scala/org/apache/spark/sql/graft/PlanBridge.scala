@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` doorway graft needs: turning a hand-built
+  * [[LogicalPlan]] into a DataFrame (`Dataset.ofRows`). Spark exposes no
+  * public constructor for this, and every library that contributes
+  * custom logical operators (Delta, Hudi, GraphFrames...) uses the same
+  * package-escape; everything else in graft stays on the public API. */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Column → Catalyst Expression (the 4.x API split hid `Column.expr`).
+    * Converts the ColumnNode EAGERLY: `ExpressionUtils.expression` wraps
+    * it lazily in a `ColumnNodeExpression` whose node is not
+    * serializable — fine inside Dataset API plumbing that converts at
+    * analysis, fatal inside a custom node whose expressions ship to
+    * executors as-is. */
+  def expr(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+}

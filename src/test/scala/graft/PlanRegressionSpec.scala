@@ -256,4 +256,20 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"))
   }
+
+  test("q10 runs the k-heap operator: partial below the shuffle, no full sort") {
+    val plan = SparkEntry.queries("q10_topk_per_user")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    val iFinal = plan.indexOf("TopKPerKeyFinal")
+    val iExch = plan.indexOf("Exchange hashpartitioning")
+    assert(iPartial >= 0 && iFinal >= 0, "k-heap execs missing:\n" + plan)
+    // dump order is top-down: Final above the exchange, Partial below it
+    assert(iFinal < iExch && iExch < iPartial,
+      "partial heap must sit below the keys exchange:\n" + plan)
+    // the only Window (rank re-derivation) consumes the k-bounded
+    // survivors — it must sit ABOVE the final heap exec in the dump
+    assert(plan.indexOf("Window") < iFinal,
+      "rank window must run over the k-bounded result:\n" + plan)
+  }
 }

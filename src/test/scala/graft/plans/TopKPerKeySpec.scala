@@ -1,0 +1,88 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom top-k-per-key operator: result parity with the window
+  * spelling under a total order, and the plan shape the operator exists
+  * for — partial/final heap execs around one exchange, NO sort, NO
+  * window. */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def events = {
+    val s = spark; import s.implicits._
+    (0 until 20000).map { i =>
+      (i.toLong % 97, i.toLong, (i * 7919 % 1000).toDouble)
+    }.toDF("user_id", "event_id", "value").repartition(8)
+  }
+
+  test("matches the window row_number form under a total order") {
+    val df = events
+    val got = TopKPerKey.of(df,
+        keys = Seq(col("user_id")),
+        order = Seq(col("value").desc, col("event_id").asc), k = 3)
+      .select("user_id", "event_id", "value")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val want = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3).select("user_id", "event_id", "value")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("k larger than any group returns everything") {
+    val df = events.limit(500)
+    val got = TopKPerKey.of(df, Seq(col("user_id")),
+      Seq(col("event_id").asc), k = 100000)
+    assert(got.count() == 500)
+  }
+
+  test("plan: partial + final heap execs, one exchange, no Sort/Window") {
+    val df = TopKPerKey.of(events, Seq(col("user_id")),
+      Seq(col("value").desc, col("event_id").asc), k = 3)
+    df.collect() // force execution so AQE finalizes the plan
+    // the AQE dump repeats the initial plan below the final one — assert
+    // on the final section only (the test's own repartition(8) adds one
+    // round-robin exchange; the operator itself must add exactly one)
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("[Sort "), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
+  }
+
+  test("partial stage bounds what the shuffle carries") {
+    // one hot key in 8 partitions with k=2: the exchange input is the
+    // partial's output; assert its total is <= partitions * k (+ other
+    // keys), far below the 16k input rows
+    val s = spark; import s.implicits._
+    val hot = (0 until 16000).map(i => (1L, i.toLong, i.toDouble))
+      .toDF("user_id", "event_id", "value").repartition(8)
+    val df = TopKPerKey.of(hot, Seq(col("user_id")),
+      Seq(col("value").desc, col("event_id").asc), k = 2)
+    val rows = df.collect()
+    assert(rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(-_._2).toSeq
+      == Seq((15999L, 15999.0), (15998L, 15998.0)))
+    // physical check: the partial exec sits below the hash exchange, so
+    // each of the 8 map tasks emitted at most k rows for the hot key
+    // (string check: AQE's executedPlan.collect does not descend into
+    // finalized query stages)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    assert(iPartial >= 0 && iExchange >= 0 && iExchange < iPartial, plan)
+  }
+
+  test("SQL-extensions route plans the same operator") {
+    // GraftSession.local registers the strategy on the shared session;
+    // of() must not depend on which registration path ran
+    val df = TopKPerKey.of(events, Seq(col("user_id")),
+      Seq(col("event_id").asc), k = 1)
+    assert(df.count() == 97)
+  }
+}
