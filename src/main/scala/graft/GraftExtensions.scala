@@ -51,6 +51,13 @@ object GraftExtensions {
         }
         graft.plans.KmvMinima(exprs(0), k).toAggregateExpression()
       }),
+    ("bitmap_distinct", classOf[graft.plans.BitmapDistinct].getName,
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"bitmap_distinct requires exactly 1 argument, got ${exprs.length}")
+        graft.plans.BitmapDistinct(exprs(0)).toAggregateExpression()
+      }),
     // Spark's runtime-filter Bloom sketch, exposed as a user-callable
     // pair. Catalyst builds these internally for InjectRuntimeFilter but
     // does not register them; graft's decontamination path (q82) wants

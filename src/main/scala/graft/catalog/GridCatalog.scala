@@ -1,0 +1,220 @@
+package graft.catalog
+
+import java.util
+
+import graft.sources.GriddedStore
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 `TableCatalog` over a warehouse of [[GriddedStore]]s — the SQL
+  * face of the MVCC store (the reference's equivalent surface is "open
+  * the dataset by its IPNS name"; here it is ANSI SQL in any Spark
+  * session):
+  *
+  * {{{
+  *   spark.sql.catalog.grid           = graft.catalog.GridCatalog
+  *   spark.sql.catalog.grid.warehouse = /data/grid-warehouse
+  *
+  *   SELECT * FROM grid.chirps WHERE time_bucket = 19000
+  *   SELECT * FROM grid.chirps VERSION AS OF 6        -- manifest pin
+  *   SELECT * FROM grid.chirps TIMESTAMP AS OF '2026-08-01 00:00:00'
+  * }}}
+  *
+  * Each table resolves to the file list PINNED by the requested manifest
+  * (the committed pointer by default), served through Spark's own
+  * DSv2 parquet table — so filter pushdown, column pruning and
+  * `time_bucket` partition pruning all come from the stock machinery,
+  * and a concurrent mutation cannot change the files a running query
+  * reads (snapshot isolation carries over to SQL verbatim).
+  *
+  * `VERSION AS OF n` maps to [[GriddedStore.readAt]]'s semantics;
+  * `TIMESTAMP AS OF t` resolves to the newest manifest version whose
+  * commit file predates `t` (manifest mtime — commits are atomic
+  * renames, so the mtime is the publish instant).
+  *
+  * Tables are READ-ONLY through SQL by design: an `INSERT INTO` that
+  * wrote parquet files directly would land orphans invisible to the
+  * pinned manifest — an apparently-successful write that no reader ever
+  * sees. Mutations must go through the [[GriddedStore]] write paths
+  * (claim → write → manifest swap), so the catalog table advertises no
+  * write capability and DML fails loudly at analysis.
+  */
+class GridCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"GridCatalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  private def storeFor(ident: Identifier): GriddedStore = {
+    val store = new GriddedStore(rootOf(ident), spark)
+    if (!store.hasExisting)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    store
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    new GriddedStore(rootOf(ident), spark).hasExisting
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(dir)
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => f.exists(new Path(p, "_descriptor.json")))
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val store = storeFor(ident)
+    snapshotTable(ident, store, store.snapshotFiles())
+  }
+
+  /** `VERSION AS OF v` — the pinned list of manifest version `v`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val store = storeFor(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"GridCatalog versions are manifest numbers, got '$version'")
+    }
+    val files = store.snapshotFilesAt(v).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ident has no committed manifest at version $v"))
+    snapshotTable(ident, store, Some(files))
+  }
+
+  /** `TIMESTAMP AS OF t` — newest manifest whose commit mtime <= t. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val store = storeFor(ident)
+    val vdir = store.versionsDir
+    val f = fs(vdir)
+    val asOfMs = timestampMicros / 1000L
+    val versions =
+      if (!f.exists(vdir)) Array.empty[(Long, Long)]
+      else f.listStatus(vdir).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".json"))
+          Some(n.stripPrefix("v").stripSuffix(".json").toLong ->
+            st.getModificationTime)
+        else None
+      }
+    val eligible = versions.filter(_._2 <= asOfMs).map(_._1)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"$ident has no manifest committed at or before timestamp " +
+          s"$timestampMicros us")
+    loadTable(ident, eligible.max.toString)
+  }
+
+  private def snapshotTable(ident: Identifier, store: GriddedStore,
+                            files: Option[Seq[String]]): Table = {
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("basePath", store.dataPath))
+    files match {
+      case Some(fl) if fl.nonEmpty =>
+        new SnapshotTable(ident.toString, ParquetTable(ident.toString, spark,
+          opts, fl.map(fp => s"${store.root}/$fp"), None,
+          classOf[ParquetFileFormat]))
+      case Some(_) => // committed empty: zero-row, manifest schema
+        new SnapshotTable(ident.toString, ParquetTable(ident.toString, spark,
+          opts, Nil, Some(store.read().schema), classOf[ParquetFileFormat]))
+      case None => // legacy pre-file-tracking store: directory scan
+        new SnapshotTable(ident.toString, ParquetTable(ident.toString, spark,
+          opts, Seq(store.dataPath), None, classOf[ParquetFileFormat]))
+    }
+  }
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"GridCatalog tables are read-only through SQL; $what must go " +
+        "through the graft.sources.GriddedStore write paths (claim -> " +
+        "write -> manifest swap) so the snapshot invariants hold")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    unsupported("CREATE TABLE")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    unsupported("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean =
+    unsupported("DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    unsupported("RENAME TABLE")
+
+  // ---- namespaces: directories under the warehouse ----------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = new Path(warehouse)
+    val f = fs(dir)
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => f.exists(new Path(p, "_descriptor.json")))
+      .map(p => Array(p.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      fs(new Path(warehouse)).exists(
+        new Path((warehouse +: namespace.toSeq).mkString("/")))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    java.util.Map.of()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    fs(new Path(warehouse)).mkdirs(
+      new Path((warehouse +: namespace.toSeq).mkString("/")))
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    unsupported("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean =
+    unsupported("DROP NAMESPACE")
+}
+
+/** Read-only veneer over the stock DSv2 parquet table: same scans (all
+  * pushdown intact), NO write capability — see [[GridCatalog]]'s
+  * rationale for refusing direct DML. */
+private[catalog] class SnapshotTable(ident: String, underlying: ParquetTable)
+    extends Table with SupportsRead {
+  override def name(): String = ident
+  override def schema(): StructType = underlying.schema
+  override def partitioning(): Array[Transform] = underlying.partitioning()
+  override def properties(): util.Map[String, String] = underlying.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    underlying.newScanBuilder(options)
+}

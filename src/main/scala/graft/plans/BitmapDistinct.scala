@@ -1,0 +1,164 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** EXACT distinct count of a long column via a paged bitmap — one
+  * shuffle where `count(DISTINCT x)` plans two.
+  *
+  * WHY (SURVEY preference order (b)): Catalyst rewrites a distinct
+  * aggregate into two stacked aggregations — partial/final on
+  * `(group, value)` (an exchange keyed on the VALUE domain) and then
+  * partial/final on `group` (a second exchange). For ID-shaped columns
+  * (user ids, doc ids — dense integer domains, exactly what a
+  * 100 TB events table deduplicates) that first exchange carries every
+  * distinct `(group, value)` pair: 16 bytes per distinct id. This
+  * aggregate instead keeps a bitmap per group — `update` sets one bit,
+  * `merge` ORs pages — and because it IS an aggregate, Spark plans the
+  * map-side partial, so the one exchange carries ~ndv/8 bytes per
+  * (partition, group): a 64× shuffle-byte cut on dense domains, and one
+  * fewer shuffle stage regardless. This is the Spark-native analog of
+  * the bitmap-count functions warehouse engines ship for the same
+  * reason (e.g. Trino/ClickHouse `groupBitmap`).
+  *
+  * Pages are 4096 bits (64 longs) keyed by `floorDiv(v, 4096)` in a
+  * LongMap, so sparse/negative/clustered domains all work; the
+  * serialized form writes sparse pages as (index, word) pairs and dense
+  * pages whole, whichever is smaller. Worst case (adversarially
+  * scattered values, one bit per page) degrades to ~16 bytes per
+  * distinct value — i.e. never worse than what the two-phase rewrite
+  * ships, without its second exchange.
+  */
+case class BitmapDistinct(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BitmapPages] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_distinct"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint column, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): BitmapPages = new BitmapPages
+
+  override def update(buf: BitmapPages, input: InternalRow): BitmapPages = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: BitmapPages, other: BitmapPages): BitmapPages = {
+    buf.or(other); buf
+  }
+
+  override def eval(buf: BitmapPages): Any = buf.cardinality
+
+  override def serialize(buf: BitmapPages): Array[Byte] = buf.toBytes
+
+  override def deserialize(bytes: Array[Byte]): BitmapPages =
+    BitmapPages.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapDistinct =
+    copy(child = newChildren.head)
+}
+
+/** Paged bitmap over the full long domain: page = 4096 bits. */
+final class BitmapPages {
+  import BitmapPages._
+  val pages = new scala.collection.mutable.LongMap[Array[Long]]
+
+  def add(v: Long): Unit = {
+    val page = pages.getOrElseUpdate(
+      Math.floorDiv(v, PageBits), new Array[Long](PageWords))
+    val bit = Math.floorMod(v, PageBits).toInt
+    page(bit >>> 6) |= 1L << (bit & 63)
+  }
+
+  def or(other: BitmapPages): Unit =
+    other.pages.foreach { case (k, words) =>
+      pages.get(k) match {
+        case Some(mine) =>
+          var i = 0
+          while (i < PageWords) { mine(i) |= words(i); i += 1 }
+        case None => pages.update(k, words.clone())
+      }
+    }
+
+  def cardinality: Long = {
+    var n = 0L
+    pages.foreach { case (_, words) =>
+      var i = 0
+      while (i < PageWords) { n += java.lang.Long.bitCount(words(i)); i += 1 }
+    }
+    n
+  }
+
+  /** Per page: key, then nonzero-word count `c`; `c < 32` → sparse
+    * (index byte + word each), else the 64 words whole. */
+  def toBytes: Array[Byte] = {
+    var size = 4
+    val entries = pages.toSeq
+    val sparse = entries.map { case (_, words) =>
+      val c = words.count(_ != 0L)
+      size += 12 + (if (c < PageWords / 2) c * 9 else PageWords * 8)
+      c
+    }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(entries.size)
+    entries.zip(sparse).foreach { case ((k, words), c) =>
+      bb.putLong(k)
+      bb.putInt(if (c < PageWords / 2) c else -1)
+      if (c < PageWords / 2) {
+        var i = 0
+        while (i < PageWords) {
+          if (words(i) != 0L) { bb.put(i.toByte); bb.putLong(words(i)) }
+          i += 1
+        }
+      } else words.foreach(bb.putLong)
+    }
+    bb.array()
+  }
+}
+
+object BitmapPages {
+  val PageBits = 4096L
+  val PageWords = 64
+
+  def fromBytes(bytes: Array[Byte]): BitmapPages = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new BitmapPages
+    var p = bb.getInt
+    while (p > 0) {
+      val k = bb.getLong
+      val c = bb.getInt
+      val words = new Array[Long](PageWords)
+      if (c >= 0) {
+        var i = 0
+        while (i < c) { words(bb.get() & 0xff) = bb.getLong; i += 1 }
+      } else {
+        var i = 0
+        while (i < PageWords) { words(i) = bb.getLong; i += 1 }
+      }
+      buf.pages.update(k, words)
+      p -= 1
+    }
+    buf
+  }
+}

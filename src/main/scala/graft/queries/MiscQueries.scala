@@ -129,6 +129,23 @@ object MiscQueries {
           count(when(col("v") > 1e100 || col("v") < -1e100, lit(1))).as("n_infish"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    }),
+
+    // Exact per-group distinct counts through [[graft.plans.BitmapDistinct]]
+    // — ONE exchange carrying bitmap pages (~ndv/8 bytes per group)
+    // instead of the two-exchange (group,value)-pair rewrite Catalyst
+    // plans for count(DISTINCT). At 100 TB of events the audience metric
+    // (distinct users per event type per day) is exactly this shape, and
+    // user ids are the dense integer domain the paged bitmap is built
+    // for. Result is EXACT, so the oracle is plain COUNT(DISTINCT).
+    "q118_bitmap_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("us div 86400000000").as("day"),
+          col("user_id"))
+        .groupBy("event_type", "day")
+        .agg(call_function("bitmap_distinct", col("user_id")).as("distinct_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type", "day")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -189,5 +206,9 @@ object MiscQueries {
         |SELECT event_type,
         |  COUNT(CASE WHEN v > 1e100 OR v < -1e100 THEN 1 END) AS n_infish,
         |  COUNT(*) AS n
-        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q118_bitmap_distinct" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  COUNT(DISTINCT user_id) AS distinct_users, COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -1208,6 +1208,37 @@ object TextQueries {
         .withColumn("kept",
           col("len_ok") && col("wlen_ok") && col("stop_ok") && col("rep_ok"))
         .orderBy("doc_id")
+    }),
+
+    // Classifier evaluation: EXACT tied-rank Mann–Whitney AUC of a
+    // quality score (per-mille stopword rate, integer) predicting
+    // lang='en'. The standard rank-sum form windows over EVERY row; this
+    // aggregates per DISTINCT score first — n1/n0 counts per score, then
+    // the tie-aware identity 2U = Σ_s n1(s)·(2·N0(<s) + n0(s)) over the
+    // score-sized table — so the corpus contributes one scan + one
+    // score-keyed aggregate, and the window runs over ~1000 rows at any
+    // corpus size. All-integer until the single final division, so the
+    // oracle matches bit-for-bit (ties included, where a double midrank
+    // replay could drift).
+    "q117_score_auc" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val perScore = Tables.table(s, dir, "documents")
+        .select(
+          floor(TextFunctions.wordSetCount(toks, STOPWORDS).cast("double")
+            * 1000.0 / size(toks).cast("double")).cast("long").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("score")
+        .agg(sum(col("pos")).as("n1"), sum(lit(1L) - col("pos")).as("n0"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("score").rowsBetween(Long.MinValue, -1)
+      perScore
+        .withColumn("below0", coalesce(sum("n0").over(w), lit(0L)))
+        .agg(
+          sum(col("n1") * (lit(2L) * col("below0") + col("n0"))).as("u_times_2"),
+          sum("n1").as("n_pos"), sum("n0").as("n_neg"))
+        .select(col("u_times_2"), col("n_pos"), col("n_neg"),
+          (col("u_times_2").cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1925,5 +1956,25 @@ object TextQueries {
         |    AND (len_chars - (n_toks-1) >= n_toks*3
         |         AND len_chars - (n_toks-1) <= n_toks*8)
         |    AND n_stop >= 2 AND max_rep * 8 <= n_toks) AS kept
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q117_score_auc" ->
+      """WITH d AS (SELECT
+        |    CAST(FLOOR(CAST(LEN(list_filter(string_split(text,' '),
+        |        x -> x IN ('the','a','of','and'))) AS DOUBLE) * 1000.0
+        |      / CAST(LEN(string_split(text,' ')) AS DOUBLE)) AS BIGINT) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |per AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS n1,
+        |          CAST(SUM(1 - pos) AS BIGINT) AS n0
+        |        FROM d GROUP BY score),
+        |cum AS (SELECT score, n1, n0,
+        |          COALESCE(SUM(n0) OVER (ORDER BY score
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS below0
+        |        FROM per)
+        |SELECT CAST(SUM(n1 * (2 * below0 + n0)) AS BIGINT) AS u_times_2,
+        |  CAST(SUM(n1) AS BIGINT) AS n_pos, CAST(SUM(n0) AS BIGINT) AS n_neg,
+        |  CAST(SUM(n1 * (2 * below0 + n0)) AS DOUBLE)
+        |    / (2.0 * SUM(n1) * SUM(n0)) AS auc
+        |FROM cum""".stripMargin)
 }

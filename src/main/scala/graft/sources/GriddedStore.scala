@@ -357,6 +357,44 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     doomed
   }
 
+  /** Commit diff between two manifest versions as a change feed: the
+    * rows of files ADDED after `fromV` up to `toV` tagged
+    * `_change_type = "insert"`, and rows of files RETIRED in that window
+    * tagged `"delete"`. This is file-granularity CDC — the standard
+    * "commit diff" a file-pinning table format can serve without a
+    * row-level log: an incremental consumer reads ONLY the delta files
+    * (an append commit diffs to just its new bucket files; a region
+    * correction to the one rewritten bucket), never the table. A row
+    * rewritten byte-identically inside a rewritten bucket appears as
+    * delete+insert; consumers wanting net row changes anti-join the two
+    * sides — that cost is theirs to opt into, bounded by the delta.
+    *
+    * Valid while both versions are inside the `vacuum` retention window
+    * (reading reclaimed files fails on the missing file, loudly).
+    * Refuses legacy manifests that pin no file list: a directory-scan
+    * fallback would diff to "everything changed" and silently flood the
+    * consumer. */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changes($fromV, $toV): fromV must be <= toV")
+    def pinned(v: Long): Set[String] = snapshotFilesAt(v).getOrElse(
+      throw new IllegalArgumentException(
+        s"manifest v$v at $root pins no file list (legacy or never " +
+          "committed); the commit diff is undefined")).toSet
+    val from = pinned(fromV)
+    val to = pinned(toV)
+    def tagged(files: Seq[String], tag: String): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.option("basePath", dataPath)
+        .parquet(files.map(f => s"$root/$f"): _*)
+        .withColumn("_change_type", lit(tag)))
+    val parts = tagged((to -- from).toSeq.sorted, "insert").toSeq ++
+      tagged((from -- to).toSeq.sorted, "delete")
+    parts.reduceOption(_ unionByName _).getOrElse {
+      // identical pins: empty frame with the data schema + change column
+      read().filter(lit(false)).withColumn("_change_type", lit(""))
+    }
+  }
+
   // ---- write paths ------------------------------------------------------
 
   private def prepared(df: DataFrame, d: DatasetDescriptor): DataFrame = {

@@ -1,0 +1,77 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The exact bitmap-distinct aggregate: value parity with
+  * count(DISTINCT), merge/serialize round trips across a real shuffle,
+  * negative/scattered domains, and the plan property it exists for —
+  * ONE exchange where the distinct-aggregate rewrite plans two. */
+class BitmapDistinctSpec extends SparkSpec {
+
+  private def df = {
+    val s = spark; import s.implicits._
+    // 40k rows, ids clustered (dense pages), some negative, heavy dups
+    (0 until 40000).map { i =>
+      val g = i % 5
+      val v = (i * 2654435761L % 3000) - 500 // collides across groups
+      (s"g$g", v)
+    }.toDF("g", "v").repartition(8)
+  }
+
+  test("matches count(DISTINCT) per group and globally") {
+    val got = df.groupBy("g")
+      .agg(call_function("bitmap_distinct", col("v")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("g").agg(countDistinct("v").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val g0 = df.agg(call_function("bitmap_distinct", col("v"))).collect()(0).getLong(0)
+    val w0 = df.agg(countDistinct("v")).collect()(0).getLong(0)
+    assert(g0 == w0)
+  }
+
+  test("scattered domain (one bit per page) and Long extremes") {
+    val s = spark; import s.implicits._
+    val vals = Seq(Long.MinValue, Long.MinValue + 1, -4097L, -4096L, -1L,
+      0L, 1L, 4095L, 4096L, Long.MaxValue, Long.MaxValue, 0L)
+    val d = vals.toDF("v").repartition(4)
+    val nd = d.agg(call_function("bitmap_distinct", col("v"))).collect()(0).getLong(0)
+    assert(nd == vals.distinct.size)
+  }
+
+  test("serialize round trip preserves sparse and dense pages") {
+    val buf = new BitmapPages
+    (0 until 4096).foreach(i => buf.add(i.toLong)) // dense page 0
+    buf.add(999999999L); buf.add(-5L)              // sparse pages
+    val back = BitmapPages.fromBytes(buf.toBytes)
+    assert(back.cardinality == buf.cardinality)
+    back.or(buf)
+    assert(back.cardinality == buf.cardinality) // OR with self: no growth
+  }
+
+  test("nulls are ignored, empty input counts zero") {
+    val s = spark; import s.implicits._
+    val d = Seq(Some(1L), None, Some(1L), None).toDF("v")
+    assert(d.agg(call_function("bitmap_distinct", col("v")))
+      .collect()(0).getLong(0) == 1L)
+    assert(d.filter(lit(false)).agg(call_function("bitmap_distinct", col("v")))
+      .collect()(0).getLong(0) == 0L)
+  }
+
+  test("plan: one exchange vs two for count(DISTINCT)") {
+    def exchanges(p: org.apache.spark.sql.DataFrame): Int = {
+      p.collect()
+      "Exchange hashpartitioning".r
+        .findAllIn(p.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)).size
+    }
+    val bitmap = df.groupBy("g")
+      .agg(call_function("bitmap_distinct", col("v")).as("nd"))
+    val exact = df.groupBy("g").agg(countDistinct("v").as("nd"))
+    assert(exchanges(bitmap) == 1,
+      bitmap.queryExecution.executedPlan.toString)
+    assert(exchanges(exact) == 2, // the rewrite this aggregate avoids
+      exact.queryExecution.executedPlan.toString)
+  }
+}
