@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileScan
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The MVCC store as a Structured Streaming SOURCE: manifest versions
+  * are the offsets, and each micro-batch reads exactly the files a
+  * commit ADDED — the incremental-consumption contract
+  * [[GriddedStore.changes]] provides for batch, integrated with Spark's
+  * own offset tracking so checkpoint/restart resume at the last
+  * processed version with no duplicate batches:
+  *
+  * {{{
+  *   spark.readStream.format("graft.sources.StoreStream")
+  *     .option("path", storeRoot)
+  *     .option("startingVersion", "0" /* or "latest" */)
+  *     .load()
+  * }}}
+  *
+  * Semantics — an append-file feed, the streaming face of the commit
+  * diff:
+  *  - an APPEND commit emits its appended rows, once;
+  *  - a region CORRECTION emits the rewritten bucket's merged files
+  *    (survivors + corrections) — file-granularity redelivery of the
+  *    rewritten region, the same contract `changes()` documents; pair
+  *    with `dropDuplicates` on the dim tuple downstream if the consumer
+  *    needs row-level effective-once;
+  *  - a crashed writer's orphan files are in NO manifest → never served;
+  *  - claim (in-progress) versions pin the carried-forward list → empty
+  *    delta → no batch, so readers never see half-written mutations.
+  *
+  * Scale: `latestOffset` is one pointer read; batch planning lists only
+  * the delta file set; the read path is Spark's own vectorized parquet
+  * reader factory (one factory for the stream, partitions planned per
+  * batch). Nothing driver-side ever touches row data.
+  */
+class StoreStream extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StoreStream.storeFor(options.get("path")).read().schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new StoreStreamTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object StoreStream {
+  private[sources] def storeFor(root: String): GriddedStore = {
+    require(root != null, "graft.sources.StoreStream needs .option(\"path\", storeRoot)")
+    new GriddedStore(root, SparkSession.active)
+  }
+}
+
+class StoreStreamTable(root: String, schema0: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-store-stream:$root"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new StoreStreamScan(root, schema0,
+        Option(options.get("startingVersion")).getOrElse("0"))
+    }
+}
+
+class StoreStreamScan(root: String, schema0: StructType, startingVersion: String)
+    extends Scan {
+  override def readSchema(): StructType = schema0
+  override def description(): String = s"graft store stream over $root"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new StoreMicroBatchStream(root, startingVersion)
+}
+
+/** Offset = committed manifest version (monotone by construction: the
+  * commit claim is putIfAbsent on version N+1). */
+case class VersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+class StoreMicroBatchStream(root: String, startingVersion: String)
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def store = new GriddedStore(root, spark)
+
+  private def pinnedAt(v: Long): Set[String] =
+    if (v <= 0) Set.empty
+    else store.snapshotFilesAt(v).getOrElse(Set.empty[String].toSeq).toSet
+
+  override def initialOffset(): Offset = VersionOffset(
+    if (startingVersion == "latest") store.latestVersionNumber()
+    else startingVersion.toLong)
+
+  override def latestOffset(): Offset =
+    VersionOffset(store.latestVersionNumber())
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val added = (pinnedAt(end.asInstanceOf[VersionOffset].v) --
+      pinnedAt(start.asInstanceOf[VersionOffset].v)).toSeq.sorted
+    if (added.isEmpty) Array.empty
+    else fileScan(added).toBatch.planInputPartitions()
+  }
+
+  /** One shared factory (the MicroBatchStream contract): built over the
+    * CURRENT pinned list purely to carry the read/partition schemas and
+    * conf — FilePartitions from any batch's planning read through it. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val pinned = store.snapshotFiles().getOrElse(Nil)
+    val files: Seq[String] =
+      if (pinned.nonEmpty) pinned
+      else pinnedAt(store.latestVersionNumber()).toSeq.sorted
+    require(files.nonEmpty,
+      s"store at $root has no committed data files to derive a reader from")
+    fileScan(files).toBatch.createReaderFactory()
+  }
+
+  private def fileScan(files: Seq[String]): FileScan = {
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("basePath", store.dataPath))
+    val table = ParquetTable(s"graft-store-stream:$root", spark, opts,
+      files.map(f => s"$root/$f"), None, classOf[ParquetFileFormat])
+    table.newScanBuilder(opts).build() match {
+      case fs: FileScan => fs
+      case other => throw new IllegalStateException(
+        s"expected a FileScan from the parquet table, got ${other.getClass}")
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
