@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stage decomposition of q111 (fuzzy join) — where do the seconds go? */
+object Q111Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.FuzzyJoin
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[q111probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val c = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    (1 to 2).foreach { round =>
+      println(s"--- round $round")
+      val ids = c.select(col("name").as("_fj_s"), col("id").as("_fj_id"))
+      val strs = ids.select("_fj_s").distinct()
+      t("strs distinct count")(println("  n=" + strs.count()))
+      val vars = strs.select(col("_fj_s"),
+          explode(FuzzyJoin.deletionVariants(col("_fj_s"), 1)).as("_fj_v"))
+        .distinct()
+      t("vars count")(println("  n=" + vars.count()))
+      val varsCk = t("vars localCheckpoint")(vars.localCheckpoint())
+      val joined = varsCk.alias("x").join(varsCk.alias("y"),
+        col("x._fj_v") === col("y._fj_v") && col("x._fj_s") < col("y._fj_s"))
+      t("blocking join count")(println("  n=" + joined.count()))
+      val distinctPairs = joined
+        .select(col("x._fj_s").as("_fj_s1"), col("y._fj_s").as("_fj_s2"))
+        .distinct()
+      t("distinct only count")(println("  n=" + distinctPairs.count()))
+      val dpCk = t("distinct localCheckpoint")(distinctPairs.localCheckpoint())
+      t("lev filter over checkpointed distinct")(println("  n=" +
+        dpCk.filter(levenshtein(col("_fj_s1"), col("_fj_s2")) <= 1).count()))
+      val strPairs = distinctPairs
+        .filter(levenshtein(col("_fj_s1"), col("_fj_s2")) <= 1)
+      t("strPairs distinct+verify count")(println("  n=" + strPairs.count()))
+      val full = t("full blockedPairs")(
+        FuzzyJoin.blockedPairs(c, "id", "name", 1).count())
+      println("  pairs=" + full)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}

@@ -63,16 +63,32 @@ object FuzzyJoin {
                    maxDist: Int): DataFrame = {
     val ids = df.select(col(strCol).as("_fj_s"), col(idCol).as("_fj_id"))
     val strs = ids.select("_fj_s").distinct()
+    // localCheckpoint: the variant table feeds BOTH sides of the blocking
+    // join and Spark has no cross-join-side CSE — without it the whole
+    // scan→distinct→explode→distinct pipeline runs twice (the q34
+    // signature-table lesson; at 100 TB this step is "write the variant
+    // table, then self-join it").
     val vars = strs.select(col("_fj_s"),
         explode(deletionVariants(col("_fj_s"), maxDist)).as("_fj_v"))
       .distinct() // duplicate variants of one string → one block entry
-    // distinct near-match string pairs, canonical s1 < s2
+      .localCheckpoint()
+    // Distinct near-match string pairs, canonical s1 < s2. The
+    // levenshtein verify sits IN the join condition: ~70% of blocking
+    // candidates are distance-(maxDist+1) pairs sharing a variant via
+    // different deletion positions (measured sf0.1: 956k distinct
+    // candidates, 262k true pairs), and verifying before the distinct
+    // keeps them out of the downstream exchange entirely. The explicit
+    // repartition pins the distinct's task count: this exchange is
+    // byte-light but compute-dense, exactly the shape AQE's byte-based
+    // advisory coalesces onto one task (the q46 lesson).
+    val shufP = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val strPairs = vars.alias("x")
       .join(vars.alias("y"),
-        col("x._fj_v") === col("y._fj_v") && col("x._fj_s") < col("y._fj_s"))
+        col("x._fj_v") === col("y._fj_v") && col("x._fj_s") < col("y._fj_s") &&
+          levenshtein(col("x._fj_s"), col("y._fj_s")) <= maxDist)
       .select(col("x._fj_s").as("_fj_s1"), col("y._fj_s").as("_fj_s2"))
+      .repartition(shufP, col("_fj_s1"), col("_fj_s2"))
       .distinct()
-      .filter(levenshtein(col("_fj_s1"), col("_fj_s2")) <= maxDist)
     // equal strings: pair the group's ids directly (distance 0)
     val same = ids.alias("a")
       .join(ids.alias("b"),
