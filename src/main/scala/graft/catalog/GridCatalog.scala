@@ -87,9 +87,38 @@ class GridCatalog extends TableCatalog with SupportsNamespaces {
       .map(p => Identifier.of(namespace, p.getName))
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val store = storeFor(ident)
-    snapshotTable(ident, store, store.snapshotFiles())
+  override def loadTable(ident: Identifier): Table =
+    if (ident.name().endsWith("$history")) {
+      // Iceberg-style metadata table: SELECT * FROM cat.`ds$history`
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$history"))
+      historyTable(base, storeFor(base))
+    } else {
+      val store = storeFor(ident)
+      snapshotTable(ident, store, store.snapshotFiles())
+    }
+
+  /** One row per manifest version: commit time (file mtime — the atomic
+    * publish instant), in-progress flag (a lasting `true` marks a
+    * crashed writer's claim), pinned file count, committed date range.
+    * Everything a `DESCRIBE HISTORY` needs to pick a `VERSION AS OF`. */
+  private def historyTable(ident: Identifier, store: GriddedStore): Table = {
+    val f = fs(store.versionsDir)
+    val mtimes: Map[Long, Long] =
+      if (!f.exists(store.versionsDir)) Map.empty
+      else f.listStatus(store.versionsDir).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".json"))
+          Some(n.stripPrefix("v").stripSuffix(".json").toLong ->
+            st.getModificationTime)
+        else None
+      }.toMap
+    val rows = store.descriptorHistory().map { case (v, d) =>
+      HistoryRow(v, mtimes.getOrElse(v, 0L) * 1000L, d.updateInProgress,
+        store.snapshotFilesAt(v).map(_.size).getOrElse(-1),
+        d.dateRange.map(_._1), d.dateRange.map(_._2))
+    }
+    new HistoryMetaTable(s"$ident$$history", rows)
   }
 
   /** `VERSION AS OF v` — the pinned list of manifest version `v`. */
@@ -202,6 +231,68 @@ class GridCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean =
     unsupported("DROP NAMESPACE")
+}
+
+/** One manifest version's history row (plain serializable fields; the
+  * partition reader builds InternalRows executor-side). */
+case class HistoryRow(version: Long, committedAtUs: Long,
+                      updateInProgress: Boolean, nFiles: Int,
+                      dateStartUs: Option[Long], dateEndUs: Option[Long])
+
+/** In-memory DSv2 table serving the `$history` rows — version-count
+  * sized, one partition. */
+private[catalog] class HistoryMetaTable(ident: String, rows: Seq[HistoryRow])
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+  override def name(): String = ident
+  override def schema(): StructType = HistoryMetaTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new HistoryScan(rows)
+    }
+}
+
+private[catalog] object HistoryMetaTable {
+  import org.apache.spark.sql.types._
+  val Schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("update_in_progress", BooleanType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("date_start_us", LongType, nullable = true),
+    StructField("date_end_us", LongType, nullable = true)))
+}
+
+private[catalog] case class HistoryPartition(rows: Seq[HistoryRow])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private[catalog] class HistoryScan(rows: Seq[HistoryRow])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read._
+  override def readSchema(): org.apache.spark.sql.types.StructType =
+    HistoryMetaTable.Schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(HistoryPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it = p.asInstanceOf[HistoryPartition].rows.iterator
+          private var cur: HistoryRow = _
+          override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+          override def get(): InternalRow =
+            InternalRow(cur.version, cur.committedAtUs, cur.updateInProgress,
+              cur.nFiles, cur.dateStartUs.map(Long.box).orNull,
+              cur.dateEndUs.map(Long.box).orNull)
+          override def close(): Unit = ()
+        }
+    }
 }
 
 /** Read-only veneer over the stock DSv2 parquet table: same scans (all

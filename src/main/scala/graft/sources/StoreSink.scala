@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.nio.charset.StandardCharsets
+
+/** The WRITE side of streaming↔store integration: land a streaming
+  * DataFrame in a [[GriddedStore]] with effectively-exactly-once
+  * semantics — the sink twin of [[StoreStream]]:
+  *
+  * {{{
+  *   StoreSink.append(stream, storeRoot, checkpointDir)
+  * }}}
+  *
+  * Each micro-batch runs the store's full update path (QC gates,
+  * contiguity checks, claim → write → manifest swap), so a stream gets
+  * the same guarantees a batch writer gets. Exactly-once comes from two
+  * layers:
+  *
+  *  1. '''Batch claim markers.''' After a successful update, the batch
+  *     id is recorded under `_stream_commits/` via
+  *     [[CommitProtocol.putIfAbsent]]. A restarted query that replays
+  *     the last batch (Spark's foreachBatch contract is at-least-once
+  *     delivery of the final batch) sees the marker and no-ops before
+  *     touching the store.
+  *  2. '''Cell-keyed idempotence for the crash window.''' If the driver
+  *     dies AFTER the manifest commit but BEFORE the marker lands, the
+  *     replayed batch re-runs `update()` with value-identical rows: its
+  *     times intersect the store, so the insert path rewrites the
+  *     affected buckets with the same cells — a version bump with
+  *     byte-equal content, not duplication. (This is why the marker is
+  *     written after the update, never before: a marker-first order
+  *     would LOSE the batch if the crash landed between them.)
+  *
+  * The two layers together give effectively-exactly-once BY VALUE for
+  * deterministic batches — the same contract Delta's txn-version sink
+  * provides, built from the store's own primitives.
+  */
+object StoreSink {
+
+  /** `streamId` namespaces the claim markers: two DIFFERENT streaming
+    * queries appending to one store must use distinct ids or their
+    * (independent) batch counters would collide. */
+  def append(stream: DataFrame, root: String, checkpoint: String,
+             trigger: Trigger = Trigger.AvailableNow(),
+             streamId: String = "default"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        applyBatch(batch, root, id, streamId))
+      .start()
+
+  /** One micro-batch against the store — idempotent under replay.
+    * Package-visible so specs can drive the replay paths directly. */
+  private[graft] def applyBatch(batch: DataFrame, root: String,
+                                batchId: Long,
+                                streamId: String = "default"): Unit = {
+    val store = new GriddedStore(root, batch.sparkSession)
+    require(streamId.matches("[A-Za-z0-9._-]+"),
+      s"streamId '$streamId' must be filesystem-safe")
+    val marker = new Path(root, f"_stream_commits/$streamId%s/batch-$batchId%09d")
+    if (store.fs.exists(marker)) return // replayed batch: already landed
+    if (!batch.isEmpty) store.update(batch)
+    // the marker lands AFTER the update (see class doc); a racing
+    // incarnation losing this claim means the batch is already recorded
+    try store.commits.putIfAbsent(marker,
+      s"""{"batch":$batchId,"committed_version":${store.latestVersionNumber()}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    catch { case _: java.util.ConcurrentModificationException => () }
+  }
+}

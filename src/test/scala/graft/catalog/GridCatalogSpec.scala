@@ -86,4 +86,26 @@ class GridCatalogSpec extends SparkSpec {
     val tables = spark.sql("SHOW TABLES IN grid3").collect().map(_.getString(1))
     assert(tables.contains("t"))
   }
+
+  test("$history metadata table lists every manifest commit") {
+    val wh = tmpDir("cat-wh-hist")
+    val store = new GriddedStore(s"$wh/h", spark)
+    store.writeInitial(cube(4, 2, 2), desc("h"))
+    store.update(cube(1, 2, 2, startDay = 4))
+    installCatalog(wh, "grid4")
+    val rows = spark.sql(
+      "SELECT version, update_in_progress, n_files, date_end_us " +
+        "FROM grid4.`h$history` ORDER BY version").collect()
+    // init: claim v1 (in-progress) + commit v2; update: claim v3 + commit v4
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getBoolean(1)).toSeq ==
+      Seq(true, false, true, false))
+    assert(rows.last.getInt(2) == store.snapshotFiles().get.size)
+    assert(rows.last.getLong(3) == 4 * DAY_US)
+    // commit times are the manifest mtimes: non-decreasing, non-zero
+    val ts = spark.sql(
+      "SELECT unix_micros(committed_at) FROM grid4.`h$history` ORDER BY version")
+      .collect().map(_.getLong(0))
+    assert(ts.forall(_ > 0L) && ts.sameElements(ts.sorted))
+  }
 }

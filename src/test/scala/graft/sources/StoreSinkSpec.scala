@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import graft.streaming.IncrementalStream
+import org.apache.spark.sql.functions._
+
+/** The streaming sink into the store: a drained stream lands through the
+  * full update path; a replayed batch (marker present) no-ops; the
+  * crash-window replay (marker lost after commit) is value-idempotent. */
+class StoreSinkSpec extends SparkSpec {
+
+  private def desc(name: String) = DatasetDescriptor(
+    name = name, dataVar = "precip", category = Category.Observation,
+    missingValue = Some(-9999.0), cadenceUs = DAY_US,
+    chunk = ChunkGrid(timeBucketUs = 5 * DAY_US, maxRecordsPerFile = 500))
+
+  test("stream drains into the store through the update QC path") {
+    val root = tmpDir("sink")
+    val drop = tmpDir("sink-drop")
+    val ckpt = tmpDir("sink-ckpt")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(10, 2, 2), desc("k"))
+    cube(3, 2, 2, startDay = 10).write.mode("append").parquet(drop)
+    val src = IncrementalStream.source(spark, drop,
+      cube(1, 1, 1).schema)
+    val q = StoreSink.append(src, root, ckpt)
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    assert(store.read().count() == 52)
+    assert(store.readDescriptor().get.dateRange.get._2 == 12 * DAY_US)
+    // replay of the final batch (Spark's restart contract): marker no-op,
+    // version unchanged
+    val v = store.latestVersionNumber()
+    StoreSink.applyBatch(cube(3, 2, 2, startDay = 10), root, batchId = 0L)
+    assert(store.latestVersionNumber() == v)
+    assert(store.read().count() == 52)
+  }
+
+  test("crash-window replay (marker lost after commit) is value-idempotent") {
+    val root = tmpDir("sink-crash")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(5, 2, 2), desc("c"))
+    val batch = cube(2, 2, 2, startDay = 5)
+    StoreSink.applyBatch(batch, root, 3L)
+    val sumOnce = store.read().agg(sum("precip")).collect()(0).getDouble(0)
+    // simulate the crash window: the update committed but the marker
+    // didn't land — delete it and replay the same batch
+    val marker = new org.apache.hadoop.fs.Path(root,
+      "_stream_commits/default/batch-000000003")
+    assert(store.fs.exists(marker))
+    store.fs.delete(marker, false)
+    StoreSink.applyBatch(batch, root, 3L)
+    // a version bump with byte-equal content, not duplication
+    assert(store.read().count() == 28)
+    assert(store.read().agg(sum("precip")).collect()(0).getDouble(0) == sumOnce)
+    assert(store.fs.exists(marker))
+  }
+
+  test("distinct streamIds do not collide on batch ids") {
+    val root = tmpDir("sink-ids")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(3, 2, 2), desc("i"))
+    StoreSink.applyBatch(cube(1, 2, 2, startDay = 3), root, 0L, "streamA")
+    // same batch id, different stream: must still apply (days 4)
+    StoreSink.applyBatch(cube(1, 2, 2, startDay = 4), root, 0L, "streamB")
+    assert(store.read().count() == 20)
+    intercept[IllegalArgumentException] {
+      StoreSink.applyBatch(cube(1, 2, 2, startDay = 5), root, 1L, "bad/../id")
+    }
+  }
+}
