@@ -18,7 +18,7 @@ object Bench {
     "q106_pagerank", "q108_label_prop", "q109_triangles",
     "q110_coengagement", "q111_fuzzy_join",
     "q113_bpe_train", "q114_bpe_encode", "q115_conservative_regrid",
-    "q116_point_in_polygon")
+    "q116_point_in_polygon", "q118_bitmap_distinct")
 
   /** Tables the tier-2 set reads. Each is replicated `factor`× with its
     * id keys shifted per replica (joins/groups keep realistic key

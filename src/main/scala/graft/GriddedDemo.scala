@@ -109,6 +109,36 @@ object GriddedDemo {
     val chain = chainLen(mgr.catalog.latestVersion("demo-precip"), 0)
     require(chain == 3, s"STAC chain length $chain")
 
+    // 6b. SQL face: the same store through the GridCatalog — current,
+    // VERSION AS OF, and the $history metadata table
+    spark.conf.set("spark.sql.catalog.griddemo",
+      classOf[graft.catalog.GridCatalog].getName)
+    spark.conf.set("spark.sql.catalog.griddemo.warehouse", root)
+    val sqlNow = timed("sql_select_count") {
+      spark.sql("SELECT count(*) FROM griddemo.store").collect()(0).getLong(0)
+    }
+    require(sqlNow == (nDays + 30L) * nLat * nLon, s"sql count $sqlNow")
+    val sqlPre = timed("sql_version_as_of") {
+      spark.sql(s"SELECT count(*) FROM griddemo.store VERSION AS OF " +
+        s"${latestVersion - 1} WHERE precip >= 5000.0").collect()(0).getLong(0)
+    }
+    require(sqlPre == 0L, s"sql pre-correction high cells $sqlPre")
+    val histRows = spark.sql(
+      "SELECT count(*) FROM griddemo.`store$history`").collect()(0).getLong(0)
+    require(histRows == latestVersion, s"history rows $histRows")
+
+    // 6c. change feed: the correction's commit diffs to its rewritten
+    // buckets only; the net view is exactly the corrected cells
+    val diffRows = timed("changes_commit_diff") {
+      mgr.store.changes(latestVersion - 2, latestVersion).count()
+    }
+    val netIns = timed("changes_net") {
+      mgr.store.changesNet(latestVersion - 2, latestVersion)
+        .where(col("_change_type") === "insert").count()
+    }
+    require(netIns == nCorr, s"net inserts $netIns vs $nCorr")
+    println(s"DEMO change feed: $diffRows file-level rows, $netIns net inserts")
+
     // 7. vacuum: reclaim pre-correction files, latest still reads
     val reclaimed = timed("vacuum")(mgr.store.vacuum(retainLast = 1))
     val total = mgr.store.read().count()

@@ -395,6 +395,20 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     }
   }
 
+  /** Row-level NET changes between two versions: [[changes]] with the
+    * rewritten-but-identical rows cancelled out (a bucket rewrite's
+    * unchanged survivors appear in both tagged sets and annihilate).
+    * Costs two anti-joins BOUNDED BY THE DELTA — the consumer opts into
+    * that per-delta cost instead of the per-table cost a full-snapshot
+    * diff would be. */
+  def changesNet(fromV: Long, toV: Long): DataFrame = {
+    val diff = changes(fromV, toV)
+    val ins = diff.filter(col("_change_type") === "insert").drop("_change_type")
+    val del = diff.filter(col("_change_type") === "delete").drop("_change_type")
+    ins.exceptAll(del).withColumn("_change_type", lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+  }
+
   // ---- write paths ------------------------------------------------------
 
   private def prepared(df: DataFrame, d: DatasetDescriptor): DataFrame = {

@@ -41,6 +41,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the delta file set; the read path is Spark's own vectorized parquet
   * reader factory (one factory for the stream, partitions planned per
   * batch). Nothing driver-side ever touches row data.
+  *
+  * Retention contract: a batch reads files pinned by manifests inside
+  * the `vacuum` retention window. A consumer lagging further than
+  * `retainLast` versions fails LOUDLY on the reclaimed file (never
+  * silently skips data) — size retention to cover the slowest
+  * consumer's lag, the same rule every log-compacted feed imposes.
   */
 class StoreStream extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -272,4 +272,21 @@ class PlanRegressionSpec extends SparkSpec {
     assert(plan.indexOf("Window") < iFinal,
       "rank window must run over the k-bounded result:\n" + plan)
   }
+
+  test("q118 distinct counting is ONE exchange of bitmap partials") {
+    val df = SparkEntry.queries("q118_bitmap_distinct")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // the aggregate-induced exchange (the final orderBy adds its own
+    // rangepartitioning — only the hash exchange count matters here)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"bitmap_distinct must not regress to the two-exchange " +
+        s"(group,value) rewrite; saw $exchanges hash exchanges:\n$plan")
+    assert(plan.contains("partial_bitmap_distinct"),
+      "map-side bitmap partial missing — the exchange would carry raw " +
+        "rows instead of pages:\n" + plan)
+  }
 }

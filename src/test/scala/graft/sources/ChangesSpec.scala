@@ -55,6 +55,14 @@ class ChangesSpec extends SparkSpec {
     val same = store.changes(vCorr, vCorr)
     assert(same.count() == 0 && same.columns.contains("_change_type"))
 
+    // net view: the bucket rewrite's 16 unchanged survivors annihilate,
+    // leaving the 4 genuinely changed cells as 4 deletes + 4 inserts
+    val net = store.changesNet(vApp, vCorr)
+    assert(net.filter(col("_change_type") === "insert").count() == 4)
+    assert(net.filter(col("_change_type") === "delete").count() == 4)
+    assert(net.filter(col("_change_type") === "insert")
+      .agg(min("precip")).collect()(0).getDouble(0) >= 5000.0)
+
     // the diff READS only the delta files, not the table: every file the
     // scan touches lives in the changed buckets
     corrDiff.unpersist(true) // cached blocks carry no file names
