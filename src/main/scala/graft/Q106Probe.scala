@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stage decomposition of q106 (PageRank) / q110 (co-engagement) at the
+  * ×10 tier — where do the seconds go? */
+object Q106Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_tier2_x10")
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    (1 to 2).foreach { rnd =>
+      println(s"--- round $rnd")
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("us"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      t("ev count")(println("  n=" + ev.count()))
+      val lw = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val edgesPre = ev.withColumn("src", lag("k", 1).over(lw))
+        .filter(col("src").isNotNull && col("src") =!= col("k"))
+        .groupBy(col("src"), col("k").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      t("edges agg count")(println("  n=" + edgesPre.count()))
+      val edges = t("edges localCheckpoint")(edgesPre.localCheckpoint())
+      val nodes = t("nodes distinct+ckpt")(
+        ev.select("k").distinct().localCheckpoint())
+      val n = nodes.count()
+      println("  nodes=" + n)
+      val pr = graft.operators.GraphOps.pageRank(edges, nodes, 2, n)
+      t("2 PR iterations + orderBy")(println("  rows=" +
+        pr.select(col("k"), round(col("pr"), 9).as("pr")).orderBy("k").count()))
+      // ---- q110 stages
+      val ui = Tables.events(spark, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .distinct()
+      t("q110 ui distinct count")(println("  n=" + ui.count()))
+      val uiCk = t("q110 ui ckpt")(ui.localCheckpoint())
+      val pairs = uiCk.join(uiCk.withColumnRenamed("k", "k2"), "user_id")
+        .filter(col("k") < col("k2"))
+        .groupBy("k", "k2").agg(count(lit(1)).as("co"))
+      t("q110 pair agg count")(println("  n=" + pairs.count()))
+      t("q110 full")(println("  n=" +
+        SparkEntry.queries("q110_coengagement")(spark, dir).count()))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}

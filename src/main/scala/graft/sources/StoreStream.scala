@@ -42,11 +42,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * reader factory (one factory for the stream, partitions planned per
   * batch). Nothing driver-side ever touches row data.
   *
-  * Retention contract: a batch reads files pinned by manifests inside
-  * the `vacuum` retention window. A consumer lagging further than
-  * `retainLast` versions fails LOUDLY on the reclaimed file (never
-  * silently skips data) — size retention to cover the slowest
-  * consumer's lag, the same rule every log-compacted feed imposes.
+  * Retention contract: live planning diffs against the LATEST pin, so a
+  * lagging consumer's catch-up batch is LOG-COMPACTED — it reads the
+  * current snapshot's files and never references reclaimed
+  * intermediates (spec'd). The vacuum window only matters for a
+  * crash-replayed batch whose checkpointed END version has since been
+  * vacuumed: that replay fails LOUDLY on the missing file (never
+  * silently skips) — size retention to cover restart lag.
   */
 class StoreStream extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -63,6 +63,28 @@ class StoreStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 68)
   }
 
+  test("catch-up across a vacuumed history is log-compacted: one jump " +
+      "to the current pin, nothing references reclaimed files") {
+    val root = tmpDir("sstream-lag")
+    val out = tmpDir("sstream-lag-out")
+    val ckpt = tmpDir("sstream-lag-ckpt")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(5, 2, 2), desc("v"))
+    // a correction retires the initial generation's files and vacuum(1)
+    // reclaims them BEFORE the consumer has processed anything
+    store.update(cube(1, 2, 2, startDay = 1, valueOffset = 100.0))
+    store.vacuum(retainLast = 1)
+    // planInputPartitions(0, latest) diffs against the LATEST pin, so a
+    // from-zero consumer reads exactly the current snapshot's files —
+    // replaced intermediates never enter any batch (the same netting a
+    // compacted log gives a lagging consumer)
+    drain(root, out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() == store.read().count())
+    assert(got.agg(sum("precip")).collect()(0).getDouble(0) ==
+      store.read().agg(sum("precip")).collect()(0).getDouble(0))
+  }
+
   test("startingVersion=latest skips history and sees only new commits") {
     val root = tmpDir("sstream-latest")
     val out = tmpDir("sstream-latest-out")
