@@ -1,0 +1,70 @@
+package graft
+
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import graft.sources.{GriddedStore, StoreSink}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the streaming faces of the store: batched
+  * appends through the exactly-once sink path, replay no-ops, a
+  * from-zero StoreStream drain, and the commit-diff feed — timed at
+  * millions of cells, all distributively generated. */
+object StreamScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val (nLat, nLon) = (112, 112)
+    val DAY_US = 86400000000L
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stream-scale] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    def slab(d0: Long, len: Long): DataFrame =
+      spark.range(len * nLat * nLon).select(
+        ((expr(s"id div ${nLat * nLon}") + d0) * DAY_US).as("time"),
+        (lit(-14.0) + pmod(expr(s"id div $nLon"), lit(nLat.toLong)) * 0.25)
+          .as("latitude"),
+        (lit(10.0) + pmod(col("id"), lit(nLon.toLong)) * 0.25).as("longitude"),
+        pmod(col("id") * 37L, lit(1000L)).cast("double").as("precip"))
+
+    val root = java.nio.file.Files.createTempDirectory("stream-scale").toString
+    val store = new GriddedStore(root, spark)
+    val d = DatasetDescriptor("probe", "precip", Category.Observation,
+      missingValue = Some(-9999.0), cadenceUs = DAY_US,
+      chunk = ChunkGrid(50 * DAY_US, 2000000))
+    t(s"writeInitial 200d (${200L * nLat * nLon} cells)") {
+      store.writeInitial(slab(0, 200), d)
+    }
+    // 5 streaming micro-batches of 10 days each through the sink path
+    (0 until 5).foreach { i =>
+      t(s"sink batch $i (10d, ${10L * nLat * nLon} cells)") {
+        StoreSink.applyBatch(slab(200 + i * 10, 10), root, i.toLong)
+      }
+    }
+    val total = (250L) * nLat * nLon
+    require(store.read().count() == total)
+    t("replayed batch 4 (marker no-op)") {
+      StoreSink.applyBatch(slab(240, 10), root, 4L)
+    }
+    // from-zero streaming drain: log-compacted catch-up of the whole store
+    val out = java.nio.file.Files.createTempDirectory("stream-scale-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-scale-ck").toString
+    t("StoreStream drain from version 0") {
+      val q = spark.readStream.format("graft.sources.StoreStream")
+        .option("path", root).option("startingVersion", "0").load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+    }
+    require(spark.read.parquet(out).count() == total)
+    // incremental consumer: one batch's commit diff
+    val v = store.latestVersionNumber()
+    val delta = t("changes() across the last sink batch") {
+      store.changes(v - 2, v).count()
+    }
+    require(delta == 10L * nLat * nLon, s"delta $delta")
+    println(s"[stream-scale] ok: $total cells, store v$v")
+    spark.stop()
+  }
+}

@@ -1239,6 +1239,63 @@ object TextQueries {
         .select(col("u_times_2"), col("n_pos"), col("n_neg"),
           (col("u_times_2").cast("double")
             / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+    }),
+
+    // Inter-classifier agreement: Cohen's kappa between two independent
+    // heuristic labelers (q31's marker-ratio language-ID vs a
+    // stopword-evidence gate) — the eval every weak-supervision pipeline
+    // runs before trusting agreement-filtered labels. One scan to a 2×2
+    // confusion matrix (map-side combined), then
+    // κ = (N·Σagree − Σ rowᵢ·colᵢ) / (N² − Σ rowᵢ·colᵢ): the standard
+    // (po−pe)/(1−pe) cleared of fractions so everything is INTEGER until
+    // one final division — hash-exact with no rounding discipline.
+    "q119_cohens_kappa" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val cells = Tables.table(s, dir, "documents")
+        .select(
+          (TextFunctions.langScore(col("text"), Seq("the", "a")) >= 0.05)
+            .cast("long").as("a"),
+          (TextFunctions.wordSetCount(toks, STOPWORDS) >= lit(2))
+            .cast("long").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .agg(
+          sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"),
+          sum(when(col("a") === 1L, col("n")).otherwise(0L)).as("a1"),
+          sum(when(col("b") === 1L, col("n")).otherwise(0L)).as("b1"),
+          sum(col("n")).as("nn"))
+      cells.select(col("agree"), col("a1"), col("b1"), col("nn"),
+        ((col("nn") * col("agree")
+          - (col("a1") * col("b1")
+            + (col("nn") - col("a1")) * (col("nn") - col("b1")))).cast("double")
+          / (col("nn") * col("nn")
+            - (col("a1") * col("b1")
+              + (col("nn") - col("a1")) * (col("nn") - col("b1"))))
+            .cast("double")).as("kappa"))
+    }),
+
+    // Exact-rank winsorization: clamp each doc's token count at its
+    // SOURCE's empirical p95 — outlier taming before length-based
+    // curation stats. The per-source cutoff is the value at rank
+    // ceil(0.95·n) (type-1 quantile, no interpolation → stays integer/
+    // hash-exact). Cutoffs come from one source-partitioned window over
+    // (source, n_toks) rows; the corpus-sized clamp join is a broadcast
+    // of the domains-sized cutoff table — the q84 source-rollup shape.
+    "q120_winsorize" -> ((s, dir) => {
+      val base = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("n_toks", "doc_id")
+      val cnt = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val cutoffs = base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cnt))
+        .filter(col("rn") === ceil(col("n") * 0.95).cast("long"))
+        .select(col("source"), col("n_toks").as("p95"))
+      base.join(broadcast(cutoffs), "source")
+        .select(col("doc_id"), col("source"), col("n_toks"), col("p95"),
+          least(col("n_toks"), col("p95")).as("clamped"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1976,5 +2033,39 @@ object TextQueries {
         |  CAST(SUM(n1) AS BIGINT) AS n_pos, CAST(SUM(n0) AS BIGINT) AS n_neg,
         |  CAST(SUM(n1 * (2 * below0 + n0)) AS DOUBLE)
         |    / (2.0 * SUM(n1) * SUM(n0)) AS auc
-        |FROM cum""".stripMargin)
+        |FROM cum""".stripMargin,
+    "q119_cohens_kappa" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN CAST(LEN(list_filter(string_split(text,' '),
+        |          x -> x IN ('the','a'))) AS DOUBLE)
+        |        / CAST(LEN(string_split(text,' ')) AS DOUBLE) >= 0.05
+        |      THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN LEN(list_filter(string_split(text,' '),
+        |          x -> x IN ('the','a','of','and'))) >= 2
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+        |    CAST(SUM(a) AS BIGINT) AS a1, CAST(SUM(b) AS BIGINT) AS b1,
+        |    CAST(COUNT(*) AS BIGINT) AS nn
+        |  FROM d)
+        |SELECT agree, a1, b1, nn,
+        |  CAST(nn * agree - (a1 * b1 + (nn - a1) * (nn - b1)) AS DOUBLE)
+        |    / CAST(nn * nn - (a1 * b1 + (nn - a1) * (nn - b1)) AS DOUBLE)
+        |    AS kappa
+        |FROM m""".stripMargin,
+    "q120_winsorize" ->
+      """WITH base AS (SELECT doc_id, source,
+        |    CAST(LEN(string_split(text,' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |r AS (SELECT base.*,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_toks, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM base),
+        |cut AS (SELECT source, n_toks AS p95 FROM r
+        |        WHERE rn = CAST(CEIL(n * 0.95) AS BIGINT))
+        |SELECT base.doc_id, base.source, base.n_toks, cut.p95,
+        |  LEAST(base.n_toks, cut.p95) AS clamped
+        |FROM base JOIN cut ON cut.source = base.source
+        |ORDER BY base.doc_id""".stripMargin)
 }
