@@ -333,7 +333,14 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     * in the doomed set. The committed pointer's file list is always
     * protected explicitly, even when orphaned claims crowd the retained
     * number window. */
-  def vacuum(retainLast: Int = 2): Seq[String] = {
+  def vacuum(retainLast: Int = 2): Seq[String] =
+    vacuum(retainLast, dryRun = false)
+
+  /** `dryRun = true` reports the doomed file list without deleting —
+    * the look-before-you-leap every destructive maintenance command
+    * needs (same fences and refusals as the real run, so a dry run that
+    * succeeds means the real run would have, too). */
+  def vacuum(retainLast: Int, dryRun: Boolean): Seq[String] = {
     require(retainLast >= 1, "must retain at least the latest version")
     val d = readDescriptor().getOrElse(
       throw new IllegalStateException(s"no existing dataset at $root"))
@@ -353,7 +360,7 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       throw new java.util.ConcurrentModificationException(
         s"a writer claimed a manifest version during vacuum at $root; " +
           "rerun when it finishes")
-    doomed.foreach(f => fs.delete(new Path(root, f), false))
+    if (!dryRun) doomed.foreach(f => fs.delete(new Path(root, f), false))
     doomed
   }
 

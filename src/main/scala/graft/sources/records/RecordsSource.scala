@@ -81,11 +81,20 @@ class RecordsTable(path: String) extends Table with SupportsRead {
 }
 
 class RecordsScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = RecordsSource.Schema
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new RecordsScan(path, required)
+  /** A LIMIT prunes at STRIPE granularity through the tail index: only
+    * enough stripes to cover `n` rows are planned at all (a LIMIT 10
+    * over a 10k-stripe dataset plans one partition, not 10k), and the
+    * stripe crossing the limit stops mid-stripe (records are
+    * length-prefixed-sequential, so a prefix read is always valid).
+    * Spark keeps its own limit on top — this is the scan-side cut. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def build(): Scan = new RecordsScan(path, required, limit)
 }
 
 /** Hadoop Configuration does not serialize; carry it by key-value. */
@@ -106,12 +115,15 @@ class ConfCarrier(@transient conf: Configuration) extends Serializable {
 case class StripePartition(file: String, offset: Long, count: Int)
   extends InputPartition
 
-class RecordsScan(path: String, required: StructType)
+class RecordsScan(path: String, required: StructType,
+                  limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"grec $path${limit.fold("")(l => s", PushedLimit: $l")}"
 
-  private lazy val stripes: Seq[StripePartition] = {
+  private lazy val allStripes: Seq[StripePartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -123,6 +135,23 @@ class RecordsScan(path: String, required: StructType)
     files.flatMap(f => RecordsSource.readIndex(fs, f).map {
       case (off, n) => StripePartition(f.toString, off, n)
     })
+  }
+
+  /** Stripes after limit pruning: enough to cover the limit, the
+    * crossing stripe truncated to the remainder. */
+  private lazy val stripes: Seq[StripePartition] = limit match {
+    case None => allStripes
+    case Some(l) =>
+      val out = Seq.newBuilder[StripePartition]
+      var remaining = l.toLong
+      val it = allStripes.iterator
+      while (remaining > 0 && it.hasNext) {
+        val s = it.next()
+        out += (if (s.count <= remaining) s
+                else s.copy(count = remaining.toInt))
+        remaining -= s.count
+      }
+      out.result()
   }
 
   override def planInputPartitions(): Array[InputPartition] =

@@ -73,6 +73,21 @@ class ChangesSpec extends SparkSpec {
       scanned.forall(_.contains("time_bucket=1")), scanned.mkString("\n"))
   }
 
+  test("vacuum dry run reports the doomed list without deleting") {
+    val root = tmpDir("vac-dry")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(4, 2, 2), desc("v"))
+    store.update(cube(1, 2, 2, startDay = 1, valueOffset = 100.0)) // retire gen 1
+    val dry = store.vacuum(retainLast = 1, dryRun = true)
+    assert(dry.nonEmpty)
+    dry.foreach(f => assert(store.fs.exists(
+      new org.apache.hadoop.fs.Path(root, f)), f)) // nothing deleted
+    val real = store.vacuum(retainLast = 1)
+    assert(real == dry) // the dry run predicted the real run exactly
+    real.foreach(f => assert(!store.fs.exists(
+      new org.apache.hadoop.fs.Path(root, f)), f))
+  }
+
   test("version bounds and legacy manifests refuse loudly") {
     val root = tmpDir("changes-guard")
     val store = new GriddedStore(root, spark)

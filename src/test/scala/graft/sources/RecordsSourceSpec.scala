@@ -75,4 +75,27 @@ class RecordsSourceSpec extends SparkSpec {
       .flatMap(f => RecordsSource.readIndex(fs, f.getPath)).map(_._2.toLong)
     assert(counts.sum == 300)
   }
+
+  test("limit pushdown prunes at stripe granularity through the index") {
+    val dir = tmpDir("grec-limit")
+    writeCorpus(dir, 600, stripe = 50) // 3 files x 4 stripes
+    val limited = RecordFiles.read(spark, dir).limit(70)
+    assert(limited.count() == 70)
+    // 70 rows need stripe 1 (50) + 20 of stripe 2: TWO partitions of
+    // the 12, and the crossing stripe truncated to the remainder
+    val scans = limited.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val parts = scans.head.partitions.flatten
+    assert(parts.length == 2, s"planned ${parts.length} partitions")
+    assert(parts.map(_.asInstanceOf[graft.sources.records.StripePartition].count)
+      .sum == 70)
+    assert(scans.head.scan.description().contains("PushedLimit: 70"),
+      scans.head.scan.description())
+    // payload values from the limited read are real records
+    val got = limited.select("payload").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8"))
+    assert(got.length == 70 && got.forall(_.startsWith("payload-")))
+  }
 }
