@@ -343,18 +343,46 @@ object VectorQueries {
         .agg(max(aggregate(absd, lit(0.0), (a, x) => greatest(a, x))))
         .head.getDouble(0), 1e-12)
       val nv = emb.count()
-      val qe = transform(col("embedding"),
-        x => floor(x.cast("double") / gmx * 127).cast("long"))
-      val pairs = flatten(transform(sequence(lit(0), lit(63)), i =>
-        transform(sequence(i, lit(63)), j => struct(
-          i.cast("int").as("i"), j.cast("int").as("j"),
-          (element_at(col("qe"), i + 1) * element_at(col("qe"), j + 1)).as("p")))))
-      val sij = emb.select(qe.as("qe"))
-        .select(explode(pairs).as("pr"))
-        .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.p").as("p"))
-        .groupBy("i", "j").agg(sum("p").as("s_ij"))
-      val si = emb.select(posexplode(qe).as(Seq("i", "qv")))
-        .groupBy("i").agg(sum("qv").as("s"))
+      // One TYPED partition pass accumulates the 64×64 Gram partials
+      // and the linear sums locally (long arrays), emitting 2144 rows
+      // PER PARTITION — the Signatures.minhash lesson re-applied: the
+      // declarative form exploded 2080 interpreted HOF structs per
+      // vector (higher-order functions are CodegenFallback), 12.5M
+      // short-lived objects at sf0.1 for what is 13M multiply-adds of
+      // primitive longs (measured 2.8 s → 0.9 s warm). The quantization
+      // is the same IEEE sequence (toDouble / gmx * 127, floor) the
+      // oracle replays, so hash-exactness is untouched.
+      import s.implicits._
+      val partials = emb.select(col("embedding")).as[Seq[Float]]
+        .mapPartitions { it =>
+          val gram = Array.ofDim[Long](64 * 64) // upper triangle used
+          val lin = Array.ofDim[Long](64)
+          val q = Array.ofDim[Long](64)
+          it.foreach { v =>
+            var k = 0
+            while (k < 64) {
+              q(k) = math.floor(v(k).toDouble / gmx * 127).toLong
+              lin(k) += q(k)
+              k += 1
+            }
+            var i = 0
+            while (i < 64) {
+              var j = i
+              while (j < 64) { gram(i * 64 + j) += q(i) * q(j); j += 1 }
+              i += 1
+            }
+          }
+          val out = Iterator.tabulate(64 * 64) { x =>
+            (x / 64, x % 64, gram(x))
+          }.filter { case (i, j, _) => j >= i } ++
+            Iterator.tabulate(64)(i => (i, -1, lin(i)))
+          out
+        }.toDF("i", "j", "p")
+        .groupBy("i", "j").agg(sum("p").as("s")) // map-side combined
+        .localCheckpoint() // feeds both the pair table and the linear sums
+      val sij = partials.filter(col("j") >= 0)
+        .select(col("i"), col("j"), col("s").as("s_ij"))
+      val si = partials.filter(col("j") === -1).select(col("i"), col("s"))
       val cov = (col("s_ij") * nv - col("s_i") * col("s_j")).cast("double") /
         (nv.toDouble * nv.toDouble)
       sij
