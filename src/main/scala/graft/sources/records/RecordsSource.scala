@@ -82,9 +82,10 @@ class RecordsTable(path: String) extends Table with SupportsRead {
 
 class RecordsScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var required: StructType = RecordsSource.Schema
   private var limit: Option[Int] = None
+  private var countStar = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   /** A LIMIT prunes at STRIPE granularity through the tail index: only
@@ -94,8 +95,56 @@ class RecordsScanBuilder(path: String)
     * length-prefixed-sequential, so a prefix read is always valid).
     * Spark keeps its own limit on top — this is the scan-side cut. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
-  override def build(): Scan = new RecordsScan(path, required, limit)
+  /** An ungrouped COUNT(*) is answered ENTIRELY from the stripe tail
+    * indexes — zero data bytes read (the planner-statistics trick,
+    * promoted to the query result): complete pushdown, the scan emits
+    * the one pre-aggregated row. Anything else stays un-pushed. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (!supportCompletePushDown(agg)) false
+    else { countStar = true; true }
+  }
+  override def build(): Scan =
+    if (countStar) new RecordsCountScan(path, limit)
+    else new RecordsScan(path, required, limit)
 }
+
+/** The complete-pushdown COUNT(*) scan: one row, straight off the
+  * indexes (respecting a pushed LIMIT if one landed first). */
+class RecordsCountScan(path: String, limit: Option[Int])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"grec $path, PushedAggregate: COUNT(*)"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = new RecordsScan(path, RecordsSource.Schema, limit)
+      .estimateStatistics().numRows().orElse(0L)
+    Array(CountPartition(total))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var served = false
+          override def next(): Boolean = { val r = !served; served = true; r }
+          override def get(): InternalRow =
+            InternalRow(p.asInstanceOf[CountPartition].n)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class CountPartition(n: Long) extends InputPartition
 
 /** Hadoop Configuration does not serialize; carry it by key-value. */
 class ConfCarrier(@transient conf: Configuration) extends Serializable {

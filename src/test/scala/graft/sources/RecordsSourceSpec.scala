@@ -98,4 +98,27 @@ class RecordsSourceSpec extends SparkSpec {
       .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8"))
     assert(got.length == 70 && got.forall(_.startsWith("payload-")))
   }
+
+  test("COUNT(*) pushes down completely: answered from the index, " +
+      "zero data partitions") {
+    val dir = tmpDir("grec-count")
+    writeCorpus(dir, 600, stripe = 50)
+    val counted = RecordFiles.read(spark, dir).agg(count(lit(1)).as("n"))
+    assert(counted.collect()(0).getLong(0) == 600L)
+    val scans = counted.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.description().contains("PushedAggregate: COUNT(*)"),
+      scans.head.scan.description())
+    val parts = scans.head.partitions.flatten
+    assert(parts.length == 1 &&
+      parts.head.isInstanceOf[graft.sources.records.CountPartition],
+      parts.mkString(","))
+    // a grouped or non-count aggregate must NOT push (stays a data scan)
+    val summed = RecordFiles.read(spark, dir).agg(sum("length"))
+    assert(summed.collect()(0).getLong(0) > 0) // execute: AQE finalizes
+    val s2 = summed.queryExecution.executedPlan.toString
+    assert(!s2.contains("PushedAggregate"), s2)
+  }
 }
