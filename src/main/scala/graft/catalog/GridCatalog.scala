@@ -93,6 +93,10 @@ class GridCatalog extends TableCatalog with SupportsNamespaces {
       val base = Identifier.of(ident.namespace(),
         ident.name().stripSuffix("$history"))
       historyTable(base, storeFor(base))
+    } else if (ident.name().endsWith("$files")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$files"))
+      filesTable(base, storeFor(base))
     } else {
       val store = storeFor(ident)
       snapshotTable(ident, store, store.snapshotFiles())
@@ -119,6 +123,22 @@ class GridCatalog extends TableCatalog with SupportsNamespaces {
         d.dateRange.map(_._1), d.dateRange.map(_._2))
     }
     new HistoryMetaTable(s"$ident$$history", rows)
+  }
+
+  /** One row per data file the COMMITTED pointer pins: root-relative
+    * path, directory-partition bucket, size, mtime — the ops view of a
+    * snapshot (small-file skew, bucket balance, compaction targets). */
+  private def filesTable(ident: Identifier, store: GriddedStore): Table = {
+    val pinned = store.snapshotFiles().getOrElse(Seq.empty)
+    val rootPath = new Path(store.root)
+    val f = fs(rootPath)
+    val Bucket = ".*time_bucket=(-?\\d+)/.*".r
+    val rows = pinned.sorted.map { rel =>
+      val st = f.getFileStatus(new Path(store.root, rel))
+      val bucket = rel match { case Bucket(b) => b.toLong; case _ => -1L }
+      FileRow(rel, bucket, st.getLen, st.getModificationTime * 1000L)
+    }
+    new FilesMetaTable(s"$ident$$files", rows)
   }
 
   /** `VERSION AS OF v` — the pinned list of manifest version `v`. */
@@ -290,6 +310,62 @@ private[catalog] class HistoryScan(rows: Seq[HistoryRow])
             InternalRow(cur.version, cur.committedAtUs, cur.updateInProgress,
               cur.nFiles, cur.dateStartUs.map(Long.box).orNull,
               cur.dateEndUs.map(Long.box).orNull)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** One pinned data file's `$files` row. */
+case class FileRow(path: String, timeBucket: Long, sizeBytes: Long,
+                   modifiedAtUs: Long)
+
+/** In-memory DSv2 table serving the `$files` rows — pin-list sized. */
+private[catalog] class FilesMetaTable(ident: String, rows: Seq[FileRow])
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+  override def name(): String = ident
+  override def schema(): StructType = FilesMetaTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new FilesScan(rows)
+    }
+}
+
+private[catalog] object FilesMetaTable {
+  import org.apache.spark.sql.types._
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("time_bucket", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("modified_at", TimestampType, nullable = false)))
+}
+
+private[catalog] case class FilesPartition(rows: Seq[FileRow])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private[catalog] class FilesScan(rows: Seq[FileRow])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read._
+  override def readSchema(): org.apache.spark.sql.types.StructType =
+    FilesMetaTable.Schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FilesPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it = p.asInstanceOf[FilesPartition].rows.iterator
+          private var cur: FileRow = _
+          override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+          override def get(): InternalRow = InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(cur.path),
+            cur.timeBucket, cur.sizeBytes, cur.modifiedAtUs)
           override def close(): Unit = ()
         }
     }

@@ -87,6 +87,27 @@ class GridCatalogSpec extends SparkSpec {
     assert(tables.contains("t"))
   }
 
+  test("$files metadata table lists exactly the pinned snapshot") {
+    val wh = tmpDir("cat-wh-files")
+    val store = new GriddedStore(s"$wh/f", spark)
+    store.writeInitial(cube(12, 2, 2), desc("f")) // buckets 0 and 1
+    store.update(cube(1, 2, 2, startDay = 3, valueOffset = 1.0)) // rewrite b0
+    installCatalog(wh, "grid5")
+    val rows = spark.sql(
+      "SELECT path, time_bucket, size_bytes FROM grid5.`f$files` ORDER BY path")
+      .collect()
+    val pinned = store.snapshotFiles().get.sorted
+    assert(rows.map(_.getString(0)).toSeq == pinned)
+    assert(rows.forall(_.getLong(2) > 0))
+    assert(rows.map(_.getLong(1)).toSet.subsetOf(Set(0L, 1L)))
+    // retired pre-correction bucket-0 files are on disk but NOT listed
+    val b0 = new org.apache.hadoop.fs.Path(s"$wh/f/data/time_bucket=0")
+    val onDisk = b0
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(b0).count(_.getPath.getName.endsWith(".parquet"))
+    assert(onDisk > rows.count(_.getLong(1) == 0L))
+  }
+
   test("$history metadata table lists every manifest commit") {
     val wh = tmpDir("cat-wh-hist")
     val store = new GriddedStore(s"$wh/h", spark)
