@@ -32,6 +32,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("bitmap_distinct composes with streaming state: multi-batch " +
+      "distinct-user counts == batch (complete mode)") {
+    // the custom TypedImperativeAggregate's buffer serializes into the
+    // streaming state store between micro-batches — exact distinct
+    // counting survives incremental arrival (the q118 streaming twin)
+    val s = spark; import s.implicits._
+    val dir = tmpDir("stream-bm-in")
+    val all = (0 until 300).map { i =>
+      (i.toLong, (i * 2654435761L % 40).toLong,
+        if (i % 3 == 0) "click" else "view")
+    }
+    val schema = all.toDF("event_id", "user_id", "event_type").schema
+    all.grouped(100).zipWithIndex.foreach { case (chunk, k) =>
+      chunk.toDF("event_id", "user_id", "event_type")
+        .coalesce(1).write.parquet(s"$dir/drop$k")
+    }
+    val src = IncrementalStream.source(spark, s"$dir/drop*", schema,
+      maxFilesPerTrigger = 1)
+    val agg = src.groupBy("event_type")
+      .agg(call_function("bitmap_distinct", col("user_id")).as("nd"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("bm_stream")
+      .option("checkpointLocation", tmpDir("stream-bm-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("bm_stream")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = all.toDF("event_id", "user_id", "event_type")
+      .groupBy("event_type").agg(countDistinct("user_id").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"$streamed vs $batch")
+  }
+
   test("multi-batch backlog (maxFilesPerTrigger=1): several micro-batches, same totals") {
     val s = spark; import s.implicits._
     val dir = tmpDir("stream-multi-in")
