@@ -22,8 +22,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.readStream.format("graft.sources.StoreStream")
   *     .option("path", storeRoot)
   *     .option("startingVersion", "0" /* or "latest" */)
+  *     .option("maxVersionsPerTrigger", "10") // optional batch cap
   *     .load()
   * }}}
+  *
+  * `maxVersionsPerTrigger` is admission control
+  * ([[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]):
+  * a consumer far behind a long-lived store drains in bounded
+  * micro-batches — per-batch file lists and task counts stay
+  * proportional to the cap, under continuous triggers AND AvailableNow
+  * (which snapshots the target version and steps toward it).
   *
   * Semantics — an append-file feed, the streaming face of the commit
   * diff:
@@ -77,16 +85,18 @@ class StoreStreamTable(root: String, schema0: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new StoreStreamScan(root, schema0,
-        Option(options.get("startingVersion")).getOrElse("0"))
+        Option(options.get("startingVersion")).getOrElse("0"),
+        Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
     }
 }
 
-class StoreStreamScan(root: String, schema0: StructType, startingVersion: String)
+class StoreStreamScan(root: String, schema0: StructType,
+                      startingVersion: String, maxVersions: Option[Int])
     extends Scan {
   override def readSchema(): StructType = schema0
   override def description(): String = s"graft store stream over $root"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new StoreMicroBatchStream(root, startingVersion)
+    new StoreMicroBatchStream(root, startingVersion, maxVersions)
 }
 
 /** Offset = committed manifest version (monotone by construction: the
@@ -95,11 +105,22 @@ case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-class StoreMicroBatchStream(root: String, startingVersion: String)
-    extends MicroBatchStream {
+class StoreMicroBatchStream(root: String, startingVersion: String,
+                            maxVersions: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
   private def spark = SparkSession.active
   private def store = new GriddedStore(root, spark)
+
+  // AvailableNow contract: snapshot the target at prepare time, then
+  // step toward it in capped batches; implementing the interface
+  // DIRECTLY (instead of letting the engine wrap us) is what keeps the
+  // engine passing our ReadLimit through to latestOffset.
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(store.latestVersionNumber())
 
   private def pinnedAt(v: Long): Set[String] =
     if (v <= 0) Set.empty
@@ -110,6 +131,30 @@ class StoreMicroBatchStream(root: String, startingVersion: String)
     else startingVersion.toLong)
 
   override def latestOffset(): Offset =
+    VersionOffset(store.latestVersionNumber())
+
+  // ---- admission control: maxVersionsPerTrigger bounds each batch ----
+  // A consumer far behind a long-lived store should drain in bounded
+  // micro-batches, not one giant catch-up: the cap keeps per-batch file
+  // lists (and task counts) proportional to the cap, and the engine
+  // loops batches until caught up — including under AvailableNow, whose
+  // wrapper snapshots reportLatestOffset() and steps toward it.
+  // (ReadMaxRows is the engine's generic numeric limit carrier; here
+  // "rows" are manifest VERSIONS — each unit is one commit's delta.)
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersions.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val latest = availableNowTarget.getOrElse(store.latestVersionNumber())
+    limit match {
+      case m: ReadMaxRows => VersionOffset(math.min(latest, s + m.maxRows()))
+      case _ => VersionOffset(latest)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
     VersionOffset(store.latestVersionNumber())
 
   override def deserializeOffset(json: String): Offset =

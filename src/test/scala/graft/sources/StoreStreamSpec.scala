@@ -63,6 +63,30 @@ class StoreStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 68)
   }
 
+  test("maxVersionsPerTrigger drains a backlog in bounded micro-batches") {
+    val root = tmpDir("sstream-cap")
+    val out = tmpDir("sstream-cap-out")
+    val ckpt = tmpDir("sstream-cap-ckpt")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(4, 2, 2), desc("m"))
+    (0 until 3).foreach(i => store.update(cube(1, 2, 2, startDay = 4 + i)))
+    // 4 mutations = 8 manifest versions; cap at 2 versions per batch
+    val q = spark.readStream.format("graft.sources.StoreStream")
+      .option("path", root).option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    // everything arrived, across SEVERAL batches (8 versions / cap 2 = 4)
+    assert(spark.read.parquet(out).count() == store.read().count())
+    val withRows = q.recentProgress.count(_.numInputRows > 0)
+    assert(withRows >= 2, s"expected a multi-batch drain, got " +
+      q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("catch-up across a vacuumed history is log-compacted: one jump " +
       "to the current pin, nothing references reclaimed files") {
     val root = tmpDir("sstream-lag")
