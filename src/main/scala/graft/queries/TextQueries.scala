@@ -1275,22 +1275,30 @@ object TextQueries {
 
     // Exact-rank winsorization: clamp each doc's token count at its
     // SOURCE's empirical p95 — outlier taming before length-based
-    // curation stats. The per-source cutoff is the value at rank
-    // ceil(0.95·n) (type-1 quantile, no interpolation → stays integer/
-    // hash-exact). Cutoffs come from one source-partitioned window over
-    // (source, n_toks) rows; the corpus-sized clamp join is a broadcast
-    // of the domains-sized cutoff table — the q84 source-rollup shape.
+    // curation stats. The cutoff is the value at rank ceil(0.95·n)
+    // (type-1 quantile, no interpolation → stays integer/hash-exact),
+    // selected WITHOUT windowing the corpus: token counts are a small
+    // domain, so the corpus contributes one (source, n_toks) count
+    // aggregate (map-side combined) and the rank is found by cumulative
+    // counts over that domain-sized table — the q117 trick. A naive
+    // row_number window (the oracle's spelling) sorts the whole corpus
+    // in #sources tasks, a 100 TB non-starter with 5 sources. The clamp
+    // join back is a broadcast of the domains-sized cutoff table.
     "q120_winsorize" -> ((s, dir) => {
       val base = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+      val counts = base.groupBy("source", "n_toks")
+        .agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("n_toks", "doc_id")
-      val cnt = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      val cutoffs = base
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(cnt))
-        .filter(col("rn") === ceil(col("n") * 0.95).cast("long"))
+        .partitionBy("source").orderBy("n_toks")
+      val totals = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val cutoffs = counts
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("r", ceil(sum("c").over(totals) * 0.95).cast("long"))
+        // the rank-r value is the first n_toks whose cumulative count
+        // reaches r — identical to the row_number selection, ties included
+        .filter(col("cum") >= col("r") && col("cum") - col("c") < col("r"))
         .select(col("source"), col("n_toks").as("p95"))
       base.join(broadcast(cutoffs), "source")
         .select(col("doc_id"), col("source"), col("n_toks"), col("p95"),
