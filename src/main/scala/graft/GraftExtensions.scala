@@ -80,6 +80,20 @@ object GraftExtensions {
         }
         agg.toAggregateExpression()
       }),
+    ("char_sq_sum", classOf[graft.plans.CharSqSum].getName,
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"char_sq_sum requires exactly 1 argument, got ${exprs.length}")
+        graft.plans.CharSqSum(exprs(0))
+      }),
+    ("char_distinct", classOf[graft.plans.CharDistinct].getName,
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"char_distinct requires exactly 1 argument, got ${exprs.length}")
+        graft.plans.CharDistinct(exprs(0))
+      }),
     ("bloom_might_contain",
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
       (exprs: Seq[Expression]) => {

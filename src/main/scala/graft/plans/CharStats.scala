@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-histogram statistics over a string column — the scan-stage
+  * kernels behind the character-diversity quality gate (q121).
+  *
+  * WHY a custom Catalyst `Expression` (SURVEY preference order (b)): the
+  * built-in way to count per-character frequencies is
+  * `transform(array_distinct(split(text, '')), c -> size(filter(...)))` —
+  * an O(distinct·len) interpreted higher-order pipeline that allocates a
+  * per-character array per row and drops the projection out of efficient
+  * evaluation (HOFs are CodegenFallback). These expressions participate
+  * in whole-stage codegen: one primitive pass fills a 256-slot histogram,
+  * a second fixed 256-iteration pass folds it, no per-row boxing.
+  *
+  * Semantics are BYTE-level (UTF-8) by design: constant 2 KiB working
+  * state per row at any alphabet, language-agnostic, and order-free — the
+  * fold visits slots in ascending byte value, so results are identical at
+  * any parallelism. On ASCII corpora byte == character statistics, which
+  * is what the DuckDB oracle (character list ops) replays. All outputs
+  * are exact integers; downstream ratios (collision probability,
+  * effective alphabet size) are single IEEE divisions, so the gate is
+  * hash-exact.
+  *
+  * Reference analog: the repetitiousness/charset heuristics of
+  * `gridded_etl_tools`-era quality filters (cf. reference QC gates,
+  * `dataset_manager.py` pre-parse checks) generalized to corpus curation.
+  */
+abstract class ByteHistStat extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  /** Java statement folding histogram slot `h[j]` into `acc`. */
+  protected def foldJava(acc: String, h: String, j: String): String
+  /** Scala twin of [[foldJava]] — kept adjacent so they cannot drift. */
+  protected def foldScala(acc: Long, cnt: Long): Long
+
+  override def nullSafeEval(input: Any): Any = {
+    val bs = input.asInstanceOf[UTF8String].getBytes
+    val h = new Array[Long](256)
+    var i = 0
+    while (i < bs.length) { h(bs(i) & 0xff) += 1; i += 1 }
+    var acc = 0L
+    var j = 0
+    while (j < 256) { acc = foldScala(acc, h(j)); j += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bs = ctx.freshName("bs")
+      val h = ctx.freshName("hist")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |byte[] $bs = $a.getBytes();
+         |long[] $h = new long[256];
+         |for (int $i = 0; $i < $bs.length; $i++) $h[$bs[$i] & 0xFF]++;
+         |long $acc = 0L;
+         |for (int $j = 0; $j < 256; $j++) { ${foldJava(acc, h, j)} }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+}
+
+/** Σ count(b)² over the byte histogram — the numerator of the exact
+  * collision probability Σc²/n² (Rényi-2 / Simpson index), the
+  * log-free repetitiousness signal (ln differs across libm builds, so
+  * Shannon entropy cannot be oracle-gated; see q75's rationale). */
+case class CharSqSum(child: Expression) extends ByteHistStat {
+  override def prettyName: String = "char_sq_sum"
+  override protected def foldJava(acc: String, h: String, j: String): String =
+    s"$acc += $h[$j] * $h[$j];"
+  override protected def foldScala(acc: Long, cnt: Long): Long = acc + cnt * cnt
+  override protected def withNewChildrenInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Number of distinct bytes in the string. */
+case class CharDistinct(child: Expression) extends ByteHistStat {
+  override def prettyName: String = "char_distinct"
+  override protected def foldJava(acc: String, h: String, j: String): String =
+    s"if ($h[$j] > 0) $acc++;"
+  override protected def foldScala(acc: Long, cnt: Long): Long =
+    if (cnt > 0) acc + 1 else acc
+  override protected def withNewChildrenInternal(c: Expression): Expression =
+    copy(child = c)
+}
