@@ -83,8 +83,8 @@ case class CharSqSum(child: Expression) extends ByteHistStat {
   override protected def foldJava(acc: String, h: String, j: String): String =
     s"$acc += $h[$j] * $h[$j];"
   override protected def foldScala(acc: Long, cnt: Long): Long = acc + cnt * cnt
-  override protected def withNewChildrenInternal(c: Expression): Expression =
-    copy(child = c)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Number of distinct bytes in the string. */
@@ -94,6 +94,6 @@ case class CharDistinct(child: Expression) extends ByteHistStat {
     s"if ($h[$j] > 0) $acc++;"
   override protected def foldScala(acc: Long, cnt: Long): Long =
     if (cnt > 0) acc + 1 else acc
-  override protected def withNewChildrenInternal(c: Expression): Expression =
-    copy(child = c)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
