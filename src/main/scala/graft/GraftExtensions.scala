@@ -20,13 +20,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, clazz, builder) =>
       ext.injectFunction((
-        FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz, null, name,
+          GraftExtensions.usage.getOrElse(name, s"$name(expr)"), ""),
+        builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.Strategy)
   }
 }
 
 object GraftExtensions {
+  /** SQL-surface usage strings (shown by `DESCRIBE FUNCTION`) — the
+    * place semantics caveats must live so SQL users see them without
+    * reading Scaladoc. */
+  val usage: Map[String, String] = Map(
+    "char_sq_sum" ->
+      ("char_sq_sum(str) - sum of squared UTF-8 BYTE frequencies " +
+        "(byte-level, not character-level: multi-byte characters count " +
+        "per byte; equals character statistics on ASCII input)"),
+    "char_distinct" ->
+      ("char_distinct(str) - number of distinct UTF-8 BYTES " +
+        "(byte-level, not character-level: multi-byte characters count " +
+        "per byte; equals character statistics on ASCII input)"))
+
   /** (name, impl class name, builder) for every graft SQL function —
     * the single home of the arity checks and literal extraction. */
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(

@@ -1304,6 +1304,37 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("n_toks"), col("p95"),
           least(col("n_toks"), col("p95")).as("clamped"))
         .orderBy("doc_id")
+    }),
+
+    // Charset-diversity quality gate: exact per-document byte-collision
+    // probability Σc²/n² (Rényi-2 / Simpson index) and distinct-byte
+    // count, via the codegen'd [[graft.plans.CharSqSum]] /
+    // [[graft.plans.CharDistinct]] kernels — one histogram pass per row
+    // inside whole-stage codegen, where the built-in spelling is an
+    // O(distinct·len) CodegenFallback HOF pipeline. A doc passes when its
+    // bytes are diverse (≥20 distinct) AND un-repetitious (collision
+    // prob ≤ 0.08 — log-free; ln differs across libm builds so Shannon
+    // entropy cannot be oracle-gated, q75's rationale). Everything is
+    // integer until two final IEEE divisions → hash-exact. The corpus is
+    // ASCII so DuckDB's character-level replay matches byte semantics.
+    // Reference analog: pre-parse QC gates (`utils/publish.py:499-539`)
+    // generalized to corpus curation. Scan-stage shape: no shuffle at
+    // all but the output sort — at 100 TB this is a pure map gate.
+    "q121_charset_gate" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_bytes"),
+          call_function("char_sq_sum", col("text")).as("sq_sum"),
+          call_function("char_distinct", col("text")).as("n_distinct"))
+        .select(col("doc_id"), col("n_bytes"), col("sq_sum"), col("n_distinct"),
+          (col("sq_sum").cast("double")
+            / (col("n_bytes") * col("n_bytes")).cast("double"))
+            .as("collision_prob"),
+          ((col("n_bytes") * col("n_bytes")).cast("double")
+            / col("sq_sum").cast("double")).as("eff_alphabet"))
+        .withColumn("pass_gate",
+          col("n_distinct") >= 20L && col("collision_prob") <= 0.08)
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2075,5 +2106,23 @@ object TextQueries {
         |SELECT base.doc_id, base.source, base.n_toks, cut.p95,
         |  LEAST(base.n_toks, cut.p95) AS clamped
         |FROM base JOIN cut ON cut.source = base.source
-        |ORDER BY base.doc_id""".stripMargin)
+        |ORDER BY base.doc_id""".stripMargin,
+    "q121_charset_gate" ->
+      """WITH h AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |        FROM documents) t
+        |  GROUP BY doc_id, c),
+        |s AS (SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS sq_sum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_bytes
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id, n_bytes, sq_sum, n_distinct,
+        |  CAST(sq_sum AS DOUBLE) / CAST(n_bytes * n_bytes AS DOUBLE)
+        |    AS collision_prob,
+        |  CAST(n_bytes * n_bytes AS DOUBLE) / CAST(sq_sum AS DOUBLE)
+        |    AS eff_alphabet,
+        |  (n_distinct >= 20 AND
+        |   CAST(sq_sum AS DOUBLE) / CAST(n_bytes * n_bytes AS DOUBLE) <= 0.08)
+        |    AS pass_gate
+        |FROM s ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,114 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The byte-histogram scan kernels behind the q121 charset gate:
+  * literal-oracle exactness on ASCII, byte (not character) semantics on
+  * multi-byte UTF-8, null propagation, non-string type-check refusal,
+  * and interpreted-eval vs codegen parity (the foldJava/foldScala twins
+  * must not drift). */
+class CharStatsSpec extends SparkSpec {
+
+  /** Scala-reference histogram stats for an oracle independent of both
+    * code paths under test. */
+  private def ref(sIn: String): (Long, Long) = {
+    val bs = sIn.getBytes("UTF-8")
+    val h = bs.groupBy(b => b & 0xff).view.mapValues(_.length.toLong)
+    (h.values.map(c => c * c).sum, h.size.toLong)
+  }
+
+  test("ASCII exactness vs literal oracle, via SQL") {
+    val s = spark
+    val rows = s.sql(
+      """SELECT t.s, char_sq_sum(t.s) AS sq, char_distinct(t.s) AS nd
+        |FROM VALUES ('aabb'), ('abcd'), ('aaaa'), (''), ('a b a b')
+        |  AS t(s)""".stripMargin).collect()
+    rows.foreach { r =>
+      val (sq, nd) = ref(r.getString(0))
+      assert(r.getLong(1) == sq, s"sq_sum of '${r.getString(0)}'")
+      assert(r.getLong(2) == nd, s"distinct of '${r.getString(0)}'")
+    }
+    // hand-checked anchors: 'aabb' → 2²+2²=8, 2 distinct; '' → 0, 0
+    assert(rows.find(_.getString(0) == "aabb").get.getLong(1) == 8L)
+    assert(rows.find(_.getString(0) == "").get.getLong(2) == 0L)
+  }
+
+  test("byte-level semantics on multi-byte UTF-8 (documented divergence)") {
+    val s = spark
+    // 'é' is 2 UTF-8 bytes (0xC3 0xA9): 'éé' has 2 distinct BYTES each
+    // occurring twice → sq_sum 8, distinct 2 — NOT 1 distinct character
+    val r = s.sql("SELECT char_sq_sum('éé'), char_distinct('éé')").collect()(0)
+    assert(r.getLong(0) == 8L)
+    assert(r.getLong(1) == 2L)
+    val (sq, nd) = ref("héllo wörld")
+    val r2 = s.sql("SELECT char_sq_sum('héllo wörld'), char_distinct('héllo wörld')")
+      .collect()(0)
+    assert(r2.getLong(0) == sq && r2.getLong(1) == nd)
+  }
+
+  test("null input propagates null") {
+    val r = spark.sql(
+      "SELECT char_sq_sum(CAST(NULL AS STRING)), char_distinct(CAST(NULL AS STRING))")
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("non-string argument fails analysis with the type-check message") {
+    val e = intercept[Exception](spark.sql("SELECT char_sq_sum(42)").collect())
+    assert(e.getMessage.contains("char_sq_sum") ||
+      e.getMessage.toLowerCase.contains("string"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT char_distinct(ARRAY(1,2))").collect())
+    assert(e2.getMessage.contains("char_distinct") ||
+      e2.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("interpreted eval == codegen == reference on random strings") {
+    val rnd = new scala.util.Random(121)
+    val samples = (0 until 200).map { _ =>
+      val len = rnd.nextInt(300)
+      new String((0 until len).map(_ => (rnd.nextInt(95) + 32).toChar).toArray)
+    } :+ "" :+ ("x" * 5000)
+    // interpreted path: direct Expression.eval (never planned → no codegen)
+    samples.foreach { str =>
+      val lit = Literal(UTF8String.fromString(str), StringType)
+      val (sq, nd) = ref(str)
+      assert(CharSqSum(lit).eval(null) == sq, s"eval sq '$str'")
+      assert(CharDistinct(lit).eval(null) == nd, s"eval nd '$str'")
+    }
+    // codegen path: through a planned projection over a DataFrame
+    val s = spark; import s.implicits._
+    val got = samples.toDF("s")
+      .select(col("s"), call_function("char_sq_sum", col("s")),
+        call_function("char_distinct", col("s")))
+      .collect()
+    got.foreach { r =>
+      val (sq, nd) = ref(r.getString(0))
+      assert(r.getLong(1) == sq && r.getLong(2) == nd,
+        s"codegen mismatch for '${r.getString(0).take(40)}'")
+    }
+  }
+
+  test("unary tree transform rebinds the child (withNewChildInternal)") {
+    val a = CharSqSum(BoundReference(0, StringType, nullable = true))
+    val b = a.withNewChildren(Seq(Literal(UTF8String.fromString("zz"), StringType)))
+    assert(b.asInstanceOf[CharSqSum].child.isInstanceOf[Literal])
+    assert(b.eval(null) == 4L) // 'zz' → one byte twice → 2² = 4
+    val c = CharDistinct(BoundReference(0, StringType, nullable = true))
+      .withNewChildren(Seq(Literal(UTF8String.fromString("ab"), StringType)))
+    assert(c.eval(null) == 2L)
+  }
+
+  test("pretty names carry the byte semantics caveat in the SQL surface") {
+    // the registered ExpressionInfo class names resolve (registration of
+    // both functions is covered by ExtensionsSpec; this pins the names)
+    assert(CharSqSum(Literal(UTF8String.fromString(""), StringType))
+      .prettyName == "char_sq_sum")
+    assert(CharDistinct(Literal(UTF8String.fromString(""), StringType))
+      .prettyName == "char_distinct")
+  }
+}
