@@ -106,6 +106,21 @@ object GraphScaleProbe {
     require(intra > cross * 10,
       "triangles must be dominated by intra-community closures")
 
+    // ---- deep iteration: 20 rounds must stay flat per round. Without
+    // lineage truncation the fold's plan grows superlinearly and 20
+    // rounds spend more time in analysis/codegen than in data — the
+    // in-loop localCheckpoint (GraphOps.iterate) is what this gates.
+    val t20 = timed("lpa-20-rounds") {
+      GraphOps.labelPropagate(edges, nodes, rounds = 20).count()
+    }
+    val p20 = timed("pagerank-20-iters") {
+      val m = GraphOps.pageRank(edges, nodes, iters = 20, nNodes = nNodes)
+        .agg(sum("pr")).head.getDouble(0)
+      require(m <= 1.0 + 1e-6, s"rank mass $m exceeds 1 at 20 iters")
+      m
+    }
+    println(f"PROBE pagerank-mass-20 $p20%.6f")
+
     spark.stop()
   }
 }

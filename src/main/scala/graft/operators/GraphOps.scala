@@ -21,6 +21,32 @@ import org.apache.spark.sql.types.DecimalType
   */
 object GraphOps {
 
+  /** Truncate iteration lineage every this many rounds. Each LPA /
+    * PageRank round folds another join+agg onto the same lazy plan;
+    * left unbounded, plan analysis + codegen cost grows superlinearly
+    * with the round count and a 20-iteration call spends more time in
+    * the optimizer than in the data. `localCheckpoint(eager)`
+    * materializes the vertex state to executor block storage (no
+    * checkpoint dir needed) and cuts the plan back to a leaf — the same
+    * discipline `DedupFunctions.connectedComponents` applies to its
+    * star rounds. Trade-off: localCheckpoint pins blocks to executors,
+    * so a lost executor forces recompute-from-leaf; for fault-critical
+    * long chains callers can set a real checkpoint dir and override
+    * [[checkpointed]] policy upstream, but at 5-round granularity the
+    * recompute window is small. */
+  private val CheckpointEvery = 5
+
+  /** Lineage-bounding fold: apply `step` `rounds` times, truncating the
+    * plan every [[CheckpointEvery]] rounds (never on the final round —
+    * the caller consumes that plan directly). */
+  private def iterate(init: DataFrame, rounds: Int)(
+      step: DataFrame => DataFrame): DataFrame =
+    (1 to rounds).foldLeft(init) { (st, i) =>
+      val next = step(st)
+      if (i % CheckpointEvery == 0 && i < rounds) next.localCheckpoint(true)
+      else next
+    }
+
   /** Per-node top-k sparsification of an undirected weighted edge list
     * `(a, b, w)` (a<b): each node ranks its incident edges by
     * (weight desc, neighbor id) and an edge survives if EITHER endpoint
@@ -92,24 +118,28 @@ object GraphOps {
       lab.join(best, Seq("k"), "left")
         .select(col("k"), coalesce(col("newl"), col("label")).as("label"))
     }
-    (1 to rounds).foldLeft(nodes.select(col("k"), col("k").as("label")))(
-      (lab, _) => step(lab))
+    iterate(nodes.select(col("k"), col("k").as("label")), rounds)(step)
   }
 
   /** `iters` damped PageRank iterations (simple variant: dangling-node
     * mass dropped) over `(src, dst, w)` + a node set. Per-edge
     * contributions are decimal-cast before the in-sum so accumulation
-    * is order-free (bit-exact replay in any engine). `edges`/`nodes`
-    * should be checkpointed by the CALLER if reused — this function
-    * derives the out-weight table once internally. Returns `(k, pr)`.
+    * is order-free (bit-exact replay in any engine). The out-weight
+    * table is derived once and materialized (multi-iteration calls);
+    * rank lineage is truncated every [[CheckpointEvery]] rounds.
+    * Returns `(k, pr)`.
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int, nNodes: Long,
                damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     // teleport is a SEPARATE literal, not 1-damping: 1.0-0.85 in doubles
     // is 0.15000000000000002, which would silently break bit-exact
     // replay against an oracle written with the 0.15 literal
-    val ewo = edges.join(
+    // every iteration re-joins against the out-weight table; materialize
+    // it once (plan leaf) when there is more than one iteration to pay
+    // it back — otherwise each step recomputes the groupBy+join
+    val ewoPlan = edges.join(
       edges.groupBy("src").agg(sum("w").as("outw")), "src")
+    val ewo = if (iters > 1) ewoPlan.localCheckpoint(true) else ewoPlan
     def step(ranks: DataFrame): DataFrame = {
       val contrib = ewo
         .join(ranks.withColumnRenamed("k", "src"), "src")
@@ -123,6 +153,6 @@ object GraphOps {
             lit(damping) * coalesce(col("cs").cast("double"), lit(0.0))).as("pr"))
     }
     val r0 = nodes.select(col("k"), (lit(1.0) / nNodes).as("pr"))
-    (1 to iters).foldLeft(r0)((r, _) => step(r))
+    iterate(r0, iters)(step)
   }
 }
