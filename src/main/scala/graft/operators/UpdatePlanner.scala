@@ -15,9 +15,35 @@ import org.apache.spark.sql.functions._
   * construction (the reference holds it in driver memory as a coordinate
   * array — ~10^4..10^6 values even for 100 TB of cell data). The
   * un-partitioned `Window.orderBy` here is therefore deliberate and safe;
-  * cell-level data never flows through these plans.
+  * cell-level data never flows through these plans — and since round 5 that
+  * contract is ENFORCED, not trusted: the distinct axis is materialized and
+  * counted first, and anything above `maxAxis` (default
+  * [[UpdatePlanner.DefaultMaxAxis]]) throws instead of silently
+  * single-tasking (see `axis`).
   */
 object UpdatePlanner {
+
+  /** Ceiling on the distinct-axis size the single-task windows below will
+    * accept. The axes-sized contract (class note) is real but was
+    * previously only documented: called on CELL-level data these windows
+    * silently serialize the whole input onto one task and crawl. Now the
+    * axis is materialized (axis-sized, one localCheckpoint), counted, and
+    * misuse FAILS loudly instead. 32M ≈ 256 MB of longs — far above any
+    * real time axis (~10^4..10^6), far below cell scale. Callers with a
+    * genuinely larger axis pass their own `maxAxis`. */
+  val DefaultMaxAxis: Long = 32L * 1000 * 1000
+
+  /** Distinct time axis, materialized and bounds-checked. */
+  private def axis(times: DataFrame, key: String, maxAxis: Long): DataFrame = {
+    val ax = times.select(col(key)).distinct().localCheckpoint(true)
+    val n = ax.count()
+    require(n <= maxAxis,
+      s"UpdatePlanner: distinct axis for '$key' has $n values, above the " +
+        s"$maxAxis bound — this operator single-tasks the axis and is for " +
+        "time axes, not cell data; raise maxAxis only if the axis really " +
+        "is this large")
+    ax
+  }
 
   /** Times present in BOTH update and existing → in-place insert (region
     * overwrite). `publish.py:303-318`. Broadcast-friendly semi join. */
@@ -36,9 +62,10 @@ object UpdatePlanner {
     * shift/diff-based insert-slice planner (`publish.py:432-495`), done as
     * classic gaps-and-islands.
     */
-  def contiguousRegions(times: DataFrame, key: String, step: Long): DataFrame = {
+  def contiguousRegions(times: DataFrame, key: String, step: Long,
+                        maxAxis: Long = DefaultMaxAxis): DataFrame = {
     val w = Window.orderBy(key)
-    times.select(col(key)).distinct()
+    axis(times, key, maxAxis)
       .withColumn("delta", col(key) - lag(col(key), 1).over(w))
       .withColumn("newgrp",
         when(col("delta").isNull || col("delta") > step, lit(1)).otherwise(lit(0)))
@@ -77,9 +104,10 @@ object UpdatePlanner {
     * [minStep, maxStep] — the irregular-cadence append validator. Time
     * axis only (small by construction, see the class note). */
   def cadenceViolations(times: DataFrame, key: String,
-                        minStep: Long, maxStep: Long): DataFrame = {
+                        minStep: Long, maxStep: Long,
+                        maxAxis: Long = DefaultMaxAxis): DataFrame = {
     val w = Window.orderBy(key)
-    times.select(col(key)).distinct()
+    axis(times, key, maxAxis)
       .withColumn("delta", col(key) - lag(col(key), 1).over(w))
       .filter(col("delta").isNotNull &&
         (col("delta") > maxStep || col("delta") < minStep))
