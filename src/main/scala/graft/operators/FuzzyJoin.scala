@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * insert/delete → delete on the longer side), so candidate generation
   * is a plain EQUI-JOIN on the variant — O(L^d) replication per row,
   * linear in corpus size, where the naive form is the |C|² levenshtein
-  * cross join. Candidates are over-generated (one pair can share many
-  * variants) → distinct, then ONE verifying levenshtein per pair.
+  * cross join. At d=2 candidates are over-generated (one pair can share
+  * many variants) → distinct, then ONE verifying levenshtein per pair;
+  * at d=1 position-tagged variants make the join EXACT (see
+  * `exactPairs1`) and no verification runs at all.
   *
   * All variant generation is native Spark HOFs (`transform`/`flatten`),
   * no UDF — the scan stage stays codegen-compatible.
@@ -63,32 +65,9 @@ object FuzzyJoin {
                    maxDist: Int): DataFrame = {
     val ids = df.select(col(strCol).as("_fj_s"), col(idCol).as("_fj_id"))
     val strs = ids.select("_fj_s").distinct()
-    // localCheckpoint: the variant table feeds BOTH sides of the blocking
-    // join and Spark has no cross-join-side CSE — without it the whole
-    // scan→distinct→explode→distinct pipeline runs twice (the q34
-    // signature-table lesson; at 100 TB this step is "write the variant
-    // table, then self-join it").
-    val vars = strs.select(col("_fj_s"),
-        explode(deletionVariants(col("_fj_s"), maxDist)).as("_fj_v"))
-      .distinct() // duplicate variants of one string → one block entry
-      .localCheckpoint()
-    // Distinct near-match string pairs, canonical s1 < s2. The
-    // levenshtein verify sits IN the join condition: ~70% of blocking
-    // candidates are distance-(maxDist+1) pairs sharing a variant via
-    // different deletion positions (measured sf0.1: 956k distinct
-    // candidates, 262k true pairs), and verifying before the distinct
-    // keeps them out of the downstream exchange entirely. The explicit
-    // repartition pins the distinct's task count: this exchange is
-    // byte-light but compute-dense, exactly the shape AQE's byte-based
-    // advisory coalesces onto one task (the q46 lesson).
-    val shufP = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val strPairs = vars.alias("x")
-      .join(vars.alias("y"),
-        col("x._fj_v") === col("y._fj_v") && col("x._fj_s") < col("y._fj_s") &&
-          levenshtein(col("x._fj_s"), col("y._fj_s")) <= maxDist)
-      .select(col("x._fj_s").as("_fj_s1"), col("y._fj_s").as("_fj_s2"))
-      .repartition(shufP, col("_fj_s1"), col("_fj_s2"))
-      .distinct()
+    val strPairs =
+      if (maxDist == 1) exactPairs1(strs)
+      else blockedVerifiedPairs(df, strs, maxDist)
     // equal strings: pair the group's ids directly (distance 0)
     val same = ids.alias("a")
       .join(ids.alias("b"),
@@ -104,5 +83,69 @@ object FuzzyJoin {
         when(ida < idb, col("_fj_s1")).otherwise(col("_fj_s2")).as("s1"),
         when(ida < idb, col("_fj_s2")).otherwise(col("_fj_s1")).as("s2"))
     same.unionByName(cross)
+  }
+
+  /** EXACT distance-1 string pairs with ZERO false candidates and no
+    * levenshtein at all — the maxDist=1 fast path. Position-tagged
+    * single deletions characterize distance 1 exactly:
+    *   - substitution at i  ⟺  del_i(s) = del_i(t), s ≠ t — and then s,t
+    *     agree everywhere else, so the (variant, position) equi-join
+    *     emits each substitution pair EXACTLY once (no distinct needed);
+    *   - insert/delete      ⟺  the shorter string IS a 1-deletion
+    *     variant of the longer (dups only from runs of equal chars —
+    *     'aab'→'ab' two ways — hence the one small distinct).
+    * vs the untagged variant self-join (the maxDist=2 path): measured
+    * sf0.1, 977k candidates → 262k true pairs; here the join output IS
+    * the true pair set, so the verify filter and the 956k-row distinct
+    * exchange both disappear (warm 4.4 s → the join cost alone). */
+  private def exactPairs1(strs: DataFrame): DataFrame = {
+    val s = col("_fj_s")
+    // (string, deleted-position, variant); localCheckpoint because the
+    // table feeds both sides of the self-join and Spark has no
+    // cross-join-side CSE (the q34 signature-table lesson; at 100 TB
+    // this step is "write the tagged variant table, then self-join it")
+    val tagged = strs.select(s,
+        explode(when(length(s) >= 1,
+          transform(sequence(lit(1), length(s)),
+            i => struct(i.as("i"), del1(s, i).as("v"))))
+          .otherwise(array().cast("array<struct<i:int,v:string>>"))).as("d"))
+      .select(s, col("d.i").as("_fj_i"), col("d.v").as("_fj_v"))
+      .localCheckpoint()
+    val subs = tagged.alias("x")
+      .join(tagged.alias("y"),
+        col("x._fj_v") === col("y._fj_v") && col("x._fj_i") === col("y._fj_i") &&
+          col("x._fj_s") < col("y._fj_s"))
+      .select(col("x._fj_s").as("_fj_s1"), col("y._fj_s").as("_fj_s2"))
+    val insdel = tagged.alias("x")
+      .join(strs.alias("y"), col("x._fj_v") === col("y._fj_s"))
+      .select(least(col("x._fj_s"), col("y._fj_s")).as("_fj_s1"),
+        greatest(col("x._fj_s"), col("y._fj_s")).as("_fj_s2"))
+      .distinct()
+    subs.unionByName(insdel)
+  }
+
+  /** General ≤maxDist path (maxDist=2): untagged deletion-neighborhood
+    * blocking + in-join levenshtein verify. Over-generates candidates
+    * (one pair can share many variants) — verify sits IN the join
+    * condition so distance-(maxDist+1) pairs sharing a variant via
+    * different deletion positions never reach the downstream distinct
+    * exchange. The explicit repartition pins the distinct's task count:
+    * this exchange is byte-light but compute-dense, exactly the shape
+    * AQE's byte-based advisory coalesces onto one task (the q46
+    * lesson). */
+  private def blockedVerifiedPairs(df: DataFrame, strs: DataFrame,
+                                   maxDist: Int): DataFrame = {
+    val vars = strs.select(col("_fj_s"),
+        explode(deletionVariants(col("_fj_s"), maxDist)).as("_fj_v"))
+      .distinct() // duplicate variants of one string → one block entry
+      .localCheckpoint()
+    val shufP = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    vars.alias("x")
+      .join(vars.alias("y"),
+        col("x._fj_v") === col("y._fj_v") && col("x._fj_s") < col("y._fj_s") &&
+          levenshtein(col("x._fj_s"), col("y._fj_s")) <= maxDist)
+      .select(col("x._fj_s").as("_fj_s1"), col("y._fj_s").as("_fj_s2"))
+      .repartition(shufP, col("_fj_s1"), col("_fj_s2"))
+      .distinct()
   }
 }
