@@ -154,13 +154,21 @@ object Bench {
     (single, multi)
   }
 
-  /** Latest BENCH_r*.json beside the repo — the previous round's record.
-    * Falls back to the round-2 file so an env-less run still compares. */
+  /** Latest USABLE BENCH_r*.json beside the repo — the previous round's
+    * record. A round that failed to compile leaves an rc=1 stub whose
+    * tail is a compile log with zero query pairs (round 4); comparing
+    * against it would silently report `baseline_missing` forever after,
+    * so candidates are probed newest-first and the first one that
+    * actually parses to at least one per-query time wins (round 5 after
+    * the r04 stub → BENCH_r03.json). Falls back to the round-2 file so
+    * an env-less run still compares. */
   private[graft] def latestBaseline(dir: String = "/root/repo"): String = {
     val d = new java.io.File(dir)
-    Option(d.listFiles()).toSeq.flatten
+    val candidates = Option(d.listFiles()).toSeq.flatten
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-      .map(_.getPath).sorted.lastOption
+      .map(_.getPath).sorted.reverse
+    candidates.find(p => baselineQueries(p).nonEmpty)
+      .orElse(candidates.headOption)
       .getOrElse(s"$dir/BENCH_r02.json")
   }
 

@@ -102,10 +102,23 @@ class BenchParseSpec extends AnyFunSuite {
     assert(ok.contains("{\"q\":\"q01_a\",\"prev\":0.5,\"now\":1.0}"))
   }
 
-  test("latestBaseline picks the newest round file") {
+  test("latestBaseline picks the newest USABLE round file") {
     val dir = java.nio.file.Files.createTempDirectory("benchbase").toString
-    for (n <- Seq("BENCH_r02.json", "BENCH_r03.json", "BENCH_r10.json"))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, n), "{}")
+    def put(n: String, body: String) =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, n), body)
+    val withTimes = """{"tail":"\"queries\":{\"q01_a\":1.5}"}"""
+    put("BENCH_r02.json", withTimes)
+    put("BENCH_r03.json", withTimes)
+    put("BENCH_r10.json", withTimes)
     assert(Bench.latestBaseline(dir).endsWith("BENCH_r10.json"))
+    // an rc=1 compile-failure stub (tail is a compile log, no query
+    // pairs) must be skipped, not chosen — the round-4 lesson
+    put("BENCH_r11.json", """{"n":11,"rc":1,"tail":"[error] does not compile"}""")
+    assert(Bench.latestBaseline(dir).endsWith("BENCH_r10.json"))
+    // if EVERY candidate is unusable, still return the newest (caller
+    // surfaces baseline_missing)
+    for (n <- Seq("BENCH_r02.json", "BENCH_r03.json", "BENCH_r10.json"))
+      put(n, "{}")
+    assert(Bench.latestBaseline(dir).endsWith("BENCH_r11.json"))
   }
 }
