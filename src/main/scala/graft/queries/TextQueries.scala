@@ -1335,6 +1335,57 @@ object TextQueries {
         .withColumn("pass_gate",
           col("n_distinct") >= 20L && col("collision_prob") <= 0.08)
         .orderBy("doc_id")
+    }),
+
+    // Token-budget mixture sampling: fill each source's token budget with
+    // docs in a deterministic md5-priority order (a doc is taken while
+    // the running token total BEFORE it is under the budget — so every
+    // source gets its budget filled, and the crossing doc is included).
+    // This is the data-mixing step of every pretraining pipeline (sample
+    // sources to a target token ratio). Scale path: the oracle's
+    // spelling — one window per source over the whole corpus — sorts
+    // each source's full doc set in ONE task (5 sources at 100 TB = 5
+    // tasks). Here the md5 priority is split at its first 2 hex chars
+    // into 256 buckets: per-(source,bucket) token sums cumulate on a
+    // sources×256 DOMAIN table; a bucket wholly under the budget is
+    // taken outright (docs are ≥1 token, so every within-bucket prefix
+    // is strictly under), a bucket wholly past it is dropped, and only
+    // the ONE boundary bucket per source — 1/256 of that source — pays
+    // an exact per-doc window. Bucket = md5 prefix, so (bucket,h,doc_id)
+    // order IS (h,doc_id) order: selection is identical to the flat
+    // window, bit-exact.
+    "q122_budget_mixture" -> ((s, dir) => {
+      val budget = 700L
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("bucket")
+      val base = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bucket", substring(col("h"), 1, 2))
+      val bcum = base.groupBy("source", "bucket")
+        .agg(sum("n_toks").as("bt"))
+        .withColumn("cumx", coalesce(sum("bt").over(
+          wB.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      val full = bcum.filter(col("cumx") + col("bt") <= budget)
+        .select("source", "bucket")
+      val boundary = bcum
+        .filter(col("cumx") < budget && col("cumx") + col("bt") > budget)
+        .select(col("source"), col("bucket"), col("cumx"))
+      val fullDocs = base
+        .join(broadcast(full), Seq("source", "bucket"), "left_semi")
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "bucket").orderBy("h", "doc_id")
+      val boundaryDocs = base
+        .join(broadcast(boundary), Seq("source", "bucket"))
+        .withColumn("inb", coalesce(sum("n_toks").over(
+          wDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+        .filter(col("cumx") + col("inb") < budget)
+      fullDocs.select("doc_id", "source", "n_toks")
+        .unionByName(boundaryDocs.select("doc_id", "source", "n_toks"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2124,5 +2175,16 @@ object TextQueries {
         |  (n_distinct >= 20 AND
         |   CAST(sq_sum AS DOUBLE) / CAST(n_bytes * n_bytes AS DOUBLE) <= 0.08)
         |    AS pass_gate
-        |FROM s ORDER BY doc_id""".stripMargin)
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q122_budget_mixture" ->
+      """WITH base AS (SELECT doc_id, source,
+        |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        |  FROM base)
+        |SELECT doc_id, source, n_toks FROM c
+        |WHERE cum_excl < 700 ORDER BY doc_id""".stripMargin)
 }

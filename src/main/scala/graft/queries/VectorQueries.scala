@@ -19,6 +19,61 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hybrid retrieval with reciprocal-rank fusion (RRF, k=60): the
+    // RAG-serving shape — a lexical ranker (shared RARE tokens; the
+    // rare-token gate df·20 ≤ N is integer arithmetic and IS the
+    // inverted-index scale path, since posting lists for tokens above
+    // 5% df are exactly the ones that blow up an index join) and a
+    // vector ranker (exact cosine, q38's broadcast-queries shape) each
+    // produce a per-query top-20; fusion is
+    // rrf = Σ 1/(60+rank) over the lists a doc appears in — rank-only,
+    // so the two scores' incomparable scales never meet. One double
+    // addition in fixed written order → hash-exact vs the oracle.
+    // Queries = docs 0..4 (text + embedding), corpus = the rest; at
+    // scale the query side broadcasts and the corpus is scanned once
+    // per modality.
+    "q123_hybrid_rrf" -> ((s, dir) => {
+      val k = 20
+      val docs = Tables.table(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      val rare = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 20 <= col("n_docs"))
+        .select("tok")
+      val qt = toks.filter(col("doc_id") < 5)
+        .join(rare, Seq("tok"), "left_semi")
+        .select(col("doc_id").as("qid"), col("tok"))
+      val ct = toks.filter(col("doc_id") >= 5)
+        .join(rare, Seq("tok"), "left_semi")
+      val wLex = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex20 = qt.join(ct, "tok")
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("score"))
+        .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+        .filter(col("lex_rank") <= k)
+        .select("qid", "doc_id", "lex_rank")
+      val emb = Tables.table(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wVec = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("doc_id"))
+      val vec20 = emb.filter(col("vec_id") >= 5)
+        .join(broadcast(qv))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          VectorFunctions.cosineFast(col("embedding"), col("qe")).as("cos"))
+        .withColumn("vec_rank", row_number().over(wVec).cast("long"))
+        .filter(col("vec_rank") <= k)
+        .select("qid", "doc_id", "vec_rank")
+      lex20.join(vec20, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+          (coalesce(lit(1.0) / (lit(60L) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60L) + col("vec_rank")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("qid"), col("rrf").desc, col("doc_id"))
+    }),
+
     // Brute-force cosine top-20 against one query vector.
     "q37_cosine_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -675,6 +730,40 @@ object VectorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q123_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |dfs AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+         |rare AS (SELECT tok FROM dfs, n WHERE df * 20 <= n_docs),
+         |qt AS (SELECT doc_id AS qid, tok FROM toks
+         |       WHERE doc_id < 5 AND tok IN (SELECT tok FROM rare)),
+         |ct AS (SELECT doc_id, tok FROM toks
+         |       WHERE doc_id >= 5 AND tok IN (SELECT tok FROM rare)),
+         |lex AS (SELECT qid, doc_id, COUNT(*) AS score
+         |        FROM qt JOIN ct USING (tok) GROUP BY qid, doc_id),
+         |lex20 AS (SELECT qid, doc_id, lex_rank FROM (
+         |    SELECT qid, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank FROM lex)
+         |  WHERE lex_rank <= 20),
+         |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < 5),
+         |sc AS (SELECT qid, vec_id AS doc_id,
+         |    $dotSql / (${normSql("embedding")} * ${normSql("qe")}) AS cos
+         |  FROM embeddings, qv WHERE vec_id >= 5),
+         |vec20 AS (SELECT qid, doc_id, vec_rank FROM (
+         |    SELECT qid, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank FROM sc)
+         |  WHERE vec_rank <= 20)
+         |SELECT COALESCE(l.qid, v.qid) AS qid,
+         |  COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         |  COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), CAST(0 AS DOUBLE)) +
+         |  COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE))
+         |    AS rrf
+         |FROM lex20 l FULL OUTER JOIN vec20 v
+         |  ON l.qid = v.qid AND l.doc_id = v.doc_id
+         |ORDER BY qid, rrf DESC, doc_id""".stripMargin,
     "q93_pq_codes" ->
       s"""WITH $pqChainSql
          |SELECT e.vec_id,
