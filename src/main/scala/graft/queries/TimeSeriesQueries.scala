@@ -232,10 +232,14 @@ object TimeSeriesQueries {
     // cap). Pair counts partial-aggregate map-side; the top-5 window
     // partitions per item, never globally.
     "q110_coengagement" -> ((s, dir) => {
+      // localCheckpoint: the incidence table feeds ni AND both sides of
+      // the self-join — without it the events scan (with its per-row
+      // JSON extraction) and the distinct shuffle run three times
       val ui = Tables.events(s, dir)
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .distinct()
+        .localCheckpoint()
       val ni = ui.groupBy("k").agg(count(lit(1)).as("n"))
       val pairs = ui.join(ui.withColumnRenamed("k", "k2"), "user_id")
         .filter(col("k") < col("k2"))
