@@ -146,6 +146,46 @@ object MiscQueries {
         .agg(call_function("bitmap_distinct", col("user_id")).as("distinct_users"),
           count(lit(1)).as("n_events"))
         .orderBy("event_type", "day")
+    }),
+
+    // Ordered conversion funnel (view → click → purchase, strictly later
+    // each stage): the product-analytics primitive. Each stage is a
+    // per-user min over a filtered scan — three user-keyed aggregations
+    // + co-partitioned joins, no window, no per-user sort; Catalyst
+    // reuses the user_id exchange across stages. `min(us)` is
+    // duplicate-safe (a unique VALUE even when rows tie), so strict `>`
+    // chaining is deterministic without a tiebreak column. All integer
+    // → hash-exact.
+    "q124_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "event_type", "us")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("v_us"))
+        .groupBy("user_id", "v_us").agg(min("us").as("c_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("us") > col("c_us"))
+        .groupBy("user_id", "v_us", "c_us").agg(min("us").as("p_us"))
+      v.join(c, Seq("user_id", "v_us"), "left")
+        .join(p, Seq("user_id", "v_us", "c_us"), "left")
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention: users bucketed by first-seen day; for each
+    // (cohort_day, k) the number of cohort members active k days later.
+    // Two user-keyed aggregations (first-seen, distinct active days) +
+    // one join — the at-scale shape (the naive spelling windows every
+    // user's history). Integer counts → hash-exact.
+    "q125_cohort_retention" -> ((s, dir) => {
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), expr("us div 86400000000").as("day"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("k"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "k")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -210,5 +250,32 @@ object MiscQueries {
     "q118_bitmap_distinct" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |  COUNT(DISTINCT user_id) AS distinct_users, COUNT(*) AS n_events
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q124_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.v_us, MIN(e.us) AS c_us
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.us > v.v_us
+        |      GROUP BY e.user_id, v.v_us),
+        |p AS (SELECT e.user_id, c.v_us, c.c_us, MIN(e.us) AS p_us
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us > c.c_us
+        |      GROUP BY e.user_id, c.v_us, c.c_us)
+        |SELECT v.user_id, v.v_us, c.c_us, p.p_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id AND v.v_us = c.v_us
+        |LEFT JOIN p ON c.user_id = p.user_id AND c.v_us = p.v_us
+        |  AND c.c_us = p.c_us
+        |ORDER BY v.user_id""".stripMargin,
+    "q125_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act
+        |           GROUP BY user_id)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS k,
+        |  COUNT(*) AS n_users
+        |FROM act a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_day, a.day - c.cohort_day
+        |ORDER BY cohort_day, k""".stripMargin)
 }
