@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed unigram-LM tokenizer (the SentencePiece family, Kudo
+  * 2018 "Subword Regularization") in its HARD-EM variant: seed a piece
+  * vocabulary from substring counts, then alternate Viterbi
+  * segmentation of the word table with count re-estimation, pruning
+  * pieces the segmentations stop using.
+  *
+  * Same corpus-scale discipline as [[BpeOps]]: the corpus is touched
+  * exactly ONCE (the word-count aggregation); everything after runs on
+  * the vocab-sized distinct-word table, and the piece table — the
+  * tokenizer vocabulary, driver-sized by contract, like the BPE merge
+  * list — is broadcast into a typed Viterbi pass over the words.
+  * Encoding is one `word → piece-count` join back onto the corpus.
+  *
+  * Cross-engine exactness (what makes q126/q127 hash-exact against the
+  * DuckDB replay): hard-EM keeps every statistic INTEGER (piece-use
+  * counts weighted by word counts); probabilities appear only as the
+  * single division cnt/total (both engines: exact-long → IEEE double),
+  * and the Viterbi DP multiplies those doubles left-to-right with a
+  * deterministic tie-break (max score, then smallest predecessor index,
+  * i.e. longest final piece). Soft EM (forward-backward expectations)
+  * would accumulate doubles in engine-dependent order — that is WHY the
+  * hard variant is the oracle-gated one.
+  */
+object UnigramOps {
+
+  /** Longest piece considered, both at seeding and in the DP. */
+  val MaxPieceLen = 4
+
+  /** Multi-character pieces kept at seeding (single characters are
+    * always kept, so every word stays segmentable). */
+  val SeedMultiK = 12
+
+  /** Substring occurrence counts over the distinct-word table: every
+    * substring of length 1..[[MaxPieceLen]], once per occurrence
+    * position, weighted by word count. Vocab-sized explode (≤ L·maxLen
+    * rows per word). */
+  def substringCounts(words: DataFrame): DataFrame =
+    words.select(
+        explode(expr(
+          s"""flatten(transform(sequence(1, length(word)),
+             |  i -> transform(sequence(1, least($MaxPieceLen, length(word) - i + 1)),
+             |    l -> substring(word, i, l))))""".stripMargin)).as("piece"),
+        col("wc"))
+      .groupBy("piece").agg(sum("wc").as("cnt"))
+
+  /** Seed vocabulary `(piece, cnt)`: all single characters plus the
+    * top-[[SeedMultiK]] multi-character substrings by (cnt desc, piece
+    * asc) — deterministic rank, TakeOrdered at any vocab size. */
+  def seedVocab(subs: DataFrame): DataFrame =
+    subs.filter(length(col("piece")) === 1)
+      .unionByName(subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(SeedMultiK))
+
+  /** Collect a `(piece, cnt)` frame into the broadcastable prob map:
+    * prob = cnt/total as the single long→double division. */
+  def probMap(vocab: DataFrame): Map[String, Double] = {
+    val rows = vocab.select("piece", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = rows.map(_._2).sum
+    rows.map { case (p, c) => p -> c.toDouble / total.toDouble }.toMap
+  }
+
+  /** Viterbi segmentation of one word: maximize the product of piece
+    * probabilities; ties resolve to the smallest predecessor index
+    * (ascending scan with strict `>` replacement — identical to
+    * `ROW_NUMBER() OVER (ORDER BY score DESC, i ASC)` in the oracle).
+    * Always succeeds: single characters used by any surviving
+    * segmentation stay in the vocab, and a word's own previous path
+    * pieces always survive its own counts. */
+  def viterbi(word: String, p: Map[String, Double]): List[String] = {
+    val L = word.length
+    val score = new Array[Double](L + 1)
+    val bp = new Array[Int](L + 1)
+    score(0) = 1.0
+    var j = 1
+    while (j <= L) {
+      // an INTERIOR position may be unreachable after pruning (e.g.
+      // 'ab' pruned but 'abab' kept) — mark it (-1) and continue; only
+      // the final position must be reachable. The SQL replay gets this
+      // for free: a dead position simply produces no dp row.
+      var bestS = -1.0
+      var bestI = -1
+      var i = math.max(0, j - MaxPieceLen)
+      while (i < j) {
+        if (score(i) >= 0) p.get(word.substring(i, j)) match {
+          case Some(pp) =>
+            val s = score(i) * pp
+            if (s > bestS) { bestS = s; bestI = i }
+          case None =>
+        }
+        i += 1
+      }
+      score(j) = bestS
+      bp(j) = bestI
+      j += 1
+    }
+    require(score(L) >= 0, s"unsegmentable word '$word'")
+    var out = List.empty[String]
+    var k = L
+    while (k > 0) { out = word.substring(bp(k), k) :: out; k = bp(k) }
+    out
+  }
+
+  /** One hard-EM round: Viterbi-segment every word under `probs`,
+    * re-count pieces by use (occurrences × word count). Pieces with no
+    * uses drop out (pruning). Distributed over the word table; the
+    * vocab map rides the closure (Spark broadcasts task binaries). */
+  def emRound(words: DataFrame, probs: Map[String, Double]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.select(col("word"), col("wc").cast("long"))
+      .as[(String, Long)]
+      .flatMap { case (w, wc) => viterbi(w, probs).map(p => (p, wc)) }
+      .toDF("piece", "wc")
+      .groupBy("piece").agg(sum("wc").as("cnt"))
+  }
+
+  /** Hard-EM training: seed → `rounds` Viterbi/re-count rounds. Returns
+    * one `(round, piece, cnt, prob)` frame covering the seed (round 0)
+    * and every EM round, plus the final prob map for encoding. */
+  def train(docs: DataFrame, textCol: String,
+            rounds: Int): (DataFrame, Map[String, Double]) = {
+    val spark = docs.sparkSession
+    val words = BpeOps.wordCounts(docs, textCol).localCheckpoint()
+    def withProb(df: DataFrame, round: Int): DataFrame = {
+      val total = df.agg(sum("cnt")).collect()(0).getLong(0)
+      df.select(lit(round).as("round"), col("piece"), col("cnt"),
+        (col("cnt").cast("double") / lit(total.toDouble)).as("prob"))
+    }
+    var vocab = seedVocab(substringCounts(words)).localCheckpoint()
+    var out = withProb(vocab, 0)
+    var probs = probMap(vocab)
+    (1 to rounds).foreach { r =>
+      vocab = emRound(words, probs).localCheckpoint()
+      out = out.unionByName(withProb(vocab, r))
+      probs = probMap(vocab)
+    }
+    (out, probs)
+  }
+
+  /** Encode: per-doc word and piece totals under a trained prob map —
+    * Viterbi once per DISTINCT word, then one broadcastable
+    * `word → pieces` join back onto the corpus. */
+  def encodeDocCounts(docs: DataFrame, idCol: String, textCol: String,
+                      probs: Map[String, Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = BpeOps.wordCounts(docs, textCol)
+    val wplen = words.select("word").as[String]
+      .map(w => (w, viterbi(w, probs).length.toLong))
+      .toDF("word", "units")
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .join(broadcast(wplen), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
+  }
+}

@@ -39,6 +39,29 @@ object TokenizerQueries {
       val units = BpeOps.unitCounts(BpeOps.applyRules(syms, EncodeRules))
       BpeOps.encodeDocCounts(docs, "doc_id", "text", units)
         .orderBy("doc_id")
+    }),
+
+    // Unigram-LM tokenizer training, hard-EM variant (the SentencePiece
+    // family): substring-count seed vocab, then 2 Viterbi/re-count
+    // rounds on the vocab-sized word table (the corpus is touched once).
+    // Hard EM keeps every statistic integer — probs are single
+    // divisions and the DP multiplies doubles left-to-right with a
+    // deterministic tie-break — so the DuckDB replay (unrolled DP +
+    // backtrack as generated chained CTEs) is hash-exact.
+    "q126_unigram_train" -> ((s, dir) => {
+      val (rounds, _) = graft.functions.UnigramOps.train(
+        Tables.table(s, dir, "documents"), "text", rounds = 2)
+      rounds.orderBy("round", "piece")
+    }),
+
+    // Unigram encode under the trained (round-2) piece probabilities:
+    // Viterbi once per DISTINCT word, one broadcast word->pieces join
+    // back onto the corpus.
+    "q127_unigram_encode" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val (_, probs) = graft.functions.UnigramOps.train(docs, "text", rounds = 2)
+      graft.functions.UnigramOps.encodeDocCounts(docs, "doc_id", "text", probs)
+        .orderBy("doc_id")
     }))
 
   /** One BPE merge round as chained CTEs over an input symbol table
@@ -87,7 +110,106 @@ object TokenizerQueries {
            FROM (SELECT word, wc,
                    unnest(generate_series(1, length(word))) AS i FROM w) t)"""
 
+  // ---- unigram-LM oracle machinery -------------------------------------
+  // The replay unrolls the per-word Viterbi DP (positions 1..UMaxWord,
+  // corpus words are ≤ 8 chars) and the path backtrack as generated
+  // chained CTEs — the q113 genre, but the chain is built by a loop.
+
+  private val UMaxWord = 8
+  private val UPieceLen = graft.functions.UnigramOps.MaxPieceLen
+  private val USeedK = graft.functions.UnigramOps.SeedMultiK
+
+  /** Shared seed: distinct-word counts, substring counts, seed vocab
+    * (all single chars + top-K multi), seed probs `p0`. */
+  private val unigramSeedSql: String = s"""
+    wordsu AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      WHERE word <> '' GROUP BY word),
+    subs AS MATERIALIZED (SELECT substr(w.word, CAST(i.i AS INTEGER), CAST(l.l AS INTEGER)) AS piece,
+        CAST(SUM(w.wc) AS BIGINT) AS cnt
+      FROM wordsu w
+      CROSS JOIN range(1, ${UMaxWord + 1}) i(i)
+      CROSS JOIN range(1, ${UPieceLen + 1}) l(l)
+      WHERE i.i + l.l - 1 <= LENGTH(w.word)
+      GROUP BY 1),
+    v0 AS MATERIALIZED (SELECT piece, cnt FROM subs WHERE LENGTH(piece) = 1
+      UNION ALL SELECT piece, cnt FROM (
+        SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+        FROM subs WHERE LENGTH(piece) >= 2) WHERE rn <= $USeedK),
+    p0 AS MATERIALIZED (SELECT piece, cnt, CAST(cnt AS DOUBLE) /
+        CAST((SELECT CAST(SUM(cnt) AS BIGINT) FROM v0) AS DOUBLE) AS prob
+      FROM v0)"""
+
+  /** One hard-EM round `r` under prob table `prev`: arcs, unrolled DP
+    * with ROW_NUMBER argmax (score desc, predecessor asc — the same
+    * strict-`>` ascending scan the Scala Viterbi runs), backtrack,
+    * piece-use counts `cnt$r`, re-estimated probs `p$r`. */
+  private def unigramRoundSql(r: Int, prev: String): String = {
+    val dp = (1 to UMaxWord).map { j =>
+      s"""dp${r}_$j AS MATERIALIZED (SELECT word, j, s, bp FROM (
+         |  SELECT a.word, $j AS j, d.s * a.prob AS s, a.i0 AS bp,
+         |    ROW_NUMBER() OVER (PARTITION BY a.word
+         |      ORDER BY d.s * a.prob DESC, a.i0 ASC) AS rn
+         |  FROM arcs$r a JOIN dpall${r}_${j - 1} d
+         |    ON d.word = a.word AND d.j = a.i0
+         |  WHERE a.j = $j) WHERE rn = 1),
+         |dpall${r}_$j AS MATERIALIZED (SELECT * FROM dpall${r}_${j - 1}
+         |  UNION ALL SELECT * FROM dp${r}_$j)""".stripMargin
+    }.mkString(",\n")
+    val bt = (1 to UMaxWord).map { k =>
+      s"""st${r}_$k AS MATERIALIZED (SELECT b.word, d.bp AS i0, b.j,
+         |    substr(b.word, CAST(d.bp + 1 AS INTEGER), CAST(b.j - d.bp AS INTEGER)) AS piece
+         |  FROM bt${r}_${k - 1} b JOIN dpall${r}_$UMaxWord d
+         |    ON d.word = b.word AND d.j = b.j
+         |  WHERE b.j > 0),
+         |bt${r}_$k AS (SELECT word, i0 AS j FROM st${r}_$k)""".stripMargin
+    }.mkString(",\n")
+    val paths = (1 to UMaxWord).map(k => s"SELECT word, piece FROM st${r}_$k")
+      .mkString("\n  UNION ALL ")
+    s"""arcs$r AS MATERIALIZED (
+       |  SELECT w.word, i.i - 1 AS i0, i.i - 1 + l.l AS j, pr.prob
+       |  FROM wordsu w
+       |  CROSS JOIN range(1, ${UMaxWord + 1}) i(i)
+       |  CROSS JOIN range(1, ${UPieceLen + 1}) l(l)
+       |  JOIN $prev pr
+       |    ON pr.piece = substr(w.word, CAST(i.i AS INTEGER), CAST(l.l AS INTEGER))
+       |  WHERE i.i + l.l - 1 <= LENGTH(w.word)),
+       |dp${r}_0 AS (SELECT word, CAST(0 AS BIGINT) AS j, CAST(1 AS DOUBLE) AS s,
+       |  CAST(-1 AS BIGINT) AS bp FROM wordsu),
+       |dpall${r}_0 AS MATERIALIZED (SELECT * FROM dp${r}_0),
+       |$dp,
+       |bt${r}_0 AS (SELECT word, CAST(LENGTH(word) AS BIGINT) AS j FROM wordsu),
+       |$bt,
+       |path$r AS MATERIALIZED ($paths),
+       |cnt$r AS MATERIALIZED (SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
+       |  FROM path$r JOIN wordsu USING (word) GROUP BY piece),
+       |p$r AS MATERIALIZED (SELECT piece, cnt, CAST(cnt AS DOUBLE) /
+       |    CAST((SELECT CAST(SUM(cnt) AS BIGINT) FROM cnt$r) AS DOUBLE) AS prob
+       |  FROM cnt$r)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q126_unigram_train" -> s"""
+      WITH $unigramSeedSql,
+      ${unigramRoundSql(1, "p0")},
+      ${unigramRoundSql(2, "p1")}
+      SELECT CAST(0 AS INTEGER) AS round, piece, cnt, prob FROM p0
+      UNION ALL SELECT 1, piece, cnt, prob FROM p1
+      UNION ALL SELECT 2, piece, cnt, prob FROM p2
+      ORDER BY round, piece""",
+
+    "q127_unigram_encode" -> s"""
+      WITH $unigramSeedSql,
+      ${unigramRoundSql(1, "p0")},
+      ${unigramRoundSql(2, "p1")},
+      ${unigramRoundSql(3, "p2")},
+      u AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS units FROM path3 GROUP BY word),
+      d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(units) AS BIGINT) AS n_units
+      FROM d JOIN u USING (word) WHERE word <> ''
+      GROUP BY doc_id ORDER BY doc_id""",
+
     "q113_bpe_train" -> s"""
       WITH $wordCte,
       ${bestSql("s0", "1")},

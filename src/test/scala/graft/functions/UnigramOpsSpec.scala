@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hard-EM unigram tokenizer: Viterbi optimality vs brute-force
+  * enumeration (incl. the tie-break), EM pruning monotonicity,
+  * segmentability invariants, and encode conservation. */
+class UnigramOpsSpec extends SparkSpec {
+
+  /** All segmentations of `w` into pieces from `p`'s key set. */
+  private def allSegs(w: String, p: Map[String, Double]): Seq[List[String]] =
+    if (w.isEmpty) Seq(Nil)
+    else (1 to math.min(UnigramOps.MaxPieceLen, w.length)).flatMap { l =>
+      val head = w.substring(0, l)
+      if (p.contains(head)) allSegs(w.substring(l), p).map(head :: _)
+      else Nil
+    }
+
+  test("viterbi reaches the brute-force max product on random words") {
+    val rnd = new scala.util.Random(126)
+    val alpha = "ab"
+    for (_ <- 1 to 200) {
+      val w = Seq.fill(1 + rnd.nextInt(8))(alpha(rnd.nextInt(2))).mkString
+      // random vocab: all chars + random multi pieces with random probs
+      val pieces = (alpha.map(_.toString) ++
+        Seq.fill(4)(Seq.fill(2 + rnd.nextInt(3))(alpha(rnd.nextInt(2))).mkString))
+        .distinct
+      val p = pieces.map(x => x -> (0.05 + rnd.nextInt(20) * 0.05)).toMap
+      val got = UnigramOps.viterbi(w, p)
+      assert(got.mkString == w, s"segmentation must concatenate to '$w'")
+      val best = allSegs(w, p).map(seg => seg.map(p).product).max
+      val gotScore = got.map(p).product
+      assert(gotScore == best,
+        s"'$w': viterbi score $gotScore != brute-force best $best")
+    }
+  }
+
+  test("tie-break picks the smallest predecessor (longest last piece)") {
+    // powers of two so the products are IEEE-exact: p(a)=p(b)=0.25,
+    // p(ab)=0.0625 → 0.25*0.25 == 0.0625 ties EXACTLY; smallest bp at
+    // j=2 is i=0 -> the single long piece wins
+    val p = Map("a" -> 0.25, "b" -> 0.25, "ab" -> 0.0625)
+    assert(UnigramOps.viterbi("ab", p) == List("ab"))
+  }
+
+  test("training prunes monotonically and keeps every word segmentable") {
+    val s = spark; import s.implicits._
+    val docs = Seq("abab abc a", "abab abab cc", "abc cc cc a")
+      .toDF("text")
+    val (rounds, probs) = UnigramOps.train(docs, "text", rounds = 2)
+    val byRound = rounds.collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
+    // round-r piece set is a subset of round-(r-1)'s (hard EM only
+    // re-counts pieces that appeared in some Viterbi path)
+    assert(byRound(1).keySet.subsetOf(byRound(0).keySet))
+    assert(byRound(2).keySet.subsetOf(byRound(1).keySet))
+    // probabilities sum to 1 exactly as count ratios
+    (0 to 2).foreach { r =>
+      val total = byRound(r).values.sum
+      val probSum = rounds.filter(col("round") === r)
+        .agg(sum("prob")).collect()(0).getDouble(0)
+      assert(math.abs(probSum - 1.0) < 1e-9, s"round $r probs sum $probSum")
+      assert(total > 0)
+    }
+    // final map segments every corpus word
+    Seq("abab", "abc", "a", "cc").foreach { w =>
+      assert(UnigramOps.viterbi(w, probs).mkString == w)
+    }
+  }
+
+  test("encode conserves whitespace token counts and bounds piece counts") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "abab abc"), (2L, "a cc abab abab"))
+      .toDF("doc_id", "text")
+    val (_, probs) = UnigramOps.train(docs, "text", rounds = 2)
+    val rows = UnigramOps.encodeDocCounts(docs, "doc_id", "text", probs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L)._1 == 2 && rows(2L)._1 == 4) // whitespace tokens
+    rows.foreach { case (_, (nTok, nUnits)) =>
+      assert(nUnits >= nTok) // at least one piece per word
+    }
+    // exact: recompute per word with the same probs
+    val expect1 = UnigramOps.viterbi("abab", probs).length +
+      UnigramOps.viterbi("abc", probs).length
+    assert(rows(1L)._2 == expect1)
+  }
+
+  test("training is deterministic across runs") {
+    val s = spark; import s.implicits._
+    val docs = Seq("abab abc a cc", "abab cc").toDF("text")
+    val a = UnigramOps.train(docs, "text", rounds = 2)._1
+      .orderBy("round", "piece").collect().toSeq
+    val b = UnigramOps.train(docs, "text", rounds = 2)._1
+      .orderBy("round", "piece").collect().toSeq
+    assert(a == b)
+  }
+}
