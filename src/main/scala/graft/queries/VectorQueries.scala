@@ -47,24 +47,34 @@ object VectorQueries {
         .select(col("doc_id").as("qid"), col("tok"))
       val ct = toks.filter(col("doc_id") >= 5)
         .join(rare, Seq("tok"), "left_semi")
+      // both top-20s run through the k-heap whole-operator plan
+      // (plans.TopKPerKey): at scale the scored candidate set is
+      // corpus-sized and the query set is tiny — a plain rank window
+      // would sort everything in #queries tasks; the heap plan bounds
+      // every partition's contribution to k rows and the only Sort left
+      // runs on k·queries survivors
       val wLex = Window.partitionBy("qid")
         .orderBy(col("score").desc, col("doc_id"))
-      val lex20 = qt.join(ct, "tok")
+      val lexScored = qt.join(ct, "tok")
         .groupBy("qid", "doc_id").agg(count(lit(1)).as("score"))
+      val lex20 = graft.plans.TopKPerKey.of(lexScored,
+          keys = Seq(col("qid")),
+          order = Seq(col("score").desc, col("doc_id").asc), k = k)
         .withColumn("lex_rank", row_number().over(wLex).cast("long"))
-        .filter(col("lex_rank") <= k)
         .select("qid", "doc_id", "lex_rank")
       val emb = Tables.table(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val wVec = Window.partitionBy("qid")
         .orderBy(col("cos").desc, col("doc_id"))
-      val vec20 = emb.filter(col("vec_id") >= 5)
+      val vecScored = emb.filter(col("vec_id") >= 5)
         .join(broadcast(qv))
         .select(col("qid"), col("vec_id").as("doc_id"),
           VectorFunctions.cosineFast(col("embedding"), col("qe")).as("cos"))
+      val vec20 = graft.plans.TopKPerKey.of(vecScored,
+          keys = Seq(col("qid")),
+          order = Seq(col("cos").desc, col("doc_id").asc), k = k)
         .withColumn("vec_rank", row_number().over(wVec).cast("long"))
-        .filter(col("vec_rank") <= k)
         .select("qid", "doc_id", "vec_rank")
       lex20.join(vec20, Seq("qid", "doc_id"), "full_outer")
         .select(col("qid"), col("doc_id"), col("lex_rank"), col("vec_rank"),
