@@ -18,7 +18,10 @@ object Bench {
     "q106_pagerank", "q108_label_prop", "q109_triangles",
     "q110_coengagement", "q111_fuzzy_join",
     "q113_bpe_train", "q114_bpe_encode", "q115_conservative_regrid",
-    "q116_point_in_polygon", "q118_bitmap_distinct")
+    "q116_point_in_polygon", "q118_bitmap_distinct",
+    "q121_charset_gate", "q122_budget_mixture", "q123_hybrid_rrf",
+    "q124_funnel", "q125_cohort_retention",
+    "q126_unigram_train", "q127_unigram_encode")
 
   /** Tables the tier-2 set reads. Each is replicated `factor`× with its
     * id keys shifted per replica (joins/groups keep realistic key

@@ -289,4 +289,39 @@ class PlanRegressionSpec extends SparkSpec {
       "map-side bitmap partial missing — the exchange would carry raw " +
         "rows instead of pages:\n" + plan)
   }
+
+  test("q122 budget mixture: bucket lists broadcast, window only per (source,bucket)") {
+    val plan = SparkEntry.queries("q122_budget_mixture")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    // the full/boundary bucket tables are sources×256 domain tables —
+    // shuffling the corpus against them would defeat the whole design
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "bucket classification joins must broadcast the domain tables:\n" + plan)
+    // the per-doc window may only run inside the ONE boundary bucket per
+    // source — a window partitioned by source alone re-serializes each
+    // source's whole corpus through one task
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("partitionby") &&
+          l.contains("source") && !l.contains("bucket")),
+      "per-doc window must partition by (source, bucket), not source:\n" + plan)
+  }
+
+  test("q123 hybrid RRF tops out through the k-heap operator") {
+    val plan = SparkEntry.queries("q123_hybrid_rrf")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    assert("TopKPerKeyPartial".r.findAllIn(plan).size >= 2,
+      "both rankers must bound partitions with partial k-heaps before " +
+        "their shuffles (the scored sets are corpus-sized, the query " +
+        "set is tiny):\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query-vector side must broadcast against the corpus scan:\n" + plan)
+  }
+
+  test("q124 funnel is windowless: stage mins are aggregations") {
+    val plan = SparkEntry.queries("q124_funnel")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      "funnel stages must be user-keyed min-aggregations, not per-user " +
+        "event-ordering windows:\n" + plan)
+  }
 }
