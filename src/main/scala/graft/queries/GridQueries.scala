@@ -265,6 +265,44 @@ object GridQueries {
         .groupBy("poly_id")
         .agg(count(lit(1)).as("n_inside"), sum("v8").as("mass"))
         .orderBy("poly_id")
+    }),
+
+    // Spatial radius self-join ("all station pairs within R degrees"):
+    // grid-cell blocking — each point lands in a ⌊coord/R⌋ cell, one
+    // side replicates into its 3×3 neighborhood, candidates come from a
+    // plain (cx, cy) EQUI-join (cell size = R guarantees every
+    // within-R pair shares a replicated cell, and each pair matches
+    // exactly once — the right cell is unique), verify is the exact
+    // squared planar distance in fixed expression order. The oracle
+    // runs the |P|² comparison this blocking exists to avoid. Planar
+    // semantics: no wraparound pairing across ±180 (both engines treat
+    // the seam identically). Linear shuffle, 9× replication; output is
+    // quadratic in point DENSITY (not corpus size), so the radius sets
+    // the cost.
+    "q128_radius_join" -> ((s, dir) => {
+      val r = 0.1
+      val pts = Tables.events(s, dir)
+        .select(col("event_id"),
+          ((col("value") - 100.0) / 2.0).as("lat"),
+          Normalize.wrapLongitude(col("value") * 3.7 - 250.0).as("lon"))
+        .withColumn("cx", floor(col("lon") / r).cast("long"))
+        .withColumn("cy", floor(col("lat") / r).cast("long"))
+      val reps = pts.select(col("event_id").as("id1"),
+          col("lat").as("lat1"), col("lon").as("lon1"),
+          explode(expr(
+            """flatten(transform(sequence(-1, 1),
+              |  dx -> transform(sequence(-1, 1),
+              |    dy -> struct(cx + dx AS cx, cy + dy AS cy))))""".stripMargin))
+            .as("c"))
+        .select(col("id1"), col("lat1"), col("lon1"),
+          col("c.cx").as("cx"), col("c.cy").as("cy"))
+      val d2 = (col("lat1") - col("lat2")) * (col("lat1") - col("lat2")) +
+        (col("lon1") - col("lon2")) * (col("lon1") - col("lon2"))
+      reps.join(pts.select(col("event_id").as("id2"), col("lat").as("lat2"),
+          col("lon").as("lon2"), col("cx"), col("cy")), Seq("cx", "cy"))
+        .filter(col("id1") < col("id2") && d2 <= 0.01)
+        .select(col("id1"), col("id2"), d2.as("dist2"))
+        .orderBy("id1", "id2")
     }))
 
   /** Convex CCW test polygons in (lon, lat) with integer vertices. */
@@ -404,5 +442,17 @@ object GridQueries {
         |    MIN(v8) AS v8
         |  FROM pts, edges GROUP BY 1, 2)
         |SELECT poly_id, COUNT(*) AS n_inside, CAST(SUM(v8) AS BIGINT) AS mass
-        |FROM pp WHERE mc >= 0.0 GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM pp WHERE mc >= 0.0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q128_radius_join" ->
+      """WITH pts AS (SELECT event_id,
+        |    (value - 100.0) / 2.0 AS lat,
+        |    ((((value * 3.7 - 250.0) + 180.0) % 360.0 + 360.0) % 360.0) - 180.0 AS lon
+        |  FROM events)
+        |SELECT a.event_id AS id1, b.event_id AS id2,
+        |  (a.lat - b.lat) * (a.lat - b.lat) +
+        |  (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+        |FROM pts a JOIN pts b ON a.event_id < b.event_id
+        |  AND (a.lat - b.lat) * (a.lat - b.lat) +
+        |      (a.lon - b.lon) * (a.lon - b.lon) <= CAST(0.01 AS DOUBLE)
+        |ORDER BY id1, id2""".stripMargin)
 }
