@@ -157,7 +157,20 @@ object BpeOps {
                       units: DataFrame): DataFrame =
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .where(col("word") =!= "")
-      .join(broadcast(units), "word")
+      .join(maybeBroadcast(units), "word")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
+
+  /** Hint the vocab side of a corpus join-back for broadcast only when
+    * it actually IS broadcast-sized (the scaladoc contract: "broadcast
+    * whenever the vocab fits, a hash join on `word` otherwise").
+    * An unconditional `broadcast()` hint overrides Spark's own size
+    * check and OOMs the driver at a 10^8-word vocabulary; the explicit
+    * count (one vocab-sized job against the materialized table) is what
+    * makes the fallback real rather than documentation. */
+  private[functions] def maybeBroadcast(vocabSide: DataFrame,
+                                        limit: Long = 4000000L): DataFrame = {
+    val v = vocabSide.localCheckpoint()
+    if (v.count() <= limit) broadcast(v) else v
+  }
 }

@@ -157,7 +157,7 @@ object UnigramOps {
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
       .where(col("word") =!= "")
-      .join(broadcast(wplen), "word")
+      .join(BpeOps.maybeBroadcast(wplen), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("units").as("n_units"))
   }
