@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming ordered-funnel tracking (the q124 batch semantics as a
+  * per-key state machine): each user's state is the 3-slot record
+  * (first view, first strictly-later click, first strictly-later
+  * purchase), maintained across micro-batches via
+  * `mapGroupsWithState` — SURVEY §2.13's custom-state family, here a
+  * MONOTONE state machine rather than an interval merge
+  * ([[StatefulSessions]]) or a symmetric join buffer
+  * ([[IntervalJoinStream]]).
+  *
+  * Contract: per-key event-time order across batches (each batch's
+  * events are sorted by (us, type) before folding; later batches must
+  * not carry earlier events for a key). Under that contract the state
+  * machine computes EXACTLY the batch funnel: the first view IS the
+  * min view; the first later click IS the min click after it; slots
+  * fill once and never move, so emitted rows supersede monotonically
+  * (per-user max over any prefix of emissions equals the current
+  * state). Out-of-order sources need the batch recompute (q124), which
+  * re-derives all three mins globally.
+  *
+  * State size: O(users) × 24 bytes — the funnel analog of
+  * sessionization's O(users × open fragments). The continuous form
+  * would add an event-time timeout to evict completed or expired
+  * users; the AvailableNow drain the spec exercises keeps all.
+  */
+object FunnelStream {
+
+  case class FunnelState(vUs: Long, cUs: Long, pUs: Long) // -1 = unset
+
+  case class FunnelRow(userId: Long, vUs: Option[Long], cUs: Option[Long],
+                       pUs: Option[Long])
+
+  /** Fold `(user_id, event_type, us)` events into per-user funnel
+    * states; emits each key's current state once per batch it appears
+    * in (write with OutputMode.Update). */
+  def track(events: Dataset[(Long, String, Long)]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, String, Long)],
+         st: GroupState[FunnelState]) =>
+          var s = st.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          it.toArray.sortBy(e => (e._3, e._2)).foreach { case (_, typ, us) =>
+            typ match {
+              case "view" if s.vUs < 0 =>
+                s = s.copy(vUs = us)
+              case "click" if s.vUs >= 0 && s.cUs < 0 && us > s.vUs =>
+                s = s.copy(cUs = us)
+              case "purchase" if s.cUs >= 0 && s.pUs < 0 && us > s.cUs =>
+                s = s.copy(pUs = us)
+              case _ =>
+            }
+          }
+          st.update(s)
+          FunnelRow(user,
+            Option(s.vUs).filter(_ >= 0),
+            Option(s.cUs).filter(_ >= 0),
+            Option(s.pUs).filter(_ >= 0))
+      }
+  }
+}

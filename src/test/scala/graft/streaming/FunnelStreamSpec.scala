@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Streaming funnel == batch funnel on in-order data, across several
+  * micro-batches; slots fill monotonically so per-user max over the
+  * update emissions is the final state. */
+class FunnelStreamSpec extends SparkSpec {
+
+  private val Types = Array("view", "click", "purchase", "error")
+
+  /** deterministic event soup: 40 users, mixed types, increasing us */
+  private def events: Seq[(Long, String, Long)] =
+    (0 until 200).map { i =>
+      val u = (i * 2654435761L % 40).toLong
+      // hashed type, ~5 events per user → a mix of completed funnels
+      // and stalls at every stage (a periodic type would alias with the
+      // 40-periodic user assignment and degenerate the fixture)
+      (u, Types(((i * 2654435761L >> 7) % 4).toInt), 1000L + i * 13L)
+    }
+
+  /** q124's semantics, brute-forced per user. */
+  private def expected: Map[Long, (Option[Long], Option[Long], Option[Long])] =
+    events.groupBy(_._1).view.mapValues { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val v = sorted.collectFirst { case (_, "view", us) => us }
+      val c = v.flatMap(vu =>
+        sorted.collectFirst { case (_, "click", us) if us > vu => us })
+      val p = c.flatMap(cu =>
+        sorted.collectFirst { case (_, "purchase", us) if us > cu => us })
+      (v, c, p)
+    }.toMap
+
+  test("multi-batch streamed funnel states == batch brute force") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("funnel-in")
+    val schema = events.toDF("user_id", "event_type", "us").schema
+    // three time-ordered drops → three micro-batches, in-order per key
+    events.grouped(400).zipWithIndex.foreach { case (chunk, k) =>
+      chunk.toDF("user_id", "event_type", "us")
+        .coalesce(1).write.parquet(s"$dir/drop$k")
+    }
+    val src = IncrementalStream.source(spark, s"$dir/drop*", schema,
+        maxFilesPerTrigger = 1)
+      .as[(Long, String, Long)]
+    val q = FunnelStream.track(src)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_stream")
+      .option("checkpointLocation", tmpDir("funnel-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("funnel_stream")
+      .groupBy("userId")
+      .agg(max("vUs").as("v"), max("cUs").as("c"), max("pUs").as("p"))
+      .collect().map { r =>
+        def o(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> ((o(1), o(2), o(3)))
+      }.toMap
+    assert(got == expected, {
+      val diff = (got.keySet ++ expected.keySet)
+        .filter(k => got.get(k) != expected.get(k)).take(3)
+      s"diverged for users $diff: " +
+        diff.map(k => s"$k got=${got.get(k)} want=${expected.get(k)}").mkString("; ")
+    })
+    // the funnel must actually discriminate: some users complete, some
+    // stall at each stage (guards the test against vacuous equality)
+    val stages = expected.values.groupBy {
+      case (v, c, p) => (v.isDefined, c.isDefined, p.isDefined)
+    }
+    assert(stages.size >= 3, s"degenerate fixture: $stages")
+  }
+
+  test("in-batch fold sorts by event time: arrival order inside a batch " +
+      "does not matter") {
+    val s = spark; import s.implicits._
+    // one batch, shuffled arrival: purchase arrives first but is later
+    // in event time — state machine must still complete the funnel
+    val dir = tmpDir("funnel-shuf")
+    val rows = Seq((7L, "purchase", 300L), (7L, "view", 100L),
+      (7L, "click", 200L), (8L, "click", 50L), (8L, "view", 60L))
+    val schema = rows.toDF("user_id", "event_type", "us").schema
+    rows.toDF("user_id", "event_type", "us")
+      .coalesce(1).write.parquet(s"$dir/drop0")
+    val src = IncrementalStream.source(spark, s"$dir/drop*", schema,
+        maxFilesPerTrigger = 1)
+      .as[(Long, String, Long)]
+    val q = FunnelStream.track(src)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_shuf")
+      .option("checkpointLocation", tmpDir("funnel-shuf-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("funnel_shuf")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(7L).contains(300L), "funnel must complete from sorted fold")
+    // user 8: click at 50 precedes the first view at 60 → no click slot
+    val got8 = spark.table("funnel_shuf").filter(col("userId") === 8L)
+      .collect()(0)
+    assert(!got8.isNullAt(1) && got8.isNullAt(2))
+  }
+}
