@@ -1386,6 +1386,37 @@ object TextQueries {
       fullDocs.select("doc_id", "source", "n_toks")
         .unionByName(boundaryDocs.select("doc_id", "source", "n_toks"))
         .orderBy("doc_id")
+    }),
+
+    // Length-bucketed inference batching: group docs into same-length
+    // buckets (token count div 16), assign fixed-size batches inside
+    // each bucket in deterministic doc order, report per-batch padding
+    // waste (n·max − Σtoks) — the dynamic-batching layout every serving
+    // stack computes before padding sequences to a common length. The
+    // per-bucket rank comes from `Packing.runningOffsets` (hierarchical
+    // prefix COUNT: per-sub-shard local windows + a broadcast of
+    // sub-shard offsets), not the oracle's per-bucket ROW_NUMBER window
+    // — with a handful of length buckets over a 100 TB corpus the flat
+    // window serializes each bucket through one task (the q120/q61
+    // objection); the hierarchical form is bit-identical and
+    // skew-immune. Integers only.
+    "q129_length_batching" -> ((s, dir) => {
+      val batchSize = 8
+      val base = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+        .withColumn("lb", expr("n_toks div 16"))
+        .withColumn("_one", lit(1L))
+      graft.operators.Packing.runningOffsets(base, "lb", "doc_id", "_one")
+        .withColumn("batch_id", expr(s"(cum - 1) div $batchSize"))
+        .groupBy("lb", "batch_id")
+        .agg(count(lit(1)).as("n_seqs"), max("n_toks").as("max_toks"),
+          sum("n_toks").as("sum_toks"))
+        .select(col("lb"), col("batch_id"), col("n_seqs"), col("max_toks"),
+          col("sum_toks"),
+          (col("n_seqs") * col("max_toks")).as("padded"),
+          (col("n_seqs") * col("max_toks") - col("sum_toks")).as("waste"))
+        .orderBy("lb", "batch_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2186,5 +2217,20 @@ object TextQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
         |  FROM base)
         |SELECT doc_id, source, n_toks FROM c
-        |WHERE cum_excl < 700 ORDER BY doc_id""".stripMargin)
+        |WHERE cum_excl < 700 ORDER BY doc_id""".stripMargin,
+    "q129_length_batching" ->
+      """WITH base AS (SELECT doc_id,
+        |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_toks, n_toks // 16 AS lb FROM base),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lb ORDER BY doc_id)
+        |    AS rn FROM b),
+        |g AS (SELECT lb, (rn - 1) // 8 AS batch_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        |    MAX(n_toks) AS max_toks, CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+        |  FROM r GROUP BY 1, 2)
+        |SELECT lb, batch_id, n_seqs, max_toks, sum_toks,
+        |  n_seqs * max_toks AS padded,
+        |  n_seqs * max_toks - sum_toks AS waste
+        |FROM g ORDER BY lb, batch_id""".stripMargin)
 }
