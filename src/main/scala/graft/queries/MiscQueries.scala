@@ -91,28 +91,62 @@ object MiscQueries {
     // the per-group window sort, then the tiny (groups × probes)
     // position table broadcasts into two rank-picking joins — the
     // ranked table is never reshuffled.
+    // EXACT interpolated quantiles WITHOUT a per-type global sort: the
+    // oracle's spelling (row_number over each event_type) serializes a
+    // type's entire history through one task — the q120/q61 objection
+    // at its worst, since types number ~5 at any corpus size. Here rank
+    // selection goes through a 16k-bucket value histogram: a monotone
+    // (min,max)-scaled bucket key (floor of a positive-scaled value —
+    // IEEE-monotone, and bucketization only routes rows, it never
+    // touches the selected VALUE, so no cross-engine arithmetic enters),
+    // bucket counts cumulated on a types×16k DOMAIN table, each target
+    // rank located in its one bucket, and the exact row_number window
+    // runs ONLY inside the few needed buckets (~n/16384 rows each;
+    // value-skew inflates a bucket but never beyond the duplicates of
+    // one value range). Interpolation arithmetic is unchanged →
+    // hash-exact vs the same windowed oracle.
     "q64_quantile_profile" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
+      val nBuckets = 16384
       val probes = Seq(0.25, 0.5, 0.75, 0.9, 0.99).toDF("p")
-      val ranked = Tables.events(s, dir)
-        .select(col("event_type"), col("value"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy("value")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      val pos = ranked.select("event_type", "n").distinct()
-        .crossJoin(broadcast(probes))
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val stats = e.groupBy("event_type")
+        .agg(min("value").as("mn"), max("value").as("mx"),
+          count(lit(1)).as("n"))
+      val pos = stats.select("event_type", "n").crossJoin(broadcast(probes))
         .withColumn("pos", lit(1.0) + col("p") * (col("n") - lit(1)).cast("double"))
         .withColumn("lo_rn", floor(col("pos")))
         .withColumn("hi_rn", least(floor(col("pos")) + lit(1L), col("n")))
-      val lo = ranked.as("r").join(broadcast(pos).as("x"),
-          col("r.event_type") === col("x.event_type") && col("r.rn") === col("x.lo_rn"))
-        .select(col("x.event_type"), col("x.p"), col("x.pos"), col("r.value").as("lo_v"))
-      val hi = ranked.as("r").join(broadcast(pos).as("x"),
-          col("r.event_type") === col("x.event_type") && col("r.rn") === col("x.hi_rn"))
-        .select(col("x.event_type").as("event_type"), col("x.p").as("p"),
-          col("r.value").as("hi_v"))
-      lo.join(hi, Seq("event_type", "p"))
+      val targets = pos.select(col("event_type"), col("lo_rn").as("r"))
+        .unionByName(pos.select(col("event_type"), col("hi_rn").as("r")))
+        .distinct()
+      val eb = e.join(broadcast(stats.select("event_type", "mn", "mx")),
+          "event_type")
+        .withColumn("b", when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("mn")) / (col("mx") - col("mn"))
+              * nBuckets),
+            lit((nBuckets - 1).toLong))))
+      val bcum = eb.groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+        .withColumn("cumx", coalesce(sum("cnt").over(
+          Window.partitionBy("event_type").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tb = bcum.join(targets, "event_type")
+        .filter(col("cumx") < col("r") && col("r") <= col("cumx") + col("cnt"))
+        .select(col("event_type"), col("b"), col("r"), col("cumx"))
+      val needed = tb.select("event_type", "b").distinct()
+      val sel = eb.join(broadcast(needed), Seq("event_type", "b"), "left_semi")
+        .withColumn("lr", row_number().over(
+          Window.partitionBy("event_type", "b").orderBy("value")))
+        .join(broadcast(tb), Seq("event_type", "b"))
+        .filter(col("cumx") + col("lr") === col("r"))
+        .select(col("event_type"), col("r"), col("value"))
+      val lo = pos.join(sel.withColumnRenamed("r", "lo_rn")
+          .withColumnRenamed("value", "lo_v"), Seq("event_type", "lo_rn"))
+      val hi = sel.withColumnRenamed("r", "hi_rn")
+        .withColumnRenamed("value", "hi_v")
+      lo.join(hi, Seq("event_type", "hi_rn"))
         .select(col("event_type"), col("p"),
           (col("lo_v") + (col("pos") - floor(col("pos")).cast("double"))
             * (col("hi_v") - col("lo_v"))).as("quantile"))

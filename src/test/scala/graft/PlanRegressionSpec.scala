@@ -317,6 +317,20 @@ class PlanRegressionSpec extends SparkSpec {
       "the query-vector side must broadcast against the corpus scan:\n" + plan)
   }
 
+  test("q64 quantiles never sort a whole type: rank windows are bucket-scoped") {
+    val plan = SparkEntry.queries("q64_quantile_profile")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
+    val rn = plan.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rn.nonEmpty, "bucket-local rank selection vanished:\n" + plan)
+    // the whole point of the 16k-bucket histogram is that no rank window
+    // partitions by event_type alone (that serializes a type's entire
+    // history through one task); every row_number must also key on the
+    // bucket column
+    assert(rn.forall(l => l.contains("b#")),
+      "a rank window runs per-type over raw events again:\n" + rn.mkString("\n"))
+  }
+
   test("q124 funnel is windowless: stage mins are aggregations") {
     val plan = SparkEntry.queries("q124_funnel")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString()
