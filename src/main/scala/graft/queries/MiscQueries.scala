@@ -65,19 +65,20 @@ object MiscQueries {
     }),
 
     // Deterministic stratified sample: top-5 per (lang, source) stratum
-    // ordered by md5(doc_id) — the portable analog of a seeded per-stratum
-    // sample at corpus scale. One shuffle on the stratum key; strata are
-    // balanced by construction so the window never sees a skewed
-    // partition (and at 100 TB a rank-limited window beats a global
-    // orderBy+limit sample, which would single-task the tail).
+    // ordered by md5(doc_id) — the portable analog of a seeded
+    // per-stratum sample. Through the k-heap whole-operator plan
+    // (plans.TopKPerKey): strata number ~langs×sources at ANY corpus
+    // size, so the old per-stratum rank window funneled each stratum's
+    // entire doc set through one task — the heap plan bounds every
+    // input partition's contribution to 5 rows before the stratum
+    // shuffle, and no rank column is needed (the sample IS the rows).
     "q55_stratified_sample" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang", "source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+      graft.plans.TopKPerKey.of(
+          Tables.table(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("source"),
+              md5(col("doc_id").cast("string")).as("h")),
+          keys = Seq(col("lang"), col("source")),
+          order = Seq(col("h").asc, col("doc_id").asc), k = 5)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
