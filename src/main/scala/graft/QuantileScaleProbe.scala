@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.RankSelect
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for bucketed exact rank selection (RankSelect /
+  * q64): N rows where one group owns 90% of the data AND 30% of that
+  * group's values are a single constant (the duplicate spike that
+  * inflates one histogram bucket). REQUIRES bit-identical results vs
+  * the flat per-group window spelling on the same data — exactness
+  * under group skew, value skew and ties is the point; the stopwatch
+  * compares the two shapes.
+  *
+  * `runMain graft.QuantileScaleProbe [nRows]` (default 20M).
+  */
+object QuantileScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = args.headOption.map(_.toInt).getOrElse(20000000)
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    // 90% in group "dominant"; inside it, 30% share the constant 777.0
+    val df = spark.range(n).select(
+        when(pmod(col("id"), lit(10)) < 9, lit("dominant"))
+          .otherwise(concat(lit("g"), pmod(col("id"), lit(7)))).as("g"),
+        when(pmod(col("id"), lit(10)) < 9 && pmod(col("id"), lit(3)) === 0,
+          lit(777.0))
+          .otherwise((pmod(col("id") * 2654435761L, lit(1000000)))
+            .cast("double") / 997.0).as("v"))
+      .localCheckpoint()
+
+    val counts = df.groupBy("g").agg(count(lit(1)).as("cn"))
+    val targets = counts.select(col("g"),
+        explode(array(lit(0.25), lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .join(counts, "g")
+      .select(col("g"),
+        (lit(1L) + floor(col("p") * (col("cn") - 1).cast("double"))).as("r"))
+      .distinct().localCheckpoint()
+
+    val bucketed = timed("bucketed rank selection") {
+      val x = RankSelect.selectRanks(df, "g", "v", targets).localCheckpoint()
+      x.count(); x
+    }
+    val windowed = timed("flat per-group window (the shape it replaces)") {
+      val w = Window.partitionBy("g").orderBy("v")
+      val x = df.withColumn("rn", row_number().over(w))
+        .join(broadcast(targets.withColumnRenamed("r", "rn")), Seq("g", "rn"))
+        .select(col("g"), col("rn").as("r"), col("v"))
+        .localCheckpoint()
+      x.count(); x
+    }
+    val diff = bucketed.exceptAll(windowed).count() +
+      windowed.exceptAll(bucketed).count()
+    require(diff == 0, s"bucketed selection diverged from the window: $diff")
+    println(s"PROBE exact-match rows=${bucketed.count()} (ties + skew held)")
+    spark.stop()
+  }
+}

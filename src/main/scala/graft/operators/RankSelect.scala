@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed rank selection (order statistics) without a
+  * per-group global sort — the engine's scale path for exact
+  * quantiles/percentiles (q64).
+  *
+  * The naive spelling — `row_number() OVER (PARTITION BY group ORDER BY
+  * value)` — serializes each group's entire history through one task,
+  * and group counts (event types, sources) do not grow with the corpus.
+  * Here selection routes through a value histogram instead:
+  *
+  *  1. per-group (min, max, count) — one aggregate;
+  *  2. monotone bucket key `⌊(v−min)/(max−min)·B⌋` (scaling is ROUTING
+  *     only: it decides which bucket a row lands in, never the selected
+  *     value, so its floating point stays out of the result);
+  *  3. bucket counts cumulated on a groups×B DOMAIN table;
+  *  4. each requested rank located in its one bucket;
+  *  5. the exact rank window runs ONLY inside needed buckets (~n/B
+  *     rows; value skew inflates a bucket but never beyond the
+  *     duplicate mass of one value range — duplicates of a single value
+  *     are selection-trivial anyway since any of them IS the answer).
+  *
+  * Results are bit-identical to the windowed spelling: the r-th
+  * smallest of a multiset is well-defined under ties, and every
+  * arithmetic op on the VALUE side is untouched.
+  */
+object RankSelect {
+
+  /** `(group, r, value)`: the r-th smallest `valueCol` per group, for
+    * every `(group, r)` pair in `targets` (columns: groupCol, "r";
+    * 1-based ranks, must be ≤ the group's row count). `targets` must be
+    * small (broadcast-sized — ranks × groups). */
+  def selectRanks(df: DataFrame, groupCol: String, valueCol: String,
+                  targets: DataFrame, nBuckets: Int = 16384): DataFrame = {
+    val stats = df.groupBy(groupCol)
+      .agg(min(valueCol).as("_mn"), max(valueCol).as("_mx"))
+    val eb = df.join(broadcast(stats), groupCol)
+      .withColumn("_b", when(col("_mx") === col("_mn"), lit(0L))
+        .otherwise(least(
+          floor((col(valueCol) - col("_mn")) / (col("_mx") - col("_mn"))
+            * nBuckets),
+          lit((nBuckets - 1).toLong))))
+    val bcum = eb.groupBy(groupCol, "_b").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_cumx", coalesce(sum("_cnt").over(
+        Window.partitionBy(groupCol).orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tb = bcum.join(targets, groupCol)
+      .filter(col("_cumx") < col("r") && col("r") <= col("_cumx") + col("_cnt"))
+      .select(col(groupCol), col("_b"), col("r"), col("_cumx"))
+    val needed = tb.select(groupCol, "_b").distinct()
+    eb.join(broadcast(needed), Seq(groupCol, "_b"), "left_semi")
+      .withColumn("_lr", row_number().over(
+        Window.partitionBy(groupCol, "_b").orderBy(valueCol)))
+      .join(broadcast(tb), Seq(groupCol, "_b"))
+      .filter(col("_cumx") + col("_lr") === col("r"))
+      .select(col(groupCol), col("r"), col(valueCol))
+  }
+}

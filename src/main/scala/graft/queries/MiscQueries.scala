@@ -122,27 +122,8 @@ object MiscQueries {
       val targets = pos.select(col("event_type"), col("lo_rn").as("r"))
         .unionByName(pos.select(col("event_type"), col("hi_rn").as("r")))
         .distinct()
-      val eb = e.join(broadcast(stats.select("event_type", "mn", "mx")),
-          "event_type")
-        .withColumn("b", when(col("mx") === col("mn"), lit(0L))
-          .otherwise(least(
-            floor((col("value") - col("mn")) / (col("mx") - col("mn"))
-              * nBuckets),
-            lit((nBuckets - 1).toLong))))
-      val bcum = eb.groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
-        .withColumn("cumx", coalesce(sum("cnt").over(
-          Window.partitionBy("event_type").orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val tb = bcum.join(targets, "event_type")
-        .filter(col("cumx") < col("r") && col("r") <= col("cumx") + col("cnt"))
-        .select(col("event_type"), col("b"), col("r"), col("cumx"))
-      val needed = tb.select("event_type", "b").distinct()
-      val sel = eb.join(broadcast(needed), Seq("event_type", "b"), "left_semi")
-        .withColumn("lr", row_number().over(
-          Window.partitionBy("event_type", "b").orderBy("value")))
-        .join(broadcast(tb), Seq("event_type", "b"))
-        .filter(col("cumx") + col("lr") === col("r"))
-        .select(col("event_type"), col("r"), col("value"))
+      val sel = graft.operators.RankSelect.selectRanks(
+        e, "event_type", "value", targets, nBuckets)
       val lo = pos.join(sel.withColumnRenamed("r", "lo_rn")
           .withColumnRenamed("value", "lo_v"), Seq("event_type", "lo_rn"))
       val hi = sel.withColumnRenamed("r", "hi_rn")
