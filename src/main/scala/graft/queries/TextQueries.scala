@@ -1417,6 +1417,31 @@ object TextQueries {
           (col("n_seqs") * col("max_toks")).as("padded"),
           (col("n_seqs") * col("max_toks") - col("sum_toks")).as("waste"))
         .orderBy("lb", "batch_id")
+    }),
+
+    // Calibration curve (reliability diagram) for the q117 heuristic
+    // scorer predicting lang='en': score-bin → (count, positives, mean
+    // score, empirical positive rate). Completes the eval family
+    // (AUC q117, kappa q119): AUC says the ranking works, calibration
+    // says the SCORES can be thresholded. One scan to a map-side-
+    // combined bin aggregate; integer until the two final divisions.
+    "q130_calibration" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.table(s, dir, "documents")
+        .select(
+          floor(TextFunctions.wordSetCount(toks, STOPWORDS).cast("double")
+            * 1000.0 / size(toks).cast("double")).cast("long").as("score"),
+          (col("lang") === "en").cast("long").as("pos"))
+        .withColumn("bin", expr("score div 50"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+          sum("score").as("sum_score"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          (col("sum_score").cast("double") / col("n").cast("double"))
+            .as("mean_score"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("frac_pos"))
+        .orderBy("bin")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2232,5 +2257,21 @@ object TextQueries {
         |SELECT lb, batch_id, n_seqs, max_toks, sum_toks,
         |  n_seqs * max_toks AS padded,
         |  n_seqs * max_toks - sum_toks AS waste
-        |FROM g ORDER BY lb, batch_id""".stripMargin)
+        |FROM g ORDER BY lb, batch_id""".stripMargin,
+    "q130_calibration" ->
+      """WITH d AS (SELECT
+        |    CAST(FLOOR(CAST(LEN(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and'))) AS DOUBLE) * 1000.0
+        |      / CAST(LEN(string_split(text, ' ')) AS DOUBLE)) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |g AS (SELECT score // 50 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(score) AS BIGINT) AS sum_score
+        |  FROM d GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST(sum_score AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+        |FROM g ORDER BY bin""".stripMargin)
 }
