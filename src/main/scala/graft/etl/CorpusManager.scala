@@ -450,6 +450,68 @@ class CorpusManager(
       .agg(call_function("kmv_minima", TextFunctions.md5Hash60(col("tok")),
         lit(sketchK)).as("minima"))
 
+  // ---- tokenizer artifact (unigram-LM, generation-stamped) -------------
+
+  private def tokenizerDir(g: Long): String = s"$root/tokenizer/g$g"
+
+  /** Train the unigram-LM tokenizer ([[graft.functions.UnigramOps]],
+    * hard-EM) on the PINNED corpus snapshot and persist the full round
+    * table `(round, piece, cnt, prob)` stamped with the generation it
+    * was trained on — the tokenizer twin of the versioned ANN quantizer:
+    * readers can tell exactly which corpus snapshot produced the vocab,
+    * and [[tokenizerStale]] flags when ingests have advanced past it
+    * (training data changed → token statistics drifted → retrain before
+    * shipping token counts downstream). Returns the stamped generation. */
+  def trainTokenizer(rounds: Int = 2): Long = {
+    val m = readManifest().getOrElse(throw new IllegalStateException(
+      s"corpus $name has no committed manifest — ingest before training"))
+    val (table, _) = graft.functions.UnigramOps.train(
+      corpus().select(col(textCol)), textCol, rounds)
+    table.coalesce(1).write.mode("overwrite")
+      .parquet(s"${tokenizerDir(m.generation)}/pieces")
+    m.generation
+  }
+
+  /** Newest COMPLETE tokenizer artifact: (trainedAtGeneration,
+    * final-round piece→prob map). Half-written artifacts (crashed
+    * training: no parquet _SUCCESS) are skipped, same phantom-visibility
+    * discipline as the pinned file lists. */
+  def readTokenizer(): Option[(Long, Map[String, Double])] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/tokenizer")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.matches("g\\d+") => n.stripPrefix("g").toLong }
+      .sorted.reverse
+      .find(g => fs.exists(
+        new org.apache.hadoop.fs.Path(s"${tokenizerDir(g)}/pieces/_SUCCESS")))
+      .map { g =>
+        val t = spark.read.parquet(s"${tokenizerDir(g)}/pieces")
+        val maxRound = t.agg(max("round")).collect()(0).getInt(0)
+        val rows = t.filter(col("round") === maxRound)
+          .select("piece", "cnt").collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        val total = rows.map(_._2).sum
+        (g, rows.map { case (pc, c) => pc -> (c.toDouble / total.toDouble) }
+          .toMap)
+      }
+  }
+
+  /** True when the corpus has advanced past (or never had) a complete
+    * tokenizer artifact. */
+  def tokenizerStale: Boolean = (for {
+    m <- readManifest()
+    (g, _) <- readTokenizer()
+  } yield g < m.generation).getOrElse(true)
+
+  /** Per-doc (n_tokens, n_units) of the pinned corpus under the newest
+    * tokenizer artifact. Callers wanting freshness first check
+    * [[tokenizerStale]] and retrain. */
+  def encodeWithTokenizer(): DataFrame = {
+    val (_, probs) = readTokenizer().getOrElse(throw new IllegalStateException(
+      s"corpus $name has no complete tokenizer artifact — trainTokenizer first"))
+    graft.functions.UnigramOps.encodeDocCounts(corpus(), idCol, textCol, probs)
+  }
+
   // ---- embedding-side near-dup (the vector twin of the band table) -----
 
   /** Persisted IVF quantizer centroids of the LIVE ann version (trained

@@ -1,0 +1,63 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.functions.UnigramOps
+
+/** Generation-stamped tokenizer artifacts on the corpus manager: train
+  * pins the snapshot generation, reads skip half-written artifacts,
+  * staleness flags post-training ingests, encode matches a direct
+  * UnigramOps run on the pinned corpus. */
+class TokenizerArtifactSpec extends SparkSpec {
+
+  private def mkText(seed: Int): String =
+    (0 until 12).map(i => s"w${(seed * (i * i + 3) + i * 7) % 30}").mkString(" ")
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("train → read → encode round-trip; staleness tracks ingests") {
+    val root = tmpDir("cmtok")
+    val m = new CorpusManager("cm_tok", root, spark, numBuckets = 4,
+      minTokens = 2)
+    assert(m.tokenizerStale, "no corpus, no artifact → stale")
+    m.ingestInitial(docs((1 to 8).map(i => (i.toLong, mkText(i), "web"))))
+    assert(m.tokenizerStale, "corpus but no artifact → stale")
+    val g1 = m.trainTokenizer(rounds = 2)
+    assert(!m.tokenizerStale, "fresh artifact → not stale")
+    val (gRead, probs) = m.readTokenizer().get
+    assert(gRead == g1)
+    assert(math.abs(probs.values.sum - 1.0) < 1e-9)
+    // encode through the artifact == direct UnigramOps on the pinned corpus
+    val direct = {
+      val (_, p2) = UnigramOps.train(m.corpus(), "text", rounds = 2)
+      UnigramOps.encodeDocCounts(m.corpus(), "doc_id", "text", p2)
+    }
+    val viaArtifact = m.encodeWithTokenizer()
+    assert(viaArtifact.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaArtifact).isEmpty)
+    // a later ingest advances the corpus generation → artifact stale
+    m.ingestShard(docs(Seq((100L, mkText(20), "web"), (101L, mkText(21), "web"))))
+    assert(m.tokenizerStale, "corpus advanced past the artifact → stale")
+    // retrain stamps the new generation and clears staleness
+    val g2 = m.trainTokenizer(rounds = 2)
+    assert(g2 > g1 && !m.tokenizerStale)
+  }
+
+  test("half-written artifacts (no _SUCCESS) are invisible") {
+    val root = tmpDir("cmtok2")
+    val m = new CorpusManager("cm_tok2", root, spark, numBuckets = 4,
+      minTokens = 2)
+    m.ingestInitial(docs((1 to 4).map(i => (i.toLong, mkText(i), "web"))))
+    val g1 = m.trainTokenizer()
+    // fabricate a crashed later training: dir exists, no _SUCCESS
+    val fake = new java.io.File(s"$root/tokenizer/g999/pieces")
+    fake.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fake.getPath, "part-0.parquet"), "garbage")
+    val (g, _) = m.readTokenizer().get
+    assert(g == g1, "reader must skip the crashed g999 artifact")
+    assert(m.encodeWithTokenizer().count() == m.corpus().count())
+  }
+}
