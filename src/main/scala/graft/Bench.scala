@@ -21,7 +21,8 @@ object Bench {
     "q116_point_in_polygon", "q118_bitmap_distinct",
     "q121_charset_gate", "q122_budget_mixture", "q123_hybrid_rrf",
     "q124_funnel", "q125_cohort_retention",
-    "q126_unigram_train", "q127_unigram_encode", "q128_radius_join")
+    "q126_unigram_train", "q127_unigram_encode", "q128_radius_join",
+    "q129_length_batching")
 
   /** Tables the tier-2 set reads. Each is replicated `factor`× with its
     * id keys shifted per replica (joins/groups keep realistic key

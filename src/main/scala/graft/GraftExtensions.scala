@@ -41,7 +41,27 @@ object GraftExtensions {
     "char_distinct" ->
       ("char_distinct(str) - number of distinct UTF-8 BYTES " +
         "(byte-level, not character-level: multi-byte characters count " +
-        "per byte; equals character statistics on ASCII input)"))
+        "per byte; equals character statistics on ASCII input)"),
+    "float_vec_dot" ->
+      ("float_vec_dot(a, b) - dot product of two array<float> columns, " +
+        "accumulated in double in ascending index order (bit-identical " +
+        "to an index-ordered left fold / SQL list_sum-of-list_transform)"),
+    "kmv_minima" ->
+      ("kmv_minima(hash64, k) - k smallest values of a 64-bit hash " +
+        "column per group (bottom-k / KMV distinct sketch); k must be " +
+        "an integer literal; exact given the input hashes"),
+    "bitmap_distinct" ->
+      ("bitmap_distinct(longCol) - EXACT distinct count via paged " +
+        "bitmaps with map-side partials: one exchange carrying ~ndv/8 " +
+        "bytes per group where count(DISTINCT) plans two"),
+    "bloom_agg" ->
+      ("bloom_agg(xxhash64(col)[, estNumItems[, numBits]]) - build a " +
+        "Bloom filter sketch over PRE-HASHED longs; pair with " +
+        "bloom_might_contain using the same xxhash64 convention"),
+    "bloom_might_contain" ->
+      ("bloom_might_contain(sketch, xxhash64(col)) - probe a bloom_agg " +
+        "sketch; false-positive-prone, never false-negative; both sides " +
+        "must pass xxhash64(col), the sketch stores the hashed long"))
 
   /** (name, impl class name, builder) for every graft SQL function —
     * the single home of the arity checks and literal extraction. */

@@ -57,4 +57,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(big("spark.sql.extensions") == "graft.GraftExtensions")
     assert(big("spark.sql.adaptive.skewJoin.enabled") == "true")
   }
+
+  test("DESCRIBE FUNCTION surfaces the semantics caveats (usage strings)") {
+    val fresh = spark.newSession()
+    def usage(fn: String): String =
+      fresh.sql(s"DESCRIBE FUNCTION EXTENDED $fn").collect()
+        .map(_.getString(0)).mkString("\n")
+    // the byte-level caveat must be visible at the SQL surface, not
+    // only in Scaladoc (round-5 ADVICE)
+    assert(usage("char_sq_sum").contains("BYTE"))
+    assert(usage("char_distinct").contains("BYTE"))
+    // every graft function ships a real usage line, not the bare name
+    GraftExtensions.builders.map(_._1).foreach { name =>
+      assert(usage(name).contains(s"$name("), s"usage missing for $name")
+    }
+    // the hashing-convention contract of the bloom pair is stated
+    assert(usage("bloom_might_contain").contains("xxhash64"))
+  }
 }
