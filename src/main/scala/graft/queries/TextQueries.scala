@@ -1419,6 +1419,64 @@ object TextQueries {
         .orderBy("lb", "batch_id")
     }),
 
+    // Temperature-rebalanced mixture sampling (T=2, the multilingual-
+    // pretraining upsampling rule p_s ∝ n_s^(1/T)): per-source token
+    // budgets derived from sqrt-weights, then q122's bucketed budget
+    // fill with the budget as a JOINED column instead of a constant.
+    // Exactness: sqrt is IEEE-correctly-rounded and ×2^20 is an exponent
+    // shift, so w_s = ⌊√tok_s·2^20⌋ is an exact INTEGER weight; Σw is an
+    // order-free integer sum; the budget is one double division +
+    // multiply + floor in fixed order. Same 256-bucket threshold
+    // machinery as q122 — whole buckets classified against the
+    // broadcast (source, budget) table, only boundary buckets pay a
+    // per-doc window.
+    "q131_temperature_mixture" -> ((s, dir) => {
+      val totalBudget = 8000.0
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("bucket")
+      val base = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bucket", substring(col("h"), 1, 2))
+      val weights = base.groupBy("source").agg(sum("n_toks").as("tok_s"))
+        .withColumn("w",
+          floor(sqrt(col("tok_s").cast("double")) * 1048576.0).cast("long"))
+      val budgets = weights
+        .crossJoin(broadcast(weights.agg(sum("w").as("sw"))))
+        .select(col("source"),
+          floor(lit(totalBudget)
+            * (col("w").cast("double") / col("sw").cast("double")))
+            .cast("long").as("budget_s"))
+      val bcum = base.groupBy("source", "bucket")
+        .agg(sum("n_toks").as("bt"))
+        .withColumn("cumx", coalesce(sum("bt").over(
+          wB.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+        .join(broadcast(budgets), "source")
+      val full = bcum.filter(col("cumx") + col("bt") <= col("budget_s"))
+        .select("source", "bucket")
+      val boundary = bcum
+        .filter(col("cumx") < col("budget_s") &&
+          col("cumx") + col("bt") > col("budget_s"))
+        .select(col("source"), col("bucket"), col("cumx"), col("budget_s"))
+      val fullDocs = base
+        .join(broadcast(full), Seq("source", "bucket"), "left_semi")
+        .join(broadcast(budgets), "source")
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "bucket").orderBy("h", "doc_id")
+      val boundaryDocs = base
+        .join(broadcast(boundary), Seq("source", "bucket"))
+        .withColumn("inb", coalesce(sum("n_toks").over(
+          wDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+        .filter(col("cumx") + col("inb") < col("budget_s"))
+      fullDocs.select("doc_id", "source", "n_toks", "budget_s")
+        .unionByName(boundaryDocs.select("doc_id", "source", "n_toks",
+          "budget_s"))
+        .orderBy("doc_id")
+    }),
+
     // Calibration curve (reliability diagram) for the q117 heuristic
     // scorer predicting lang='en': score-bin → (count, positives, mean
     // score, empirical positive rate). Completes the eval family
@@ -2273,5 +2331,29 @@ object TextQueries {
         |SELECT bin, n, n_pos,
         |  CAST(sum_score AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score,
         |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
-        |FROM g ORDER BY bin""".stripMargin)
+        |FROM g ORDER BY bin""".stripMargin,
+    "q131_temperature_mixture" ->
+      """WITH base AS (SELECT doc_id, source,
+        |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |cs AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS tok_s
+        |  FROM base GROUP BY source),
+        |w AS (SELECT source,
+        |    CAST(FLOOR(sqrt(CAST(tok_s AS DOUBLE)) * 1048576.0) AS BIGINT)
+        |      AS w
+        |  FROM cs),
+        |sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM w),
+        |b AS (SELECT source,
+        |    CAST(FLOOR(8000.0 * (CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)))
+        |      AS BIGINT) AS budget_s
+        |  FROM w, sw),
+        |c AS (SELECT base.doc_id, base.source, base.n_toks, b.budget_s,
+        |    COALESCE(SUM(base.n_toks) OVER (PARTITION BY base.source
+        |      ORDER BY base.h, base.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_excl
+        |  FROM base JOIN b ON base.source = b.source)
+        |SELECT doc_id, source, n_toks, budget_s FROM c
+        |WHERE cum_excl < budget_s ORDER BY doc_id""".stripMargin)
 }
