@@ -1,0 +1,14 @@
+#!/bin/sh
+# Compile gate (round-4 lesson: never commit a snapshot that does not
+# compile). Install with:
+#   ln -sf ../../tools/precommit.sh .git/hooks/pre-commit
+# Skips the sbt startup when no Scala sources are staged.
+if git diff --cached --name-only | grep -q '\.scala$'; then
+  echo "[pre-commit] staged .scala files -> sbt Test/compile"
+  sbt -batch "Test/compile" >/tmp/precommit_compile.log 2>&1 || {
+    echo "[pre-commit] COMPILE FAILED - commit blocked. tail of log:"
+    tail -20 /tmp/precommit_compile.log
+    exit 1
+  }
+fi
+exit 0
