@@ -21,8 +21,12 @@ object Bench {
     "q116_point_in_polygon", "q118_bitmap_distinct",
     "q121_charset_gate", "q122_budget_mixture", "q123_hybrid_rrf",
     "q124_funnel", "q125_cohort_retention",
-    "q126_unigram_train", "q127_unigram_encode", "q128_radius_join",
-    "q129_length_batching")
+    // q128 is deliberately NOT in this tier: its output is quadratic in
+    // point DENSITY and the ×10 replica keeps the same lat/lon area, so
+    // the ×10 run materializes ~100× the pairs (measured 17 s, all
+    // output) — the tier would measure row materialization, not the
+    // blocking join the query exists to exercise.
+    "q126_unigram_train", "q127_unigram_encode", "q129_length_batching")
 
   /** Tables the tier-2 set reads. Each is replicated `factor`× with its
     * id keys shifted per replica (joins/groups keep realistic key
