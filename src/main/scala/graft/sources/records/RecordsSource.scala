@@ -71,13 +71,167 @@ object RecordsSource {
   }
 }
 
-class RecordsTable(path: String) extends Table with SupportsRead {
+class RecordsTable(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"grec:$path"
   override def schema(): StructType = RecordsSource.Schema
+  // ACCEPT_ANY_SCHEMA: writes carry whatever projection produced the
+  // payloads (usually just one binary column); the write builder
+  // validates "exactly one binary column" instead of forcing callers to
+  // fabricate the reader-side offset/length columns
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RecordsScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new RecordsWriteBuilder(path, info)
+}
+
+/** DSv2 transactional write path — `df.write.format(...).save(dir)`
+  * with Spark's task-commit protocol on top of the same on-disk layout
+  * [[RecordFiles.write]] produces:
+  *
+  *  - each task streams its partition into `part-PID-TASKID.grec.tmp`
+  *    (the `.tmp` suffix keeps half-written files invisible to the
+  *    reader, which lists `*.grec` only);
+  *  - task commit reports the temp path; JOB commit renames winners to
+  *    `.grec` — speculative/retried attempts that lose the task-commit
+  *    race are never renamed and job abort deletes every reported temp;
+  *  - empty partitions create no file (stream opens on first row);
+  *  - `SaveMode.Overwrite` (TRUNCATE capability) clears `*.grec` first.
+  *
+  * Input schema: ANY schema with exactly one binary column (validated
+  * at build) — the writer extracts that column per row; `stripeRecords`
+  * rides in as a write option. */
+class RecordsWriteBuilder(
+    path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite = {
+        val schema = info.schema()
+        val binIdxs = schema.fields.zipWithIndex
+          .collect { case (f, i) if f.dataType == BinaryType => i }
+        require(binIdxs.length == 1,
+          s"grec write needs exactly one binary column, got " +
+            schema.simpleString)
+        val stripe = Option(info.options.get("stripeRecords"))
+          .map(_.toInt).getOrElse(1000)
+        new RecordsBatchWrite(path, binIdxs.head, stripe, doTruncate,
+          new ConfCarrier(SparkSession.active.sessionState.newHadoopConf()))
+      }
+    }
+}
+
+case class GrecCommit(tmpPath: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class RecordsBatchWrite(path: String, binIdx: Int, stripeRecords: Int,
+                        truncate: Boolean, carrier: ConfCarrier)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    // overwrite clears committed files BEFORE tasks launch, so a failed
+    // overwrite leaves either the old set (no job commit ran) minus
+    // nothing visible-new — .tmp files are reader-invisible
+    if (truncate) {
+      val root = new Path(path)
+      val fs = root.getFileSystem(carrier.toConf)
+      if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.endsWith(".grec")).foreach(fs.delete(_, false))
+    }
+    val (p, b, s, c) = (path, binIdx, stripeRecords, carrier)
+    new org.apache.spark.sql.connector.write.DataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long)
+          : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+        new RecordsDataWriter(p, b, s, c, partitionId, taskId)
+    }
+  }
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val fs = new Path(path).getFileSystem(carrier.toConf)
+    messages.collect { case GrecCommit(tmp) if tmp.nonEmpty =>
+      val t = new Path(tmp)
+      val fin = new Path(t.getParent,
+        t.getName.stripSuffix(".tmp"))
+      require(fs.rename(t, fin), s"grec job commit: rename $t -> $fin failed")
+    }
+  }
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val fs = new Path(path).getFileSystem(carrier.toConf)
+    messages.collect { case GrecCommit(tmp) if tmp.nonEmpty =>
+      scala.util.Try(fs.delete(new Path(tmp), false))
+    }
+  }
+}
+
+class RecordsDataWriter(dir: String, binIdx: Int, stripeRecords: Int,
+                        carrier: ConfCarrier, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val tmpPath =
+    new Path(dir, f"part-$partitionId%05d-$taskId.grec.tmp")
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  private val index = Seq.newBuilder[(Long, Int)]
+  private var stripeStart = 0L
+  private var inStripe = 0
+  private var pos = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      val fs = tmpPath.getFileSystem(carrier.toConf)
+      fs.mkdirs(tmpPath.getParent)
+      out = fs.create(tmpPath, true)
+    }
+    val bytes = row.getBinary(binIdx)
+    if (inStripe == stripeRecords) {
+      index += ((stripeStart, inStripe))
+      stripeStart = pos
+      inStripe = 0
+    }
+    out.writeInt(bytes.length)
+    out.write(bytes)
+    pos += 4L + bytes.length
+    inStripe += 1
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out == null) GrecCommit("") // empty partition: no file
+    else {
+      if (inStripe > 0) index += ((stripeStart, inStripe))
+      val entries = index.result()
+      entries.foreach { case (off, n) => out.writeLong(off); out.writeInt(n) }
+      out.writeInt(entries.size)
+      out.writeInt(RecordsSource.Magic)
+      out.close()
+      out = null
+      GrecCommit(tmpPath.toString)
+    }
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { scala.util.Try(out.close()); out = null }
+    scala.util.Try(tmpPath.getFileSystem(carrier.toConf).delete(tmpPath, false))
+  }
+
+  override def close(): Unit =
+    if (out != null) { scala.util.Try(out.close()); out = null }
 }
 
 class RecordsScanBuilder(path: String)

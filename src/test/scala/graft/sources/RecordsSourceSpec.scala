@@ -121,4 +121,65 @@ class RecordsSourceSpec extends SparkSpec {
     val s2 = summed.queryExecution.executedPlan.toString
     assert(!s2.contains("PushedAggregate"), s2)
   }
+
+  test("DSv2 writer: save() round-trips through the task-commit protocol") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("grec-w")
+    val df = (0 until 300).map { i =>
+      (i.toLong, s"blob-$i-${"y" * (i % 40)}".getBytes("UTF-8"))
+    }.toDF("id", "payload").repartition(4)
+    df.select("payload").write
+      .format("graft.sources.records.RecordsSource")
+      .option("stripeRecords", "32")
+      .mode("append").save(dir)
+    val back = RecordFiles.read(spark, dir)
+    assert(back.count() == 300)
+    assert(back.select("payload").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet ==
+      (0 until 300).map(i => s"blob-$i-${"y" * (i % 40)}").toSet)
+    // no temp residue after job commit (dot-files are Hadoop .crc
+    // checksum sidecars, not residue)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(files.forall(_.endsWith(".grec")), files.mkString(","))
+    // stripes honored: 300 rows / 32-per-stripe over 4 files → >4 parts
+    assert(back.rdd.getNumPartitions > 4)
+
+    // append mode accumulates; overwrite truncates committed files
+    df.select("payload").limit(10).coalesce(1).write
+      .format("graft.sources.records.RecordsSource")
+      .mode("append").save(dir)
+    assert(RecordFiles.read(spark, dir).count() == 310)
+    df.select("payload").limit(7).coalesce(1).write
+      .format("graft.sources.records.RecordsSource")
+      .mode("overwrite").save(dir)
+    assert(RecordFiles.read(spark, dir).count() == 7)
+  }
+
+  test("DSv2 writer: empty partitions write no file; half-written tmp " +
+      "files are reader-invisible; schema validation refuses non-binary") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("grec-w2")
+    // 2 rows over 8 partitions → ≥6 empty partitions, no empty files
+    Seq(1, 2).map(i => Tuple1(s"p$i".getBytes("UTF-8")))
+      .toDF("payload").repartition(8).write
+      .format("graft.sources.records.RecordsSource").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(files.length <= 2 && files.forall(_.endsWith(".grec")),
+      files.mkString(","))
+    assert(RecordFiles.read(spark, dir).count() == 2)
+    // a stray .tmp (crashed task) must not be read
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-99999-7.grec.tmp"), "garbage")
+    assert(RecordFiles.read(spark, dir).count() == 2)
+    // exactly-one-binary-column contract
+    val e = intercept[Exception] {
+      Seq((1, "nope")).toDF("a", "b").write
+        .format("graft.sources.records.RecordsSource")
+        .mode("append").save(tmpDir("grec-w3"))
+    }
+    assert(e.getMessage.contains("binary column") ||
+      Option(e.getCause).exists(_.getMessage.contains("binary column")))
+  }
 }
