@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketed exact rank selection: parity with a sorted reference on
+  * random data, the degenerate all-equal group (min == max → bucket 0),
+  * ties at bucket boundaries, and rank-1/rank-n edges. */
+class RankSelectSpec extends SparkSpec {
+
+  test("selected ranks equal the sorted reference, including a " +
+      "constant-valued group and heavy ties") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(64)
+    val rows =
+      (1 to 500).map(i => ("mixed", rnd.nextInt(50).toDouble)) ++ // ties
+      (1 to 200).map(_ => ("constant", 7.5)) ++                    // mn==mx
+      (1 to 300).map(i => ("spread", rnd.nextDouble() * 1e6 - 5e5))
+    val df = rows.toDF("g", "v").repartition(8)
+    val targets = Seq(("mixed", 1L), ("mixed", 250L), ("mixed", 500L),
+      ("constant", 1L), ("constant", 100L), ("constant", 200L),
+      ("spread", 1L), ("spread", 150L), ("spread", 300L))
+      .toDF("g", "r")
+    val got = RankSelect.selectRanks(df, "g", "v", targets, nBuckets = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      targets.collect().filter(_.getString(0) == g).toSeq.map { t =>
+        (g, t.getLong(1)) -> sorted(t.getLong(1).toInt - 1)
+      }
+    }.toMap
+    assert(got == want, s"diff: ${got.toSet.diff(want.toSet).take(3)}")
+  }
+
+  test("small bucket count still exact (every rank may share one bucket)") {
+    val s = spark; import s.implicits._
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val targets = (1 to 100 by 7).map(r => ("g", r.toLong)).toDF("g", "r")
+    val got = RankSelect.selectRanks(df, "g", "v", targets, nBuckets = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    (1 to 100 by 7).foreach(r => assert(got(r.toLong) == r.toDouble))
+  }
+}
