@@ -1477,6 +1477,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Precision/recall@k for the q117 scorer (retrieval-style eval):
+    // rank the corpus by (score desc, doc_id), report precision@k and
+    // recall@k at k ∈ {10, 50, 100, 200}. The global top-200 comes from
+    // the TopKPerKey heap plan on a constant key — partial 200-heaps
+    // per partition bound the shuffle to partitions·200 rows where the
+    // oracle's ROW_NUMBER sorts the whole corpus through one task; the
+    // rank window then runs over ≤200 survivors. Integer counts until
+    // the two final divisions (recall divides by the corpus-wide
+    // positive count — one broadcast scalar).
+    "q132_precision_at_k" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextFunctions.tokens(col("text"))
+      val scored = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(TextFunctions.wordSetCount(toks, STOPWORDS).cast("double")
+            * 1000.0 / size(toks).cast("double")).cast("long").as("score"),
+          (col("lang") === "en").cast("long").as("pos"))
+      val nPos = scored.agg(sum("pos").as("n_pos_total"))
+      val top = graft.plans.TopKPerKey.of(
+          scored.withColumn("one", lit(1)),
+          keys = Seq(col("one")),
+          order = Seq(col("score").desc, col("doc_id").asc), k = 200)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val ranked = top.withColumn("rn", row_number().over(w))
+      val ks = Seq(10L, 50L, 100L, 200L).toDF("k")
+      ranked.join(broadcast(ks), col("rn") <= col("k"))
+        .groupBy("k")
+        .agg(sum("pos").as("n_pos_at_k"))
+        .crossJoin(broadcast(nPos))
+        .select(col("k"), col("n_pos_at_k"), col("n_pos_total"),
+          (col("n_pos_at_k").cast("double") / col("k").cast("double"))
+            .as("precision"),
+          (col("n_pos_at_k").cast("double")
+            / col("n_pos_total").cast("double")).as("recall"))
+        .orderBy("k")
+    }),
+
     // Calibration curve (reliability diagram) for the q117 heuristic
     // scorer predicting lang='en': score-bin → (count, positives, mean
     // score, empirical positive rate). Completes the eval family
@@ -2355,5 +2393,25 @@ object TextQueries {
         |      AS cum_excl
         |  FROM base JOIN b ON base.source = b.source)
         |SELECT doc_id, source, n_toks, budget_s FROM c
-        |WHERE cum_excl < budget_s ORDER BY doc_id""".stripMargin)
+        |WHERE cum_excl < budget_s ORDER BY doc_id""".stripMargin,
+    "q132_precision_at_k" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(FLOOR(CAST(LEN(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and'))) AS DOUBLE) * 1000.0
+        |      / CAST(LEN(string_split(text, ' ')) AS DOUBLE)) AS BIGINT)
+        |      AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |np AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos_total FROM d),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+        |    AS rn FROM d),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k
+        |       FROM (VALUES (10), (50), (100), (200)) v(k)),
+        |g AS (SELECT ks.k, CAST(SUM(r.pos) AS BIGINT) AS n_pos_at_k
+        |  FROM r JOIN ks ON r.rn <= ks.k GROUP BY ks.k)
+        |SELECT g.k, g.n_pos_at_k, np.n_pos_total,
+        |  CAST(g.n_pos_at_k AS DOUBLE) / CAST(g.k AS DOUBLE) AS precision,
+        |  CAST(g.n_pos_at_k AS DOUBLE) / CAST(np.n_pos_total AS DOUBLE)
+        |    AS recall
+        |FROM g, np ORDER BY k""".stripMargin)
 }
