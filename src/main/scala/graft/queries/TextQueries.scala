@@ -1477,6 +1477,37 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary growth / lexical-diversity profile per source (the
+    // Heaps'-law numbers a corpus report leads with): token mass,
+    // distinct 1/2/3-grams, type-token ratio. Grams are per-doc
+    // scan-stage array ops (no join); each distinct count is one
+    // source-keyed aggregate. Short docs guard the gram windows (a
+    // 1-token doc emits no bigrams — Spark's sequence() counts DOWN on
+    // start>stop, the q111 lesson, hence the explicit when-guards).
+    "q133_vocab_growth" -> ((s, dir) => {
+      val base = Tables.table(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokens(col("text")).as("t"))
+      val empty = array().cast("array<string>")
+      def grams(n: Int): org.apache.spark.sql.Column =
+        if (n == 1) col("t")
+        else when(size(col("t")) >= n, expr(
+          s"transform(sequence(1, size(t) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(t, i, $n)))")).otherwise(empty)
+      val uni = base.select(col("source"), explode(col("t")).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct("g").as("d1"))
+      val bi = base.select(col("source"), explode(grams(2)).as("g"))
+        .groupBy("source").agg(countDistinct("g").as("d2"))
+      val tri = base.select(col("source"), explode(grams(3)).as("g"))
+        .groupBy("source").agg(countDistinct("g").as("d3"))
+      uni.join(bi, "source").join(tri, "source")
+        .select(col("source"), col("n_tokens"), col("d1"), col("d2"),
+          col("d3"),
+          (col("d1").cast("double") / col("n_tokens").cast("double"))
+            .as("ttr"))
+        .orderBy("source")
+    }),
+
     // Precision/recall@k for the q117 scorer (retrieval-style eval):
     // rank the corpus by (score desc, doc_id), report precision@k and
     // recall@k at k ∈ {10, 50, 100, 200}. The global top-200 comes from
@@ -2413,5 +2444,25 @@ object TextQueries {
         |  CAST(g.n_pos_at_k AS DOUBLE) / CAST(g.k AS DOUBLE) AS precision,
         |  CAST(g.n_pos_at_k AS DOUBLE) / CAST(np.n_pos_total AS DOUBLE)
         |    AS recall
-        |FROM g, np ORDER BY k""".stripMargin)
+        |FROM g, np ORDER BY k""".stripMargin,
+    "q133_vocab_growth" ->
+      """WITH base AS (SELECT source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |u AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT g) AS BIGINT) AS d1
+        |  FROM (SELECT source, unnest(t) AS g FROM base) GROUP BY source),
+        |b2 AS (SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS d2
+        |  FROM (SELECT source, unnest(list_transform(range(1, LEN(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS g FROM base)
+        |  GROUP BY source),
+        |b3 AS (SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS d3
+        |  FROM (SELECT source, unnest(list_transform(range(1, LEN(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        |    FROM base)
+        |  GROUP BY source)
+        |SELECT u.source, u.n_tokens, u.d1, b2.d2, b3.d3,
+        |  CAST(u.d1 AS DOUBLE) / CAST(u.n_tokens AS DOUBLE) AS ttr
+        |FROM u JOIN b2 ON u.source = b2.source
+        |JOIN b3 ON u.source = b3.source
+        |ORDER BY u.source""".stripMargin)
 }
