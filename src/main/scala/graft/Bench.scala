@@ -26,7 +26,8 @@ object Bench {
     // the ×10 run materializes ~100× the pairs (measured 17 s, all
     // output) — the tier would measure row materialization, not the
     // blocking join the query exists to exercise.
-    "q126_unigram_train", "q127_unigram_encode", "q129_length_batching")
+    "q126_unigram_train", "q127_unigram_encode", "q129_length_batching",
+    "q134_setsim_join", "q135_importance_resample")
 
   /** Tables the tier-2 set reads. Each is replicated `factor`× with its
     * id keys shifted per replica (joins/groups keep realistic key

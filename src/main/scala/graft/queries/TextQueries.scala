@@ -1569,6 +1569,56 @@ object TextQueries {
           (col("n_pos").cast("double") / col("n").cast("double"))
             .as("frac_pos"))
         .orderBy("bin")
+    }),
+
+    // EXACT set-similarity self-join at Jaccard ≥ 3/5 over word
+    // 3-gram sets, via AllPairs/PPJoin prefix filtering
+    // (operators.SetSimJoin) — the exact complement of q34's MinHash
+    // estimate: no recall loss, no false positives, candidates only
+    // from rare-prefix gram collisions + integer length filter. The
+    // threshold test is integer cross-multiplied; the jac double is
+    // display-only.
+    "q134_setsim_join" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .filter(TextFunctions.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"),
+          TextFunctions.wordNgrams(col("text"), 3).as("grams"))
+      graft.operators.SetSimJoin.join(d, "doc_id", "grams", 3, 5)
+        .orderBy("d1", "d2")
+    }),
+
+    // Quality-proportional systematic resampling (the DSIR-style
+    // importance-RESAMPLING step: given per-doc weights, draw k slots
+    // with inclusion counts exactly proportional to weight). Entirely
+    // integer: the k slot positions are the midpoints m=(2i+1)·W/(2k)
+    // of the cumulative-weight axis, and each doc's pick count has the
+    // closed form f(e)−f(s) with f(x)=min(k, (2kx+W−1) div 2W) — no
+    // per-slot join, no RNG, bit-exact on any engine. The global
+    // prefix sum runs through Packing.runningOffsets (two-level scan),
+    // so no task ever owns the whole corpus — the flat
+    // `SUM OVER (ORDER BY)` the oracle replays would serialize 100 TB
+    // through one task. Overflow bound: needs 2k·W < 2^63.
+    "q135_importance_resample" -> ((s, dir) => {
+      val k = 200L
+      val toks = TextFunctions.tokens(col("text"))
+      val wdf = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          (floor(TextFunctions.wordSetCount(toks, STOPWORDS).cast("double")
+            * 1000.0 / size(toks).cast("double")).cast("long") + 1L).as("w"))
+        .withColumn("one", lit(1))
+      graft.operators.Packing.runningOffsets(wdf, "one", "doc_id", "w")
+        .crossJoin(broadcast(
+          Tables.table(s, dir, "documents").select(col("doc_id"),
+              (floor(TextFunctions.wordSetCount(toks, STOPWORDS)
+                .cast("double") * 1000.0 / size(toks).cast("double"))
+                .cast("long") + 1L).as("w"))
+            .agg(sum("w").as("tw"))))
+        .selectExpr("doc_id", "w",
+          s"least($k, (${2 * k} * cum + tw - 1) div (2 * tw))" +
+            s" - least($k, (${2 * k} * (cum - w) + tw - 1) div (2 * tw))" +
+            " as n_picks")
+        .filter(col("n_picks") > 0)
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2464,5 +2514,49 @@ object TextQueries {
         |  CAST(u.d1 AS DOUBLE) / CAST(u.n_tokens AS DOUBLE) AS ttr
         |FROM u JOIN b2 ON u.source = b2.source
         |JOIN b3 ON u.source = b3.source
-        |ORDER BY u.source""".stripMargin)
+        |ORDER BY u.source""".stripMargin,
+    "q134_setsim_join" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE LEN(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(LEN(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+        |  FROM d),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |dfq AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY 1),
+        |rk AS (SELECT sh.doc_id, sh.g, sz.n,
+        |    ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+        |      ORDER BY dfq.df, sh.g) AS rn
+        |  FROM sh JOIN dfq USING (g) JOIN sz ON sh.doc_id = sz.doc_id),
+        |pf AS (SELECT * FROM rk WHERE rn <= n - ((3*n + 4) // 5) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |    a.n AS n1, b.n AS n2
+        |  FROM pf a JOIN pf b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    AND 3 * GREATEST(a.n, b.n) <= 5 * LEAST(a.n, b.n)),
+        |iv AS (SELECT d1, d2, n1, n2, COUNT(*) AS inter
+        |  FROM cand JOIN sh x ON x.doc_id = cand.d1
+        |    JOIN sh y ON y.doc_id = cand.d2 AND y.g = x.g
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT d1, d2, inter, (n1 + n2 - inter) AS uni,
+        |  CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jac
+        |FROM iv WHERE 5 * inter >= 3 * (n1 + n2 - inter)
+        |ORDER BY d1, d2""".stripMargin,
+    "q135_importance_resample" ->
+      """WITH sc AS (SELECT doc_id,
+        |    CAST(FLOOR(CAST(LEN(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and'))) AS DOUBLE) * 1000.0
+        |      / CAST(LEN(string_split(text, ' ')) AS DOUBLE)) AS BIGINT)
+        |      + 1 AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+        |    CAST(SUM(w) OVER () AS BIGINT) AS tw
+        |  FROM sc)
+        |SELECT doc_id, w,
+        |  LEAST(200, (400 * cum + tw - 1) // (2 * tw))
+        |    - LEAST(200, (400 * (cum - w) + tw - 1) // (2 * tw)) AS n_picks
+        |FROM c
+        |WHERE LEAST(200, (400 * cum + tw - 1) // (2 * tw))
+        |    - LEAST(200, (400 * (cum - w) + tw - 1) // (2 * tw)) > 0
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming exact-dedup with a bounded-state TTL — the ingest-time twin
+  * of batch exact dedup (q28): a continuous corpus feed where each
+  * content hash should be admitted once, and re-admitted only after
+  * `ttlUs` of silence (re-crawls of a page a month later are a fresh
+  * observation; the same page seen twice in an hour is a duplicate).
+  *
+  * Semantics (batch-equivalent, defined in EVENT time): per key, scan
+  * occurrences in (time, id) order; emit one iff it is the first, or
+  * more than `ttlUs` after the last EMITTED one. The fixed window
+  * restarts at each emitted row — a steady duplicate drizzle does not
+  * extend suppression forever (that would be last-SEEN semantics, under
+  * which one emission could suppress unboundedly).
+  *
+  * Why state stays bounded WITHOUT an approximation: rows later than
+  * the watermark bound never arrive, so once the watermark passes
+  * lastEmitted + ttl the key's decision for ALL admissible future rows
+  * is already "emit" — dropping the entry is exact, not a heuristic.
+  * State size is O(keys active within one ttl window), independent of
+  * stream length. This is the property `dropDuplicatesWithinWatermark`
+  * gives for its one-shot form, extended to re-admission semantics.
+  *
+  * Emission is watermark-FINALIZED (the sessionizer lesson,
+  * `StatefulSessions.sessionizeContinuous`): a row is decided only once
+  * the watermark passes its event time, so an admissible late row that
+  * PRECEDES an already-buffered newer row wins the emission slot exactly
+  * as the batch twin would decide — deciding eagerly on arrival order
+  * would emit the newer row first and diverge. Pending rows are carried
+  * in state and flushed by data or by event-time timeout (rounded UP to
+  * the ms so a timeout can never fire before the instant it represents).
+  */
+object StreamingDedup {
+
+  /** One admitted observation. */
+  case class Emitted(key: String, timeUs: Long, id: Long)
+
+  case class DedupState(pending: Seq[(Long, Long)], lastEmittedUs: Option[Long])
+
+  /** The shared greedy fold: process `rows` (MUST be (time,id)-sorted)
+    * against the last emitted time; returns (emitted rows, new last). */
+  private def fold(key: String, rows: Seq[(Long, Long)],
+                   last0: Option[Long], ttlUs: Long)
+      : (Seq[Emitted], Option[Long]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Emitted]
+    var last = last0
+    rows.foreach { case (t, id) =>
+      if (last.forall(l => t - l > ttlUs)) {
+        out += Emitted(key, t, id)
+        last = Some(t)
+      }
+    }
+    (out.toSeq, last)
+  }
+
+  /** Continuous dedup over (key, eventTimeUs, id, eventTime ts) where
+    * the caller already applied `withWatermark` on the ts column. */
+  def dedupContinuous(rows: Dataset[(String, Long, Long, java.sql.Timestamp)],
+                      ttlUs: Long): Dataset[Emitted] = {
+    require(ttlUs >= 0, s"ttlUs must be >= 0, got $ttlUs")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[DedupState]) =>
+          val st = state.getOption.getOrElse(DedupState(Nil, None))
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val all = (st.pending ++ it.map(r => (r._2, r._3))).sorted
+          // STRICT readiness: Spark admits rows with t == watermark, so
+          // a row at the watermark could still gain an equal-time peer
+          // (smaller id) in a later batch — deciding it now would break
+          // batch parity on ties
+          val (ready, live) = all.partition(_._1 < wmUs)
+          val (emitted, last) = fold(key, ready, st.lastEmittedUs, ttlUs)
+          // next wake-up: earliest pending row, else the TTL-expiry of
+          // the remembered emission; no future relevance → drop state
+          val wake: Option[Long] =
+            if (live.nonEmpty) Some(live.map(_._1).min)
+            else last.collect { case l if l + ttlUs > wmUs => l + ttlUs }
+          wake match {
+            case Some(w) =>
+              state.update(DedupState(live, last))
+              // strictly-after clamp: Spark rejects timeouts <= watermark
+              state.setTimeoutTimestamp(
+                math.max((w + 999) / 1000, wmUs / 1000 + 1))
+            case None => state.remove()
+          }
+          emitted.iterator
+      }
+  }
+
+  /** Batch twin: identical greedy semantics over a bounded dataset. */
+  def dedupBatch(rows: Dataset[(String, Long, Long)], ttlUs: Long)
+                (implicit enc: Encoder[Emitted]): Dataset[Emitted] = {
+    require(ttlUs >= 0, s"ttlUs must be >= 0, got $ttlUs")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val sorted = it.map(r => (r._2, r._3)).toSeq.sorted
+      fold(key, sorted, None, ttlUs)._1.iterator
+    }
+  }
+}

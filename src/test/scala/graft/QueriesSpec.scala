@@ -431,4 +431,51 @@ class QueriesSpec extends SparkSpec {
     // and value_sum is the exact dyadic rescale of mass
     assert(out.filter(col("value_sum") =!= col("mass") / 32.0).isEmpty)
   }
+
+  test("q134 exact setsim pairs == the brute-force Jaccard>=3/5 pair set") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q134_setsim_join")(spark, dir)
+      .select("d1", "d2", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // naive reference: distinct 3-gram sets, all pairs, exact Jaccard
+    val sets = graft.Tables.table(spark, dir, "documents")
+      .filter(graft.functions.TextFunctions.tokenCount(col("text")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val exp = (for {
+      (i1, s1) <- sets; (i2, s2) <- sets
+      if i1 < i2 && s1.nonEmpty
+      inter = (s1 & s2).size.toLong; uni = (s1 | s2).size.toLong
+      if 5 * inter >= 3 * uni
+    } yield (i1, i2, inter, uni)).toSet
+    assert(got == exp,
+      s"missing=${exp.diff(got).take(3)} extra=${got.diff(exp).take(3)}")
+  }
+
+  test("q135 resampling emits exactly k slots, weight-proportional within 1") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q135_importance_resample")(spark, dir)
+      .select("doc_id", "w", "n_picks").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val k = 200L
+    assert(r.map(_._3).sum == k, s"total picks ${r.map(_._3).sum} != $k")
+    assert(r.forall(_._3 > 0))
+    // systematic sampling inclusion bound: |picks - k*w/W| <= 1
+    val wByDoc = SparkEntry.queries("q135_importance_resample")(spark, dir)
+    val totalW = graft.Tables.table(spark, dir, "documents")
+      .select((floor(graft.functions.TextFunctions.wordSetCount(
+          graft.functions.TextFunctions.tokens(col("text")),
+          Seq("the", "a", "of", "and")).cast("double")
+        * 1000.0 / size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("double")).cast("long") + 1L).as("w"))
+      .agg(sum("w")).head.getLong(0)
+    r.foreach { case (id, w, p) =>
+      val ideal = k.toDouble * w / totalW
+      assert(math.abs(p - ideal) <= 1.0 + 1e-9,
+        s"doc $id: picks $p vs ideal $ideal")
+    }
+  }
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact prefix-filtered set-similarity join: parity with the naive
+  * quadratic join (completeness AND exactness), set semantics, and the
+  * no-cartesian plan guard. */
+class SetSimJoinSpec extends SparkSpec {
+
+  /** Naive reference: exact Jaccard over all pairs, threshold tN/tD. */
+  private def bruteForce(docs: DataFrame, tN: Int, tD: Int): Set[(Long, Long, Long, Long)] = {
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getSeq[String](1).toSet)).toSeq
+    (for {
+      (i1, s1) <- rows; (i2, s2) <- rows
+      if i1 < i2 && s1.nonEmpty && s2.nonEmpty
+      inter = (s1 & s2).size.toLong
+      uni = (s1 | s2).size.toLong
+      if tD * inter >= tN * uni
+    } yield (i1, i2, inter, uni)).toSet
+  }
+
+  private def run(docs: DataFrame, tN: Int, tD: Int): Set[(Long, Long, Long, Long)] =
+    SetSimJoin.join(docs, "id", "grams", tN, tD).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("parity with brute force on a deterministic random corpus, two thresholds") {
+    val s = spark
+    import s.implicits._
+    // 80 docs over a 12-token vocab: dense enough that every Jaccard
+    // band (incl. exact ties at the threshold) is populated
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 12).map(i => s"t$i")
+    val docs = (0L until 80L).map { id =>
+      val n = 3 + rnd.nextInt(6)
+      (id, rnd.shuffle(vocab).take(n))
+    }.toDF("id", "grams").cache()
+    for ((tN, tD) <- Seq((3, 5), (1, 2), (4, 5))) {
+      val got = run(docs, tN, tD)
+      val exp = bruteForce(docs, tN, tD)
+      assert(got == exp, s"t=$tN/$tD: missing=${exp.diff(got).take(3)} " +
+        s"extra=${got.diff(exp).take(3)}")
+    }
+  }
+
+  test("duplicate grams collapse to set semantics; empty sets never match") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, Seq("a", "a", "b", "b")), // set {a,b}
+      (2L, Seq("a", "b")),
+      (3L, Seq.empty[String]),
+      (4L, Seq.empty[String])).toDF("id", "grams")
+    val got = run(docs, 3, 5)
+    assert(got == Set((1L, 2L, 2L, 2L)),
+      s"expected only the {a,b}={a,b} pair at jac=1.0, got $got")
+  }
+
+  test("identical sets survive any threshold; disjoint sets never appear") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, Seq("x", "y", "z")), (2L, Seq("x", "y", "z")),
+      (3L, Seq("p", "q", "r"))).toDF("id", "grams")
+    assert(run(docs, 1, 1) == Set((1L, 2L, 3L, 3L)))
+  }
+
+  test("plan: no cartesian product, no broadcast nested loop") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 50L).map(i => (i, Seq(s"a$i", s"b$i", "c")))
+      .toDF("id", "grams")
+    val plan = SetSimJoin.join(docs, "id", "grams", 3, 5)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
