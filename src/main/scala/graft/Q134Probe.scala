@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stage decomposition for q134 (exact set-similarity join) at sf0.1:
+  * times each pipeline stage in isolation to locate the steady-state
+  * cost. `SPARK_GRAFT_SF_DIR` overrides the data dir. */
+object Q134Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    (1 to 2).foreach { round =>
+      println(s"--- round $round")
+      val docs = Tables.table(spark, dir, "documents")
+        .filter(TextFunctions.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"), TextFunctions.wordNgrams(col("text"), 3).as("grams"))
+      val sets = timed("sets+checkpoint") {
+        docs.select(col("doc_id").as("_id"),
+            array_distinct(transform(col("grams"),
+              g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("_hs"))
+          .filter(size(col("_hs")) > 0)
+          .localCheckpoint()
+      }
+      val sh0 = sets.select(col("_id"), size(col("_hs")).as("n"), explode(col("_hs")).as("h"))
+      timed("explode+count")(sh0.count())
+      val dfreq = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+      timed("dfreq")(dfreq.count())
+      val ranked = timed("ranked+checkpoint") {
+        sh0.join(dfreq, "h")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("_id").orderBy(col("df"), col("h"))))
+          .localCheckpoint()
+      }
+      val prefix = ranked.filter(
+        col("rn") <= col("n") - expr("((3 * n) + 4) div 5") + lit(1))
+      val bound = least(col("a.rn"), col("b.rn")) +
+        least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.h") === col("b.h") && col("a._id") < col("b._id") &&
+            lit(3) * greatest(col("a.n"), col("b.n")) <=
+              lit(5) * least(col("a.n"), col("b.n")) &&
+            lit(8) * bound >= lit(3) * (col("a.n") + col("b.n")))
+        .select(col("a._id").as("d1"), col("b._id").as("d2"),
+          col("a.n").as("n1"), col("b.n").as("n2"))
+      timed("cand_raw")(println("  raw " + cand.count()))
+      val candD = cand.distinct()
+      timed("cand_distinct")(println("  distinct " + candD.count()))
+      val candC = candD.localCheckpoint()
+      val s1 = sets.select(col("_id").as("_i1"), col("_hs").as("_g1"))
+      val s2 = sets.select(col("_id").as("_i2"), col("_hs").as("_g2"))
+      val out = candC.join(s1, col("d1") === col("_i1"))
+        .join(s2, col("d2") === col("_i2"))
+        .select(col("d1"), col("d2"), col("n1"), col("n2"),
+          size(array_intersect(col("_g1"), col("_g2"))).cast("long").as("inter"))
+        .filter(lit(5) * col("inter") >= lit(3) * (col("n1") + col("n2") - col("inter")))
+      timed("verify_arrays")(println("  pairs " + out.count()))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}

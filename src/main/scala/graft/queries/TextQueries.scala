@@ -1571,8 +1571,9 @@ object TextQueries {
         .orderBy("bin")
     }),
 
-    // EXACT set-similarity self-join at Jaccard ≥ 3/5 over word
-    // 3-gram sets, via AllPairs/PPJoin prefix filtering
+    // EXACT set-similarity self-join at Jaccard ≥ 4/5 (the standard
+    // near-dup compliance threshold) over word 3-gram sets, via
+    // AllPairs/PPJoin prefix filtering
     // (operators.SetSimJoin) — the exact complement of q34's MinHash
     // estimate: no recall loss, no false positives, candidates only
     // from rare-prefix gram collisions + integer length filter. The
@@ -1583,7 +1584,7 @@ object TextQueries {
         .filter(TextFunctions.tokenCount(col("text")) >= 3)
         .select(col("doc_id"),
           TextFunctions.wordNgrams(col("text"), 3).as("grams"))
-      graft.operators.SetSimJoin.join(d, "doc_id", "grams", 3, 5)
+      graft.operators.SetSimJoin.join(d, "doc_id", "grams", 4, 5)
         .orderBy("d1", "d2")
     }),
 
@@ -2518,28 +2519,30 @@ object TextQueries {
     "q134_setsim_join" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE LEN(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
+        |g0 AS (SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(LEN(toks) - 2),
         |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
         |  FROM d),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h FROM g0),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |dfq AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY 1),
-        |rk AS (SELECT sh.doc_id, sh.g, sz.n,
+        |dfq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY 1),
+        |rk AS (SELECT sh.doc_id, sh.h, sz.n,
         |    ROW_NUMBER() OVER (PARTITION BY sh.doc_id
-        |      ORDER BY dfq.df, sh.g) AS rn
-        |  FROM sh JOIN dfq USING (g) JOIN sz ON sh.doc_id = sz.doc_id),
-        |pf AS (SELECT * FROM rk WHERE rn <= n - ((3*n + 4) // 5) + 1),
+        |      ORDER BY dfq.df, sh.h) AS rn
+        |  FROM sh JOIN dfq USING (h) JOIN sz ON sh.doc_id = sz.doc_id),
+        |pf AS (SELECT * FROM rk WHERE rn <= n - ((4*n + 4) // 5) + 1),
         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
         |    a.n AS n1, b.n AS n2
-        |  FROM pf a JOIN pf b ON a.g = b.g AND a.doc_id < b.doc_id
-        |    AND 3 * GREATEST(a.n, b.n) <= 5 * LEAST(a.n, b.n)),
+        |  FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id
+        |    AND 4 * GREATEST(a.n, b.n) <= 5 * LEAST(a.n, b.n)),
         |iv AS (SELECT d1, d2, n1, n2, COUNT(*) AS inter
         |  FROM cand JOIN sh x ON x.doc_id = cand.d1
-        |    JOIN sh y ON y.doc_id = cand.d2 AND y.g = x.g
+        |    JOIN sh y ON y.doc_id = cand.d2 AND y.h = x.h
         |  GROUP BY 1, 2, 3, 4)
         |SELECT d1, d2, inter, (n1 + n2 - inter) AS uni,
         |  CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jac
-        |FROM iv WHERE 5 * inter >= 3 * (n1 + n2 - inter)
+        |FROM iv WHERE 5 * inter >= 4 * (n1 + n2 - inter)
         |ORDER BY d1, d2""".stripMargin,
     "q135_importance_resample" ->
       """WITH sc AS (SELECT doc_id,

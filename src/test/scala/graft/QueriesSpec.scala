@@ -432,7 +432,7 @@ class QueriesSpec extends SparkSpec {
     assert(out.filter(col("value_sum") =!= col("mass") / 32.0).isEmpty)
   }
 
-  test("q134 exact setsim pairs == the brute-force Jaccard>=3/5 pair set") {
+  test("q134 exact setsim pairs == the brute-force Jaccard>=4/5 pair set") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q134_setsim_join")(spark, dir)
@@ -448,7 +448,7 @@ class QueriesSpec extends SparkSpec {
       (i1, s1) <- sets; (i2, s2) <- sets
       if i1 < i2 && s1.nonEmpty
       inter = (s1 & s2).size.toLong; uni = (s1 | s2).size.toLong
-      if 5 * inter >= 3 * uni
+      if 5 * inter >= 4 * uni
     } yield (i1, i2, inter, uni)).toSet
     assert(got == exp,
       s"missing=${exp.diff(got).take(3)} extra=${got.diff(exp).take(3)}")
