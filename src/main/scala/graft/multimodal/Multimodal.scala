@@ -426,4 +426,166 @@ object Multimodal {
       .filter(col("nFrames") > 1)
       .select(col("id"), explode(
         sequence(lit(0), col("nFrames") - 1, lit(stride))).as("frame_idx"))
+
+  // ---- perceptual image hashing (pHash family) -------------------------
+
+  /** Grayscale plane of an image's bytes: (width, height, row-major
+    * luma ints 0..255). Binary PNM decodes through the hand parser
+    * (ImageIO has no PNM codec); everything else through ImageIO.
+    * Luma = (299·R + 587·G + 114·B) / 1000 — integer, deterministic. */
+  private[multimodal] def grayPlane(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 2) return None
+    parsePnm(b) match {
+      case Some((w, h, ch, off)) if b.length >= off + w * h * ch =>
+        val g = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          g(i) =
+            if (ch == 1) b(off + i) & 0xff
+            else ((b(off + i * 3) & 0xff) * 299 +
+              (b(off + i * 3 + 1) & 0xff) * 587 +
+              (b(off + i * 3 + 2) & 0xff) * 114) / 1000
+          i += 1
+        }
+        Some((w, h, g))
+      case _ =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val g = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                g(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            Some((w, h, g))
+          }
+        } catch { case _: Exception => None }
+    }
+  }
+
+  private val PH = 32 // pHash working size (32×32 → 8×8 low-freq block)
+  private val phCos: Array[Array[Double]] = // cos((2x+1)uπ/64), u<8
+    Array.tabulate(8, PH)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * PH)))
+
+  /** 63-bit perceptual hash (pHash family: box-average to 32×32 →
+    * 2-D DCT-II → 8×8 low-frequency block → median threshold; the DC
+    * coefficient is dropped — it is the global mean, always above the
+    * median, a constant bit). Invariant to affine intensity changes
+    * (coefficients and median scale together) and robust to small
+    * pixel noise (energy lands in high frequencies the hash ignores).
+    * None for bytes no decoder accepts or images smaller than 8×8. */
+  def perceptualHash(b: Array[Byte]): Option[Long] = grayPlane(b).flatMap {
+    case (w, h, g) if w >= 8 && h >= 8 =>
+      // box-average each output cell over its source rectangle (exact
+      // integer bounds; rectangles are non-empty for w,h >= 1)
+      val small = new Array[Double](PH * PH)
+      var y = 0
+      while (y < PH) {
+        val y0 = y * h / PH; val y1 = math.max((y + 1) * h / PH, y0 + 1)
+        var x = 0
+        while (x < PH) {
+          val x0 = x * w / PH; val x1 = math.max((x + 1) * w / PH, x0 + 1)
+          var s = 0L
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) { s += g(yy * w + xx); xx += 1 }
+            yy += 1
+          }
+          small(y * PH + x) = s.toDouble / ((y1 - y0) * (x1 - x0))
+          x += 1
+        }
+        y += 1
+      }
+      // 2-D DCT-II, low 8×8 block only: 32·32·8·8 multiplies
+      val coef = new Array[Double](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var yy = 0
+          while (yy < PH) {
+            var xx = 0
+            while (xx < PH) {
+              s += small(yy * PH + xx) * phCos(u)(xx) * phCos(v)(yy)
+              xx += 1
+            }
+            yy += 1
+          }
+          coef(v * 8 + u) = s
+          v += 1
+        }
+        u += 1
+      }
+      val ac = coef.drop(1).sorted
+      val median = ac(31) // lower median of the 63 AC coefficients
+      var hash = 0L
+      var i = 1
+      while (i < 64) {
+        if (coef(i) > median) hash |= 1L << (i - 1)
+        i += 1
+      }
+      Some(hash)
+    case _ => None
+  }
+
+  case class ImageHash(id: Long, phash: Long)
+
+  /** Per-row perceptual hashes: one decode pass per partition, no
+    * shuffle; undecodable rows are dropped (honest: no hash exists). */
+  def perceptualHashes(df: DataFrame, idCol: String, binCol: String): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        perceptualHash(bytes).map(ImageHash(id, _))
+      })
+  }
+
+  /** Near-duplicate IMAGE pairs at Hamming distance ≤ maxHamming over
+    * the 63-bit perceptual hash — the multimodal twin of SimHash text
+    * dedup, with the same pigeonhole blocking: the hash splits into
+    * maxHamming+1 disjoint blocks, and a pair within the radius must
+    * agree exactly on at least one block (≤ maxHamming bits differ, so
+    * ≥ 1 block is untouched) — recall 1.0 AT the declared radius by
+    * construction, candidates from plain block equi-joins, never an
+    * all-pairs comparison. Returns (id1, id2, hamming), id1 < id2.
+    * maxHamming ≤ 8 keeps blocks ≥ 7 bits (random-collision noise). */
+  def perceptualDedup(df: DataFrame, idCol: String, binCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 8,
+      s"maxHamming must be in [0,8], got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val width = 63.0 / nBlocks
+    val hashes = perceptualHashes(df, idCol, binCol).toDF()
+      .localCheckpoint() // one decode pass, not one per join side
+    val blocks = hashes.select(col("id"), col("phash"),
+      explode(array((0 until nBlocks).map { q =>
+        val lo = math.round(q * width).toInt
+        val hi = math.round((q + 1) * width).toInt // [lo, hi), last = 63
+        struct(lit(q).as("q"),
+          shiftright(col("phash"), lo)
+            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bk"))
+      }: _*)).as("blk"))
+      .select(col("id"), col("phash"), col("blk.q"), col("blk.bk"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.q") === col("b.q") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        expr("bit_count(a.phash ^ b.phash)").cast("int").as("hamming"))
+      .distinct() // a pair may agree on several blocks
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Perceptual image hash + Hamming-blocked image dedup: planted
+  * near-dup recovery, exact affine-intensity/pixel-doubling
+  * invariances, RGB/gray luma agreement, undecodable-row behavior. */
+class PerceptualHashSpec extends SparkSpec {
+
+  /** Binary P5 (gray) PNM. */
+  private def p5(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ Array.tabulate(w * h)(i => (pix(i % w, i / w) & 0xff).toByte)
+  }
+
+  /** Binary P6 (RGB) PNM. */
+  private def p6(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ (0 until w * h).flatMap { i =>
+      val (r, g, b) = pix(i % w, i / w)
+      Seq((r & 0xff).toByte, (g & 0xff).toByte, (b & 0xff).toByte)
+    }
+  }
+
+  private def basePix(seed: Int)(x: Int, y: Int): Int = {
+    // deterministic smooth-ish noise: low-frequency mix + hash texture
+    val s = new scala.util.Random(seed * 7919 + x / 8 * 31 + y / 8).nextInt(200)
+    (s + (x + y) % 16) % 255
+  }
+
+  test("planted near-dups recovered at hamming<=3; distinct images never pair") {
+    val s = spark
+    import s.implicits._
+    val nBase = 25
+    val rows = (0 until nBase).flatMap { i =>
+      val base = p5(64, 64, basePix(i))
+      // near copy: one 4x4 patch nudged by +10 — high-frequency, tiny
+      // low-frequency energy
+      val near = p5(64, 64, (x, y) =>
+        basePix(i)(x, y) + (if (x >= 20 && x < 24 && y >= 40 && y < 44) 10 else 0))
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, near))
+    }
+    val df = rows.toDF("id", "img")
+    val pairs = Multimodal.perceptualDedup(df, "id", "img", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until nBase).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing planted pairs: ${planted.diff(pairs).take(5)}")
+    // no cross-base pair: random bases sit ~31 bits apart
+    assert(pairs == planted, s"false pairs: ${pairs.diff(planted).take(5)}")
+  }
+
+  test("exact invariances: intensity halving and 2x pixel doubling preserve the hash") {
+    val img32 = p5(32, 32, (x, y) => (basePix(3)(x, y) / 2) * 2) // even pixels
+    val half = p5(32, 32, (x, y) => ((basePix(3)(x, y) / 2) * 2) / 2)
+    val doubled = p5(64, 64, (x, y) => (basePix(3)(x / 2, y / 2) / 2) * 2)
+    val h0 = Multimodal.perceptualHash(img32).get
+    // exact affine scale: coefficients and median halve together
+    assert(Multimodal.perceptualHash(half).get == h0)
+    // box-average of the pixel-doubled image recovers the original plane
+    assert(Multimodal.perceptualHash(doubled).get == h0)
+  }
+
+  test("gray-valued RGB hashes identically to its P5 twin; luma is the integer formula") {
+    val g5 = p5(48, 40, basePix(9))
+    val rgb = p6(48, 40, (x, y) => { val v = basePix(9)(x, y) & 0xff; (v, v, v) })
+    assert(Multimodal.perceptualHash(rgb).get == Multimodal.perceptualHash(g5).get)
+  }
+
+  test("undecodable bytes and tiny images yield no hash; dedup drops them silently") {
+    val s = spark
+    import s.implicits._
+    assert(Multimodal.perceptualHash("not an image".getBytes).isEmpty)
+    assert(Multimodal.perceptualHash(p5(4, 4, (_, _) => 7)).isEmpty)
+    assert(Multimodal.perceptualHash(null).isEmpty)
+    val df = Seq((1L, "garbage".getBytes), (2L, p5(16, 16, (x, y) => x * y)))
+      .toDF("id", "img")
+    val hs = Multimodal.perceptualHashes(df, "id", "img").collect()
+    assert(hs.map(_.id).toSeq == Seq(2L))
+    assert(Multimodal.perceptualDedup(df, "id", "img").collect().isEmpty)
+  }
+
+  test("maxHamming=0 degenerates to exact hash equality") {
+    val s = spark
+    import s.implicits._
+    val a = p5(64, 64, basePix(1))
+    val df = Seq((1L, a), (2L, a.clone()), (3L, p5(64, 64, basePix(2))))
+      .toDF("id", "img")
+    val pairs = Multimodal.perceptualDedup(df, "id", "img", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
