@@ -27,7 +27,8 @@ object Bench {
     // output) — the tier would measure row materialization, not the
     // blocking join the query exists to exercise.
     "q126_unigram_train", "q127_unigram_encode", "q129_length_batching",
-    "q134_setsim_join", "q135_importance_resample")
+    "q134_setsim_join", "q135_importance_resample",
+    "q136_exact_decontamination")
 
   /** Tables the tier-2 set reads. Each is replicated `factor`× with its
     * id keys shifted per replica (joins/groups keep realistic key

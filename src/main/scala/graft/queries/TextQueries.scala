@@ -1588,6 +1588,27 @@ object TextQueries {
         .orderBy("d1", "d2")
     }),
 
+    // EXACT cross-corpus decontamination audit: benchmark docs (the
+    // q82 held-out split) with a Jaccard ≥ 4/5 near-copy in the train
+    // split, via SetSimJoin.joinBetween — the exact doc-level
+    // complement of q82's gram-containment bloom gate (q82 answers
+    // "does this train doc quote benchmark material", this answers
+    // "is this benchmark doc ESSENTIALLY PRESENT in train"). One
+    // canonical gram order shared by both sides (DF over the union).
+    "q136_exact_decontamination" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .filter(TextFunctions.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"),
+          TextFunctions.wordNgrams(col("text"), 3).as("grams"))
+      graft.operators.SetSimJoin.joinBetween(
+          d.filter(col("doc_id") % 10 === 0),
+          d.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "grams", 4, 5)
+        .withColumnRenamed("lid", "bench_id")
+        .withColumnRenamed("rid", "train_id")
+        .orderBy("bench_id", "train_id")
+    }),
+
     // Quality-proportional systematic resampling (the DSIR-style
     // importance-RESAMPLING step: given per-doc weights, draw k slots
     // with inclusion counts exactly proportional to weight). Entirely
@@ -2544,6 +2565,36 @@ object TextQueries {
         |  CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jac
         |FROM iv WHERE 5 * inter >= 4 * (n1 + n2 - inter)
         |ORDER BY d1, d2""".stripMargin,
+    "q136_exact_decontamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE LEN(string_split(text, ' ')) >= 3),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(LEN(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+        |  FROM d),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h FROM g0),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |dfq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY 1),
+        |rk AS (SELECT sh.doc_id, sh.h, sz.n,
+        |    ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+        |      ORDER BY dfq.df, sh.h) AS rn
+        |  FROM sh JOIN dfq USING (h) JOIN sz ON sh.doc_id = sz.doc_id),
+        |pf AS (SELECT * FROM rk WHERE rn <= n - ((4*n + 4) // 5) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS tid,
+        |    a.n AS n1, b.n AS n2
+        |  FROM pf a JOIN pf b ON a.h = b.h
+        |    AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |    AND 4 * GREATEST(a.n, b.n) <= 5 * LEAST(a.n, b.n)),
+        |iv AS (SELECT bid, tid, n1, n2, COUNT(*) AS inter
+        |  FROM cand JOIN sh x ON x.doc_id = cand.bid
+        |    JOIN sh y ON y.doc_id = cand.tid AND y.h = x.h
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT bid AS bench_id, tid AS train_id, inter,
+        |  (n1 + n2 - inter) AS uni,
+        |  CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jac
+        |FROM iv WHERE 5 * inter >= 4 * (n1 + n2 - inter)
+        |ORDER BY bench_id, train_id""".stripMargin,
     "q135_importance_resample" ->
       """WITH sc AS (SELECT doc_id,
         |    CAST(FLOOR(CAST(LEN(list_filter(string_split(text, ' '),

@@ -67,6 +67,32 @@ class SetSimJoinSpec extends SparkSpec {
     assert(run(docs, 1, 1) == Set((1L, 2L, 3L, 3L)))
   }
 
+  test("cross-corpus joinBetween: parity with brute force, ids in separate namespaces") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 12).map(i => s"t$i")
+    def corpus(n: Int, idBase: Long) = (0 until n).map { i =>
+      (idBase + i, rnd.shuffle(vocab).take(3 + rnd.nextInt(6)))
+    }
+    // OVERLAPPING id ranges: ids must be treated as separate namespaces
+    val left = corpus(40, 0L).toDF("id", "grams").cache()
+    val right = corpus(40, 0L).toDF("id", "grams").cache()
+    val got = SetSimJoin.joinBetween(left, right, "id", "grams", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ls = left.collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val rs = right.collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val exp = (for {
+      (i1, s1) <- ls; (i2, s2) <- rs
+      if s1.nonEmpty && s2.nonEmpty
+      inter = (s1 & s2).size.toLong; uni = (s1 | s2).size.toLong
+      if 2 * inter >= 1 * uni
+    } yield (i1, i2, inter, uni)).toSet
+    assert(got == exp, s"missing=${exp.diff(got).take(3)} extra=${got.diff(exp).take(3)}")
+    // same-id cross pairs must be reportable (different namespaces)
+    assert(exp.exists(p => p._1 == p._2) == got.exists(p => p._1 == p._2))
+  }
+
   test("plan: no cartesian product, no broadcast nested loop") {
     val s = spark
     import s.implicits._
