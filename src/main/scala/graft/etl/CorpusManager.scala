@@ -214,7 +214,12 @@ class CorpusManager(
     else Some(graft.sources.ManifestIO.readVerified(fs, path))
 
   def readManifest(): Option[CorpusManifest] =
-    readJsonFile(manifestPath).map(parseManifest)
+    // the SWAPPED pointer reads raw + retried (ManifestIO doc): a crc
+    // sidecar cannot swap atomically with its data file, and emulated
+    // rename-overwrite has a transient no-pointer window
+    (if (!fs.exists(manifestPath)) None
+     else Some(graft.sources.ManifestIO.readPointerVerified(fs, manifestPath)))
+      .map(parseManifest)
 
   /** Manifest as committed at `generation` (from the claim directory) —
     * metadata time travel; [[vacuum]] bounds how far back the pinned

@@ -88,11 +88,41 @@ final class HadoopAtomicCommits(fs: FileSystem, conf: Configuration)
     // write-tmp + rename-with-OVERWRITE: NOT delete-then-rename, which
     // would open a crash window with no pointer at all (a half-written
     // store would then look fresh and get silently clobbered).
-    val tmp = new Path(path.getParent, path.getName + ".tmp")
-    val out = fs.create(tmp, true)
+    //
+    // Pointer files go through the RAW filesystem (no crc sidecar):
+    // ChecksumFileSystem cannot swap data+sidecar atomically, so a
+    // racing reader would hit new-bytes-vs-old-crc ChecksumExceptions
+    // (found by StoreConcurrencySpec); integrity lives in the sha256
+    // trailer INSIDE the bytes instead. Legacy sidecars from the
+    // pre-raw era are deleted so checksummed readers can't trip later.
+    // UNIQUE tmp per swap: the claim ladder serializes COMMITS but not
+    // pointer swaps — a claim-phase swap and a competitor's commit-phase
+    // swap can overlap, and a SHARED tmp name lets one swap move (or
+    // clobber) the other's half-written bytes (found by
+    // StoreConcurrencySpec: NoSuchFileException on the shared tmp; the
+    // silent variant would publish the wrong writer's bytes).
+    val rfs = ManifestIO.raw(fs)
+    val tmp = new Path(path.getParent, path.getName + ".tmp." +
+      java.util.UUID.randomUUID().toString)
+    val out = rfs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    val fc = FileContext.getFileContext(fs.getUri, conf)
-    fc.rename(tmp, path, Options.Rename.OVERWRITE)
+    if (rfs ne fs) {
+      val crc = new Path(path.getParent, "." + path.getName + ".crc")
+      try rfs.delete(crc, false) catch { case _: Exception => () }
+    }
+    if ("file" == Option(fs.getUri.getScheme).getOrElse("")) {
+      // Hadoop's local AbstractFileSystem EMULATES rename-overwrite as
+      // delete-then-rename — exactly the no-pointer window this method
+      // exists to avoid. java.nio ATOMIC_MOVE is a true POSIX rename.
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(path.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = FileContext.getFileContext(fs.getUri, conf)
+      fc.rename(tmp, path, Options.Rename.OVERWRITE)
+    }
   }
 }
 

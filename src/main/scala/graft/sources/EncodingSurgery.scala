@@ -36,10 +36,13 @@ object EncodingSurgery {
         "store has an update in progress (crashed writer?); repair first")
 
     // fixed-base two-phase claim (see GriddedStore.writeDescriptor): a
-    // concurrent mutation collides on the claim file and exactly one wins
+    // concurrent mutation collides on the claim file and exactly one
+    // wins. Snapshot from the version ladder, not the (possibly
+    // lagging) pointer — see GriddedStore.latestCommittedVersion.
     val base = store.latestVersionNumber()
-    val rewritten = store.read().withColumn(coord, f(col(coord)))
-    val before = store.listDataFiles(None)
+    val commitV = store.latestCommittedVersion()
+    val rewritten = (if (commitV > 0) store.readAt(commitV) else store.read())
+      .withColumn(coord, f(col(coord)))
     store.claimInProgress(base, d)
     // A full-store rewrite under the manifest protocol: write the
     // rewritten rows as NEW files next to the old ones (via writeBuckets,
@@ -47,8 +50,7 @@ object EncodingSurgery {
     // property), then commit a manifest pinning ONLY the new files. A
     // crash never leaves a half-rewritten store visible — readers stay on
     // the old manifest — and the old files are retired by vacuum().
-    store.writeBuckets(rewritten, d, SaveMode.Append)
-    val fresh = (store.listDataFiles(None) -- before).toSeq
+    val fresh = store.writeBuckets(rewritten, d)
     val committed = d.copy(updateInProgress = false)
     store.commitAtBase(base, committed, Some(fresh))
     committed

@@ -72,8 +72,17 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     pointerJson().map(DatasetDescriptor.fromJson)
 
   private def pointerJson(): Option[String] =
-    if (!hasExisting) None
-    else Some(ManifestIO.readVerified(fs, descriptorPath))
+    // the SWAPPED pointer reads raw + retried (ManifestIO doc): a crc
+    // sidecar cannot swap atomically with its data file, and emulated
+    // rename-overwrite has a transient no-pointer window. The
+    // existence probe itself is gap-tolerant: absent pointer + present
+    // version history = a reader inside that window, not a fresh store.
+    if (hasExisting) Some(ManifestIO.readPointerVerified(fs, descriptorPath))
+    else if (fs.exists(versionsDir)) {
+      Thread.sleep(50)
+      if (hasExisting) Some(ManifestIO.readPointerVerified(fs, descriptorPath))
+      else None
+    } else None
 
   /** Data-file list pinned by the COMMITTED pointer. Reads resolve
     * through the pointer, not the claim listing: a crashed commit's
@@ -95,6 +104,22 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong
       }.foldLeft(0L)(math.max)
+
+  /** Newest manifest version whose descriptor is COMMITTED
+    * (updateInProgress = false) — the writer-side snapshot anchor.
+    * The POINTER can lag the version ladder (a competitor has written
+    * its commit manifest but not yet executed the pointer swap), so a
+    * mutation that snapshots through the pointer can base its survivor
+    * math on pre-competitor state and silently revert the competitor's
+    * commit — a lost update (found by StoreConcurrencySpec). Mutations
+    * anchor to this instead; readers keep the cheap pointer. 0 when no
+    * committed version exists (fresh store or legacy layout). */
+  private[sources] def latestCommittedVersion(): Long = {
+    var v = latestVersionNumber()
+    while (v >= 1 && !readDescriptorAt(v).exists(d => !d.updateInProgress))
+      v -= 1
+    v
+  }
 
   /** Descriptor as of manifest version `v` — metadata time travel (the
     * IPNS-pointer-history analog; the reference walks item `prev` links
@@ -206,9 +231,10 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     * its guards ran — a concurrent mutation that claimed the same
     * number first throws ConcurrentModificationException HERE, before
     * any data write. */
-  private[sources] def claimInProgress(base: Long, d: DatasetDescriptor): Unit =
+  private[sources] def claimInProgress(base: Long, d: DatasetDescriptor,
+                                       files: Option[Seq[String]] = None): Unit =
     writeDescriptorAsVersion(base + 1, d.copy(updateInProgress = true),
-      snapshotFiles())
+      files.orElse(snapshotFiles()))
 
   /** Second phase: the committed manifest at `base + 2`. */
   private[sources] def commitAtBase(base: Long, d: DatasetDescriptor,
@@ -432,22 +458,60 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     * rows in the store must go through here — including
     * [[EncodingSurgery]]'s rewrite.
     *
-    * Mutations write with `Append` even when REPLACING rows: old files
+    * Mutations only ADD files even when REPLACING rows: old files
     * stay on disk for pinned readers and the replacement is the next
     * manifest omitting them (see the class doc). That also removes the
     * self-overwrite hazard the round-1/2 staging dance existed for — the
     * input can read the very buckets being rewritten, because nothing is
-    * deleted until `vacuum`. */
-  private[sources] def writeBuckets(df: DataFrame, d: DatasetDescriptor,
-                                    mode: SaveMode): Unit = {
+    * deleted until `vacuum`.
+    *
+    * The write itself goes through a JOB-UNIQUE staging directory, then
+    * per-file renames into the partition layout under job-prefixed
+    * names. Two reasons, both found by StoreConcurrencySpec:
+    *  - concurrent mutations writing straight into data/ share the
+    *    Hadoop committer's `_temporary` root, and one job's
+    *    commit/cleanup destroys the other's staged files mid-write;
+    *  - the created-file set must be KNOWN, not diffed from directory
+    *    listings: a before/after diff can capture a CONCURRENT job's
+    *    files into this mutation's manifest, double-pinning the
+    *    competitor's rows after its retry.
+    * Returns the root-relative paths of exactly the files this call
+    * created (reader-invisible until a manifest pins them). */
+  private[sources] def writeBuckets(df: DataFrame,
+                                    d: DatasetDescriptor): Seq[String] = {
     val sortCols = col("time_bucket") +: d.dims.map(col)
+    val jobId = java.util.UUID.randomUUID().toString
+    val staging = new Path(root, s"_staging/$jobId")
     df.repartitionByRange(col("time_bucket"), col(d.dims.last))
       .sortWithinPartitions(sortCols: _*)
       .write
-      .mode(mode)
+      .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", d.chunk.maxRecordsPerFile)
       .partitionBy("time_bucket")
-      .parquet(dataPath)
+      .parquet(staging.toString)
+    val dataP = new Path(dataPath)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val bucketDirs =
+        if (!fs.exists(staging)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(staging)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("time_bucket="))
+      bucketDirs.foreach { b =>
+        val destDir = new Path(dataP, b.getPath.getName)
+        fs.mkdirs(destDir)
+        fs.listStatus(b.getPath).foreach { f =>
+          val n = f.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            val dest = new Path(destDir, s"$jobId-$n")
+            if (!fs.rename(f.getPath, dest))
+              throw new java.io.IOException(
+                s"failed to move staged file ${f.getPath} to $dest")
+            moved += s"data/${b.getPath.getName}/$jobId-$n"
+          }
+        }
+      }
+    } finally fs.delete(staging, true)
+    moved.toSeq
   }
 
   /** Initial parse (`write_initial_zarr`, `publish.py:240-261`). Also
@@ -467,15 +531,14 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     if (stats.getLong(2) == 0L)
       throw new IllegalArgumentException("initial dataset is empty")
     val base = latestVersionNumber()
-    val before = listDataFiles(None)
     claimInProgress(base, d)
-    writeBuckets(p, d, SaveMode.Append)
+    val fresh = writeBuckets(p, d)
     val committed = d.copy(
       dateRange = Some((stats.getLong(0), stats.getLong(1))),
       updateInProgress = false,
       updateIsAppendOnly = None,
       updatePreviousEndUs = None)
-    commitAtBase(base, committed, Some((listDataFiles(None) -- before).toSeq))
+    commitAtBase(base, committed, Some(fresh))
     committed
   }
 
@@ -485,35 +548,39 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     * reference's rechunk-alignment concern, SURVEY §4 "rechunk-alignment
     * regression") without touching untargeted buckets. */
   def compact(buckets: Seq[Long] = Nil): DatasetDescriptor = {
-    val d = readDescriptor().getOrElse(
+    val pd = readDescriptor().getOrElse(
       throw new IllegalStateException(s"no existing dataset at $root"))
     // compact must not launder a crashed writer's flag into a "clean"
     // store — it's a mutation path like update()/surgery.
-    if (d.updateInProgress)
+    if (pd.updateInProgress)
       throw new IllegalStateException(
         s"store at $root has an update in progress (crashed writer?); " +
           "repair or rebuild before compacting")
     val base = latestVersionNumber()
-    val committedFiles = snapshotFiles().getOrElse(listDataFiles(None).toSeq)
+    // version-ladder snapshot, not the pointer (see latestCommittedVersion)
+    val commitV = latestCommittedVersion()
+    val d = (if (commitV > 0) readDescriptorAt(commitV) else None).getOrElse(pd)
+    def snap(): DataFrame = if (commitV > 0) readAt(commitV) else read()
+    val committedFiles =
+      (if (commitV > 0) snapshotFilesAt(commitV) else snapshotFiles())
+        .getOrElse(listDataFiles(None).toSeq)
     val target =
       if (buckets.nonEmpty) buckets
-      else read().select(col("time_bucket").cast("long")).distinct()
+      else snap().select(col("time_bucket").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq
-    claimInProgress(base, d)
+    claimInProgress(base, d, Some(committedFiles))
     // One distributed pass: the scan reads the pinned (old) files and the
     // write creates new ones next to them — no staging table, no
     // self-overwrite cycle, because the old files outlive the job and are
     // retired only by the manifest swap below.
     val src = (if (buckets.nonEmpty)
-        read().filter(col("time_bucket").isin(target: _*))
-      else read())
+        snap().filter(col("time_bucket").isin(target: _*))
+      else snap())
       .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
-    val before = listDataFiles(Some(target))
-    writeBuckets(src, d, SaveMode.Append)
-    val fresh = listDataFiles(Some(target)) -- before
+    val fresh = writeBuckets(src, d)
     val targetDirs = target.map(b => s"data/time_bucket=$b/")
     val manifest = committedFiles
-      .filterNot(f => targetDirs.exists(f.startsWith)) ++ fresh.toSeq
+      .filterNot(f => targetDirs.exists(f.startsWith)) ++ fresh
     val committed = d.copy(updateInProgress = false)
     commitAtBase(base, committed, Some(manifest))
     committed
@@ -525,20 +592,28 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     * two-phase-commit the descriptor.
     */
   def update(updateDf: DataFrame, allowOverwrite: Boolean = true): DatasetDescriptor = {
-    val d = readDescriptor().getOrElse(
+    val pd = readDescriptor().getOrElse(
       throw new IllegalStateException(s"no existing dataset at $root"))
     // A crashed writer leaves updateInProgress=true; refuse to stack a new
     // update on a half-written store (the reader-visible face of the
     // two-phase flag, `publish.py:152-180`).
-    if (d.updateInProgress)
+    if (pd.updateInProgress)
       throw new IllegalStateException(
-        s"store at $root has an update in progress (crashed writer?); " +
-          "repair or rebuild before updating")
-    val t = d.timeDim
+        s"store at $root has an update in progress — either a LIVE " +
+          "concurrent writer (retry shortly) or a crashed one (the flag " +
+          "never clears; repair or rebuild). Reads are unaffected either " +
+          "way: the pointer still pins the last committed file list")
     val base = latestVersionNumber() // fixed claim base: see writeDescriptor doc
+    // snapshot ANCHORED to the version ladder, never the pointer (see
+    // latestCommittedVersion): descriptor, data frame and file list all
+    // come from the same committed manifest
+    val commitV = latestCommittedVersion()
+    val d = (if (commitV > 0) readDescriptorAt(commitV) else None).getOrElse(pd)
+    def snap(): DataFrame = if (commitV > 0) readAt(commitV) else read()
+    val t = d.timeDim
     val p = prepared(updateDf, d).cache()
     try {
-      val existingTimes = read().select(t).distinct()
+      val existingTimes = snap().select(t).distinct()
       val insertT = UpdatePlanner.insertTimes(p, existingTimes, t)
       val appendT = UpdatePlanner.appendTimes(p, existingTimes, t)
 
@@ -615,13 +690,13 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
       // (no staging table, no FILE_NOT_EXIST window), pinned readers are
       // untouched, and a crash leaves only orphans for vacuum. Listing is
       // confined to the update's own buckets.
-      val committedFiles = snapshotFiles().getOrElse(listDataFiles(None).toSeq)
-      val touched = p.select(col("time_bucket")).distinct()
-        .collect().map(_.getLong(0)).toSeq // bounded: buckets in this update
-      val before = listDataFiles(Some(touched))
+      val committedFiles =
+        (if (commitV > 0) snapshotFilesAt(commitV) else snapshotFiles())
+          .getOrElse(listDataFiles(None).toSeq)
 
-      claimInProgress(base, d)
+      claimInProgress(base, d, Some(committedFiles))
 
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
       var insertBuckets: Seq[Long] = Nil
       if (inserts) {
         // Region replace: for each affected bucket, merge surviving
@@ -638,20 +713,18 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
         val insertRows = p.join(broadcast(insertT), Seq(t), "left_semi")
         insertBuckets = insertRows.select("time_bucket").distinct()
           .collect().map(_.getLong(0)).toSeq // one entry per affected bucket
-        val survivors = read()
+        val survivors = snap()
           .filter(col("time_bucket").isin(insertBuckets: _*))
           .join(insertRows.select(d.dims.map(col): _*), d.dims, "left_anti")
           .select((d.dims :+ d.dataVar).map(col) :+ col("time_bucket"): _*)
-        writeBuckets(survivors.unionByName(insertRows), d, SaveMode.Append)
+        fresh ++= writeBuckets(survivors.unionByName(insertRows), d)
       }
 
       if (hasAppends)
-        writeBuckets(p.join(broadcast(appendT), Seq(t), "left_semi"),
-          d, SaveMode.Append)
+        fresh ++= writeBuckets(p.join(broadcast(appendT), Seq(t), "left_semi"), d)
 
       // New manifest: committed files minus the replaced insert buckets,
-      // plus whatever the two writes above created.
-      val fresh = listDataFiles(Some(touched)) -- before
+      // plus exactly the files the two writes above created.
       val insertDirs = insertBuckets.map(b => s"data/time_bucket=$b/")
       val manifest = committedFiles
         .filterNot(f => insertDirs.exists(f.startsWith)) ++ fresh.toSeq

@@ -74,4 +74,44 @@ object ManifestIO {
     } finally in.close()
     open(buf.toByteArray, path.toString)
   }
+
+  /** The checksum-free face of a FileSystem: pointer files are written
+    * and read RAW. ChecksumFileSystem (local) keeps integrity in a
+    * `.crc` SIDECAR, and a pointer swap cannot replace data+sidecar
+    * atomically — a reader racing the swap gets the new bytes against
+    * the old crc and dies with ChecksumException (found by
+    * StoreConcurrencySpec). The sha256 TRAILER inside the pointer is
+    * the integrity check, and it travels with the bytes. */
+  def raw(fs: org.apache.hadoop.fs.FileSystem): org.apache.hadoop.fs.FileSystem =
+    fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
+  /** Read a SWAPPED pointer file: raw (no crc sidecar — see [[raw]])
+    * with a short bounded retry. On filesystems whose rename-overwrite
+    * is emulated as delete+rename (Hadoop's local AbstractFileSystem),
+    * a reader can catch the swap mid-flight — absent file, truncated
+    * bytes, or trailer mismatch — and all three states resolve by the
+    * next attempt. Persistent failure after the retries is REAL
+    * (corruption or a genuinely missing pointer) and is rethrown. */
+  def readPointerVerified(fs: org.apache.hadoop.fs.FileSystem,
+                          path: org.apache.hadoop.fs.Path,
+                          attempts: Int = 5): String = {
+    val rfs = raw(fs)
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return readVerified(rfs, path)
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: java.io.EOFException |
+                  _: IllegalStateException) =>
+          last = e
+          i += 1
+          if (i < attempts) Thread.sleep(20L * i)
+      }
+    }
+    throw last
+  }
 }
