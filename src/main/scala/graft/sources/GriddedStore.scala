@@ -121,6 +121,35 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
     v
   }
 
+  /** Recover from a crashed writer: re-point the committed pointer at
+    * the latest COMMITTED manifest, clearing a stuck in-progress flag.
+    *
+    * Always safe, no liveness proof needed: the latest committed
+    * version IS the current correct state (an in-progress claim never
+    * changed reader-visible data), and a writer that turns out to be
+    * alive after all still commits through its own claim — worst case
+    * its refusal-gate was cleared early and a third writer starts,
+    * which the claim ladder serializes exactly as usual. Data files of
+    * the crashed attempt are unpinned orphans; `vacuum()` reclaims
+    * them. Returns the restored descriptor; no-op when the pointer is
+    * already clean. */
+  def repair(): DatasetDescriptor = {
+    val pd = readDescriptor().getOrElse(
+      throw new IllegalStateException(s"no existing dataset at $root"))
+    if (!pd.updateInProgress) return pd
+    val v = latestCommittedVersion()
+    if (v <= 0)
+      throw new IllegalStateException(
+        s"store at $root has no committed manifest to repair to " +
+          "(crashed during its initial write?); rebuild with writeInitial")
+    // re-publish the committed manifest verbatim (same sealed bytes the
+    // pointer received at that commit — file list and schema included)
+    val json = ManifestIO.readVerified(fs, versionPath(v))
+    commits.swapPointer(descriptorPath,
+      ManifestIO.seal(json.getBytes(StandardCharsets.UTF_8)))
+    DatasetDescriptor.fromJson(json)
+  }
+
   /** Descriptor as of manifest version `v` — metadata time travel (the
     * IPNS-pointer-history analog; the reference walks item `prev` links
     * for the same need). None for a zero-byte/partial claim left by a

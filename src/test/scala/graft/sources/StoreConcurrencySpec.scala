@@ -102,4 +102,30 @@ class StoreConcurrencySpec extends SparkSpec {
       .select("precip").collect()(0).getDouble(0)
     assert(vAfter == 10000.0 + (nRounds - 1))
   }
+
+  test("repair() recovers a crashed-writer store: pointer back on the committed manifest") {
+    val root = tmpDir("store-repair")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(6, 4, 4), desc("rep"))
+    val before = store.read().collect().toSet
+    // clean store: repair is a no-op
+    assert(!store.repair().updateInProgress)
+    // simulate a crash mid-mutation: claim swaps the pointer to an
+    // in-progress manifest, then the writer dies before committing
+    store.claimInProgress(store.latestVersionNumber(),
+      store.readDescriptor().get)
+    assert(store.readDescriptor().exists(_.updateInProgress))
+    intercept[IllegalStateException] {
+      store.update(cube(1, 1, 1, startDay = 2, valueOffset = 42.0))
+    }
+    // repair: pointer restored to the committed manifest, data intact
+    val d = store.repair()
+    assert(!d.updateInProgress)
+    assert(store.read().collect().toSet == before)
+    // mutations work again
+    store.update(cube(1, 1, 1, startDay = 2, valueOffset = 4242.0))
+    assert(store.read().where(col("time") === 2 * DAY_US &&
+        col("latitude") === -1.0 && col("longitude") === 10.0)
+      .select("precip").collect()(0).getDouble(0) == 4242.0)
+  }
 }
