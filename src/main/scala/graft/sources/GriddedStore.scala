@@ -410,12 +410,21 @@ class GriddedStore(val root: String, private[sources] val spark: SparkSession) {
           "vacuum would treat every data file as an orphan"))
     val referenced = (math.max(1L, fence - retainLast + 1) to fence)
       .flatMap(v => snapshotFilesAt(v).getOrElse(Nil)).toSet ++ pointerFiles
-    val doomed = (listDataFiles(None) -- referenced).toSeq.sorted
+    // crashed writers' staging dirs: writeBuckets stages strictly
+    // between claim and commit, and vacuum refuses while ANY writer is
+    // in progress (the pointer-flag check above), so every dir still
+    // under _staging/ here belongs to a crashed attempt
+    val stagingRoot = new Path(root, "_staging")
+    val staleStaging =
+      if (!fs.exists(stagingRoot)) Seq.empty[String]
+      else fs.listStatus(stagingRoot).map(s => s"_staging/${s.getPath.getName}").toSeq.sorted
+    val doomed = (listDataFiles(None) -- referenced).toSeq.sorted ++ staleStaging
     if (latestVersionNumber() != fence)
       throw new java.util.ConcurrentModificationException(
         s"a writer claimed a manifest version during vacuum at $root; " +
           "rerun when it finishes")
-    if (!dryRun) doomed.foreach(f => fs.delete(new Path(root, f), false))
+    if (!dryRun) doomed.foreach(f =>
+      fs.delete(new Path(root, f), f.startsWith("_staging/")))
     doomed
   }
 

@@ -34,13 +34,15 @@ class StoreConcurrencySpec extends SparkSpec {
             val corr = cube(1, 1, 1, startDay = t,
               valueOffset = 10000.0 + 100.0 * t + r)
             var done = false
-            var attempts = 0
+            val deadline = System.nanoTime() + 180L * 1000000000L
             while (!done) {
               // two retryable signals: losing a claim race (CME) and
               // hitting another writer's in-progress window (the
               // two-phase flag — reference semantics: one updater at
               // a time; a crashed writer would make this persistent,
-              // which the attempt bound converts to a loud failure)
+              // which the TIME budget converts to a loud failure —
+              // an attempt COUNT starves legitimately here, since the
+              // store is busy for most of the test's wall time)
               try { store.update(corr); done = true }
               catch {
                 case e @ (_: java.util.ConcurrentModificationException |
@@ -48,10 +50,9 @@ class StoreConcurrencySpec extends SparkSpec {
                     if e.isInstanceOf[java.util.ConcurrentModificationException] ||
                       e.getMessage.contains("update in progress") =>
                   retries.incrementAndGet()
-                  attempts += 1
-                  if (attempts > 200) throw new IllegalStateException(
-                    s"thread $t round $r: starved after 200 retries")
-                  Thread.sleep(10L + scala.util.Random.nextInt(40))
+                  if (System.nanoTime() > deadline) throw new IllegalStateException(
+                    s"thread $t round $r: starved after 180s of retries")
+                  Thread.sleep(25L + scala.util.Random.nextInt(75))
               }
             }
           }
@@ -101,6 +102,22 @@ class StoreConcurrencySpec extends SparkSpec {
         col("latitude") === -1.0 && col("longitude") === 10.0)
       .select("precip").collect()(0).getDouble(0)
     assert(vAfter == 10000.0 + (nRounds - 1))
+  }
+
+  test("vacuum reclaims a crashed writer's staging directory") {
+    val root = tmpDir("store-stag")
+    val store = new GriddedStore(root, spark)
+    store.writeInitial(cube(4, 4, 4), desc("stag"))
+    // fake a crashed writeBuckets: a leftover staging dir with a file
+    val stale = new org.apache.hadoop.fs.Path(root, "_staging/dead-job/part-0")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(stale, true); out.write(1); out.close()
+    val dry = store.vacuum(retainLast = 2, dryRun = true)
+    assert(dry.contains("_staging/dead-job"), dry.toString)
+    assert(fs.exists(stale)) // dry run deletes nothing
+    store.vacuum(retainLast = 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_staging/dead-job")))
+    assert(store.read().count() == 4 * 16L)
   }
 
   test("repair() recovers a crashed-writer store: pointer back on the committed manifest") {
