@@ -783,7 +783,9 @@ class CorpusManager(
     // -- pair graph: near-dup (MinHash/LSH) ∪ exact (md5) ---------------
     val nearPairs = DedupPipeline.runIncrementalAgainst(
       spark, shard, idCol, textCol, bandsTable(man.bandsVersion), sigsDf(),
-      s"${name}_shard_bands", s"$dedupPath/shard_bands", numBuckets, p)
+      s"${name}_shard_bands", s"$dedupPath/shard_bands", numBuckets, p,
+      // exact-verify reads candidate docs' grams from the PINNED corpus
+      corpusDocs = if (p.exactVerify) Some(corpus()) else None)
     val shardH = shard.select(col(idCol), md5(col(textCol)).as("h")).localCheckpoint()
     def norm(a: Column, b: Column) =
       Seq(least(a, b).as("d1"), greatest(a, b).as("d2"))

@@ -39,9 +39,20 @@ object DedupPipeline {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       minEstJaccard: Double = 0.5,
-      hasher: Signatures.SigHasher = Signatures.Md5SigHasher) {
+      hasher: Signatures.SigHasher = Signatures.Md5SigHasher,
+      exactVerify: Boolean = false) {
     require(bands * rowsPerBand == perms, "bands × rowsPerBand must equal perms")
   }
+  // exactVerify: candidates still come from LSH band collisions (the
+  // linear-work stage), but the PAIR DECISION is the exact n-gram-set
+  // Jaccard — computed only for candidate ids, so the extra cost is
+  // candidate-bounded — instead of the signature estimate.
+  // `minEstJaccard` then acts as an exact threshold: no false positives
+  // from estimator variance (64 perms ⇒ σ ≈ 0.06 near 0.5 — an est
+  // gate admits genuinely-below-threshold pairs and drops
+  // just-above-threshold ones at a few percent each), and the only
+  // remaining recall loss is the banding probability itself. The
+  // standard production configuration for compliance-grade dedup.
 
   /** `(doc_id, band, bk)` LSH band rows + `(doc_id, sig)` signatures for
     * docs with at least `ngram` tokens (empty-shingle docs cannot be
@@ -71,7 +82,8 @@ object DedupPipeline {
     * between the two frames, so it matches `!=` and normalizes. */
   private def verifiedPairs(left: DataFrame, right: DataFrame,
                             sigs: DataFrame, idCol: String,
-                            p: Params, selfJoin: Boolean): DataFrame = {
+                            p: Params, selfJoin: Boolean,
+                            exactDocs: Option[(DataFrame, String)] = None): DataFrame = {
     val idCond =
       if (selfJoin) col(s"a.$idCol") < col(s"b.$idCol")
       else col(s"a.$idCol") =!= col(s"b.$idCol")
@@ -80,11 +92,36 @@ object DedupPipeline {
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("d1"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("d2"))
       .distinct()
-    val sa = sigs.select(col(idCol).as("d1"), col("sig").as("siga"))
-    val sb = sigs.select(col(idCol).as("d2"), col("sig").as("sigb"))
-    cand.join(sa, "d1").join(sb, "d2")
-      .filter(DedupFunctions.estimatedJaccard(col("siga"), col("sigb")) >= p.minEstJaccard)
-      .select("d1", "d2")
+    if (p.exactVerify) {
+      // exact n-gram-set Jaccard, candidate-bounded: gram-hash arrays
+      // are built only for ids that appear in some candidate pair
+      // (semi-join against the texts), then one array_intersect per
+      // DISTINCT pair — never a corpus-sized gram pass per shard run
+      val (docs, textCol) = exactDocs.getOrElse(throw new IllegalArgumentException(
+        "exactVerify requires the doc texts at the verify stage"))
+      val candC = cand.localCheckpoint() // feeds the id list AND the joins
+      val ids = candC.select(col("d1").as(idCol))
+        .unionByName(candC.select(col("d2").as(idCol))).distinct()
+      val gs = docs.join(ids, Seq(idCol), "left_semi")
+        .select(col(idCol), array_distinct(transform(
+          TextFunctions.wordNgrams(col(textCol), p.ngram),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("_hs"))
+        .localCheckpoint() // both join sides below
+      candC
+        .join(gs.select(col(idCol).as("d1"), col("_hs").as("_h1")), "d1")
+        .join(gs.select(col(idCol).as("d2"), col("_hs").as("_h2")), "d2")
+        .filter(size(array_intersect(col("_h1"), col("_h2"))).cast("double")
+          >= lit(p.minEstJaccard) *
+            (size(col("_h1")) + size(col("_h2"))
+              - size(array_intersect(col("_h1"), col("_h2")))).cast("double"))
+        .select("d1", "d2")
+    } else {
+      val sa = sigs.select(col(idCol).as("d1"), col("sig").as("siga"))
+      val sb = sigs.select(col(idCol).as("d2"), col("sig").as("sigb"))
+      cand.join(sa, "d1").join(sb, "d2")
+        .filter(DedupFunctions.estimatedJaccard(col("siga"), col("sigb")) >= p.minEstJaccard)
+        .select("d1", "d2")
+    }
   }
 
   /** Star edges (group-minimum → member) over exact content-hash groups:
@@ -168,7 +205,8 @@ object DedupPipeline {
     val (sigs, bandRows) =
       signatureTables(exactReps(docs, idCol, textCol, star), idCol, textCol, p)
     val banded = bandRows.localCheckpoint() // both join sides, one compute
-    val pairs = verifiedPairs(banded, banded, sigs, idCol, p, selfJoin = true)
+    val pairs = verifiedPairs(banded, banded, sigs, idCol, p, selfJoin = true,
+        exactDocs = if (p.exactVerify) Some((docs, textCol)) else None)
       .unionByName(star)
       .distinct()
     val labels = DedupFunctions.connectedComponents(
@@ -240,10 +278,14 @@ object DedupPipeline {
     * sub-ngram docs out before ingest. */
   def runIncremental(spark: SparkSession, newDocs: DataFrame, idCol: String,
                      textCol: String, name: String, path: String,
-                     numBuckets: Int, p: Params = Params()): DataFrame =
+                     numBuckets: Int, p: Params = Params()): DataFrame = {
+    require(!p.exactVerify,
+      "exactVerify needs the corpus texts — use runIncrementalAgainst " +
+        "with corpusDocs (CorpusManager passes its pinned docs)")
     runIncrementalAgainst(spark, newDocs, idCol, textCol, s"${name}_bands",
       spark.read.parquet(s"$path/sigs"), s"${name}_shard_bands",
       s"$path/shard_bands", numBuckets, p)
+  }
 
   /** [[runIncremental]] with the corpus side named explicitly — the
     * entry point for callers that resolve artifacts through a snapshot
@@ -255,7 +297,11 @@ object DedupPipeline {
                             idCol: String, textCol: String,
                             corpusBandsTable: String, corpusSigs: DataFrame,
                             shardBandsTable: String, shardBandsPath: String,
-                            numBuckets: Int, p: Params = Params()): DataFrame = {
+                            numBuckets: Int, p: Params = Params(),
+                            corpusDocs: Option[DataFrame] = None): DataFrame = {
+    require(!p.exactVerify || corpusDocs.nonEmpty,
+      "exactVerify needs corpusDocs (the pinned corpus texts) — the " +
+        "exact Jaccard decision reads candidate docs' grams, not sigs")
     // intra-shard exact groups collapse to reps (identical sigs would
     // self-join into cliques); members are the caller's exact edges
     val shardStar = exactStarEdges(newDocs, idCol, textCol)
@@ -272,8 +318,15 @@ object DedupPipeline {
     // sig table without shuffling it. Only the shard's signatures (the
     // frame every join side recomputes otherwise) are checkpointed.
     val allSigs = corpusSigs.unionByName(shardSigs.localCheckpoint())
-    verifiedPairs(corpusBands, shardB, allSigs, idCol, p, selfJoin = false)
-      .unionByName(verifiedPairs(shardB, shardB, allSigs, idCol, p, selfJoin = true))
+    val exact =
+      if (p.exactVerify)
+        Some((corpusDocs.get.select(col(idCol), col(textCol))
+          .unionByName(newDocs.select(col(idCol), col(textCol))), textCol))
+      else None
+    verifiedPairs(corpusBands, shardB, allSigs, idCol, p, selfJoin = false,
+        exactDocs = exact)
+      .unionByName(verifiedPairs(shardB, shardB, allSigs, idCol, p,
+        selfJoin = true, exactDocs = exact))
       .distinct()
   }
 }

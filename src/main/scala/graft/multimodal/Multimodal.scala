@@ -554,38 +554,141 @@ object Multimodal {
       })
   }
 
-  /** Near-duplicate IMAGE pairs at Hamming distance ≤ maxHamming over
-    * the 63-bit perceptual hash — the multimodal twin of SimHash text
-    * dedup, with the same pigeonhole blocking: the hash splits into
-    * maxHamming+1 disjoint blocks, and a pair within the radius must
-    * agree exactly on at least one block (≤ maxHamming bits differ, so
-    * ≥ 1 block is untouched) — recall 1.0 AT the declared radius by
-    * construction, candidates from plain block equi-joins, never an
-    * all-pairs comparison. Returns (id1, id2, hamming), id1 < id2.
-    * maxHamming ≤ 8 keeps blocks ≥ 7 bits (random-collision noise). */
-  def perceptualDedup(df: DataFrame, idCol: String, binCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+  /** Pigeonhole-blocked Hamming join over a 63-bit hash column
+    * (id, h): the hash splits into maxHamming+1 disjoint blocks, and a
+    * pair within the radius must agree exactly on at least one block
+    * (≤ maxHamming bits differ, so ≥ 1 block is untouched) — recall
+    * 1.0 AT the declared radius by construction, candidates from plain
+    * block equi-joins, never an all-pairs comparison. */
+  private def hammingDedup(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 8,
       s"maxHamming must be in [0,8], got $maxHamming")
     val nBlocks = maxHamming + 1
     val width = 63.0 / nBlocks
-    val hashes = perceptualHashes(df, idCol, binCol).toDF()
-      .localCheckpoint() // one decode pass, not one per join side
-    val blocks = hashes.select(col("id"), col("phash"),
+    val blocks = hashes.select(col("id"), col("h"),
       explode(array((0 until nBlocks).map { q =>
         val lo = math.round(q * width).toInt
         val hi = math.round((q + 1) * width).toInt // [lo, hi), last = 63
         struct(lit(q).as("q"),
-          shiftright(col("phash"), lo)
+          shiftright(col("h"), lo)
             .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bk"))
       }: _*)).as("blk"))
-      .select(col("id"), col("phash"), col("blk.q"), col("blk.bk"))
+      .select(col("id"), col("h"), col("blk.q"), col("blk.bk"))
     blocks.as("a").join(blocks.as("b"),
         col("a.q") === col("b.q") && col("a.bk") === col("b.bk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        expr("bit_count(a.phash ^ b.phash)").cast("int").as("hamming"))
+        expr("bit_count(a.h ^ b.h)").cast("int").as("hamming"))
       .distinct() // a pair may agree on several blocks
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Near-duplicate IMAGE pairs at Hamming distance ≤ maxHamming over
+    * the 63-bit perceptual hash — the multimodal twin of SimHash text
+    * dedup (see [[hammingDedup]] for the blocking guarantee). Returns
+    * (id1, id2, hamming), id1 < id2. */
+  def perceptualDedup(df: DataFrame, idCol: String, binCol: String,
+                      maxHamming: Int = 3): DataFrame =
+    hammingDedup(
+      perceptualHashes(df, idCol, binCol).toDF()
+        .select(col("id"), col("phash").as("h"))
+        .localCheckpoint(), // one decode pass, not one per join side
+      maxHamming)
+
+  // ---- audio fingerprint (Haitsma–Kalker band-energy family) -----------
+
+  private val AF_FRAMES = 22 // 21 frame transitions
+  private val AF_BANDS = 4 // 3 band differences → 63 bits
+  /** Normalized band frequencies (fraction of the sample rate). */
+  private val AF_FREQS = Array(0.04, 0.09, 0.18, 0.32)
+
+  /** 63-bit audio fingerprint of a 16-bit PCM WAV: mono-mixed samples →
+    * 22 equal frames → per-frame energy at 4 fixed normalized
+    * frequencies (Goertzel) → the Haitsma–Kalker bit formula
+    * bit(f,b) = ΔE(f,b) − ΔE(f−1,b) > 0 with ΔE(f,b) = E(f,b) −
+    * E(f,b+1): the sign of the time-derivative of the band-energy
+    * difference. Invariant to uniform gain BY CONSTRUCTION (energies
+    * scale together; exactly so for power-of-two PCM scaling) and
+    * robust to small additive noise (energy perturbations are
+    * second-order). None for non-WAV/non-16-bit bytes or clips shorter
+    * than one sample per frame-band cycle. */
+  def audioFingerprint(b: Array[Byte]): Option[Long] =
+    (if (b == null) None else parseWav(b)) match {
+    case Some((_, ch, 16, off, len)) =>
+      val n = len / (2 * ch)
+      if (n < AF_FRAMES * 8) None
+      else {
+        // mono mix, one pass; doubles (energies need the headroom)
+        val mono = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var s = 0.0
+          var c = 0
+          while (c < ch) {
+            val o = off + (i * ch + c) * 2
+            s += ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toDouble
+            c += 1
+          }
+          mono(i) = s / ch
+          i += 1
+        }
+        val e = Array.ofDim[Double](AF_FRAMES, AF_BANDS)
+        var f = 0
+        while (f < AF_FRAMES) {
+          val lo = f * n / AF_FRAMES
+          val hi = (f + 1) * n / AF_FRAMES
+          var bd = 0
+          while (bd < AF_BANDS) {
+            // Goertzel at normalized frequency AF_FREQS(bd)
+            val w = 2.0 * math.Pi * AF_FREQS(bd)
+            val coeff = 2.0 * math.cos(w)
+            var s1 = 0.0; var s2 = 0.0
+            var j = lo
+            while (j < hi) {
+              val s0 = mono(j) + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              j += 1
+            }
+            e(f)(bd) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            bd += 1
+          }
+          f += 1
+        }
+        var hash = 0L
+        var bit = 0
+        f = 1
+        while (f < AF_FRAMES) {
+          var bd = 0
+          while (bd < AF_BANDS - 1) {
+            val d1 = e(f)(bd) - e(f)(bd + 1)
+            val d0 = e(f - 1)(bd) - e(f - 1)(bd + 1)
+            if (d1 - d0 > 0) hash |= 1L << bit
+            bit += 1
+            bd += 1
+          }
+          f += 1
+        }
+        Some(hash)
+      }
+    case _ => None
+  }
+
+  /** Per-row audio fingerprints: one decode pass per partition. */
+  def audioFingerprints(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioFingerprint(bytes).map((id, _))
+      })
+      .toDF("id", "h")
+  }
+
+  /** Near-duplicate AUDIO pairs at Hamming ≤ maxHamming over the
+    * 63-bit fingerprint — same pigeonhole blocking as image dedup. */
+  def audioDedup(df: DataFrame, idCol: String, binCol: String,
+                 maxHamming: Int = 3): DataFrame =
+    hammingDedup(audioFingerprints(df, idCol, binCol).localCheckpoint(),
+      maxHamming)
 }

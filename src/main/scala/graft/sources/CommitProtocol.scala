@@ -74,14 +74,34 @@ final class HadoopAtomicCommits(fs: FileSystem, conf: Configuration)
     extends CommitProtocol {
 
   override def putIfAbsent(path: Path, bytes: Array[Byte]): Unit = {
-    val out =
-      try fs.create(path, false) // exclusive create: the atomic claim
-      catch {
-        case e: java.io.IOException =>
+    if ("file" == Option(fs.getUri.getScheme).getOrElse("")) {
+      // RawLocalFileSystem's create(overwrite=false) is CHECK-THEN-ACT
+      // (exists() then plain create — no O_EXCL), so two same-JVM-or-not
+      // writers can both "win" a claim or the ingest lock (found by
+      // ManagerConcurrencySpec: two ingests inside the "exclusive" lock
+      // clobbered each other's shard_bands staging). java.nio
+      // createFile IS the atomic O_EXCL create.
+      val p = java.nio.file.Paths.get(path.toUri.getPath)
+      try {
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
           throw new ConcurrentModificationException(
             s"$path was claimed by another writer", e)
       }
-    try out.write(bytes) finally out.close()
+    } else {
+      val out =
+        try fs.create(path, false) // exclusive create: the atomic claim
+        catch {
+          case e: java.io.IOException =>
+            throw new ConcurrentModificationException(
+              s"$path was claimed by another writer", e)
+        }
+      try out.write(bytes) finally out.close()
+    }
   }
 
   override def swapPointer(path: Path, bytes: Array[Byte]): Unit = {

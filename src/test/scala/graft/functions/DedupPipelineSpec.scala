@@ -227,4 +227,56 @@ class DedupPipelineSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS dp_shard_bands")
     }
   }
+
+  test("exactVerify: pair decisions are true Jaccard, immune to estimator variance") {
+    val s = spark; import s.implicits._
+    // A: 30 unique tokens -> 28 trigrams. A2: last token changed ->
+    // true jac = 27/29 = 0.931 (band-collision prob ~ 1 - 2e-10).
+    // B: first 22 tokens of A + 8 unique -> inter 20, uni 36,
+    // true jac = 0.556 — BELOW the 0.7 threshold, but close enough
+    // that a 64-perm estimate (sigma ~ 0.06) admits it a few percent
+    // of the time. Exact mode must exclude it deterministically.
+    val aToks = (0 until 30).map(j => s"a$j")
+    val docs = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, (aToks.dropRight(1) :+ "zzz").mkString(" ")),
+      (3L, (aToks.take(22) ++ (0 until 8).map(j => s"b$j")).mkString(" ")),
+      (4L, (0 until 30).map(j => s"c$j").mkString(" "))).toDF("doc_id", "text")
+    val p = DedupPipeline.Params(minEstJaccard = 0.7, exactVerify = true)
+    val (pairs, _, keepers) = DedupPipeline.run(docs, "doc_id", "text", p)
+    assert(pairs.as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    assert(keepers.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L, 4L))
+  }
+
+  test("exactVerify through the manager's incremental path (pinned corpus texts)") {
+    val s = spark; import s.implicits._
+    val aToks = (0 until 30).map(j => s"a$j")
+    val m = new graft.etl.CorpusManager("cm_exv", tmpDir("cmexv"), spark,
+      p = DedupPipeline.Params(minEstJaccard = 0.7, exactVerify = true),
+      numBuckets = 4, minTokens = 2)
+    m.ingestInitial(Seq(
+      (1L, aToks.mkString(" "), "web"),
+      (4L, (0 until 30).map(j => s"c$j").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source"))
+    // shard: 10 is a true near copy of corpus doc 1 (jac 0.93 — drops);
+    // 11 overlaps doc 1 at jac 0.556 (below 0.7 — MUST survive exactly)
+    val r = m.ingestShard(Seq(
+      (10L, (aToks.dropRight(1) :+ "zzz").mkString(" "), "web"),
+      (11L, (aToks.take(22) ++ (0 until 8).map(j => s"b$j")).mkString(" "), "web"))
+      .toDF("doc_id", "text", "source"))
+    assert(r.duplicates == 1 && r.ingested == 1, r.toString)
+    val ids = m.corpus().select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L, 11L), ids.toString)
+  }
+
+  test("exactVerify without corpus texts is refused loudly") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "x y z w")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DedupPipeline.runIncremental(spark, docs, "doc_id", "text",
+        "no_such", "/tmp/no_such", 4,
+        DedupPipeline.Params(exactVerify = true))
+    }
+  }
 }

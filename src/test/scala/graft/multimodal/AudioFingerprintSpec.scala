@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Audio fingerprint: planted near-dup recovery over synthesized PCM,
+  * exact gain invariance, stereo/mono agreement, undecodable rows. */
+class AudioFingerprintSpec extends SparkSpec {
+
+  /** Canonical 44-byte-header 16-bit PCM WAV; `samples` interleaved. */
+  private def wav(rate: Int, ch: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  private val N = 2816 // 22 frames x 128 samples
+
+  /** Mixture of 3 doc-specific sines, amplitude ~8000. */
+  private def tone(seed: Int): Array[Short] = {
+    val rnd = new scala.util.Random(seed)
+    val fs = Array.fill(3)(0.01 + rnd.nextDouble() * 0.35)
+    Array.tabulate(N) { i =>
+      val v = fs.map(f => 2600.0 * math.sin(2 * math.Pi * f * i)).sum
+      v.toShort
+    }
+  }
+
+  test("planted noisy copies recovered; independent tones never pair") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 20).flatMap { i =>
+      val base = tone(i * 31 + 7)
+      // near copy: 20 samples nudged by ±10 — second-order energy change
+      val rnd = new scala.util.Random(i)
+      val near = base.clone()
+      (0 until 20).foreach { _ =>
+        val j = rnd.nextInt(N)
+        near(j) = (near(j) + (rnd.nextInt(21) - 10)).toShort
+      }
+      Seq((i.toLong * 2, wav(8000, 1, base)), (i.toLong * 2 + 1, wav(8000, 1, near)))
+    }
+    val pairs = Multimodal.audioDedup(rows.toDF("id", "audio"), "id", "audio",
+        maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing planted pairs: ${planted.diff(pairs).take(5)}")
+    assert(pairs == planted, s"false pairs: ${pairs.diff(planted).take(5)}")
+  }
+
+  test("exact gain invariance: doubling every sample preserves the fingerprint") {
+    val base = tone(99)
+    val loud = base.map(s => (s * 2).toShort) // amplitudes < 16384: no wrap
+    val h0 = Multimodal.audioFingerprint(wav(8000, 1, base)).get
+    assert(Multimodal.audioFingerprint(wav(8000, 1, loud)).get == h0)
+  }
+
+  test("identical-channel stereo fingerprints like its mono mix") {
+    val base = tone(42)
+    val stereo = base.flatMap(s => Array(s, s))
+    val hMono = Multimodal.audioFingerprint(wav(8000, 1, base)).get
+    assert(Multimodal.audioFingerprint(wav(8000, 2, stereo)).get == hMono)
+  }
+
+  test("non-WAV, non-16-bit and too-short clips yield no fingerprint") {
+    assert(Multimodal.audioFingerprint("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioFingerprint(null).isEmpty)
+    assert(Multimodal.audioFingerprint(
+      wav(8000, 1, Array.fill[Short](64)(5))).isEmpty) // < 8/frame
+    // 8-bit WAV: header says bits=8 — refused (decoder is 16-bit PCM)
+    val w8 = wav(8000, 1, tone(1))
+    w8(34) = 8 // bits-per-sample field
+    assert(Multimodal.audioFingerprint(w8).isEmpty)
+  }
+}
