@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.DedupPipeline
+import org.apache.spark.sql.functions._
+
+/** Measures the exact-verify knob at scale: est-Jaccard vs exact
+  * gram-set verify on the same planted corpus (TextScaleProbe's
+  * generator: every 100th doc followed by an exact copy and a 1-token
+  * near copy). Both modes must recover every planted cluster; the
+  * number to read is the delta — exact verify's extra cost is bounded
+  * by the CANDIDATE set, not the corpus. */
+object ExactVerifyProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    val seed = col("id") - when(pmod(col("id"), lit(100)) === 1, 1L)
+      .when(pmod(col("id"), lit(100)) === 2, 2L).otherwise(0L)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(59)),
+          j => concat(lit("w"),
+            when(j === 59 && pmod(col("id"), lit(100)) === 2,
+              pmod(col("id"), lit(5000)) + 5000)
+              .otherwise(pmod(xxhash64(seed, j), lit(5000))))), " ").as("text"))
+      .localCheckpoint()
+    println(s"PROBE corpus ${docs.count()} docs")
+    val expected = nDocs / 100 // components of size 3
+    for (exact <- Seq(false, true)) {
+      val p = DedupPipeline.Params(exactVerify = exact)
+      val tag = if (exact) "exact_verify" else "est_verify"
+      val nComponents = timed(tag) {
+        val (pairs, labels, _) = DedupPipeline.run(docs, "doc_id", "text", p)
+        labels.select("lbl").distinct().count()
+      }
+      require(nComponents == expected,
+        s"$tag: $nComponents clusters, expected $expected")
+      println(s"PROBE $tag clusters $nComponents/$expected")
+      // no blanket unpersist: the shared docs checkpoint must survive
+      // into the second round
+    }
+    spark.stop()
+  }
+}
