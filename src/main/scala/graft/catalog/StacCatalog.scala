@@ -28,12 +28,56 @@ class StacCatalog(val root: String, spark: SparkSession) {
   private def sidecar(p: Path) = new Path(p.getParent, p.getName + ".sha256")
 
   private def staged(p: Path, bytes: Array[Byte]): Unit = {
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
-    val out = fs.create(tmp, true)
+    // unique tmp + true atomic move on file:// — the GriddedStore
+    // pointer lessons (StoreConcurrencySpec): a SHARED tmp name lets
+    // concurrent swaps clobber each other, and Hadoop's local
+    // AbstractFileSystem emulates rename-overwrite as delete-then-
+    // rename (a no-file window). The raw fs skips Hadoop crc sidecars
+    // (integrity is the .sha256 sidecar + read retry).
+    val rfs = graft.sources.ManifestIO.raw(fs)
+    val tmp = new Path(p.getParent,
+      p.getName + ".tmp." + java.util.UUID.randomUUID().toString)
+    val out = rfs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if ("file" == Option(fs.getUri.getScheme).getOrElse("")) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Serialize catalog MUTATIONS behind a short-lived exclusive lock:
+    * every public write is a read-modify-write of shared JSON (root
+    * links, collection extents/links, item prev chains), so two
+    * concurrent publishers would silently lose each other's link or
+    * extent updates. Mutations are millisecond-fast driver JSON work —
+    * waiting is the right policy (bounded; loud after the deadline).
+    * The lock uses the same O_EXCL primitive as the store claims. */
+  private def withCatalogLock[T](f: => T): T = {
+    val lock = new Path(root, "_catalog.lock")
+    fs.mkdirs(new Path(root))
+    val commits = new graft.sources.HadoopAtomicCommits(
+      fs, spark.sparkContext.hadoopConfiguration)
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    var held = false
+    while (!held) {
+      try { commits.putIfAbsent(lock, Array.emptyByteArray); held = true }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire $lock in 60s — live contention, or a " +
+                "crashed publisher left it: verify and delete the lock", e)
+          Thread.sleep(20L + scala.util.Random.nextInt(60))
+      }
+    }
+    try f finally fs.delete(lock, false)
   }
 
   /** Crash-safe JSON write: stage to a sibling tmp file, then
@@ -103,7 +147,7 @@ class StacCatalog(val root: String, spark: SparkSession) {
   def itemPath(name: String, version: String) = new Path(root, s"items/$name/$version.json")
 
   /** `create_root_stac_catalog` (`metadata.py:236-262`): bootstrap once. */
-  def ensureRootCatalog(org: String): Unit =
+  def ensureRootCatalog(org: String): Unit = withCatalogLock {
     if (!fs.exists(rootPath))
       write(rootPath, JObject(List(
         "type" -> JString("Catalog"),
@@ -111,6 +155,7 @@ class StacCatalog(val root: String, spark: SparkSession) {
         "id" -> JString(org),
         "description" -> JString(s"$org root catalog"),
         "links" -> JArray(Nil))))
+  }
 
   /** Spatio-temporal extent of a gridded frame: one distributed agg.
     * Spatial bounds need BOTH latitude and longitude columns (a frame
@@ -160,7 +205,7 @@ class StacCatalog(val root: String, spark: SparkSession) {
     * `links` (registered items) are preserved across upserts, and the
     * collection is linked into the root catalog as a `child` so the
     * tree is walkable root → collection → items. */
-  def upsertCollection(name: String, bbox: Array[Double], interval: (Long, Long)): Unit = {
+  def upsertCollection(name: String, bbox: Array[Double], interval: (Long, Long)): Unit = withCatalogLock {
     val p = collectionPath(name)
     val prior = readJson(p)
     val links: List[JValue] = prior.map(j => (j \ "links") match {
@@ -201,7 +246,7 @@ class StacCatalog(val root: String, spark: SparkSession) {
     * flatten descriptor attrs to properties; link `prev` to the prior
     * version for history. Returns the version id written. */
   def registerItem(d: DatasetDescriptor, bbox: Array[Double],
-                   interval: (Long, Long), version: String): String = {
+                   interval: (Long, Long), version: String): String = withCatalogLock {
     val prev = latestVersion(d.name)
     val props: List[(String, JValue)] =
       d.attrs.toList.map { case (k, v) => k -> (JString(v): JValue) } ++ List(

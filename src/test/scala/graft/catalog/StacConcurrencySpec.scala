@@ -1,0 +1,83 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+
+/** Concurrent catalog publishers: the root/collection/item JSON files
+  * are shared read-modify-write state, so racing publishers must
+  * serialize behind the catalog lock — no lost root link, no lost
+  * extent widening, intact prev chains. */
+class StacConcurrencySpec extends SparkSpec {
+
+  private def desc(name: String) = DatasetDescriptor(
+    name = name, dataVar = "precip", category = Category.Observation,
+    missingValue = Some(-9999.0), cadenceUs = DAY_US,
+    chunk = ChunkGrid(timeBucketUs = 10 * DAY_US, maxRecordsPerFile = 200))
+
+  test("4 racing publishers: every root link lands, extents fold, prev chains intact") {
+    val cat = new StacCatalog(tmpDir("stac-race"), spark)
+    cat.ensureRootCatalog("org")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // threads 0,1: each registers 3 versions of ITS OWN dataset (prev
+    // chains must stay linear); threads 2,3: both widen the SAME
+    // collection with disjoint extents (the fold must see both)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try {
+          if (t < 2) {
+            val name = s"ds$t"
+            cat.upsertCollection(name, Array(-1.0, -1.0, 1.0, 1.0), (0L, 10L))
+            (0 until 3).foreach { v =>
+              cat.registerItem(desc(name), Array(-1.0, -1.0, 1.0, 1.0),
+                (0L, 10L + v), s"v$v")
+            }
+          } else {
+            val lo = if (t == 2) -50.0 else -1.0
+            val hi = if (t == 2) 1.0 else 60.0
+            val iv = if (t == 2) (-500L, 10L) else (0L, 900L)
+            (0 until 5).foreach { _ =>
+              cat.upsertCollection("shared", Array(lo, lo, hi, hi), iv)
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      }, s"pub-$t")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    assert(failures.isEmpty, s"publisher failures: ${failures.toArray.toSeq.take(3)}")
+
+    // root links: all three collections present exactly once
+    val rootLinks = cat.links(cat.readRoot().get)
+      .filter(_._1 == "child").map(_._2)
+    assert(rootLinks.size == rootLinks.distinct.size, s"dup links: $rootLinks")
+    Seq("ds0", "ds1", "shared").foreach { c =>
+      assert(rootLinks.exists(_.endsWith(s"$c.json")), s"lost root link: $c")
+    }
+    // shared collection: the extent fold saw BOTH widenings
+    val j = cat.readCollection("shared").get
+    import org.json4s._
+    val bbox = (j \ "extent" \ "spatial" \ "bbox") match {
+      case JArray(List(JArray(vs))) => vs.map(_.values.toString.toDouble)
+      case other => fail(s"bad bbox: $other")
+    }
+    assert(bbox == List(-50.0, -50.0, 60.0, 60.0), bbox.toString)
+    val iv = (j \ "extent" \ "temporal" \ "interval") match {
+      case JArray(List(JArray(List(a, b)))) =>
+        (a.values.toString.toLong, b.values.toString.toLong)
+      case other => fail(s"bad interval: $other")
+    }
+    assert(iv == (-500L, 900L), iv.toString)
+    // item chains: each dataset's latest is v2 and prev-walks to v0
+    Seq("ds0", "ds1").foreach { name =>
+      assert(cat.latestVersion(name).contains("v2"), name)
+      val item2 = cat.readItem(name, "v2").get
+      val prevs = cat.links(item2).filter(_._1 == "prev").map(_._2)
+      assert(prevs.exists(_.endsWith("v1.json")), s"$name prev chain broken")
+      // the collection links every registered item
+      val itemLinks = cat.links(cat.readCollection(name).get)
+        .filter(_._1 == "item").map(_._2)
+      assert((0 until 3).forall(v => itemLinks.exists(_.endsWith(s"v$v.json"))),
+        s"$name item links: $itemLinks")
+    }
+  }
+}
