@@ -61,7 +61,8 @@ case class CorpusFiles(
     hashes: Seq[String],
     sketch: Seq[String],
     bands: Seq[String],
-    vecs: Seq[String] = Nil)
+    vecs: Seq[String] = Nil,
+    media: Seq[String] = Nil)
 
 /** A shard's vocabulary diverged below the configured containment
   * floor — the documents-side analog of
@@ -164,7 +165,15 @@ class CorpusManager(
     blocklistN: Int = 3,
     maxContamination: Double = 0.5,
     gopherGate: Boolean = false,
-    gopherStopwords: Seq[String] = Seq("the", "a", "of", "and")) {
+    gopherStopwords: Seq[String] = Seq("the", "a", "of", "and"),
+    // perceptual MEDIA dedup signal (image pHash / audio fingerprint
+    // over a binary column): near-identical media pairs join the same
+    // dup graph as the text and embedding signals. The persisted
+    // artifact is one (id, 63-bit hash) table — 16 B/doc, so the
+    // corpus-side block scan stays trivial at any corpus size and the
+    // shard-side block rows are the small join side.
+    mediaCol: Option[String] = None,
+    mediaMaxHamming: Int = 3) {
 
   def docsPath: String = s"$root/docs"
   def dedupPath: String = s"$root/dedup"
@@ -184,6 +193,7 @@ class CorpusManager(
   // failure on the missing path — no silent fallback to a dir whose
   // cells a retrained quantizer would contradict).
   private def annDir(v: Long): String = s"$root/ann/v$v"
+  def mediaPath: String = s"$root/media_hashes"
   def vecsPath(v: Long): String = s"${annDir(v)}/vectors"
   private def centsPath(v: Long): String = s"${annDir(v)}/centroids"
   private def vecsTable(v: Long): String = s"${name}_vecs_v$v"
@@ -248,12 +258,13 @@ class CorpusManager(
     implicit val fmt: Formats = DefaultFormats
     scala.util.Try(jackson.JsonMethods.parse(txt) \ "files")
       .toOption.collect { case o: JObject =>
-        // manifests older than the embedding artifact carry no "vecs"
-        val withVecs =
-          if ((o \ "vecs") == JNothing)
-            JObject(o.obj :+ ("vecs" -> (JArray(Nil): JValue)))
-          else o
-        withVecs.extract[CorpusFiles]
+        // manifests older than the embedding/media artifacts carry no
+        // "vecs"/"media" lists
+        val withDefaults = Seq("vecs", "media").foldLeft(o) { (j, k) =>
+          if ((j \ k) == JNothing) JObject(j.obj :+ (k -> (JArray(Nil): JValue)))
+          else j
+        }
+        withDefaults.extract[CorpusFiles]
       }
   }
 
@@ -323,7 +334,8 @@ class CorpusManager(
       "files" -> JObject(
         "docs" -> arr(files.docs), "sigs" -> arr(files.sigs),
         "hashes" -> arr(files.hashes), "sketch" -> arr(files.sketch),
-        "bands" -> arr(files.bands), "vecs" -> arr(files.vecs)))))
+        "bands" -> arr(files.bands), "vecs" -> arr(files.vecs),
+        "media" -> arr(files.media)))))
     val bytes = graft.sources.ManifestIO.seal(
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     fs.mkdirs(gensDir)
@@ -383,6 +395,29 @@ class CorpusManager(
     readPinned(snapshotFiles().map(_.hashes), hashesPath)
   private def sketchDf(): DataFrame =
     readPinned(snapshotFiles().map(_.sketch), sketchPath)
+  private def mediaDf(): DataFrame =
+    readPinned(snapshotFiles().map(_.media), mediaPath)
+
+  // ---- perceptual media dedup signal ------------------------------------
+
+  /** (id, h) media hashes of `df`'s `mediaCol`; undecodable rows have
+    * no hash and simply contribute no media edges. */
+  private def mediaHashesOf(df: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.mediaHashes(
+      df.select(col(idCol), col(mediaCol.get)), idCol, mediaCol.get)
+
+  /** Within-batch media near-dup edges (d1 < d2). */
+  private def mediaIntraPairs(hashes: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.hammingPairs(hashes, mediaMaxHamming)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+
+  /** Shard-vs-corpus media near-dup edges: the shard's block rows
+    * (small side) equi-join the pinned corpus hash table's block rows —
+    * the corpus side is a 16 B/doc scan, never shuffled. */
+  private def mediaCrossPairs(shardHashes: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.hammingPairsBetween(
+        shardHashes, mediaDf(), mediaMaxHamming) // artifact is (id, h)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
 
   /** Pre-ingest quality gate (`pre_parse_quality_check` analog for
     * documents): non-null text with at least `minTokens` whitespace
@@ -654,17 +689,21 @@ class CorpusManager(
     // candidates + cosine verify, drop non-minimum component members
     // (text dups collapsed first, so both signals apply without double
     // work)
-    val keepers = embCol match {
-      case Some(_) =>
+    val keepers =
+      if (embCol.isEmpty && mediaCol.isEmpty) textKeepers
+      else {
         val tk = textKeepers.localCheckpoint()
+        // every extra signal's edges join ONE dup graph (embedding
+        // cosine, perceptual media) over the text-unique keepers
+        val extra = embCol.map(_ => embIntraPairs(tk)).toSeq ++
+          mediaCol.map(_ => mediaIntraPairs(mediaHashesOf(tk))).toSeq
         val labels = graft.functions.DedupFunctions.connectedComponents(
-          embIntraPairs(tk)
+          extra.reduce(_ unionByName _)
             .select(col("d1").as("src"), col("d2").as("dst")))
         val drops = labels.filter(col("lbl") < col("id"))
           .select(col("id").as(idCol))
         tk.join(drops, Seq(idCol), "left_anti")
-      case None => textKeepers
-    }
+      }
     keepers.write.mode("overwrite").parquet(docsPath)
     // re-read: 3 derived passes scan parquet, not the dedup DAG
     val kept = spark.read.parquet(docsPath)
@@ -684,11 +723,15 @@ class CorpusManager(
         assignCells(kept, e, trainQuantizer(kept, e, 1)),
         vecsTable(1), vecsPath(1), numBuckets, Seq("cell"))
     }
+    mediaCol.foreach { _ =>
+      mediaHashesOf(kept).write.mode("overwrite").parquet(mediaPath)
+    }
     val (nIn, nRej, nKept) = (docs.count(), rej.count(), kept.count())
     commitManifest(nKept, 1, CorpusFiles(
       listDir(docsPath).toSeq, listDir(sigsPath).toSeq,
       listDir(hashesPath).toSeq, listDir(sketchPath).toSeq,
-      listDir(bandsDir(1)).toSeq, listDir(vecsPath(1)).toSeq))
+      listDir(bandsDir(1)).toSeq, listDir(vecsPath(1)).toSeq,
+      listDir(mediaPath).toSeq))
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, Nil)
   }
 
@@ -818,7 +861,13 @@ class CorpusManager(
     val embEdges = shardAssigned.map { a =>
       embCandidates(a).unionByName(embIntraPairs(shard))
     }
-    val pairs = embEdges.foldLeft(
+    // media edges: intra-shard blocked pairs + shard-vs-pinned-corpus
+    // blocked pairs — same dup graph as text/embedding signals
+    val shardMedia = mediaCol.map(_ => mediaHashesOf(shard).localCheckpoint())
+    val mediaEdges = shardMedia.map { mh =>
+      mediaCrossPairs(mh).unionByName(mediaIntraPairs(mh))
+    }
+    val pairs = (embEdges.toSeq ++ mediaEdges.toSeq).foldLeft(
         nearPairs.unionByName(exactCross).unionByName(exactIntra))(
         _ unionByName _)
       .distinct().localCheckpoint()
@@ -866,7 +915,8 @@ class CorpusManager(
     val before = Map(
       docsPath -> listDir(docsPath), sigsPath -> listDir(sigsPath),
       hashesPath -> listDir(hashesPath), sketchPath -> listDir(sketchPath),
-      activeBands -> listDir(activeBands), activeVecs -> listDir(activeVecs))
+      activeBands -> listDir(activeBands), activeVecs -> listDir(activeVecs),
+      mediaPath -> listDir(mediaPath))
     def fresh(dir: String): Seq[String] = (listDir(dir) -- before(dir)).toSeq
 
     keepers.write.mode("append").parquet(docsPath)
@@ -882,12 +932,16 @@ class CorpusManager(
         assignCells(keepers, e, readCentroids()), vecsTable(man.bandsVersion),
         numBuckets, Seq("cell"))
     }
+    mediaCol.foreach { _ =>
+      mediaHashesOf(keepers).write.mode("append").parquet(mediaPath)
+    }
 
     val (nIn, nRej, nKept) = (newDocs.count(), rej.count(), keepers.count())
     commitManifest(man.nDocs + nKept, man.bandsVersion, CorpusFiles(
       prev.docs ++ fresh(docsPath), prev.sigs ++ fresh(sigsPath),
       prev.hashes ++ fresh(hashesPath), fresh(sketchPath),
-      prev.bands ++ fresh(activeBands), prev.vecs ++ fresh(activeVecs)))
+      prev.bands ++ fresh(activeBands), prev.vecs ++ fresh(activeVecs),
+      prev.media ++ fresh(mediaPath)))
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, drift)
   }
 
@@ -987,9 +1041,13 @@ class CorpusManager(
         listDir(vecsPath(v2)).toSeq
       case None => snapshotFiles().map(_.vecs).getOrElse(Nil)
     }
+    val newMedia = mediaCol match {
+      case Some(_) => rewrite(mediaDf(), mediaPath, 1) // 16 B/doc table
+      case None => snapshotFiles().map(_.media).getOrElse(Nil)
+    }
     commitManifest(man.nDocs, v2, CorpusFiles(
       newDocs, newSigs, newHashes, newSketch, listDir(bandsDir(v2)).toSeq,
-      newVecs))
+      newVecs, newMedia))
   }
 
   /** One-shot migration for stores created BEFORE the versioned ANN
@@ -1105,7 +1163,7 @@ class CorpusManager(
         "vacuum would treat every artifact file as an orphan")
     val referenced = retained
       .flatMap(f => f.docs ++ f.sigs ++ f.hashes ++ f.sketch ++ f.bands ++
-        f.vecs).toSet
+        f.vecs ++ f.media).toSet
     val dedupP = new org.apache.hadoop.fs.Path(dedupPath)
     val bandVersions =
       if (!fs.exists(dedupP)) Nil
@@ -1124,7 +1182,7 @@ class CorpusManager(
     // and die with their version dir below
     val all = listDir(docsPath) ++ listDir(sigsPath) ++ listDir(hashesPath) ++
       listDir(sketchPath) ++ bandVersions.flatMap(v => listDir(bandsDir(v))) ++
-      annVersions.flatMap(v => listDir(vecsPath(v)))
+      annVersions.flatMap(v => listDir(vecsPath(v))) ++ listDir(mediaPath)
     val doomed = (all -- referenced).toSeq.sorted
     doomed.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(root, f), false))

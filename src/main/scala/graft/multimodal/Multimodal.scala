@@ -554,18 +554,16 @@ object Multimodal {
       })
   }
 
-  /** Pigeonhole-blocked Hamming join over a 63-bit hash column
+  /** Pigeonhole block rows `(id, h, q, bk)` of a 63-bit hash column
     * (id, h): the hash splits into maxHamming+1 disjoint blocks, and a
     * pair within the radius must agree exactly on at least one block
-    * (≤ maxHamming bits differ, so ≥ 1 block is untouched) — recall
-    * 1.0 AT the declared radius by construction, candidates from plain
-    * block equi-joins, never an all-pairs comparison. */
-  private def hammingDedup(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    * (≤ maxHamming bits differ, so ≥ 1 block is untouched). */
+  def hashBlocks(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 8,
       s"maxHamming must be in [0,8], got $maxHamming")
     val nBlocks = maxHamming + 1
     val width = 63.0 / nBlocks
-    val blocks = hashes.select(col("id"), col("h"),
+    hashes.select(col("id"), col("h"),
       explode(array((0 until nBlocks).map { q =>
         val lo = math.round(q * width).toInt
         val hi = math.round((q + 1) * width).toInt // [lo, hi), last = 63
@@ -574,6 +572,14 @@ object Multimodal {
             .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bk"))
       }: _*)).as("blk"))
       .select(col("id"), col("h"), col("blk.q"), col("blk.bk"))
+  }
+
+  /** Pigeonhole-blocked Hamming SELF-join over a 63-bit hash column
+    * (id, h): recall 1.0 AT the declared radius by construction,
+    * candidates from plain block equi-joins, never an all-pairs
+    * comparison. Returns (id1 < id2, hamming). */
+  def hammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val blocks = hashBlocks(hashes, maxHamming)
     blocks.as("a").join(blocks.as("b"),
         col("a.q") === col("b.q") && col("a.bk") === col("b.bk") &&
           col("a.id") < col("b.id"))
@@ -583,17 +589,56 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** CROSS variant (left-vs-right in ONE id namespace, e.g. a shard's
+    * hashes against a pinned corpus hash table): same blocking, pairs
+    * normalized (id1 < id2). Equal ids (a replayed doc meeting its own
+    * committed hash) are excluded. */
+  def hammingPairsBetween(left: DataFrame, right: DataFrame,
+                          maxHamming: Int): DataFrame = {
+    val lb = hashBlocks(left, maxHamming)
+    val rb = hashBlocks(right, maxHamming)
+    lb.as("a").join(rb.as("b"),
+        col("a.q") === col("b.q") && col("a.bk") === col("b.bk") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"),
+        expr("bit_count(a.h ^ b.h)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-duplicate IMAGE pairs at Hamming distance ≤ maxHamming over
     * the 63-bit perceptual hash — the multimodal twin of SimHash text
     * dedup (see [[hammingDedup]] for the blocking guarantee). Returns
     * (id1, id2, hamming), id1 < id2. */
   def perceptualDedup(df: DataFrame, idCol: String, binCol: String,
                       maxHamming: Int = 3): DataFrame =
-    hammingDedup(
+    hammingPairs(
       perceptualHashes(df, idCol, binCol).toDF()
         .select(col("id"), col("phash").as("h"))
         .localCheckpoint(), // one decode pass, not one per join side
       maxHamming)
+
+  /** Modality-dispatching 63-bit hash: image pHash when the bytes
+    * decode as an image, else the audio fingerprint — the one media
+    * signature a mixed-modality corpus column needs. Hashes from
+    * different modalities land in uncorrelated bit patterns, so a
+    * cross-modality pair at Hamming ≤ 8 is as unlikely as any random
+    * collision. */
+  def mediaHash(b: Array[Byte]): Option[Long] =
+    perceptualHash(b).orElse(audioFingerprint(b))
+
+  /** Per-row [[mediaHash]]es as (id, h); undecodable rows dropped. */
+  def mediaHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        mediaHash(bytes).map((id, _))
+      })
+      .toDF("id", "h")
+  }
 
   // ---- audio fingerprint (Haitsma–Kalker band-energy family) -----------
 
@@ -689,6 +734,6 @@ object Multimodal {
     * 63-bit fingerprint — same pigeonhole blocking as image dedup. */
   def audioDedup(df: DataFrame, idCol: String, binCol: String,
                  maxHamming: Int = 3): DataFrame =
-    hammingDedup(audioFingerprints(df, idCol, binCol).localCheckpoint(),
+    hammingPairs(audioFingerprints(df, idCol, binCol).localCheckpoint(),
       maxHamming)
 }

@@ -1,0 +1,86 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Perceptual media dedup at corpus ingest: near-identical images with
+  * FRESH texts dedup through the media signal alone, across initial
+  * batch, shard-vs-corpus, compaction, and vacuum. */
+class MediaDedupSpec extends SparkSpec {
+
+  private def p5(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ Array.tabulate(w * h)(i => (pix(i % w, i / w) & 0xff).toByte)
+  }
+
+  private def img(seed: Int): Array[Byte] = p5(64, 64, (x, y) => {
+    val s = new scala.util.Random(seed * 7919 + x / 8 * 31 + y / 8).nextInt(200)
+    (s + (x + y) % 16) % 255
+  })
+
+  /** seed's image with one 4×4 patch nudged — a perceptual near-dup. */
+  private def imgNear(seed: Int): Array[Byte] = p5(64, 64, (x, y) => {
+    val s = new scala.util.Random(seed * 7919 + x / 8 * 31 + y / 8).nextInt(200)
+    (s + (x + y) % 16) % 255 +
+      (if (x >= 20 && x < 24 && y >= 40 && y < 44) 10 else 0)
+  })
+
+  private def text(seed: Int): String =
+    (0 until 12).map(j => s"m${seed}x$j").mkString(" ")
+
+  private def docs(rows: Seq[(Long, String, String, Array[Byte])]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source", "img")
+  }
+
+  private def ids(m: CorpusManager): Set[Long] =
+    m.corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("media near-dups with fresh texts dedup across initial, shard, compaction") {
+    val m = new CorpusManager("cm_media", tmpDir("cmmedia"), spark,
+      numBuckets = 4, minTokens = 2, mediaCol = Some("img"))
+    // initial: 1 and 2 share a near-identical image, texts fully fresh;
+    // 3 has its own image; 4's bytes are undecodable (no media signal)
+    val r0 = m.ingestInitial(docs(Seq(
+      (1L, text(1), "web", img(1)),
+      (2L, text(2), "web", imgNear(1)),
+      (3L, text(3), "web", img(3)),
+      (4L, text(4), "web", "not an image".getBytes))))
+    assert(r0.ingested == 3 && r0.duplicates == 1, r0.toString)
+    assert(ids(m) == Set(1L, 3L, 4L))
+
+    // shard: 10 reuses doc 3's image (near) with fresh text — must drop
+    // via the PINNED corpus hash table; 11 is fresh on every signal
+    val r1 = m.ingestShard(docs(Seq(
+      (10L, text(10), "web", imgNear(3)),
+      (11L, text(11), "web", img(11)))))
+    assert(r1.duplicates == 1 && r1.ingested == 1, r1.toString)
+    assert(ids(m) == Set(1L, 3L, 4L, 11L))
+
+    // compaction rewrites the media artifact; the signal still works
+    m.compactArtifacts()
+    val r2 = m.ingestShard(docs(Seq(
+      (20L, text(20), "web", imgNear(11)),
+      (21L, text(21), "web", img(21)))))
+    assert(r2.duplicates == 1 && r2.ingested == 1, r2.toString)
+    assert(ids(m) == Set(1L, 3L, 4L, 11L, 21L))
+
+    // vacuum after compaction: corpus intact, dedup still works
+    m.vacuum(retainLast = 1)
+    assert(ids(m) == Set(1L, 3L, 4L, 11L, 21L))
+    val r3 = m.ingestShard(docs(Seq((30L, text(30), "web", imgNear(21)))))
+    assert(r3.duplicates == 1 && r3.ingested == 0, r3.toString)
+  }
+
+  test("a media-less corpus (mediaCol unset) is unaffected and its manifest reads back") {
+    val m = new CorpusManager("cm_nomedia", tmpDir("cmnomedia"), spark,
+      numBuckets = 4, minTokens = 2)
+    val s = spark
+    import s.implicits._
+    m.ingestInitial(Seq((1L, text(1), "web"), (2L, text(2), "web"))
+      .toDF("doc_id", "text", "source"))
+    assert(m.readManifest().exists(_.generation == 1L))
+    assert(ids(m) == Set(1L, 2L))
+  }
+}
