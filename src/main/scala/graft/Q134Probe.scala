@@ -41,14 +41,14 @@ object Q134Probe {
           .localCheckpoint()
       }
       val prefix = ranked.filter(
-        col("rn") <= col("n") - expr("((3 * n) + 4) div 5") + lit(1))
+        col("rn") <= col("n") - expr("((4 * n) + 4) div 5") + lit(1))
       val bound = least(col("a.rn"), col("b.rn")) +
         least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.h") === col("b.h") && col("a._id") < col("b._id") &&
-            lit(3) * greatest(col("a.n"), col("b.n")) <=
+            lit(4) * greatest(col("a.n"), col("b.n")) <=
               lit(5) * least(col("a.n"), col("b.n")) &&
-            lit(8) * bound >= lit(3) * (col("a.n") + col("b.n")))
+            lit(9) * bound >= lit(4) * (col("a.n") + col("b.n")))
         .select(col("a._id").as("d1"), col("b._id").as("d2"),
           col("a.n").as("n1"), col("b.n").as("n2"))
       timed("cand_raw")(println("  raw " + cand.count()))
@@ -61,7 +61,7 @@ object Q134Probe {
         .join(s2, col("d2") === col("_i2"))
         .select(col("d1"), col("d2"), col("n1"), col("n2"),
           size(array_intersect(col("_g1"), col("_g2"))).cast("long").as("inter"))
-        .filter(lit(5) * col("inter") >= lit(3) * (col("n1") + col("n2") - col("inter")))
+        .filter(lit(5) * col("inter") >= lit(4) * (col("n1") + col("n2") - col("inter")))
       timed("verify_arrays")(println("  pairs " + out.count()))
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
