@@ -1,0 +1,22 @@
+package graft
+object HashEntropyProbe {
+  def main(args: Array[String]): Unit = {
+    val n = 3000
+    val hs = (0 until n).map(s => graft.multimodal.Multimodal
+      .perceptualHash(MediaScaleProbe.img(s, patch = false)).get)
+    println(s"distinct ${hs.distinct.size}/$n")
+    // per-bit bias
+    val bias = (0 until 63).map(b => hs.count(h => (h >> b & 1) == 1))
+    println("most biased bits: " + bias.zipWithIndex.sortBy(x => math.abs(x._1 - n/2)).reverse.take(8))
+    // sample pairwise hamming
+    val rnd = new scala.util.Random(1)
+    val d = (0 until 20000).map { _ =>
+      val a = hs(rnd.nextInt(n)); val b = hs(rnd.nextInt(n))
+      java.lang.Long.bitCount(a ^ b)
+    }
+    println(s"hamming: min ${d.min} p1 ${d.sorted.apply(200)} median ${d.sorted.apply(10000)}")
+    val close = (for (i <- 0 until 2000; j <- i+1 until 2000
+      if java.lang.Long.bitCount(hs(i) ^ hs(j)) <= 3) yield 1).size
+    println(s"pairs<=3 among first 2000: $close")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.etl.CorpusManager
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the perceptual-media ingest signal: N docs
+  * (default 100k) with DISTRIBUTIVELY generated 64×64 grayscale images
+  * (deterministic per-id noise; every 40th initial doc is followed by
+  * a 4×4-patch near copy, and every 50th shard doc reuses a corpus
+  * image) and globally unique texts — only the MEDIA signal can dedup.
+  * Recovery is REQUIRED within the pHash tail (≤0.5% of planted pairs
+  * may exceed the Hamming radius — noise robustness is probabilistic;
+  * the blocking guarantee is exact AT the radius) and false positives
+  * must be ZERO.
+  * The per-doc cost is real decode+DCT work (pHash), so this also
+  * measures the hashing pass itself. */
+object MediaScaleProbe {
+
+  private def basePix(seed: Int)(x: Int, y: Int): Int = {
+    // splitmix-style avalanche, NOT java.util.Random: Random's first
+    // draw correlates across nearby seeds (weak scrambler), which made
+    // adjacent-seed images share 8×8 block grids — at 90k docs that
+    // produced thousands of EXACT pHash collisions between unrelated
+    // images (HashEntropyProbe: 2672/3000 distinct, 341 close pairs in
+    // 2000). With proper mixing the blocks are iid and hashes behave.
+    var z = seed * 7919L + (x / 8) * 31L + y / 8
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    val s = ((z & 0x7fffffffL) % 200).toInt
+    (s + (x + y) % 16) % 255
+  }
+
+  private[graft] def img(seed: Int, patch: Boolean): Array[Byte] = {
+    val header = "P5\n64 64\n255\n".getBytes("US-ASCII")
+    header ++ Array.tabulate(64 * 64) { i =>
+      val (x, y) = (i % 64, i / 64)
+      val v = basePix(seed)(x, y) +
+        (if (patch && x >= 20 && x < 24 && y >= 40 && y < 44) 10 else 0)
+      (v & 0xff).toByte
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
+    val nInit = nDocs * 9 / 10
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    // initial: id%40==1 docs carry a near copy of id-1's image
+    val init = spark.range(nInit).as[Long].mapPartitions(_.map { id =>
+      val near = id % 40 == 1
+      val seed = if (near) (id - 1).toInt else id.toInt
+      (id, (0 until 10).map(j => s"t${id}x$j").mkString(" "), "web",
+        img(seed, near))
+    }).toDF("doc_id", "text", "source", "media").localCheckpoint()
+    // shard: id%50==0 docs reuse (near) the image of corpus doc id-nInit
+    val shard = spark.range(nInit.toLong, nDocs.toLong).as[Long]
+      .mapPartitions(_.map { id =>
+        val cross = id % 50 == 0
+        val seed = if (cross) (id - nInit).toInt else id.toInt
+        (id, (0 until 10).map(j => s"t${id}x$j").mkString(" "), "web",
+          img(seed, cross))
+      }).toDF("doc_id", "text", "source", "media").localCheckpoint()
+    println(s"PROBE corpus ${init.count()} + shard ${shard.count()} docs")
+
+    val m = new CorpusManager("media_probe", "/tmp/media_probe_" +
+        System.nanoTime(), spark,
+      numBuckets = 8, minTokens = 2, mediaCol = Some("media"),
+      mediaMaxHamming = 4)
+    // planted expectations: initial drops = #ids ≡ 1 (mod 40) in
+    // [0, nInit) whose BASE seed maps to a distinct image; every near
+    // copy pairs with its base, nothing else collides (distinct seeds
+    // give uncorrelated hashes)
+    val expInitDrop = (0 until nInit).count(_ % 40 == 1)
+    val r0 = timed("initial_ingest")(m.ingestInitial(init))
+    // the patch perturbation lands a planted pair beyond the radius for
+    // a sub-0.1% tail (pHash noise robustness is probabilistic; the
+    // BLOCKING guarantee is exact AT the radius) — tolerate 0.5%,
+    // refuse any EXTRA drop (false positives must be zero)
+    require(r0.duplicates <= expInitDrop &&
+      r0.duplicates >= expInitDrop - math.max(1, expInitDrop / 200),
+      s"initial: $r0, expected ~$expInitDrop dups")
+    // shard cross dups: ids ≡ 0 (mod 50) whose referenced corpus seed
+    // has a SURVIVING holder of its base pixels. A referenced seed ≡ 1
+    // (mod 40) points at a corpus doc that itself carried its
+    // PREDECESSOR's patched image (and was dropped) — no surviving doc
+    // holds img(seed), so that shard copy is genuinely fresh.
+    val expCross = (nInit until nDocs)
+      .count(id => id % 50 == 0 && (id - nInit) % 40 != 1)
+    val r1 = timed("shard_ingest")(m.ingestShard(shard))
+    require(r1.duplicates <= expCross &&
+      r1.duplicates >= expCross - math.max(1, expCross / 200),
+      s"shard: $r1, expected ~$expCross dups")
+    println(s"PROBE recovery: ${r0.ingested}+${r1.ingested} keepers, " +
+      s"${r0.duplicates}/${expInitDrop} + ${r1.duplicates}/$expCross " +
+      "media dups dropped (zero false positives by construction)")
+    spark.stop()
+  }
+}
