@@ -93,6 +93,20 @@ class SetSimJoinSpec extends SparkSpec {
     assert(exp.exists(p => p._1 == p._2) == got.exists(p => p._1 == p._2))
   }
 
+  test("duplicate ids are refused loudly, not silently mis-joined") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, Seq("a", "b", "c")), (1L, Seq("x", "y", "z")),
+      (2L, Seq("a", "b", "c"))).toDF("id", "grams")
+    intercept[IllegalArgumentException] {
+      SetSimJoin.join(docs, "id", "grams", 4, 5).count()
+    }
+    val clean = Seq((2L, Seq("a", "b", "c"))).toDF("id", "grams")
+    intercept[IllegalArgumentException] {
+      SetSimJoin.joinBetween(docs, clean, "id", "grams", 4, 5).count()
+    }
+  }
+
   test("plan: no cartesian product, no broadcast nested loop") {
     val s = spark
     import s.implicits._
