@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import org.apache.spark.sql.functions._
+
+/** Model-based fuzz: random op sequences (append / region-correct /
+  * compact / vacuum / repair) against an in-memory map of the expected
+  * cell values. After EVERY op the store must read back exactly the
+  * model; the latest committed version must time-travel to its
+  * recorded snapshot; vacuum must never change what readers see. This
+  * is the oracle the individual protocol specs can't be: it explores
+  * op ORDERINGS nobody thought to write a test for. */
+class StoreModelSpec extends SparkSpec {
+
+  private def desc(name: String) = DatasetDescriptor(
+    name = name, dataVar = "precip", category = Category.Observation,
+    missingValue = Some(-9999.0), cadenceUs = DAY_US,
+    chunk = ChunkGrid(timeBucketUs = 5 * DAY_US, maxRecordsPerFile = 100))
+
+  private val NLAT = 3
+  private val NLON = 3
+
+  /** The expected cells of cube(nDays, NLAT, NLON, startDay, off). */
+  private def cells(nDays: Int, startDay: Long, off: Double,
+                    nLat: Int = NLAT, nLon: Int = NLON) =
+    for {
+      d <- 0 until nDays; la <- 0 until nLat; lo <- 0 until nLon
+    } yield ((startDay + d) * DAY_US, -1.0 + la * 0.25, 10.0 + lo * 0.25) ->
+      (off + d * 100.0 + la * 10.0 + lo)
+
+  private def readAll(df: org.apache.spark.sql.DataFrame) =
+    df.select("time", "latitude", "longitude", "precip").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+
+  test("randomized op sequences match the in-memory model (3 seeds)") {
+    Seq(11, 22, 33).foreach(runModel)
+  }
+
+  private def runModel(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val store = new GriddedStore(tmpDir(s"model$seed"), spark)
+    var model = Map.empty[(Long, Double, Double), Double]
+    var nDays = 4
+    store.writeInitial(cube(nDays, NLAT, NLON), desc(s"m$seed"))
+    model ++= cells(nDays, 0, 0.0)
+    var snapshots = List.empty[(Long, Map[(Long, Double, Double), Double])]
+
+    def check(tag: String): Unit = {
+      val got = readAll(store.read())
+      assert(got == model,
+        s"[seed $seed] $tag: ${got.size} cells vs model ${model.size}; " +
+          s"diff sample: ${(got.toSet diff model.toSet).take(3)}")
+    }
+    def snap(): Unit =
+      snapshots = (store.latestCommittedVersion(), model) :: snapshots
+
+    snap()
+    check("initial")
+    (0 until 12).foreach { i =>
+      rnd.nextInt(5) match {
+        case 0 => // append 1-2 days
+          val k = 1 + rnd.nextInt(2)
+          val off = rnd.nextInt(50) * 1000.0
+          store.update(cube(k, NLAT, NLON, startDay = nDays, valueOffset = off))
+          model ++= cells(k, nDays, off)
+          nDays += k
+          snap()
+        case 1 => // region correction: random day, spatial subset
+          val day = rnd.nextInt(nDays)
+          val (nla, nlo) = (1 + rnd.nextInt(NLAT), 1 + rnd.nextInt(NLON))
+          val off = 90000.0 + rnd.nextInt(50) * 1000.0
+          store.update(cube(1, nla, nlo, startDay = day, valueOffset = off))
+          model ++= cells(1, day, off, nla, nlo)
+          snap()
+        case 2 => store.compact(); snap()
+        case 3 => store.vacuum(retainLast = 2)
+        case 4 => store.repair() // clean store: must be a no-op
+      }
+      check(s"op$i")
+    }
+    // latest committed version time-travels to its recorded snapshot
+    val (v, ms) = snapshots.head
+    assert(readAll(store.readAt(v)) == ms, s"[seed $seed] readAt($v)")
+  }
+}
