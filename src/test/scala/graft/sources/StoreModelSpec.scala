@@ -59,7 +59,7 @@ class StoreModelSpec extends SparkSpec {
     snap()
     check("initial")
     (0 until 12).foreach { i =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 => // append 1-2 days
           val k = 1 + rnd.nextInt(2)
           val off = rnd.nextInt(50) * 1000.0
@@ -77,6 +77,14 @@ class StoreModelSpec extends SparkSpec {
         case 2 => store.compact(); snap()
         case 3 => store.vacuum(retainLast = 2)
         case 4 => store.repair() // clean store: must be a no-op
+        case 5 => // encoding surgery: shift the longitude axis
+          EncodingSurgery.rewriteCoordinate(store, "longitude",
+            c => c + lit(360.0))
+          model = model.map { case ((t, la, lo), v) => (t, la, lo + 360.0) -> v }
+          snap()
+          // later corrections target the ORIGINAL lon grid: under the
+          // cell-keyed hyperslab semantics they simply ADD those cells
+          // next to the shifted ones — which `cells()` models as-is
       }
       check(s"op$i")
     }
