@@ -34,8 +34,8 @@ class StoreModelSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)) -> r.getDouble(3))
       .toMap
 
-  test("randomized op sequences match the in-memory model (3 seeds)") {
-    Seq(11, 22, 33).foreach(runModel)
+  test("randomized op sequences match the in-memory model (5 seeds)") {
+    Seq(11, 22, 33, 44, 55).foreach(runModel)
   }
 
   private def runModel(seed: Int): Unit = {
