@@ -42,6 +42,17 @@ object DedupPipeline {
       hasher: Signatures.SigHasher = Signatures.Md5SigHasher,
       exactVerify: Boolean = false) {
     require(bands * rowsPerBand == perms, "bands × rowsPerBand must equal perms")
+
+    /** `minEstJaccard` as an exact rational (num, den): the exactVerify
+      * gate decides in integer cross-multiplication, so a pair whose
+      * exact Jaccard EQUALS a non-binary-representable threshold (0.7,
+      * 0.8, …) cannot flip on FP rounding — the same discipline as
+      * [[graft.operators.SetSimJoin]]'s tNum/tDen. Six decimal places
+      * round-trips every threshold a caller can meaningfully write. */
+    def thresholdRational: (Long, Long) = {
+      val den = 1000000L
+      (math.round(minEstJaccard * den), den)
+    }
   }
   // exactVerify: candidates still come from LSH band collisions (the
   // linear-work stage), but the PAIR DECISION is the exact n-gram-set
@@ -107,13 +118,15 @@ object DedupPipeline {
           TextFunctions.wordNgrams(col(textCol), p.ngram),
           g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("_hs"))
         .localCheckpoint() // both join sides below
+      // integer cross-multiplied gate (tDen·inter ≥ tNum·union): exact
+      // at the threshold, no double rounding — see thresholdRational
+      val (tNum, tDen) = p.thresholdRational
       candC
         .join(gs.select(col(idCol).as("d1"), col("_hs").as("_h1")), "d1")
         .join(gs.select(col(idCol).as("d2"), col("_hs").as("_h2")), "d2")
-        .filter(size(array_intersect(col("_h1"), col("_h2"))).cast("double")
-          >= lit(p.minEstJaccard) *
-            (size(col("_h1")) + size(col("_h2"))
-              - size(array_intersect(col("_h1"), col("_h2")))).cast("double"))
+        .withColumn("_inter", size(array_intersect(col("_h1"), col("_h2"))).cast("long"))
+        .filter(lit(tDen) * col("_inter") >= lit(tNum) *
+          (size(col("_h1")).cast("long") + size(col("_h2")).cast("long") - col("_inter")))
         .select("d1", "d2")
     } else {
       val sa = sigs.select(col(idCol).as("d1"), col("sig").as("siga"))

@@ -111,21 +111,28 @@ object Multimodal {
   private[multimodal] def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    var i = 12
+    // Same Long-offset / uint32-size discipline as [[parseAvi]]: a
+    // corrupt size field read as signed Int can make the offset stall
+    // (sz = -8 advances by 0: infinite loop) or overflow negative
+    // (index exception) — corpus bytes are untrusted, so bail instead.
+    var i = 12L
     var rate = 0; var channels = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
     while (i + 8 <= b.length) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val sz = i32le(b, i + 4)
+      val ii = i.toInt
+      val id = new String(b, ii, 4, "US-ASCII")
+      val sz = i32le(b, ii + 4).toLong & 0xffffffffL
       if (id == "fmt " && i + 24 <= b.length) {
-        channels = i16le(b, i + 10)
-        rate = i32le(b, i + 12)
-        bits = i16le(b, i + 22)
+        channels = i16le(b, ii + 10)
+        rate = i32le(b, ii + 12)
+        bits = i16le(b, ii + 22)
       } else if (id == "data") {
-        dataOff = i + 8
-        dataLen = math.min(sz, b.length - dataOff)
+        dataOff = ii + 8
+        dataLen = math.min(sz, (b.length - dataOff).toLong).toInt
       }
-      i += 8 + sz + (sz & 1) // chunks are word-aligned
+      val next = i + 8 + sz + (sz & 1) // chunks are word-aligned
+      if (next <= i) return None // corrupt size: chunk must strictly advance
+      i = next
     }
     if (rate > 0 && channels > 0 && bits > 0 && dataOff >= 0)
       Some((rate, channels, bits, dataOff, dataLen))
@@ -542,11 +549,25 @@ object Multimodal {
 
   case class ImageHash(id: Long, phash: Long)
 
+  /** The media-hash pipeline keys its Hamming blocks on a Long id; a
+    * silent cast("long") over a string id column would yield nulls and
+    * fail deep inside the ingest job (or silently drop edges), so
+    * reject non-integral id columns up front with a clear message. */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
+      s"media hashing requires an integral id column; '$idCol' is $dt — " +
+        "assign a surrogate Long id (e.g. monotonically_increasing_id or " +
+        "xxhash64 of the natural key) before enabling the media signal")
+  }
+
   /** Per-row perceptual hashes: one decode pass per partition, no
     * shuffle; undecodable rows are dropped (honest: no hash exists). */
   def perceptualHashes(df: DataFrame, idCol: String, binCol: String): Dataset[ImageHash] = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireIntegralId(df, idCol)
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
@@ -632,6 +653,7 @@ object Multimodal {
   def mediaHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireIntegralId(df, idCol)
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>

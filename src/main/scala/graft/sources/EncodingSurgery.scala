@@ -20,8 +20,23 @@ object EncodingSurgery {
 
   def rewriteCoordinate(store: GriddedStore, coord: String,
                         f: Column => Column): DatasetDescriptor = {
-    val d = store.readDescriptor().getOrElse(
+    val pd = store.readDescriptor().getOrElse(
       throw new IllegalStateException("no dataset to modify"))
+    if (pd.updateInProgress)
+      throw new IllegalStateException(
+        "store has an update in progress (crashed writer?); repair first")
+
+    // fixed-base two-phase claim (see GriddedStore.writeDescriptor): a
+    // concurrent mutation collides on the claim file and exactly one
+    // wins. Snapshot BOTH the data and the descriptor from the version
+    // ladder, not the (possibly lagging) pointer — a surgery racing a
+    // just-committed update must not recommit that update's rows under
+    // the pre-update metadata (e.g. a stale dateRange). Same anchoring
+    // as update()/compact() (see GriddedStore.latestCommittedVersion).
+    val base = store.latestVersionNumber()
+    val commitV = store.latestCommittedVersion()
+    val d = (if (commitV > 0) store.readDescriptorAt(commitV) else None)
+      .getOrElse(pd)
     require(coord != d.dataVar,
       s"refusing to modify data variable ${d.dataVar}") // metadata.py:858-866
     require(d.dims.contains(coord), s"unknown coordinate $coord")
@@ -31,19 +46,11 @@ object EncodingSurgery {
     require(coord != d.timeDim,
       s"refusing to rewrite the time dimension ${d.timeDim}; " +
         "use update()/rebuild for time-axis changes")
-    if (d.updateInProgress)
-      throw new IllegalStateException(
-        "store has an update in progress (crashed writer?); repair first")
-
-    // fixed-base two-phase claim (see GriddedStore.writeDescriptor): a
-    // concurrent mutation collides on the claim file and exactly one
-    // wins. Snapshot from the version ladder, not the (possibly
-    // lagging) pointer — see GriddedStore.latestCommittedVersion.
-    val base = store.latestVersionNumber()
-    val commitV = store.latestCommittedVersion()
     val rewritten = (if (commitV > 0) store.readAt(commitV) else store.read())
       .withColumn(coord, f(col(coord)))
-    store.claimInProgress(base, d)
+    val committedFiles =
+      (if (commitV > 0) store.snapshotFilesAt(commitV) else store.snapshotFiles())
+    store.claimInProgress(base, d, committedFiles)
     // A full-store rewrite under the manifest protocol: write the
     // rewritten rows as NEW files next to the old ones (via writeBuckets,
     // so the surgered store keeps the sorted row-group min/max skipping

@@ -78,10 +78,14 @@ object StreamingDedup {
           val (ready, live) = all.partition(_._1 < wmUs)
           val (emitted, last) = fold(key, ready, st.lastEmittedUs, ttlUs)
           // next wake-up: earliest pending row, else the TTL-expiry of
-          // the remembered emission; no future relevance → drop state
+          // the remembered emission; no future relevance → drop state.
+          // `>=` not `>`: Spark still admits rows AT the watermark, and a
+          // future row at exactly t = l + ttl = wm must be suppressed
+          // (emission requires t − l > ttl) — dropping the entry at
+          // equality would re-admit it
           val wake: Option[Long] =
             if (live.nonEmpty) Some(live.map(_._1).min)
-            else last.collect { case l if l + ttlUs > wmUs => l + ttlUs }
+            else last.collect { case l if l + ttlUs >= wmUs => l + ttlUs }
           wake match {
             case Some(w) =>
               state.update(DedupState(live, last))

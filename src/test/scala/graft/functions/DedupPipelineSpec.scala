@@ -249,6 +249,23 @@ class DedupPipelineSpec extends SparkSpec {
       Set(1L, 3L, 4L))
   }
 
+  test("exactVerify admits a pair whose exact Jaccard EQUALS the threshold") {
+    val s = spark; import s.implicits._
+    // prefix 23 tokens → 21 shared trigrams; suffixes of 4 and 5 fresh
+    // tokens → |A|=25, |B|=26 trigrams, union 30: Jaccard = 21/30 =
+    // 0.7 EXACTLY. 0.7 is not binary-representable (0.7·30 > 21.0 in
+    // doubles), so a double-arithmetic gate rejects the pair on FP
+    // rounding; the integer cross-multiplied gate must admit it.
+    val pre = (0 until 23).map(j => s"p$j")
+    val docs = Seq(
+      (1L, (pre ++ (0 until 4).map(j => s"x$j")).mkString(" ")),
+      (2L, (pre ++ (0 until 5).map(j => s"y$j")).mkString(" "))).toDF("doc_id", "text")
+    val p = DedupPipeline.Params(minEstJaccard = 0.7, exactVerify = true)
+    val (pairs, _, _) = DedupPipeline.run(docs, "doc_id", "text", p)
+    assert(pairs.as[(Long, Long)].collect().toSet == Set((1L, 2L)),
+      "exact Jaccard == threshold must pass the >= gate")
+  }
+
   test("exactVerify through the manager's incremental path (pinned corpus texts)") {
     val s = spark; import s.implicits._
     val aToks = (0 until 30).map(j => s"a$j")

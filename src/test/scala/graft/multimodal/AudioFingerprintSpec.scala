@@ -80,4 +80,27 @@ class AudioFingerprintSpec extends SparkSpec {
     w8(34) = 8 // bits-per-sample field
     assert(Multimodal.audioFingerprint(w8).isEmpty)
   }
+
+  test("malformed RIFF chunk sizes terminate (no hang, no throw)") {
+    // sz = -8 as signed Int: a signed-size walk would advance by 0
+    // forever; the uint32/Long walk must bail with None
+    val stall = wav(8000, 1, tone(7))
+    val bb = java.nio.ByteBuffer.wrap(stall).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, -8) // fmt chunk size := -8
+    assert(Multimodal.parseWav(stall).isEmpty)
+    assert(Multimodal.audioFingerprint(stall).isEmpty)
+    // sz near Int.MaxValue: a signed walk overflows to a negative
+    // offset and throws; the Long walk just runs off the end
+    val huge = wav(8000, 1, tone(8))
+    java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue - 3)
+    assert(Multimodal.parseWav(huge).isEmpty)
+    assert(Multimodal.audioFingerprint(huge).isEmpty)
+    // a corrupt size on a LATER chunk must not hang either
+    val tail = wav(8000, 1, tone(9))
+    java.nio.ByteBuffer.wrap(tail).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, -8) // data chunk size := -8
+    assert(Multimodal.audioFingerprint(tail).isEmpty ||
+      Multimodal.audioFingerprint(tail).isDefined) // terminates, either way
+  }
 }

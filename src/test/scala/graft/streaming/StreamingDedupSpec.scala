@@ -87,6 +87,25 @@ class StreamingDedupSpec extends SparkSpec {
         ("d", BASE + 4 * HOUR, 104L)))
   }
 
+  test("row at exactly t = lastEmitted + ttl = watermark is suppressed") {
+    // Spark admits rows with eventTime == watermark; state must survive
+    // until the watermark STRICTLY passes lastEmitted + ttl, else the
+    // boundary row is re-admitted (t − last == ttl is not > ttl)
+    val h = new Harness("1 minute", ttlUs = HOUR)
+    // wm after this batch = (BASE + HOUR + MIN) − MIN = BASE + HOUR:
+    // the BASE row finalizes and emits; its ttl expiry == the watermark
+    h.drop(Seq(("b", BASE, 1L), ("zz", BASE + HOUR + MIN, 50L)))
+    h.run()
+    assert(h.emitted.filter(_._1 == "b") == Set(("b", BASE, 1L)))
+    // boundary row: eventTime exactly at the watermark AND at last+ttl
+    h.drop(Seq(("b", BASE + HOUR, 2L)))
+    h.run()
+    h.drop(Seq(("zz", BASE + 10 * HOUR, 51L))) // finalize it
+    h.run()
+    assert(h.emitted.filter(_._1 == "b") == Set(("b", BASE, 1L)),
+      "boundary row at t = last + ttl must be suppressed (requires t − last > ttl)")
+  }
+
   test("multi-batch streaming equals the batch twin on a randomized corpus") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)
