@@ -278,37 +278,13 @@ object TextQueries {
     // over distinct 3-gram shingle sets. Containment (not Jaccard)
     // catches the asymmetric cases curation cares about — a doc
     // embedding another as a quote scores ~1.0 containment but low
-    // Jaccard. The verify joins shingle arrays per DISTINCT candidate
-    // pair from one reused broadcast (the q34 discipline).
-    "q99_containment" -> ((s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
-        .filter(TextFunctions.tokenCount(col("text")) >= 3)
-      val d = graft.functions.Signatures
-        .minhash(docs, "doc_id", "text", 3, 64)
-        .withColumn("bands", DedupFunctions.bandKeys(col("sig"), 16, 4))
-        .localCheckpoint()
-      val banded = d.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band", "bk")))
-      val pairs = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      val grams = broadcast(docs.select(col("doc_id"),
-        TextFunctions.wordNgrams(col("text"), 3).as("g")))
-      pairs
-        .join(grams.as("ga"), col("d1") === col("ga.doc_id"))
-        .join(grams.as("gb"), col("d2") === col("gb.doc_id"))
-        .select(col("d1"), col("d2"),
-          size(col("ga.g")).cast("bigint").as("na"),
-          size(col("gb.g")).cast("bigint").as("nb"),
-          size(array_intersect(col("ga.g"), col("gb.g")))
-            .cast("bigint").as("inter"))
-        .withColumn("cont",
-          col("inter").cast("double") / least(col("na"), col("nb")))
-        .filter(col("cont") >= 0.5)
-        .orderBy("d1", "d2")
-    }),
+    // Jaccard. The verify is candidate-bounded: gram arrays are built
+    // ONLY for ids that appear in some candidate pair (semi-join), then
+    // joined per DISTINCT pair with SetSimJoin's measured-size merge
+    // guard — never a corpus-sized broadcast (at 100 TB the corpus's
+    // gram arrays dwarf driver memory; an estimate-driven broadcast of
+    // them is an OOM by construction).
+    "q99_containment" -> ((s, dir) => containment(s, dir)),
 
     "q53_bm25" -> ((s, dir) => {
       val terms = Seq("spark", "merge", "window")
@@ -2613,4 +2589,56 @@ object TextQueries {
         |WHERE LEAST(200, (400 * cum + tw - 1) // (2 * tw))
         |    - LEAST(200, (400 * (cum - w) + tw - 1) // (2 * tw)) > 0
         |ORDER BY doc_id""".stripMargin)
+
+  /** q99's body, exposed with a checkpoint toggle so PlanRegressionSpec
+    * can see the WHOLE logical plan (localCheckpoint truncates lineage
+    * into LogicalRDDs, hiding the candidate-bounding semi-join from the
+    * final query's plan). `checkpoint = false` changes only plan
+    * materialization, never semantics. `bigAt` is the measured-row-count
+    * threshold for the merge guard (production default 100k; the spec
+    * lowers it to exercise the big-corpus plan shape at test scale). */
+  private[graft] def containment(s: SparkSession, dir: String,
+                                 checkpoint: Boolean = true,
+                                 bigAt: Long = 100000L): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    val docs = Tables.table(s, dir, "documents")
+      .filter(TextFunctions.tokenCount(col("text")) >= 3)
+    val d = ckpt(graft.functions.Signatures
+      .minhash(docs, "doc_id", "text", 3, 64)
+      .withColumn("bands", DedupFunctions.bandKeys(col("sig"), 16, 4)))
+    val banded = d.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bk")))
+    val pairs = ckpt(banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()) // feeds the id semi-join AND the verify joins
+    val ids = pairs.select(col("d1").as("doc_id"))
+      .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
+    val grams = ckpt(docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextFunctions.wordNgrams(col("text"), 3).as("g")))
+    // measured-size merge guard (the SetSimJoin.scala:100-117 idiom):
+    // when the candidate-id gram frame is genuinely large, pin merge
+    // joins so a tiny size ESTIMATE can never broadcast it; small
+    // corpora keep the planner's broadcast freedom. |grams| ≤ 2·|pairs|
+    // (one row per DISTINCT candidate id), and pairs is already
+    // materialized — the guard costs a count over checkpointed longs,
+    // not an extra pass over the gram arrays
+    val big = 2L * pairs.count() >= bigAt
+    def guarded(df: DataFrame): DataFrame = if (big) df.hint("merge") else df
+    pairs
+      .join(guarded(grams.select(col("doc_id").as("d1"), col("g").as("ga"))), "d1")
+      .join(guarded(grams.select(col("doc_id").as("d2"), col("g").as("gb"))), "d2")
+      .select(col("d1"), col("d2"),
+        size(col("ga")).cast("bigint").as("na"),
+        size(col("gb")).cast("bigint").as("nb"),
+        size(array_intersect(col("ga"), col("gb")))
+          .cast("bigint").as("inter"))
+      .withColumn("cont",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("cont") >= 0.5)
+      .orderBy("d1", "d2")
+  }
 }

@@ -338,4 +338,31 @@ class PlanRegressionSpec extends SparkSpec {
       "funnel stages must be user-keyed min-aggregations, not per-user " +
         "event-ordering windows:\n" + plan)
   }
+
+  test("q99 verify grams are candidate-bounded and never hint-broadcast") {
+    // checkpoint=false exposes the FULL lineage (localCheckpoint would
+    // truncate the semi-join into a LogicalRDD, hiding it from the plan)
+    val df = graft.queries.TextQueries.containment(
+      spark, "/root/testdata/sf0.001", checkpoint = false)
+    val analyzed = df.queryExecution.analyzed.toString()
+    assert(!analyzed.contains("strategy=broadcast"),
+      "q99 must never FORCE a broadcast of corpus gram arrays — at " +
+        "100 TB that is a driver OOM by construction; rely on the " +
+        "measured-size merge guard instead:\n" + analyzed)
+    assert(df.queryExecution.optimizedPlan.toString().contains("LeftSemi"),
+      "gram arrays must be built only for candidate ids (semi-join); " +
+        "a full-corpus gram pass is unbounded work at scale")
+  }
+
+  test("q99 big-corpus mode pins the verify joins to sort-merge") {
+    // bigAt=1 flips the measured-size guard at test scale: the verify
+    // joins must become SortMergeJoin — an estimate-driven broadcast of
+    // the gram frame is exactly the plan the guard exists to forbid
+    val df = graft.queries.TextQueries.containment(
+      spark, "/root/testdata/sf0.001", checkpoint = false, bigAt = 1)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("SortMergeJoin".r.findAllIn(plan).size >= 2,
+      "both verify joins must honor the merge hint when the corpus " +
+        "is measured-big:\n" + plan)
+  }
 }
