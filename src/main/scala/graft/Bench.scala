@@ -17,6 +17,11 @@ object Bench {
     "q102_hll_distinct", "q104_winnow_fingerprints", "q105_winnow_overlap",
     "q106_pagerank", "q108_label_prop", "q109_triangles",
     "q110_coengagement", "q111_fuzzy_join",
+    // round-6 breadth: the store write path and the window-heavy set,
+    // so scale policing covers the gridded/sequence surface too
+    "q10_topk_per_user", "q40_hourly_windows", "q47_asof_join",
+    "q58_chunk_windows", "q64_quantile_profile", "q69_interpolate_gaps",
+    "q76_range_join", "q137_store_roundtrip", "q138_store_correction",
     "q113_bpe_train", "q114_bpe_encode", "q115_conservative_regrid",
     "q116_point_in_polygon", "q118_bitmap_distinct",
     "q121_charset_gate", "q122_budget_mixture", "q123_hybrid_rrf",

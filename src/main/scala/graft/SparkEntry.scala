@@ -24,7 +24,7 @@ object SparkEntry {
       RelationalQueries.queries, TimeSeriesQueries.queries,
       GridQueries.queries, TextQueries.queries,
       VectorQueries.queries, MiscQueries.queries,
-      TokenizerQueries.queries)
+      TokenizerQueries.queries, StoreQueries.queries)
     val merged = packs.reduce(_ ++ _)
     // a duplicate key across packs would SILENTLY shadow a query (and
     // its oracle) out of the verify dump and the bench — fail loudly
@@ -42,5 +42,6 @@ object SparkEntry {
       TextQueries.oracles ++
       VectorQueries.oracles ++
       MiscQueries.oracles ++
-      TokenizerQueries.oracles
+      TokenizerQueries.oracles ++
+      StoreQueries.oracles
 }

@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+import graft.sources.GriddedStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gated coverage for the §2.8 write path (`write_initial_zarr`
+  * `publish.py:240-261`, `update_zarr` `publish.py:265-301`): each query
+  * pushes the `events` table THROUGH a [[GriddedStore]] — initial write,
+  * incremental update (inserts + appends), compaction — then reads it
+  * back via the committed manifest, and the result must hash-match a
+  * DuckDB oracle that reads the source parquet directly. This is the
+  * reference's read-back oracle discipline
+  * (`tests/system/test_chirps.py:217-235`) surfaced to the external
+  * correctness gate; before these, the whole sink protocol was
+  * spec-verified only.
+  *
+  * Events map onto the Observation grid as a degenerate-but-unique cell
+  * assignment: time = epoch micros, latitude = event_id, longitude =
+  * user_id (dim tuples stay unique even on the ×10 bench replicas, which
+  * shift user_id per replica). The store root lives under the JVM temp
+  * dir, keyed by the input dir so verify/bench tiers never collide, and
+  * is rebuilt from scratch each call — the queries are rerun-idempotent
+  * (bench executes them cold + warm in one JVM).
+  */
+object StoreQueries {
+
+  private def desc(timeBucketUs: Long): DatasetDescriptor = DatasetDescriptor(
+    name = "events_roundtrip", dataVar = "value",
+    category = Category.Observation, missingValue = None,
+    cadenceUs = 1L,
+    chunk = ChunkGrid(timeBucketUs = timeBucketUs, maxRecordsPerFile = 20000L),
+    // events are an IRREGULAR cadence (random inter-event gaps): any
+    // strictly-increasing append run is contiguous
+    // (`utils/attributes.py:250-257` update_cadence_bounds)
+    cadenceBoundsUs = Some((1L, 400L * 365 * 24 * 3600 * 1000000L)))
+
+  /** events as tall Observation rows: (time, latitude, longitude, value). */
+  private def tall(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("us").as("time"),
+      col("event_id").as("latitude"),
+      col("user_id").as("longitude"),
+      col("value"))
+
+  /** Fresh store root under the temp dir, unique per (query, input dir)
+    * and wiped before use, so repeated executions rebuild rather than
+    * stack generations. */
+  private def freshRoot(s: SparkSession, tag: String, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_store_${tag}_$safe"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    root
+  }
+
+  /** Read-back projection: store rows → the oracle's column frame. */
+  private def readBack(store: GriddedStore): DataFrame =
+    store.read().select(
+      col("latitude").cast("bigint").as("event_id"),
+      col("time").cast("bigint").as("t"),
+      col("longitude").cast("bigint").as("user_id"),
+      col("value"))
+      .orderBy("event_id")
+
+  private val WeekUs = 7L * 24 * 3600 * 1000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // write_initial_zarr + update_zarr end-to-end: the first 80% of the
+    // time axis is the initial parse; the update carries BOTH appends
+    // (the 20% tail — exercises the cadence-bounds bridge/contiguity
+    // gates) and inserts (every 10th event re-sent unchanged — exercises
+    // the cell-keyed survivor merge + bucket rewrite). The committed
+    // manifest must read back as EXACTLY the source table.
+    "q137_store_roundtrip" -> ((s, dir) => {
+      val all = tall(s, dir)
+      val r = all.agg(min("time"), max("time")).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val cut = lo + (hi - lo) / 5L * 4L
+      val store = new GriddedStore(freshRoot(s, "q137", dir), s)
+      store.writeInitial(all.filter(col("time") <= cut), desc(WeekUs))
+      val appends = all.filter(col("time") > cut)
+      val corrections = all.filter(
+        col("time") <= cut && col("latitude") % 10 === 0)
+      store.update(appends.unionByName(corrections))
+      readBack(store)
+    }),
+
+    // Correction semantics + compaction: a correction that RE-VALUES a
+    // spatial subset (every 7th event, value+1000) must replace exactly
+    // those cells (`publish.py:332-371` region write), survivors keep
+    // their committed values, and a follow-up compact() (the
+    // rechunk-alignment pass) must leave the committed rows byte-stable
+    // while rewriting the file layout.
+    "q138_store_correction" -> ((s, dir) => {
+      val all = tall(s, dir)
+      val store = new GriddedStore(freshRoot(s, "q138", dir), s)
+      store.writeInitial(all, desc(WeekUs))
+      store.update(all.filter(col("latitude") % 7 === 0)
+        .withColumn("value", col("value") + 1000.0))
+      store.compact()
+      readBack(store)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q137_store_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS t, user_id, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q138_store_correction" ->
+      """SELECT event_id, epoch_us(ts) AS t, user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN value + 1000.0 ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,38 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The driver-gated §2.8 write-path queries, checked in-suite: the
+  * store round trip must be value-exact against the same frame computed
+  * straight from the source parquet (the oracle's job, reproduced in
+  * Spark so `sbt test` alone catches a sink regression). */
+class StoreQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def direct() = Tables.events(spark, dir).select(
+    col("event_id"), col("us").as("t"), col("user_id"), col("value"))
+
+  test("q137 write+update round trip returns exactly the source rows") {
+    val got = StoreQueries.queries("q137_store_roundtrip")(spark, dir)
+    assert(got.count() == direct().count())
+    assert(got.exceptAll(direct()).isEmpty && direct().exceptAll(got).isEmpty)
+  }
+
+  test("q138 correction re-values exactly the targeted cells; compact " +
+      "keeps rows byte-stable") {
+    val got = StoreQueries.queries("q138_store_correction")(spark, dir)
+    val want = direct().withColumn("value",
+      when(col("event_id") % 7 === 0, col("value") + 1000.0)
+        .otherwise(col("value")))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("repeated execution is idempotent (fresh store per call)") {
+    val a = StoreQueries.queries("q137_store_roundtrip")(spark, dir).count()
+    val b = StoreQueries.queries("q137_store_roundtrip")(spark, dir).count()
+    assert(a == b)
+  }
+}
