@@ -30,10 +30,9 @@ object GraphOps {
     * checkpoint dir needed) and cuts the plan back to a leaf — the same
     * discipline `DedupFunctions.connectedComponents` applies to its
     * star rounds. Trade-off: localCheckpoint pins blocks to executors,
-    * so a lost executor forces recompute-from-leaf; for fault-critical
-    * long chains callers can set a real checkpoint dir and override
-    * [[checkpointed]] policy upstream, but at 5-round granularity the
-    * recompute window is small. */
+    * so a lost executor forces recompute-from-leaf; fault-critical
+    * deployments set [[Materialize.ReliableConf]] + a checkpoint dir
+    * and every truncation goes to durable storage instead. */
   private val CheckpointEvery = 5
 
   /** Lineage-bounding fold: apply `step` `rounds` times, truncating the
@@ -43,7 +42,7 @@ object GraphOps {
       step: DataFrame => DataFrame): DataFrame =
     (1 to rounds).foldLeft(init) { (st, i) =>
       val next = step(st)
-      if (i % CheckpointEvery == 0 && i < rounds) next.localCheckpoint(true)
+      if (i % CheckpointEvery == 0 && i < rounds) Materialize(next)
       else next
     }
 
@@ -139,7 +138,7 @@ object GraphOps {
     // it back — otherwise each step recomputes the groupBy+join
     val ewoPlan = edges.join(
       edges.groupBy("src").agg(sum("w").as("outw")), "src")
-    val ewo = if (iters > 1) ewoPlan.localCheckpoint(true) else ewoPlan
+    val ewo = if (iters > 1) Materialize(ewoPlan) else ewoPlan
     def step(ranks: DataFrame): DataFrame = {
       val contrib = ewo
         .join(ranks.withColumnRenamed("k", "src"), "src")

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization policy for the frames that iterative / multi-consumer
+  * operators ([[SetSimJoin]], [[GraphOps]], q99's containment pipeline)
+  * must pin: by default `localCheckpoint` (fast, executor-local blocks —
+  * right for local[*] and short jobs), or a RELIABLE `checkpoint` to the
+  * session's checkpoint dir when `spark.graft.checkpoint.reliable=true`.
+  *
+  * Why the knob exists: `localCheckpoint` truncates lineage and pins the
+  * blocks to the executors that computed them — one lost executor kills
+  * the whole job, since there is no lineage left to recompute from. On a
+  * real multi-hundred-executor cluster running hours-long dedup sweeps,
+  * each materialization is an availability liability; a deployment opts
+  * into fault tolerance with
+  * {{{
+  *   spark.conf.set("spark.graft.checkpoint.reliable", "true")
+  *   spark.sparkContext.setCheckpointDir("hdfs://…/checkpoints")
+  * }}}
+  * and every operator that pins a frame writes it to durable storage
+  * instead. Both modes produce identical results (MaterializeSpec); the
+  * trade is wall-clock vs. surviving executor loss.
+  */
+object Materialize {
+
+  val ReliableConf = "spark.graft.checkpoint.reliable"
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.getOption(ReliableConf).exists(_.trim.equalsIgnoreCase("true"))
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableConf=true requires spark.sparkContext.setCheckpointDir " +
+          "(a durable location all executors can reach)")
+      df.checkpoint() // eager, lineage-free, survives executor loss
+    } else df.localCheckpoint()
+  }
+}

@@ -2601,7 +2601,7 @@ object TextQueries {
                                  checkpoint: Boolean = true,
                                  bigAt: Long = 100000L): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint() else df
+      if (checkpoint) graft.operators.Materialize(df) else df
     val docs = Tables.table(s, dir, "documents")
       .filter(TextFunctions.tokenCount(col("text")) >= 3)
     val d = ckpt(graft.functions.Signatures
