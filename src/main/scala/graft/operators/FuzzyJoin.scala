@@ -63,22 +63,45 @@ object FuzzyJoin {
     * table that collapses to 15k strings (27M result pairs). */
   def blockedPairs(df: DataFrame, idCol: String, strCol: String,
                    maxDist: Int): DataFrame = {
-    val ids = df.select(col(strCol).as("_fj_s"), col(idCol).as("_fj_id"))
-    val strs = ids.select("_fj_s").distinct()
+    // one id-group row per DISTINCT string (null strings have no defined
+    // edit distance and never matched the old equality joins — keep them
+    // out explicitly): ALL id expansion now works off this 1-row-per-
+    // string frame instead of re-shuffling the full id table per join —
+    // at the ×10 tier that is 15k grouped rows in place of 150k id rows
+    // on every expansion side, and the distance-0 ("same string") pairs
+    // need no join at all. Materialized once: it feeds the distinct
+    // string list, the in-place same-pairs, and both cross sides.
+    val groups = Materialize(df
+      .filter(col(strCol).isNotNull)
+      .select(col(strCol).as("_fj_s"), col(idCol).as("_fj_id"))
+      .groupBy("_fj_s")
+      .agg(sort_array(collect_list("_fj_id")).as("_fj_ids")))
+    val strs = groups.select("_fj_s")
     val strPairs =
       if (maxDist == 1) exactPairs1(strs)
       else blockedVerifiedPairs(df, strs, maxDist)
-    // equal strings: pair the group's ids directly (distance 0)
-    val same = ids.alias("a")
-      .join(ids.alias("b"),
-        col("a._fj_s") === col("b._fj_s") && col("a._fj_id") < col("b._fj_id"))
-      .select(col("a._fj_id").as("id1"), col("b._fj_id").as("id2"),
-        col("a._fj_s").as("s1"), col("b._fj_s").as("s2"))
-    // verified cross-string pairs × member ids, ids re-canonicalized
-    val ida = col("a._fj_id"); val idb = col("b._fj_id")
+    // equal strings (distance 0): i<j pairs of the sorted id array,
+    // generated in-place with HOFs — the old ids⋈ids equality self-join
+    // shuffled the whole id table twice to produce exactly these rows
+    val arr = col("_fj_ids")
+    val same = groups.filter(size(arr) >= 2)
+      .select(col("_fj_s"), explode(
+        flatten(transform(sequence(lit(1), size(arr) - 1), i =>
+          transform(sequence(i + 1, size(arr)), j =>
+            struct(element_at(arr, i).as("i1"),
+              element_at(arr, j).as("i2")))))).as("p"))
+      .select(col("p.i1").as("id1"), col("p.i2").as("id2"),
+        col("_fj_s").as("s1"), col("_fj_s").as("s2"))
+    // verified cross-string pairs × member-id groups, ids
+    // re-canonicalized; the two explodes reproduce the full id×id fanout
+    val ida = col("_fj_ida"); val idb = col("_fj_idb")
     val cross = strPairs
-      .join(ids.alias("a"), col("_fj_s1") === col("a._fj_s"))
-      .join(ids.alias("b"), col("_fj_s2") === col("b._fj_s"))
+      .join(groups.alias("a"), col("_fj_s1") === col("a._fj_s"))
+      .join(groups.alias("b"), col("_fj_s2") === col("b._fj_s"))
+      .select(col("_fj_s1"), col("_fj_s2"),
+        explode(col("a._fj_ids")).as("_fj_ida"), col("b._fj_ids"))
+      .select(col("_fj_s1"), col("_fj_s2"), ida,
+        explode(col("_fj_ids")).as("_fj_idb"))
       .select(least(ida, idb).as("id1"), greatest(ida, idb).as("id2"),
         when(ida < idb, col("_fj_s1")).otherwise(col("_fj_s2")).as("s1"),
         when(ida < idb, col("_fj_s2")).otherwise(col("_fj_s1")).as("s2"))
