@@ -35,12 +35,28 @@ class StoreModelSpec extends SparkSpec {
       .toMap
 
   test("randomized op sequences match the in-memory model (5 seeds)") {
-    Seq(11, 22, 33, 44, 55).foreach(runModel)
+    Seq(11, 22, 33, 44, 55).foreach(s => runModel(s, tmpDir(s"model$s")))
   }
 
-  private def runModel(seed: Int): Unit = {
+  test("same op-sequence model over the object-store shim + conditional " +
+      "commits (5 seeds)") {
+    // identical fuzz, but the store speaks the CONDITIONAL commit
+    // protocol over the degraded-semantics mock object store (PUT
+    // overwrites silently, renames are delete-then-copy): every
+    // claim/commit/vacuum/surgery in the op mix goes through
+    // putIfNoneMatch/putAtomic instead of exclusive-create/rename
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.mocks3.impl", classOf[MockObjectStoreFileSystem].getName)
+    hconf.set(CommitProtocol.ConditionalFactoryKey,
+      classOf[LocalConditionalStore].getName)
+    try Seq(11, 22, 33, 44, 55).foreach(s =>
+      runModel(s, s"mocks3://${tmpDir(s"cmodel$s")}"))
+    finally hconf.unset(CommitProtocol.ConditionalFactoryKey)
+  }
+
+  private def runModel(seed: Int, root: String): Unit = {
     val rnd = new scala.util.Random(seed)
-    val store = new GriddedStore(tmpDir(s"model$seed"), spark)
+    val store = new GriddedStore(root, spark)
     var model = Map.empty[(Long, Double, Double), Double]
     var nDays = 4
     store.writeInitial(cube(nDays, NLAT, NLON), desc(s"m$seed"))
