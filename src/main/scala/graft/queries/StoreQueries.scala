@@ -104,6 +104,46 @@ object StoreQueries {
         .withColumn("value", col("value") + 1000.0))
       store.compact()
       readBack(store)
+    }),
+
+    // Vacuum safety through the gate: after write→append→compact the
+    // store holds three generations; vacuum(retainLast=1) reclaims the
+    // two retired ones and MUST NOT change what readers see — the
+    // committed pointer pins exactly the surviving file list.
+    "q139_store_vacuum" -> ((s, dir) => {
+      val all = tall(s, dir)
+      val r = all.agg(min("time"), max("time")).collect()(0)
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 5L * 3L
+      val store = new GriddedStore(freshRoot(s, "q139", dir), s)
+      store.writeInitial(all.filter(col("time") <= cut), desc(WeekUs))
+      store.update(all.filter(col("time") > cut))
+      store.compact()
+      store.vacuum(retainLast = 1)
+      readBack(store)
+    }),
+
+    // §2.10 encryption through the gate (`EncryptionFilter` analog):
+    // values are AES-GCM-encrypted BEFORE the store write (dataVar
+    // becomes an opaque binary payload; the key travels only by hash),
+    // round-trip through the committed manifest, decrypt on the read
+    // side — the decrypted frame must hash-match the plaintext oracle.
+    // Nonces are random per run, so the stored BYTES differ between
+    // executions while the decrypted values stay bit-identical — the
+    // property the gate checks.
+    "q140_store_encrypted" -> ((s, dir) => {
+      import graft.functions.Encryption
+      val hash = Encryption.registerKey(Encryption.generateKey())
+      val all = tall(s, dir)
+      val store = new GriddedStore(freshRoot(s, "q140", dir), s)
+      store.writeInitial(
+        Encryption.encryptColumn(all, "value", hash), desc(WeekUs))
+      Encryption.decryptColumn(store.read(), "value", hash)
+        .select(
+          col("latitude").cast("bigint").as("event_id"),
+          col("time").cast("bigint").as("t"),
+          col("longitude").cast("bigint").as("user_id"),
+          col("value"))
+        .orderBy("event_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -113,5 +153,11 @@ object StoreQueries {
     "q138_store_correction" ->
       """SELECT event_id, epoch_us(ts) AS t, user_id,
         |    CASE WHEN event_id % 7 = 0 THEN value + 1000.0 ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q139_store_vacuum" ->
+      """SELECT event_id, epoch_us(ts) AS t, user_id, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q140_store_encrypted" ->
+      """SELECT event_id, epoch_us(ts) AS t, user_id, value
         |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -30,6 +30,20 @@ class StoreQueriesSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("q139 vacuum reclaims retired generations without changing " +
+      "reader-visible rows") {
+    val got = StoreQueries.queries("q139_store_vacuum")(spark, dir)
+    assert(got.count() == direct().count())
+    assert(got.exceptAll(direct()).isEmpty && direct().exceptAll(got).isEmpty)
+  }
+
+  test("q140 encrypt-before-write round trip decrypts to the plaintext " +
+      "frame") {
+    val got = StoreQueries.queries("q140_store_encrypted")(spark, dir)
+    assert(got.count() == direct().count())
+    assert(got.exceptAll(direct()).isEmpty && direct().exceptAll(got).isEmpty)
+  }
+
   test("repeated execution is idempotent (fresh store per call)") {
     val a = StoreQueries.queries("q137_store_roundtrip")(spark, dir).count()
     val b = StoreQueries.queries("q137_store_roundtrip")(spark, dir).count()
