@@ -30,18 +30,22 @@ object Q134Probe {
           .filter(size(col("_hs")) > 0)
           .localCheckpoint()
       }
+      timed("counts(one agg)") {
+        sets.agg(count(lit(1)), count_distinct(col("_id"))).collect()
+      }
       val sh0 = sets.select(col("_id"), size(col("_hs")).as("n"), explode(col("_hs")).as("h"))
       timed("explode+count")(sh0.count())
       val dfreq = sh0.groupBy("h").agg(count(lit(1)).as("df"))
       timed("dfreq")(dfreq.count())
-      val ranked = timed("ranked+checkpoint") {
-        sh0.join(dfreq, "h")
+      // round-6 shape: SHUFFLE_HASH for the vocab join (no corpus sort),
+      // prefix filter BEFORE the checkpoint (pins ~(1−t) of gram rows)
+      val prefix = timed("prefix+checkpoint") {
+        sh0.join(dfreq.hint("shuffle_hash"), "h")
           .withColumn("rn", row_number().over(
             Window.partitionBy("_id").orderBy(col("df"), col("h"))))
+          .filter(col("rn") <= col("n") - expr("((4 * n) + 4) div 5") + lit(1))
           .localCheckpoint()
       }
-      val prefix = ranked.filter(
-        col("rn") <= col("n") - expr("((4 * n) + 4) div 5") + lit(1))
       val bound = least(col("a.rn"), col("b.rn")) +
         least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
       val cand = prefix.as("a").join(prefix.as("b"),
@@ -57,7 +61,9 @@ object Q134Probe {
       val candC = candD.localCheckpoint()
       val s1 = sets.select(col("_id").as("_i1"), col("_hs").as("_g1"))
       val s2 = sets.select(col("_id").as("_i2"), col("_hs").as("_g2"))
-      val out = candC.join(s1, col("d1") === col("_i1"))
+      // round-6 shape: SHUFFLE_HASH building the candidate-bounded side
+      val out = candC.hint("shuffle_hash").join(s1, col("d1") === col("_i1"))
+        .hint("shuffle_hash")
         .join(s2, col("d2") === col("_i2"))
         .select(col("d1"), col("d2"), col("n1"), col("n2"),
           size(array_intersect(col("_g1"), col("_g2"))).cast("long").as("inter"))
