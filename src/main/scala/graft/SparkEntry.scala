@@ -24,7 +24,8 @@ object SparkEntry {
       RelationalQueries.queries, TimeSeriesQueries.queries,
       GridQueries.queries, TextQueries.queries,
       VectorQueries.queries, MiscQueries.queries,
-      TokenizerQueries.queries, StoreQueries.queries)
+      TokenizerQueries.queries, StoreQueries.queries,
+      CurationQueries.queries)
     val merged = packs.reduce(_ ++ _)
     // a duplicate key across packs would SILENTLY shadow a query (and
     // its oracle) out of the verify dump and the bench — fail loudly
@@ -43,5 +44,6 @@ object SparkEntry {
       VectorQueries.oracles ++
       MiscQueries.oracles ++
       TokenizerQueries.oracles ++
-      StoreQueries.oracles
+      StoreQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{DedupFunctions, DedupPipeline, TextFunctions}
+import graft.operators.Materialize
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation governance queries: the operators a training-data
+  * pipeline runs AFTER dedup/quality are decided, when the corpus is
+  * carved into train/val/test and the retrieval stack is scored.
+  *
+  * The split family exists because q60's per-document hash split — the
+  * industry default — silently leaks: two near-duplicate documents hash
+  * independently, so a dup CLUSTER straddles train and test with
+  * probability 1-(0.8²+0.1²+0.1²) ≈ 0.34 per cluster. q141 assigns the
+  * split by the hash of each document's dedup-cluster REPRESENTATIVE
+  * (connected components over the q52 SimHash dup graph), which makes
+  * leakage structurally impossible; q143 is the audit that measures the
+  * difference on the same corpus, rule by rule.
+  *
+  * Scale shape: the dup graph is edge-bounded (SimHash star + rep
+  * blocking, never pairwise — `DedupPipeline.simhashEdges`), the label
+  * frame is component-membership-sized, and every join back to the
+  * corpus is a doc_id equi-join; nothing here is quadratic and the
+  * corpus is scanned once per query.
+  */
+object CurationQueries {
+
+  private val STOPWORDS = Seq("the", "a", "of", "and")
+
+  /** q60's 80/10/10 bucket → split rule (single definition; q141/q143
+    * must decide splits EXACTLY like q60 or the audit compares two
+    * different questions). */
+  private def splitOf(bucket: Column): Column =
+    when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+      .otherwise(lit("test"))
+
+  /** (doc_id, rep): every document with its dedup-cluster representative
+    * (min doc_id reachable in the SimHash dup graph; itself when
+    * unclustered). Label frame is graph-node-sized, the left join back
+    * to the corpus is an equi-join on the id. */
+  private def repFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+    val edges = DedupPipeline.simhashEdges(docs, "doc_id", "text")
+    val labels = DedupFunctions.connectedComponents(edges)
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
+  }
+
+  /** The recursive-CTE oracle prefix shared with q52/q95: SimHash dup
+    * graph (exact-content star + rep blocking) + min-label components,
+    * ending in `rep(doc_id, rep)` — every doc's cluster representative. */
+  private val RepCte =
+    """WITH RECURSIVE
+      |kp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |       FROM documents),
+      |star AS (SELECT keeper AS d1, doc_id AS d2 FROM kp WHERE doc_id <> keeper),
+      |tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents
+      |       WHERE doc_id IN (SELECT doc_id FROM kp WHERE doc_id = keeper)),
+      |th AS (SELECT doc_id, CAST('0x'||substr(md5(t),1,15) AS BIGINT) AS h FROM tk),
+      |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      |         FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+      |sg AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+      |                                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+      |       FROM bits GROUP BY doc_id),
+      |blk AS (SELECT doc_id, sh, q, (sh >> CAST(q*15 AS INTEGER)) & 32767 AS blk
+      |        FROM sg CROSS JOIN range(4) r(q)),
+      |np AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |       FROM blk x JOIN blk y ON x.q = y.q AND x.blk = y.blk AND x.doc_id < y.doc_id
+      |       WHERE bit_count(xor(x.sh, y.sh)) <= 3),
+      |edges AS (SELECT d1, d2 FROM np UNION SELECT d1, d2 FROM star),
+      |und AS (SELECT d1 AS src, d2 AS dst FROM edges UNION SELECT d2, d1 FROM edges),
+      |comp(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT u.dst, c.lbl FROM comp c JOIN und u ON c.id = u.src
+      |),
+      |rep AS (SELECT id AS doc_id, MIN(lbl) AS rep FROM comp GROUP BY id)
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Leakage-safe train/val/test split: the q60 hash rule applied to
+    // the dedup-cluster REPRESENTATIVE instead of the document — every
+    // member of a near-dup cluster lands in the same split by
+    // construction, so no test document has a near-duplicate in train.
+    // Deterministic, stable under re-partitioning/appends (a new dup of
+    // an old doc inherits the old cluster's split), and the whole-corpus
+    // assignment every curation pipeline ships to the trainer.
+    "q141_leakage_safe_split" -> ((s, dir) => {
+      val rep = repFrame(s, dir)
+      val bucket = TextFunctions.md5Hash60(col("rep").cast("string")) % 100
+      rep.select(col("doc_id"), col("rep"), bucket.as("bucket"),
+          splitOf(bucket).as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-query retrieval eval: MAP + MRR of the q117 stopword scorer
+    // treating each SOURCE as one retrieval query (rank its docs by
+    // score desc, relevance = lang='en'). Average precision is the
+    // fully-RATIONAL ranking metric (no log-discount transcendentals to
+    // drift cross-engine): AP = Σ_{relevant i} P@rank_i / n_rel. Each
+    // P@rank term is one IEEE division rounded to DECIMAL(28,12) before
+    // the group sum (q53's trick) so partial-aggregation order can't
+    // change the result. Completes the eval family: q117 AUC (does the
+    // ranking work), q130 calibration (can scores be thresholded),
+    // q132 P/R@k (global cutoffs), q142 MAP/MRR (per-query quality).
+    // Scale shape: one corpus scan, a per-source rank window, one
+    // map-side-combined aggregate.
+    "q142_retrieval_eval" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val scored = Tables.table(s, dir, "documents").select(
+        col("source"), col("doc_id"),
+        floor(TextFunctions.wordSetCount(toks, STOPWORDS).cast("double")
+          * 1000.0 / size(toks).cast("double")).cast("long").as("score"),
+        (col("lang") === "en").cast("long").as("rel"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id"))
+      val ranked = scored
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum_rel", sum("rel").over(w))
+      ranked.groupBy("source").agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          sum("rel").cast("bigint").as("n_rel"),
+          sum(when(col("rel") === 1L,
+            (col("cum_rel").cast("double") / col("rk").cast("double"))
+              .cast("decimal(28,12)"))).as("ap_num"),
+          min(when(col("rel") === 1L, col("rk"))).as("first_rel"))
+        .select(col("source"), col("n_docs"), col("n_rel"),
+          (col("ap_num").cast("double") / col("n_rel").cast("double"))
+            .as("avg_precision"),
+          (lit(1.0) / col("first_rel").cast("double"))
+            .as("reciprocal_rank"))
+        .orderBy("source")
+    }),
+
+    // Split-leakage audit: for each split rule (q60's per-doc hash vs
+    // q141's per-cluster hash), how many multi-member dup clusters
+    // straddle split boundaries, and how many documents sit in those
+    // leaky clusters. The cluster-level framing is canonical — it does
+    // not depend on WHICH edges the dup graph materialized, only on the
+    // components they induce — so the number means the same thing
+    // whatever blocking found the dups. q141's row reads 0 by
+    // construction; q60's row is the leak every per-doc hash split
+    // ships silently.
+    "q143_split_leakage_audit" -> ((s, dir) => {
+      val rep = Materialize(repFrame(s, dir)) // feeds both rules' joins
+      val naiveBucket =
+        TextFunctions.md5Hash60(col("doc_id").cast("string")) % 100
+      val clusterBucket =
+        TextFunctions.md5Hash60(col("rep").cast("string")) % 100
+      def audit(rule: String, split: Column): DataFrame =
+        rep.withColumn("split", split)
+          .groupBy("rep")
+          .agg(count_distinct(col("split")).as("n_splits"),
+            count(lit(1)).as("m"))
+          .filter(col("m") >= 2)
+          .agg(count(lit(1)).cast("bigint").as("n_clusters"),
+            sum((col("n_splits") > 1).cast("long")).as("n_leaky"),
+            sum(when(col("n_splits") > 1, col("m")).otherwise(0L))
+              .as("docs_in_leaky"))
+          .select(lit(rule).as("rule"), col("n_clusters"), col("n_leaky"),
+            col("docs_in_leaky"))
+      audit("hash_doc", splitOf(naiveBucket))
+        .unionByName(audit("hash_cluster", splitOf(clusterBucket)))
+        .orderBy("rule")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q141_leakage_safe_split" -> (RepCte +
+      """, b AS (SELECT doc_id, rep,
+        |    CAST('0x'||substr(md5(CAST(rep AS VARCHAR)),1,15) AS BIGINT) % 100 AS bucket
+        |  FROM rep)
+        |SELECT doc_id, rep, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin),
+    "q142_retrieval_eval" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(FLOOR(CAST(LEN(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and'))) AS DOUBLE) * 1000.0
+        |      / CAST(LEN(string_split(text, ' ')) AS DOUBLE)) AS BIGINT) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, rel,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+        |    SUM(rel) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(rel) AS BIGINT) AS n_rel,
+        |  CAST(SUM(CASE WHEN rel = 1 THEN CAST(CAST(cum_rel AS DOUBLE)
+        |      / CAST(rk AS DOUBLE) AS DECIMAL(28,12)) END) AS DOUBLE)
+        |    / CAST(SUM(rel) AS DOUBLE) AS avg_precision,
+        |  1.0 / CAST(MIN(CASE WHEN rel = 1 THEN rk END) AS DOUBLE)
+        |    AS reciprocal_rank
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q143_split_leakage_audit" -> (RepCte +
+      """, sp AS (SELECT doc_id, rep,
+        |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 AS nb,
+        |    CAST('0x'||substr(md5(CAST(rep AS VARCHAR)),1,15) AS BIGINT) % 100 AS cb
+        |  FROM rep),
+        |lab AS (SELECT doc_id, rep,
+        |    CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'val' ELSE 'test' END AS s_doc,
+        |    CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val' ELSE 'test' END AS s_cl
+        |  FROM sp),
+        |a1 AS (SELECT rep, COUNT(DISTINCT s_doc) AS n_splits, COUNT(*) AS m
+        |       FROM lab GROUP BY rep HAVING COUNT(*) >= 2),
+        |a2 AS (SELECT rep, COUNT(DISTINCT s_cl) AS n_splits, COUNT(*) AS m
+        |       FROM lab GROUP BY rep HAVING COUNT(*) >= 2),
+        |r1 AS (SELECT 'hash_doc' AS rule, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |    CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+        |    CAST(SUM(CASE WHEN n_splits > 1 THEN m ELSE 0 END) AS BIGINT) AS docs_in_leaky
+        |  FROM a1),
+        |r2 AS (SELECT 'hash_cluster' AS rule, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |    CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+        |    CAST(SUM(CASE WHEN n_splits > 1 THEN m ELSE 0 END) AS BIGINT) AS docs_in_leaky
+        |  FROM a2)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY rule""".stripMargin))
+}

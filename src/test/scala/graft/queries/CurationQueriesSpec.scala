@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the curation-governance pack (q141–q143) on the
+  * sf0.001 tables — the structural properties the DuckDB hash gate
+  * can't state directly. */
+class CurationQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q141: every member of a dup cluster gets its cluster's split " +
+      "(leakage impossible by construction)") {
+    val out = CurationQueries.queries("q141_leakage_safe_split")(spark, dir)
+    val byCluster = out.groupBy("rep")
+      .agg(count_distinct(col("split")).as("ns"), count(lit(1)).as("m"))
+    assert(byCluster.filter(col("ns") > 1).isEmpty)
+    // and the split is q60's rule applied to the rep: rep == doc_id rows
+    // (singletons + cluster heads) must match q60's assignment verbatim
+    val q60 = TextQueries.queries("q60_split_assign")(spark, dir)
+      .select(col("doc_id"), col("split").as("split60"))
+    val heads = out.filter(col("rep") === col("doc_id"))
+      .join(q60, "doc_id")
+    assert(heads.filter(col("split") =!= col("split60")).isEmpty)
+  }
+
+  test("q141 covers the whole corpus exactly once") {
+    val out = CurationQueries.queries("q141_leakage_safe_split")(spark, dir)
+    val docs = graft.Tables.table(spark, dir, "documents")
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+  }
+
+  test("q142: AP in [0,1]; RR = 1/first-relevant-rank; n_rel <= n_docs") {
+    val out = CurationQueries.queries("q142_retrieval_eval")(spark, dir)
+    assert(out.filter(col("avg_precision") < 0 || col("avg_precision") > 1)
+      .isEmpty)
+    assert(out.filter(col("reciprocal_rank") <= 0 ||
+      col("reciprocal_rank") > 1).isEmpty)
+    assert(out.filter(col("n_rel") > col("n_docs")).isEmpty)
+    // a source whose docs are ALL relevant has AP == 1 and RR == 1
+    val perfect = out.filter(col("n_rel") === col("n_docs"))
+    assert(perfect.filter(col("avg_precision") =!= 1.0).isEmpty)
+    assert(perfect.filter(col("reciprocal_rank") =!= 1.0).isEmpty)
+  }
+
+  test("q143: cluster-aware rule audits leak-free; both rules see the " +
+      "same cluster population") {
+    val out = CurationQueries.queries("q143_split_leakage_audit")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (clC, leakC, docsC) = out("hash_cluster")
+    val (clD, _, _) = out("hash_doc")
+    assert(leakC == 0L && docsC == 0L)
+    assert(clC == clD) // the rule changes assignments, not the clusters
+  }
+}
