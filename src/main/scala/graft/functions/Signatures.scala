@@ -150,6 +150,10 @@ object Signatures {
     * pre-partitioned, and a blind repartition there would be a
     * regression). The reshuffle moves only (id, text) rows. */
   private[functions] def spread(df: DataFrame): DataFrame = {
+    // a streaming Dataset has no .rdd (and micro-batch inputs arrive
+    // pre-partitioned by the source) — pass it through untouched so the
+    // signature pipeline composes with Structured Streaming
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -330,42 +334,61 @@ object Signatures {
     * KM construction, shingling and signature layout are identical
     * across hashers; only the four base lanes change. */
   def minhash(df: DataFrame, idCol: String, textCol: String,
-              ngram: Int, perms: Int, hasher: SigHasher): DataFrame = {
+              ngram: Int, perms: Int, hasher: SigHasher): DataFrame =
+    minhashCarrying(df, idCol, textCol, ngram, perms, Nil, hasher)
+
+  /** [[minhash]] carrying extra columns through the signature pass
+    * (the simhash `keep` idiom): one scan yields (id, keep..., sig)
+    * instead of a signature/attribute join of two passes — on a
+    * STREAMING input that join would be a watermarked stream-stream
+    * join, so carrying is not just cheaper, it is what keeps the
+    * streaming near-dup pipeline single-pass. */
+  def minhashCarrying(df: DataFrame, idCol: String, textCol: String,
+                      ngram: Int, perms: Int, keep: Seq[String],
+                      hasher: SigHasher = Md5SigHasher): DataFrame = {
     require(perms % 2 == 0, "perms must be even (two hash families)")
-    val spark = df.sparkSession
-    import spark.implicits._
     val mask60 = (1L << 60) - 1
     val half = perms / 2
-    spread(df.select(col(idCol).cast("long"), col(textCol))).as[(Long, String)]
-      .mapPartitions { it =>
-        val lanes = hasher.lanes()
-        it.map { case (id, text) =>
-          val sh = wordShingles(text, ngram)
-          val sig = Array.fill(perms)(Long.MaxValue)
-          var j = 0
-          while (j < sh.length) {
-            val gb = sh(j).getBytes(StandardCharsets.UTF_8)
-            val (h0, h1, h2, h3) = lanes(gb)
-            var k = 0
-            var v = h0
-            while (k < half) {
-              val vm = v & mask60 // (h0 + k·h1) mod 2^60, exact (see doc)
-              if (vm < sig(k)) sig(k) = vm
-              v += h1
-              k += 1
-            }
-            v = h2
-            while (k < perms) {
-              val vm = v & mask60
-              if (vm < sig(k)) sig(k) = vm
-              v += h3
-              k += 1
-            }
-            j += 1
+    val in = spread(df.select(
+      (col(idCol).cast("long") +: keep.map(col)) :+ col(textCol): _*))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.fields.dropRight(1) :+
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val textIdx = in.schema.fields.length - 1
+    in.mapPartitions { it =>
+      val lanes = hasher.lanes()
+      it.map { r =>
+        val sh = wordShingles(r.getString(textIdx), ngram)
+        val sig = Array.fill(perms)(Long.MaxValue)
+        var j = 0
+        while (j < sh.length) {
+          val gb = sh(j).getBytes(StandardCharsets.UTF_8)
+          val (h0, h1, h2, h3) = lanes(gb)
+          var k = 0
+          var v = h0
+          while (k < half) {
+            val vm = v & mask60
+            if (vm < sig(k)) sig(k) = vm
+            v += h1
+            k += 1
           }
-          (id, sig)
+          v = h2
+          while (k < perms) {
+            val vm = v & mask60
+            if (vm < sig(k)) sig(k) = vm
+            v += h3
+            k += 1
+          }
+          j += 1
         }
-      }.toDF(idCol, "sig")
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1) :+ sig.toSeq)
+      }
+    }.toDF()
   }
 
   /** (id, simhash: long) — 60-bit SimHash over whitespace tokens

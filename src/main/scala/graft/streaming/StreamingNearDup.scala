@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming NEAR-duplicate flagging: the ingest-time twin of the q34
+  * MinHash-LSH batch join, as a pure Structured Streaming pipeline (no
+  * foreachBatch). A continuous corpus feed is flagged document by
+  * document: `nearDup = true` iff any of the doc's LSH band keys was
+  * carried by an EARLIER document within `ttlUs` — the "have we seen
+  * something like this lately" gate a crawler runs before paying for
+  * downstream processing.
+  *
+  * Semantics (batch-equivalent, defined in EVENT time): per (band index,
+  * band key), scan occurrences in (time, id) order; an occurrence is a
+  * HIT iff the previous occurrence in that band is at most `ttlUs`
+  * older. A document is near-dup iff any of its `bands` occurrences is a
+  * hit. "Earlier" means ANY earlier document (flagged or not) — seen
+  * semantics, not admitted semantics — which is what makes each band
+  * decidable independently: a band's verdict never depends on another
+  * band's outcome, so the per-band state machines compose without a
+  * cross-key transaction. (Admitted-set semantics would make the doc
+  * verdict a fixpoint across bands — not expressible with per-key state,
+  * and not what crawl dedup wants anyway: a 3rd copy is a dup of the 2nd
+  * copy even though the 2nd was itself dropped.)
+  *
+  * Shape: stage 1 is a band-keyed `flatMapGroupsWithState` that emits a
+  * per-band verdict once the watermark FINALIZES the row (the
+  * StreamingDedup discipline: a late-but-admissible earlier occurrence
+  * must win ties exactly as the batch twin orders them); stage 2 is the
+  * classic append-mode aggregation after flatMapGroupsWithState — group
+  * by (doc, event time), OR the band verdicts. All `bands` verdicts of
+  * one document are finalized by the same watermark advance, so the
+  * group completes within one micro-batch and emits on the next
+  * watermark pass.
+  *
+  * State stays bounded WITHOUT approximation, by the StreamingDedup
+  * argument: a band entry whose last occurrence is older than
+  * `watermark − ttl` can never make a future admissible row a hit
+  * (future rows have t ≥ watermark), so dropping it is exact. Stage-1
+  * state is O(band keys active within one ttl window); stage-2 state is
+  * O(docs between two watermark advances).
+  */
+object StreamingNearDup {
+
+  /** Per-document verdict. */
+  case class Verdict(docId: Long, timeUs: Long, nearDup: Boolean)
+
+  /** Per-band occurrence verdict (stage-1 output). */
+  case class BandHit(docId: Long, timeUs: Long, hit: Boolean,
+                     eventTime: java.sql.Timestamp)
+
+  private case class BandState(pending: Seq[(Long, Long)],
+                               lastSeenUs: Option[Long])
+
+  /** The shared per-band fold: occurrences MUST be (time, id)-sorted.
+    * Returns (verdicts, new lastSeen). An occurrence is a hit iff the
+    * most recent strictly-earlier occurrence is within ttl — with
+    * sorted processing the most recent one is `last`, and ties (equal
+    * time, smaller id first) hit at distance 0. */
+  private def fold(rows: Seq[(Long, Long)], last0: Option[Long], ttlUs: Long)
+      : (Seq[(Long, Long, Boolean)], Option[Long]) = {
+    var last = last0
+    val out = rows.map { case (t, id) =>
+      val hit = last.exists(l => t - l <= ttlUs)
+      last = Some(t)
+      (t, id, hit)
+    }
+    (out, last)
+  }
+
+  /** Stage 1+2 over pre-banded rows: (docId, timeUs, bandIdx, bandKey,
+    * eventTime) with a watermark already applied on the eventTime
+    * column. `bands` must equal the number of band rows per document —
+    * the stage-2 group is complete when that many verdicts arrived. */
+  def flagContinuous(
+      rows: Dataset[(Long, Long, Int, String, java.sql.Timestamp)],
+      ttlUs: Long, bands: Int, delayThreshold: String): Dataset[Verdict] = {
+    require(ttlUs >= 0, s"ttlUs must be >= 0, got $ttlUs")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val hits = rows
+      .groupByKey(r => (r._3, r._4)) // (band index, band key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String),
+         it: Iterator[(Long, Long, Int, String, java.sql.Timestamp)],
+         state: GroupState[BandState]) =>
+          val st = state.getOption.getOrElse(BandState(Nil, None))
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val all = (st.pending ++ it.map(r => (r._2, r._1))).sorted
+          // strict readiness: a row AT the watermark could still gain an
+          // equal-time, smaller-id peer in a later batch (StreamingDedup
+          // tie discipline)
+          val (ready, live) = all.partition(_._1 < wmUs)
+          val (verdicts, last) = fold(ready, st.lastSeenUs, ttlUs)
+          // keep lastSeen while it can still decide a future admissible
+          // row: t >= wm and t - lastSeen <= ttl possible iff
+          // lastSeen + ttl >= wm
+          val wake: Option[Long] =
+            if (live.nonEmpty) Some(live.map(_._1).min)
+            else last.collect { case l if l + ttlUs >= wmUs => l + ttlUs }
+          wake match {
+            case Some(w) =>
+              state.update(BandState(live, last))
+              state.setTimeoutTimestamp(
+                math.max((w + 999) / 1000, wmUs / 1000 + 1))
+            case None => state.remove()
+          }
+          verdicts.iterator.map { case (t, id, hit) =>
+            BandHit(id, t, hit, new java.sql.Timestamp(t / 1000))
+          }
+      }
+    // stage 2: append-mode aggregation after flatMapGroupsWithState —
+    // re-watermark the finalized verdicts and OR them per document. The
+    // count-guard asserts group completeness (all bands finalized
+    // together; a short count would mean the watermark split a doc's
+    // bands, which the same-event-time argument rules out).
+    hits.toDF()
+      .withWatermark("eventTime", delayThreshold)
+      .groupBy(col("docId"), col("timeUs"), col("eventTime"))
+      .agg(max(col("hit")).as("nearDup"), count(lit(1)).as("nBands"))
+      .select(col("docId"), col("timeUs"), col("nearDup"),
+        // surface a malformed feed (duplicate doc ids within one event
+        // time would merge groups) instead of silently mis-flagging
+        when(col("nBands") === bands, col("nearDup"))
+          .otherwise(raise_error(concat(lit("StreamingNearDup: expected "),
+            lit(bands), lit(" band verdicts, got "), col("nBands"),
+            lit(" for doc "), col("docId")))).as("_guard"))
+      .select(col("docId"), col("timeUs"), col("nearDup"))
+      .as[Verdict]
+  }
+
+  /** Batch twin: identical semantics over a bounded frame of the same
+    * pre-banded rows (docId, timeUs, bandIdx, bandKey). */
+  def flagBatch(rows: DataFrame, ttlUs: Long): DataFrame = {
+    val w = Window.partitionBy("bandIdx", "bandKey")
+      .orderBy(col("timeUs"), col("docId"))
+    rows
+      .withColumn("prevUs", lag(col("timeUs"), 1).over(w))
+      .withColumn("hit",
+        col("prevUs").isNotNull && col("timeUs") - col("prevUs") <= ttlUs)
+      .groupBy("docId", "timeUs")
+      .agg(max(col("hit")).as("nearDup"))
+  }
+
+  /** Pre-banded rows from raw documents: MinHash over word `ngram`
+    * shingles (`Signatures.minhash`, which passes streaming inputs
+    * through unrepartitioned), LSH banding (`DedupFunctions.bandKeys`),
+    * one row per (doc, band). Works identically on a static or
+    * streaming DataFrame of (idCol: long, usCol: long µs, textCol:
+    * string[, tsCol: timestamp]). Empty-shingle docs band to the
+    * all-sentinel signature like the batch q34 pipeline's input filter
+    * expects — filter them upstream if they should never pair. */
+  def bandRows(docs: DataFrame, idCol: String, usCol: String,
+               textCol: String, ngram: Int, perms: Int, bands: Int,
+               extraCols: Seq[String] = Nil): DataFrame = {
+    require(perms % bands == 0, s"perms=$perms not divisible by bands=$bands")
+    val sigs = graft.functions.Signatures
+      .minhashCarrying(docs, idCol, textCol, ngram, perms,
+        usCol +: extraCols)
+    sigs.select(
+      (col(idCol) +: col(usCol) +: extraCols.map(col) :+
+        posexplode(graft.functions.DedupFunctions
+          .bandKeys(col("sig"), bands, perms / bands))
+          .as(Seq("bandIdx", "bandKey"))): _*)
+  }
+}
