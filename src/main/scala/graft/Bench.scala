@@ -13,7 +13,8 @@ object Bench {
     "q77_ivf_trained", "q79_lm_filter", "q80_shared_spans",
     "q82_bloom_decontaminate", "q89_semantic_dedup", "q90_segment_dedup",
     "q91_dsir_importance", "q93_pq_codes", "q96_inverted_index",
-    "q97_cdc_chunks", "q98_cdc_dedup", "q100_ivf_pq",
+    "q97_cdc_chunks", "q98_cdc_dedup", "q99_containment", "q100_ivf_pq",
+    "q101_heavy_hitters",
     "q102_hll_distinct", "q104_winnow_fingerprints", "q105_winnow_overlap",
     "q106_pagerank", "q108_label_prop", "q109_triangles",
     "q110_coengagement", "q111_fuzzy_join",
@@ -94,27 +95,36 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  /** Split a bench dump into (tier-1 text, tier-2 text) at the
-    * `"tier2":{` marker; a truncated file missing the marker is all
-    * tier 1 — wrong only if truncation also ate the marker itself, in
-    * which case only tier-2 pairs survive and they'd be misfiled, so a
-    * marker-less text that still contains `"factor":` is treated as
-    * tier 2. */
+  /** Split a bench dump into (tier-1 text, tier-2 text). A fragment is
+    * filed as tier 1 ONLY when it provably precedes the tier-2 section:
+    *  - `"tier2":{` present → everything before it is tier 1;
+    *  - else `"sf":` present → the record format is
+    *    `...,"sf":"<dir>"[,"tier2":{...}]}`, so text before `"sf":` is
+    *    tier 1 and text after is tier 2 (possibly empty);
+    *  - else `"metric":` present → the record HEAD survived and the
+    *    text ends before the tier-1 section does → all tier 1;
+    *  - else → an anchor-free fragment. The driver's ~3 kB tail keeps
+    *    the END of the output, and the record ends with the tier-2
+    *    object, so an anchor-free tail is the tier-2 remnant — filing
+    *    it as tier 1 is the round-6 bug (round 5's tail was exactly
+    *    this shape: its ×10 warm map got compared against tier-1 sf0.1
+    *    numbers). File it as tier 2, never tier 1. */
   private[graft] def splitTiers(full: String): (String, String) = {
     val i = full.indexOf("\"tier2\":{")
+    val s = full.indexOf("\"sf\":")
     if (i >= 0) (full.substring(0, i), full.substring(i))
-    else if (full.contains("\"factor\":")) ("", full)
-    else (full, "")
+    else if (s >= 0) (full.substring(0, s), full.substring(s))
+    else if (full.contains("\"metric\":")) (full, "")
+    else ("", full)
   }
 
   /** Scope a tier's text to its cold (`"queries"`) or warm map. Each
     * tier's JSON is built cold-map-first, `"warm":{` after, so the
     * marker cleanly separates them; a file from before the warm
-    * methodology has no marker and is all cold. If the driver's ~3 kB
-    * tail truncation eats the marker but leaves warm pairs, those pairs
-    * misread as cold — they are FASTER numbers, so the failure mode is
-    * a missed callout, never a false alarm; the driver files' tails
-    * keep the (later) tier-2 + warm sections intact in practice. */
+    * methodology has no marker and is all cold. A tail truncated to
+    * inside a tier still splits correctly WITHIN that tier: the cold
+    * remnant precedes `"warm":{` and the warm map follows it. (The
+    * cross-TIER misfiling risk lives in [[splitTiers]], not here.) */
   private def warmSplit(tierText: String, warm: Boolean): String = {
     val w = tierText.indexOf("\"warm\":{")
     if (w < 0) { if (warm) "" else tierText }
@@ -169,23 +179,51 @@ object Bench {
     (single, multi)
   }
 
-  /** Latest USABLE BENCH_r*.json beside the repo — the previous round's
-    * record. A round that failed to compile leaves an rc=1 stub whose
-    * tail is a compile log with zero query pairs (round 4); comparing
-    * against it would silently report `baseline_missing` forever after,
-    * so candidates are probed newest-first and the first one that
-    * actually parses to at least one per-query time wins (round 5 after
-    * the r04 stub → BENCH_r03.json). Falls back to the round-2 file so
-    * an env-less run still compares. */
+  /** Latest USABLE bench record beside the repo — the previous round's
+    * numbers. `BENCH_FULL_r*.json` (the complete per-query record this
+    * bench writes each run, committed to the repo) is ALWAYS preferred
+    * over the driver's `BENCH_r*.json`, whose `tail` field keeps only
+    * the last ~3 kB of output — round 6's policing compared against a
+    * misfiled truncated tail and was noise. Within each family,
+    * candidates are probed newest-first and the first that actually
+    * parses to at least one per-query time wins (a compile-failure
+    * round leaves an rc=1 stub with zero pairs — the round-4 lesson).
+    * Falls back to the round-2 file so an env-less run still compares. */
   private[graft] def latestBaseline(dir: String = "/root/repo"): String = {
     val d = new java.io.File(dir)
-    val candidates = Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-      .map(_.getPath).sorted.reverse
-    candidates.find(p => baselineQueries(p).nonEmpty)
-      .orElse(candidates.headOption)
+    def newestFirst(re: String): Seq[String] =
+      Option(d.listFiles()).toSeq.flatten
+        .filter(_.getName.matches(re)).map(_.getPath).sorted.reverse
+    val full = newestFirst("BENCH_FULL_r\\d+\\.json")
+    val tails = newestFirst("BENCH_r\\d+\\.json")
+    (full ++ tails).find(p => baselineQueries(p).nonEmpty)
+      .orElse(tails.headOption)
       .getOrElse(s"$dir/BENCH_r02.json")
   }
+
+  /** Single-thread host calibration recorded in a baseline file
+    * (`"single_miters":N`), for host-drift normalization in the
+    * regression math. None for records from before the host section. */
+  private[graft] def baselineHostSingle(path: String): Option[Long] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"single_miters":(\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong)
+    } catch { case _: Exception => None }
+
+  /** Host-drift scale for regression thresholds: expected
+    * `now ≈ prev × prevMiters / nowMiters` (time ∝ 1/speed). Clamped to
+    * [1/3, 3] so a corrupted calibration can never widen the gate past
+    * the documented 2–3× drift band, and 1.0 when either side is
+    * missing. */
+  private[graft] def hostScale(prevMiters: Option[Long],
+                               nowMiters: Long): Double =
+    prevMiters match {
+      case Some(p) if p > 0 && nowMiters > 0 =>
+        math.min(3.0, math.max(1.0 / 3.0, p.toDouble / nowMiters))
+      case _ => 1.0
+    }
 
   /** >25% per-query slowdowns vs a previous map, as a JSON fragment (and
     * stderr callouts) — the bench polices its own regressions so a
@@ -195,21 +233,30 @@ object Bench {
     * nothing", never "had nothing to compare against". */
   private[graft] def regressionJson(tag: String, prev: Map[String, Double],
                                     now: Seq[(String, Double, Boolean)],
-                                    keyPrefix: String = ""): String = {
+                                    keyPrefix: String = "",
+                                    scale: Double = 1.0): String = {
     if (prev.isEmpty) {
       System.err.println(s"[bench$tag] baseline missing/unparseable — " +
         "regression policing DID NOT RUN this round")
       return s""""${keyPrefix}regressions":[],"${keyPrefix}baseline_missing":true"""
     }
+    // host-drift normalization: each prev is scaled by the recorded
+    // single-thread calibration ratio before the 1.25× threshold, so a
+    // uniformly slower (or faster) host no longer reads as a wall of
+    // regressions (or masks real ones). The emitted entry carries the
+    // expected (scaled) value so a reader can audit the math.
     val items = now.collect {
       case (name, t, true)
-        if prev.get(name).exists(p => p > 0.3 && t > p * 1.25) =>
+        if prev.get(name).exists(p => p > 0.3 && t > p * scale * 1.25) =>
           val p = prev(name)
           System.err.println(
-            f"[bench$tag] REGRESSION $name: $p%.2fs -> $t%.2fs (${t / p}%.2fx)")
-          s"""{"q":"$name","prev":$p,"now":$t}"""
+            f"[bench$tag] REGRESSION $name: $p%.2fs (expected ${p * scale}%.2fs" +
+              f" at this host) -> $t%.2fs (${t / (p * scale)}%.2fx)")
+          s"""{"q":"$name","prev":$p,"expected":${p * scale},"now":$t}"""
     }.mkString("[", ",", "]")
-    s""""${keyPrefix}regressions":$items,"${keyPrefix}baseline_missing":false"""
+    s""""${keyPrefix}regressions":$items,""" +
+      s""""${keyPrefix}host_scale":$scale,""" +
+      s""""${keyPrefix}baseline_missing":false"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -278,12 +325,16 @@ object Bench {
         // sample by tens of ms — exactly the band the warm series'
         // inversion check reads
         if (cold > 1.0) System.gc()
-        // warm = best of two steady-state executions: a single warm run
-        // still carries ±50-100 ms of scheduler noise, which reads as a
-        // spurious warm>cold "inversion" on the many sub-second queries
-        // and pollutes the warm regression series; min-of-2 is the
-        // standard steady-state estimator and the second run reuses all
-        // compiled code, so the suite cost is one extra warm pass
+        // warm = min of THREE steady-state executions, unconditionally.
+        // (Round 6 resampled up to 2 extra runs only WHILE warm > cold —
+        // a stopping rule conditioned on the comparison outcome, which
+        // one-sidedly biases the warm series downward near the cold time
+        // and can mask real warm-path regressions. An outcome-
+        // independent min-of-3 costs one extra warm pass per query and
+        // makes the estimator identical for every query every round.
+        // ESTIMATOR HISTORY, for anyone diffing warm series across
+        // rounds: r1–r4 single-run, r5 single-run, r6 min-of-2-to-4
+        // conditional, r7+ min-of-3 fixed.)
         def warmOnce(): (Double, Boolean) = {
           val r = timed(() => fn(spark, dir).count(), tag + ":warm", name)
           spark.sparkContext.getPersistentRDDs.values
@@ -293,21 +344,8 @@ object Bench {
         val (warm, _) =
           if (!ok) (-1.0, false)
           else {
-            val a = warmOnce(); val b = warmOnce()
-            var best = (math.min(a._1, b._1), a._2 && b._2)
-            // a genuinely-steady warm run is never slower than the cold
-            // run that compiled everything for it; when the min still
-            // reads above cold the gap is scheduler noise on a
-            // near-floor query — sample up to 2 more times so the warm
-            // series records the plan, not the noise
-            var extra = 0
-            while (best._2 && best._1 > cold && extra < 2) {
-              val c = warmOnce()
-              best = (if (c._2) math.min(best._1, c._1) else best._1,
-                best._2 && c._2)
-              extra += 1
-            }
-            best
+            val runs = Seq(warmOnce(), warmOnce(), warmOnce())
+            (runs.map(_._1).min, runs.forall(_._2))
           }
         // localCheckpoint blocks outlive their query (the BlockManager
         // keeps them until JVM exit); 90+ queries of accumulation
@@ -350,6 +388,14 @@ object Bench {
       if (failedSeq.nonEmpty) "null"
       else results0.collect { case (_, _, w, true) => w }.sum.toString
 
+    // host calibration runs BEFORE the regression comparisons so both
+    // tiers' thresholds can be host-drift-normalized against the
+    // baseline record's calibration
+    val (hostSingle, hostMulti) = hostScore()
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      latestBaseline())
+    val drift = hostScale(baselineHostSingle(baselinePath), hostSingle)
+
     // ---- tier 2: ×10 data, shuffle/AQE-visible ---------------------------
     val tier2Json =
       if (sys.env.getOrElse("SPARK_GRAFT_TIER2", "1") == "0" || only.isDefined) ""
@@ -373,16 +419,15 @@ object Bench {
           val t2warmTotal =
             if (t20.exists(!_._4)) "null"
             else t20.collect { case (_, _, w, true) => w }.sum.toString
-          val basePath = sys.env.getOrElse(
-            "SPARK_GRAFT_BENCH_BASELINE", latestBaseline())
-          val t2prev = baselineQueries(basePath, "tier2")
-          val t2regr = regressionJson(":tier2", t2prev, t2)
+          val t2prev = baselineQueries(baselinePath, "tier2")
+          val t2regr = regressionJson(":tier2", t2prev, t2, scale = drift)
           // warm-vs-warm policing, once a warm baseline exists (files
           // from before the warm methodology simply lack the section —
           // that is a missing baseline and says so)
           val t2warmRegr = regressionJson(":tier2:warm",
-            baselineQueries(basePath, "tier2warm"),
-            t20.map { case (k, _, w, ok) => (k, w, ok) }, "warm_")
+            baselineQueries(baselinePath, "tier2warm"),
+            t20.map { case (k, _, w, ok) => (k, w, ok) }, "warm_",
+            scale = drift)
           s""","tier2":{"factor":$factor,"total":$t2total,""" +
             s""""queries":$t2qs,"failed":$t2failed,""" +
             s""""warm_total":$t2warmTotal,"warm":$t2warm,""" +
@@ -394,15 +439,14 @@ object Bench {
       }
 
     // ---- regression callout vs the previous round ------------------------
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-      latestBaseline())
-    val regressions = regressionJson("", baselineQueries(baselinePath), results)
+    val regressions = regressionJson("", baselineQueries(baselinePath), results,
+      scale = drift)
     val warmRegr = regressionJson(":warm", baselineQueries(baselinePath, "warm"),
-      results0.map { case (k, _, w, ok) => (k, w, ok) }, "warm_")
-    val (hostSingle, hostMulti) = hostScore()
+      results0.map { case (k, _, w, ok) => (k, w, ok) }, "warm_",
+      scale = drift)
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""ok":${failedSeq.isEmpty},""" +
+      s""""ok":${failedSeq.isEmpty},"warm_estimator":"min3",""" +
       s""""host":{"single_miters":$hostSingle,"multi32_miters":$hostMulti},""" +
       s""""queries":$qs,"failed":$failed,""" +
       s""""warm_total":$warmTotal,"warm":$warmQs,""" +
@@ -412,6 +456,21 @@ object Bench {
     // driver's JSON extraction has failed to strip (BENCH_r01 recorded
     // "parsed": null) — also land the line in a file it can read directly.
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    // The driver's BENCH_r*.json keeps only the last ~3 kB of output, so
+    // per-query history dies with each round (round 6's policing
+    // compared against a misfiled truncated tail). Persist the COMPLETE
+    // record as a committed repo file, named for the round the driver is
+    // about to stamp (max existing BENCH_r* + 1); latestBaseline prefers
+    // these, making next round's comparison full-fidelity at both tiers.
+    if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_TIER2", "1") != "0") {
+      val roundNo = 1 + Option(new java.io.File("/root/repo").listFiles())
+        .toSeq.flatten.map(_.getName)
+        .collect { case n if n.matches("BENCH_r\\d+\\.json") =>
+          n.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+        .foldLeft(0)(math.max)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        f"/root/repo/BENCH_FULL_r$roundNo%02d.json"), json)
+    }
     spark.stop()
   }
 }

@@ -29,19 +29,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Shape: stage 1 is a band-keyed `flatMapGroupsWithState` that emits a
   * per-band verdict once the watermark FINALIZES the row (the
   * StreamingDedup discipline: a late-but-admissible earlier occurrence
-  * must win ties exactly as the batch twin orders them); stage 2 is the
-  * classic append-mode aggregation after flatMapGroupsWithState — group
-  * by (doc, event time), OR the band verdicts. All `bands` verdicts of
-  * one document are finalized by the same watermark advance, so the
-  * group completes within one micro-batch and emits on the next
-  * watermark pass.
+  * must win ties exactly as the batch twin orders them); stage 2 is a
+  * doc-keyed `flatMapGroupsWithState` that buffers band verdicts and
+  * emits the OR the moment all `bands` of them have arrived —
+  * COUNT-complete, not watermark-complete, so the per-doc group is
+  * immune to its band verdicts landing in different micro-batches (the
+  * ms-granularity timeout edge can lag one band's verdict a batch
+  * behind its siblings').
+  *
+  * Why stage 2 carries NO event-time watermark of its own — two
+  * soundness traps, found the hard way:
+  *  1. A second `withWatermark` node makes the GLOBAL watermark the min
+  *     over both nodes (multipleWatermarkPolicy default). Stage 2's
+  *     node only sees stage-1 OUTPUT, which only exists once stage 1
+  *     finalizes — which needs the global watermark to advance — which
+  *     waits on stage 2's node. Deadlock: the query runs forever
+  *     emitting nothing.
+  *  2. Even without the deadlock, any watermarked stateful input drops
+  *     rows older than the previous batch's watermark (SPARK-40925's
+  *     late filter). A verdict's document time is < the watermark that
+  *     finalized it BY DEFINITION, and under an `AvailableNow` restart
+  *     the finalizing batch can be generations past the row's time, so
+  *     doc-timed verdicts would be silently discarded.
+  * Stage-2's fMGWS input has no event-time column tag (object
+  * serialization strips it), so with no new watermark there is no late
+  * filter and no second watermark node — every stage-1 verdict reaches
+  * the doc group, whatever batch it lands in.
   *
   * State stays bounded WITHOUT approximation, by the StreamingDedup
   * argument: a band entry whose last occurrence is older than
   * `watermark − ttl` can never make a future admissible row a hit
   * (future rows have t ≥ watermark), so dropping it is exact. Stage-1
   * state is O(band keys active within one ttl window); stage-2 state is
-  * O(docs between two watermark advances).
+  * O(docs whose verdicts are in flight between watermark advances) and
+  * is removed on emission.
   */
 object StreamingNearDup {
 
@@ -49,23 +70,28 @@ object StreamingNearDup {
   case class Verdict(docId: Long, timeUs: Long, nearDup: Boolean)
 
   /** Per-band occurrence verdict (stage-1 output). */
-  case class BandHit(docId: Long, timeUs: Long, hit: Boolean,
-                     eventTime: java.sql.Timestamp)
+  case class BandHit(docId: Long, timeUs: Long, hit: Boolean)
 
-  private case class BandState(pending: Seq[(Long, Long)],
-                               lastSeenUs: Option[Long])
+  /** Stage-2 accumulator: verdicts seen so far for one (doc, time). */
+  case class DocAcc(n: Int, any: Boolean)
+
+  /** Per-band state. PUBLIC (like StreamingDedup.DedupState): the state
+    * encoder's generated Java cannot call methods of a private class.
+    * `lastSeenUs = NoneUs` means "no finalized occurrence yet". */
+  val NoneUs: Long = Long.MinValue
+  case class BandState(pending: Seq[(Long, Long)], lastSeenUs: Long)
 
   /** The shared per-band fold: occurrences MUST be (time, id)-sorted.
     * Returns (verdicts, new lastSeen). An occurrence is a hit iff the
     * most recent strictly-earlier occurrence is within ttl — with
     * sorted processing the most recent one is `last`, and ties (equal
     * time, smaller id first) hit at distance 0. */
-  private def fold(rows: Seq[(Long, Long)], last0: Option[Long], ttlUs: Long)
-      : (Seq[(Long, Long, Boolean)], Option[Long]) = {
+  private def fold(rows: Seq[(Long, Long)], last0: Long, ttlUs: Long)
+      : (Seq[(Long, Long, Boolean)], Long) = {
     var last = last0
     val out = rows.map { case (t, id) =>
-      val hit = last.exists(l => t - l <= ttlUs)
-      last = Some(t)
+      val hit = last != NoneUs && t - last <= ttlUs
+      last = t
       (t, id, hit)
     }
     (out, last)
@@ -75,21 +101,21 @@ object StreamingNearDup {
     * eventTime) with a watermark already applied on the eventTime
     * column. `bands` must equal the number of band rows per document —
     * the stage-2 group is complete when that many verdicts arrived. */
-  def flagContinuous(
+  /** Stage 1 alone: per-(band, key) occurrence verdicts, watermark-
+    * finalized. Package-visible for diagnosis. */
+  private[streaming] def stage1Hits(
       rows: Dataset[(Long, Long, Int, String, java.sql.Timestamp)],
-      ttlUs: Long, bands: Int, delayThreshold: String): Dataset[Verdict] = {
-    require(ttlUs >= 0, s"ttlUs must be >= 0, got $ttlUs")
-    require(bands >= 1, s"bands must be >= 1, got $bands")
+      ttlUs: Long): Dataset[BandHit] = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val hits = rows
+    rows
       .groupByKey(r => (r._3, r._4)) // (band index, band key)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: (Int, String),
          it: Iterator[(Long, Long, Int, String, java.sql.Timestamp)],
          state: GroupState[BandState]) =>
-          val st = state.getOption.getOrElse(BandState(Nil, None))
+          val st = state.getOption.getOrElse(BandState(Nil, NoneUs))
           val wmUs = state.getCurrentWatermarkMs() * 1000
           val all = (st.pending ++ it.map(r => (r._2, r._1))).sorted
           // strict readiness: a row AT the watermark could still gain an
@@ -102,7 +128,8 @@ object StreamingNearDup {
           // lastSeen + ttl >= wm
           val wake: Option[Long] =
             if (live.nonEmpty) Some(live.map(_._1).min)
-            else last.collect { case l if l + ttlUs >= wmUs => l + ttlUs }
+            else Some(last).collect {
+              case l if l != NoneUs && l + ttlUs >= wmUs => l + ttlUs }
           wake match {
             case Some(w) =>
               state.update(BandState(live, last))
@@ -110,28 +137,73 @@ object StreamingNearDup {
                 math.max((w + 999) / 1000, wmUs / 1000 + 1))
             case None => state.remove()
           }
-          verdicts.iterator.map { case (t, id, hit) =>
-            BandHit(id, t, hit, new java.sql.Timestamp(t / 1000))
+          verdicts.iterator.map { case (t, id, hit) => BandHit(id, t, hit) }
+      }
+  }
+
+  def flagContinuous(
+      rows: Dataset[(Long, Long, Int, String, java.sql.Timestamp)],
+      ttlUs: Long, bands: Int): Dataset[Verdict] = {
+    require(ttlUs >= 0, s"ttlUs must be >= 0, got $ttlUs")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val spark = rows.sparkSession
+    // Spark's analyzer rejects ANY stateful operator downstream of
+    // flatMapGroupsWithState, because an arbitrary user function could
+    // emit rows older than watermark − delay that the next operator
+    // silently drops. THIS function's emission discipline provably
+    // cannot: stage 1 only emits a row in the micro-batch where the
+    // watermark first passes it (data path and timeout path both gate
+    // on t < wm, and the timeout is always armed at the earliest
+    // pending row), so every emitted row satisfies
+    // wmPrev ≤ t < wmNow — exactly the chained-stateful contract
+    // (SPARK-40925: late filtering uses the previous batch's watermark,
+    // eviction the current). The caller must still opt in explicitly,
+    // because the flag is session-wide and disables the same guard for
+    // every other streaming query on the session.
+    require(spark.conf.getOption(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+        .contains("false"),
+      "StreamingNearDup.flagContinuous chains an aggregation after " +
+        "flatMapGroupsWithState; set spark.sql.streaming." +
+        "statefulOperator.checkCorrectness.enabled=false to opt in " +
+        "(safe here: stage 1 emits each row in the exact micro-batch " +
+        "the watermark finalizes it, so stage 2's late filter — which " +
+        "uses the previous batch's watermark — never drops one)")
+    import spark.implicits._
+    val hits = stage1Hits(rows, ttlUs)
+    // stage 2: doc-keyed buffer, count-complete emission. The overfull
+    // guard is LOAD-BEARING, not advisory: a feed carrying more than
+    // `bands` verdicts per (doc, time) — duplicate doc ids at one event
+    // time merge groups — throws the moment the count exceeds, instead
+    // of silently OR-ing two documents together. A SHORT feed (fewer
+    // band rows than declared) structurally cannot mis-flag here: the
+    // group never reaches its count, never emits, and its state is
+    // retained — visible in state-store metrics, auditable against
+    // [[flagBatch]]. No timeout alarm on purpose: EventTimeTimeout
+    // needs a stage-2 watermark (deadlock, class doc point 1) and
+    // ProcessingTimeTimeout forces shouldRunAnotherBatch=true, which
+    // spins no-data micro-batches forever under Trigger.AvailableNow.
+    hits
+      .groupByKey(h => (h.docId, h.timeUs))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), it: Iterator[BandHit],
+         state: GroupState[DocAcc]) =>
+          val prev = state.getOption.getOrElse(DocAcc(0, any = false))
+          var n = prev.n; var any = prev.any
+          it.foreach { h => n += 1; any ||= h.hit }
+          if (n > bands)
+            throw new IllegalStateException(
+              s"StreamingNearDup: expected $bands band verdicts, got " +
+                s"$n for doc ${key._1}")
+          if (n == bands) {
+            state.remove()
+            Iterator.single(Verdict(key._1, key._2, any))
+          } else {
+            state.update(DocAcc(n, any))
+            Iterator.empty
           }
       }
-    // stage 2: append-mode aggregation after flatMapGroupsWithState —
-    // re-watermark the finalized verdicts and OR them per document. The
-    // count-guard asserts group completeness (all bands finalized
-    // together; a short count would mean the watermark split a doc's
-    // bands, which the same-event-time argument rules out).
-    hits.toDF()
-      .withWatermark("eventTime", delayThreshold)
-      .groupBy(col("docId"), col("timeUs"), col("eventTime"))
-      .agg(max(col("hit")).as("nearDup"), count(lit(1)).as("nBands"))
-      .select(col("docId"), col("timeUs"), col("nearDup"),
-        // surface a malformed feed (duplicate doc ids within one event
-        // time would merge groups) instead of silently mis-flagging
-        when(col("nBands") === bands, col("nearDup"))
-          .otherwise(raise_error(concat(lit("StreamingNearDup: expected "),
-            lit(bands), lit(" band verdicts, got "), col("nBands"),
-            lit(" for doc "), col("docId")))).as("_guard"))
-      .select(col("docId"), col("timeUs"), col("nearDup"))
-      .as[Verdict]
   }
 
   /** Batch twin: identical semantics over a bounded frame of the same

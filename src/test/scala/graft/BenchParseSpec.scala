@@ -37,9 +37,75 @@ class BenchParseSpec extends AnyFunSuite {
     val t2only = """2":{"factor":10,"total":37.6,"queries":{"q52_d":11.9}"""
     val (a, b) = Bench.splitTiers(t2only)
     assert(Bench.queryTimes(a).isEmpty && Bench.queryTimes(b) == Map("q52_d" -> 11.9))
-    // no marker, no factor -> all tier 1
-    val t1only = """"q07_x":0.3}"""
-    assert(Bench.splitTiers(t1only) == (t1only, ""))
+    // anchor-free fragment: could be the tier-2 remnant of a truncated
+    // tail (round 5's shape) — must NEVER be filed as tier 1
+    val anchorless = """"q07_x":0.3}"""
+    assert(Bench.splitTiers(anchorless) == ("", anchorless))
+    // the record head survived and neither "sf" nor the tier2 marker is
+    // present -> truncated mid-tier-1 -> provably all tier 1
+    val headOnly = """{"metric":"total","value":1.0,"queries":{"q07_x":0.3"""
+    assert(Bench.splitTiers(headOnly) == (headOnly, ""))
+    // "sf" separator present but no tier2 section (tier2 skipped):
+    // before-sf is tier 1, after-sf holds no query pairs
+    val sfOnly = """ess":{"q07_x":0.3},"sf":"/root/testdata/sf0.1"}"""
+    val (c, d) = Bench.splitTiers(sfOnly)
+    assert(Bench.queryTimes(c) == Map("q07_x" -> 0.3) && Bench.queryTimes(d).isEmpty)
+  }
+
+  test("round 5's actual truncated tail is never filed as tier 1") {
+    val r05 = "/root/repo/BENCH_r05.json"
+    assume(new java.io.File(r05).exists())
+    // the real r5 tail is an anchor-free tier-2 remnant (cold tail +
+    // full ×10 warm map). Round 6 filed it as tier 1 and compared sf0.1
+    // numbers against ×10 warm values; the fix refuses tier-1 filing
+    // without a provable anchor.
+    assert(Bench.baselineQueries(r05).isEmpty,
+      "tier-1 filing of an anchor-free fragment")
+    assert(Bench.baselineQueries(r05, "warm").isEmpty)
+    val t2w = Bench.baselineQueries(r05, "tier2warm")
+    assert(math.abs(t2w("q01_pricing_summary") - 0.229366762) < 1e-9)
+    assert(t2w.size >= 40, s"expected the full x10 warm map, got ${t2w.size}")
+    val t2c = Bench.baselineQueries(r05, "tier2")
+    assert(math.abs(t2c("q98_cdc_dedup") - 0.796208791) < 1e-9)
+  }
+
+  test("the committed BENCH_FULL_r06 record parses all four sections") {
+    val p = "/root/repo/BENCH_FULL_r06.json"
+    assume(new java.io.File(p).exists())
+    assert(Bench.baselineQueries(p).size == 143)
+    assert(Bench.baselineQueries(p, "warm").size == 143)
+    assert(Bench.baselineQueries(p, "tier2").size == 57)
+    assert(Bench.baselineQueries(p, "tier2warm").size == 57)
+    assert(math.abs(Bench.baselineQueries(p)("q100_ivf_pq") - 10.769776185) < 1e-9)
+    assert(Bench.baselineHostSingle(p).contains(481L))
+  }
+
+  test("hostScale normalizes drift, clamps corruption, defaults to 1") {
+    assert(Bench.hostScale(Some(500L), 500L) == 1.0)
+    // prev host 2x faster (1000 vs now 500): expect times 2x slower now
+    assert(math.abs(Bench.hostScale(Some(1000L), 500L) - 2.0) < 1e-12)
+    assert(math.abs(Bench.hostScale(Some(250L), 500L) - 0.5) < 1e-12)
+    assert(Bench.hostScale(Some(100000L), 500L) == 3.0) // clamped
+    assert(Bench.hostScale(Some(1L), 500L) == 1.0 / 3.0) // clamped
+    assert(Bench.hostScale(None, 500L) == 1.0)
+    assert(Bench.hostScale(Some(0L), 500L) == 1.0)
+  }
+
+  test("regressionJson applies the host scale to the threshold") {
+    val prev = Map("q01_a" -> 1.0)
+    // 1.4s now vs 1.0s prev is a regression on an equal host...
+    val flat = Bench.regressionJson("", prev, Seq(("q01_a", 1.4, true)))
+    assert(flat.contains("\"q\":\"q01_a\""))
+    // ...but NOT when the baseline host was 1.5x faster (expected 1.5s)
+    val scaled = Bench.regressionJson("", prev, Seq(("q01_a", 1.4, true)),
+      scale = 1.5)
+    assert(!scaled.contains("\"q\":\"q01_a\""))
+    assert(scaled.contains("\"host_scale\":1.5"))
+    // and a fast host SHRINKS the allowance: 1.0 now vs 1.0 prev at
+    // scale 0.5 (host is 2x faster) IS a regression
+    val fast = Bench.regressionJson("", prev, Seq(("q01_a", 1.0, true)),
+      scale = 0.5)
+    assert(fast.contains("\"q\":\"q01_a\"") && fast.contains("\"expected\":0.5"))
   }
 
   test("a driver-shaped truncated tail parses for both tiers") {
@@ -80,8 +146,10 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.baselineQueries(p, "tier2") == Map("q01_a" -> 9.0))
     assert(Bench.baselineQueries(p, "tier2warm") == Map("q01_a" -> 3.0))
     // a file from before the warm methodology: cold parses, warm is
-    // MISSING (so the caller flags warm_baseline_missing, not clean [])
-    val old = write(""""queries":{"q01_a":1.5},"failed":[]""")
+    // MISSING (so the caller flags warm_baseline_missing, not clean []).
+    // The head anchor must survive for tier-1 filing — an anchor-free
+    // fragment is refused (see the round-5-tail test).
+    val old = write("""{"metric":"total","queries":{"q01_a":1.5},"failed":[]""")
     assert(Bench.baselineQueries(old) == Map("q01_a" -> 1.5))
     assert(Bench.baselineQueries(old, "warm").isEmpty)
   }
@@ -99,14 +167,15 @@ class BenchParseSpec extends AnyFunSuite {
     val ok = Bench.regressionJson("",
       Map("q01_a" -> 0.5), Seq(("q01_a", 1.0, true)))
     assert(ok.contains("\"baseline_missing\":false"))
-    assert(ok.contains("{\"q\":\"q01_a\",\"prev\":0.5,\"now\":1.0}"))
+    assert(ok.contains(
+      "{\"q\":\"q01_a\",\"prev\":0.5,\"expected\":0.5,\"now\":1.0}"))
   }
 
   test("latestBaseline picks the newest USABLE round file") {
     val dir = java.nio.file.Files.createTempDirectory("benchbase").toString
     def put(n: String, body: String) =
       java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, n), body)
-    val withTimes = """{"tail":"\"queries\":{\"q01_a\":1.5}"}"""
+    val withTimes = """{"tail":"{\"metric\":\"total\",\"queries\":{\"q01_a\":1.5}"}"""
     put("BENCH_r02.json", withTimes)
     put("BENCH_r03.json", withTimes)
     put("BENCH_r10.json", withTimes)
@@ -115,8 +184,16 @@ class BenchParseSpec extends AnyFunSuite {
     // pairs) must be skipped, not chosen — the round-4 lesson
     put("BENCH_r11.json", """{"n":11,"rc":1,"tail":"[error] does not compile"}""")
     assert(Bench.latestBaseline(dir).endsWith("BENCH_r10.json"))
-    // if EVERY candidate is unusable, still return the newest (caller
-    // surfaces baseline_missing)
+    // a committed FULL record beats every truncated driver tail, even
+    // an older-round one (it carries the complete per-query history)
+    put("BENCH_FULL_r09.json",
+      """{"metric":"total","queries":{"q01_a":1.4},"failed":[]""")
+    assert(Bench.latestBaseline(dir).endsWith("BENCH_FULL_r09.json"))
+    // ...but an unusable FULL record (no pairs) falls back to the tails
+    put("BENCH_FULL_r09.json", "{}")
+    assert(Bench.latestBaseline(dir).endsWith("BENCH_r10.json"))
+    // if EVERY candidate is unusable, still return the newest tail
+    // (caller surfaces baseline_missing)
     for (n <- Seq("BENCH_r02.json", "BENCH_r03.json", "BENCH_r10.json"))
       put(n, "{}")
     assert(Bench.latestBaseline(dir).endsWith("BENCH_r11.json"))

@@ -31,13 +31,32 @@ class MaterializeSpec extends SparkSpec {
     try f finally spark.conf.unset(Materialize.ReliableConf)
   }
 
-  test("reliable mode requires a checkpoint dir") {
-    // exercise the guard on a context without one: a fresh conf flag but
-    // the dir check reads the live context, so simulate by asserting the
-    // message shape after unsetting is impossible mid-context — instead
-    // verify apply() is localCheckpoint when the flag is off
+  test("flag off: apply() is plain localCheckpoint and preserves rows") {
     val df = Materialize(docs())
     assert(df.count() == 5)
+  }
+
+  test("reliable mode without a checkpoint dir is refused loudly") {
+    // the guard reads the LIVE SparkContext, and setCheckpointDir is
+    // sticky for the JVM (another suite may have set one) — so clear
+    // the context's dir via its private field for the duration of the
+    // check and restore it after. This is the only way to exercise the
+    // require() without forking a JVM; a swallowed guard here would
+    // mean reliable deployments silently localCheckpoint instead.
+    val sc = spark.sparkContext
+    val f = sc.getClass.getDeclaredField("checkpointDir")
+    f.setAccessible(true)
+    val saved = f.get(sc)
+    f.set(sc, None)
+    try {
+      assert(sc.getCheckpointDir.isEmpty, "precondition: no checkpoint dir")
+      spark.conf.set(Materialize.ReliableConf, "true")
+      val e = intercept[IllegalArgumentException] { Materialize(docs()) }
+      assert(e.getMessage.contains("requires spark.sparkContext.setCheckpointDir"))
+    } finally {
+      spark.conf.unset(Materialize.ReliableConf)
+      f.set(sc, saved)
+    }
   }
 
   test("SetSimJoin.join identical under both checkpoint policies") {

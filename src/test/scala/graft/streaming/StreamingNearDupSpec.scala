@@ -1,0 +1,165 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+/** StreamingNearDup: per-band TTL hit semantics, event-time ordering
+  * under late arrivals, ttl-boundary inclusiveness, multi-batch parity
+  * with the batch twin, and the loud-failure guard on a malformed feed
+  * (short band count). Mirrors StreamingDedupSpec's harness: parquet
+  * drops + AvailableNow restarts from one checkpoint. */
+class StreamingNearDupSpec extends SparkSpec {
+
+  private val MIN = 60000000L
+  private val HOUR = 3600000000L
+  private val BASE = 1704067200000000L
+
+  /** (docId, timeUs, bandIdx, bandKey) */
+  private type BandRow = (Long, Long, Int, String)
+
+  private def bandedDoc(id: Long, us: Long, keys: Seq[String]): Seq[BandRow] =
+    keys.zipWithIndex.map { case (k, i) => (id, us, i, k) }
+
+  private class Harness(watermark: String, ttlUs: Long, bands: Int) {
+    val in = tmpDir("snd-in"); val out = tmpDir("snd-out")
+    val ckpt = tmpDir("snd-ckpt")
+    var part = 0
+    var dropped = Vector.empty[BandRow]
+    def drop(rows: Seq[BandRow]): Unit = {
+      part += 1
+      dropped ++= rows
+      val s = spark; import s.implicits._
+      rows.toDF("docId", "us", "bandIdx", "bandKey")
+        .write.mode("append").parquet(s"$in/p=$part")
+    }
+    def run(): Unit = {
+      val s = spark; import s.implicits._
+      s.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "false")
+      val schema = Seq((1L, 1L, 1, "k"))
+        .toDF("docId", "us", "bandIdx", "bandKey").schema
+      val src = spark.readStream.schema(schema).parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", watermark)
+        .select(col("docId"), col("us"), col("bandIdx"), col("bandKey"),
+          col("ts"))
+        .as[(Long, Long, Int, String, java.sql.Timestamp)]
+      val q = StreamingNearDup.flagContinuous(src, ttlUs, bands)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    private var sentinel = 0
+    /** Advance the watermark far past every real row so both stages
+      * finalize; two drop+run passes because stage 2's emission needs a
+      * batch AFTER the one whose watermark advance finalized stage 1. */
+    def finalizeAll(farUs: Long): Unit = (1 to 2).foreach { _ =>
+      sentinel += 1
+      drop(bandedDoc(-sentinel.toLong, farUs + sentinel * HOUR,
+        (0 until bands).map(b => s"sent-$sentinel-$b")))
+      run()
+    }
+    def emitted: Set[(Long, Long, Boolean)] = {
+      val s = spark; import s.implicits._
+      spark.read.parquet(out).as[(Long, Long, Boolean)]
+        .collect().toSet.filter(_._1 >= 0)
+    }
+    /** Batch-twin verdicts over every dropped row (sentinels filtered). */
+    def expected(): Set[(Long, Long, Boolean)] = {
+      val s = spark; import s.implicits._
+      StreamingNearDup.flagBatch(
+        dropped.toDF("docId", "timeUs", "bandIdx", "bandKey"), ttlUs)
+        .as[(Long, Long, Boolean)].collect().toSet.filter(_._1 >= 0)
+    }
+  }
+
+  test("band collision within ttl flags; stale band occurrence does not") {
+    val h = new Harness("1 minute", ttlUs = HOUR, bands = 2)
+    h.drop(bandedDoc(1L, BASE, Seq("K", "X1")) ++
+      bandedDoc(2L, BASE + 10 * MIN, Seq("K", "X2")) ++ // shares band K
+      bandedDoc(3L, BASE + 3 * HOUR, Seq("K", "X3"))) // K is 2h50m stale
+    h.run()
+    h.finalizeAll(BASE + 10 * HOUR)
+    assert(h.emitted == Set((1L, BASE, false), (2L, BASE + 10 * MIN, true),
+      (3L, BASE + 3 * HOUR, false)))
+    assert(h.emitted == h.expected(), "streaming != batch twin")
+  }
+
+  test("ttl boundary is inclusive: gap == ttl still hits") {
+    val h = new Harness("1 minute", ttlUs = HOUR, bands = 1)
+    h.drop(bandedDoc(1L, BASE, Seq("B")) ++
+      bandedDoc(2L, BASE + HOUR, Seq("B")) ++ // exactly ttl later: hit
+      bandedDoc(3L, BASE + 2 * HOUR + 1L, Seq("B"))) // 1 µs past: miss
+    h.run()
+    h.finalizeAll(BASE + 10 * HOUR)
+    assert(h.emitted == Set((1L, BASE, false), (2L, BASE + HOUR, true),
+      (3L, BASE + 2 * HOUR + 1L, false)))
+    assert(h.emitted == h.expected())
+  }
+
+  test("late-but-admissible earlier doc takes the 'first' slot (event-time order)") {
+    val h = new Harness("6 hours", ttlUs = HOUR, bands = 1)
+    h.drop(bandedDoc(10L, BASE + 30 * MIN, Seq("L"))) // newer arrives first
+    h.run()
+    h.drop(bandedDoc(11L, BASE, Seq("L"))) // older arrives late
+    h.run()
+    assert(h.emitted.isEmpty, "nothing may emit before the watermark finalizes")
+    h.finalizeAll(BASE + 30 * HOUR)
+    // event-time semantics: doc 11 (earliest) is clean, doc 10 is the
+    // dup — an arrival-order implementation would flag 11 instead
+    assert(h.emitted == Set((11L, BASE, false), (10L, BASE + 30 * MIN, true)))
+    assert(h.emitted == h.expected())
+  }
+
+  test("multi-batch streaming equals the batch twin on a randomized corpus") {
+    val rnd = new scala.util.Random(13)
+    val bands = 3
+    val rows: Seq[BandRow] = (0 until 250).flatMap { i =>
+      // duplicate times on purpose (every 4th doc shares a slot) so the
+      // equal-time, smaller-id-first tie discipline is exercised
+      val t = BASE + (rnd.nextInt(48) / 4 * 4) * 30 * MIN
+      bandedDoc(i.toLong, t,
+        (0 until bands).map(b => s"b$b-${rnd.nextInt(8)}"))
+    }
+    // watermark delay exceeds the whole span: no row is dropped as
+    // late, so the batch twin sees the identical row set — this
+    // isolates cross-batch state + event-time ordering
+    val h = new Harness("30 hours", ttlUs = 2 * HOUR, bands = bands)
+    rows.grouped(180).foreach { g => h.drop(g); h.run() }
+    h.finalizeAll(BASE + 100 * HOUR)
+    val got = h.emitted
+    val exp = h.expected()
+    assert(got == exp,
+      s"missing=${exp.diff(got).take(5)} extra=${got.diff(exp).take(5)}")
+  }
+
+  test("an overfull band count fails loudly instead of merging documents") {
+    val h = new Harness("1 minute", ttlUs = HOUR, bands = 3)
+    // malformed: 4 band rows for a doc declared to have 3 — the shape a
+    // duplicated (docId, timeUs) feed produces when groups merge
+    h.drop(bandedDoc(7L, BASE, Seq("m0", "m1", "m2", "m3")))
+    val e = intercept[StreamingQueryException] {
+      h.run()
+      h.finalizeAll(BASE + 10 * HOUR)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("StreamingNearDup: expected 3 band verdicts, got 4"))),
+      s"guard did not fire: ${e.getMessage}")
+  }
+
+  test("a short band count never emits (and so can never mis-flag)") {
+    val h = new Harness("1 minute", ttlUs = HOUR, bands = 3)
+    // only 2 of the declared 3 band rows for doc 7: the count-complete
+    // stage 2 must hold the group forever rather than emit a verdict
+    // computed from a partial band set
+    h.drop(bandedDoc(7L, BASE, Seq("m0", "m1")))
+    h.run()
+    h.finalizeAll(BASE + 10 * HOUR)
+    assert(h.emitted.isEmpty)
+  }
+}
