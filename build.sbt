@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench executes ~600 query runs (143 cold + 3×143 warm + the
+  // ×10 tier) in one JVM; each whole-stage-codegen plan loads fresh
+  // generated classes, and the default 240 MB JIT code cache fills
+  // mid-suite — the JIT then stops compiling and late queries (the ×10
+  // heavies) run partially interpreted, which showed up as a 1.9×
+  // in-suite-vs-isolated gap on q134/q106 in round 6. Same remedy the
+  // Spark build itself uses for its test JVMs.
+  "-XX:ReservedCodeCacheSize=768m",
+  "-XX:+UseCodeCacheFlushing",
 )

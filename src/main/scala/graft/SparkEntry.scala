@@ -25,7 +25,7 @@ object SparkEntry {
       GridQueries.queries, TextQueries.queries,
       VectorQueries.queries, MiscQueries.queries,
       TokenizerQueries.queries, StoreQueries.queries,
-      CurationQueries.queries)
+      CurationQueries.queries, StreamingQueries.queries)
     val merged = packs.reduce(_ ++ _)
     // a duplicate key across packs would SILENTLY shadow a query (and
     // its oracle) out of the verify dump and the bench — fail loudly
@@ -45,5 +45,6 @@ object SparkEntry {
       MiscQueries.oracles ++
       TokenizerQueries.oracles ++
       StoreQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++
+      StreamingQueries.oracles
 }

@@ -226,6 +226,44 @@ object TextFunctions {
 
   /** Back-compat core used by existing call sites/specs: md5 boundary
     * hash via an explicit digest instance. */
+  // ---- PII detection / redaction -----------------------------------------
+  //
+  // The standard pre-training scrub (CCNet/Dolma-style): regex families
+  // for emails, North-American phone numbers, and IPv4 literals, each
+  // replaced by a typed placeholder so downstream dedup/tokenization
+  // sees stable text. Patterns use only portable syntax (character
+  // classes, bounded repetition — no lookaround, no backrefs) so the
+  // DuckDB oracle runs the IDENTICAL expressions; all three run in the
+  // scan stage as codegen'd regexp_replace/regexp_count chains.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Per-family match counts: struct(n_emails, n_phones, n_ips).
+    * Phones are counted on the EMAIL-REDACTED text and IPs on the
+    * phone-redacted text, so one span never double-counts across
+    * families (a phone-shaped fragment inside an email local part
+    * counts as email only) — the same precedence [[redactPii]] applies. */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailRe, "[EMAIL]")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "[PHONE]")
+    struct(
+      regexp_count(text, lit(EmailRe)).as("n_emails"),
+      regexp_count(afterEmail, lit(PhoneRe)).as("n_phones"),
+      regexp_count(afterPhone, lit(Ipv4Re)).as("n_ips"))
+  }
+
+  /** Text with every PII span replaced by its typed placeholder, in
+    * fixed email → phone → IP precedence (leftmost-longest within each
+    * family, the shared regex-engine contract). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
   private[graft] def cdcChunksOf(text: String,
                                  md: java.security.MessageDigest,
                                  gram: Int,

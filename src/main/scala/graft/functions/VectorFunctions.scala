@@ -392,7 +392,7 @@ object VectorFunctions {
     * Returns codebooks(sub)(cid) = float centroid of that subspace. */
   def pqTrain(df: org.apache.spark.sql.DataFrame, idCol: String,
               vecCol: String, seeds: Array[Array[Array[Float]]],
-              iters: Int): Array[Array[Array[Float]]] = {
+              iters: Int, checkpoint: Boolean = true): Array[Array[Array[Float]]] = {
     val m = seeds.length
     require(m > 0 && seeds.forall(_.nonEmpty), "need seeds per subspace")
     val k = seeds.head.length
@@ -400,8 +400,12 @@ object VectorFunctions {
     val spark = df.sparkSession
     import spark.implicits._
     var books = seeds.map(_.map(_.clone()))
-    val src = Signatures.spread(df.select(col(idCol).cast("long"), col(vecCol)))
-      .as[(Long, Array[Float])].localCheckpoint()
+    // checkpoint=false when the CALLER already materialized df (q100
+    // localCheckpoints the shared training input): a second checkpoint
+    // here would be one extra blocking job copying memory to memory.
+    val src0 = Signatures.spread(df.select(col(idCol).cast("long"), col(vecCol)))
+      .as[(Long, Array[Float])]
+    val src = if (checkpoint) src0.localCheckpoint() else src0
     var it = 0
     while (it < iters) {
       val cur = books

@@ -122,6 +122,39 @@ object StoreQueries {
       readBack(store)
     }),
 
+    // The exactly-once streaming SINK face through the gate: the tail
+    // half of events arrives as a STREAM (parquet file source, one file
+    // per micro-batch) and lands through StoreSink.append — every batch
+    // runs the store's full update path (QC, contiguity, claim → write
+    // → manifest swap) with batch claim markers. The read-back must
+    // hash-match the same full-table oracle as q137; before this the
+    // exactly-once sink was StoreSinkSpec-only (§2.13 gap, round-6
+    // punch item #4).
+    "q146_store_stream_sink" -> ((s, dir) => {
+      val all = tall(s, dir)
+      val r = all.agg(min("time"), max("time")).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val cut = lo + (hi - lo) / 2L
+      val store = new GriddedStore(freshRoot(s, "q146", dir), s)
+      store.writeInitial(all.filter(col("time") <= cut), desc(WeekUs))
+      // the streamed tail: three ascending time slices, one file each,
+      // written oldest-first (file-source order is mtime-first) so each
+      // micro-batch is a contiguous append run extending the end
+      val in = freshRoot(s, "q146_in", dir)
+      val ckpt = freshRoot(s, "q146_ckpt", dir)
+      val step = (hi - cut) / 3L + 1L
+      (0 until 3).foreach { i =>
+        all.filter(col("time") > cut + i * step &&
+            col("time") <= math.min(cut + (i + 1) * step, hi))
+          .coalesce(1).write.parquet(s"$in/p=$i")
+      }
+      val src = s.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+      graft.sources.StoreSink.append(src, store.root, ckpt)
+        .awaitTermination()
+      readBack(store)
+    }),
+
     // §2.10 encryption through the gate (`EncryptionFilter` analog):
     // values are AES-GCM-encrypted BEFORE the store write (dataVar
     // becomes an opaque binary payload; the key travels only by hash),
@@ -130,6 +163,37 @@ object StoreQueries {
     // Nonces are random per run, so the stored BYTES differ between
     // executions while the decrypted values stay bit-identical — the
     // property the gate checks.
+    // Crash RECOVERY through the gate (the failure-path twin of q137,
+    // mirroring `tests/system/test_chirps.py`'s failure tests): a writer
+    // dies between its claim and its commit — pointer flagged
+    // in-progress, an orphan data file staged in a pinned bucket — and
+    // the store must (a) refuse further mutations while flagged,
+    // (b) restore the committed pointer via repair(), (c) accept the
+    // retried update afterwards, and (d) never surface the orphan. The
+    // final read-back hash-matches the same full-table oracle as q137.
+    "q145_store_repair" -> ((s, dir) => {
+      import graft.sources.StoreCrashDrill
+      val all = tall(s, dir)
+      val r = all.agg(min("time"), max("time")).collect()(0)
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 5L * 4L
+      val store = new GriddedStore(freshRoot(s, "q145", dir), s)
+      store.writeInitial(all.filter(col("time") <= cut), desc(WeekUs))
+      StoreCrashDrill.stageOrphan(store)
+      StoreCrashDrill.claimWithoutCommit(store)
+      // the refusal gate is part of what this query certifies: a store
+      // that silently accepted a mutation on a half-written state would
+      // still read back clean here, so assert the refusal explicitly
+      val tail = all.filter(col("time") > cut)
+      val refused =
+        try { store.update(tail); false }
+        catch { case _: IllegalStateException => true }
+      if (!refused) throw new IllegalStateException(
+        "update() accepted a mutation on an in-progress store")
+      store.repair()
+      store.update(tail) // the retried update must succeed post-repair
+      readBack(store)
+    }),
+
     "q140_store_encrypted" -> ((s, dir) => {
       import graft.functions.Encryption
       val hash = Encryption.registerKey(Encryption.generateKey())
@@ -158,6 +222,12 @@ object StoreQueries {
       """SELECT event_id, epoch_us(ts) AS t, user_id, value
         |FROM events ORDER BY event_id""".stripMargin,
     "q140_store_encrypted" ->
+      """SELECT event_id, epoch_us(ts) AS t, user_id, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q145_store_repair" ->
+      """SELECT event_id, epoch_us(ts) AS t, user_id, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q146_store_stream_sink" ->
       """SELECT event_id, epoch_us(ts) AS t, user_id, value
         |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.streaming.StreamingNearDup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-gated coverage for the §2.13 streaming surface: q144 pushes
+  * the documents table THROUGH the real Structured Streaming engine —
+  * parquet file source, watermark, both stateful stages of
+  * [[StreamingNearDup]], AvailableNow termination — and the emitted
+  * verdicts must hash-match a DuckDB oracle that computes the same
+  * near-dup flags relationally (q34's md5 minhash pipeline + a lag
+  * window). This is the q137 discipline applied to streaming: before
+  * this, the streaming faces were spec-verified only, and the driver
+  * record was blind to a streaming-semantics regression.
+  *
+  * Event times are synthesized from doc_id (BASE + (doc_id % 240)
+  * minutes) so the oracle can reproduce them exactly; the modulus
+  * forces duplicate time slots, exercising the equal-time
+  * smaller-id-first tie discipline. The feed lands as three
+  * chronologically-INTERLEAVED parts (split by doc_id % 3, every part
+  * spans the full time range) plus two far-future sentinel parts;
+  * `maxFilesPerTrigger=1` makes the engine consume them as a sequence
+  * of micro-batches from ONE checkpoint, so verdicts cross real
+  * batch/watermark boundaries. The watermark delay (5 h) exceeds the
+  * 4 h data span, so no real row is ever late-dropped and the result
+  * is independent of exactly how files pack into batches — the
+  * property StreamingNearDupSpec proves against the batch twin. */
+object StreamingQueries {
+
+  private val MinUs = 60000000L
+  private val BaseUs = 1704067200000000L // 2024-01-01T00:00Z
+  private val TtlUs = 45 * MinUs
+  private val Bands = 16
+
+  /** Fresh dir under the JVM temp root, unique per (tag, input dir)
+    * and wiped before use — executions rebuild rather than resume. */
+  private def freshDir(s: SparkSession, tag: String, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${tag}_$safe"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    root
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q144_streaming_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val in = freshDir(s, "q144_in", dir)
+      val out = freshDir(s, "q144_out", dir)
+      val ckpt = freshDir(s, "q144_ckpt", dir)
+      // pre-banded rows (the q34 signature pipeline), banded ONCE —
+      // the three part-writes below must not recompute the signatures
+      val banded = StreamingNearDup.bandRows(
+        Tables.table(s, dir, "documents")
+          .filter(TextFunctions.tokenCount(col("text")) >= 3)
+          .select(col("doc_id"),
+            (lit(BaseUs) + col("doc_id") % 240 * lit(MinUs)).as("us"),
+            col("text")),
+        "doc_id", "us", "text", 3, 64, Bands)
+        .select("doc_id", "us", "bandIdx", "bandKey")
+        .localCheckpoint()
+      // ONE file per part: maxFilesPerTrigger=1 makes file count the
+      // micro-batch count, and an uncoalesced 32-partition write here
+      // would turn the feed into ~100 batches of state-store overhead
+      (0 until 3).foreach { i =>
+        banded.filter(col("doc_id") % 3 === i)
+          .coalesce(1).write.parquet(s"$in/p=$i")
+      }
+      // sentinels: negative ids, far past every real row, one full band
+      // set each so their own stage-2 groups complete too. Written last
+      // (file-source order is mtime-first), they advance the watermark
+      // past all real rows so both stages finalize before termination.
+      (1 to 2).foreach { i =>
+        (0 until Bands)
+          .map(b => (-i.toLong, BaseUs + (100 + i) * 60 * MinUs, b,
+            s"sent-$i-$b"))
+          .toDF("doc_id", "us", "bandIdx", "bandKey")
+          .coalesce(1).write.parquet(s"$in/p=${2 + i}")
+      }
+      val key =
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "false") // flagContinuous's explicit opt-in
+      // State partition count is fixed at the checkpoint's FIRST batch
+      // from spark.sql.shuffle.partitions; the gate's corpus needs 8,
+      // not the session's 32 — per-batch state-store open/commit cost
+      // scales with partitions × stateful operators × batches, and is
+      // the whole floor here. (A production stream sizes this to its
+      // key cardinality once, at first start, same knob.)
+      val pKey = "spark.sql.shuffle.partitions"
+      val savedP = s.conf.getOption(pKey)
+      s.conf.set(pKey, "8")
+      try {
+        val src = s.readStream.schema(banded.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$in/*")
+          .withColumn("ts", timestamp_micros(col("us")))
+          .withWatermark("ts", "5 hours")
+          .select(col("doc_id"), col("us"), col("bandIdx"), col("bandKey"),
+            col("ts"))
+          .as[(Long, Long, Int, String, java.sql.Timestamp)]
+        val q = StreamingNearDup.flagContinuous(src, TtlUs, Bands)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        savedP match {
+          case Some(v) => s.conf.set(pKey, v)
+          case None => s.conf.unset(pKey)
+        }
+      }
+      s.read.parquet(out)
+        .filter(col("docId") >= 0) // sentinels out
+        .select(col("docId").as("doc_id"), col("timeUs").as("time_us"),
+          col("nearDup").as("near_dup"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // q34's md5 minhash signature pipeline verbatim through `bands`,
+    // then the TTL hit rule as a lag window per (band, key) ordered by
+    // (time, doc_id) — previous occurrence within 45 min flags the row;
+    // equal times tie at distance 0 (the smaller id files first).
+    "q144_streaming_neardup" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |           WHERE LEN(string_split(text,' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(LEN(toks)-2),
+        |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS g FROM d),
+        |gh AS (SELECT doc_id, CAST('0x'||substr(md5(g),1,15) AS BIGINT) AS h0,
+        |              CAST('0x'||substr(md5(g),16,15) AS BIGINT) AS h1,
+        |              CAST('0x'||substr(md5(g||'#'),1,15) AS BIGINT) AS h2,
+        |              CAST('0x'||substr(md5(g||'#'),16,15) AS BIGINT) AS h3 FROM sh),
+        |mh AS (SELECT doc_id, p,
+        |         MIN(CAST((CASE WHEN p < 32
+        |               THEN CAST(h0 AS HUGEINT) + p * CAST(h1 AS HUGEINT)
+        |               ELSE CAST(h2 AS HUGEINT) + (p - 32) * CAST(h3 AS HUGEINT) END)
+        |             % 1152921504606846976 AS BIGINT)) AS m
+        |       FROM gh CROSS JOIN range(64) t(p) GROUP BY doc_id, p),
+        |sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, b,
+        |            array_to_string(sig[CAST(b*4+1 AS INTEGER):CAST(b*4+4 AS INTEGER)], ',') AS bk
+        |          FROM sig CROSS JOIN range(16) t(b)),
+        |timed AS (SELECT doc_id, 1704067200000000 + (doc_id % 240) * 60000000 AS us,
+        |            b, bk FROM bands),
+        |hits AS (SELECT doc_id, us,
+        |           lag(us) OVER (PARTITION BY b, bk ORDER BY us, doc_id) AS prev
+        |         FROM timed)
+        |SELECT doc_id, us AS time_us,
+        |  bool_or(prev IS NOT NULL AND us - prev <= 2700000000) AS near_dup
+        |FROM hits GROUP BY doc_id, us ORDER BY doc_id""".stripMargin)
+}

@@ -1617,9 +1617,70 @@ object TextQueries {
             " as n_picks")
         .filter(col("n_picks") > 0)
         .orderBy("doc_id")
+    }),
+
+    // PII detection + redaction (the CCNet/Dolma pre-training scrub).
+    // The synthetic corpus has no natural PII, so the query PLANTS it
+    // deterministically from doc_id (emails on ≡0 mod 7, phones on ≡1,
+    // IPs on ≡2, one doc in 21 gets an email+IP pair) — the oracle
+    // rebuilds the identical augmented text, so the gate checks the
+    // detector and the redactor, not the generator. Everything is
+    // scan-stage regexp chains ([[TextFunctions.piiCounts]] precedence:
+    // an email-internal phone-shaped span counts as email only).
+    "q147_pii_redact" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 1,
+          concat(lit(" call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 2,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 21 === 0,
+          concat(lit(" cc ops-"), col("doc_id").cast("string"),
+            lit("@mail.example.org at 192.168.0."),
+            (col("doc_id") % 50).cast("string")))
+          .otherwise(lit("")))
+      val counts = TextFunctions.piiCounts(planted)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          counts.getField("n_emails").cast("long").as("n_emails"),
+          counts.getField("n_phones").cast("long").as("n_phones"),
+          counts.getField("n_ips").cast("long").as("n_ips"),
+          TextFunctions.redactPii(planted).as("redacted"))
+        .filter(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    // same planted text, same three regex families in the same email →
+    // phone → IP precedence (counts on the previous family's redacted
+    // text, exactly TextFunctions.piiCounts)
+    "q147_pii_redact" ->
+      """WITH p AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 1 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 2 THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END
+        |    || CASE WHEN doc_id % 21 = 0 THEN ' cc ops-' || doc_id || '@mail.example.org at 192.168.0.' || (doc_id % 50) ELSE '' END AS t
+        |  FROM documents),
+        |c1 AS (SELECT doc_id,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        |  FROM p),
+        |c2 AS (SELECT doc_id, n_emails,
+        |    len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |    regexp_replace(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS t2
+        |  FROM c1),
+        |c3 AS (SELECT doc_id, n_emails, n_phones,
+        |    len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+        |    regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS redacted
+        |  FROM c2)
+        |SELECT doc_id, n_emails, n_phones, n_ips, redacted FROM c3
+        |WHERE n_emails + n_phones + n_ips > 0 ORDER BY doc_id""".stripMargin,
     "q28_dedup_exact" ->
       """SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,

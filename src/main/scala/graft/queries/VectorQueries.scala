@@ -560,25 +560,45 @@ object VectorQueries {
     // scan cost ∝ probed fraction, not corpus size. Top-10 by
     // (adc, id) via TakeOrdered.
     "q100_ivf_pq" -> ((s, dir) => {
+      // This query is ~10 driver-blocking jobs (3 seed/query collects +
+      // 2 kmeans passes + 3 PQ-train jobs + the probe): materialize the
+      // training input ONCE so every pass reads memory blocks with a
+      // truncated lineage, instead of re-scanning parquet and
+      // re-compiling the scan subplan per job — the cold cost here is
+      // plan+codegen × job count, not data volume.
       val emb = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      // coarse quantizer: q77's trained IVF (8 cells, cosine metric)
-      val iseeds = emb
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      // ONE collect serves all three driver-side inputs — the 8 IVF
+      // seeds (q77's md5 order; rank re-derived driver-side because
+      // union does not preserve the sorted side's row order), the PQ
+      // sample (exactly the first 4 of those 8 — same ordering, same
+      // (h, vec_id) tie-break, so the codebooks are bit-identical to
+      // pqSeeds(emb)'s), and the query vector (h = NULL marker row) —
+      // two whole jobs off the cold path.
+      val both = emb
         .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
         .orderBy("h", "vec_id").limit(8)
-        .select("vec_id", "embedding")
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .select(col("h"), col("vec_id"), col("embedding"))
+        .unionAll(emb.filter(col("vec_id") === 0)
+          .select(lit(null).cast("string").as("h"), col("vec_id"),
+            col("embedding")))
+        .collect()
+      val qv = both.find(_.isNullAt(0)).get.getSeq[Float](2).toArray
+      val iseeds = both.filter(!_.isNullAt(0))
+        .sortBy(r => (r.getString(0), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getSeq[Float](2).toArray))
+      // coarse quantizer: q77's trained IVF (8 cells, cosine metric)
       val cents = VectorFunctions.kmeansTrain(
         emb, "vec_id", "embedding", iseeds, maxIter = 2, tol = 0.0)
       val assigned = VectorFunctions
         .ivfAssign(emb, "vec_id", "embedding", cents)
         .select(col("vec_id"), col("cell"))
       // fine quantizer: q93's PQ codebooks + codes
+      val seeds4 = Array.tabulate(4)(sub =>
+        iseeds.take(4).map(_._2.slice(sub * 16, (sub + 1) * 16)))
       val books = VectorFunctions.pqTrain(
-        emb, "vec_id", "embedding", pqSeeds(emb), iters = 2)
+        emb, "vec_id", "embedding", seeds4, iters = 2, checkpoint = false)
       val codes = VectorFunctions.pqEncode(emb, "vec_id", "embedding", books)
-      val qv = emb.filter(col("vec_id") === 0).select("embedding")
-        .collect()(0).getSeq[Float](0).toArray
       // nProbe=2 nearest trained cells (q77's metric + tie-break)
       val qcells = cents.map { case (cid, ce) =>
         var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -348,4 +348,33 @@ class FunctionsSpec extends SparkSpec {
       DedupFunctions.starComponents(long, maxIter = 1)._1.collect()
     }
   }
+
+  test("piiCounts/redactPii: families, precedence, multiplicity, clean text") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "write to a.b+c@ex-1.org or x@y.io today"), // two emails
+      (2L, "call 415-555-0000 or 415-555-0001"), // two phones
+      (3L, "host 10.0.0.1 gateway 192.168.255.254"), // two IPs
+      // precedence: the phone-shaped and IP-shaped spans live INSIDE the
+      // email; counting on the email-redacted text must see neither
+      (4L, "mail 415-555-0000@10.0.0.1member.com please"),
+      (5L, "no pii here at all"),
+      (6L, "mixed a@b.co then 415-555-9999 then 1.2.3.4"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.piiCounts(col("text")).as("c"),
+        TextFunctions.redactPii(col("text")).as("r"))
+      .select(col("id"), col("c.n_emails"), col("c.n_phones"),
+        col("c.n_ips"), col("r"))
+      .orderBy("id").collect()
+    def counts(i: Int) = (df(i).getInt(1), df(i).getInt(2), df(i).getInt(3))
+    assert(counts(0) == ((2, 0, 0)))
+    assert(counts(1) == ((0, 2, 0)))
+    assert(counts(2) == ((0, 0, 2)))
+    assert(counts(3) == ((1, 0, 0)), "email precedence over inner spans")
+    assert(counts(4) == ((0, 0, 0)))
+    assert(counts(5) == ((1, 1, 1)))
+    assert(df(3).getString(4) == "mail [EMAIL] please")
+    assert(df(5).getString(4) == "mixed [EMAIL] then [PHONE] then [IP]")
+    assert(df(4).getString(4) == "no pii here at all")
+  }
 }
