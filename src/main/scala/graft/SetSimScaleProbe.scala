@@ -23,6 +23,16 @@ object SetSimScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
     val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    // SPARK_GRAFT_RELIABLE=1 soaks the durable-checkpoint policy (the
+    // cluster deployment mode): same join, Materialize routes through
+    // reliable checkpoints instead of localCheckpoint, so the probe
+    // prices the mode at scale for PLANS.md.
+    if (sys.env.get("SPARK_GRAFT_RELIABLE").contains("1")) {
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("setsim-ckpt").toString)
+      spark.conf.set(graft.operators.Materialize.ReliableConf, "true")
+      println("PROBE checkpoint mode: reliable")
+    } else println("PROBE checkpoint mode: local")
 
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
