@@ -1,0 +1,28 @@
+package graft
+
+/** Does running a streaming gate query (q144) tax LATER batch queries
+  * in the same JVM (loaded state-store providers + their maintenance
+  * thread)? Times a victim query before and after, then again after
+  * explicitly unloading state stores. */
+object StreamTaxProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val victim = sys.env.getOrElse("SPARK_GRAFT_VICTIM", "q114_bpe_encode")
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(tag: String, q: String, n: Int): Unit = (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).count()
+      println(f"[$tag $i] ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    time("victim:before", victim, 3)
+    time("stream", "q144_streaming_neardup", 1)
+    time("victim:after-stream", victim, 3)
+    // unload every state-store provider and stop the maintenance pool
+    val cls = Class.forName(
+      "org.apache.spark.sql.execution.streaming.state.StateStore$")
+    cls.getMethod("stop").invoke(cls.getField("MODULE$").get(null))
+    time("victim:after-unload", victim, 3)
+    spark.stop()
+  }
+}

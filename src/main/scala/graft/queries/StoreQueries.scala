@@ -155,6 +155,51 @@ object StoreQueries {
       readBack(store)
     }),
 
+    // The streaming SOURCE face through the gate (StoreStream DSv2:
+    // manifest versions as offsets, each micro-batch exactly one
+    // commit's added files): three append-only commits drain through
+    // maxVersionsPerTrigger=1 micro-batches into a parquet sink, and
+    // the union of emitted batches must hash-match the full table —
+    // each appended row served exactly once, claim versions and
+    // orphans never served. Completes the §2.13 gate set: q144 covers
+    // the stateful operators, q146 the exactly-once sink, q148 the
+    // incremental source.
+    "q148_store_stream_source" -> ((s, dir) => {
+      // a quarter of the table: the gate certifies the offset/commit
+      // PROTOCOL (versions as offsets, exactly-once delivery, claims
+      // and orphans invisible), which is volume-independent — q137/q146
+      // already push the full table through the write path
+      val all = tall(s, dir).filter(col("latitude") % 4 === 0)
+      val r = all.agg(min("time"), max("time")).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val c1 = lo + (hi - lo) / 3L
+      val c2 = lo + (hi - lo) / 3L * 2L
+      val store = new GriddedStore(freshRoot(s, "q148", dir), s)
+      store.writeInitial(all.filter(col("time") <= c1), desc(WeekUs))
+      store.update(all.filter(col("time") > c1 && col("time") <= c2))
+      store.update(all.filter(col("time") > c2))
+      val out = freshRoot(s, "q148_out", dir)
+      val ckpt = freshRoot(s, "q148_ckpt", dir)
+      s.readStream.format("graft.sources.StoreStream")
+        .option("path", store.root)
+        .option("startingVersion", "0")
+        // 2 versions per batch = one (claim, commit) pair: every
+        // micro-batch carries exactly one commit's added files and none
+        // is an empty claim step — 3 data-bearing batches instead of 6
+        // half-empty ones (~1.4 s of sink-commit/planning overhead each)
+        .option("maxVersionsPerTrigger", "2").load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out).select(
+        col("latitude").cast("bigint").as("event_id"),
+        col("time").cast("bigint").as("t"),
+        col("longitude").cast("bigint").as("user_id"),
+        col("value"))
+        .orderBy("event_id")
+    }),
+
     // §2.10 encryption through the gate (`EncryptionFilter` analog):
     // values are AES-GCM-encrypted BEFORE the store write (dataVar
     // becomes an opaque binary payload; the key travels only by hash),
@@ -229,5 +274,8 @@ object StoreQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "q146_store_stream_sink" ->
       """SELECT event_id, epoch_us(ts) AS t, user_id, value
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q148_store_stream_source" ->
+      """SELECT event_id, epoch_us(ts) AS t, user_id, value
+        |FROM events WHERE event_id % 4 = 0 ORDER BY event_id""".stripMargin)
 }

@@ -108,6 +108,18 @@ class BenchParseSpec extends AnyFunSuite {
     assert(fast.contains("\"q\":\"q01_a\"") && fast.contains("\"expected\":0.5"))
   }
 
+  test("cold callers widen the threshold; the warm default stays tight") {
+    val prev = Map("q01_a" -> 1.0)
+    // 1.4x: flagged at the default (warm) 1.25 threshold...
+    assert(Bench.regressionJson("", prev, Seq(("q01_a", 1.4, true)))
+      .contains("\"q\":\"q01_a\""))
+    // ...but below the single-sample cold gate of 1.5
+    assert(!Bench.regressionJson("", prev, Seq(("q01_a", 1.4, true)),
+      threshold = 1.5).contains("\"q\":\"q01_a\""))
+    assert(Bench.regressionJson("", prev, Seq(("q01_a", 1.6, true)),
+      threshold = 1.5).contains("\"q\":\"q01_a\""))
+  }
+
   test("a driver-shaped truncated tail parses for both tiers") {
     // the driver wraps the bench line in a JSON file whose `tail` field
     // holds the escaped, head-truncated output
