@@ -125,6 +125,68 @@ object StreamingQueries {
         .select(col("docId").as("doc_id"), col("timeUs").as("time_us"),
           col("nearDup").as("near_dup"))
         .orderBy("doc_id")
+    }),
+
+    // StreamingDedup's TTL RE-ADMISSION semantics through the real
+    // engine (the greedy fold: emit iff first, or > ttl after the last
+    // EMITTED occurrence — the window restarts at emissions, so it is
+    // NOT a lag window; the oracle walks it with a recursive CTE). Each
+    // document is observed three times — t0, t0+30min (inside the
+    // 45-min ttl → suppressed), t0+2h (outside → re-admitted) — and
+    // exact-duplicate texts share a key, interleaving their
+    // observations; content hash = md5(text), the q28 discipline. Feed
+    // is 2 interleaved parts + sentinels from one checkpoint, same
+    // harness as q144.
+    "q149_streaming_ttl_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val in = freshDir(s, "q149_in", dir)
+      val out = freshDir(s, "q149_out", dir)
+      val ckpt = freshDir(s, "q149_ckpt", dir)
+      val reps = Seq((0, 0L), (1, 30 * MinUs), (2, 120 * MinUs))
+        .toDF("r", "off")
+      val obs = Tables.table(s, dir, "documents")
+        .crossJoin(broadcast(reps))
+        .select(md5(col("text")).as("h"),
+          (lit(BaseUs) + col("doc_id") % 240 * lit(MinUs) + col("off"))
+            .as("us"),
+          (col("doc_id") * 10 + col("r")).as("obs_id"))
+        .localCheckpoint()
+      (0 until 2).foreach { i =>
+        obs.filter(col("obs_id") % 2 === i)
+          .coalesce(1).write.parquet(s"$in/p=$i")
+      }
+      (1 to 2).foreach { i =>
+        Seq(("zz-sentinel", BaseUs + (200 + i) * 60 * MinUs, -i.toLong))
+          .toDF("h", "us", "obs_id")
+          .coalesce(1).write.parquet(s"$in/p=${1 + i}")
+      }
+      val pKey = "spark.sql.shuffle.partitions"
+      val savedP = s.conf.getOption(pKey)
+      s.conf.set(pKey, "8") // state partitions, the q144 rationale
+      try {
+        val src = s.readStream.schema(obs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+          .withColumn("ts", timestamp_micros(col("us")))
+          // delay > the 6-h data span: nothing is ever late-dropped, so
+          // streamed == batch twin regardless of file/batch packing
+          .withWatermark("ts", "8 hours")
+          .select(col("h"), col("us"), col("obs_id"), col("ts"))
+          .as[(String, Long, Long, java.sql.Timestamp)]
+        graft.streaming.StreamingDedup
+          .dedupContinuous(src, ttlUs = TtlUs)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      } finally savedP match {
+        case Some(v) => s.conf.set(pKey, v)
+        case None => s.conf.unset(pKey)
+      }
+      s.read.parquet(out)
+        .filter(col("id") >= 0) // sentinels out
+        .select(col("key").as("h"), col("timeUs").as("time_us"),
+          col("id").as("obs_id"))
+        .orderBy("h", "time_us", "obs_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -158,5 +220,29 @@ object StreamingQueries {
         |         FROM timed)
         |SELECT doc_id, us AS time_us,
         |  bool_or(prev IS NOT NULL AND us - prev <= 2700000000) AS near_dup
-        |FROM hits GROUP BY doc_id, us ORDER BY doc_id""".stripMargin)
+        |FROM hits GROUP BY doc_id, us ORDER BY doc_id""".stripMargin,
+
+    // the greedy emit-iff-first-or-past-ttl fold, walked per key in
+    // (t, id) order by a recursive CTE (iteration k decides occurrence
+    // rank k of every key; recursion depth = max observations per key)
+    "q149_streaming_ttl_dedup" ->
+      """WITH RECURSIVE
+        |obs AS (SELECT md5(text) AS h,
+        |          1704067200000000 + (doc_id % 240) * 60000000 + off AS t,
+        |          doc_id * 10 + r AS oid
+        |        FROM documents
+        |        CROSS JOIN (VALUES (0, 0), (1, 1800000000), (2, 7200000000)) reps(r, off)),
+        |occ AS (SELECT h, t, oid,
+        |          ROW_NUMBER() OVER (PARTITION BY h ORDER BY t, oid) AS rn
+        |        FROM obs),
+        |walk AS (
+        |  SELECT h, t, oid, rn, t AS last_emit, true AS emitted
+        |  FROM occ WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.h, o.t, o.oid, o.rn,
+        |    CASE WHEN o.t - w.last_emit > 2700000000 THEN o.t ELSE w.last_emit END,
+        |    o.t - w.last_emit > 2700000000
+        |  FROM occ o JOIN walk w ON o.h = w.h AND o.rn = w.rn + 1)
+        |SELECT h, t AS time_us, oid AS obs_id FROM walk WHERE emitted
+        |ORDER BY h, time_us, obs_id""".stripMargin)
 }
