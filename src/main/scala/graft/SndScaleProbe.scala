@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Scale rehearsal for [[graft.streaming.StreamingNearDup]]: N docs on a
+  * LONG time axis (one per minute — the stream shape where bounded
+  * state is the whole game), 4 band rows each, fed through the real
+  * engine as 16 ascending time-slice micro-batches from one checkpoint.
+  *
+  * Planted signal:
+  *  - every 50th doc re-uses its predecessor's band keys at +1 min
+  *    (inside the 45-min ttl) → MUST flag;
+  *  - every 97th doc re-uses the keys of the doc 5000 min earlier
+  *    (far outside ttl) → MUST NOT flag — the stale-band case that
+  *    distinguishes TTL semantics from plain key-collision dedup.
+  * Required: streamed verdicts == the planted set == the batch twin.
+  *
+  * The probe also asserts MAX STATE ROWS across micro-batches against
+  * the operator's real bound: O(band rows per WATERMARK INTERVAL +
+  * keys within one ttl window) — rows of the in-flight batch wait in
+  * state until the next batch's watermark finalizes them, and a
+  * finalized key is evicted exactly once the watermark passes
+  * lastSeen + ttl. Stream LENGTH never appears in the bound: a number
+  * near the corpus size (N×4) falsifies the eviction argument. (First
+  * run of this probe did exactly that for a 4-slice feed — 97k state
+  * rows — which is the bound working as documented: the slice spanned
+  * 25k minutes of event time, so a quarter of the corpus was
+  * legitimately in flight. Production triggers are seconds wide.)
+  *
+  * `runMain graft.SndScaleProbe [nDocs]` (default 100000).
+  */
+object SndScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    import spark.implicits._
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val MinUs = 60000000L
+    val Base = 1704067200000000L
+    val Ttl = 45 * MinUs
+    val Bands = 4
+
+    // band rows, generated distributively. `seed` = the doc whose keys
+    // this doc carries: its predecessor (copies), the doc 5000 back
+    // (stale case), else itself. Keys are unique per (band, seed) in a
+    // 2^64 space — planted collisions only.
+    val isCopy = pmod(col("id"), lit(50)) === 1
+    // a stale doc must never be a copy's predecessor (id % 50 == 0): the
+    // copy re-uses keys "of doc id", which a stale predecessor never
+    // emitted — the planted flag would silently vanish
+    val isStale = pmod(col("id"), lit(97)) === 2 && col("id") >= 5000 &&
+      pmod(col("id"), lit(50)) =!= 0 && !isCopy
+    val seed = when(isCopy, col("id") - 1)
+      .when(isStale, col("id") - 5000).otherwise(col("id"))
+    val rows = spark.range(n)
+      .select(col("id"), (lit(Base) + col("id") * MinUs).as("us"),
+        seed.as("s"))
+      .select(col("id"), col("us"), col("s"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("bandIdx"))
+      .select(col("id").as("docId"), col("us"), col("bandIdx"),
+        concat(lit("b"), col("bandIdx"), lit("-"),
+          xxhash64(col("s"), col("bandIdx"))).as("bandKey"))
+      .localCheckpoint()
+    println(s"PROBE corpus $n docs, ${n * Bands} band rows")
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    // feed: 16 ascending time slices + a sentinel, single file each.
+    // The state bound is O(band rows per WATERMARK INTERVAL + keys in
+    // one ttl window): rows of the in-flight batch wait in state until
+    // the next batch's watermark finalizes them, so slice width — not
+    // stream length — sets the state high-water mark (in production the
+    // interval is a trigger period, not n/16 minutes).
+    val Parts = 16
+    val in = java.nio.file.Files.createTempDirectory("snd-in").toString
+    val out = java.nio.file.Files.createTempDirectory("snd-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("snd-ck").toString
+    val qw = n.toLong / Parts
+    (0 until Parts).foreach { i =>
+      rows.filter(col("docId") >= i * qw &&
+          (col("docId") < (i + 1) * qw || lit(i == Parts - 1)))
+        .coalesce(1).write.parquet(f"$in/p=$i%02d")
+    }
+    (0 until Bands).map(b => (-1L, Base + (n + 10000L) * MinUs, b, s"sent-$b"))
+      .toDF("docId", "us", "bandIdx", "bandKey")
+      .coalesce(1).write.parquet(s"$in/p=$Parts")
+
+    var maxState = 0L
+    timed(s"stream n=$n") {
+      val src = spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "1 minute")
+        .select(col("docId"), col("us"), col("bandIdx"), col("bandKey"),
+          col("ts"))
+        .as[(Long, Long, Int, String, java.sql.Timestamp)]
+      val q = graft.streaming.StreamingNearDup
+        .flagContinuous(src, Ttl, Bands)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      maxState = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max)
+    }
+    val sliceRows = qw * Bands
+    println(s"PROBE max state rows across batches: $maxState " +
+      s"(one slice: $sliceRows, corpus: ${n * Bands})")
+    // the documented bound: one watermark-interval of in-flight rows
+    // plus the ttl window of live keys — and never the corpus
+    require(maxState > 0 && maxState < 2 * sliceRows + 10L * Ttl / MinUs,
+      s"state not bounded by the watermark interval: $maxState rows")
+
+    val got = spark.read.parquet(out)
+      .filter(col("docId") >= 0 && col("nearDup"))
+      .select("docId").as[Long].collect().toSet
+    val expectedFlags = (0L until n.toLong).filter(_ % 50 == 1).toSet
+    require(got == expectedFlags,
+      s"flags wrong: expected ${expectedFlags.size}, got ${got.size}; " +
+        s"missing=${expectedFlags.diff(got).take(3)} " +
+        s"extra=${got.diff(expectedFlags).take(3)}")
+    println(s"PROBE flags exact: ${got.size}/${expectedFlags.size}, " +
+      "0 stale-band false positives")
+
+    // batch-twin parity on the same frame (the spec's property, at scale)
+    val twin = timed("batch twin") {
+      graft.streaming.StreamingNearDup
+        .flagBatch(rows.toDF("docId", "timeUs", "bandIdx", "bandKey"), Ttl)
+        .filter(col("nearDup")).select("docId").as[Long].collect().toSet
+    }
+    require(twin == got, "streamed != batch twin")
+    println("PROBE streamed == batch twin")
+    spark.stop()
+  }
+}
