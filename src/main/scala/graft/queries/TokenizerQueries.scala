@@ -48,6 +48,38 @@ object TokenizerQueries {
     // divisions and the DP multiplies doubles left-to-right with a
     // deterministic tie-break — so the DuckDB replay (unrolled DP +
     // backtrack as generated chained CTEs) is hash-exact.
+    // BPE segmentation is a PARTITION of every word: re-concatenating
+    // each word's final symbols in position order must reproduce the
+    // word, and re-assembling each doc's normalized word sequence must
+    // reproduce the normalized text — the losslessness property a
+    // boundary-eating merge bug would break silently (q113/q114 count
+    // units; they would not notice a dropped character). All work is
+    // vocab-sized except the one word-sequence join-back.
+    "q150_bpe_roundtrip" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val syms = BpeOps.initSymbols(BpeOps.wordCounts(docs, "text"))
+      val rebuilt = BpeOps.applyRules(syms, EncodeRules)
+        .groupBy("word")
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          x => x.getField("sym"))).as("rw"))
+      // the per-word identity IS the property — fail loudly with a
+      // count instead of letting a mismatch surface only as a hash diff
+      val bad = rebuilt.filter(col("rw") =!= col("word")).count()
+      if (bad != 0) throw new IllegalStateException(
+        s"$bad words fail the BPE round-trip")
+      docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "word")))
+        .filter(col("word") =!= "")
+        .join(rebuilt, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("rw")))),
+            x => x.getField("rw")), " ").as("rebuilt"))
+        .orderBy("doc_id")
+    }),
+
     "q126_unigram_train" -> ((s, dir) => {
       val (rounds, _) = graft.functions.UnigramOps.train(
         Tables.table(s, dir, "documents"), "text", rounds = 2)
@@ -189,6 +221,14 @@ object TokenizerQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // identity modulo the same whitespace normalization both sides
+    // apply (split on ' ', drop empties, single-space join): a lossless
+    // segmentation reassembles to exactly this
+    "q150_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(LEN(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+        |  array_to_string(list_filter(string_split(text, ' '), w -> w <> ''), ' ') AS rebuilt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q126_unigram_train" -> s"""
       WITH $unigramSeedSql,
       ${unigramRoundSql(1, "p0")},
