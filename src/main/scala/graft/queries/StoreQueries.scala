@@ -200,6 +200,73 @@ object StoreQueries {
         .orderBy("event_id")
     }),
 
+    // Encoding SURGERY through the gate (`update_array_encoding`,
+    // `utils/metadata.py:835-946`): rewrite one coordinate column of a
+    // committed store (a unit re-scale of the longitude axis) under the
+    // claim→write-new-files→manifest-swap protocol, then read back —
+    // the hash match proves the rewrite touched exactly that column and
+    // every other column byte-survived the full-store rewrite. Quarter
+    // of the table: the protocol is volume-independent (q148 rationale).
+    "q151_store_surgery" -> ((s, dir) => {
+      val all = tall(s, dir).filter(col("latitude") % 4 === 1)
+      val store = new GriddedStore(freshRoot(s, "q151", dir), s)
+      store.writeInitial(all, desc(WeekUs))
+      graft.sources.EncodingSurgery.rewriteCoordinate(
+        store, "longitude", c => c * 2 + 1)
+      readBack(store)
+    }),
+
+    // §2.11 STAC catalog through the gate (`create_stac_item` /
+    // `register_stac_item` / extent merge, `metadata.py:342-542`): three
+    // dataset generations (user_id thirds) each compute an extent,
+    // upsert the collection (element-wise bbox/interval min-max fold)
+    // and register a version item. The emitted row is parsed BACK from
+    // the catalog's committed JSON — collection extent, latest-version
+    // pointer, and the walked prev-link history depth — and must match
+    // the oracle's global aggregates over the source table.
+    "q152_catalog_extents" -> ((s, dir) => {
+      import org.json4s._
+      import s.implicits._
+      val cat = new graft.catalog.StacCatalog(
+        freshRoot(s, "q152_cat", dir), s)
+      cat.ensureRootCatalog("graft")
+      val d0 = desc(WeekUs)
+      val nm = d0.name
+      (0 until 3).foreach { i =>
+        val chunk = tall(s, dir)
+          .filter(pmod(col("longitude"), lit(3)) === i)
+          .select(col("time"),
+            col("latitude").cast("double").as("latitude"),
+            col("longitude").cast("double").as("longitude"))
+        val (bbox, interval) = cat.extent(chunk, "time")
+        cat.upsertCollection(nm, bbox, interval)
+        cat.registerItem(d0, bbox, interval, s"v${i + 1}")
+      }
+      val cj = cat.readCollection(nm).getOrElse(
+        throw new IllegalStateException("collection not written"))
+      val bbox = (cj \ "extent" \ "spatial" \ "bbox") match {
+        case JArray(List(JArray(vs))) => vs.map(_.values.toString.toDouble)
+        case other => throw new IllegalStateException(s"bad bbox: $other")
+      }
+      val iv = (cj \ "extent" \ "temporal" \ "interval") match {
+        case JArray(List(JArray(List(a, b)))) =>
+          (a.values.toString.toLong, b.values.toString.toLong)
+        case other => throw new IllegalStateException(s"bad interval: $other")
+      }
+      val latest = cat.latestVersion(nm).getOrElse("")
+      var cur = Option(latest).filter(_.nonEmpty)
+      var depth = 0L
+      while (cur.isDefined && depth < 10) {
+        depth += 1
+        cur = cat.readItem(nm, cur.get)
+          .flatMap(j => cat.links(j).collectFirst { case ("prev", href) =>
+            href.split("/").last.stripSuffix(".json") })
+      }
+      Seq((bbox(0), bbox(1), bbox(2), bbox(3), iv._1, iv._2, latest, depth))
+        .toDF("min_lon", "min_lat", "max_lon", "max_lat",
+          "start_us", "end_us", "latest_version", "history_len")
+    }),
+
     // §2.10 encryption through the gate (`EncryptionFilter` analog):
     // values are AES-GCM-encrypted BEFORE the store write (dataVar
     // becomes an opaque binary payload; the key travels only by hash),
@@ -277,5 +344,16 @@ object StoreQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "q148_store_stream_source" ->
       """SELECT event_id, epoch_us(ts) AS t, user_id, value
-        |FROM events WHERE event_id % 4 = 0 ORDER BY event_id""".stripMargin)
+        |FROM events WHERE event_id % 4 = 0 ORDER BY event_id""".stripMargin,
+    "q151_store_surgery" ->
+      """SELECT event_id, epoch_us(ts) AS t, user_id * 2 + 1 AS user_id, value
+        |FROM events WHERE event_id % 4 = 1 ORDER BY event_id""".stripMargin,
+    "q152_catalog_extents" ->
+      """SELECT CAST(MIN(user_id) AS DOUBLE) AS min_lon,
+        |  CAST(MIN(event_id) AS DOUBLE) AS min_lat,
+        |  CAST(MAX(user_id) AS DOUBLE) AS max_lon,
+        |  CAST(MAX(event_id) AS DOUBLE) AS max_lat,
+        |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+        |  'v3' AS latest_version, CAST(3 AS BIGINT) AS history_len
+        |FROM events""".stripMargin)
 }
