@@ -34,7 +34,10 @@ object Bench {
     // blocking join the query exists to exercise.
     "q126_unigram_train", "q127_unigram_encode", "q129_length_batching",
     "q134_setsim_join", "q135_importance_resample",
-    "q136_exact_decontamination")
+    "q136_exact_decontamination",
+    // round-7 breadth: the scan-stage PII scrub at ×10 (regex families
+    // over the replicated corpus — pure narrow work, scale-visible)
+    "q147_pii_redact")
 
   /** Tables the tier-2 set reads. Each is replicated `factor`× with its
     * id keys shifted per replica (joins/groups keep realistic key
