@@ -1,6 +1,50 @@
 package graft
 
+/** Benchmark main: times every SparkEntry query cold + warm (min-of-3)
+  * at sf0.1 and a ×10 replicated tier, polices regressions against the
+  * previous round's committed record, and writes the full per-query
+  * JSON to `bench_out.json` + `BENCH_FULL_r{N}.json`.
+  *
+  * == MEASUREMENT DISCIPLINE (repo law, not session lore) ==
+  *
+  *  - '''Never run anything CPU-heavy concurrently with a bench run'''
+  *    (no verify jobs, no sbt test, no probes). Contention contaminates
+  *    both the per-query timings and the hostScore calibration — the
+  *    round-7 record carried a 42 s q134 cold sample for exactly this
+  *    reason. One bench at a time, idle host.
+  *  - '''Delete trial BENCH_FULL files before the round ends.''' Any
+  *    manual `runMain graft.Bench` writes `BENCH_FULL_r{N}.json`
+  *    (N = max existing BENCH_r* + 1). If trial copies linger, the
+  *    driver's end-of-round bench baselines against the trial instead
+  *    of the previous round's committed record, and cross-round
+  *    policing degrades to same-day noise comparison.
+  *  - '''The warm (min-of-3) series is the signal; cold is a single
+  *    sample.''' Host noise is multi-core, not single-thread: A/B runs
+  *    of identical code flag non-overlapping "regression" sets at
+  *    ±30-50% on sub-second queries while single-thread calibration
+  *    stays flat. Chase a cold flag only when it repeats across runs or
+  *    exceeds ~2× on a >2 s query; adjudicate with an isolated
+  *    `SPARK_GRAFT_BENCH_ONLY=<q>` steady state, nothing else running.
+  *  - Lifecycle gate queries (streaming runs / store lifecycles per
+  *    execution) are reported in their own `gates`/`warm_gates`
+  *    sub-maps: their cost is state-store floor and physical IO by
+  *    design, and mixing them into `queries` buries the plan-shaped
+  *    queries' trends.
+  */
 object Bench {
+
+  /** Queries whose per-execution cost is a full multi-batch streaming
+    * run or store lifecycle (rerun-idempotent by design): reported
+    * under `gates`/`warm_gates` instead of `queries`/`warm` so tier-1
+    * totals of plan-shaped queries stay readable. Parsing is unaffected
+    * — [[queryTimes]] is anchor-free, so cross-round policing still
+    * sees them in the cold/warm sections. */
+  private val GateQueries = Set(
+    "q144_streaming_neardup", "q145_store_repair",
+    "q146_store_stream_sink", "q148_store_stream_source",
+    "q149_streaming_ttl_dedup", "q151_store_surgery",
+    "q152_catalog_extents", "q154_streaming_sessions",
+    "q155_streaming_funnel")
 
   /** Queries for the ×10 tier: the shuffle/AQE-sensitive set, where the
     * sf0.1 numbers sit at the scheduling floor and scale effects are
@@ -182,6 +226,15 @@ object Bench {
     (single, multi)
   }
 
+  /** The repo root this bench reads baselines from and writes its full
+    * record into. NOT hardcoded (the round-7 advice): a bench run from
+    * another checkout must not write its record into /root/repo —
+    * resolve from the env override, then the launch directory (sbt sets
+    * user.dir to the project root), then the canonical path. */
+  private[graft] def repoDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_REPO_DIR",
+      sys.props.getOrElse("user.dir", "/root/repo"))
+
   /** Latest USABLE bench record beside the repo — the previous round's
     * numbers. `BENCH_FULL_r*.json` (the complete per-query record this
     * bench writes each run, committed to the repo) is ALWAYS preferred
@@ -192,7 +245,7 @@ object Bench {
     * parses to at least one per-query time wins (a compile-failure
     * round leaves an rc=1 stub with zero pairs — the round-4 lesson).
     * Falls back to the round-2 file so an env-less run still compares. */
-  private[graft] def latestBaseline(dir: String = "/root/repo"): String = {
+  private[graft] def latestBaseline(dir: String = repoDir): String = {
     val d = new java.io.File(dir)
     def newestFirst(re: String): Seq[String] =
       Option(d.listFiles()).toSeq.flatten
@@ -272,7 +325,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_out.json") // the driver contract's default location
+      s"$repoDir/bench_out.json") // the driver contract's default location
     val spark = GraftSession.local(cpus)
     // optional comma-separated query filter (isolated timing runs)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -383,8 +436,15 @@ object Bench {
         .mkString("{", ",", "}")
     val results0 = measure(selected, sfDir, "")
     val results = results0.map { case (k, c, _, ok) => (k, c, ok) }
-    val qs = mapJson(results0, warm = false)
-    val warmQs = mapJson(results0, warm = true)
+    // lifecycle gate queries report in their own sub-maps (object
+    // scaladoc): cold emission order is queries-then-gates, both before
+    // the "warm":{ marker, so the anchor-free baseline parser files
+    // every pair into the right cold/warm section regardless of sub-map
+    val (gates0, plain0) = results0.partition(r => GateQueries.contains(r._1))
+    val qs = mapJson(plain0, warm = false)
+    val gateQs = mapJson(gates0, warm = false)
+    val warmQs = mapJson(plain0, warm = true)
+    val warmGateQs = mapJson(gates0, warm = true)
     val failedSeq = results.collect { case (k, _, false) => k }
     val failed = failedSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a round with failures must not offer a comparable total: summing
@@ -458,8 +518,8 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""ok":${failedSeq.isEmpty},"warm_estimator":"min3",""" +
       s""""host":{"single_miters":$hostSingle,"multi32_miters":$hostMulti},""" +
-      s""""queries":$qs,"failed":$failed,""" +
-      s""""warm_total":$warmTotal,"warm":$warmQs,""" +
+      s""""queries":$qs,"gates":$gateQs,"failed":$failed,""" +
+      s""""warm_total":$warmTotal,"warm":$warmQs,"warm_gates":$warmGateQs,""" +
       s"""$regressions,$warmRegr,"sf":"$sfDir"$tier2Json}"""
     println(json)
     // sbt routes program stdout through its [info] logger, which the
@@ -473,13 +533,13 @@ object Bench {
     // about to stamp (max existing BENCH_r* + 1); latestBaseline prefers
     // these, making next round's comparison full-fidelity at both tiers.
     if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_TIER2", "1") != "0") {
-      val roundNo = 1 + Option(new java.io.File("/root/repo").listFiles())
+      val roundNo = 1 + Option(new java.io.File(repoDir).listFiles())
         .toSeq.flatten.map(_.getName)
         .collect { case n if n.matches("BENCH_r\\d+\\.json") =>
           n.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
         .foldLeft(0)(math.max)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(
-        f"/root/repo/BENCH_FULL_r$roundNo%02d.json"), json)
+        f"$repoDir/BENCH_FULL_r$roundNo%02d.json"), json)
     }
     spark.stop()
   }

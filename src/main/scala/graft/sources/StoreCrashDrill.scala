@@ -14,6 +14,11 @@ import org.apache.hadoop.fs.Path
   * descriptor, some data files of the doomed attempt may already be on
   * disk, and `commitAtBase` never ran — exactly where update()/compact()
   * die if the JVM is killed mid-write.
+  *
+  * `private[graft]` on purpose (the reference keeps its failure drills
+  * in tests, `tests/system/test_chirps.py`): these methods wedge a
+  * committed store into the in-progress state, so only the gate driver
+  * (q145) and the specs may invoke them — never a production caller.
   */
 object StoreCrashDrill {
 
@@ -21,7 +26,7 @@ object StoreCrashDrill {
     * shows `updateInProgress = true`, mutations refuse, readers still
     * see the last committed pin, and `repair()` is the documented way
     * out. Requires a clean committed store (like a real mutation). */
-  def claimWithoutCommit(store: GriddedStore): Unit = {
+  private[graft] def claimWithoutCommit(store: GriddedStore): Unit = {
     val pd = store.readDescriptor().getOrElse(throw new IllegalStateException(
       s"no existing dataset at ${store.root}"))
     require(!pd.updateInProgress,
@@ -34,7 +39,7 @@ object StoreCrashDrill {
     * its bucket directory. No manifest pins it, so reads must never
     * surface it (and `vacuum` may reclaim it). Returns the staged
     * root-relative name. */
-  def stageOrphan(store: GriddedStore): String = {
+  private[graft] def stageOrphan(store: GriddedStore): String = {
     val pinned = store.snapshotFiles().getOrElse(Nil)
     require(pinned.nonEmpty, "need at least one committed data file to clone")
     val src = pinned.head

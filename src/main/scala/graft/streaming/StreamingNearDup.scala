@@ -158,14 +158,21 @@ object StreamingNearDup {
     // wmPrev ≤ t < wmNow — exactly the chained-stateful contract
     // (SPARK-40925: late filtering uses the previous batch's watermark,
     // eviction the current). The caller must still opt in explicitly,
-    // because the flag is session-wide and disables the same guard for
-    // every other streaming query on the session.
+    // because the flag is SESSION-wide and disables the same guard for
+    // every other streaming query on the session. BLAST-RADIUS RULE:
+    // run this pipeline on a DEDICATED session (spark.newSession(),
+    // with the flag set there) — the input Dataset must be built from
+    // that session's readStream — so no other production streaming
+    // query ever shares a session whose chained-stateful guard is off.
+    // q144 (queries/StreamingQueries.scala) is the reference caller.
     require(spark.conf.getOption(
         "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
         .contains("false"),
       "StreamingNearDup.flagContinuous chains an aggregation after " +
         "flatMapGroupsWithState; set spark.sql.streaming." +
-        "statefulOperator.checkCorrectness.enabled=false to opt in " +
+        "statefulOperator.checkCorrectness.enabled=false to opt in, " +
+        "on a DEDICATED spark.newSession() so the opt-out cannot leak " +
+        "to other streaming queries " +
         "(safe here: stage 1 emits each row in the exact micro-batch " +
         "the watermark finalizes it, so stage 2's late filter — which " +
         "uses the previous batch's watermark — never drops one)")
@@ -179,7 +186,12 @@ object StreamingNearDup {
     // band rows than declared) structurally cannot mis-flag here: the
     // group never reaches its count, never emits, and its state is
     // retained — visible in state-store metrics, auditable against
-    // [[flagBatch]]. No timeout alarm on purpose: EventTimeTimeout
+    // [[flagBatch]]. AUDIT CONTRACT for callers: because the omission
+    // is silent in the output stream itself, a caller that knows its
+    // input doc count MUST assert emitted-verdict count == input
+    // (doc, time) count after a bounded run (q144 does exactly this);
+    // an always-on alarm can't live here — see the timeout note below.
+    // No timeout alarm on purpose: EventTimeTimeout
     // needs a stage-2 watermark (deadlock, class doc point 1) and
     // ProcessingTimeTimeout forces shouldRunAnotherBatch=true, which
     // spins no-data micro-batches forever under Trigger.AvailableNow.
