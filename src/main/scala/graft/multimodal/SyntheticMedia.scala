@@ -1,0 +1,119 @@
+package graft.multimodal
+
+/** Deterministic synthetic media payloads for the perceptual-dedup
+  * oracle gate (q153) — the q147 generator trick applied to binaries:
+  * the corpus has no natural images/audio, so the gate PLANTS byte
+  * payloads derived purely from `doc_id`, engineered so the expected
+  * near-dup pair set is known in closed form and a DuckDB oracle can
+  * rebuild it from `doc_id` arithmetic alone — no DCT or Goertzel in
+  * SQL, no floating-point replication risk. (Reference analog: the QC
+  * read-back discipline of `tests/system/test_chirps.py:217-235` —
+  * verify the pipeline against independently reconstructed truth.)
+  *
+  * Construction: documents sharing `doc_id % modulus` form a GROUP with
+  * identical perceptual content; within a group, each doc carries a
+  * different content-preserving transform, chosen so the 63-bit hash is
+  * '''bit-identical by arithmetic''', not merely robust:
+  *
+  *  - '''Images''' (even groups): a 32×32 random grayscale base,
+  *    upscaled k× (k ∈ 1..3) by pixel duplication into a P5 PGM.
+  *    [[Multimodal.perceptualHash]] box-averages to 32×32 over exact
+  *    integer rectangles, and each output cell covers exactly the k×k
+  *    duplicate block of one base pixel, so `sum/(k·k)` reproduces the
+  *    base pixel EXACTLY (integers below 2^53 are exact in doubles).
+  *    The DCT input is therefore byte-identical across all k — equal
+  *    hashes, Hamming 0.
+  *  - '''Audio''' (odd groups): 2048 random 16-bit mono PCM samples,
+  *    scaled by 2^gain (gain ∈ 0..2, base |s| < 2048 so 4× never
+  *    clips). [[Multimodal.audioFingerprint]]'s Goertzel recurrence and
+  *    energy formula are scale-equivariant, and scaling every IEEE-754
+  *    operand by a power of two scales every intermediate exactly (no
+  *    rounding changes within exponent range), so band-energy SIGNS —
+  *    the fingerprint bits — are identical across gains.
+  *
+  * Cross-group contents are independent splitmix64 streams: two 63-bit
+  * hashes land within Hamming ≤ 3 with probability ~4×10⁻¹⁵ per pair,
+  * and the corpus is deterministic, so the gate either is green at a
+  * given sf forever or fails its first run — never flakes.
+  */
+object SyntheticMedia {
+
+  /** splitmix64 finalizer — the deterministic per-(group, index) PRNG. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private val Side = 32 // base image side; pHash's working size
+
+  /** Group g's base 32×32 gray plane, values in [64, 191]. */
+  private[multimodal] def basePixels(g: Long): Array[Int] =
+    Array.tabulate(Side * Side)(i =>
+      64 + java.lang.Math.floorMod(mix(g * 0x10000L + i), 128L).toInt)
+
+  /** P5 PGM of group g's base image, k×-duplicated (k ≥ 1): every base
+    * pixel becomes a k×k block, so box-averaging back to 32×32 is the
+    * identity and the perceptual hash is independent of k. */
+  def pgm(g: Long, k: Int): Array[Byte] = {
+    require(k >= 1, s"upscale factor must be >= 1, got $k")
+    val base = basePixels(g)
+    val side = Side * k
+    val header = s"P5\n$side $side\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + side * side)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var yy = 0
+    while (yy < side) {
+      var xx = 0
+      while (xx < side) {
+        out(header.length + yy * side + xx) =
+          base((yy / k) * Side + xx / k).toByte
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
+  private val WavSamples = 2048 // ≥ the fingerprint's 22-frame minimum
+
+  /** 16-bit mono PCM WAV of group g's base clip, scaled by 2^gain
+    * (gain ∈ [0, 3]; base samples in [-2048, 2047], so 8× still fits
+    * int16): the audio fingerprint is independent of gain. */
+  def wav(g: Long, gain: Int): Array[Byte] = {
+    require(gain >= 0 && gain <= 3, s"gain must be in [0,3], got $gain")
+    val dataLen = WavSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var j = 0
+    while (j < WavSamples) {
+      val s = java.lang.Math
+        .floorMod(mix(g * 0x10000L + 0x8000L + j), 4096L).toInt - 2048
+      b.putShort((s << gain).toShort)
+      j += 1
+    }
+    b.array()
+  }
+
+  /** The q153 corpus row: doc_id % modulus picks the group (even →
+    * image, odd → audio — `modulus` must be even so a group is
+    * single-modality), doc_id / modulus picks the content-preserving
+    * variant. Expected near-dup pairs at ANY Hamming radius are exactly
+    * the same-group pairs (at distance 0). */
+  def mediaFor(docId: Long, modulus: Int): Array[Byte] = {
+    require(modulus > 0 && modulus % 2 == 0,
+      s"modulus must be positive and even, got $modulus")
+    require(docId >= 0, s"docId must be >= 0, got $docId")
+    val g = docId % modulus
+    val v = (docId / modulus).toInt
+    if (g % 2 == 0) pgm(g, 1 + v % 3) else wav(g, v % 3)
+  }
+}

@@ -28,7 +28,13 @@ import org.apache.spark.sql.streaming.Trigger
   * batch/watermark boundaries. The watermark delay (5 h) exceeds the
   * 4 h data span, so no real row is ever late-dropped and the result
   * is independent of exactly how files pack into batches — the
-  * property StreamingNearDupSpec proves against the batch twin. */
+  * property StreamingNearDupSpec proves against the batch twin.
+  *
+  * The same harness gates the other §2.13 state families: q149 (TTL
+  * re-admission dedup), q154 (interval-merge sessionization), q155
+  * (monotone funnel state machine) — with q154/q155 added, every
+  * stateful-operator family in graft.streaming that has a batch twin
+  * is driven through the real engine and the external oracle. */
 object StreamingQueries {
 
   private val MinUs = 60000000L
@@ -36,15 +42,32 @@ object StreamingQueries {
   private val TtlUs = 45 * MinUs
   private val Bands = 16
 
-  /** Fresh dir under the JVM temp root, unique per (tag, input dir)
-    * and wiped before use — executions rebuild rather than resume. */
+  /** Fresh dir under the JVM temp root, unique per (tag, input dir,
+    * JVM) and wiped before use — executions rebuild rather than resume.
+    * The PID suffix keeps two concurrent gate JVMs on one host (e.g. a
+    * bench and a verify) from wiping each other's in/out/checkpoint
+    * dirs mid-stream. */
   private def freshDir(s: SparkSession, tag: String, dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${tag}_$safe"
+    val pid = ProcessHandle.current().pid()
+    val root =
+      s"${sys.props("java.io.tmpdir")}/graft_stream_${pid}_${tag}_$safe"
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     root
+  }
+
+  /** Dedicated child session for one streaming gate run: conf set here
+    * (the chained-stateful opt-in, state partition count) cannot leak
+    * to — or be clobbered by — any other query on the main session.
+    * Builder-level confs (UTC, nanosAsLong, AQE) are inherited from the
+    * SparkContext conf; runtime mutations of the parent are not. */
+  private def gateSession(s: SparkSession, conf: (String, String)*)
+      : SparkSession = {
+    val ss = s.newSession()
+    conf.foreach { case (k, v) => ss.conf.set(k, v) }
+    ss
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -74,8 +97,14 @@ object StreamingQueries {
       }
       // sentinels: negative ids, far past every real row, one full band
       // set each so their own stage-2 groups complete too. Written last
-      // (file-source order is mtime-first), they advance the watermark
-      // past all real rows so both stages finalize before termination.
+      // (file-source order is mtime-first; the p=0..p=4 NAMES are the
+      // load-bearing tiebreak on a coarse-mtime filesystem — they sort
+      // after the real parts, and a sentinel consumed FIRST would
+      // advance the watermark past every real row and late-drop the
+      // whole corpus, which the completeness assert below turns from a
+      // silent empty result into a loud failure). They advance the
+      // watermark past all real rows so both stages finalize before
+      // termination.
       (1 to 2).foreach { i =>
         (0 until Bands)
           .map(b => (-i.toLong, BaseUs + (100 + i) * 60 * MinUs, b,
@@ -83,45 +112,47 @@ object StreamingQueries {
           .toDF("doc_id", "us", "bandIdx", "bandKey")
           .coalesce(1).write.parquet(s"$in/p=${2 + i}")
       }
-      val key =
-        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-      val saved = s.conf.getOption(key)
-      s.conf.set(key, "false") // flagContinuous's explicit opt-in
-      // State partition count is fixed at the checkpoint's FIRST batch
-      // from spark.sql.shuffle.partitions; the gate's corpus needs 8,
-      // not the session's 32 — per-batch state-store open/commit cost
+      // DEDICATED child session (flagContinuous's blast-radius rule):
+      // the chained-stateful opt-in is session-wide, so it lives and
+      // dies with this throwaway session instead of toggling the main
+      // session's guard around the run. Shuffle partitions: state
+      // partition count is fixed at the checkpoint's FIRST batch from
+      // spark.sql.shuffle.partitions; the gate's corpus needs 8, not
+      // the session's 32 — per-batch state-store open/commit cost
       // scales with partitions × stateful operators × batches, and is
       // the whole floor here. (A production stream sizes this to its
       // key cardinality once, at first start, same knob.)
-      val pKey = "spark.sql.shuffle.partitions"
-      val savedP = s.conf.getOption(pKey)
-      s.conf.set(pKey, "8")
-      try {
-        val src = s.readStream.schema(banded.schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$in/*")
-          .withColumn("ts", timestamp_micros(col("us")))
-          .withWatermark("ts", "5 hours")
-          .select(col("doc_id"), col("us"), col("bandIdx"), col("bandKey"),
-            col("ts"))
-          .as[(Long, Long, Int, String, java.sql.Timestamp)]
-        val q = StreamingNearDup.flagContinuous(src, TtlUs, Bands)
-          .writeStream.outputMode("append").format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally {
-        saved match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
-        savedP match {
-          case Some(v) => s.conf.set(pKey, v)
-          case None => s.conf.unset(pKey)
-        }
-      }
-      s.read.parquet(out)
+      val ss = gateSession(s,
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+          -> "false",
+        "spark.sql.shuffle.partitions" -> "8")
+      val src = ss.readStream.schema(banded.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "5 hours")
+        .select(col("doc_id"), col("us"), col("bandIdx"), col("bandKey"),
+          col("ts"))
+        .as[(Long, Long, Int, String, java.sql.Timestamp)]
+      StreamingNearDup.flagContinuous(src, TtlUs, Bands)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      val verdicts = s.read.parquet(out)
         .filter(col("docId") >= 0) // sentinels out
+      // completeness assert (stage 2's audit contract): every input
+      // document must have produced exactly one verdict — a short feed
+      // (stage-2 groups never count-complete) or a sentinel misorder
+      // (watermark jumps ahead, real rows late-dropped) is otherwise a
+      // SILENT empty/partial result that only the oracle hash would
+      // catch downstream
+      val expected = banded.select("doc_id", "us").distinct().count()
+      val got = verdicts.count()
+      require(got == expected,
+        s"q144: $got verdicts emitted for $expected input documents — " +
+          "short feed or sentinel misorder silently omitted documents")
+      verdicts
         .select(col("docId").as("doc_id"), col("timeUs").as("time_us"),
           col("nearDup").as("near_dup"))
         .orderBy("doc_id")
@@ -160,33 +191,161 @@ object StreamingQueries {
           .toDF("h", "us", "obs_id")
           .coalesce(1).write.parquet(s"$in/p=${1 + i}")
       }
-      val pKey = "spark.sql.shuffle.partitions"
-      val savedP = s.conf.getOption(pKey)
-      s.conf.set(pKey, "8") // state partitions, the q144 rationale
-      try {
-        val src = s.readStream.schema(obs.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
-          .withColumn("ts", timestamp_micros(col("us")))
-          // delay > the 6-h data span: nothing is ever late-dropped, so
-          // streamed == batch twin regardless of file/batch packing
-          .withWatermark("ts", "8 hours")
-          .select(col("h"), col("us"), col("obs_id"), col("ts"))
-          .as[(String, Long, Long, java.sql.Timestamp)]
-        graft.streaming.StreamingDedup
-          .dedupContinuous(src, ttlUs = TtlUs)
-          .writeStream.outputMode("append").format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-          .awaitTermination()
-      } finally savedP match {
-        case Some(v) => s.conf.set(pKey, v)
-        case None => s.conf.unset(pKey)
-      }
-      s.read.parquet(out)
+      // dedicated child session: state partitions (the q144 rationale)
+      // without mutating the main session's conf
+      val ss = gateSession(s, "spark.sql.shuffle.partitions" -> "8")
+      val src = ss.readStream.schema(obs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        // delay > the 6-h data span: nothing is ever late-dropped, so
+        // streamed == batch twin regardless of file/batch packing
+        .withWatermark("ts", "8 hours")
+        .select(col("h"), col("us"), col("obs_id"), col("ts"))
+        .as[(String, Long, Long, java.sql.Timestamp)]
+      graft.streaming.StreamingDedup
+        .dedupContinuous(src, ttlUs = TtlUs)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      val admitted = s.read.parquet(out)
         .filter(col("id") >= 0) // sentinels out
+      // structural lower bound: the greedy fold ALWAYS emits each key's
+      // first occurrence, so a sentinel misorder (which late-drops the
+      // whole corpus and would otherwise surface only as an oracle hash
+      // mismatch) fails loudly here
+      val keys = obs.select("h").distinct().count()
+      val got = admitted.count()
+      require(got >= keys,
+        s"q149: $got admissions for $keys distinct keys — the feed was " +
+          "late-dropped (sentinel misorder?) or the fold lost rows")
+      admitted
         .select(col("key").as("h"), col("timeUs").as("time_us"),
           col("id").as("obs_id"))
         .orderBy("h", "time_us", "obs_id")
+    }),
+
+    // Custom-state SESSIONIZATION through the real engine (round-7
+    // punch item #4: §2.13's interval-merge state family was spec-only;
+    // q09 gates only the batch window twin). The events table streams
+    // as three chronologically-INTERLEAVED parts (split by event_id%3,
+    // each spanning the full month) + two far-future sentinels from one
+    // checkpoint, so open sessions merge fragments ACROSS micro-batches
+    // before the watermark finalizes them. Delay (35 d) > the 30-d data
+    // span: no real row is ever late-dropped and nothing finalizes
+    // until the sentinel batches advance the watermark past every
+    // session end + gap — the result is file-packing-independent and
+    // must hash-match the q09-shaped batch oracle.
+    "q154_streaming_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val in = freshDir(s, "q154_in", dir)
+      val out = freshDir(s, "q154_out", dir)
+      val ckpt = freshDir(s, "q154_ckpt", dir)
+      val GapUs = 1800000000L // 30 min, the q09 semantics
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("us"), col("event_id"))
+        .localCheckpoint()
+      val feed = ev.select("user_id", "us")
+      (0 until 3).foreach { i =>
+        ev.filter(col("event_id") % 3 === i).select("user_id", "us")
+          .coalesce(1).write.parquet(s"$in/p=$i")
+      }
+      // sentinels: negative users far past max(us) + delay + gap, so
+      // the final batch's watermark finalizes every real session (the
+      // q144 sentinel discipline; p=3/p=4 names are the mtime tiebreak)
+      (1 to 2).foreach { i =>
+        Seq((-i.toLong, 1711000000000000L + i * 86400000000L))
+          .toDF("user_id", "us")
+          .coalesce(1).write.parquet(s"$in/p=${2 + i}")
+      }
+      val ss = gateSession(s, "spark.sql.shuffle.partitions" -> "8")
+      val src = ss.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "35 days")
+        .select(col("user_id"), col("us"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)]
+      graft.streaming.StatefulSessions.sessionizeContinuous(src, GapUs)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      val sess = s.read.parquet(out).filter(col("userId") >= 0)
+      // completeness assert: sessions PARTITION the input events, so
+      // the emitted n must sum to the event count — a sentinel misorder
+      // (whole corpus late-dropped) or an unfinalized fragment (retained
+      // state) fails loudly instead of surfacing as an oracle mismatch
+      val nEvents = ev.count()
+      val emitted = sess.agg(coalesce(sum("n"), lit(0L)))
+        .collect()(0).getLong(0)
+      require(emitted == nEvents,
+        s"q154: sessions cover $emitted events of $nEvents — late-drop " +
+          "or unfinalized session fragments")
+      sess.select(col("userId").as("user_id"), col("startUs").as("start_us"),
+          col("endUs").as("end_us"), col("n").as("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
+    // Ordered-funnel tracking through the real engine (round-7 punch
+    // item #4, second face: the monotone per-key state machine;
+    // q124 gates only the batch recompute). The feed honors
+    // [[graft.streaming.FunnelStream.track]]'s cross-batch contract —
+    // later batches never carry earlier events for a key — by splitting
+    // into three CONTIGUOUS time ranges; Update-mode emissions from all
+    // batches land in one parquet dir via foreachBatch. The state
+    // machine's two documented invariants are asserted in-query: slots
+    // fill ONCE (≤1 distinct non-null value per user per slot across
+    // all emissions), and emissions supersede monotonically (per-slot
+    // max over every emission = final state), which must hash-match the
+    // q124 batch oracle.
+    "q155_streaming_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val in = freshDir(s, "q155_in", dir)
+      val out = freshDir(s, "q155_out", dir)
+      val ckpt = freshDir(s, "q155_ckpt", dir)
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("us"))
+        .localCheckpoint()
+      val bounds = ev.agg(min("us"), max("us")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      Seq(col("us") < cut1,
+        col("us") >= cut1 && col("us") < cut2,
+        col("us") >= cut2).zipWithIndex.foreach { case (p, i) =>
+        ev.filter(p).coalesce(1).write.parquet(s"$in/p=$i")
+      }
+      val ss = gateSession(s, "spark.sql.shuffle.partitions" -> "8")
+      val src = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+        .as[(Long, String, Long)]
+      graft.streaming.FunnelStream.track(src)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.FunnelStream.FunnelRow], _: Long) =>
+          batch.toDF().coalesce(1).write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      val emits = s.read.parquet(out)
+      // fill-once audit: a slot, once set, never changes
+      val viol = emits.groupBy("userId")
+        .agg(countDistinct("vUs").as("nv"), countDistinct("cUs").as("nc"),
+          countDistinct("pUs").as("np"))
+        .filter(col("nv") > 1 || col("nc") > 1 || col("np") > 1)
+        .count()
+      require(viol == 0,
+        s"q155: $viol users had a funnel slot CHANGE across emissions — " +
+          "the fill-once state machine regressed")
+      emits.groupBy("userId")
+        .agg(max("vUs").as("v_us"), max("cUs").as("c_us"),
+          max("pUs").as("p_us"))
+        .filter(col("v_us").isNotNull) // q124 emits users with a view
+        .select(col("userId").as("user_id"), col("v_us"), col("c_us"),
+          col("p_us"))
+        .orderBy("user_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -244,5 +403,40 @@ object StreamingQueries {
         |    o.t - w.last_emit > 2700000000
         |  FROM occ o JOIN walk w ON o.h = w.h AND o.rn = w.rn + 1)
         |SELECT h, t AS time_us, oid AS obs_id FROM walk WHERE emitted
-        |ORDER BY h, time_us, obs_id""".stripMargin)
+        |ORDER BY h, time_us, obs_id""".stripMargin,
+
+    // the q09 gaps-and-islands batch semantics, reported per session as
+    // (start, end, count) — the shape sessionizeContinuous emits
+    "q154_streaming_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, event_id, us,
+        |        CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS newsess FROM l),
+        |g AS (SELECT user_id, us,
+        |        CAST(SUM(newsess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess FROM f)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, start_us""".stripMargin,
+
+    // the q124 batch funnel verbatim: first view, first strictly-later
+    // click, first strictly-later purchase, per user with a view
+    "q155_streaming_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.v_us, MIN(e.us) AS c_us
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.us > v.v_us
+        |      GROUP BY e.user_id, v.v_us),
+        |p AS (SELECT e.user_id, c.v_us, c.c_us, MIN(e.us) AS p_us
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us > c.c_us
+        |      GROUP BY e.user_id, c.v_us, c.c_us)
+        |SELECT v.user_id, v.v_us, c.c_us, p.p_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id AND v.v_us = c.v_us
+        |LEFT JOIN p ON c.user_id = p.user_id AND c.v_us = p.v_us
+        |  AND c.c_us = p.c_us
+        |ORDER BY v.user_id""".stripMargin)
 }

@@ -537,6 +537,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Perceptual MEDIA dedup through the real binary pipeline —
+    // decode (PGM parse + WAV PCM parse), 63-bit pHash / audio
+    // fingerprint with modality dispatch ([[Multimodal.mediaHash]]),
+    // pigeonhole Hamming blocking, block-equi-join — oracle-gated via
+    // the q147 generator trick lifted to binaries: payloads are
+    // planted deterministically from doc_id ([[SyntheticMedia]]) such
+    // that the expected pair set is doc_id arithmetic (same group ⇒
+    // hash bit-identical BY CONSTRUCTION: k× pixel-duplicate upscales
+    // box-average back to the same 32×32 plane; power-of-two PCM gains
+    // scale Goertzel energies exactly), so the oracle needs no DCT in
+    // SQL. Even groups are images, odd groups audio — the dispatch and
+    // both decoders are load-bearing. Before this, the pHash/audio
+    // pipeline was spec+probe-only (q36 gates only metadata decode).
+    "q153_media_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.multimodal.SyntheticMedia.mediaFor(id, 100))))
+        .toDF("doc_id", "bytes")
+      graft.multimodal.Multimodal.hammingPairs(
+        graft.multimodal.Multimodal.mediaHashes(media, "doc_id", "bytes")
+          .localCheckpoint(), // one decode pass, not one per join side
+        maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
     // PII detection + redaction — a first-class training-data scrub
     // step. The synthetic corpus has no PII, so deterministic
     // email/phone strings are planted onto a doc subset first (the
@@ -1773,6 +1800,15 @@ object TextQueries {
         | sha256(text) AS sha,
         | lower(substring(hex(encode(text)), 1, 16)) AS head8
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the ground truth is closed-form: same doc_id % 100 ⇒ identical
+    // media content up to a hash-preserving transform ⇒ Hamming 0;
+    // different groups are independent 63-bit streams, never within
+    // radius 3 (probability ~4e-15/pair, deterministic corpus)
+    "q153_media_dedup" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(0 AS INTEGER) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 100 = b.doc_id % 100 AND a.doc_id < b.doc_id
+        |ORDER BY id1, id2""".stripMargin,
     "q52_dedup_components" ->
       """WITH RECURSIVE
         |kp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper

@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The q153 generator's load-bearing claims: hash-preserving transforms
+  * are EXACTLY hash-preserving (not merely robust), modality dispatch
+  * routes through the intended decoder, cross-group hashes never land
+  * within the blocking radius, and the end-to-end pair set is the
+  * closed-form oracle set. */
+class SyntheticMediaSpec extends SparkSpec {
+
+  test("pixel-duplicate upscales hash bit-identically (k=1,2,3)") {
+    for (g <- Seq(0L, 2L, 48L, 98L)) {
+      val h1 = Multimodal.perceptualHash(SyntheticMedia.pgm(g, 1))
+      assert(h1.isDefined)
+      assert(Multimodal.perceptualHash(SyntheticMedia.pgm(g, 2)) === h1)
+      assert(Multimodal.perceptualHash(SyntheticMedia.pgm(g, 3)) === h1)
+    }
+  }
+
+  test("power-of-two PCM gains fingerprint bit-identically (2^0..2^3)") {
+    for (g <- Seq(1L, 3L, 51L, 99L)) {
+      val h0 = Multimodal.audioFingerprint(SyntheticMedia.wav(g, 0))
+      assert(h0.isDefined)
+      (1 to 3).foreach { gain =>
+        assert(Multimodal.audioFingerprint(SyntheticMedia.wav(g, gain)) === h0)
+      }
+    }
+  }
+
+  test("modality dispatch: even groups decode as images, odd as audio") {
+    val img = SyntheticMedia.mediaFor(200L, 100) // group 0, variant 2
+    val aud = SyntheticMedia.mediaFor(201L, 100) // group 1, variant 2
+    assert(Multimodal.perceptualHash(img).isDefined)
+    assert(Multimodal.audioFingerprint(img).isEmpty)
+    assert(Multimodal.perceptualHash(aud).isEmpty)
+    assert(Multimodal.audioFingerprint(aud).isDefined)
+    assert(Multimodal.mediaHash(img).isDefined)
+    assert(Multimodal.mediaHash(aud).isDefined)
+  }
+
+  test("cross-group hashes stay outside the blocking radius") {
+    // all 100 group hashes at modulus 100 — the actual q153 universe;
+    // any same-modality pair within Hamming 3 would corrupt the gate
+    val hs = (0L until 100L).map(g =>
+      g -> Multimodal.mediaHash(SyntheticMedia.mediaFor(g, 100)).get)
+    for {
+      (g1, h1) <- hs; (g2, h2) <- hs if g1 < g2
+    } assert(java.lang.Long.bitCount(h1 ^ h2) > 3,
+      s"groups $g1/$g2 collide at hamming ${java.lang.Long.bitCount(h1 ^ h2)}")
+  }
+
+  test("end-to-end pairs == closed-form same-group set, all hamming 0") {
+    val s = spark
+    import s.implicits._
+    val mod = 10
+    val docs = (0L until 30L)
+    val media = docs.toDF("doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, SyntheticMedia.mediaFor(id, mod))))
+      .toDF("doc_id", "bytes")
+    val pairs = Multimodal.hammingPairs(
+      Multimodal.mediaHashes(media, "doc_id", "bytes"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (for {
+      a <- docs; b <- docs if a < b && a % mod == b % mod
+    } yield (a, b, 0)).toSet
+    assert(pairs === expected)
+  }
+}
