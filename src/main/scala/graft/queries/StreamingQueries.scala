@@ -32,9 +32,10 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * The same harness gates the other §2.13 state families: q149 (TTL
   * re-admission dedup), q154 (interval-merge sessionization), q155
-  * (monotone funnel state machine) — with q154/q155 added, every
-  * stateful-operator family in graft.streaming that has a batch twin
-  * is driven through the real engine and the external oracle. */
+  * (monotone funnel state machine), q156 (symmetric stream-stream
+  * interval-join buffers) — with those added, every stateful-operator
+  * family in graft.streaming that has a batch twin is driven through
+  * the real engine and the external oracle. */
 object StreamingQueries {
 
   private val MinUs = 60000000L
@@ -346,6 +347,74 @@ object StreamingQueries {
         .select(col("userId").as("user_id"), col("v_us"), col("c_us"),
           col("p_us"))
         .orderBy("user_id")
+    }),
+
+    // Stream-STREAM interval join through the real engine (the last
+    // §2.13 face with a batch twin: SYMMETRIC join-buffer state, where
+    // q154/q155 gate fold/monotone state). Views and purchases stream
+    // as two independent multi-batch file sources; a purchase pairs
+    // with a same-user view it follows within 4 h. Both sides'
+    // parts are interleaved (event_id % 2), so most pairs match a
+    // partner that arrives in a DIFFERENT micro-batch and must come
+    // out of the buffered join state. Inner joins emit on match (no
+    // watermark finalization wait) and the 35-d lateness exceeds the
+    // span, so nothing is dropped or evicted mid-run; the emitted pair
+    // set must equal the batch twin (asserted in-query) and hash-match
+    // the plain SQL join oracle.
+    "q156_streaming_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val inV = freshDir(s, "q156_inv", dir)
+      val inP = freshDir(s, "q156_inp", dir)
+      val out = freshDir(s, "q156_out", dir)
+      val ckpt = freshDir(s, "q156_ckpt", dir)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+        .localCheckpoint()
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("v_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("us").as("p_us"))
+      (0 until 2).foreach { i =>
+        ev.filter(col("event_type") === "view" && col("event_id") % 2 === i)
+          .select(col("user_id"), col("us").as("v_us"))
+          .coalesce(1).write.parquet(s"$inV/p=$i")
+        ev.filter(col("event_type") === "purchase" && col("event_id") % 2 === i)
+          .select(col("user_id").as("p_user"), col("us").as("p_us"))
+          .coalesce(1).write.parquet(s"$inP/p=$i")
+      }
+      val ss = gateSession(s, "spark.sql.shuffle.partitions" -> "8")
+      def src(in: String, schema: org.apache.spark.sql.types.StructType,
+              usCol: String, tsCol: String) =
+        ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+          .withColumn(tsCol, timestamp_micros(col(usCol)))
+      graft.streaming.IntervalJoinStream.intervalJoin(
+          src(inV, views.schema, "v_us", "vts"),
+          src(inP, purch.schema, "p_us", "pts")
+            .withColumnRenamed("p_user", "user_id"),
+          "user_id", "vts", "pts",
+          before = "0 seconds", after = "4 hours", lateness = "35 days")
+        .select(col("user_id"), col("v_us"), col("p_us"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      val streamed = s.read.parquet(out)
+      // streamed == batch twin, asserted in-query: the cross-batch
+      // matches came out of the symmetric join buffers, and a state
+      // eviction or late-drop bug shows up as a count mismatch here
+      // before the oracle ever sees it
+      val expected = graft.streaming.IntervalJoinStream.intervalJoinBatch(
+          views.withColumn("vts", timestamp_micros(col("v_us"))),
+          purch.withColumnRenamed("p_user", "user_id")
+            .withColumn("pts", timestamp_micros(col("p_us"))),
+          "user_id", "vts", "pts", "0 seconds", "4 hours")
+        .count()
+      val got = streamed.count()
+      require(got == expected,
+        s"q156: streamed $got pairs, batch twin has $expected — join " +
+          "state evicted or rows late-dropped")
+      streamed.orderBy("user_id", "v_us", "p_us")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -438,5 +507,14 @@ object StreamingQueries {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id AND v.v_us = c.v_us
         |LEFT JOIN p ON c.user_id = p.user_id AND c.v_us = p.v_us
         |  AND c.c_us = p.c_us
-        |ORDER BY v.user_id""".stripMargin)
+        |ORDER BY v.user_id""".stripMargin,
+
+    // the plain relational interval join the streaming twin must equal
+    "q156_streaming_interval_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT v.user_id, v.us AS v_us, p.us AS p_us
+        |FROM e v JOIN e p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.us >= v.us AND p.us <= v.us + 14400000000
+        |ORDER BY 1, 2, 3""".stripMargin)
 }
