@@ -415,6 +415,82 @@ object StreamingQueries {
         s"q156: streamed $got pairs, batch twin has $expected — join " +
           "state evicted or rows late-dropped")
       streamed.orderBy("user_id", "v_us", "p_us")
+    }),
+
+    // IncrementalStream's CRON-RERUN semantics through the real engine
+    // (the §2.13 face the other gates don't touch: q144-q156 each run
+    // the engine ONCE; the reference's actual mode is repeated
+    // scheduler-driven runs against one checkpoint,
+    // `convenience.py:482-513`'s "new files since watermark" plan).
+    // Protocol: run 1 processes two interleaved event parts — every
+    // window is still open (35-d lateness > the 30-d span), so append
+    // mode emits NOTHING; two more files land (the rest of the corpus +
+    // a far-future sentinel) and run 2 starts from the SAME checkpoint:
+    // it must consume only the new files, restore run 1's partial
+    // window counts from state, and emit every finalized window; run 3
+    // finds no new files and must emit nothing (idempotent cron tick).
+    // Σn == event count catches BOTH failure modes at once: a lost
+    // checkpoint undercounts (run 1's rows vanish), a replayed one
+    // double-counts.
+    "q157_streaming_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val in = freshDir(s, "q157_in", dir)
+      val out = freshDir(s, "q157_out", dir)
+      val ckpt = freshDir(s, "q157_ckpt", dir)
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("value"), col("us"), col("event_id"))
+        .localCheckpoint()
+      val feed = ev.select("event_type", "value", "us")
+      // parts interleaved by event_id % 3: each spans the full month, so
+      // run 2's finalized windows MUST merge run-1 state with new rows
+      (0 until 2).foreach { i =>
+        ev.filter(col("event_id") % 3 === i).select("event_type", "value", "us")
+          .coalesce(1).write.parquet(s"$in/p=$i")
+      }
+      val ss = gateSession(s, "spark.sql.shuffle.partitions" -> "8")
+      val src = ss.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val agg = graft.streaming.IncrementalStream
+        .hourlyCounts(src, "ts", "35 days")
+      graft.streaming.IncrementalStream
+        .runAvailableNowToParquet(agg, out, ckpt) // cron tick 1
+      // tick 1 must finalize nothing: the parquet sink has no committed
+      // rows yet (a premature emission here would double-count in tick 2)
+      val afterRun1 =
+        try s.read.parquet(out).count() catch { case _: Exception => 0L }
+      require(afterRun1 == 0L,
+        s"q157: run 1 emitted $afterRun1 rows with every window still " +
+          "inside the lateness bound — watermark semantics regressed")
+      // the rest of the corpus + sentinel land BETWEEN cron ticks;
+      // p=2/p=3 names are the mtime tiebreak (a sentinel consumed first
+      // late-drops p=2, which the Σn assert below turns loud)
+      val maxUs = ev.agg(max("us")).head().getLong(0)
+      ev.filter(col("event_id") % 3 === 2).select("event_type", "value", "us")
+        .coalesce(1).write.parquet(s"$in/p=2")
+      Seq(("zzz-sentinel", 0.0, maxUs + 40L * 86400000000L))
+        .toDF("event_type", "value", "us")
+        .coalesce(1).write.parquet(s"$in/p=3")
+      graft.streaming.IncrementalStream
+        .runAvailableNowToParquet(agg, out, ckpt) // cron tick 2
+      val afterRun2 = s.read.parquet(out).count()
+      graft.streaming.IncrementalStream
+        .runAvailableNowToParquet(agg, out, ckpt) // cron tick 3: no new data
+      val afterRun3 = s.read.parquet(out).count()
+      require(afterRun3 == afterRun2,
+        s"q157: idempotent rerun appended ${afterRun3 - afterRun2} rows — " +
+          "the checkpoint re-processed already-committed files")
+      val hours = s.read.parquet(out)
+        .filter(col("event_type") =!= "zzz-sentinel")
+      val total = ev.count()
+      val emitted = hours.agg(coalesce(sum("n"), lit(0L)))
+        .collect()(0).getLong(0)
+      require(emitted == total,
+        s"q157: windows cover $emitted events of $total — checkpoint " +
+          "state lost (undercount) or files replayed (overcount)")
+      hours.select(unix_micros(col("hour_start")).as("hour_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_us", "event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -516,5 +592,14 @@ object StreamingQueries {
         |FROM e v JOIN e p ON v.user_id = p.user_id
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.us >= v.us AND p.us <= v.us + 14400000000
-        |ORDER BY 1, 2, 3""".stripMargin)
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // the q40 tumbling-window batch semantics, keyed by window START
+    // (micros) — the shape hourlyCounts emits; decimal in-sum exactly
+    // like q40 so streaming/batch/oracle accumulation is order-free
+    "q157_streaming_incremental" ->
+      """SELECT epoch_us(ts) // 3600000000 * 3600000000 AS hour_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin)
 }

@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
 
 /** Streaming NEAR-duplicate flagging: the ingest-time twin of the q34
   * MinHash-LSH batch join, as a pure Structured Streaming pipeline (no
@@ -216,6 +217,49 @@ object StreamingNearDup {
             Iterator.empty
           }
       }
+  }
+
+  /** The stage-2 AUDIT CONTRACT made executable: a SHORT feed (fewer
+    * than `bands` rows for some document) never mis-flags — the group
+    * never count-completes — but its omission from the output stream is
+    * SILENT, and the group's `DocAcc` state is retained forever. This
+    * reads the checkpoint back OFFLINE through Spark's state data
+    * source and returns one row per retained (docId, timeUs) group with
+    * the number of band verdicts it is still holding: empty ⇔ every
+    * document that ever entered stage 2 produced a verdict. Callers
+    * that know their input count can assert completeness directly
+    * (q144 does); callers that don't — a production ingest fed by an
+    * upstream bander it doesn't control — run this between bounded runs
+    * to make the omission detectable without a batch-twin recompute.
+    * Stage 2 is located by its state schema (the DocAcc shape), not by
+    * operator id, so a plan-level renumbering of the two stateful
+    * operators cannot silently point the audit at stage-1 state. */
+  def retainedDocGroups(spark: SparkSession, checkpoint: String): DataFrame = {
+    val opIds = spark.read.format("state-metadata").load(checkpoint)
+      .select("operatorId").distinct().collect().map(_.getLong(0)).sorted
+    val stage2 = opIds.toSeq.map { id =>
+        spark.read.format("statestore")
+          .option("path", checkpoint)
+          .option("operatorId", id)
+          .load()
+      }
+      .filter(_.schema("value").dataType match {
+        // fMGWS state rides under value.groupState (plus a timeout
+        // column when the operator arms one; stage 2 never does)
+        case st: StructType if st.fieldNames.contains("groupState") =>
+          st("groupState").dataType match {
+            case gs: StructType => gs.fieldNames.toSet == Set("n", "any")
+            case _ => false
+          }
+        case _ => false
+      })
+    require(stage2.nonEmpty,
+      s"no stage-2 (DocAcc-shaped) state found under $checkpoint — not a " +
+        "flagContinuous checkpoint?")
+    stage2
+      .map(_.select(col("key._1").as("docId"), col("key._2").as("timeUs"),
+        col("value.groupState.n").as("bandsHeld")))
+      .reduce(_ unionAll _)
   }
 
   /** Batch twin: identical semantics over a bounded frame of the same

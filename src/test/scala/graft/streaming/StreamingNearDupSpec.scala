@@ -161,5 +161,24 @@ class StreamingNearDupSpec extends SparkSpec {
     h.run()
     h.finalizeAll(BASE + 10 * HOUR)
     assert(h.emitted.isEmpty)
+    // the omission is silent in the output stream, but NOT to the audit:
+    // the retained stage-2 group is visible offline, holding 2 of the 3
+    // declared band verdicts
+    val audit = StreamingNearDup.retainedDocGroups(spark, h.ckpt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(_._1 >= 0) // sentinel groups complete and leave no state
+    assert(audit.toSeq == Seq((7L, BASE, 2)),
+      s"audit should report the short-fed group: ${audit.toSeq}")
+  }
+
+  test("state audit is empty after a complete feed finalizes") {
+    val h = new Harness("1 minute", ttlUs = HOUR, bands = 2)
+    h.drop(bandedDoc(1L, BASE, Seq("K", "X1")) ++
+      bandedDoc(2L, BASE + 10 * MIN, Seq("K", "X2")))
+    h.run()
+    h.finalizeAll(BASE + 10 * HOUR)
+    assert(h.emitted.size == 2)
+    assert(StreamingNearDup.retainedDocGroups(spark, h.ckpt).isEmpty,
+      "a complete, finalized feed must leave zero stage-2 groups behind")
   }
 }
