@@ -87,6 +87,24 @@ object GraftSession {
       "spark.sql.extensions" -> "graft.GraftExtensions")
   }
 
+  /** State-store conf for a PRODUCTION streaming deployment (add to
+    * [[clusterConf]]'s map when the job runs graft.streaming operators
+    * continuously). The default HDFSBackedStateStoreProvider keeps every
+    * state key in executor HEAP — fine for the gate corpora and local
+    * runs, a scale-killer for a 100-TB ingest where the ttl-window key
+    * set (StreamingDedup/NearDup state is O(keys per ttl window)) runs
+    * to tens of GB per executor. RocksDB keeps state on local disk
+    * behind a bounded block cache, and changelog checkpointing ships
+    * per-batch deltas to the checkpoint instead of re-uploading SST
+    * files. Semantics are provider-independent — RocksDbStateSpec
+    * proves emission parity and offline-audit readability on the same
+    * feeds the default-provider specs use. */
+  def streamingStateConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      -> "true")
+
   /** Register graft's custom Catalyst expressions for SQL + call_function
     * use — the SAME builder values the extensions path injects
     * ([[GraftExtensions.builders]]), so the two registration routes

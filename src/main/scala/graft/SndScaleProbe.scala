@@ -28,7 +28,9 @@ import org.apache.spark.sql.streaming.Trigger
   * 25k minutes of event time, so a quarter of the corpus was
   * legitimately in flight. Production triggers are seconds wide.)
   *
-  * `runMain graft.SndScaleProbe [nDocs]` (default 100000).
+  * `runMain graft.SndScaleProbe [nDocs] [rocksdb]` (default 100000;
+  * pass `rocksdb` to run on [[GraftSession.streamingStateConf]] — the
+  * production provider, state on disk instead of heap).
   */
 object SndScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -38,6 +40,11 @@ object SndScaleProbe {
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
       "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    if (args.contains("rocksdb")) {
+      GraftSession.streamingStateConf.foreach { case (k, v) =>
+        spark.conf.set(k, v) }
+      println("PROBE state store: RocksDB (changelog checkpointing)")
+    }
     import spark.implicits._
     val n = args.headOption.map(_.toInt).getOrElse(100000)
     val MinUs = 60000000L

@@ -259,7 +259,7 @@ object StreamingNearDup {
     stage2
       .map(_.select(col("key._1").as("docId"), col("key._2").as("timeUs"),
         col("value.groupState.n").as("bandsHeld")))
-      .reduce(_ unionAll _)
+      .reduce(_ union _)
   }
 
   /** Batch twin: identical semantics over a bounded frame of the same

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.{GraftSession, SparkSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The RocksDB state-store scale path ([[GraftSession.streamingStateConf]]):
+  * the default provider holds state in executor heap, which a 100-TB
+  * ingest's ttl-window key set outgrows — production runs swap the
+  * provider, so the swap must be proven BEHAVIOR-FREE. Both stateful
+  * shapes are exercised under RocksDB + changelog checkpointing: the
+  * chained two-stage near-dup pipeline (multi-batch randomized corpus,
+  * parity against the batch twin — the same corpus the default-provider
+  * StreamingNearDupSpec proves) and the TTL re-admission dedup fold.
+  * The offline state audit must read RocksDB checkpoints too: a
+  * provider that emissions-matches but breaks the audit would blind the
+  * short-feed omission check in production exactly where state is too
+  * big to recompute batch-side. */
+class RocksDbStateSpec extends SparkSpec {
+
+  private val MIN = 60000000L
+  private val HOUR = 3600000000L
+  private val BASE = 1704067200000000L
+
+  /** Child session with the production state-store conf; conf cannot
+    * leak to (or be clobbered by) the shared spec session. */
+  private def rocksSession() = {
+    val ss = spark.newSession()
+    GraftSession.streamingStateConf.foreach { case (k, v) => ss.conf.set(k, v) }
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss
+  }
+
+  test("chained near-dup pipeline under RocksDB equals the batch twin; audit reads the checkpoint") {
+    val ss = rocksSession()
+    ss.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false")
+    import ss.implicits._
+    val in = tmpDir("rdb-in"); val out = tmpDir("rdb-out")
+    val ckpt = tmpDir("rdb-ckpt")
+    val bands = 3
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 200).flatMap { i =>
+      val t = BASE + (rnd.nextInt(48) / 4 * 4) * 30 * MIN
+      (0 until bands).map(b => (i.toLong, t, b, s"b$b-${rnd.nextInt(8)}"))
+    }
+    // two real parts + two finalizing sentinel parts, one run each —
+    // cross-batch state must survive RocksDB commit/restore cycles
+    val parts = Seq(rows.take(120), rows.drop(120)) ++ (1 to 2).map { i =>
+      (0 until bands).map(b =>
+        (-i.toLong, BASE + (100 + i) * HOUR, b, s"sent-$i-$b"))
+    }
+    val schema = Seq((1L, 1L, 1, "k"))
+      .toDF("docId", "us", "bandIdx", "bandKey").schema
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.toDF("docId", "us", "bandIdx", "bandKey")
+        .coalesce(1).write.parquet(s"$in/p=$i")
+      val src = ss.readStream.schema(schema).parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "30 hours")
+        .select(col("docId"), col("us"), col("bandIdx"), col("bandKey"),
+          col("ts"))
+        .as[(Long, Long, Int, String, java.sql.Timestamp)]
+      StreamingNearDup.flagContinuous(src, ttlUs = 2 * HOUR, bands)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val got = ss.read.parquet(out).as[(Long, Long, Boolean)]
+      .collect().toSet.filter(_._1 >= 0)
+    val exp = StreamingNearDup.flagBatch(
+        rows.toDF("docId", "timeUs", "bandIdx", "bandKey"), ttlUs = 2 * HOUR)
+      .as[(Long, Long, Boolean)].collect().toSet.filter(_._1 >= 0)
+    assert(got == exp,
+      s"missing=${exp.diff(got).take(5)} extra=${got.diff(exp).take(5)}")
+    // the audit must read the RocksDB checkpoint: complete feed ⇒ empty
+    assert(StreamingNearDup.retainedDocGroups(ss, ckpt).isEmpty,
+      "offline state audit could not prove the RocksDB checkpoint drained")
+  }
+
+  test("TTL re-admission dedup under RocksDB: suppress inside ttl, re-admit after") {
+    val ss = rocksSession()
+    import ss.implicits._
+    val in = tmpDir("rdd-in"); val out = tmpDir("rdd-out")
+    val ckpt = tmpDir("rdd-ckpt")
+    val rows = Seq(
+      ("a", BASE, 1L), ("a", BASE + 10 * MIN, 2L), // dup inside ttl
+      ("a", BASE + 2 * HOUR, 3L),                  // past ttl: re-admit
+      ("b", BASE + 5 * MIN, 4L))
+    val schema = Seq(("k", 1L, 1L)).toDF("key", "us", "id").schema
+    val parts = Seq(rows, Seq(("zz", BASE + 9 * HOUR, 99L))) // finalizer
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.toDF("key", "us", "id").coalesce(1).write.parquet(s"$in/p=$i")
+      val src = ss.readStream.schema(schema).parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "1 minute")
+        .select(col("key"), col("us"), col("id"), col("ts"))
+        .as[(String, Long, Long, java.sql.Timestamp)]
+      StreamingDedup.dedupContinuous(src, ttlUs = HOUR)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val got = ss.read.parquet(out).as[(String, Long, Long)].collect().toSet
+      .filter(_._1 != "zz")
+    assert(got == Set(("a", BASE, 1L), ("a", BASE + 2 * HOUR, 3L),
+      ("b", BASE + 5 * MIN, 4L)))
+  }
+}
