@@ -258,16 +258,20 @@ object Bench {
       .getOrElse(s"$dir/BENCH_r02.json")
   }
 
-  /** Single-thread host calibration recorded in a baseline file
-    * (`"single_miters":N`), for host-drift normalization in the
+  /** Host calibration recorded in a baseline file (`"single_miters":N`
+    * / `"multi32_miters":N`), for host-drift normalization in the
     * regression math. None for records from before the host section. */
-  private[graft] def baselineHostSingle(path: String): Option[Long] =
+  private[graft] def baselineHostMiters(path: String, key: String)
+      : Option[Long] =
     try {
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      """"single_miters":(\d+)""".r.findFirstMatchIn(text)
+      (s""""$key":(\\d+)""").r.findFirstMatchIn(text)
         .map(_.group(1).toLong)
     } catch { case _: Exception => None }
+
+  private[graft] def baselineHostSingle(path: String): Option[Long] =
+    baselineHostMiters(path, "single_miters")
 
   /** Host-drift scale for regression thresholds: expected
     * `now ≈ prev × prevMiters / nowMiters` (time ∝ 1/speed). Clamped to
@@ -464,7 +468,20 @@ object Bench {
     val (hostSingle, hostMulti) = hostScore()
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       latestBaseline())
-    val drift = hostScale(baselineHostSingle(baselinePath), hostSingle)
+    // Host drift is the MAX of the single-thread and 32-way calibration
+    // ratios. Single-thread captures clock-speed drift but NOT core
+    // availability: these VMs run under visible hypervisor steal
+    // (/proc/stat steal ≈ 68% of cumulative user time on the round-8
+    // host), and a steal episode collapses 32-way throughput while the
+    // one-core score stays flat (r6→r8: single 481→441, multi32
+    // 13000→9830 — every local[32] query uniformly ~1.5-2× slower).
+    // Queries on local[32] are 32-thread work, so the multi ratio is
+    // the binding constraint; taking the max keeps the gate honest in
+    // both directions (a genuinely faster host still tightens it).
+    val drift = math.max(
+      hostScale(baselineHostSingle(baselinePath), hostSingle),
+      hostScale(baselineHostMiters(baselinePath, "multi32_miters"),
+        hostMulti))
 
     // ---- tier 2: ×10 data, shuffle/AQE-visible ---------------------------
     val tier2Json =

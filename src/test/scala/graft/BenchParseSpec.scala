@@ -78,6 +78,9 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.baselineQueries(p, "tier2warm").size == 57)
     assert(math.abs(Bench.baselineQueries(p)("q100_ivf_pq") - 10.769776185) < 1e-9)
     assert(Bench.baselineHostSingle(p).contains(481L))
+    // the 32-way calibration (drift on stolen hosts collapses multi
+    // throughput while single stays flat — the ratio the gate now uses)
+    assert(Bench.baselineHostMiters(p, "multi32_miters").contains(13000L))
   }
 
   test("hostScale normalizes drift, clamps corruption, defaults to 1") {
