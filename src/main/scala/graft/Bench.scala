@@ -30,6 +30,15 @@ package graft
   *    sub-maps: their cost is state-store floor and physical IO by
   *    design, and mixing them into `queries` buries the plan-shaped
   *    queries' trends.
+  *  - '''Hypervisor steal check.''' These VMs run with visible steal
+  *    (round 8 measured /proc/stat steal at ~68% of cumulative user
+  *    time); a steal episode collapses 32-way throughput while the
+  *    single-thread yardstick stays flat. The record embeds BOTH
+  *    calibrations, and the regression gate scales by the worse ratio —
+  *    but calibration is sampled once per run and steal moves faster.
+  *    If `multi32_miters` swings >20% between two mini-runs minutes
+  *    apart, the host is under ACTIVE steal: defer per-query
+  *    adjudication entirely, re-measure when the series is stable.
   */
 object Bench {
 
