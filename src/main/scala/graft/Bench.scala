@@ -54,7 +54,7 @@ object Bench {
     "q149_streaming_ttl_dedup", "q151_store_surgery",
     "q152_catalog_extents", "q154_streaming_sessions",
     "q155_streaming_funnel", "q156_streaming_interval_join",
-    "q157_streaming_incremental")
+    "q157_streaming_incremental", "q160_corpus_lifecycle")
 
   /** Queries for the ×10 tier: the shuffle/AQE-sensitive set, where the
     * sf0.1 numbers sit at the scheduling floor and scale effects are

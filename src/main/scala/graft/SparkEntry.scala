@@ -25,7 +25,8 @@ object SparkEntry {
       GridQueries.queries, TextQueries.queries,
       VectorQueries.queries, MiscQueries.queries,
       TokenizerQueries.queries, StoreQueries.queries,
-      CurationQueries.queries, StreamingQueries.queries)
+      CurationQueries.queries, StreamingQueries.queries,
+      PipelineQueries.queries)
     val merged = packs.reduce(_ ++ _)
     // a duplicate key across packs would SILENTLY shadow a query (and
     // its oracle) out of the verify dump and the bench — fail loudly
@@ -46,5 +47,6 @@ object SparkEntry {
       TokenizerQueries.oracles ++
       StoreQueries.oracles ++
       CurationQueries.oracles ++
-      StreamingQueries.oracles
+      StreamingQueries.oracles ++
+      PipelineQueries.oracles
 }

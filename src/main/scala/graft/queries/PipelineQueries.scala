@@ -1,0 +1,312 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.CorpusManager
+import graft.functions.DedupPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gated coverage for the corpus-lifecycle operators that the
+  * per-operator queries exercise only in one-shot batch form:
+  *
+  *  - q158 pushes [[DedupPipeline.persist]] + [[DedupPipeline.runIncremental]]
+  *    — the "never rescan the corpus" 100-TB shape: the corpus's LSH band
+  *    rows are written ONCE as a bucketed+sorted table, and each new
+  *    shard near-dup-joins against them with no corpus shuffle — through
+  *    the external oracle. Before this the incremental path was
+  *    spec-verified only (DedupPipelineSpec), and the driver record was
+  *    blind to a regression in the persisted-index join semantics.
+  *  - q159 is the ingest-drift gate every recurring crawl needs: an
+  *    exact total-variation distance between two ingest generations'
+  *    token-class distributions, per source. TV is the one standard
+  *    drift statistic whose sum is INTEGER until a single final
+  *    division (Σ|oA·NB − oB·NA| / (2·NA·NB)); a χ²/G-test spelling
+  *    would sum per-class ratios in engine-dependent double order and
+  *    could never hash-match an external oracle.
+  *
+  * Reference analog: the ETL's `check_if_new_data` + QC read-back
+  * discipline (`gridded_etl_tools/utils/attributes.py`,
+  * `tests/system/test_chirps.py:217-235`) — verify each incremental
+  * ingest against the committed corpus rather than trusting the writer.
+  */
+object PipelineQueries {
+
+  /** Fresh dir under the JVM temp root, unique per (tag, input dir,
+    * JVM) and wiped before use — executions rebuild rather than resume,
+    * and the PID suffix keeps two concurrent gate JVMs (a bench and a
+    * verify) from wiping each other's artifacts mid-run. */
+  private def freshDir(s: SparkSession, tag: String, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val pid = ProcessHandle.current().pid()
+    val root = s"${sys.props("java.io.tmpdir")}/graft_pipe_${pid}_${tag}_$safe"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    root
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Incremental near-dup of a new shard against a PERSISTED corpus
+    // index. The corpus (doc_id % 5 != 0) is indexed once —
+    // exact-content groups collapse to reps, minhash signatures +
+    // bucketed band table written to disk — then the shard
+    // (doc_id % 5 == 0) runs the incremental join: shard-vs-corpus and
+    // shard-vs-shard LSH pairs, est-Jaccard ≥ 0.5, plus the shard's
+    // intra-shard exact-duplicate star edges (the md5 pairs the
+    // incremental contract leaves to the caller — see
+    // [[DedupPipeline.runIncremental]]'s contract note). At 100 TB the
+    // corpus side is read through its bucket metadata and never
+    // shuffles; only the (small) shard is signed and bucketed per run.
+    "q158_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val shard = docs.filter(col("doc_id") % 5 === 0)
+      val base = freshDir(s, "q158_idx", dir)
+      val nm = s"q158_${ProcessHandle.current().pid()}"
+      DedupPipeline.persist(corpus, "doc_id", "text", nm, base, numBuckets = 8)
+      val near = DedupPipeline.runIncremental(
+        s, shard, "doc_id", "text", nm, base, numBuckets = 8)
+      val star = DedupPipeline.exactStarEdges(shard, "doc_id", "text")
+      near.select(col("d1"), col("d2"), lit("near").as("kind"))
+        .unionByName(star.select(col("d1"), col("d2"), lit("exact").as("kind")))
+        .orderBy("d1", "d2", "kind")
+    }),
+
+    // Ingest drift gate: exact total-variation distance between two
+    // generations' token-class histograms, per source. Tokens hash into
+    // 64 md5 classes (the bounded feature space — a raw-vocab χ² is
+    // corpus-sized; 64 classes make the shuffled state sources×64 rows
+    // at ANY corpus size); generation = md5(doc_id) % 2 stands in for
+    // the ingest timestamp the documents table doesn't carry (doc_id
+    // parity is correlated with `source` in this corpus — a parity
+    // split leaves one generation empty per source). All counts
+    // and the |oA·NB − oB·NA| cross-difference accumulate as
+    // DECIMAL(38,0) (long products overflow near 10^10-token sources),
+    // with ONE double division per source at the very end — the same
+    // fixed-order discipline as q117/q119. A source whose token
+    // distribution shifted (crawler regression, encoding break, spam
+    // flood) trips `drifted` before the data reaches training.
+    "q159_drift_gate" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val tok = docs.select(col("source"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2).as("gen"),
+          explode(split(col("text"), " ")).as("t"))
+        .select(col("source"), col("gen"),
+          (conv(substring(md5(col("t")), 1, 15), 16, 10)
+            .cast("long") % 64).as("k"))
+      // one map-side-combined aggregate to (source, class): the only
+      // shuffle, carrying ≤ sources×64 groups regardless of corpus size
+      val cls = tok.groupBy("source", "k")
+        .agg(sum(when(col("gen") === 0, 1L).otherwise(0L)).as("oa"),
+          sum(when(col("gen") === 1, 1L).otherwise(0L)).as("ob"))
+        .localCheckpoint() // feeds both the totals and the fold below
+      val tot = cls.groupBy("source")
+        .agg(sum("oa").as("na"), sum("ob").as("nb"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(20,0)")
+      cls.join(tot, "source")
+        .groupBy(col("source"), col("na"), col("nb"))
+        .agg(sum(abs(dec(col("oa")) * dec(col("nb")) -
+          dec(col("ob")) * dec(col("na")))).as("sd"))
+        .select(col("source"), col("na"), col("nb"),
+          col("sd").cast("long").as("sum_absdiff"),
+          // TV vs an EMPTY generation is undefined — null, not a throw
+          // (ANSI division by zero), so a brand-new source cannot kill
+          // the whole drift report
+          when(col("na") > 0 && col("nb") > 0,
+            col("sd").cast("double") /
+              (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
+            .as("tv"))
+        .withColumn("drifted", col("tv") > 0.1)
+        .orderBy("source")
+    }),
+
+    // The FULL CorpusManager lifecycle through the driver gate — the
+    // q137 discipline applied to the documents-side manager: initial
+    // ingest (quality gate → batch dedup → artifact persist → atomic
+    // manifest commit) followed by an incremental shard ingest (pinned
+    // signature/hash reads, exchange-free band join, exact+near pair
+    // graph, cluster-resolution drops, ONE manifest swap), then read
+    // back the committed corpus. The oracle replays both ingests'
+    // keep/drop decisions relationally: the q34 minhash chain per
+    // stage, exact-md5 edges, and TWO recursive-CTE component closures
+    // (initial clusters, then shard clusters against the committed
+    // corpus). In-query asserts tie the emitted rows to the manifest:
+    // a lost/double commit or a report/manifest divergence fails before
+    // the hash compare does.
+    "q160_corpus_lifecycle" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val root = freshDir(s, "q160_corpus", dir)
+      val nm = s"q160_${ProcessHandle.current().pid()}"
+      val cm = new CorpusManager(nm, root, s)
+      val r1 = cm.ingestInitial(docs.filter(col("doc_id") % 5 =!= 0))
+      val r2 = cm.ingestShard(docs.filter(col("doc_id") % 5 === 0))
+      val kept = cm.corpus().select("doc_id").localCheckpoint()
+      val n = kept.count()
+      require(n == r1.ingested + r2.ingested,
+        s"corpus rows $n != ingest reports ${r1.ingested}+${r2.ingested}")
+      val man = cm.readManifest().get
+      require(man.nDocs == n, s"manifest nDocs ${man.nDocs} != corpus $n")
+      require(man.generation == 2, s"expected generation 2, got ${man.generation}")
+      kept.orderBy("doc_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    "q158_incremental_dedup" ->
+      """WITH reps AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           MIN(doc_id) OVER (PARTITION BY (doc_id % 5 = 0), md5(text)) AS keeper
+        |    FROM documents)
+        |  WHERE doc_id = keeper),
+        |d AS (SELECT doc_id, string_split(text,' ') AS toks FROM reps
+        |      WHERE LEN(string_split(text,' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(LEN(toks)-2),
+        |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS g FROM d),
+        |gh AS (SELECT doc_id, CAST('0x'||substr(md5(g),1,15) AS BIGINT) AS h0,
+        |              CAST('0x'||substr(md5(g),16,15) AS BIGINT) AS h1,
+        |              CAST('0x'||substr(md5(g||'#'),1,15) AS BIGINT) AS h2,
+        |              CAST('0x'||substr(md5(g||'#'),16,15) AS BIGINT) AS h3 FROM sh),
+        |mh AS (SELECT doc_id, p,
+        |         MIN(CAST((CASE WHEN p < 32
+        |               THEN CAST(h0 AS HUGEINT) + p * CAST(h1 AS HUGEINT)
+        |               ELSE CAST(h2 AS HUGEINT) + (p - 32) * CAST(h3 AS HUGEINT) END)
+        |             % 1152921504606846976 AS BIGINT)) AS m
+        |       FROM gh CROSS JOIN range(64) t(p) GROUP BY doc_id, p),
+        |sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, sig, b,
+        |            array_to_string(sig[CAST(b*4+1 AS INTEGER):CAST(b*4+4 AS INTEGER)], ',') AS bk
+        |          FROM sig CROSS JOIN range(16) t(b)),
+        |cand AS (SELECT LEAST(x.doc_id, y.doc_id) AS d1,
+        |                GREATEST(x.doc_id, y.doc_id) AS d2,
+        |                x.sig AS sa, y.sig AS sb
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk
+        |         WHERE (x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0)
+        |            OR (x.doc_id % 5 = 0 AND y.doc_id % 5 = 0 AND x.doc_id < y.doc_id)),
+        |pairs AS (SELECT d1, d2,
+        |            MIN(CAST(LEN(list_filter(range(64), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
+        |                / CAST(64 AS DOUBLE)) AS est_jac
+        |          FROM cand GROUP BY d1, d2),
+        |star AS (SELECT keeper AS d1, doc_id AS d2 FROM (
+        |           SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |           FROM documents WHERE doc_id % 5 = 0)
+        |         WHERE doc_id <> keeper)
+        |SELECT d1, d2, kind FROM (
+        |  SELECT d1, d2, 'near' AS kind FROM pairs WHERE est_jac >= 0.5
+        |  UNION ALL SELECT d1, d2, 'exact' AS kind FROM star)
+        |ORDER BY d1, d2, kind""".stripMargin,
+
+    "q159_drift_gate" ->
+      """WITH tok AS (SELECT source,
+        |        CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 2 AS gen,
+        |        CAST('0x'||substr(md5(t),1,15) AS BIGINT) % 64 AS k
+        |      FROM (SELECT source, doc_id, unnest(string_split(text,' ')) AS t
+        |            FROM documents)),
+        |cls AS (SELECT source, k,
+        |          SUM(CASE WHEN gen = 0 THEN 1 ELSE 0 END) AS oa,
+        |          SUM(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS ob
+        |        FROM tok GROUP BY source, k),
+        |tot AS (SELECT source, SUM(oa) AS na, SUM(ob) AS nb FROM cls GROUP BY source),
+        |fold AS (SELECT c.source, t.na, t.nb,
+        |           SUM(ABS(CAST(c.oa AS HUGEINT) * CAST(t.nb AS HUGEINT)
+        |                 - CAST(c.ob AS HUGEINT) * CAST(t.na AS HUGEINT))) AS sd
+        |         FROM cls c JOIN tot t ON c.source = t.source
+        |         GROUP BY c.source, t.na, t.nb)
+        |SELECT source, na, nb, sum_absdiff, tv, tv > 0.1 AS drifted FROM (
+        |  SELECT source, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |         CAST(sd AS BIGINT) AS sum_absdiff,
+        |         CASE WHEN na > 0 AND nb > 0 THEN
+        |           CAST(sd AS DOUBLE) / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |         END AS tv
+        |  FROM fold)
+        |ORDER BY source""".stripMargin,
+
+    // Replays BOTH ingests' keep/drop decisions: stage 1 = batch dedup
+    // of the corpus split (exact-md5 star + minhash near pairs over
+    // reps, one component closure, min-id keepers k1); stage 2 = the
+    // shard against k1 (near pairs k1×shardReps and shardReps×shardReps,
+    // exact md5 cross + intra-star, second closure; a shard doc drops
+    // when its cluster touches k1 or it is not its shard-only cluster's
+    // minimum). sig/bands are per-doc, so they compute ONCE
+    // (MATERIALIZED) and each stage restricts the band join to its side.
+    "q160_corpus_lifecycle" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, string_split(text,' ') AS toks FROM base
+        |      WHERE LEN(string_split(text,' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(LEN(toks)-2),
+        |         i -> toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS g FROM d),
+        |gh AS (SELECT doc_id, CAST('0x'||substr(md5(g),1,15) AS BIGINT) AS h0,
+        |              CAST('0x'||substr(md5(g),16,15) AS BIGINT) AS h1,
+        |              CAST('0x'||substr(md5(g||'#'),1,15) AS BIGINT) AS h2,
+        |              CAST('0x'||substr(md5(g||'#'),16,15) AS BIGINT) AS h3 FROM sh),
+        |mh AS (SELECT doc_id, p,
+        |         MIN(CAST((CASE WHEN p < 32
+        |               THEN CAST(h0 AS HUGEINT) + p * CAST(h1 AS HUGEINT)
+        |               ELSE CAST(h2 AS HUGEINT) + (p - 32) * CAST(h3 AS HUGEINT) END)
+        |             % 1152921504606846976 AS BIGINT)) AS m
+        |       FROM gh CROSS JOIN range(64) t(p) GROUP BY doc_id, p),
+        |sig AS MATERIALIZED (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
+        |bands AS MATERIALIZED (SELECT doc_id, sig, b,
+        |            array_to_string(sig[CAST(b*4+1 AS INTEGER):CAST(b*4+4 AS INTEGER)], ',') AS bk
+        |          FROM sig CROSS JOIN range(16) t(b)),
+        |kpC AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |        FROM base WHERE doc_id % 5 <> 0),
+        |starC AS (SELECT keeper AS d1, doc_id AS d2 FROM kpC WHERE doc_id <> keeper),
+        |repC AS (SELECT doc_id FROM kpC WHERE doc_id = keeper),
+        |nearC AS (SELECT d1, d2 FROM (
+        |    SELECT x.doc_id AS d1, y.doc_id AS d2,
+        |           MIN(CAST(LEN(list_filter(range(64), i -> x.sig[i+1] = y.sig[i+1])) AS DOUBLE)
+        |               / CAST(64 AS DOUBLE)) AS est
+        |    FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+        |    WHERE x.doc_id IN (SELECT doc_id FROM repC)
+        |      AND y.doc_id IN (SELECT doc_id FROM repC)
+        |    GROUP BY 1, 2) WHERE est >= 0.5),
+        |e1 AS (SELECT d1, d2 FROM nearC UNION SELECT d1, d2 FROM starC),
+        |u1 AS (SELECT d1 AS src, d2 AS dst FROM e1 UNION SELECT d2, d1 FROM e1),
+        |c1(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM base WHERE doc_id % 5 <> 0
+        |  UNION
+        |  SELECT u.dst, c.lbl FROM c1 c JOIN u1 u ON c.id = u.src),
+        |k1 AS MATERIALIZED (SELECT id AS doc_id FROM c1 GROUP BY id HAVING MIN(lbl) = id),
+        |kpS AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |        FROM base WHERE doc_id % 5 = 0),
+        |starS AS (SELECT keeper AS d1, doc_id AS d2 FROM kpS WHERE doc_id <> keeper),
+        |repS AS (SELECT doc_id FROM kpS WHERE doc_id = keeper),
+        |nearX AS (SELECT d1, d2 FROM (
+        |    SELECT LEAST(x.doc_id, y.doc_id) AS d1, GREATEST(x.doc_id, y.doc_id) AS d2,
+        |           MIN(CAST(LEN(list_filter(range(64), i -> x.sig[i+1] = y.sig[i+1])) AS DOUBLE)
+        |               / CAST(64 AS DOUBLE)) AS est
+        |    FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id <> y.doc_id
+        |    WHERE x.doc_id IN (SELECT doc_id FROM k1)
+        |      AND y.doc_id IN (SELECT doc_id FROM repS)
+        |    GROUP BY 1, 2) WHERE est >= 0.5),
+        |nearS AS (SELECT d1, d2 FROM (
+        |    SELECT x.doc_id AS d1, y.doc_id AS d2,
+        |           MIN(CAST(LEN(list_filter(range(64), i -> x.sig[i+1] = y.sig[i+1])) AS DOUBLE)
+        |               / CAST(64 AS DOUBLE)) AS est
+        |    FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+        |    WHERE x.doc_id IN (SELECT doc_id FROM repS)
+        |      AND y.doc_id IN (SELECT doc_id FROM repS)
+        |    GROUP BY 1, 2) WHERE est >= 0.5),
+        |exX AS (SELECT LEAST(s.doc_id, c.doc_id) AS d1, GREATEST(s.doc_id, c.doc_id) AS d2
+        |        FROM base s JOIN base c ON md5(s.text) = md5(c.text)
+        |        WHERE s.doc_id % 5 = 0 AND c.doc_id IN (SELECT doc_id FROM k1)),
+        |e2 AS (SELECT d1, d2 FROM nearX UNION SELECT d1, d2 FROM nearS
+        |       UNION SELECT d1, d2 FROM exX UNION SELECT d1, d2 FROM starS),
+        |u2 AS (SELECT d1 AS src, d2 AS dst FROM e2 UNION SELECT d2, d1 FROM e2),
+        |c2(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM base WHERE doc_id % 5 = 0
+        |  UNION SELECT doc_id, doc_id FROM k1
+        |  UNION
+        |  SELECT u.dst, c.lbl FROM c2 c JOIN u2 u ON c.id = u.src),
+        |lab2 AS (SELECT id, MIN(lbl) AS lbl FROM c2 GROUP BY id),
+        |taint AS (SELECT DISTINCT lbl FROM lab2 WHERE id IN (SELECT doc_id FROM k1)),
+        |k2 AS (SELECT id AS doc_id FROM lab2
+        |       WHERE id % 5 = 0
+        |         AND lbl NOT IN (SELECT lbl FROM taint)
+        |         AND id = lbl)
+        |SELECT doc_id FROM k1 UNION ALL SELECT doc_id FROM k2 ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-lifecycle gate queries (exact equality vs
+  * the DuckDB oracle is the driver's job — these pin the structural
+  * contracts a hash match alone wouldn't localize). */
+class PipelineQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q158: every pair touches the shard; exact kinds replay shard md5 groups") {
+    val out = PipelineQueries.queries("q158_incremental_dedup")(spark, dir)
+      .localCheckpoint()
+    // the incremental contract: corpus-vs-corpus pairs are the batch
+    // run's business, never the shard run's
+    assert(out.filter(col("d1") % 5 =!= 0 && col("d2") % 5 =!= 0).isEmpty,
+      "corpus-corpus pair leaked into the incremental result")
+    assert(out.filter(col("d1") >= col("d2")).isEmpty, "pair not normalized")
+    // 'exact' rows are exactly the shard's md5 star edges
+    val shard = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+    val star = graft.functions.DedupPipeline
+      .exactStarEdges(shard, "doc_id", "text")
+    val exactRows = out.filter(col("kind") === "exact").select("d1", "d2")
+    assert(exactRows.exceptAll(star).isEmpty &&
+      star.exceptAll(exactRows).isEmpty)
+    // near pairs exist at this sf (planted near-dups cross the %5 split)
+    assert(out.filter(col("kind") === "near").count() > 0)
+  }
+
+  test("q158: near pairs == the batch q34 pair set restricted to rep pairs touching the shard") {
+    val q34 = TextQueries.queries("q34_minhash_lsh")(spark, dir)
+      .select("d1", "d2")
+    // batch pairs between two corpus docs, or between docs that are not
+    // their side's exact-group rep, are out of incremental scope; at
+    // sf0.001 there are no exact dups, so scope = "touches the shard"
+    val scoped = q34.filter(col("d1") % 5 === 0 || col("d2") % 5 === 0)
+    val near = PipelineQueries.queries("q158_incremental_dedup")(spark, dir)
+      .filter(col("kind") === "near").select("d1", "d2")
+    assert(near.exceptAll(scoped).isEmpty && scoped.exceptAll(near).isEmpty)
+  }
+
+  test("q159: token mass conserved, tv in [0,1], sum_absdiff matches a brute recount") {
+    val out = PipelineQueries.queries("q159_drift_gate")(spark, dir)
+      .localCheckpoint()
+    val totalTok = Tables.table(spark, dir, "documents")
+      .select(sum(size(split(col("text"), " ")))).first().getLong(0)
+    val mass = out.select(sum(col("na") + col("nb"))).first().getLong(0)
+    assert(mass == totalTok, s"token mass $mass != $totalTok")
+    assert(out.filter(col("tv") < 0.0 || col("tv") > 1.0).isEmpty)
+    assert(out.filter(col("tv").isNull).isEmpty,
+      "no source should have an empty generation at this sf")
+    // brute-force recount of one source's sum_absdiff
+    val src = out.select("source").first().getString(0)
+    val docs = Tables.table(spark, dir, "documents").filter(col("source") === src)
+    val tok = docs.select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).as("gen"),
+        explode(split(col("text"), " ")).as("t"))
+      .select(col("gen"),
+        (conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long") % 64).as("k"))
+    val cls = tok.groupBy("k").agg(
+      sum(when(col("gen") === 0, 1L).otherwise(0L)).as("oa"),
+      sum(when(col("gen") === 1, 1L).otherwise(0L)).as("ob"))
+    val (na, nb) = {
+      val r = cls.select(sum("oa"), sum("ob")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val sd = cls.select(sum(abs(col("oa") * nb - col("ob") * na)))
+      .first().getLong(0)
+    val row = out.filter(col("source") === src).first()
+    assert(row.getAs[Long]("sum_absdiff") == sd &&
+      row.getAs[Long]("na") == na && row.getAs[Long]("nb") == nb)
+  }
+
+  test("q159: a planted drifted source trips the gate; identical halves read zero") {
+    val s = spark
+    import s.implicits._
+    // 'stable': every doc has the same text, so both generations have
+    // IDENTICAL class distributions → tv exactly 0. 'shifted': the two
+    // generations draw disjoint vocabularies → tv 1 up to md5 class
+    // collisions between the two vocabularies (64 bins, 4+4 tokens).
+    def genOf(id: Long): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+          .substring(0, 15), 16) % 2
+    val docs = (0L until 400L).map { i =>
+      val g = genOf(i)
+      val text =
+        if (i % 2 == 0) "alpha beta gamma delta" // stable: same both gens
+        else if (g == 0) "aa bb cc dd" else "ww xx yy zz" // shifted
+      (i, text, if (i % 2 == 0) "stable" else "shifted")
+    }.toDF("doc_id", "text", "source")
+    val tmp = tmpDir("q159drift")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = PipelineQueries.queries("q159_drift_gate")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("tv"), r.getAs[Boolean]("drifted"))).toMap
+    assert(out("stable")._1 == 0.0 && !out("stable")._2)
+    assert(out("shifted")._1 > 0.5 && out("shifted")._2)
+  }
+}
