@@ -25,6 +25,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // Iterative folds (LPA/PageRank/connected components) retire one
+      // shuffle per round, but the files are deleted only when the
+      // driver GCs the RDD references — with a large heap that can be
+      // never, and 20 rounds over a 90M-edge graph fill local disk with
+      // dead spills (GraphScaleProbe 10M died on ENOSPC this way; a
+      // long-lived cluster job hits the same wall on executor disks).
+      // A 2-minute periodic GC keeps retired shuffle files bounded by
+      // ~2 rounds' worth instead of the whole run.
+      .config("spark.cleaner.periodicGC.interval", "2min")
 
   def local(cores: Int = 32): SparkSession = {
     val spark = builder(cores).getOrCreate()

@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * must be dominated by intra-community closures.
   *
   * `runMain graft.GraphScaleProbe [nNodes] [degree]` (defaults 1M / 8).
+  *
+  * Memory budget: at 10M nodes (~90M weighted edges) the default 8 g
+  * probe heap (`SPARK_DRIVER_MEM`) dies in the first LPA aggregate —
+  * 32 task slots over ~4.6 g unified memory is ~140 MB/slot, below the
+  * per-slot working set once the pinned edge checkpoint occupies
+  * storage (`UNABLE_TO_ACQUIRE_MEMORY`, round-8 record). Run 10M+ with
+  * `SPARK_DRIVER_MEM=48g` — the cluster-honest per-executor budget a
+  * real deployment would give the same slice of a 90M-edge graph.
   */
 object GraphScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -20,6 +28,12 @@ object GraphScaleProbe {
     val nNodes = args.headOption.map(_.toInt).getOrElse(1000000)
     val degree = args.drop(1).headOption.map(_.toInt).getOrElse(8)
     val commSize = 100 // planted communities of 100 nodes
+    // at 10M nodes each LPA round shuffles ~15 GB; this box's ~100 GB
+    // scratch disk cannot hold the default 5-round live window (see
+    // GraphOps.checkpointEvery — cluster SSDs can, so 5 stays the
+    // library default)
+    if (nNodes >= 5000000)
+      spark.conf.set("spark.graft.iterate.checkpointEvery", "2")
 
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -54,6 +68,18 @@ object GraphScaleProbe {
     println(s"PROBE edges=$nEdges nodes=$nNodes")
     val nodes = timed("nodes") {
       spark.range(nNodes).select(col("id").as("k")).localCheckpoint()
+    }
+
+    // SPARK_GRAFT_GRAPH_DEEP_ONLY=1 skips straight to the 20-round
+    // deep-iteration stages (the disk-footprint investigation knob —
+    // the shallow stages take ~10 min at 10M and don't participate)
+    val deepOnly = sys.env.get("SPARK_GRAFT_GRAPH_DEEP_ONLY").contains("1")
+    if (deepOnly) {
+      val t20 = timed("lpa-20-rounds") {
+        GraphOps.labelPropagate(edges, nodes, rounds = 20).count()
+      }
+      println(s"PROBE deep-only done $t20")
+      spark.stop(); return
     }
 
     // ---- LPA: 3 rounds; planted recovery required

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+/** Instrument for the iterative-fold shuffle-file leak (GraphScaleProbe
+  * 10M ENOSPC, round 8): runs a deep LPA fold on a small graph, forces
+  * driver GCs, and reports which shuffle ids remain REGISTERED with the
+  * MapOutputTracker afterwards (registered == files on disk). If old
+  * rounds' ids survive GC, their ShuffleDependency objects are still
+  * strongly reachable and the leak is a reference, not cleaner latency.
+  *
+  * `runMain graft.ShuffleCleanupProbe [nNodes] [rounds]` (200k / 12).
+  */
+object ShuffleCleanupProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("WARN")
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(12)
+
+    def registeredShuffles: Seq[Int] = {
+      val tracker = org.apache.spark.SparkEnv.get.mapOutputTracker
+      val f = tracker.getClass.getDeclaredField("shuffleStatuses")
+      f.setAccessible(true)
+      f.get(tracker).asInstanceOf[scala.collection.concurrent.Map[Int, _]]
+        .keys.toSeq.sorted
+    }
+
+    val edges = spark.range(n.toLong * 4).select(
+        (col("id") / 4).cast("long").as("src"),
+        pmod(col("id") * 31 + 1, lit(n.toLong)).as("dst"),
+        lit(1L).as("w"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    val nodes = spark.range(n).select(col("id").as("k")).localCheckpoint()
+
+    println(s"PROBE pre-fold shuffles=${registeredShuffles.mkString(",")}")
+    val labels = GraphOps.labelPropagate(edges, nodes, rounds)
+    val c = labels.count()
+    println(s"PROBE fold done labels=$c")
+    println(s"PROBE post-fold shuffles=${registeredShuffles.mkString(",")}")
+    (1 to 3).foreach { _ => System.gc(); Thread.sleep(2000) }
+    println(s"PROBE post-gc shuffles=${registeredShuffles.mkString(",")}")
+    spark.stop()
+  }
+}

@@ -32,19 +32,55 @@ object GraphOps {
     * star rounds. Trade-off: localCheckpoint pins blocks to executors,
     * so a lost executor forces recompute-from-leaf; fault-critical
     * deployments set [[Materialize.ReliableConf]] + a checkpoint dir
-    * and every truncation goes to durable storage instead. */
-  private val CheckpointEvery = 5
+    * and every truncation goes to durable storage instead.
+    *
+    * The cadence also bounds the fold's live SHUFFLE-FILE window: a
+    * round's shuffle files are deletable only once a checkpoint
+    * truncates the lineage past it (plus the boundary GC below), so
+    * executor disks must hold `checkpointEvery` rounds' worth of
+    * shuffle output. Default 5 suits cluster-sized local disks; a
+    * disk-constrained environment lowers `spark.graft.iterate
+    * .checkpointEvery` (GraphScaleProbe at 10M nodes needs 2 on a
+    * ~100 GB scratch disk — each LPA round shuffles ~15 GB there). */
+  private val CheckpointEveryConf = "spark.graft.iterate.checkpointEvery"
+  private def checkpointEvery(df: DataFrame): Int = {
+    val v = df.sparkSession.conf.getOption(CheckpointEveryConf)
+      .map(_.toInt).getOrElse(5)
+    require(v >= 1, s"$CheckpointEveryConf must be >= 1, got $v")
+    v
+  }
 
   /** Lineage-bounding fold: apply `step` `rounds` times, truncating the
-    * plan every [[CheckpointEvery]] rounds (never on the final round —
+    * plan every [[checkpointEvery]] rounds (never on the final round —
     * the caller consumes that plan directly). */
   private def iterate(init: DataFrame, rounds: Int)(
-      step: DataFrame => DataFrame): DataFrame =
+      step: DataFrame => DataFrame): DataFrame = {
+    // superseded checkpoints are released EAGERLY: leaving them to the
+    // driver's GC + ContextCleaner lets a long fold accumulate every
+    // retired round's blocks on executor disks (see Materialize.release)
+    var pinned: Option[DataFrame] = None
+    val every = checkpointEvery(init)
     (1 to rounds).foldLeft(init) { (st, i) =>
       val next = step(st)
-      if (i % CheckpointEvery == 0 && i < rounds) Materialize(next)
-      else next
+      if (i % every == 0 && i < rounds) {
+        val m = Materialize(next) // eager — safe to retire the previous pin
+        pinned.foreach(Materialize.release)
+        pinned = Some(m)
+        // Deterministic driver GC at the checkpoint boundary: every
+        // pre-checkpoint round's ShuffleDependency just became
+        // unreachable, but the ContextCleaner deletes its files only
+        // after a driver GC processes the weak references — and an
+        // iterative fold PRODUCES shuffle files far faster than timer
+        // GC frees them (measured at 10M nodes: ~9 GB/min produced,
+        // first natural full GC ~8 min in, ENOSPC 4 s before the
+        // cleanup landed — GraphScaleProbe, round-8 record). One GC per
+        // checkpoint window bounds live shuffle footprint to
+        // CheckpointEvery rounds' worth at any graph size.
+        System.gc()
+        m
+      } else next
     }
+  }
 
   /** Per-node top-k sparsification of an undirected weighted edge list
     * `(a, b, w)` (a<b): each node ranks its incident edges by
@@ -106,8 +142,22 @@ object GraphOps {
     * of windowing the vote table. Returns `(k, label)`.
     */
   def labelPropagate(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    // the edge table is the BIG side of every round's join, and a plain
+    // edge frame re-shuffles all |E| rows per round; hash-partition it
+    // on the join key ONCE and persist (an InMemoryRelation exposes its
+    // child's outputPartitioning — a localCheckpoint under AQE does
+    // NOT, the adaptive plan reports unknown partitioning at capture
+    // time — so each round's join exchanges only the |V|-sized label
+    // side). At 90M edges this is one 90M-row shuffle total instead of
+    // one per round; persist (not checkpoint) keeps the frame
+    // recomputable, so an evicted block is a recompute, never a failure.
+    val e = if (rounds > 1) {
+      val p = edges.repartition(col("src")).persist()
+      p.count() // materialize before the fold, not inside round 1's job
+      p
+    } else edges
     def step(lab: DataFrame): DataFrame = {
-      val votes = edges
+      val votes = e
         .join(lab.withColumnRenamed("k", "src"), "src")
         .groupBy(col("dst"), col("label"))
         .agg(sum("w").as("wv"))
@@ -136,9 +186,17 @@ object GraphOps {
     // every iteration re-joins against the out-weight table; materialize
     // it once (plan leaf) when there is more than one iteration to pay
     // it back — otherwise each step recomputes the groupBy+join
+    // src-partitioned + persisted for the same reason as
+    // labelPropagate's edge frame (persist, not checkpoint: only an
+    // InMemoryRelation keeps its outputPartitioning under AQE): the
+    // per-iteration join then exchanges only the rank side
     val ewoPlan = edges.join(
       edges.groupBy("src").agg(sum("w").as("outw")), "src")
-    val ewo = if (iters > 1) Materialize(ewoPlan) else ewoPlan
+    val ewo = if (iters > 1) {
+      val p = ewoPlan.repartition(col("src")).persist()
+      p.count()
+      p
+    } else ewoPlan
     def step(ranks: DataFrame): DataFrame = {
       val contrib = ewo
         .join(ranks.withColumnRenamed("k", "src"), "src")

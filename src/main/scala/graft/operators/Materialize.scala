@@ -37,4 +37,22 @@ object Materialize {
       df.checkpoint() // eager, lineage-free, survives executor loss
     } else df.localCheckpoint()
   }
+
+  /** Deterministically free a frame previously pinned by [[apply]] in
+    * localCheckpoint mode. Iterative folds supersede a checkpoint every
+    * few rounds; the blocks are otherwise freed only when the DRIVER
+    * eventually GCs the RDD reference and the ContextCleaner follows up
+    * — with a large driver heap that can be never, and a 20-round fold
+    * over a 90M-edge graph accumulates every retired round's blocks on
+    * executor disks until ENOSPC (GraphScaleProbe 10M, round-8 record).
+    * Safe once the SUPERSEDING checkpoint is materialized (apply is
+    * eager): the retired blocks have no remaining consumer. No-op for
+    * reliable-mode checkpoints (their files are on durable storage and
+    * owned by the checkpoint dir policy, not the block manager). */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

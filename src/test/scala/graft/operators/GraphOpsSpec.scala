@@ -112,4 +112,40 @@ class GraphOpsSpec extends SparkSpec {
     // total mass bounded by 1 (dangling drop can only lose mass)
     assert(got.values.sum <= 1.0 + 1e-9)
   }
+
+  test("a src-partitioned checkpoint keeps its partitioning: round joins exchange only the label side") {
+    val s = spark; import s.implicits._
+    val edges = (0L until 2000L).map(i => (i % 97, (i * 31) % 97, 1L))
+      .toDF("src", "dst", "w")
+    val lab = (0L until 97L).map(i => (i, i)).toDF("src", "label")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)).size
+    // a 97-row label side broadcasts and hides the edge-side exchange
+    // this test exists to observe — force the shuffled-join shape the
+    // 10M-node probe actually plans
+    val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    // un-partitioned checkpoint: the join shuffles BOTH sides
+    val plainCkpt = edges.localCheckpoint()
+    
+    // src-partitioned PERSIST (the labelPropagate/pageRank shape): an
+    // InMemoryRelation exposes its child's outputPartitioning, so only
+    // the label side exchanges — the property the per-round shuffle
+    // saving in GraphOps rests on. (A localCheckpoint does NOT give
+    // this under AQE: the adaptive plan reports unknown partitioning
+    // at capture time — the first spelling of this fix, test-caught.)
+    val partCkpt = edges.repartition(col("src")).persist()
+    partCkpt.count()
+    val both = exchanges(plainCkpt.join(lab, "src").groupBy("dst").count())
+    val one = exchanges(partCkpt.join(lab, "src").groupBy("dst").count())
+    assert(one == both - 1,
+      s"partitioned checkpoint did not save the edge-side exchange ($both -> $one)")
+    // and the join result is identical either way
+    assert(plainCkpt.join(lab, "src").exceptAll(
+      partCkpt.join(lab, "src")).isEmpty)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+  }
 }
