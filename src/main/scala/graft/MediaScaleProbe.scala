@@ -13,7 +13,20 @@ import org.apache.spark.sql.functions._
   * the blocking guarantee is exact AT the radius) and false positives
   * must be ZERO.
   * The per-doc cost is real decode+DCT work (pHash), so this also
-  * measures the hashing pass itself. */
+  * measures the hashing pass itself.
+  *
+  * False-positive accounting is BIRTHDAY-BOUNDED, not zero: a 63-bit
+  * hash at radius 4 puts P(random pair ≤ 4 Hamming) at
+  * Σ₀⁴C(63,k)/2⁶³ ≈ 6.9·10⁻¹⁴, so the ~6.5·10¹² intra pairs of a
+  * 3.6M-doc corpus expect ~0.45 random merges and the first one
+  * LANDED at the 4M run (8001 drops vs 8000 planted, invisible at
+  * 400k). The probe therefore allows a 5×-expectation Poisson tail of
+  * extra drops per stage and refuses beyond it. The 100-TB posture
+  * note this encodes: at billions of images a 64-bit pHash WILL merge
+  * unrelated pairs at radius 4 — production-scale corpora want a
+  * longer perceptual hash (256-bit from a 16×16 DCT) or a tighter
+  * radius, and the blocking machinery (Multimodal.hashBlocks) is
+  * width-agnostic. */
 object MediaScaleProbe {
 
   private def basePix(seed: Int)(x: Int, y: Int): Int = {
@@ -79,12 +92,18 @@ object MediaScaleProbe {
     // copy pairs with its base, nothing else collides (distinct seeds
     // give uncorrelated hashes)
     val expInitDrop = (0 until nInit).count(_ % 40 == 1)
+    // birthday allowance for EXTRA drops (see scaladoc): 5× the
+    // expected random near-collision count of the stage's pair volume
+    val pNear = (0 to 4).map { k =>
+      (0 until k).map(i => (63 - i).toDouble / (i + 1)).product
+    }.sum / math.pow(2.0, 63)
+    def allowRandom(pairs: Double): Long = math.ceil(5.0 * pNear * pairs).toLong
     val r0 = timed("initial_ingest")(m.ingestInitial(init))
     // the patch perturbation lands a planted pair beyond the radius for
     // a sub-0.1% tail (pHash noise robustness is probabilistic; the
-    // BLOCKING guarantee is exact AT the radius) — tolerate 0.5%,
-    // refuse any EXTRA drop (false positives must be zero)
-    require(r0.duplicates <= expInitDrop &&
+    // BLOCKING guarantee is exact AT the radius) — tolerate 0.5% down,
+    // and only the birthday allowance of extra drops up
+    require(r0.duplicates <= expInitDrop + allowRandom(nInit.toDouble * nInit / 2) &&
       r0.duplicates >= expInitDrop - math.max(1, expInitDrop / 200),
       s"initial: $r0, expected ~$expInitDrop dups")
     // shard cross dups: ids ≡ 0 (mod 50) whose referenced corpus seed
@@ -95,12 +114,14 @@ object MediaScaleProbe {
     val expCross = (nInit until nDocs)
       .count(id => id % 50 == 0 && (id - nInit) % 40 != 1)
     val r1 = timed("shard_ingest")(m.ingestShard(shard))
-    require(r1.duplicates <= expCross &&
+    val shardPairs = nInit.toDouble * (nDocs - nInit) +
+      (nDocs - nInit).toDouble * (nDocs - nInit) / 2
+    require(r1.duplicates <= expCross + allowRandom(shardPairs) &&
       r1.duplicates >= expCross - math.max(1, expCross / 200),
       s"shard: $r1, expected ~$expCross dups")
     println(s"PROBE recovery: ${r0.ingested}+${r1.ingested} keepers, " +
-      s"${r0.duplicates}/${expInitDrop} + ${r1.duplicates}/$expCross " +
-      "media dups dropped (zero false positives by construction)")
+      s"${r0.duplicates}/${expInitDrop} + ${r1.duplicates}/$expCross media " +
+      "dups dropped (extra drops birthday-bounded, see scaladoc)")
     spark.stop()
   }
 }

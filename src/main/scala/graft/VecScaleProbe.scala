@@ -34,6 +34,13 @@ object VecScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     require(n % 40 == 0, "n must be a multiple of 40 (groups of 4, 90/10 split)")
+    // args(1)/args(2) override the two sizing knobs for bigger runs:
+    // cells ~ √N (balances Lloyd-pass cost N·C·dims against the
+    // shard-vs-corpus candidate volume N_c·N_s/C), bits ~ log₂(batch/50).
+    val cellsArg = args.lift(1).map(_.toInt)
+      .getOrElse(if (n <= 200000) 256 else math.sqrt(n.toDouble).toInt)
+    val bitsArg = args.lift(2).map(_.toInt)
+      .getOrElse(math.max(16, math.ceil(math.log((n * 0.9) / 50.0) / math.log(2)).toInt))
     val spark = GraftSession.local(32)
     import spark.implicits._
 
@@ -78,10 +85,11 @@ object VecScaleProbe {
     val m = new CorpusManager("vecprobe", root, spark,
       numBuckets = 16, minTokens = 1,
       embCol = Some("emb"), embNearCos = 0.98,
-      annCells = 256, embDims = dims,
+      annCells = cellsArg, embDims = dims,
       // uniform-random directions are the LSH worst case (no cluster
       // structure): bits sized for a bounded bucket load at this n
-      embBits = 16)
+      embBits = bitsArg)
+    println(s"PROBE sizing n=$n annCells=$cellsArg embBits=$bitsArg")
 
     try {
       val rInit = timed(s"manager initial ingest ($cut docs)") {

@@ -406,18 +406,36 @@ class CorpusManager(
     graft.multimodal.Multimodal.mediaHashes(
       df.select(col(idCol), col(mediaCol.get)), idCol, mediaCol.get)
 
-  /** Within-batch media near-dup edges (d1 < d2). */
-  private def mediaIntraPairs(hashes: DataFrame): DataFrame =
-    graft.multimodal.Multimodal.hammingPairs(hashes, mediaMaxHamming)
+  /** Within-batch media near-dup edges (d1 < d2). The hashes are
+    * checkpointed (ONE decode pass feeds both self-join sides) and
+    * counted so the pigeonhole clean-block requirement sizes itself:
+    * at the classic combo=1 split the random-collision candidate
+    * volume is n²·2^(−63/(r+1)) — invisible at 400k hashes, ~5·10⁹
+    * streamed candidate rows at 4M (measured by MediaScaleProbe) —
+    * while combo [[graft.multimodal.Multimodal.comboFor]] keeps it
+    * budget-bounded with the SAME verified pair set. */
+  private def mediaIntraPairs(hashes: DataFrame): DataFrame = {
+    val h = hashes.localCheckpoint()
+    val n = h.count().toDouble
+    graft.multimodal.Multimodal.hammingPairs(h, mediaMaxHamming,
+        graft.multimodal.Multimodal.comboFor(n * n / 2, mediaMaxHamming))
       .select(col("id1").as("d1"), col("id2").as("d2"))
+  }
 
   /** Shard-vs-corpus media near-dup edges: the shard's block rows
     * (small side) equi-join the pinned corpus hash table's block rows —
-    * the corpus side is a 16 B/doc scan, never shuffled. */
-  private def mediaCrossPairs(shardHashes: DataFrame): DataFrame =
+    * the corpus side is a 16 B/doc scan, never shuffled. Clean-block
+    * requirement sized from the cross-pair volume (corpus count is a
+    * parquet count-star over the pinned artifact; the shard side is
+    * checkpointed by the caller). */
+  private def mediaCrossPairs(shardHashes: DataFrame): DataFrame = {
+    val corpus = mediaDf() // artifact is (id, h)
+    val pairs = corpus.count().toDouble * shardHashes.count().toDouble
     graft.multimodal.Multimodal.hammingPairsBetween(
-        shardHashes, mediaDf(), mediaMaxHamming) // artifact is (id, h)
+        shardHashes, corpus, mediaMaxHamming,
+        graft.multimodal.Multimodal.comboFor(pairs, mediaMaxHamming))
       .select(col("id1").as("d1"), col("id2").as("d2"))
+  }
 
   /** Pre-ingest quality gate (`pre_parse_quality_check` analog for
     * documents): non-null text with at least `minTokens` whitespace
@@ -658,7 +676,11 @@ class CorpusManager(
         embTables, embBits, embDims, salt = "cm-nd")
       .select(col(idCol), posexplode(col("buckets")).as(Seq("t", "bk")))
       .localCheckpoint() // both join sides, one typed bucket pass
-    val cand = bk.as("a").join(bk.as("b"),
+    // merge-hinted self-join: the bucket table is batch-sized on both
+    // sides — a static broadcast build (possible when the batch's size
+    // estimate descends from a generator or binary column) would
+    // collect it to the driver; see DedupPipeline.verifiedPairs
+    val cand = bk.hint("merge").as("a").join(bk.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))

@@ -91,6 +91,21 @@ object DedupPipeline {
     * halves the self-join's candidate space with an id inequality; the
     * cross (shard-vs-corpus) case must NOT assume an id ordering
     * between the two frames, so it matches `!=` and normalizes. */
+  /** The LSH candidate stage alone: band-key equi-join of two band-row
+    * frames, normalized distinct (d1 < d2) pairs. Package-private so
+    * plan specs can assert its shape (the corpus side of an incremental
+    * run scans bucketed and exchange-free) — inside [[verifiedPairs]]
+    * the candidate frame is checkpointed to measure its size, so the
+    * band join no longer appears in the RETURNED plan. */
+  private[functions] def candidatePairs(left: DataFrame, right: DataFrame,
+                                        idCol: String,
+                                        idCond: Column): DataFrame =
+    left.as("a").join(right.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") && idCond)
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("d1"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("d2"))
+      .distinct()
+
   private def verifiedPairs(left: DataFrame, right: DataFrame,
                             sigs: DataFrame, idCol: String,
                             p: Params, selfJoin: Boolean,
@@ -98,11 +113,18 @@ object DedupPipeline {
     val idCond =
       if (selfJoin) col(s"a.$idCol") < col(s"b.$idCol")
       else col(s"a.$idCol") =!= col(s"b.$idCol")
-    val cand = left.as("a").join(right.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") && idCond)
-      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("d1"),
-        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("d2"))
-      .distinct()
+    // A SELF-joined band table is corpus-sized on BOTH sides by
+    // construction — never a broadcast candidate, whatever the static
+    // estimate claims (run()'s in-memory band frames descend from
+    // projections whose size arithmetic can price a GB-scale table at
+    // single-digit MB; a static BHJ then collects the corpus band table
+    // to the driver). Sort-merge is the honest self-join plan at every
+    // scale; the corpus-vs-shard case keeps the planner's choice — its
+    // sides are bucketed artifact SCANS with real file statistics, and
+    // broadcasting the small shard side there is exactly right.
+    val (leftJ, rightJ) =
+      if (selfJoin) (left.hint("merge"), right) else (left, right)
+    val cand = candidatePairs(leftJ, rightJ, idCol, idCond)
     if (p.exactVerify) {
       // exact n-gram-set Jaccard, candidate-bounded: gram-hash arrays
       // are built only for ids that appear in some candidate pair
@@ -129,10 +151,30 @@ object DedupPipeline {
           (size(col("_h1")).cast("long") + size(col("_h2")).cast("long") - col("_inter")))
         .select("d1", "d2")
     } else {
+      // The verify joins must STREAM the corpus-sized sig table and
+      // build/broadcast the candidate side. Left to static estimates
+      // the planner gets this backwards: `sigs` descends through
+      // projections whose size arithmetic scales a generator's or a
+      // binary media column's default width, so a multi-GB signature
+      // table can estimate at single-digit MB and become a static
+      // broadcast build — collected to the driver (MediaScaleProbe at
+      // 4M docs died on exactly that: 3.6M sigs ≈ 1.1 GB serialized vs
+      // the 1 GB maxResultSize, invisible at 400k). AQE cannot rescue a
+      // static BHJ (no shuffle stage ever materializes to re-measure),
+      // so measure the candidate count ourselves — the checkpoint also
+      // lets both verify joins read the band join's output instead of
+      // recomputing it — and pick sides explicitly: candidate-side
+      // broadcast when it fits, sort-merge (spillable, never collected)
+      // when a pathological corpus makes candidates corpus-sized.
+      val candC = cand.localCheckpoint()
+      val small = candC.count() <= 250000 // ≤ ~140 MB with 64-perm sigs
       val sa = sigs.select(col(idCol).as("d1"), col("sig").as("siga"))
       val sb = sigs.select(col(idCol).as("d2"), col("sig").as("sigb"))
-      cand.join(sa, "d1").join(sb, "d2")
-        .filter(DedupFunctions.estimatedJaccard(col("siga"), col("sigb")) >= p.minEstJaccard)
+      val j1 = if (small) broadcast(candC).join(sa, "d1")
+               else candC.hint("merge").join(sa, "d1")
+      val j2 = if (small) broadcast(j1).join(sb, "d2")
+               else j1.hint("merge").join(sb, "d2")
+      j2.filter(DedupFunctions.estimatedJaccard(col("siga"), col("sigb")) >= p.minEstJaccard)
         .select("d1", "d2")
     }
   }

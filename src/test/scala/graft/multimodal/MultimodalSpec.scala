@@ -331,4 +331,42 @@ class MultimodalSpec extends SparkSpec {
     if (n > 1) assert(byId(1L) == (n + 9) / 10)
     assert(!byId.contains(2L)) // images produce no frame rows
   }
+
+  test("hammingPairs: clean-block requirement is pair-set invariant (combo 1..3)") {
+    val s = spark; import s.implicits._
+    // deterministic 63-bit hashes with planted near pairs: id 3k+1 is
+    // id 3k perturbed by exactly `r` bits spread across the hash (the
+    // pigeonhole worst case: every dirty bit lands in a DIFFERENT
+    // block), id 3k+2 is independent
+    val r = 4
+    def mix(x: Long): Long = {
+      var z = x * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z ^ (z >>> 31)) & Long.MaxValue
+    }
+    val rows = (0L until 600L).map { id =>
+      val base = mix(id / 3)
+      val h = (id % 3) match {
+        case 0 => base
+        case 1 => // flip r bits, one per 63/(r+1)-wide stripe
+          (0 until r).foldLeft(base)((acc, j) => acc ^ (1L << (j * 13 + 5)))
+        case _ => mix(id + 7777)
+      }
+      (id, h)
+    }
+    val hashes = rows.toDF("id", "h")
+    def pairSet(c: Int) = Multimodal.hammingPairs(hashes, r, combo = c)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val p1 = pairSet(1)
+    assert(p1.size >= 200, s"planted pairs missing: ${p1.size}")
+    assert(pairSet(2) == p1)
+    assert(pairSet(3) == p1)
+    // candidate volume drops with combo even while the answer is fixed:
+    // block rows per doc grow C(r+c,c) but key width grows 63c/(r+c)
+    assert(Multimodal.comboFor(400e3 * 400e3 / 2, r) == 1)
+    assert(Multimodal.comboFor(4e6 * 4e6 / 2, r) == 2)
+    assert(Multimodal.comboFor(30e6 * 30e6 / 2, r) == 3)
+    assert(Multimodal.comboFor(1e9 * 1e9 / 2, r) == 4) // capped: longer hash territory
+  }
 }
