@@ -66,6 +66,9 @@ object MediaScaleProbe {
       println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
       r
     }
+    // SPARK_GRAFT_MEDIA_WIDE_ONLY=1 skips the manager stages and runs
+    // only the 252-bit stage (fast iteration on the wide path)
+    if (sys.env.get("SPARK_GRAFT_MEDIA_WIDE_ONLY").isEmpty) {
     // initial: id%40==1 docs carry a near copy of id-1's image
     val init = spark.range(nInit).as[Long].mapPartitions(_.map { id =>
       val near = id % 40 == 1
@@ -83,8 +86,14 @@ object MediaScaleProbe {
       }).toDF("doc_id", "text", "source", "media").localCheckpoint()
     println(s"PROBE corpus ${init.count()} + shard ${shard.count()} docs")
 
-    val m = new CorpusManager("media_probe", "/tmp/media_probe_" +
-        System.nanoTime(), spark,
+    // delete the corpus root on exit: a 4M-doc run writes ~15 GB of
+    // committed corpus + artifacts, and three stale roots from earlier
+    // runs ENOSPC'd a later one mid-ingest
+    val rootDir = "/tmp/media_probe_" + System.nanoTime()
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rootDir))
+    }
+    val m = new CorpusManager("media_probe", rootDir, spark,
       numBuckets = 8, minTokens = 2, mediaCol = Some("media"),
       mediaMaxHamming = 4)
     // planted expectations: initial drops = #ids ≡ 1 (mod 40) in
@@ -122,6 +131,63 @@ object MediaScaleProbe {
     println(s"PROBE recovery: ${r0.ingested}+${r1.ingested} keepers, " +
       s"${r0.duplicates}/${expInitDrop} + ${r1.duplicates}/$expCross media " +
       "dups dropped (extra drops birthday-bounded, see scaladoc)")
+    }
+
+    // ---- stage 3: the 252-bit hash at the same scale ------------------
+    // The wide hash's point is ZERO birthday exposure (P(random pair
+    // ≤ 16 of 252) ≈ 10⁻⁴⁷): the same corpus that hands the 63-bit
+    // hash a false merge must produce NOT ONE pair outside the planted
+    // seed groups. Radius 16 holds every planted patch pair (measured
+    // base-vs-patch distance 2-14 over this generator) with distinct
+    // bases ≥ 44 away; combo is cost-sized (comboForCost, whose
+    // emitWeight was calibrated by THIS stage's 4M A/B: combo 1 582 s
+    // vs combo 2 480 s, identical pair sets; override via
+    // SPARK_GRAFT_MEDIA_WIDE_COMBO to re-measure).
+    import graft.multimodal.Multimodal
+    val all = spark.range(nDocs.toLong).as[Long].mapPartitions(_.map { id =>
+      val (seed, patch) =
+        if (id < nInit) { if (id % 40 == 1) (id - 1, true) else (id, false) }
+        else { if (id % 50 == 0) (id - nInit, true) else (id, false) }
+      (id, img(seed.toInt, patch))
+    }).toDF("doc_id", "media")
+    val wh = timed("wide_hash_pass")(
+      Multimodal.perceptualHashesWide(all, "doc_id", "media").localCheckpoint())
+    val nW = wh.count().toDouble
+    val comboW = sys.env.get("SPARK_GRAFT_MEDIA_WIDE_COMBO").map(_.toInt)
+      .getOrElse(Multimodal.comboForCost(nW, nW * nW / 2, 16, bits = 252))
+    val found = timed(s"wide_hamming_join(combo=$comboW)")(
+      Multimodal.hammingPairsWide(wh, 16, comboW)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet)
+    // expected pairs from seed-group arithmetic: seed s is carried by
+    // corpus doc s (unpatched, s%40≠1), corpus doc s+1 (patched,
+    // (s+1)%40==1) and shard doc s+nInit (patched, s%50==0)
+    // a shard twin s+nInit exists only for seeds below the shard size
+    val nShard = nDocs - nInit
+    val exactPairs = (0 until nInit).collect {
+      case s if s % 200 == 0 && s + 1 < nInit && s < nShard =>
+        (s.toLong + 1, s.toLong + nInit) // identical patched bytes
+    }.toSet
+    val basePatch = scala.collection.mutable.Set[(Long, Long)]()
+    var s = 0
+    while (s < nInit) {
+      if (s % 40 != 1) {
+        if ((s + 1) % 40 == 1 && s + 1 < nInit) basePatch += ((s.toLong, s.toLong + 1))
+        if (s % 50 == 0 && s < nShard) basePatch += ((s.toLong, s.toLong + nInit))
+      }
+      s += 1
+    }
+    val expectedW = exactPairs ++ basePatch
+    val extras = found.diff(expectedW)
+    val missedExact = exactPairs.diff(found)
+    val missedPatch = basePatch.diff(found)
+    require(extras.isEmpty,
+      s"wide hash produced ${extras.size} pairs outside the seed groups: ${extras.take(5)}")
+    require(missedExact.isEmpty,
+      s"identical patched twins missed: ${missedExact.take(5)}")
+    require(missedPatch.size <= basePatch.size / 200,
+      s"${missedPatch.size}/${basePatch.size} base-patch pairs beyond radius 16")
+    println(s"PROBE wide: ${found.size}/${expectedW.size} pairs " +
+      s"(${missedPatch.size} patch-tail misses, ZERO extras at 252 bits)")
     spark.stop()
   }
 }

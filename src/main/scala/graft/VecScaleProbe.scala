@@ -82,6 +82,9 @@ object VecScaleProbe {
       .repartition(64).localCheckpoint()
 
     val root = java.nio.file.Files.createTempDirectory("vec-probe").toString
+    sys.addShutdownHook { // ~GBs of corpus + vecs per run; see MediaScaleProbe
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
     val m = new CorpusManager("vecprobe", root, spark,
       numBuckets = 16, minTokens = 1,
       embCol = Some("emb"), embNearCos = 0.98,

@@ -418,7 +418,7 @@ class CorpusManager(
     val h = hashes.localCheckpoint()
     val n = h.count().toDouble
     graft.multimodal.Multimodal.hammingPairs(h, mediaMaxHamming,
-        graft.multimodal.Multimodal.comboFor(n * n / 2, mediaMaxHamming))
+        graft.multimodal.Multimodal.comboForCost(n, n * n / 2, mediaMaxHamming))
       .select(col("id1").as("d1"), col("id2").as("d2"))
   }
 
@@ -430,10 +430,10 @@ class CorpusManager(
     * checkpointed by the caller). */
   private def mediaCrossPairs(shardHashes: DataFrame): DataFrame = {
     val corpus = mediaDf() // artifact is (id, h)
-    val pairs = corpus.count().toDouble * shardHashes.count().toDouble
+    val (nc, ns) = (corpus.count().toDouble, shardHashes.count().toDouble)
     graft.multimodal.Multimodal.hammingPairsBetween(
         shardHashes, corpus, mediaMaxHamming,
-        graft.multimodal.Multimodal.comboFor(pairs, mediaMaxHamming))
+        graft.multimodal.Multimodal.comboForCost(nc + ns, nc * ns, mediaMaxHamming))
       .select(col("id1").as("d1"), col("id2").as("d2"))
   }
 

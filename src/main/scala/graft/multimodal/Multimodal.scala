@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` columns with
@@ -491,29 +491,37 @@ object Multimodal {
     * (coefficients and median scale together) and robust to small
     * pixel noise (energy lands in high frequencies the hash ignores).
     * None for bytes no decoder accepts or images smaller than 8×8. */
+  /** Box-average a w×h gray plane to the 32×32 pHash working plane:
+    * each output cell averages its exact source rectangle (integer
+    * bounds, non-empty for w,h ≥ 1). Shared by the 63-bit and 252-bit
+    * hashes — and the reason k× pixel duplication is hash-preserving
+    * (the duplicated rectangles average back to the identical plane). */
+  private def boxAverage32(w: Int, h: Int, g: Array[Int]): Array[Double] = {
+    val small = new Array[Double](PH * PH)
+    var y = 0
+    while (y < PH) {
+      val y0 = y * h / PH; val y1 = math.max((y + 1) * h / PH, y0 + 1)
+      var x = 0
+      while (x < PH) {
+        val x0 = x * w / PH; val x1 = math.max((x + 1) * w / PH, x0 + 1)
+        var s = 0L
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) { s += g(yy * w + xx); xx += 1 }
+          yy += 1
+        }
+        small(y * PH + x) = s.toDouble / ((y1 - y0) * (x1 - x0))
+        x += 1
+      }
+      y += 1
+    }
+    small
+  }
+
   def perceptualHash(b: Array[Byte]): Option[Long] = grayPlane(b).flatMap {
     case (w, h, g) if w >= 8 && h >= 8 =>
-      // box-average each output cell over its source rectangle (exact
-      // integer bounds; rectangles are non-empty for w,h >= 1)
-      val small = new Array[Double](PH * PH)
-      var y = 0
-      while (y < PH) {
-        val y0 = y * h / PH; val y1 = math.max((y + 1) * h / PH, y0 + 1)
-        var x = 0
-        while (x < PH) {
-          val x0 = x * w / PH; val x1 = math.max((x + 1) * w / PH, x0 + 1)
-          var s = 0L
-          var yy = y0
-          while (yy < y1) {
-            var xx = x0
-            while (xx < x1) { s += g(yy * w + xx); xx += 1 }
-            yy += 1
-          }
-          small(y * PH + x) = s.toDouble / ((y1 - y0) * (x1 - x0))
-          x += 1
-        }
-        y += 1
-      }
+      val small = boxAverage32(w, h, g)
       // 2-D DCT-II, low 8×8 block only: 32·32·8·8 multiplies
       val coef = new Array[Double](64)
       var u = 0
@@ -624,12 +632,199 @@ object Multimodal {
     * combo 4 (≳10⁸ hashes at radius 4) the honest fix is a longer
     * perceptual hash, not more blocks — block width shrinks with m and
     * the subset fan-out C(m,c) grows combinatorially. */
-  def comboFor(pairs: Double, maxHamming: Int, budget: Double = 2e8): Int =
+  def comboFor(pairs: Double, maxHamming: Int, budget: Double = 2e8,
+               bits: Int = 63): Int =
     (1 to 4).find { c =>
       val m = maxHamming + c
       val combos = (0 until c).map(i => (m - i).toDouble / (i + 1)).product
-      combos * pairs * math.pow(2.0, -63.0 * c / m) <= budget
+      combos * pairs * math.pow(2.0, -bits.toDouble * c / m) <= budget
     }.getOrElse(4)
+
+  /** Cost-based clean-block choice: minimizes
+    * C(m,c)·rows·emitWeight + C(m,c)·pairs·2^(−bits·c/m) — the first
+    * term is the blocked rows every side must EMIT, SHUFFLE and SORT
+    * (an exchanged row costs ~emitWeight× a candidate streamed through
+    * the merge-join's bit_count filter), the second the expected
+    * random-collision candidates. [[comboFor]]'s budget rule ignores
+    * the emit term, which is fine at 63 bits (fan-out ≤ 70) but wrong
+    * at 252 bits where radius 16 + combo 2 means C(18,2)=153 block
+    * rows per hash. `emitWeight` is MEASURED, not guessed:
+    * MediaScaleProbe's 4M-doc A/B ran the radius-16 wide self-join both
+    * ways on identical hashes — combo 1 (68M block rows + 4.8·10⁹
+    * streamed candidates) 582 s, combo 2 (612M block rows + 4.6·10⁶
+    * candidates) 480 s, identical pair sets — backing out ≈110 ns per
+    * streamed candidate and ≈0.8 µs per exchanged-and-sorted row, a
+    * ~7× ratio (default 8). At the oracle-gate scales (≤50k hashes)
+    * the choice stays combo 1 either way; past ~30M at 63 bits the
+    * budget rule over-rotates to combo 3 where the cost rule correctly
+    * holds 2. `rows` is the TOTAL hash rows across both sides; `pairs`
+    * as in [[comboFor]]. */
+  def comboForCost(rows: Double, pairs: Double, maxHamming: Int,
+                   bits: Int = 63, emitWeight: Double = 8): Int =
+    (1 to 4).minBy { c =>
+      val m = maxHamming + c
+      val combos = (0 until c).map(i => (m - i).toDouble / (i + 1)).product
+      combos * rows * emitWeight +
+        combos * pairs * math.pow(2.0, -bits.toDouble * c / m)
+    }
+
+  // ---- wide (252-bit) perceptual hash — the billion-image regime -------
+  //
+  // The 63-bit hash's random-collision floor is the birthday bound
+  // Σ₀ʳC(63,k)/2⁶³ — ~7·10⁻¹⁴ at radius 4, i.e. ~one false merge per
+  // 10¹³ pairs (MediaScaleProbe's 4M run landed one). A 252-bit hash
+  // from the same DCT pushes that to ~10⁻⁵³: zero at any corpus size.
+  // 252 = 4·63 keeps the repo's 63-bit long discipline (sign bits
+  // clear, shifts never touch them).
+
+  private val phCos16: Array[Array[Double]] = // cos((2x+1)uπ/64), u<16
+    Array.tabulate(16, PH)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * PH)))
+
+  /** 252-bit perceptual hash: the SAME 32×32 box-averaged plane as
+    * [[perceptualHash]], 2-D DCT-II low 16×16 block (256 coefficients),
+    * DC dropped, median threshold over the 255 AC coefficients, first
+    * 252 AC bits packed into 4×63-bit longs (the 3 highest-frequency
+    * corner coefficients — the least stable — are dropped to fit).
+    * Same invariances as the 63-bit hash (affine intensity, k× pixel
+    * duplication); 4× the DCT flops. */
+  def perceptualHashWide(b: Array[Byte]): Option[Array[Long]] = grayPlane(b).flatMap {
+    case (w, h, g) if w >= 8 && h >= 8 =>
+      val small = boxAverage32(w, h, g)
+      val coef = new Array[Double](256)
+      var u = 0
+      while (u < 16) {
+        var v = 0
+        while (v < 16) {
+          var s = 0.0
+          var yy = 0
+          while (yy < PH) {
+            var xx = 0
+            while (xx < PH) {
+              s += small(yy * PH + xx) * phCos16(u)(xx) * phCos16(v)(yy)
+              xx += 1
+            }
+            yy += 1
+          }
+          coef(v * 16 + u) = s
+          v += 1
+        }
+        u += 1
+      }
+      val ac = java.util.Arrays.copyOfRange(coef, 1, 256)
+      java.util.Arrays.sort(ac)
+      val median = ac(127) // lower median of the 255 AC coefficients
+      val hs = new Array[Long](4)
+      var i = 1
+      while (i <= 252) {
+        if (coef(i) > median) hs((i - 1) / 63) |= 1L << ((i - 1) % 63)
+        i += 1
+      }
+      Some(hs)
+    case _ => None
+  }
+
+  /** Per-row 252-bit hashes as (id, h array<bigint>[4]); undecodable
+    * rows dropped. */
+  def perceptualHashesWide(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralId(df, idCol)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        perceptualHashWide(bytes).map((id, _))
+      })
+      .toDF("id", "h")
+  }
+
+  /** Pigeonhole block rows of a 252-bit hash column (id, h
+    * array<bigint>[4]): maxHamming+combo equal-width blocks over the
+    * LINEAR 252-bit space (a block may span a long boundary — the
+    * slice ORs two shifted halves), subsets of `combo` blocks as the
+    * candidate keys. Key columns are (q, bk1..bk4) — one block value
+    * per column, unused columns 0 — so no packing limit binds.
+    * Same exact-recall guarantee as [[hashBlocks]]: ≤ maxHamming dirty
+    * bits dirty ≤ maxHamming blocks, leaving ≥ combo clean. */
+  def hashBlocksWide(hashes: DataFrame, maxHamming: Int, combo: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 32,
+      s"maxHamming must be in [0,32], got $maxHamming")
+    require(combo >= 1 && combo <= 4, s"combo must be in [1,4], got $combo")
+    val m = maxHamming + combo
+    require(m >= 4, s"need ≥4 blocks over 252 bits (block width ≤ 63) — " +
+      s"raise combo for radius ${maxHamming}")
+    val width = 252.0 / m
+    val bounds = (0 until m).map { q =>
+      (math.round(q * width).toInt, math.round((q + 1) * width).toInt)
+    }
+    def slice(lo: Int, hi: Int): Column = {
+      val jLo = lo / 63; val jHi = (hi - 1) / 63
+      val off = lo - jLo * 63
+      if (jLo == jHi)
+        shiftright(element_at(col("h"), jLo + 1), off)
+          .bitwiseAND(lit((1L << (hi - lo)) - 1))
+      else { // spans one boundary: top of long jLo + bottom of long jHi
+        val lowBits = 63 * (jLo + 1) - lo
+        val hiBits = hi - 63 * jHi
+        shiftright(element_at(col("h"), jLo + 1), off)
+          .bitwiseOR(shiftleft(element_at(col("h"), jHi + 1)
+            .bitwiseAND(lit((1L << hiBits) - 1)), lowBits))
+      }
+    }
+    val subsets = (0 until m).combinations(combo).toIndexedSeq
+    hashes.select(col("id"), col("h"),
+      explode(array(subsets.zipWithIndex.map { case (sub, si) =>
+        val ks = (0 until 4).map { i =>
+          if (i < sub.length) { val (lo, hi) = bounds(sub(i)); slice(lo, hi) }
+          else lit(0L)
+        }
+        struct(lit(si).as("q"), ks(0).as("bk1"), ks(1).as("bk2"),
+          ks(2).as("bk3"), ks(3).as("bk4"))
+      }: _*)).as("blk"))
+      .select(col("id"), col("h"), col("blk.q"),
+        col("blk.bk1"), col("blk.bk2"), col("blk.bk3"), col("blk.bk4"))
+  }
+
+  private def hammingWideExpr: Column =
+    (1 to 4).map(i => expr(
+      s"bit_count(element_at(a.h, $i) ^ element_at(b.h, $i))"))
+      .reduce(_ + _).cast("int")
+
+  private val wideKeys = Seq("q", "bk1", "bk2", "bk3", "bk4")
+
+  /** [[hammingPairs]] for 252-bit hashes (id, h array<bigint>[4]):
+    * pigeonhole-blocked self-join, exact recall at the radius, merge-
+    * hinted (the block table is corpus-sized on both sides). Size
+    * `combo` with [[comboFor]](pairs, r, bits = 252) — at 252 bits
+    * combo 2 holds the candidate budget to beyond 10⁹ hashes even at
+    * radius 16, where the 63-bit split is already past its cap. */
+  def hammingPairsWide(hashes: DataFrame, maxHamming: Int,
+                       combo: Int = 1): DataFrame = {
+    val blocks = hashBlocksWide(hashes, maxHamming, combo).hint("merge")
+    blocks.as("a").join(blocks.as("b"),
+        wideKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hammingWideExpr.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** CROSS variant of [[hammingPairsWide]] (one id namespace, pairs
+    * normalized id1 < id2, equal ids excluded). */
+  def hammingPairsBetweenWide(left: DataFrame, right: DataFrame,
+                              maxHamming: Int, combo: Int = 1): DataFrame = {
+    val lb = hashBlocksWide(left, maxHamming, combo)
+    val rb = hashBlocksWide(right, maxHamming, combo)
+    lb.as("a").join(rb.as("b"),
+        wideKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"),
+        hammingWideExpr.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Pigeonhole-blocked Hamming SELF-join over a 63-bit hash column
     * (id, h): recall 1.0 AT the declared radius by construction,

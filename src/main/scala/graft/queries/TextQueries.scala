@@ -564,6 +564,32 @@ object TextQueries {
         .orderBy("id1", "id2")
     }),
 
+    // The 252-bit WIDE perceptual hash through the same oracle
+    // discipline as q153 — the billion-image regime where the 63-bit
+    // hash's birthday bound starts merging unrelated pairs
+    // (MediaScaleProbe measured one at 4M docs; 252 bits pushes the
+    // bound to ~10⁻⁵³). Image-only planted payloads (every doc a k×
+    // pixel-duplicated group base, k from doc_id): box-average
+    // identity ⇒ group hashes bit-identical ⇒ the oracle is the same
+    // doc_id%group arithmetic with hamming 0, no DCT in SQL. The wide
+    // join exercises the 16×16-DCT hash, linear-bit-space blocks
+    // (some spanning long boundaries) and the 4-long bit_count verify
+    // at radius 16. WidePerceptualHashSpec proves the 100 group
+    // hashes pairwise > 16 apart — the gate cannot flake.
+    "q161_media_dedup_wide" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.multimodal.SyntheticMedia.pgm(id % 100, 1 + (id % 3).toInt))))
+        .toDF("doc_id", "bytes")
+      graft.multimodal.Multimodal.hammingPairsWide(
+        graft.multimodal.Multimodal.perceptualHashesWide(media, "doc_id", "bytes")
+          .localCheckpoint(), // one decode pass, not one per join side
+        maxHamming = 16)
+        .orderBy("id1", "id2")
+    }),
+
     // PII detection + redaction — a first-class training-data scrub
     // step. The synthetic corpus has no PII, so deterministic
     // email/phone strings are planted onto a doc subset first (the
@@ -1805,6 +1831,15 @@ object TextQueries {
     // different groups are independent 63-bit streams, never within
     // radius 3 (probability ~4e-15/pair, deterministic corpus)
     "q153_media_dedup" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(0 AS INTEGER) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 100 = b.doc_id % 100 AND a.doc_id < b.doc_id
+        |ORDER BY id1, id2""".stripMargin,
+    // same closed-form ground truth at 252 bits: every doc carries its
+    // group base k×-duplicated (a hash identity), so same group ⇒
+    // Hamming 0; distinct groups are ~126 bits apart (pairwise > 16
+    // asserted by WidePerceptualHashSpec on the exact gate generator)
+    "q161_media_dedup_wide" ->
       """SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(0 AS INTEGER) AS hamming
         |FROM documents a JOIN documents b
         |  ON a.doc_id % 100 = b.doc_id % 100 AND a.doc_id < b.doc_id

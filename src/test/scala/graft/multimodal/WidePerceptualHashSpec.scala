@@ -1,0 +1,137 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** 252-bit perceptual hash + wide Hamming blocking: the billion-image
+  * regime of the media dedup family. Exact invariances shared with the
+  * 63-bit hash, planted near-dup recovery at a wide radius, combo
+  * invariance of the blocked join (including blocks that span long
+  * boundaries), and the comboFor width arithmetic that motivates the
+  * whole path. */
+class WidePerceptualHashSpec extends SparkSpec {
+
+  private def p5(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ Array.tabulate(w * h)(i => (pix(i % w, i / w) & 0xff).toByte)
+  }
+
+  private def basePix(seed: Int)(x: Int, y: Int): Int = {
+    var z = seed * 7919L + (x / 8) * 31L + y / 8
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    (((z & 0x7fffffffL) % 200).toInt + (x + y) % 16) % 255
+  }
+
+  private def hamming(a: Array[Long], b: Array[Long]): Int =
+    (0 until 4).map(i => java.lang.Long.bitCount(a(i) ^ b(i))).sum
+
+  test("exact invariances: intensity halving and 2x pixel doubling preserve the wide hash") {
+    val img = p5(32, 32, (x, y) => (basePix(3)(x, y) / 2) * 2)
+    val half = p5(32, 32, (x, y) => ((basePix(3)(x, y) / 2) * 2) / 2)
+    val doubled = p5(64, 64, (x, y) => (basePix(3)(x / 2, y / 2) / 2) * 2)
+    val h0 = Multimodal.perceptualHashWide(img).get
+    assert(h0.length == 4 && h0.forall(_ >= 0L)) // 63-bit longs, sign clear
+    assert(Multimodal.perceptualHashWide(half).get.sameElements(h0))
+    assert(Multimodal.perceptualHashWide(doubled).get.sameElements(h0))
+    // and the hash is not degenerate: a different base is far away
+    val other = Multimodal.perceptualHashWide(p5(32, 32, basePix(4))).get
+    assert(hamming(h0, other) > 60, s"distinct bases too close: ${hamming(h0, other)}")
+  }
+
+  test("planted near-dups recovered wide; 63-bit and 252-bit verdicts agree on this corpus") {
+    val s = spark; import s.implicits._
+    val nBase = 25
+    val rows = (0 until nBase).flatMap { i =>
+      val base = p5(64, 64, basePix(i))
+      val near = p5(64, 64, (x, y) =>
+        basePix(i)(x, y) + (if (x >= 20 && x < 24 && y >= 40 && y < 44) 10 else 0))
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, near))
+    }
+    val df = rows.toDF("id", "img")
+    val hashes = Multimodal.perceptualHashesWide(df, "id", "img").localCheckpoint()
+    // the 4×4 +10 patch is high-frequency: it must land within a wide
+    // radius that still cleanly separates distinct bases (~126 apart)
+    val pairs = Multimodal.hammingPairsWide(hashes, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until nBase).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(planted.subsetOf(pairs), s"missing: ${planted.diff(pairs).take(5)}")
+    assert(pairs == planted, s"false pairs: ${pairs.diff(planted).take(5)}")
+  }
+
+  test("hammingPairsWide: combo invariant incl. boundary-spanning blocks; cross variant consistent") {
+    val s = spark; import s.implicits._
+    def mix(x: Long, j: Int): Long = {
+      var z = (x * 4 + j) * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z ^ (z >>> 31)) & Long.MaxValue
+    }
+    // id 3k+1 = id 3k with r bits flipped, striped across the FULL 252
+    // bits (positions j*29+5, j<8 → longs 0..3, some blocks spanning
+    // long boundaries at any m); id 3k+2 independent
+    val r = 8
+    val rows = (0L until 300L).map { id =>
+      val base = Array.tabulate(4)(j => mix(id / 3, j))
+      val h = (id % 3) match {
+        case 0 => base
+        case 1 =>
+          val c = base.clone()
+          (0 until r).foreach { j =>
+            val bit = j * 29 + 5 // 5,34,63,92,...,208 — crosses longs
+            c(bit / 63) ^= 1L << (bit % 63)
+          }
+          c
+        case _ => Array.tabulate(4)(j => mix(id + 7777, j))
+      }
+      (id, h)
+    }
+    val hashes = rows.toDF("id", "h")
+    def pairSet(c: Int) = Multimodal.hammingPairsWide(hashes, r, combo = c)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val p1 = pairSet(1)
+    assert(p1.size == 100 && p1.forall(_._3 == r), s"planted: ${p1.size}")
+    assert(pairSet(2) == p1)
+    assert(pairSet(3) == p1)
+    // cross form over an id split finds exactly the pairs that straddle it
+    val left = hashes.filter(col("id") % 3 === 0)
+    val right = hashes.filter(col("id") % 3 =!= 0)
+    val cross = Multimodal.hammingPairsBetweenWide(left, right, r, combo = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(cross == p1.map(t => (t._1, t._2)), s"cross mismatch: ${cross.size}")
+  }
+
+  test("q161 gate generator: 100 group hashes pairwise > 16 apart, k-duplication exact") {
+    val hs = (0L until 100L).map(g =>
+      Multimodal.perceptualHashWide(SyntheticMedia.pgm(g, 1)).get)
+    val minD = (for (a <- 0 until 100; b <- a + 1 until 100)
+      yield hamming(hs(a), hs(b))).min
+    assert(minD > 16, s"closest group pair at hamming $minD — the gate could flake")
+    // the gate's k values (1 + doc_id%3) are hash identities
+    (0L until 10L).foreach { g =>
+      (2 to 3).foreach { k =>
+        assert(Multimodal.perceptualHashWide(SyntheticMedia.pgm(g, k)).get
+          .sameElements(hs(g.toInt)), s"k=$k broke group $g's hash")
+      }
+    }
+  }
+
+  test("comboFor at 252 bits holds the candidate budget where 63 bits is past its cap") {
+    // a billion images at radius 8: pairs = 5·10^17
+    val pairs = 1e9 * 1e9 / 2
+    assert(Multimodal.comboFor(pairs, 8, bits = 252) == 2)
+    assert(Multimodal.comboFor(pairs, 8) == 4) // 63-bit: capped, over budget
+    // at radius 16 (the wide hash's natural threshold): combo 2 carries
+    // a 10M-image corpus; a billion images at radius 16 needs combo 4
+    assert(Multimodal.comboFor(10e6 * 10e6 / 2, 16, bits = 252) == 2)
+    assert(Multimodal.comboFor(pairs, 16, bits = 252) == 4)
+    // the cost rule weighs the C(m,c) emit factor against streamed
+    // candidates with the probe-calibrated ratio (see scaladoc):
+    // combo 2 from 4M wide hashes at radius 16, combo 1 at gate scale
+    assert(Multimodal.comboForCost(4e6, 8e12, 16, bits = 252) == 2)
+    assert(Multimodal.comboForCost(30e6, 4.5e14, 16, bits = 252) == 2)
+    assert(Multimodal.comboForCost(50e3, 1.25e9, 16, bits = 252) == 1)
+    assert(Multimodal.comboForCost(4e6, 8e12, 4) == 2) // narrow: agrees with comboFor
+  }
+}
