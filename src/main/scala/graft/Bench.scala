@@ -33,12 +33,15 @@ package graft
   *  - '''Hypervisor steal check.''' These VMs run with visible steal
   *    (round 8 measured /proc/stat steal at ~68% of cumulative user
   *    time); a steal episode collapses 32-way throughput while the
-  *    single-thread yardstick stays flat. The record embeds BOTH
-  *    calibrations, and the regression gate scales by the worse ratio —
-  *    but calibration is sampled once per run and steal moves faster.
-  *    If `multi32_miters` swings >20% between two mini-runs minutes
-  *    apart, the host is under ACTIVE steal: defer per-query
-  *    adjudication entirely, re-measure when the series is stable.
+  *    single-thread yardstick stays flat. Since round 9 the record is
+  *    SELF-CLASSIFYING: calibration is sampled at run START and END
+  *    (`*_miters` / `*_miters_end`), the /proc/stat steal-jiffies
+  *    delta over the run is recorded, and `steal_suspect:true` is set
+  *    whenever the sandwich swings >20% — the committed adjudication
+  *    rule, applied by the record itself. A `steal_suspect` record's
+  *    per-query flags are NOT adjudicable; re-measure when stable. The
+  *    regression gate scales by the worst calibration ratio across
+  *    both samples (assume the host at its measured slowest).
   */
 object Bench {
 
@@ -49,12 +52,15 @@ object Bench {
     * — [[queryTimes]] is anchor-free, so cross-round policing still
     * sees them in the cold/warm sections. */
   private val GateQueries = Set(
+    "q137_store_roundtrip", "q138_store_correction",
+    "q139_store_vacuum", "q140_store_encrypted",
     "q144_streaming_neardup", "q145_store_repair",
     "q146_store_stream_sink", "q148_store_stream_source",
     "q149_streaming_ttl_dedup", "q151_store_surgery",
     "q152_catalog_extents", "q154_streaming_sessions",
     "q155_streaming_funnel", "q156_streaming_interval_join",
-    "q157_streaming_incremental", "q160_corpus_lifecycle")
+    "q157_streaming_incremental", "q160_corpus_lifecycle",
+    "q162_incremental_agg", "q163_state_audit")
 
   /** Queries for the ×10 tier: the shuffle/AQE-sensitive set, where the
     * sf0.1 numbers sit at the scheduling floor and scale effects are
@@ -235,6 +241,25 @@ object Bench {
     if ((sink ^ acc.get) == 42L) System.err.print("") // defeat DCE
     (single, multi)
   }
+
+  /** Aggregate (stealJiffies, totalJiffies) from the `cpu ` line of
+    * /proc/stat — the hypervisor's own account of time stolen from this
+    * VM. Sampled at run start AND end; the DELTA over the run is the
+    * steal the measurements actually absorbed (a point sample only says
+    * the host has been stolen from since boot). None off-Linux. */
+  private[graft] def cpuStealJiffies(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Exception => None }
+
+  /** Relative swing between two calibration samples: |a−b| / max. */
+  private[graft] def calibrationSwing(a: Long, b: Long): Double =
+    if (math.max(a, b) <= 0) 0.0
+    else math.abs(a - b).toDouble / math.max(a, b)
 
   /** The repo root this bench reads baselines from and writes its full
     * record into. NOT hardcoded (the round-7 advice): a bench run from
@@ -448,6 +473,15 @@ object Bench {
     def mapJson(rs: Seq[(String, Double, Double, Boolean)], warm: Boolean) =
       rs.map { case (k, c, w, _) => "\"" + k + "\":" + (if (warm) w else c) }
         .mkString("{", ",", "}")
+    // SANDWICH calibration (round-8 verdict item 1): one sample at run
+    // START and one at END, plus the /proc/stat steal-jiffies delta
+    // between them. A single mid-run sample cannot distinguish "this
+    // host is uniformly slower" from "a steal episode hit some of the
+    // queries" — the record itself now carries the evidence the
+    // adjudication rule needs, instead of a human cross-referencing
+    // three records after the round closes.
+    val (hostSingle, hostMulti) = hostScore()
+    val stealStart = cpuStealJiffies()
     val results0 = measure(selected, sfDir, "")
     val results = results0.map { case (k, c, _, ok) => (k, c, ok) }
     // lifecycle gate queries report in their own sub-maps (object
@@ -471,83 +505,137 @@ object Bench {
       if (failedSeq.nonEmpty) "null"
       else results0.collect { case (_, _, w, true) => w }.sum.toString
 
-    // host calibration runs BEFORE the regression comparisons so both
-    // tiers' thresholds can be host-drift-normalized against the
-    // baseline record's calibration
-    val (hostSingle, hostMulti) = hostScore()
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-      latestBaseline())
-    // Host drift is the MAX of the single-thread and 32-way calibration
-    // ratios. Single-thread captures clock-speed drift but NOT core
-    // availability: these VMs run under visible hypervisor steal
-    // (/proc/stat steal ≈ 68% of cumulative user time on the round-8
-    // host), and a steal episode collapses 32-way throughput while the
-    // one-core score stays flat (r6→r8: single 481→441, multi32
-    // 13000→9830 — every local[32] query uniformly ~1.5-2× slower).
-    // Queries on local[32] are 32-thread work, so the multi ratio is
-    // the binding constraint; taking the max keeps the gate honest in
-    // both directions (a genuinely faster host still tightens it).
-    val drift = math.max(
-      hostScale(baselineHostSingle(baselinePath), hostSingle),
-      hostScale(baselineHostMiters(baselinePath, "multi32_miters"),
-        hostMulti))
-
-    // ---- tier 2: ×10 data, shuffle/AQE-visible ---------------------------
-    val tier2Json =
-      if (sys.env.getOrElse("SPARK_GRAFT_TIER2", "1") == "0" || only.isDefined) ""
+    // ---- tier 2: ×10 data, shuffle/AQE-visible (measurement only —
+    // regression math waits for the END calibration sample) -------------
+    val tier2Data: Option[(Seq[(String, Double, Double, Boolean)], Int)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_TIER2", "1") == "0" || only.isDefined) None
       else {
         val factor = 10
         val t2dir = sys.env.getOrElse("SPARK_GRAFT_TIER2_DIR",
           "/tmp/graft_tier2_x10")
         try {
           ensureTier2(spark, sfDir, t2dir, factor)
-          val t20 = measure(SparkEntry.queries.toSeq.sortBy(_._1)
+          Some((measure(SparkEntry.queries.toSeq.sortBy(_._1)
             .filter { case (n, _) => Tier2Queries.contains(n) }, t2dir,
-            ":tier2", gcBetween = true)
-          val t2 = t20.map { case (k, c, _, ok) => (k, c, ok) }
-          val t2qs = mapJson(t20, warm = false)
-          val t2warm = mapJson(t20, warm = true)
-          val t2failed = t20.collect { case (k, _, _, false) => "\"" + k + "\"" }
-            .mkString("[", ",", "]")
-          val t2total =
-            if (t20.exists(!_._4)) "null"
-            else t20.collect { case (_, v, _, true) => v }.sum.toString
-          val t2warmTotal =
-            if (t20.exists(!_._4)) "null"
-            else t20.collect { case (_, _, w, true) => w }.sum.toString
-          val t2prev = baselineQueries(baselinePath, "tier2")
-          val t2regr = regressionJson(":tier2", t2prev, t2, scale = drift,
-            threshold = 1.5)
-          // warm-vs-warm policing, once a warm baseline exists (files
-          // from before the warm methodology simply lack the section —
-          // that is a missing baseline and says so)
-          val t2warmRegr = regressionJson(":tier2:warm",
-            baselineQueries(baselinePath, "tier2warm"),
-            t20.map { case (k, _, w, ok) => (k, w, ok) }, "warm_",
-            scale = drift)
-          s""","tier2":{"factor":$factor,"total":$t2total,""" +
-            s""""queries":$t2qs,"failed":$t2failed,""" +
-            s""""warm_total":$t2warmTotal,"warm":$t2warm,""" +
-            s"""$t2regr,$t2warmRegr}"""
+            ":tier2", gcBetween = true), factor))
         } catch { case e: Exception =>
           System.err.println(s"[bench:tier2] skipped: ${e.getMessage}")
-          ""
+          None
         }
       }
 
-    // ---- regression callout vs the previous round ------------------------
-    val regressions = regressionJson("", baselineQueries(baselinePath), results,
+    // END-of-run calibration sample + steal counter: the sandwich. The
+    // committed adjudication rule ("multi32 swings >20% between samples
+    // minutes apart ⇒ active steal, defer per-query adjudication") is
+    // now applied BY THE RECORD — `steal_suspect:true` means nobody
+    // should chase this run's per-query flags, and the steal-jiffies
+    // delta says how much hypervisor theft the run actually absorbed.
+    val (hostSingleEnd, hostMultiEnd) = hostScore()
+    val stealEnd = cpuStealJiffies()
+    val sandwichSwing = math.max(
+      calibrationSwing(hostSingle, hostSingleEnd),
+      calibrationSwing(hostMulti, hostMultiEnd))
+    val stealSuspect = sandwichSwing > 0.20
+    val stealJson = (for (a <- stealStart; b <- stealEnd) yield
+      s""""steal_jiffies":${b._1 - a._1},"cpu_jiffies":${b._2 - a._2},""")
+      .getOrElse("")
+    val hostJson = s""""host":{"single_miters":$hostSingle,""" +
+      s""""multi32_miters":$hostMulti,""" +
+      s""""single_miters_end":$hostSingleEnd,""" +
+      s""""multi32_miters_end":$hostMultiEnd,""" +
+      f""""sandwich_swing":$sandwichSwing%.4f,$stealJson""" +
+      s""""steal_suspect":$stealSuspect}"""
+    if (stealSuspect) System.err.println(
+      f"[bench] STEAL SUSPECT: calibration sandwich swung ${sandwichSwing * 100}%.0f%%" +
+        f" (single $hostSingle->$hostSingleEnd, multi32 $hostMulti->$hostMultiEnd)" +
+        " — per-query flags in this record are not adjudicable")
+
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      latestBaseline())
+    // Host drift is the MAX of the single-thread and 32-way calibration
+    // ratios, over BOTH sandwich samples. Single-thread captures
+    // clock-speed drift but NOT core availability: these VMs run under
+    // visible hypervisor steal (/proc/stat steal ≈ 68% of cumulative
+    // user time on the round-8 host), and a steal episode collapses
+    // 32-way throughput while the one-core score stays flat (r6→r8:
+    // single 481→441, multi32 13000→9830 — every local[32] query
+    // uniformly ~1.5-2× slower). Queries on local[32] are 32-thread
+    // work, so the multi ratio is the binding constraint; the max over
+    // both samples assumes the host at its measured slowest, and
+    // `steal_suspect` already marks the record when the samples
+    // disagree enough for that assumption to matter.
+    val drift = Seq(
+      hostScale(baselineHostSingle(baselinePath), hostSingle),
+      hostScale(baselineHostSingle(baselinePath), hostSingleEnd),
+      hostScale(baselineHostMiters(baselinePath, "multi32_miters"), hostMulti),
+      hostScale(baselineHostMiters(baselinePath, "multi32_miters"), hostMultiEnd))
+      .max
+
+    // ---- regression callouts vs the previous round -----------------------
+    // Lifecycle gate queries are EXCLUDED from the plan-query regression
+    // series (round-8 verdict item 2: their cost is physical IO and
+    // state-store floor by design, and their variance buried the plan
+    // queries' trends two rounds running); they get their own series at
+    // a 2× threshold so a genuine blowup still surfaces.
+    def planOnly[T](rs: Seq[(String, T, Boolean)]) =
+      rs.filterNot(r => GateQueries.contains(r._1))
+    def gateOnly[T](rs: Seq[(String, T, Boolean)]) =
+      rs.filter(r => GateQueries.contains(r._1))
+    val warmNow = results0.map { case (k, _, w, ok) => (k, w, ok) }
+    val t1prev = baselineQueries(baselinePath)
+    val t1prevWarm = baselineQueries(baselinePath, "warm")
+    val regressions = regressionJson("", t1prev, planOnly(results),
       scale = drift, threshold = 1.5)
-    val warmRegr = regressionJson(":warm", baselineQueries(baselinePath, "warm"),
-      results0.map { case (k, _, w, ok) => (k, w, ok) }, "warm_",
-      scale = drift)
+    val warmRegr = regressionJson(":warm", t1prevWarm, planOnly(warmNow),
+      "warm_", scale = drift)
+    val gateRegr = regressionJson(":gates", t1prev, gateOnly(results),
+      "gate_", scale = drift, threshold = 2.0)
+    val gateWarmRegr = regressionJson(":gates:warm", t1prevWarm,
+      gateOnly(warmNow), "warm_gate_", scale = drift, threshold = 2.0)
+
+    val tier2Json = tier2Data.map { case (t20, factor) =>
+      val t2 = t20.map { case (k, c, _, ok) => (k, c, ok) }
+      val (t2gates, t2plain) = t20.partition(r => GateQueries.contains(r._1))
+      val t2qs = mapJson(t2plain, warm = false)
+      val t2gateQs = mapJson(t2gates, warm = false)
+      val t2warm = mapJson(t2plain, warm = true)
+      val t2warmGateQs = mapJson(t2gates, warm = true)
+      val t2failed = t20.collect { case (k, _, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val t2total =
+        if (t20.exists(!_._4)) "null"
+        else t20.collect { case (_, v, _, true) => v }.sum.toString
+      val t2warmTotal =
+        if (t20.exists(!_._4)) "null"
+        else t20.collect { case (_, _, w, true) => w }.sum.toString
+      val t2prev = baselineQueries(baselinePath, "tier2")
+      val t2prevWarm = baselineQueries(baselinePath, "tier2warm")
+      val t2warmNow = t20.map { case (k, _, w, ok) => (k, w, ok) }
+      val t2regr = regressionJson(":tier2", t2prev, planOnly(t2),
+        scale = drift, threshold = 1.5)
+      // warm-vs-warm policing, once a warm baseline exists (files
+      // from before the warm methodology simply lack the section —
+      // that is a missing baseline and says so)
+      val t2warmRegr = regressionJson(":tier2:warm", t2prevWarm,
+        planOnly(t2warmNow), "warm_", scale = drift)
+      val t2gateRegr = regressionJson(":tier2:gates", t2prev, gateOnly(t2),
+        "gate_", scale = drift, threshold = 2.0)
+      val t2gateWarmRegr = regressionJson(":tier2:gates:warm", t2prevWarm,
+        gateOnly(t2warmNow), "warm_gate_", scale = drift, threshold = 2.0)
+      s""","tier2":{"factor":$factor,"total":$t2total,""" +
+        s""""queries":$t2qs,"gates":$t2gateQs,"failed":$t2failed,""" +
+        s""""warm_total":$t2warmTotal,"warm":$t2warm,""" +
+        s""""warm_gates":$t2warmGateQs,""" +
+        s"""$t2regr,$t2warmRegr,$t2gateRegr,$t2gateWarmRegr}"""
+    }.getOrElse("")
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""ok":${failedSeq.isEmpty},"warm_estimator":"min3",""" +
-      s""""host":{"single_miters":$hostSingle,"multi32_miters":$hostMulti},""" +
+      s"""$hostJson,""" +
       s""""queries":$qs,"gates":$gateQs,"failed":$failed,""" +
       s""""warm_total":$warmTotal,"warm":$warmQs,"warm_gates":$warmGateQs,""" +
-      s"""$regressions,$warmRegr,"sf":"$sfDir"$tier2Json}"""
+      s"""$regressions,$warmRegr,$gateRegr,$gateWarmRegr,""" +
+      s""""sf":"$sfDir"$tier2Json}"""
     println(json)
     // sbt routes program stdout through its [info] logger, which the
     // driver's JSON extraction has failed to strip (BENCH_r01 recorded

@@ -1,0 +1,207 @@
+package graft
+
+import graft.etl.CorpusManager
+import org.apache.spark.sql.functions._
+
+/** COMBINED multimodal corpus-lifecycle rehearsal (round-9 punch item):
+  * one CorpusManager run over docs carrying text + media + embedding
+  * columns TOGETHER, with planted duplicates in each family on disjoint
+  * id classes so the keep/drop accounting is exact PER FAMILY. The
+  * single-family probes (TextScaleProbe 5M, MediaScaleProbe 4M,
+  * VecScaleProbe 2M) cannot see cross-family interactions — a join
+  * strategy cliff that only appears when the binary media column rides
+  * through the text-dedup lineage, a dup graph whose components mix
+  * families, artifact commits for all three signals under ONE manifest
+  * swap — and this probe exists to catch exactly those.
+  *
+  * Id classes (mod 40), initial corpus: r=1 is a TEXT near copy of
+  * r=0 (one token appended; fresh media+emb), r=3 reuses r=2's MEDIA
+  * near-identically (fresh text+emb), r=5 is an EMB near copy of r=4
+  * (cos ≈ 0.995; fresh text+media). Shard docs reference corpus seeds
+  * s = id − nInit: s%40==10/20/30 are text/media/emb dups of corpus
+  * doc s. Everything else is fresh in every family.
+  *
+  * Media runs under SCHEME 2 (252-bit wide hash, radius 16): the
+  * birthday allowance is ZERO — any corpus-side false merge is a
+  * defect. Text recall at the planted Jaccard (~0.9 on trigrams) is
+  * 1−4·10⁻¹² per pair under the 16×4 banding — misses allowed at
+  * 0.2% for the pHash-style tail discipline only. Embedding recall is
+  * honestly probabilistic (8-table×12-bit hyperplane LSH intra,
+  * top-cell IVF probe cross — the documented boundary hole), so the
+  * emb classes tolerate a 2% miss tail; EXTRA drops in any family are
+  * refused outright. The drift gate runs armed (minVocabContainment)
+  * over a shared 1000-token vocabulary and must pass — the same run
+  * proves the gate does not false-fire on an in-distribution shard.
+  */
+// Serializable: `row` is a def nested in main (it closes over nInit),
+// so the generator lambdas capture the module instance itself — the
+// MediaScaleProbe-style top-level-method closures don't, but the nested
+// form reads better here and a module marker serializes for free.
+object CombinedScaleProbe extends Serializable {
+
+  private def mix(z0: Long): Long = {
+    var z = z0 * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // ---- text: 8 tokens drawn per-doc from a SHARED 1000-token vocab ----
+  // All-shared vocabulary keeps the armed drift gate honest (per-doc
+  // unique tokens would push shard containment to ~0 at any scale and
+  // the probe would measure the gate tripping, not passing). Distinct
+  // seeds collide on the full 8-token sequence with probability
+  // ~n²/2·1000⁻⁸ (≈ 2·10⁻¹² at 2M docs) and random trigram overlap is
+  // far below the 0.5 Jaccard gate, so the planted classes stay the
+  // only duplicates.
+  private[graft] def text(seed: Long, near: Boolean): String = {
+    val base = (0 until 8).map(j =>
+      s"v${math.floorMod(mix(seed * 8 + j), 1000)}").mkString(" ")
+    if (near) base + " extra" else base
+  }
+
+  // ---- media: 64×64 PGM, iid 8×8 blocks (the MediaScaleProbe recipe) --
+  private def basePix(seed: Int)(x: Int, y: Int): Int = {
+    var z = seed * 7919L + (x / 8) * 31L + y / 8
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    (((z & 0x7fffffffL) % 200).toInt + (x + y) % 16) % 255
+  }
+
+  private[graft] def img(seed: Int, patch: Boolean): Array[Byte] = {
+    val header = "P5\n64 64\n255\n".getBytes("US-ASCII")
+    header ++ Array.tabulate(64 * 64) { i =>
+      val (x, y) = (i % 64, i / 64)
+      val v = basePix(seed)(x, y) +
+        (if (patch && x >= 20 && x < 24 && y >= 40 && y < 44) 10 else 0)
+      (v & 0xff).toByte
+    }
+  }
+
+  // ---- embeddings: unit 64-dim; near = +0.1·orthogonal (cos ≈ 0.995) --
+  private[graft] def emb(seed: Long, near: Boolean): Array[Float] = {
+    def raw(s: Long): Array[Double] = Array.tabulate(64)(j =>
+      (math.floorMod(mix(s * 64 + j), 2000001) - 1000000) / 1000000.0)
+    val v = raw(seed)
+    val out =
+      if (!near) v
+      else {
+        val w = raw(seed + 0x5eed5eedL)
+        Array.tabulate(64)(j => v(j) + 0.1 * w(j))
+      }
+    val n = math.sqrt(out.map(x => x * x).sum)
+    out.map(x => (x / n).toFloat)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    val nInit = nDocs * 9 / 10
+    val nShard = nDocs - nInit
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    // One row: every family's payload, dup classes on disjoint residues.
+    // A near copy must reference its partner's GENERATOR SEED exactly:
+    // fresh text/emb seeds are offset by family (1e9/2e9 + global id)
+    // so cross-family and fresh/fresh collisions are impossible; media
+    // seeds are the plain global id (the seed spaces of corpus fresh
+    // docs and shard fresh docs are disjoint id ranges, and a shard
+    // media-dup deliberately reuses corpus doc s's seed).
+    def row(id: Long, isShard: Boolean): (Long, String, String, Array[Byte], Array[Float]) = {
+      val s = if (isShard) id - nInit else id
+      val r = s % 40
+      val (tSeed, tNear) =
+        if (!isShard && r == 1) (1000000000L + (id - 1), true)
+        else if (isShard && r == 10) (1000000000L + s, true)
+        else (1000000000L + id, false)
+      val (mSeed, mPatch) =
+        if (!isShard && r == 3) (id - 1, true)
+        else if (isShard && r == 20) (s, false) // identical corpus bytes
+        else (id, false)
+      val (eSeed, eNear) =
+        if (!isShard && r == 5) (2000000000L + (id - 1), true)
+        else if (isShard && r == 30) (2000000000L + s, true)
+        else (2000000000L + id, false)
+      val src = if (id % 2 == 0) "web" else "books"
+      (id, text(tSeed, tNear), src, img(mSeed.toInt, mPatch), emb(eSeed, eNear))
+    }
+    val init = spark.range(nInit.toLong).as[Long]
+      .mapPartitions(_.map(id => row(id, isShard = false)))
+      .toDF("doc_id", "text", "source", "media", "emb").localCheckpoint()
+    val shard = spark.range(nInit.toLong, nDocs.toLong).as[Long]
+      .mapPartitions(_.map(id => row(id, isShard = true)))
+      .toDF("doc_id", "text", "source", "media", "emb").localCheckpoint()
+    println(s"PROBE corpus ${init.count()} + shard ${shard.count()} docs " +
+      "(text+media+emb)")
+
+    val rootDir = "/tmp/combined_probe_" + System.nanoTime()
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rootDir))
+    }
+    // embProbes = 3: the single-cell IVF cross-probe's boundary hole
+    // measured 4% at 20k on this generator (random 64-dim unit vectors
+    // split across 16 cells put plenty of planted pairs near a cell
+    // boundary); probing the two runner-up cells shrinks it under the
+    // tolerance while the corpus layout and exchange-free scan are
+    // unchanged — exactly the knob's documented purpose.
+    val m = new CorpusManager("combined_probe", rootDir, spark,
+      numBuckets = 8, minTokens = 2,
+      embCol = Some("emb"), embNearCos = 0.98, embDims = 64, embProbes = 3,
+      mediaCol = Some("media"), mediaMaxHamming = 16, mediaScheme = 2,
+      minVocabContainment = Some(0.2))
+
+    def classIds(lo: Long, hi: Long, res: Long, shardBase: Long): Set[Long] =
+      (lo until hi).filter(id => (id - shardBase) % 40 == res).toSet
+    val textI = classIds(0, nInit, 1, 0)
+    val mediaI = classIds(0, nInit, 3, 0)
+    val embI = classIds(0, nInit, 5, 0)
+    val r0 = timed("initial_ingest")(m.ingestInitial(init))
+    val kept0 = m.corpus().select("doc_id").as[Long].collect().toSet
+    def account(tag: String, kept: Set[Long], all: Set[Long],
+                t: Set[Long], md: Set[Long], e: Set[Long]): Unit = {
+      val expectedKeep = all -- t -- md -- e
+      val extraDrops = expectedKeep -- kept // non-planted docs dropped
+      require(extraDrops.isEmpty,
+        s"$tag: ${extraDrops.size} NON-planted docs dropped (false " +
+          s"positives): ${extraDrops.take(5)}")
+      val missT = t.intersect(kept); val missM = md.intersect(kept)
+      val missE = e.intersect(kept)
+      require(missT.size <= math.max(1, t.size / 500),
+        s"$tag: text misses ${missT.size}/${t.size}")
+      require(missM.isEmpty, // wide hash: blocking exact at the radius,
+        // patch distance ≤ 14 < 16 by this generator (MediaScaleProbe A/B)
+        s"$tag: media misses ${missM.size}/${md.size}: ${missM.take(5)}")
+      require(missE.size <= math.max(1, e.size / 50),
+        s"$tag: emb misses ${missE.size}/${e.size}")
+      println(s"PROBE $tag per-family: text ${t.size - missT.size}/${t.size}, " +
+        s"media ${md.size - missM.size}/${md.size}, " +
+        s"emb ${e.size - missE.size}/${e.size} dropped; zero extras")
+    }
+    account("initial", kept0, (0L until nInit.toLong).toSet, textI, mediaI, embI)
+    require(r0.ingested == kept0.size, s"report/corpus divergence: $r0")
+
+    val textS = classIds(nInit, nDocs, 10, nInit)
+    val mediaS = classIds(nInit, nDocs, 20, nInit)
+    val embS = classIds(nInit, nDocs, 30, nInit)
+    val r1 = timed("shard_ingest")(m.ingestShard(shard))
+    // the armed drift gate ran and passed; its report must show every
+    // source known and well-contained (the shared 1000-token vocab)
+    require(r1.drift.nonEmpty && r1.drift.forall(d =>
+      !d.novelSource && d.containmentEst > 0.5),
+      s"drift report implausible: ${r1.drift}")
+    val kept1 = m.corpus().select("doc_id").as[Long].collect().toSet
+    account("shard", kept1 -- kept0, (nInit.toLong until nDocs.toLong).toSet,
+      textS, mediaS, embS)
+    require(kept0.subsetOf(kept1), "shard ingest must never drop corpus docs")
+    println(s"PROBE reports: initial $r0; shard ingested=${r1.ingested} " +
+      s"dups=${r1.duplicates} drift=${r1.drift}")
+    spark.stop()
+  }
+}

@@ -67,7 +67,12 @@ object MediaScaleProbe {
       r
     }
     // SPARK_GRAFT_MEDIA_WIDE_ONLY=1 skips the manager stages and runs
-    // only the 252-bit stage (fast iteration on the wide path)
+    // only the 252-bit stage (fast iteration on the wide path).
+    // SPARK_GRAFT_MEDIA_SCHEME=2 runs the MANAGER stages under the wide
+    // hash scheme (radius 16 = 4× the narrow 4): the birthday allowance
+    // drops to ZERO — at 252 bits a single extra drop is a defect, not
+    // a tail event, so the planted counts must be exact.
+    val scheme = sys.env.getOrElse("SPARK_GRAFT_MEDIA_SCHEME", "1").toInt
     if (sys.env.get("SPARK_GRAFT_MEDIA_WIDE_ONLY").isEmpty) {
     // initial: id%40==1 docs carry a near copy of id-1's image
     val init = spark.range(nInit).as[Long].mapPartitions(_.map { id =>
@@ -95,7 +100,7 @@ object MediaScaleProbe {
     }
     val m = new CorpusManager("media_probe", rootDir, spark,
       numBuckets = 8, minTokens = 2, mediaCol = Some("media"),
-      mediaMaxHamming = 4)
+      mediaMaxHamming = if (scheme == 2) 16 else 4, mediaScheme = scheme)
     // planted expectations: initial drops = #ids ≡ 1 (mod 40) in
     // [0, nInit) whose BASE seed maps to a distinct image; every near
     // copy pairs with its base, nothing else collides (distinct seeds
@@ -106,7 +111,10 @@ object MediaScaleProbe {
     val pNear = (0 to 4).map { k =>
       (0 until k).map(i => (63 - i).toDouble / (i + 1)).product
     }.sum / math.pow(2.0, 63)
-    def allowRandom(pairs: Double): Long = math.ceil(5.0 * pNear * pairs).toLong
+    // scheme 2's collision floor is ~10^-47 at radius 16/252: the
+    // allowance is EXACTLY zero — that is the scheme's whole point
+    def allowRandom(pairs: Double): Long =
+      if (scheme == 2) 0L else math.ceil(5.0 * pNear * pairs).toLong
     val r0 = timed("initial_ingest")(m.ingestInitial(init))
     // the patch perturbation lands a planted pair beyond the radius for
     // a sub-0.1% tail (pHash noise robustness is probabilistic; the
@@ -128,9 +136,10 @@ object MediaScaleProbe {
     require(r1.duplicates <= expCross + allowRandom(shardPairs) &&
       r1.duplicates >= expCross - math.max(1, expCross / 200),
       s"shard: $r1, expected ~$expCross dups")
-    println(s"PROBE recovery: ${r0.ingested}+${r1.ingested} keepers, " +
+    println(s"PROBE recovery (scheme $scheme): ${r0.ingested}+${r1.ingested} keepers, " +
       s"${r0.duplicates}/${expInitDrop} + ${r1.duplicates}/$expCross media " +
-      "dups dropped (extra drops birthday-bounded, see scaladoc)")
+      (if (scheme == 2) "dups dropped (EXACT — zero birthday allowance at 252 bits)"
+       else "dups dropped (extra drops birthday-bounded, see scaladoc)"))
     }
 
     // ---- stage 3: the 252-bit hash at the same scale ------------------
@@ -144,10 +153,14 @@ object MediaScaleProbe {
     // vs combo 2 480 s, identical pair sets; override via
     // SPARK_GRAFT_MEDIA_WIDE_COMBO to re-measure).
     import graft.multimodal.Multimodal
+    // shard docs patch on SEED arithmetic ((id - nInit) % 50), the same
+    // convention the expected-pair sets below use — patching on the
+    // global id agrees only when nInit happens to be a multiple of 50,
+    // and any other nDocs would misclassify planted pairs as extras
     val all = spark.range(nDocs.toLong).as[Long].mapPartitions(_.map { id =>
       val (seed, patch) =
         if (id < nInit) { if (id % 40 == 1) (id - 1, true) else (id, false) }
-        else { if (id % 50 == 0) (id - nInit, true) else (id, false) }
+        else { if ((id - nInit) % 50 == 0) (id - nInit, true) else (id, false) }
       (id, img(seed.toInt, patch))
     }).toDF("doc_id", "media")
     val wh = timed("wide_hash_pass")(

@@ -1,0 +1,118 @@
+package graft
+
+import graft.catalog.StacCatalog
+import graft.model.{Category, ChunkGrid, DatasetDescriptor}
+
+/** Catalog-layer contention rehearsal (round-9 punch item #8): N
+  * concurrent publishers driving `registerItem`/`upsertCollection`
+  * against ONE catalog root — the 100-TB multi-dataset story where
+  * dozens of ETL pipelines publish into a shared STAC tree.
+  * StacConcurrencySpec proves 4-writer correctness; this probe measures
+  * the CONTENTION behavior at real publisher counts: per-mutation
+  * latency distribution (the catalog lock is a 20–80 ms randomized
+  * poll with a 60 s deadline — unfair by construction, so starvation
+  * is the failure mode to hunt), aggregate throughput, and full
+  * integrity of the resulting tree (no lost root links, linear prev
+  * chains, the shared collection's extent folding every widening).
+  *
+  * Usage: runMain graft.StacConcurrencyProbe [nWriters] [nMutPerWriter]
+  */
+object StacConcurrencyProbe {
+
+  private def desc(name: String) = DatasetDescriptor(
+    name = name, dataVar = "precip", category = Category.Observation,
+    missingValue = Some(-9999.0), cadenceUs = 86400000000L,
+    chunk = ChunkGrid(timeBucketUs = 10 * 86400000000L, maxRecordsPerFile = 200))
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8) // driver-side JSON work; no jobs
+    spark.sparkContext.setLogLevel("ERROR")
+    val nWriters = args.headOption.map(_.toInt).getOrElse(16)
+    val nMut = args.drop(1).headOption.map(_.toInt).getOrElse(40)
+    val root = "/tmp/stac_probe_" + System.nanoTime()
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+    val cat = new StacCatalog(root, spark)
+    cat.ensureRootCatalog("org")
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def timedMut(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      lat.add(System.nanoTime() - t0)
+    }
+    val t0 = System.nanoTime()
+    // even writers publish their OWN dataset (collection + item chain —
+    // the common case); odd writers all widen ONE shared collection
+    // (the worst case: every mutation read-modify-writes the same file)
+    val threads = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          if (w % 2 == 0) {
+            timedMut(cat.upsertCollection(s"ds$w",
+              Array(-1.0, -1.0, 1.0, 1.0), (0L, 10L)))
+            (0 until nMut).foreach { v =>
+              timedMut(cat.registerItem(desc(s"ds$w"),
+                Array(-1.0, -1.0, 1.0, 1.0), (0L, 10L + v), s"v$v"))
+            }
+          } else {
+            (0 until nMut).foreach { v =>
+              // each widening is distinct so a lost update is visible
+              timedMut(cat.upsertCollection("shared",
+                Array(-w.toDouble - v / 1000.0, -90.0, w + v / 1000.0, 90.0),
+                (-w * 1000L - v, w * 1000L + v)))
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      }, s"pub-$w")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    require(failures.isEmpty,
+      s"${failures.size} publisher failures (starvation past the 60s " +
+        s"deadline?): ${failures.toArray.toSeq.take(3)}")
+    val ls = lat.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    def pct(p: Double): Double = ls((ls.length * p).toInt.min(ls.length - 1)) / 1e6
+    println(f"PROBE writers=$nWriters mutations=${ls.length} " +
+      f"elapsed=$elapsed%.1fs throughput=${ls.length / elapsed}%.1f/s")
+    println(f"PROBE latency ms: p50=${pct(0.50)}%.0f p90=${pct(0.90)}%.0f " +
+      f"p99=${pct(0.99)}%.0f max=${ls.last / 1e6}%.0f")
+
+    // ---- integrity: nothing lost under contention ----------------------
+    val rootLinks = cat.links(cat.readRoot().get)
+      .filter(_._1 == "child").map(_._2)
+    require(rootLinks.size == rootLinks.distinct.size, s"dup root links")
+    (0 until nWriters by 2).foreach { w =>
+      require(rootLinks.exists(_.endsWith(s"ds$w.json")), s"lost root link ds$w")
+      require(cat.latestVersion(s"ds$w").contains(s"v${nMut - 1}"),
+        s"ds$w latest != v${nMut - 1}")
+      // the item chain is linear: walk prev links back to v0
+      var cur = s"v${nMut - 1}"; var hops = 0
+      while (cur != "v0") {
+        val prevs = cat.links(cat.readItem(s"ds$w", cur).get)
+          .filter(_._1 == "prev").map(_._2)
+        require(prevs.size == 1, s"ds$w $cur prev links: $prevs")
+        cur = prevs.head.split('/').last.stripSuffix(".json")
+        hops += 1
+        require(hops < nMut + 1, s"ds$w prev chain cycles")
+      }
+    }
+    if (nWriters > 1) {
+      import org.json4s._
+      val j = cat.readCollection("shared").get
+      val bbox = (j \ "extent" \ "spatial" \ "bbox") match {
+        case JArray(List(JArray(vs))) => vs.map(_.values.toString.toDouble)
+        case other => throw new IllegalStateException(s"bad bbox: $other")
+      }
+      val maxW = (1 until nWriters by 2).max
+      val expLo = -maxW - (nMut - 1) / 1000.0
+      require(math.abs(bbox.head - expLo) < 1e-9 &&
+        math.abs(bbox(2) + expLo) < 1e-9,
+        s"shared extent lost a widening: $bbox, expected ±$expLo")
+    }
+    println("PROBE integrity: root links, prev chains, extent fold all intact")
+    spark.stop()
+  }
+}

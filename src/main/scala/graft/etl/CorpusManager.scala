@@ -48,7 +48,15 @@ case class CorpusManifest(
     // manifests older than the field parse as 1 — the oldest scheme —
     // so a pre-stamp store routes to migrateSignatureScheme() rather
     // than silently band-joining incomparable signatures
-    sigScheme: Long = 1)
+    sigScheme: Long = 1,
+    // perceptual-media hash scheme of the persisted media_hashes
+    // artifact: 1 = 63-bit mediaHash (long h), 2 = 252-bit
+    // mediaHashWide (array<bigint>[4] h). The same refuse-then-migrate
+    // posture as sigScheme — Hamming-joining a 63-bit shard hash
+    // against 252-bit corpus rows (or vice versa) is silent nonsense,
+    // so a scheme mismatch routes to migrateMediaScheme(). Manifests
+    // older than the field parse as 1, the original narrow hash.
+    mediaScheme: Long = 1)
 
 /** Root-relative data-file lists pinned by a committed manifest — the
   * corpus twin of [[graft.sources.GriddedStore]]'s snapshot manifests.
@@ -173,7 +181,23 @@ class CorpusManager(
     // corpus-side block scan stays trivial at any corpus size and the
     // shard-side block rows are the small join side.
     mediaCol: Option[String] = None,
-    mediaMaxHamming: Int = 3) {
+    mediaMaxHamming: Int = 3,
+    // media-hash scheme this manager computes and persists: 1 = 63-bit
+    // [[graft.multimodal.Multimodal.mediaHash]] (birthday-bounded —
+    // ~one random merge per 10^13 pairs at radius 4, measured once at
+    // 4M docs by MediaScaleProbe), 2 = 252-bit
+    // [[graft.multimodal.Multimodal.mediaHashWide]] (collision floor
+    // ~10^-53: ZERO false merges at any corpus size — the 100-TB
+    // choice). `mediaMaxHamming` is interpreted in the scheme's own
+    // units: scheme-2 distances run ~4× scheme-1 (radius 16 wide ≈ 4
+    // narrow — for images because the DCT block is 4× larger, for
+    // audio because the fingerprint is replicated ×4). A store
+    // ingested under one scheme REFUSES the other until
+    // [[migrateMediaScheme]] recomputes the artifact. */
+    mediaScheme: Int = 1) {
+
+  require(mediaScheme == 1 || mediaScheme == 2,
+    s"unknown media-hash scheme $mediaScheme (1 = 63-bit, 2 = 252-bit)")
 
   def docsPath: String = s"$root/docs"
   def dedupPath: String = s"$root/dedup"
@@ -193,7 +217,13 @@ class CorpusManager(
   // failure on the missing path — no silent fallback to a dir whose
   // cells a retrained quantizer would contradict).
   private def annDir(v: Long): String = s"$root/ann/v$v"
-  def mediaPath: String = s"$root/media_hashes"
+  /** Media-hash artifact dir for the CONFIGURED scheme. Schemes write
+    * to distinct dirs (scheme 1 keeps the legacy name) so each dir is
+    * single-schema — a migration appends new-scheme files beside the
+    * old dir and pinned readers of either scheme stay consistent. */
+  def mediaPath: String = mediaPathFor(mediaScheme)
+  private def mediaPathFor(s: Int): String =
+    if (s == 1) s"$root/media_hashes" else s"$root/media_hashes_s$s"
   def vecsPath(v: Long): String = s"${annDir(v)}/vectors"
   private def centsPath(v: Long): String = s"${annDir(v)}/centroids"
   private def vecsTable(v: Long): String = s"${name}_vecs_v$v"
@@ -305,7 +335,8 @@ class CorpusManager(
     * ingest's commit point. */
   private def commitManifest(nDocsTotal: Long, bandsVersion: Long,
                              files: CorpusFiles,
-                             sigScheme: Long = p.hasher.scheme): CorpusManifest = {
+                             sigScheme: Long = p.hasher.scheme,
+                             mediaSchemeStamp: Long = mediaScheme.toLong): CorpusManifest = {
     val claimed =
       if (!fs.exists(gensDir)) 0L
       else fs.listStatus(gensDir).map(_.getPath.getName)
@@ -319,7 +350,7 @@ class CorpusManager(
     // be a crashed commit's orphan, which no reader was ever pinned to)
     val m = CorpusManifest(name, gen, nDocsTotal,
       p.ngram, p.perms, p.bands, p.minEstJaccard, numBuckets, bandsVersion,
-      parentGen, sigScheme)
+      parentGen, sigScheme, mediaSchemeStamp)
     import org.json4s._
     def arr(xs: Seq[String]): JValue = JArray(xs.sorted.map(JString(_)).toList)
     val json = jackson.JsonMethods.pretty(jackson.JsonMethods.render(JObject(
@@ -331,6 +362,7 @@ class CorpusManager(
       "bandsVersion" -> JLong(m.bandsVersion),
       "parent" -> JLong(m.parent),
       "sigScheme" -> JLong(m.sigScheme),
+      "mediaScheme" -> JLong(m.mediaScheme),
       "files" -> JObject(
         "docs" -> arr(files.docs), "sigs" -> arr(files.sigs),
         "hashes" -> arr(files.hashes), "sketch" -> arr(files.sketch),
@@ -400,11 +432,19 @@ class CorpusManager(
 
   // ---- perceptual media dedup signal ------------------------------------
 
-  /** (id, h) media hashes of `df`'s `mediaCol`; undecodable rows have
-    * no hash and simply contribute no media edges. */
-  private def mediaHashesOf(df: DataFrame): DataFrame =
-    graft.multimodal.Multimodal.mediaHashes(
-      df.select(col(idCol), col(mediaCol.get)), idCol, mediaCol.get)
+  /** (id, h) media hashes of `df`'s `mediaCol` under the configured
+    * scheme (h: long for scheme 1, array<bigint>[4] for scheme 2);
+    * undecodable rows have no hash and simply contribute no media
+    * edges. */
+  private def mediaHashesOf(df: DataFrame): DataFrame = {
+    val in = df.select(col(idCol), col(mediaCol.get))
+    if (mediaScheme == 2)
+      graft.multimodal.Multimodal.mediaHashesWide(in, idCol, mediaCol.get)
+    else
+      graft.multimodal.Multimodal.mediaHashes(in, idCol, mediaCol.get)
+  }
+
+  private def mediaBits: Int = if (mediaScheme == 2) 252 else 63
 
   /** Within-batch media near-dup edges (d1 < d2). The hashes are
     * checkpointed (ONE decode pass feeds both self-join sides) and
@@ -417,8 +457,12 @@ class CorpusManager(
   private def mediaIntraPairs(hashes: DataFrame): DataFrame = {
     val h = hashes.localCheckpoint()
     val n = h.count().toDouble
-    graft.multimodal.Multimodal.hammingPairs(h, mediaMaxHamming,
-        graft.multimodal.Multimodal.comboForCost(n, n * n / 2, mediaMaxHamming))
+    val combo = graft.multimodal.Multimodal.comboForCost(
+      n, n * n / 2, mediaMaxHamming, bits = mediaBits)
+    (if (mediaScheme == 2)
+       graft.multimodal.Multimodal.hammingPairsWide(h, mediaMaxHamming, combo)
+     else
+       graft.multimodal.Multimodal.hammingPairs(h, mediaMaxHamming, combo))
       .select(col("id1").as("d1"), col("id2").as("d2"))
   }
 
@@ -431,9 +475,14 @@ class CorpusManager(
   private def mediaCrossPairs(shardHashes: DataFrame): DataFrame = {
     val corpus = mediaDf() // artifact is (id, h)
     val (nc, ns) = (corpus.count().toDouble, shardHashes.count().toDouble)
-    graft.multimodal.Multimodal.hammingPairsBetween(
-        shardHashes, corpus, mediaMaxHamming,
-        graft.multimodal.Multimodal.comboForCost(nc + ns, nc * ns, mediaMaxHamming))
+    val combo = graft.multimodal.Multimodal.comboForCost(
+      nc + ns, nc * ns, mediaMaxHamming, bits = mediaBits)
+    (if (mediaScheme == 2)
+       graft.multimodal.Multimodal.hammingPairsBetweenWide(
+         shardHashes, corpus, mediaMaxHamming, combo)
+     else
+       graft.multimodal.Multimodal.hammingPairsBetween(
+         shardHashes, corpus, mediaMaxHamming, combo))
       .select(col("id1").as("d1"), col("id2").as("d2"))
   }
 
@@ -810,9 +859,28 @@ class CorpusManager(
         "docs under the configured hasher, or re-ingest.")
   }
 
+  /** The media twin of [[requireCurrentSigScheme]]: a shard's
+    * new-scheme hashes Hamming-joined against old-scheme corpus rows
+    * (63-bit longs vs 252-bit arrays, or worse, two different 63-bit
+    * functions) is silent nonsense — at best zero recall, at worst a
+    * schema clash deep inside the ingest job. Refuse loudly, before
+    * any artifact is touched. No-op for media-less managers. */
+  private def requireCurrentMediaScheme(man: CorpusManifest): Unit =
+    if (mediaCol.nonEmpty && man.mediaScheme != mediaScheme) {
+      throw new IllegalStateException(
+        s"corpus $name's media hashes were computed under scheme " +
+          s"${man.mediaScheme}, but this manager is configured with " +
+          s"scheme $mediaScheme — Hamming-joining across media-hash " +
+          "schemes silently loses dedup recall. Run migrateMediaScheme() " +
+          "to recompute the media_hashes artifact from the canonical " +
+          "docs' media column under the configured scheme.")
+    }
+
   def ingestShard(newDocs: DataFrame): IngestReport = withIngestLock {
     require(hasExisting, s"corpus $name has no initial ingest at $root")
-    readManifest().foreach(requireCurrentSigScheme)
+    readManifest().foreach { m =>
+      requireCurrentSigScheme(m); requireCurrentMediaScheme(m)
+    }
     val (okQ, rejQ) = qualityGate(newDocs)
     val (ok, rejC) = contaminationGate(okQ)
     val rej = rejQ.unionByName(rejC)
@@ -1015,6 +1083,7 @@ class CorpusManager(
     require(hasExisting, s"corpus $name has no initial ingest at $root")
     val man = readManifest().get
     requireCurrentSigScheme(man) // compaction COPIES sig/band rows forward
+    requireCurrentMediaScheme(man) // ...and media-hash rows, into mediaPath
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
     def rewrite(df: DataFrame, dir: String, parts: Int): Seq[String] = {
@@ -1112,10 +1181,11 @@ class CorpusManager(
       assignCells(vecs, e, trainQuantizer(vecs, e, v)),
       vecsTable(v), vecsPath(v), numBuckets, Seq("cell"))
     // the quantizer is scheme-independent; carry the store's signature
-    // scheme through so this migration cannot mask a pending
-    // migrateSignatureScheme()
+    // and media schemes through so this migration cannot mask a pending
+    // migrateSignatureScheme()/migrateMediaScheme()
     commitManifest(man.nDocs, v,
-      files.copy(vecs = listDir(vecsPath(v)).toSeq), man.sigScheme)
+      files.copy(vecs = listDir(vecsPath(v)).toSeq), man.sigScheme,
+      man.mediaScheme)
   }
 
   /** Recompute the signature/band artifacts under the CURRENT
@@ -1156,8 +1226,47 @@ class CorpusManager(
         listDir(vecsPath(v2)).toSeq
       case _ => files.vecs
     }
+    // media hashes are signature-scheme-independent: carry the store's
+    // media scheme through (this migration must not silently restamp it)
     commitManifest(man.nDocs, v2, files.copy(
-      sigs = newSigs, bands = listDir(bandsDir(v2)).toSeq, vecs = newVecs))
+      sigs = newSigs, bands = listDir(bandsDir(v2)).toSeq, vecs = newVecs),
+      mediaSchemeStamp = man.mediaScheme)
+  }
+
+  /** Recompute the media-hash artifact under the CONFIGURED
+    * `mediaScheme` — the remedy [[requireCurrentMediaScheme]] directs
+    * to. The new-scheme hashes are computed from the PINNED docs'
+    * media column (one decode pass over the canonical corpus) and
+    * written into the new scheme's dir; the commit pins ONLY the fresh
+    * files and stamps the new scheme, while readers pinned to older
+    * manifests keep the old-scheme files untouched (vacuum reclaims
+    * them once those manifests retire). Docs, signatures, bands,
+    * hashes and sketches are untouched — like [[migrateSignatureScheme]]
+    * this changes no past dedup DECISIONS (those were already taken);
+    * it restores the comparability of future shard hashes with the
+    * persisted corpus. Append+fresh (not overwrite) so a retried
+    * migration after a crash cannot pin the crashed attempt's files,
+    * and a LATER migration back to a previously-used scheme cannot
+    * delete files still pinned by retained manifests.
+    * Reference analog: `update_array_encoding`'s refuse-then-migrate
+    * posture (`utils/metadata.py:835-946`). */
+  def migrateMediaScheme(): CorpusManifest = withIngestLock {
+    require(hasExisting, s"corpus $name has no initial ingest at $root")
+    val mc = mediaCol.getOrElse(throw new IllegalArgumentException(
+      s"corpus $name: migrateMediaScheme needs mediaCol configured"))
+    val man = readManifest().get
+    require(man.mediaScheme != mediaScheme,
+      s"corpus $name is already at media scheme $mediaScheme — nothing to migrate")
+    val files = snapshotFiles().get
+    val cur = corpus()
+    require(cur.columns.contains(mc),
+      s"corpus $name docs carry no '$mc' column — the media source is " +
+        "absent, so there is nothing to rehash")
+    val before = listDir(mediaPath)
+    mediaHashesOf(cur).write.mode("append").parquet(mediaPath)
+    commitManifest(man.nDocs, man.bandsVersion,
+      files.copy(media = (listDir(mediaPath) -- before).toSeq),
+      man.sigScheme)
   }
 
   /** Delete artifact files not referenced by the newest `retainLast`
@@ -1198,13 +1307,21 @@ class CorpusManager(
       else fs.listStatus(annP).map(_.getPath.getName)
         .collect { case d if d.matches("v\\d+") =>
           d.stripPrefix("v").toLong }.toSeq
+    // every media-SCHEME dir participates, not just the configured
+    // scheme's: after a migrateMediaScheme the old scheme's unpinned
+    // files are exactly the orphans vacuum exists to reclaim
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val mediaDirs = fs.listStatus(rootP).map(_.getPath.getName)
+      .collect { case d if d.matches("media_hashes(_s\\d+)?") => s"$root/$d" }
+      .toSeq
     // vector files participate like every other artifact (crashed shard
     // ingests leave orphan vector rows; compaction leaves whole stale
     // versions); the centroid sidecars are NOT file-tracked — they live
     // and die with their version dir below
     val all = listDir(docsPath) ++ listDir(sigsPath) ++ listDir(hashesPath) ++
       listDir(sketchPath) ++ bandVersions.flatMap(v => listDir(bandsDir(v))) ++
-      annVersions.flatMap(v => listDir(vecsPath(v))) ++ listDir(mediaPath)
+      annVersions.flatMap(v => listDir(vecsPath(v))) ++
+      mediaDirs.flatMap(listDir)
     val doomed = (all -- referenced).toSeq.sorted
     doomed.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(root, f), false))

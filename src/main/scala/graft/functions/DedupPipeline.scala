@@ -167,7 +167,13 @@ object DedupPipeline {
       // broadcast when it fits, sort-merge (spillable, never collected)
       // when a pathological corpus makes candidates corpus-sized.
       val candC = cand.localCheckpoint()
-      val small = candC.count() <= 250000 // ≤ ~140 MB with 64-perm sigs
+      // broadcast budget scales with SIGNATURE WIDTH, not a fixed row
+      // count: the broadcast object is candidates + one sig per side,
+      // ~perms·8 bytes per row — 250k rows is ~140 MB at the default 64
+      // perms but ~0.5 GB at 256, re-creating the driver-pressure cliff
+      // the measured strategy exists to avoid. Budget ≈ 16M row·perms
+      // (the 64-perm calibration point expressed width-independently).
+      val small = candC.count() * p.perms <= 16000000L
       val sa = sigs.select(col(idCol).as("d1"), col("sig").as("siga"))
       val sb = sigs.select(col(idCol).as("d2"), col("sig").as("sigb"))
       val j1 = if (small) broadcast(candC).join(sa, "d1")

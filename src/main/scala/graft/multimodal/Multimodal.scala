@@ -745,14 +745,19 @@ object Multimodal {
     * candidate keys. Key columns are (q, bk1..bk4) — one block value
     * per column, unused columns 0 — so no packing limit binds.
     * Same exact-recall guarantee as [[hashBlocks]]: ≤ maxHamming dirty
-    * bits dirty ≤ maxHamming blocks, leaving ≥ combo clean. */
+    * bits dirty ≤ maxHamming blocks, leaving ≥ combo clean.
+    *
+    * Tight radii (maxHamming + combo < 4) auto-raise `combo` to keep
+    * every block within a 63-bit long: recall at the radius is exact
+    * for EVERY combo, so the raise only narrows the candidate keys —
+    * an exact-match (radius 0) query must not require the caller to
+    * know the 252/63 packing arithmetic. */
   def hashBlocksWide(hashes: DataFrame, maxHamming: Int, combo: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 32,
       s"maxHamming must be in [0,32], got $maxHamming")
     require(combo >= 1 && combo <= 4, s"combo must be in [1,4], got $combo")
-    val m = maxHamming + combo
-    require(m >= 4, s"need ≥4 blocks over 252 bits (block width ≤ 63) — " +
-      s"raise combo for radius ${maxHamming}")
+    val c = math.max(combo, 4 - maxHamming) // block width ≤ 63 over 252 bits
+    val m = maxHamming + c
     val width = 252.0 / m
     val bounds = (0 until m).map { q =>
       (math.round(q * width).toInt, math.round((q + 1) * width).toInt)
@@ -771,7 +776,7 @@ object Multimodal {
             .bitwiseAND(lit((1L << hiBits) - 1)), lowBits))
       }
     }
-    val subsets = (0 until m).combinations(combo).toIndexedSeq
+    val subsets = (0 until m).combinations(c).toIndexedSeq
     hashes.select(col("id"), col("h"),
       explode(array(subsets.zipWithIndex.map { case (sub, si) =>
         val ks = (0 until 4).map { i =>
@@ -883,6 +888,35 @@ object Multimodal {
     * collision. */
   def mediaHash(b: Array[Byte]): Option[Long] =
     perceptualHash(b).orElse(audioFingerprint(b))
+
+  /** Modality-dispatching 252-bit media hash — media scheme 2, the
+    * billion-asset regime of [[mediaHash]]: the wide image pHash when
+    * the bytes decode as an image, else the 63-bit audio fingerprint
+    * REPLICATED ×4. Replication (not zero-padding) keeps entropy in
+    * every pigeonhole block — zero-padded audio rows would all collide
+    * on the all-zero high blocks and quadratically candidate-join the
+    * entire audio subset — and it scales audio distances ×4 (a pair at
+    * narrow distance d reads 4d wide), so ONE radius convention covers
+    * both modalities: a scheme-2 radius is ~4× the scheme-1 radius
+    * (e.g. 16 wide ≈ 4 narrow). Cross-modality pairs stay ~126 bits
+    * apart either way. */
+  def mediaHashWide(b: Array[Byte]): Option[Array[Long]] =
+    perceptualHashWide(b).orElse(
+      audioFingerprint(b).map(a => Array(a, a, a, a)))
+
+  /** Per-row [[mediaHashWide]]s as (id, h array<bigint>[4]);
+    * undecodable rows dropped. */
+  def mediaHashesWide(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralId(df, idCol)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        mediaHashWide(bytes).map((id, _))
+      })
+      .toDF("id", "h")
+  }
 
   /** Per-row [[mediaHash]]es as (id, h); undecodable rows dropped. */
   def mediaHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {

@@ -306,6 +306,55 @@ object StoreQueries {
       readBack(store)
     }),
 
+    // Materialized-aggregate maintenance over the commit-diff feed
+    // (incremental view maintenance — the last spec-only lifecycle
+    // family, round-8 punch item #4): a per-user (n_rows, Σvalue)
+    // rollup is maintained across an APPEND commit and a CORRECTION
+    // commit by reading ONLY each window's delta files
+    // (GriddedStore.changes), never re-scanning the table. In-query
+    // requires pin the BIT-IDENTICAL-to-recompute property at both
+    // versions (decimal accumulation is order-free; survivor rows
+    // cancel exactly between their delete and insert images), so a
+    // maintenance bug fails loudly before the hash compare; the
+    // emitted frame is the final maintained state, which the oracle
+    // recomputes from scratch over the corrected table. At 100 TB the
+    // per-commit cost is delta-files + key-cardinality state — the
+    // whole point of the operator.
+    "q162_incremental_agg" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val all = tall(s, dir)
+      val r = all.agg(min("time"), max("time")).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val cut = lo + (hi - lo) / 5L * 4L
+      val store = new GriddedStore(freshRoot(s, "q162", dir), s)
+      store.writeInitial(all.filter(col("time") <= cut), desc(WeekUs))
+      val v1 = store.latestVersionNumber()
+      val keys = Seq("longitude") // longitude = user_id in this mapping
+      val state1 = IncrementalAgg.aggregate(store.readAt(v1), keys, "value")
+        .localCheckpoint()
+      store.update(all.filter(col("time") > cut)) // append commit
+      val v2 = store.latestVersionNumber()
+      val state2 = IncrementalAgg.maintain(store, v1, v2, state1, keys, "value")
+        .localCheckpoint()
+      val full2 = IncrementalAgg.aggregate(store.readAt(v2), keys, "value")
+      require(state2.exceptAll(full2).isEmpty && full2.exceptAll(state2).isEmpty,
+        "maintained state diverged from recompute at the append commit")
+      store.update(all.filter(col("latitude") % 7 === 0)
+        .withColumn("value", col("value") + 1000.0)) // correction commit
+      val v3 = store.latestVersionNumber()
+      val state3 = IncrementalAgg.maintain(store, v2, v3, state2, keys, "value")
+        .localCheckpoint()
+      val full3 = IncrementalAgg.aggregate(store.readAt(v3), keys, "value")
+      require(state3.exceptAll(full3).isEmpty && full3.exceptAll(state3).isEmpty,
+        "maintained state diverged from recompute at the correction commit")
+      state3.select(col("longitude").cast("bigint").as("user_id"),
+          col("n_rows"),
+          // exact decimal state → ONE terminal double conversion (both
+          // engines round the same exact rational to nearest double)
+          col("sum_val").cast("double").as("sum_val"))
+        .orderBy("user_id")
+    }),
+
     "q140_store_encrypted" -> ((s, dir) => {
       import graft.functions.Encryption
       val hash = Encryption.registerKey(Encryption.generateKey())
@@ -348,6 +397,14 @@ object StoreQueries {
     "q151_store_surgery" ->
       """SELECT event_id, epoch_us(ts) AS t, user_id * 2 + 1 AS user_id, value
         |FROM events WHERE event_id % 4 = 1 ORDER BY event_id""".stripMargin,
+    "q162_incremental_agg" ->
+      """WITH final AS (
+        |  SELECT user_id,
+        |         CASE WHEN event_id % 7 = 0 THEN value + 1000.0 ELSE value END AS value
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_rows,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS DOUBLE) AS sum_val
+        |FROM final GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q152_catalog_extents" ->
       """SELECT CAST(MIN(user_id) AS DOUBLE) AS min_lon,
         |  CAST(MIN(event_id) AS DOUBLE) AS min_lat,

@@ -491,6 +491,77 @@ object StreamingQueries {
       hours.select(unix_micros(col("hour_start")).as("hour_us"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour_us", "event_type")
+    }),
+
+    // The OFFLINE STATE AUDIT through the gate (the last streaming-
+    // diagnostics surface that was spec-only): stage 2 of
+    // [[StreamingNearDup.flagContinuous]] buffers per-document band
+    // verdicts and emits on count-completion, so a SHORT feed — fewer
+    // band rows than declared, an upstream bander bug — omits the
+    // document SILENTLY and retains its DocAcc state forever.
+    // [[StreamingNearDup.retainedDocGroups]] reads the checkpoint back
+    // through Spark's state data source and surfaces exactly those
+    // groups. Here every doc_id % 17 == 0 document is deliberately
+    // short-fed (1 + doc_id % 15 of the 16 declared bands) from one
+    // AvailableNow checkpoint; the audit rows must name exactly the
+    // held-back set with the exact held counts — doc_id arithmetic the
+    // oracle replays relationally. In-query asserts pin the complement:
+    // every fully-fed document produced exactly one verdict.
+    "q163_state_audit" -> ((s, dir) => {
+      import s.implicits._
+      val in = freshDir(s, "q163_in", dir)
+      val out = freshDir(s, "q163_out", dir)
+      val ckpt = freshDir(s, "q163_ckpt", dir)
+      val docs = Tables.table(s, dir, "documents").select(col("doc_id"))
+      val nb = when(col("doc_id") % 17 === 0,
+        (col("doc_id") % (Bands - 1)) + 1).otherwise(lit(Bands.toLong))
+      val banded = docs.select(col("doc_id"),
+          (lit(BaseUs) + col("doc_id") % 240 * lit(MinUs)).as("us"),
+          explode(sequence(lit(0), (nb - 1).cast("int"))).as("bandIdx"))
+        .withColumn("bandKey",
+          concat(lit("k"), col("doc_id"), lit("-"), col("bandIdx")))
+        .select("doc_id", "us", "bandIdx", "bandKey")
+        .localCheckpoint()
+      (0 until 2).foreach { i =>
+        banded.filter(col("doc_id") % 2 === i)
+          .coalesce(1).write.parquet(s"$in/p=$i")
+      }
+      // watermark-advancing sentinels, complete on their own (q144's
+      // mtime/name tiebreak discipline)
+      (1 to 2).foreach { i =>
+        (0 until Bands)
+          .map(b => (-i.toLong, BaseUs + (100 + i) * 60 * MinUs, b,
+            s"sent-$i-$b"))
+          .toDF("doc_id", "us", "bandIdx", "bandKey")
+          .coalesce(1).write.parquet(s"$in/p=${1 + i}")
+      }
+      val ss = gateSession(s,
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+          -> "false",
+        "spark.sql.shuffle.partitions" -> "8")
+      val src = ss.readStream.schema(banded.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$in/*")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "5 hours")
+        .select(col("doc_id"), col("us"), col("bandIdx"), col("bandKey"),
+          col("ts"))
+        .as[(Long, Long, Int, String, java.sql.Timestamp)]
+      StreamingNearDup.flagContinuous(src, TtlUs, Bands)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      // the complement check: every complete document emitted exactly
+      // one verdict (the audit below covers the held ones)
+      val emitted = s.read.parquet(out).filter(col("docId") >= 0).count()
+      val expectComplete = docs.filter(col("doc_id") % 17 =!= 0).count()
+      require(emitted == expectComplete,
+        s"q163: $emitted verdicts for $expectComplete complete docs")
+      StreamingNearDup.retainedDocGroups(s, ckpt)
+        .select(col("docId").as("doc_id"), col("timeUs").as("time_us"),
+          col("bandsHeld").cast("bigint").as("bands_held"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -601,5 +672,14 @@ object StreamingQueries {
       """SELECT epoch_us(ts) // 3600000000 * 3600000000 AS hour_us,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+
+    // the planted hold-back set, replayed from doc_id arithmetic: the
+    // audit must surface exactly the short-fed documents with exactly
+    // the number of band verdicts each was fed
+    "q163_state_audit" ->
+      """SELECT doc_id,
+        |  1704067200000000 + (doc_id % 240) * 60000000 AS time_us,
+        |  1 + doc_id % 15 AS bands_held
+        |FROM documents WHERE doc_id % 17 = 0 ORDER BY doc_id""".stripMargin)
 }

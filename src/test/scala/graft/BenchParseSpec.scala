@@ -186,6 +186,21 @@ class BenchParseSpec extends AnyFunSuite {
       "{\"q\":\"q01_a\",\"prev\":0.5,\"expected\":0.5,\"now\":1.0}"))
   }
 
+  test("steal sandwich: jiffy counters read and swing math classifies") {
+    // on the Linux hosts these rounds run on, /proc/stat must parse and
+    // the counters must be monotone non-negative
+    val j = Bench.cpuStealJiffies()
+    assert(j.nonEmpty, "/proc/stat should parse on this host")
+    assert(j.get._1 >= 0 && j.get._2 > 0 && j.get._1 <= j.get._2)
+    // the committed adjudication rule: >20% swing between the sandwich
+    // samples marks the record steal_suspect
+    assert(Bench.calibrationSwing(10000L, 10000L) == 0.0)
+    assert(Bench.calibrationSwing(10000L, 7900L) > 0.20)
+    assert(Bench.calibrationSwing(7900L, 10000L) > 0.20) // symmetric
+    assert(Bench.calibrationSwing(10000L, 8500L) < 0.20)
+    assert(Bench.calibrationSwing(0L, 0L) == 0.0) // degenerate: no flag
+  }
+
   test("latestBaseline picks the newest USABLE round file") {
     val dir = java.nio.file.Files.createTempDirectory("benchbase").toString
     def put(n: String, body: String) =

@@ -25,6 +25,22 @@ class MediaDedupSpec extends SparkSpec {
       (if (x >= 20 && x < 24 && y >= 40 && y < 44) 10 else 0)
   })
 
+  // splitmix-mixed pixels for the WIDE-scheme tests: the Random-based
+  // generator above is fine at the narrow radius 3 (distinct images > 3
+  // apart) but its weak scrambler correlates nearby seeds' block grids,
+  // which the 252-bit hash's radius-16 gate could read as a merge — the
+  // wide tests need the iid-block generator (same as MediaScaleProbe)
+  private def basePixW(seed: Int)(x: Int, y: Int): Int = {
+    var z = seed * 7919L + (x / 8) * 31L + y / 8
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    (((z & 0x7fffffffL) % 200).toInt + (x + y) % 16) % 255
+  }
+  private def imgW(seed: Int): Array[Byte] = p5(64, 64, basePixW(seed))
+  private def imgNearW(seed: Int): Array[Byte] = p5(64, 64, (x, y) =>
+    basePixW(seed)(x, y) + (if (x >= 20 && x < 24 && y >= 40 && y < 44) 10 else 0))
+
   private def text(seed: Int): String =
     (0 until 12).map(j => s"m${seed}x$j").mkString(" ")
 
@@ -71,6 +87,112 @@ class MediaDedupSpec extends SparkSpec {
     assert(ids(m) == Set(1L, 3L, 4L, 11L, 21L))
     val r3 = m.ingestShard(docs(Seq((30L, text(30), "web", imgNear(21)))))
     assert(r3.duplicates == 1 && r3.ingested == 0, r3.toString)
+  }
+
+  test("wide media scheme (252-bit): full lifecycle with the same planted outcomes") {
+    // the SAME fixture as the scheme-1 lifecycle test, run under
+    // mediaScheme = 2 at the wide radius convention (~4× narrow): the
+    // manager must make identical keep/drop decisions through the
+    // 252-bit path, stamp the manifest with scheme 2, and write the
+    // artifact into the scheme's own dir
+    val root = tmpDir("cmmediaw")
+    val m = new CorpusManager("cm_mediaw", root, spark,
+      numBuckets = 4, minTokens = 2, mediaCol = Some("img"),
+      mediaMaxHamming = 16, mediaScheme = 2)
+    val r0 = m.ingestInitial(docs(Seq(
+      (1L, text(1), "web", imgW(1)),
+      (2L, text(2), "web", imgNearW(1)),
+      (3L, text(3), "web", imgW(3)),
+      (4L, text(4), "web", "not an image".getBytes))))
+    assert(r0.ingested == 3 && r0.duplicates == 1, r0.toString)
+    assert(ids(m) == Set(1L, 3L, 4L))
+    assert(m.readManifest().exists(_.mediaScheme == 2L))
+    assert(m.mediaPath.endsWith("media_hashes_s2"))
+    assert(new java.io.File(s"$root/media_hashes_s2").exists())
+    val r1 = m.ingestShard(docs(Seq(
+      (10L, text(10), "web", imgNearW(3)),
+      (11L, text(11), "web", imgW(11)))))
+    assert(r1.duplicates == 1 && r1.ingested == 1, r1.toString)
+    m.compactArtifacts()
+    val r2 = m.ingestShard(docs(Seq((20L, text(20), "web", imgNearW(11)))))
+    assert(r2.duplicates == 1 && r2.ingested == 0, r2.toString)
+    assert(ids(m) == Set(1L, 3L, 4L, 11L))
+  }
+
+  test("wide scheme deduplicates AUDIO too (replicated fingerprint, 4x distances)") {
+    import graft.multimodal.{Multimodal, SyntheticMedia}
+    // the replicated-×4 wide audio hash: a power-of-two gain is a
+    // fingerprint identity, so group twins sit at wide distance 0 and
+    // distinct groups stay far (~4× the narrow separation)
+    val a0 = Multimodal.mediaHashWide(SyntheticMedia.wav(2, 1)).get
+    val a0g = Multimodal.mediaHashWide(SyntheticMedia.wav(2, 3)).get
+    val a1 = Multimodal.mediaHashWide(SyntheticMedia.wav(5, 1)).get
+    assert(a0.sameElements(a0g))
+    assert(a0.toSeq == Seq.fill(4)(a0(0)), "audio hash must be the fp replicated")
+    val d = (0 until 4).map(i => java.lang.Long.bitCount(a0(i) ^ a1(i))).sum
+    assert(d > 16, s"distinct audio groups too close wide: $d")
+    val m = new CorpusManager("cm_mediawa", tmpDir("cmmediawa"), spark,
+      numBuckets = 4, minTokens = 2, mediaCol = Some("img"),
+      mediaMaxHamming = 16, mediaScheme = 2)
+    val r0 = m.ingestInitial(docs(Seq(
+      (1L, text(1), "web", SyntheticMedia.wav(2, 1)),
+      (2L, text(2), "web", SyntheticMedia.wav(2, 3)), // same group, 8x gain
+      (3L, text(3), "web", SyntheticMedia.wav(5, 1)))))
+    assert(r0.ingested == 2 && r0.duplicates == 1, r0.toString)
+    assert(ids(m) == Set(1L, 3L))
+    // shard: an image near-dup and an audio twin both drop via the
+    // SAME wide artifact (mixed modalities in one hash table)
+    val r1 = m.ingestShard(docs(Seq(
+      (10L, text(10), "web", SyntheticMedia.wav(5, 2)),
+      (11L, text(11), "web", imgW(11)))))
+    assert(r1.duplicates == 1 && r1.ingested == 1, r1.toString)
+    assert(ids(m) == Set(1L, 3L, 11L))
+  }
+
+  test("media scheme mismatch refuses loudly; migrateMediaScheme re-enables ingest") {
+    val root = tmpDir("cmmediamig")
+    val m1 = new CorpusManager("cm_mediamig", root, spark,
+      numBuckets = 4, minTokens = 2, mediaCol = Some("img"))
+    val r0 = m1.ingestInitial(docs(Seq(
+      (1L, text(1), "web", imgW(1)),
+      (3L, text(3), "web", imgW(3)))))
+    assert(r0.ingested == 2)
+    // a scheme-2 manager on the scheme-1 store: ingest AND compaction
+    // refuse before touching any artifact; migrating twice refuses too
+    val m2 = new CorpusManager("cm_mediamig", root, spark,
+      numBuckets = 4, minTokens = 2, mediaCol = Some("img"),
+      mediaMaxHamming = 16, mediaScheme = 2)
+    val e = intercept[IllegalStateException] {
+      m2.ingestShard(docs(Seq((10L, text(10), "web", imgW(10)))))
+    }
+    assert(e.getMessage.contains("migrateMediaScheme"))
+    intercept[IllegalStateException] { m2.compactArtifacts() }
+    assert(ids(m2) == Set(1L, 3L), "refusal must leave the corpus untouched")
+    // migrate: recomputes the artifact from the pinned docs' media
+    // column, stamps scheme 2, commits a generation
+    val man = m2.migrateMediaScheme()
+    assert(man.mediaScheme == 2L && man.generation == 2L)
+    intercept[IllegalArgumentException] { m2.migrateMediaScheme() } // already at 2
+    // the migrated artifact drives shard dedup: a near copy of corpus
+    // doc 3's image (fresh text) drops through the wide path
+    val r1 = m2.ingestShard(docs(Seq(
+      (10L, text(10), "web", imgNearW(3)),
+      (11L, text(11), "web", imgW(11)))))
+    assert(r1.duplicates == 1 && r1.ingested == 1, r1.toString)
+    assert(ids(m2) == Set(1L, 3L, 11L))
+    // the scheme-1 manager now refuses: ITS scheme is stale
+    intercept[IllegalStateException] {
+      m1.ingestShard(docs(Seq((20L, text(20), "web", imgW(20)))))
+    }
+    // vacuum beyond the retained window reclaims the unpinned
+    // old-scheme files (the s1 dir empties; the s2 artifact survives)
+    m2.ingestShard(docs(Seq((21L, text(21), "web", imgW(21)))))
+    val deleted = m2.vacuum(retainLast = 1)
+    assert(deleted.exists(_.startsWith("media_hashes/")),
+      s"old-scheme media files not reclaimed: $deleted")
+    assert(ids(m2) == Set(1L, 3L, 11L, 21L))
+    val r2 = m2.ingestShard(docs(Seq((30L, text(30), "web", imgNearW(21)))))
+    assert(r2.duplicates == 1 && r2.ingested == 0, r2.toString)
   }
 
   test("a media-less corpus (mediaCol unset) is unaffected and its manifest reads back") {

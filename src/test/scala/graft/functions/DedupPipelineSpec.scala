@@ -206,23 +206,49 @@ class DedupPipelineSpec extends SparkSpec {
     val path = tmpDir("dedup-inc")
     try {
       DedupPipeline.persist(corpus, "doc_id", "text", "dp", path, 8)
-      val inc = DedupPipeline.runIncremental(spark, shard, "doc_id", "text",
-        "dp", path, 8)
       // plan: the corpus↔shard band join must be exchange-free on the
-      // corpus side. The candidate stage is checkpointed inside
-      // verifiedPairs (its size decides the verify-join strategy), so
-      // assert on the candidate-stage plan itself — the construction
-      // runIncremental feeds from the same two tables.
+      // corpus side, AND that property must hold for the plans
+      // runIncremental ACTUALLY EXECUTES — not just for a rebuilt
+      // candidatePairs over the same tables (internal rewiring that
+      // fed a re-projected, non-bucketed frame into verifiedPairs
+      // would slip past a reconstruction). The candidate stage runs
+      // eagerly inside verifiedPairs (localCheckpoint + count), so a
+      // QueryExecutionListener registered across the call observes the
+      // real candidate-stage plan; broadcast is disabled for the call
+      // so the bucketed-SMJ regime (the 100-TB shape) is what executes.
+      val plans = new scala.collection.mutable.ArrayBuffer[String]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          plans.synchronized { plans += qe.executedPlan.toString(); () }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val plan = try {
+      spark.listenerManager.register(listener)
+      val inc = try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        DedupPipeline.candidatePairs(
-            graft.sources.BucketedSignatureStore.table(spark, "dp_bands"),
-            graft.sources.BucketedSignatureStore.table(spark, "dp_shard_bands"),
-            "doc_id", col("a.doc_id") =!= col("b.doc_id"))
-          .queryExecution.executedPlan.toString()
+        DedupPipeline.runIncremental(spark, shard, "doc_id", "text",
+          "dp", path, 8)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      assert(plan.contains("Bucketed: true"), plan)
+      // listener delivery is async on the listener bus — poll for the
+      // corpus-scanning executions before asserting on them
+      // "dp_shard_bands" does not contain "dp_bands" as a substring, so
+      // this matches exactly the executions that scanned the corpus table
+      def corpusPlans(): Seq[String] = plans.synchronized {
+        plans.filter(_.contains("dp_bands")).toSeq }
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (corpusPlans().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      spark.listenerManager.unregister(listener)
+      val cps = corpusPlans()
+      assert(cps.nonEmpty, "no executed plan scanned the corpus band table")
+      assert(cps.exists(_.contains("Bucketed: true")),
+        s"corpus band scan not bucketed in the EXECUTED plans:\n${cps.mkString("\n---\n")}")
+      assert(cps.forall(!_.contains("Exchange hashpartitioning(band")),
+        s"corpus/shard band rows re-shuffled on the band key in a real plan:\n${
+          cps.find(_.contains("Exchange hashpartitioning(band")).getOrElse("")}")
 
       val incSet = inc.as[(Long, Long)].collect().toSet
       val (batchPairs, _, _) = DedupPipeline.run(docs, "doc_id", "text")

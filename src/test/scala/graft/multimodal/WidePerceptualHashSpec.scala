@@ -102,6 +102,32 @@ class WidePerceptualHashSpec extends SparkSpec {
     assert(cross == p1.map(t => (t._1, t._2)), s"cross mismatch: ${cross.size}")
   }
 
+  test("tight radii auto-raise combo: exact-match and radius-2 wide queries just work") {
+    val s = spark; import s.implicits._
+    def mix(x: Long, j: Int): Long = {
+      var z = (x * 4 + j) * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      (z ^ (z >>> 31)) & Long.MaxValue
+    }
+    // ids 2k/2k+1 share a hash; 2k+1 of groups 0..9 flips bit 100
+    val rows = (0L until 100L).map { id =>
+      val base = Array.tabulate(4)(j => mix(id / 2, j))
+      if (id % 2 == 1 && id < 20) {
+        val c = base.clone(); c(100 / 63) ^= 1L << (100 % 63); (id, c)
+      } else (id, base)
+    }
+    val hashes = rows.toDF("id", "h")
+    // radius 0 (block width would exceed 63 without the raise): finds
+    // exactly the UNperturbed twin pairs
+    val exact = Multimodal.hammingPairsWide(hashes, 0)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact == (10L until 50L).map(k => (k * 2, k * 2 + 1)).toSet, exact.toString)
+    // radius 2 with the default combo=1 (m would be 3): all 50 pairs
+    val near = Multimodal.hammingPairsWide(hashes, 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(near == (0L until 50L).map(k => (k * 2, k * 2 + 1)).toSet, near.toString)
+  }
+
   test("q161 gate generator: 100 group hashes pairwise > 16 apart, k-duplication exact") {
     val hs = (0L until 100L).map(g =>
       Multimodal.perceptualHashWide(SyntheticMedia.pgm(g, 1)).get)
