@@ -112,7 +112,10 @@ class VocabDriftException(msg: String) extends RuntimeException(msg)
   *     quantizer cell boundary is missed; `embProbes = P` probes the
   *     runner-up cells too (shard side replicated ×P, corpus layout
   *     and exchange-free scan unchanged), shrinking — not closing —
-  *     that hole. The multi-table LSH shape is the recall-guaranteed
+  *     that hole. MEASURED (CombinedScaleProbe, random 64-dim unit
+  *     vectors over 16 cells): top-1 probing missed 4% of planted
+  *     cos≈0.995 cross pairs; embProbes = 3 recovered all of them.
+  *     The multi-table LSH shape is the recall-guaranteed
   *     alternative when it matters.
   *
   * Snapshot isolation (the [[graft.sources.GriddedStore]] discipline):
