@@ -186,6 +186,36 @@ class BenchParseSpec extends AnyFunSuite {
       "{\"q\":\"q01_a\",\"prev\":0.5,\"expected\":0.5,\"now\":1.0}"))
   }
 
+  test("the round-9 sandwich record format parses; host miters = START sample") {
+    val full = """{"metric":"total","value":1.0,"unit":"sec","ok":true,""" +
+      """"warm_estimator":"min3","host":{"single_miters":480,""" +
+      """"multi32_miters":12000,"single_miters_end":475,""" +
+      """"multi32_miters_end":9000,"sandwich_swing":0.2500,""" +
+      """"steal_jiffies":123456,"cpu_jiffies":999999,"steal_suspect":true},""" +
+      """"queries":{"q01_a":1.5},"gates":{"q137_store_roundtrip":10.0},""" +
+      """"failed":[],"warm_total":0.4,"warm":{"q01_a":0.4},""" +
+      """"warm_gates":{"q137_store_roundtrip":9.0},"regressions":[],""" +
+      """"sf":"/root/testdata/sf0.1","tier2":{"factor":10,"total":9.0,""" +
+      """"queries":{"q01_a":9.0},"gates":{"q137_store_roundtrip":19.0},""" +
+      """"failed":[],"warm_total":3.0,"warm":{"q01_a":3.0},""" +
+      """"warm_gates":{"q137_store_roundtrip":18.0},"regressions":[]}}"""
+    val p = write(full)
+    // gate queries file into the same cold/warm sections as plan queries
+    // (the anchor-free parser is sub-map-blind — by design)
+    assert(Bench.baselineQueries(p) ==
+      Map("q01_a" -> 1.5, "q137_store_roundtrip" -> 10.0))
+    assert(Bench.baselineQueries(p, "warm") ==
+      Map("q01_a" -> 0.4, "q137_store_roundtrip" -> 9.0))
+    assert(Bench.baselineQueries(p, "tier2") ==
+      Map("q01_a" -> 9.0, "q137_store_roundtrip" -> 19.0))
+    assert(Bench.baselineQueries(p, "tier2warm") ==
+      Map("q01_a" -> 3.0, "q137_store_roundtrip" -> 18.0))
+    // drift normalization must read the START calibration (first match),
+    // never the _end sample — the regex anchors on the exact key
+    assert(Bench.baselineHostSingle(p).contains(480L))
+    assert(Bench.baselineHostMiters(p, "multi32_miters").contains(12000L))
+  }
+
   test("steal sandwich: jiffy counters read and swing math classifies") {
     // on the Linux hosts these rounds run on, /proc/stat must parse and
     // the counters must be monotone non-negative
