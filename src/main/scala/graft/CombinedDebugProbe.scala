@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-off triage for CombinedScaleProbe false positives: for each
+  * suspect id, brute-force its nearest neighbor under each family's
+  * metric over the full initial corpus — exact est-Jaccard vs every
+  * signature, exact wide Hamming vs every media hash, exact cosine vs
+  * every embedding — and print the closest few. Identifies WHICH
+  * signal merged a non-planted doc and with whom. */
+object CombinedDebugProbe extends Serializable {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val nDocs = args.headOption.map(_.toInt).getOrElse(2000000)
+    val nInit = nDocs * 9 / 10
+    val suspects = args.drop(1).map(_.toLong).toSeq match {
+      case Nil => Seq(997224L, 572356L)
+      case s => s
+    }
+    val init = spark.range(nInit.toLong).as[Long].mapPartitions(_.map { id =>
+      val r = id % 40
+      val tSeed = if (r == 1) 1000000000L + (id - 1) else 1000000000L + id
+      val eSeed = if (r == 5) 2000000000L + (id - 1) else 2000000000L + id
+      val mSeed = if (r == 3) id - 1 else id
+      (id, CombinedScaleProbe.text(tSeed, r == 1),
+        CombinedScaleProbe.img(mSeed.toInt, r == 3),
+        CombinedScaleProbe.emb(eSeed, r == 5))
+    }).toDF("doc_id", "text", "media", "emb").localCheckpoint()
+
+    // media: exact wide Hamming of every doc vs each suspect
+    val hashes = graft.multimodal.Multimodal
+      .perceptualHashesWide(init.select("doc_id", "media"), "doc_id", "media")
+      .localCheckpoint()
+    val qh = hashes.filter(col("id").isin(suspects: _*))
+      .as[(Long, Array[Long])].collect().toMap
+    for ((qid, q) <- qh) {
+      val top = hashes.as[(Long, Array[Long])].filter(_._1 != qid)
+        .map { case (id, h) =>
+          (id, (0 until 4).map(i => java.lang.Long.bitCount(h(i) ^ q(i))).sum)
+        }.orderBy(col("_2")).limit(3).collect()
+      println(s"DEBUG media $qid closest: ${top.mkString(", ")}")
+    }
+    // emb: exact cosine vs each suspect
+    val qe = init.filter(col("doc_id").isin(suspects: _*))
+      .select("doc_id", "emb").as[(Long, Array[Float])].collect().toMap
+    for ((qid, q) <- qe) {
+      val top = init.select("doc_id", "emb").as[(Long, Array[Float])]
+        .filter(_._1 != qid)
+        .map { case (id, e) =>
+          var d = 0.0; var i = 0
+          while (i < 64) { d += e(i) * q(i); i += 1 }
+          (id, d)
+        }.orderBy(col("_2").desc).limit(3).collect()
+      println(s"DEBUG emb $qid closest: ${top.mkString(", ")}")
+    }
+    // stage replay: run the ACTUAL pipeline stages and find where the
+    // suspects pick up an edge or lose keeper status
+    if (sys.env.get("SPARK_GRAFT_DEBUG_STAGES").nonEmpty) {
+      val (pairs, labels, tk) = graft.functions.DedupPipeline.run(
+        init.select("doc_id", "text"), "doc_id", "text")
+      val pC = pairs.localCheckpoint()
+      println("DEBUG text-pairs touching suspects: " +
+        pC.filter(col("d1").isin(suspects: _*) || col("d2").isin(suspects: _*))
+          .collect().mkString(", "))
+      println("DEBUG labels rows for suspects: " +
+        labels.filter(col("id").isin(suspects: _*)).collect().mkString(", "))
+      val tkC = tk.localCheckpoint()
+      println("DEBUG textKeepers contains suspects: " +
+        tkC.filter(col("doc_id").isin(suspects: _*)).count())
+      val m = new graft.etl.CorpusManager("dbg", "/tmp/dbg_probe_root", spark,
+        numBuckets = 8, minTokens = 2,
+        embCol = Some("emb"), embNearCos = 0.98, embDims = 64, embProbes = 3,
+        mediaCol = Some("media"), mediaMaxHamming = 16, mediaScheme = 2,
+        minVocabContainment = Some(0.2))
+      val mh = m.mediaHashesOf(init.select(col("doc_id"), col("media")))
+      val mPairs = m.mediaIntraPairs(mh).localCheckpoint()
+      println("DEBUG media-pairs touching suspects: " +
+        mPairs.filter(col("d1").isin(suspects: _*) || col("d2").isin(suspects: _*))
+          .collect().mkString(", "))
+      val ePairs = m.embIntraPairs(init.select(col("doc_id"), col("emb")))
+        .localCheckpoint()
+      println("DEBUG emb-pairs touching suspects: " +
+        ePairs.filter(col("d1").isin(suspects: _*) || col("d2").isin(suspects: _*))
+          .collect().mkString(", "))
+      println(s"DEBUG pair totals: text=${pC.count()} media=${mPairs.count()} " +
+        s"emb=${ePairs.count()}")
+      spark.stop(); return
+    }
+
+    // text: exact trigram Jaccard vs each suspect (the est can only
+    // exceed it by minhash variance; true J tells us if a real overlap
+    // exists at all)
+    val qt = init.filter(col("doc_id").isin(suspects: _*))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    for ((qid, q) <- qt) {
+      val qg = grams(q)
+      val top = init.select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 != qid)
+        .map { case (id, t) =>
+          val g = grams(t)
+          val inter = g.count(qg.contains)
+          (id, inter.toDouble / (g.size + qg.size - inter))
+        }.orderBy(col("_2").desc).limit(3).collect()
+      println(s"DEBUG text $qid closest (true J): ${top.mkString(", ")}")
+      println(s"DEBUG text $qid = '$q'")
+    }
+    spark.stop()
+  }
+}

@@ -439,7 +439,7 @@ class CorpusManager(
     * scheme (h: long for scheme 1, array<bigint>[4] for scheme 2);
     * undecodable rows have no hash and simply contribute no media
     * edges. */
-  private def mediaHashesOf(df: DataFrame): DataFrame = {
+  private[graft] def mediaHashesOf(df: DataFrame): DataFrame = {
     val in = df.select(col(idCol), col(mediaCol.get))
     if (mediaScheme == 2)
       graft.multimodal.Multimodal.mediaHashesWide(in, idCol, mediaCol.get)
@@ -457,7 +457,7 @@ class CorpusManager(
     * streamed candidate rows at 4M (measured by MediaScaleProbe) —
     * while combo [[graft.multimodal.Multimodal.comboFor]] keeps it
     * budget-bounded with the SAME verified pair set. */
-  private def mediaIntraPairs(hashes: DataFrame): DataFrame = {
+  private[graft] def mediaIntraPairs(hashes: DataFrame): DataFrame = {
     val h = hashes.localCheckpoint()
     val n = h.count().toDouble
     val combo = graft.multimodal.Multimodal.comboForCost(
@@ -708,7 +708,7 @@ class CorpusManager(
     * `embBits` ≈ log₂(batch/50) for a bounded bucket load). The cells
     * stay what they are good at: the exchange-free shard-vs-CORPUS
     * bucketed join ([[embCandidates]]). */
-  private def embIntraPairs(batch: DataFrame): DataFrame = {
+  private[graft] def embIntraPairs(batch: DataFrame): DataFrame = {
     val e = embCol.get
     // Regime dispatch: below cos ≈ 0.8 a true pair's per-bit hyperplane
     // collision probability sits too close to a random pair's 0.5 for

@@ -49,10 +49,14 @@ object Signatures {
     * id into every committed manifest and refuses mismatched stores
     * loudly (switching hashers on a live corpus routes through
     * `migrateSignatureScheme()`). Scheme history: 1 = one md5 digest
-    * per perm-pair (hex lanes per perm, round 1-2); 2 = two
+    * per perm-pair (hex lanes per perm, round 1-2); 2 = two raw
     * Kirsch–Mitzenmacher families from two md5 digests per shingle
-    * (current default); 3 = the same KM construction over four seeded
-    * xxHash64 lanes. Bump/add an id on ANY change to the hashing or
+    * (rounds 3-8); 3 = the same raw KM construction over four seeded
+    * xxHash64 lanes; 4 = the md5 KM values passed through the
+    * [[finalize60]] order-decorrelating finalizer (current default —
+    * see [[minhash]]'s scaladoc for the 2M-doc false-positive tail the
+    * raw affine values carry); 5 = the xxh64 lanes under the same
+    * finalizer. Bump/add an id on ANY change to the hashing or
     * [[wordShingles]] output.
     *
     * Implementations are objects (serializable singletons); the
@@ -73,7 +77,7 @@ object Signatures {
     * shingle, hex chars 1-15 and 16-30 of each. */
   object Md5SigHasher extends SigHasher {
     val name = "md5"
-    val scheme = 2L
+    val scheme = 4L
     def lanes(): Array[Byte] => (Long, Long, Long, Long) = {
       val md = MessageDigest.getInstance("MD5")
       val suffix = "#".getBytes(StandardCharsets.UTF_8)
@@ -109,7 +113,7 @@ object Signatures {
     * per-partition factories return shared closures. */
   object Xxh64SigHasher extends SigHasher {
     val name = "xxh64"
-    val scheme = 3L
+    val scheme = 5L
     private def xx(b: Array[Byte], seed: Long): Long =
       org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
@@ -319,12 +323,32 @@ object Signatures {
     * planted edges lost). Independent halves square that floor away
     * (observed: none at 2M).
     *
+    * Why the [[finalize60]] step (scheme 4/5): the RAW affine values
+    * `h0 + k·h1` are order-correlated ACROSS k — as k sweeps, the
+    * per-shingle values trace (wrapped) lines, and a SHARED shingle
+    * whose line dominates one family's whole k-range in BOTH documents
+    * matches at all 32 of that family's positions, pushing est-Jaccard
+    * to exactly 0.5 for a pair whose true Jaccard is near zero. This
+    * is the FALSE-POSITIVE twin of the single-family recall floor
+    * above, and it is a tail event with a scale fuse: the 2M-doc
+    * combined rehearsal measured 2 such merges in 1.6·10¹² pairs
+    * (docs 572356↔268070, 997224↔336617: one shared trigram of six,
+    * true J = 1/11, est ≥ 0.5 — invisible at 20k docs, a steady drip
+    * of silent data loss at corpus scale). The finalizer
+    * (xorshift-multiply-xorshift, mod 2^60) is a bijection per value,
+    * so each position's argmin distribution — and therefore the
+    * estimator's UNBIASEDNESS — is unchanged, but position ORDER
+    * correlation dies: a pair now needs genuinely matching minima at
+    * ≥ threshold·perms positions. 3 extra ALU ops per (shingle, perm);
+    * md5 remains the dominant cost.
+    *
     * Wrapped Long arithmetic is exact here: 2^60 divides 2^64, so the
-    * `& mask` of the overflowed sum equals the true value mod 2^60, and
-    * the oracle reproduces it with HUGEINT arithmetic on the same md5
-    * substrings. Empty-shingle docs get all-MaxValue sigs (callers that
-    * band-join should filter them out first — two empty docs are not
-    * near-duplicates of each other). */
+    * `& mask` of the overflowed sum (and of the finalizer's multiply)
+    * equals the true value mod 2^60, and the oracle reproduces both
+    * with HUGEINT arithmetic on the same md5 substrings. Empty-shingle
+    * docs get all-MaxValue sigs (callers that band-join should filter
+    * them out first — two empty docs are not near-duplicates of each
+    * other). */
   def minhash(df: DataFrame, idCol: String, textCol: String,
               ngram: Int, perms: Int): DataFrame =
     minhash(df, idCol, textCol, ngram, perms, Md5SigHasher)
@@ -343,6 +367,20 @@ object Signatures {
     * STREAMING input that join would be a watermarked stream-stream
     * join, so carrying is not just cheaper, it is what keeps the
     * streaming near-dup pipeline single-pass. */
+  /** Order-decorrelating finalizer over the 60-bit KM values (scheme
+    * 4/5): xorshift-30, odd multiply mod 2^60, xorshift-27. A bijection
+    * on [0, 2^60) — argmin distributions (and estimator unbiasedness)
+    * unchanged; the affine cross-perm ORDER correlation destroyed. The
+    * multiplier is the positive-signed-64 MMIX LCG constant so both
+    * Long-wrap (`& mask` after 2^64 wrap ≡ mod 2^60, since 2^60 | 2^64)
+    * and the oracle's exact HUGEINT `% 2^60` produce identical bits. */
+  @inline private[graft] def finalize60(a: Long): Long = {
+    val mask60 = (1L << 60) - 1
+    val b = a ^ (a >>> 30)
+    val c = (b * 6364136223846793005L) & mask60
+    c ^ (c >>> 27)
+  }
+
   def minhashCarrying(df: DataFrame, idCol: String, textCol: String,
                       ngram: Int, perms: Int, keep: Seq[String],
                       hasher: SigHasher = Md5SigHasher): DataFrame = {
@@ -372,14 +410,14 @@ object Signatures {
           var k = 0
           var v = h0
           while (k < half) {
-            val vm = v & mask60
+            val vm = finalize60(v & mask60)
             if (vm < sig(k)) sig(k) = vm
             v += h1
             k += 1
           }
           v = h2
           while (k < perms) {
-            val vm = v & mask60
+            val vm = finalize60(v & mask60)
             if (vm < sig(k)) sig(k) = vm
             v += h3
             k += 1

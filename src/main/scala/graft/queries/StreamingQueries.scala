@@ -578,12 +578,17 @@ object StreamingQueries {
         |              CAST('0x'||substr(md5(g),16,15) AS BIGINT) AS h1,
         |              CAST('0x'||substr(md5(g||'#'),1,15) AS BIGINT) AS h2,
         |              CAST('0x'||substr(md5(g||'#'),16,15) AS BIGINT) AS h3 FROM sh),
-        |mh AS (SELECT doc_id, p,
-        |         MIN(CAST((CASE WHEN p < 32
-        |               THEN CAST(h0 AS HUGEINT) + p * CAST(h1 AS HUGEINT)
-        |               ELSE CAST(h2 AS HUGEINT) + (p - 32) * CAST(h3 AS HUGEINT) END)
-        |             % 1152921504606846976 AS BIGINT)) AS m
-        |       FROM gh CROSS JOIN range(64) t(p) GROUP BY doc_id, p),
+        |mh0 AS (SELECT doc_id, p,
+        |          CAST((CASE WHEN p < 32
+        |                THEN CAST(h0 AS HUGEINT) + p * CAST(h1 AS HUGEINT)
+        |                ELSE CAST(h2 AS HUGEINT) + (p - 32) * CAST(h3 AS HUGEINT) END)
+        |              % 1152921504606846976 AS BIGINT) AS a
+        |        FROM gh CROSS JOIN range(64) t(p)),
+        |mh1 AS (SELECT doc_id, p,
+        |          CAST((CAST(xor(a, a >> 30) AS HUGEINT) * 6364136223846793005)
+        |               % 1152921504606846976 AS BIGINT) AS b FROM mh0),
+        |mh AS (SELECT doc_id, p, MIN(xor(b, b >> 27)) AS m
+        |       FROM mh1 GROUP BY doc_id, p),
         |sig AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
         |bands AS (SELECT doc_id, b,
         |            array_to_string(sig[CAST(b*4+1 AS INTEGER):CAST(b*4+4 AS INTEGER)], ',') AS bk

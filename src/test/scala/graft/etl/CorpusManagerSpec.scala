@@ -307,7 +307,9 @@ class CorpusManagerSpec extends SparkSpec {
         spark.sparkContext.hadoopConfiguration)
       val ptr = new org.apache.hadoop.fs.Path(root, "_corpus.json")
       val txt = graft.sources.ManifestIO.readVerified(fsys, ptr)
-        .replace("\"sigScheme\" : 2", "\"sigScheme\" : 1")
+        .replace(
+          s""""sigScheme" : ${graft.functions.Signatures.SchemeVersion}""",
+          "\"sigScheme\" : 1")
       assert(txt.contains("\"sigScheme\" : 1"), s"doctoring failed: $txt")
       val out = fsys.create(ptr, true)
       try out.write(graft.sources.ManifestIO.seal(txt.getBytes("UTF-8")))

@@ -43,6 +43,44 @@ class FunctionsSpec extends SparkSpec {
     assert(agree(sigs(0), sigs(3)) < 10)  // unrelated: almost none
   }
 
+  test("minhash finalizer kills the affine est-Jaccard FP tail (2M reproducer)") {
+    val s = spark; import s.implicits._
+    // The exact pairs the 2M combined rehearsal caught under the raw
+    // scheme-2 affine values: each pair shares ONE trigram of six
+    // (true J = 1/11 ≈ 0.09), yet a dominating shared line matched an
+    // entire 32-perm family in both docs and est hit 0.5 — two
+    // non-duplicates silently merged. Under scheme 4 (finalized
+    // values) the estimate must sit near the true Jaccard.
+    val pairs = Seq(
+      (1000000000L + 572356L, 1000000000L + 268070L),
+      (1000000000L + 997224L, 1000000000L + 336617L))
+    val docs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, graft.CombinedScaleProbe.text(a, near = false)),
+        (2L * i + 1, graft.CombinedScaleProbe.text(b, near = false)))
+    }.toDF("doc_id", "text")
+    val sigs = Signatures.minhash(docs, "doc_id", "text", 3, 64)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toArray)
+    def agree(a: Array[Long], b: Array[Long]) =
+      a.zip(b).count { case (x, y) => x == y }
+    for (i <- 0 until 2) {
+      val m = agree(sigs(2 * i), sigs(2 * i + 1))
+      assert(m < 32, s"pair $i: $m/64 slots agree — the FP tail is back " +
+        "(est >= 0.5 for true J = 1/11)")
+      assert(m <= 16, s"pair $i: $m/64 far above the J=1/11 expectation")
+    }
+    // and broadly: pairs sharing exactly one trigram of six must never
+    // reach the 0.5 gate, whatever the shared gram's hash values are
+    val sweep = (0 until 300).flatMap { k =>
+      val shared = s"sh${k}a sh${k}b sh${k}c" // one common trigram
+      Seq((10000L + 2 * k, s"a$k b$k c$k $shared"),
+        (10001L + 2 * k, s"$shared x$k y$k z$k"))
+    }.toDF("doc_id", "text")
+    val sw = Signatures.minhash(sweep, "doc_id", "text", 3, 64)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toArray)
+    val worst = (0 until 300).map(k => agree(sw(2 * k), sw(2 * k + 1))).max
+    assert(worst < 32, s"a one-shared-gram pair reached $worst/64 agreement")
+  }
+
   test("simhash: identical -> hamming 0; near < far") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
