@@ -142,6 +142,15 @@ object MediaScaleProbe {
        else "dups dropped (extra drops birthday-bounded, see scaladoc)"))
     }
 
+    // SPARK_GRAFT_MEDIA_SKIP_WIDE=1 ends after the manager stages (the
+    // standalone 252-bit stage has its own 4M A/B on record; a
+    // scheme-2 MANAGER run re-exercises the wide path end-to-end
+    // anyway, so the standalone stage would double the runtime for no
+    // new information)
+    if (sys.env.get("SPARK_GRAFT_MEDIA_SKIP_WIDE").nonEmpty) {
+      spark.stop(); return
+    }
+
     // ---- stage 3: the 252-bit hash at the same scale ------------------
     // The wide hash's point is ZERO birthday exposure (P(random pair
     // ≤ 16 of 252) ≈ 10⁻⁴⁷): the same corpus that hands the 63-bit
