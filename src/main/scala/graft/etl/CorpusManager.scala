@@ -635,16 +635,35 @@ class CorpusManager(
     spark.read.parquet(centsPath(v)).as[(Long, Array[Float])].collect().sortBy(_._1)
   }
 
+  /** Cell count for a corpus of `n` vectors: ~1000 vectors per cell,
+    * floored at the configured `annCells` (small corpora and every
+    * existing spec behave exactly as before) and capped at 4096
+    * (beyond that, centroid broadcast and per-row argmax start to
+    * dominate — split the corpus instead). MEASURED motivation (2M
+    * combined rehearsal): a STATIC 16-cell quantizer at a 1.665M-doc
+    * corpus means ~104k vectors per cell, so a 600k-row multi-probe
+    * shard join faced ~6·10¹⁰ cell-local candidate pairs — the
+    * embedding twin of the SetSimJoin hash-build cliff. Cell count is
+    * a TRAIN-time property: it changes only at initial ingest /
+    * compaction / migration, exactly when the artifact is rewritten
+    * and readers are re-pinned, so shard joins always match the
+    * persisted layout. */
+  private def cellsFor(n: Long): Int =
+    math.max(annCells, math.min(4096, (n / 1000L).toInt))
+
   /** Train the coarse quantizer on the given corpus vectors (md5-ordered
     * seeds → spherical k-means, the [[graft.functions.AnnIndex]] recipe)
-    * and persist the centroid sidecar for ann version `v`. */
+    * and persist the centroid sidecar for ann version `v`. Cell count
+    * scales with the corpus ([[cellsFor]]); Lloyd cost is
+    * O(n·cells·dims) per iteration, paid once per artifact rewrite. */
   private def trainQuantizer(kept: DataFrame, e: String,
                              v: Long): Array[(Long, Array[Float])] = {
     val s2 = spark
     import s2.implicits._
+    val cells = cellsFor(kept.count())
     val seeds = kept
       .withColumn("h_", md5(col(idCol).cast("string").cast("binary")))
-      .orderBy("h_", idCol).limit(annCells)
+      .orderBy("h_", idCol).limit(cells)
       .select(col(idCol).cast("long"), col(e))
       .as[(Long, Array[Float])].collect()
     val cents = graft.functions.VectorFunctions
@@ -723,9 +742,27 @@ class CorpusManager(
         .filter(col("cos") >= embNearCos)
         .select(col("d1"), col("d2"))
     }
+    // Bucket-width sizing is MEASURED, not static (the hashBuildFits
+    // discipline): candidate volume scales as n²·tables·2^(−bits), so
+    // a fixed `embBits` is a quadratic cliff one batch-size decade up —
+    // at a 1.8M-doc initial ingest the default 12 bits meant ~440
+    // vectors per bucket and ~6·10⁹ candidate rows through the exact-
+    // cosine verify (measured by the 2M combined rehearsal: the ingest
+    // was LSH-verify-bound). bits = log₂(n/50) keeps the expected
+    // bucket load ~50 at any batch size; the configured `embBits` is
+    // the FLOOR so small batches behave exactly as before, and 20 bits
+    // caps the key space (beyond ~50M vectors per batch, split the
+    // ingest). Honest recall note: each added bit lowers a true pair's
+    // per-table collision probability (at the 0.98 threshold,
+    // 12→16 bits moves the 8-table miss rate from ~0.8% to ~3%;
+    // planted cos≈0.995 pairs stay >99.9%) — callers needing hard
+    // recall at the threshold use more tables or the exact path.
+    val nBatch = batch.count().toDouble
+    val bits = math.min(20, math.max(embBits,
+      math.ceil(math.log(math.max(1.0, nBatch / 50.0)) / math.log(2)).toInt))
     val bk = graft.functions.VectorFunctions
       .ndBuckets(batch.select(col(idCol), col(e)), idCol, e,
-        embTables, embBits, embDims, salt = "cm-nd")
+        embTables, bits, embDims, salt = "cm-nd")
       .select(col(idCol), posexplode(col("buckets")).as(Seq("t", "bk")))
       .localCheckpoint() // both join sides, one typed bucket pass
     // merge-hinted self-join: the bucket table is batch-sized on both
