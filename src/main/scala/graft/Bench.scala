@@ -252,7 +252,11 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().find(_.startsWith("cpu ")).map { l =>
         val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
+        // total = user..steal (first 8 fields) ONLY: the kernel already
+        // folds guest/guest_nice into user/nice, so summing all 10
+        // would double-count guest time and understate the steal
+        // fraction readers derive from the record
+        (if (f.length > 7) f(7) else 0L, f.take(8).sum)
       } finally src.close()
     } catch { case _: Exception => None }
 
@@ -543,7 +547,10 @@ object Bench {
       s""""multi32_miters":$hostMulti,""" +
       s""""single_miters_end":$hostSingleEnd,""" +
       s""""multi32_miters_end":$hostMultiEnd,""" +
-      f""""sandwich_swing":$sandwichSwing%.4f,$stealJson""" +
+      // Locale.ROOT: under a comma-decimal default locale an f"%.4f"
+      // would emit "0,2500" — an invalid JSON bench record
+      s""""sandwich_swing":${String.format(java.util.Locale.ROOT,
+        "%.4f", Double.box(sandwichSwing))},$stealJson""" +
       s""""steal_suspect":$stealSuspect}"""
     if (stealSuspect) System.err.println(
       f"[bench] STEAL SUSPECT: calibration sandwich swung ${sandwichSwing * 100}%.0f%%" +

@@ -56,7 +56,19 @@ case class CorpusManifest(
     // against 252-bit corpus rows (or vice versa) is silent nonsense,
     // so a scheme mismatch routes to migrateMediaScheme(). Manifests
     // older than the field parse as 1, the original narrow hash.
-    mediaScheme: Long = 1)
+    mediaScheme: Long = 1,
+    // live generation of the persisted media BLOCK store (the media
+    // twin of bandsVersion: `media_blocks/vN` dir /
+    // `<name>_media_blocks_vN` catalog entry) plus the (radius, combo)
+    // the block layout was generated under. Block rows are only
+    // comparable within one (mediaScheme, radius, combo) triple, so a
+    // parameter change routes to REGENERATION (derived data — rebuilt
+    // from the pinned hash artifact as v(N+1)), never a silent
+    // mixed-key join. Version 0 (the pre-field parse default) = no
+    // block store yet: the next shard ingest builds v1.
+    mediaBlocksVersion: Long = 0,
+    mediaRadius: Long = -1,
+    mediaCombo: Long = 0)
 
 /** Root-relative data-file lists pinned by a committed manifest — the
   * corpus twin of [[graft.sources.GriddedStore]]'s snapshot manifests.
@@ -70,7 +82,8 @@ case class CorpusFiles(
     sketch: Seq[String],
     bands: Seq[String],
     vecs: Seq[String] = Nil,
-    media: Seq[String] = Nil)
+    media: Seq[String] = Nil,
+    mediaBlocks: Seq[String] = Nil)
 
 /** A shard's vocabulary diverged below the configured containment
   * floor — the documents-side analog of
@@ -227,6 +240,11 @@ class CorpusManager(
   def mediaPath: String = mediaPathFor(mediaScheme)
   private def mediaPathFor(s: Int): String =
     if (s == 1) s"$root/media_hashes" else s"$root/media_hashes_s$s"
+  // the persisted media BLOCK store (the media twin of the band table):
+  // versioned on its own counter — a (radius, combo) change regenerates
+  // the blocks mid-generation without touching the band/ann artifacts
+  private def mediaBlocksDir(v: Long): String = s"$root/media_blocks/v$v"
+  private def mediaBlocksTable(v: Long): String = s"${name}_media_blocks_v$v"
   def vecsPath(v: Long): String = s"${annDir(v)}/vectors"
   private def centsPath(v: Long): String = s"${annDir(v)}/centroids"
   private def vecsTable(v: Long): String = s"${name}_vecs_v$v"
@@ -292,8 +310,8 @@ class CorpusManager(
     scala.util.Try(jackson.JsonMethods.parse(txt) \ "files")
       .toOption.collect { case o: JObject =>
         // manifests older than the embedding/media artifacts carry no
-        // "vecs"/"media" lists
-        val withDefaults = Seq("vecs", "media").foldLeft(o) { (j, k) =>
+        // "vecs"/"media"/"mediaBlocks" lists
+        val withDefaults = Seq("vecs", "media", "mediaBlocks").foldLeft(o) { (j, k) =>
           if ((j \ k) == JNothing) JObject(j.obj :+ (k -> (JArray(Nil): JValue)))
           else j
         }
@@ -339,7 +357,10 @@ class CorpusManager(
   private def commitManifest(nDocsTotal: Long, bandsVersion: Long,
                              files: CorpusFiles,
                              sigScheme: Long = p.hasher.scheme,
-                             mediaSchemeStamp: Long = mediaScheme.toLong): CorpusManifest = {
+                             mediaSchemeStamp: Long = mediaScheme.toLong,
+                             mediaBlocksVersion: Long = 0,
+                             mediaRadius: Long = -1,
+                             mediaCombo: Long = 0): CorpusManifest = {
     val claimed =
       if (!fs.exists(gensDir)) 0L
       else fs.listStatus(gensDir).map(_.getPath.getName)
@@ -353,7 +374,8 @@ class CorpusManager(
     // be a crashed commit's orphan, which no reader was ever pinned to)
     val m = CorpusManifest(name, gen, nDocsTotal,
       p.ngram, p.perms, p.bands, p.minEstJaccard, numBuckets, bandsVersion,
-      parentGen, sigScheme, mediaSchemeStamp)
+      parentGen, sigScheme, mediaSchemeStamp,
+      mediaBlocksVersion, mediaRadius, mediaCombo)
     import org.json4s._
     def arr(xs: Seq[String]): JValue = JArray(xs.sorted.map(JString(_)).toList)
     val json = jackson.JsonMethods.pretty(jackson.JsonMethods.render(JObject(
@@ -366,11 +388,15 @@ class CorpusManager(
       "parent" -> JLong(m.parent),
       "sigScheme" -> JLong(m.sigScheme),
       "mediaScheme" -> JLong(m.mediaScheme),
+      "mediaBlocksVersion" -> JLong(m.mediaBlocksVersion),
+      "mediaRadius" -> JLong(m.mediaRadius),
+      "mediaCombo" -> JLong(m.mediaCombo),
       "files" -> JObject(
         "docs" -> arr(files.docs), "sigs" -> arr(files.sigs),
         "hashes" -> arr(files.hashes), "sketch" -> arr(files.sketch),
         "bands" -> arr(files.bands), "vecs" -> arr(files.vecs),
-        "media" -> arr(files.media)))))
+        "media" -> arr(files.media),
+        "mediaBlocks" -> arr(files.mediaBlocks)))))
     val bytes = graft.sources.ManifestIO.seal(
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     fs.mkdirs(gensDir)
@@ -469,24 +495,84 @@ class CorpusManager(
       .select(col("id1").as("d1"), col("id2").as("d2"))
   }
 
-  /** Shard-vs-corpus media near-dup edges: the shard's block rows
-    * (small side) equi-join the pinned corpus hash table's block rows —
-    * the corpus side is a 16 B/doc scan, never shuffled. Clean-block
-    * requirement sized from the cross-pair volume (corpus count is a
-    * parquet count-star over the pinned artifact; the shard side is
-    * checkpointed by the caller). */
-  private def mediaCrossPairs(shardHashes: DataFrame): DataFrame = {
-    val corpus = mediaDf() // artifact is (id, h)
-    val (nc, ns) = (corpus.count().toDouble, shardHashes.count().toDouble)
-    val combo = graft.multimodal.Multimodal.comboForCost(
-      nc + ns, nc * ns, mediaMaxHamming, bits = mediaBits)
-    (if (mediaScheme == 2)
-       graft.multimodal.Multimodal.hammingPairsBetweenWide(
-         shardHashes, corpus, mediaMaxHamming, combo)
-     else
-       graft.multimodal.Multimodal.hammingPairsBetween(
-         shardHashes, corpus, mediaMaxHamming, combo))
-      .select(col("id1").as("d1"), col("id2").as("d2"))
+  /** Clean-block requirement for the PERSISTED store's layout: the
+    * cost-based rule ([[graft.multimodal.Multimodal.comboForCost]])
+    * evaluated at the worst-case cross volume a store of `nCorpus`
+    * hashes can face (a corpus-sized shard: rows 2·n, pairs n²) — a
+    * deterministic, monotone function of CORPUS SIZE ONLY, so the
+    * layout changes at corpus decade boundaries, never thrashes on
+    * shard-size noise, and matches what the pre-store inline path chose
+    * at nShard ≈ nCorpus. Passed through [[graft.sources
+    * .MediaBlockStore.effectiveCombo]] so the stamped value is the one
+    * the blocking function actually lays out. */
+  private def desiredMediaCombo(nCorpus: Long): Int = {
+    val n = math.max(nCorpus, 1L).toDouble
+    graft.sources.MediaBlockStore.effectiveCombo(mediaScheme, mediaMaxHamming,
+      graft.multimodal.Multimodal.comboForCost(
+        2 * n, n * n, mediaMaxHamming, bits = mediaBits))
+  }
+
+  /** (Re)generate the media block store as version `v` from `hashes`
+    * (the pinned corpus hash rows): one block expansion + one bucketed
+    * write — paid once per layout, amortized across every shard. */
+  private def writeMediaBlocks(hashes: DataFrame, v: Long, combo: Int): Unit =
+    graft.sources.MediaBlockStore.write(hashes, mediaScheme, mediaMaxHamming,
+      combo, mediaBlocksTable(v), mediaBlocksDir(v), numBuckets)
+
+  /** The live (version, combo) of the media block store, regenerating
+    * it as v(N+1) from the PINNED hash artifact when the committed
+    * layout differs from what this manager's (scheme, radius) and the
+    * corpus size call for — a parameter change routes to regeneration,
+    * never a mixed-key join. Also (re)builds version-0 stores (ingested
+    * before the block store existed) and re-registers the external
+    * table in a fresh metastore. The caller's commit stamps the
+    * returned pair; a crash in between leaves an unpinned extra version
+    * the next run overwrites. */
+  private def ensureMediaBlocks(man: CorpusManifest): (Long, Int) = {
+    val hashes = mediaDf()
+    val want = desiredMediaCombo(hashes.count())
+    val current = man.mediaBlocksVersion > 0 &&
+      man.mediaRadius == mediaMaxHamming.toLong &&
+      man.mediaCombo == want.toLong &&
+      spark.catalog.tableExists(mediaBlocksTable(man.mediaBlocksVersion))
+    if (current) (man.mediaBlocksVersion, want)
+    else {
+      val v = man.mediaBlocksVersion + 1
+      writeMediaBlocks(hashes, v, want)
+      (v, want)
+    }
+  }
+
+  /** Shard-vs-corpus media near-dup edges through the PERSISTED block
+    * store: the shard's block rows are written bucketed to the same
+    * spec ([[DedupPipeline.runIncrementalAgainst]]'s shard-band move),
+    * so the candidate join plans exchange-free on BOTH sides and the
+    * corpus pays no per-ingest re-expansion (the pre-store inline shape
+    * re-blocked the whole corpus hash artifact every run — ~254M block
+    * rows at 1.8M docs, measured). Corpus-side ids of the surviving
+    * pairs are semi-joined against the PINNED hash artifact — the
+    * [[embCandidates]] orphan guard: a crashed ingest's orphan block
+    * row must never drop a shard doc against a doc that never
+    * committed. Package-private so the gate query and the plan spec
+    * can drive exactly this path. */
+  private[graft] def mediaCrossPairs(shardHashes: DataFrame, blocksV: Long,
+                                     combo: Int): DataFrame = {
+    graft.sources.MediaBlockStore.write(shardHashes, mediaScheme,
+      mediaMaxHamming, combo, s"${name}_shard_media_blocks",
+      s"$root/shard_media_blocks", numBuckets)
+    val shardB = BucketedSignatureStore.table(spark, s"${name}_shard_media_blocks")
+    val corpusB = BucketedSignatureStore.table(spark, mediaBlocksTable(blocksV))
+    // checkpoint BEFORE the orphan guard: the semi-join would otherwise
+    // push below the block join and re-shuffle the bucketed table by id
+    // (the embCandidates reorder barrier); the surviving pair set is
+    // dup-graph-sized
+    graft.sources.MediaBlockStore
+      .crossPairs(corpusB, shardB, mediaScheme, mediaMaxHamming)
+      .localCheckpoint()
+      .join(mediaDf().select(col("id").as("aid")), Seq("aid"), "left_semi")
+      .select(least(col("aid"), col("bid")).as("d1"),
+        greatest(col("aid"), col("bid")).as("d2"))
+      .distinct()
   }
 
   /** Pre-ingest quality gate (`pre_parse_quality_check` analog for
@@ -834,15 +920,28 @@ class CorpusManager(
         assignCells(kept, e, trainQuantizer(kept, e, 1)),
         vecsTable(1), vecsPath(1), numBuckets, Seq("cell"))
     }
-    mediaCol.foreach { _ =>
-      mediaHashesOf(kept).write.mode("overwrite").parquet(mediaPath)
+    // ...and the media twin: hashes as the pinned (id, h) artifact, then
+    // their block rows bucketed ONCE so every shard's cross join scans
+    // the corpus side exchange-free (hashes re-read from the just-written
+    // parquet — the one decode pass stays the only decode pass)
+    val (mbV, mbCombo) = mediaCol match {
+      case Some(_) =>
+        mediaHashesOf(kept).write.mode("overwrite").parquet(mediaPath)
+        val hashes = spark.read.parquet(mediaPath)
+        val combo = desiredMediaCombo(hashes.count())
+        writeMediaBlocks(hashes, 1, combo)
+        (1L, combo.toLong)
+      case None => (0L, 0L)
     }
     val (nIn, nRej, nKept) = (docs.count(), rej.count(), kept.count())
     commitManifest(nKept, 1, CorpusFiles(
       listDir(docsPath).toSeq, listDir(sigsPath).toSeq,
       listDir(hashesPath).toSeq, listDir(sketchPath).toSeq,
       listDir(bandsDir(1)).toSeq, listDir(vecsPath(1)).toSeq,
-      listDir(mediaPath).toSeq))
+      listDir(mediaPath).toSeq, listDir(mediaBlocksDir(1)).toSeq),
+      mediaBlocksVersion = mbV,
+      mediaRadius = if (mbV > 0) mediaMaxHamming.toLong else -1L,
+      mediaCombo = mbCombo)
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, Nil)
   }
 
@@ -991,11 +1090,15 @@ class CorpusManager(
     val embEdges = shardAssigned.map { a =>
       embCandidates(a).unionByName(embIntraPairs(shard))
     }
-    // media edges: intra-shard blocked pairs + shard-vs-pinned-corpus
-    // blocked pairs — same dup graph as text/embedding signals
+    // media edges: intra-shard blocked pairs + shard-vs-corpus pairs
+    // through the PERSISTED block store (regenerated first if the
+    // committed layout no longer matches this manager's parameters or
+    // the corpus size's combo) — same dup graph as text/embedding
     val shardMedia = mediaCol.map(_ => mediaHashesOf(shard).localCheckpoint())
+    val mediaBlocksState = shardMedia.map(_ => ensureMediaBlocks(man))
     val mediaEdges = shardMedia.map { mh =>
-      mediaCrossPairs(mh).unionByName(mediaIntraPairs(mh))
+      val (v, combo) = mediaBlocksState.get
+      mediaCrossPairs(mh, v, combo).unionByName(mediaIntraPairs(mh))
     }
     val pairs = (embEdges.toSeq ++ mediaEdges.toSeq).foldLeft(
         nearPairs.unionByName(exactCross).unionByName(exactIntra))(
@@ -1042,11 +1145,18 @@ class CorpusManager(
       listDir(bandsDir(man.bandsVersion)).toSeq))
     val activeBands = bandsDir(man.bandsVersion)
     val activeVecs = vecsPath(man.bandsVersion)
+    // the LIVE block-store version: ensureMediaBlocks may have
+    // regenerated it (its files already on disk here — `fresh` below
+    // then sees only the keeper appends, and the regenerated pin is
+    // taken as the dir listing at commit time)
+    val liveMbV = mediaBlocksState.map(_._1).getOrElse(man.mediaBlocksVersion)
+    val activeMediaBlocks = mediaBlocksDir(liveMbV)
     val before = Map(
       docsPath -> listDir(docsPath), sigsPath -> listDir(sigsPath),
       hashesPath -> listDir(hashesPath), sketchPath -> listDir(sketchPath),
       activeBands -> listDir(activeBands), activeVecs -> listDir(activeVecs),
-      mediaPath -> listDir(mediaPath))
+      mediaPath -> listDir(mediaPath),
+      activeMediaBlocks -> listDir(activeMediaBlocks))
     def fresh(dir: String): Seq[String] = (listDir(dir) -- before(dir)).toSeq
 
     keepers.write.mode("append").parquet(docsPath)
@@ -1063,15 +1173,30 @@ class CorpusManager(
         numBuckets, Seq("cell"))
     }
     mediaCol.foreach { _ =>
-      mediaHashesOf(keepers).write.mode("append").parquet(mediaPath)
+      // one keeper decode pass feeds the pinned hash artifact AND the
+      // block-store append (blocks stay exchange-free for the next shard)
+      val keeperHashes = mediaHashesOf(keepers).localCheckpoint()
+      keeperHashes.write.mode("append").parquet(mediaPath)
+      graft.sources.MediaBlockStore.append(keeperHashes, mediaScheme,
+        mediaMaxHamming, mediaBlocksState.get._2,
+        mediaBlocksTable(liveMbV), numBuckets)
     }
 
+    val mediaBlocksPinned: Seq[String] =
+      if (mediaCol.isEmpty) prev.mediaBlocks
+      else if (liveMbV != man.mediaBlocksVersion)
+        listDir(activeMediaBlocks).toSeq // regenerated + keeper appends
+      else prev.mediaBlocks ++ fresh(activeMediaBlocks)
     val (nIn, nRej, nKept) = (newDocs.count(), rej.count(), keepers.count())
     commitManifest(man.nDocs + nKept, man.bandsVersion, CorpusFiles(
       prev.docs ++ fresh(docsPath), prev.sigs ++ fresh(sigsPath),
       prev.hashes ++ fresh(hashesPath), fresh(sketchPath),
       prev.bands ++ fresh(activeBands), prev.vecs ++ fresh(activeVecs),
-      prev.media ++ fresh(mediaPath)))
+      prev.media ++ fresh(mediaPath), mediaBlocksPinned),
+      mediaBlocksVersion = if (mediaCol.isEmpty) man.mediaBlocksVersion else liveMbV,
+      mediaRadius =
+        if (mediaCol.isEmpty) man.mediaRadius else mediaMaxHamming.toLong,
+      mediaCombo = mediaBlocksState.map(_._2.toLong).getOrElse(man.mediaCombo))
     IngestReport(nIn, nRej, nIn - nRej - nKept, nKept, drift)
   }
 
@@ -1176,9 +1301,25 @@ class CorpusManager(
       case Some(_) => rewrite(mediaDf(), mediaPath, 1) // 16 B/doc table
       case None => snapshotFiles().map(_.media).getOrElse(Nil)
     }
+    // media BLOCK store: regenerate from the PINNED hashes as the next
+    // version — re-sizes combo to the compacted corpus and, like the
+    // band semi-join above, sheds crashed-ingest orphan block rows at
+    // the one moment the table is rewritten anyway
+    val (mbV2, mbRadius2, mbCombo2, mbFiles) = mediaCol match {
+      case Some(_) =>
+        val hashes = mediaDf()
+        val v = man.mediaBlocksVersion + 1
+        val combo = desiredMediaCombo(hashes.count())
+        writeMediaBlocks(hashes, v, combo)
+        (v, mediaMaxHamming.toLong, combo.toLong,
+          listDir(mediaBlocksDir(v)).toSeq)
+      case None => (man.mediaBlocksVersion, man.mediaRadius, man.mediaCombo,
+        snapshotFiles().map(_.mediaBlocks).getOrElse(Nil))
+    }
     commitManifest(man.nDocs, v2, CorpusFiles(
       newDocs, newSigs, newHashes, newSketch, listDir(bandsDir(v2)).toSeq,
-      newVecs, newMedia))
+      newVecs, newMedia, mbFiles),
+      mediaBlocksVersion = mbV2, mediaRadius = mbRadius2, mediaCombo = mbCombo2)
   }
 
   /** One-shot migration for stores created BEFORE the versioned ANN
@@ -1221,11 +1362,13 @@ class CorpusManager(
       assignCells(vecs, e, trainQuantizer(vecs, e, v)),
       vecsTable(v), vecsPath(v), numBuckets, Seq("cell"))
     // the quantizer is scheme-independent; carry the store's signature
-    // and media schemes through so this migration cannot mask a pending
+    // and media schemes (and block-store stamps) through so this
+    // migration cannot mask a pending
     // migrateSignatureScheme()/migrateMediaScheme()
     commitManifest(man.nDocs, v,
       files.copy(vecs = listDir(vecsPath(v)).toSeq), man.sigScheme,
-      man.mediaScheme)
+      man.mediaScheme, man.mediaBlocksVersion, man.mediaRadius,
+      man.mediaCombo)
   }
 
   /** Recompute the signature/band artifacts under the CURRENT
@@ -1266,11 +1409,14 @@ class CorpusManager(
         listDir(vecsPath(v2)).toSeq
       case _ => files.vecs
     }
-    // media hashes are signature-scheme-independent: carry the store's
-    // media scheme through (this migration must not silently restamp it)
+    // media hashes (and their block store) are signature-scheme-
+    // independent: carry the store's media stamps through (this
+    // migration must not silently restamp them)
     commitManifest(man.nDocs, v2, files.copy(
       sigs = newSigs, bands = listDir(bandsDir(v2)).toSeq, vecs = newVecs),
-      mediaSchemeStamp = man.mediaScheme)
+      mediaSchemeStamp = man.mediaScheme,
+      mediaBlocksVersion = man.mediaBlocksVersion,
+      mediaRadius = man.mediaRadius, mediaCombo = man.mediaCombo)
   }
 
   /** Recompute the media-hash artifact under the CONFIGURED
@@ -1304,9 +1450,20 @@ class CorpusManager(
         "absent, so there is nothing to rehash")
     val before = listDir(mediaPath)
     mediaHashesOf(cur).write.mode("append").parquet(mediaPath)
+    val newMedia = (listDir(mediaPath) -- before).toSeq
+    // the block store is scheme-keyed derived data: rebuild it from the
+    // fresh-scheme hashes as the next version, so the very next shard
+    // ingest joins the new layout instead of regenerating lazily
+    val newHashes = spark.read.parquet(newMedia.map(f => s"$root/$f"): _*)
+    val mbV = man.mediaBlocksVersion + 1
+    val mbCombo = desiredMediaCombo(newHashes.count())
+    writeMediaBlocks(newHashes, mbV, mbCombo)
     commitManifest(man.nDocs, man.bandsVersion,
-      files.copy(media = (listDir(mediaPath) -- before).toSeq),
-      man.sigScheme)
+      files.copy(media = newMedia,
+        mediaBlocks = listDir(mediaBlocksDir(mbV)).toSeq),
+      man.sigScheme,
+      mediaBlocksVersion = mbV, mediaRadius = mediaMaxHamming.toLong,
+      mediaCombo = mbCombo.toLong)
   }
 
   /** Delete artifact files not referenced by the newest `retainLast`
@@ -1334,7 +1491,7 @@ class CorpusManager(
         "vacuum would treat every artifact file as an orphan")
     val referenced = retained
       .flatMap(f => f.docs ++ f.sigs ++ f.hashes ++ f.sketch ++ f.bands ++
-        f.vecs ++ f.media).toSet
+        f.vecs ++ f.media ++ f.mediaBlocks).toSet
     val dedupP = new org.apache.hadoop.fs.Path(dedupPath)
     val bandVersions =
       if (!fs.exists(dedupP)) Nil
@@ -1354,6 +1511,15 @@ class CorpusManager(
     val mediaDirs = fs.listStatus(rootP).map(_.getPath.getName)
       .collect { case d if d.matches("media_hashes(_s\\d+)?") => s"$root/$d" }
       .toSeq
+    // media block-store versions participate like band versions: stale
+    // layouts (regenerations, compactions, scheme migrations) are
+    // retired once no retained manifest pins their files
+    val mbP = new org.apache.hadoop.fs.Path(s"$root/media_blocks")
+    val mbVersions =
+      if (!fs.exists(mbP)) Nil
+      else fs.listStatus(mbP).map(_.getPath.getName)
+        .collect { case d if d.matches("v\\d+") =>
+          d.stripPrefix("v").toLong }.toSeq
     // vector files participate like every other artifact (crashed shard
     // ingests leave orphan vector rows; compaction leaves whole stale
     // versions); the centroid sidecars are NOT file-tracked — they live
@@ -1361,7 +1527,8 @@ class CorpusManager(
     val all = listDir(docsPath) ++ listDir(sigsPath) ++ listDir(hashesPath) ++
       listDir(sketchPath) ++ bandVersions.flatMap(v => listDir(bandsDir(v))) ++
       annVersions.flatMap(v => listDir(vecsPath(v))) ++
-      mediaDirs.flatMap(listDir)
+      mediaDirs.flatMap(listDir) ++
+      mbVersions.flatMap(v => listDir(mediaBlocksDir(v)))
     val doomed = (all -- referenced).toSeq.sorted
     doomed.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(root, f), false))
@@ -1382,11 +1549,20 @@ class CorpusManager(
         fs.delete(new org.apache.hadoop.fs.Path(annDir(v)), true)
         spark.sql(s"DROP TABLE IF EXISTS ${vecsTable(v)}")
       }
+    // ...and media block versions, keyed on their OWN live counter
+    mbVersions.filterNot(_ == man.mediaBlocksVersion)
+      .filterNot(v => listDir(mediaBlocksDir(v)).nonEmpty).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(mediaBlocksDir(v)), true)
+        spark.sql(s"DROP TABLE IF EXISTS ${mediaBlocksTable(v)}")
+      }
     // the active tables may have lost orphan files — drop cached indexes
     if (spark.catalog.tableExists(bandsTable(man.bandsVersion)))
       spark.catalog.refreshTable(bandsTable(man.bandsVersion))
     if (spark.catalog.tableExists(vecsTable(man.bandsVersion)))
       spark.catalog.refreshTable(vecsTable(man.bandsVersion))
+    if (man.mediaBlocksVersion > 0 &&
+        spark.catalog.tableExists(mediaBlocksTable(man.mediaBlocksVersion)))
+      spark.catalog.refreshTable(mediaBlocksTable(man.mediaBlocksVersion))
     doomed
   }
 

@@ -323,6 +323,44 @@ object DedupPipeline {
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
     BucketedSignatureStore.write(bandRows, s"${name}_bands", s"$path/bands",
       numBuckets, Seq("band", "bk"))
+    // stamp the signature scheme beside the artifact — the standalone
+    // twin of CorpusManifest.sigScheme: a later runIncremental under a
+    // DIFFERENT scheme would band-join incomparable signatures into
+    // near-zero recall with no error, so the mismatch must refuse loudly
+    writeSchemeStamp(docs.sparkSession, path, p.hasher.scheme)
+  }
+
+  private def stampPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_sig_scheme.json")
+
+  private def writeSchemeStamp(spark: SparkSession, path: String,
+                               scheme: Long): Unit = {
+    val p = stampPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"sigScheme":$scheme}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Scheme id stamped by [[persist]]. Artifacts written before the
+    * stamp existed read as scheme 2 — the raw-KM era id, the oldest a
+    * standalone artifact can date from — so they refuse under any
+    * current hasher rather than silently band-joining. */
+  private[functions] def readSchemeStamp(spark: SparkSession,
+                                         path: String): Long = {
+    val p = stampPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 2L
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"sigScheme\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"unparseable signature-scheme stamp at $p: $txt"))
+    }
   }
 
   /** Incremental dedup of a new shard against a [[persist]]ed corpus:
@@ -343,6 +381,14 @@ object DedupPipeline {
     require(!p.exactVerify,
       "exactVerify needs the corpus texts — use runIncrementalAgainst " +
         "with corpusDocs (CorpusManager passes its pinned docs)")
+    val stamped = readSchemeStamp(spark, path)
+    if (stamped != p.hasher.scheme) throw new IllegalStateException(
+      s"persisted dedup artifact at $path was built under signature " +
+        s"scheme $stamped, but this run is configured with scheme " +
+        s"${p.hasher.scheme} (hasher ${p.hasher.name}) — band-joining " +
+        "across schemes silently loses near-dup recall. Re-run persist() " +
+        "under the configured hasher (or use CorpusManager, whose " +
+        "manifests route this through migrateSignatureScheme()).")
     runIncrementalAgainst(spark, newDocs, idCol, textCol, s"${name}_bands",
       spark.read.parquet(s"$path/sigs"), s"${name}_shard_bands",
       s"$path/shard_bands", numBuckets, p)

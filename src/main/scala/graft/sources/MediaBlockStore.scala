@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed persistence for perceptual-media Hamming BLOCK rows — the
+  * media twin of the text band table ([[BucketedSignatureStore]] +
+  * `DedupPipeline.persist`): the corpus's pigeonhole block rows are
+  * written ONCE, bucketed+sorted on the block key, and every later
+  * shard ingest equi-joins its own (small, identically bucketed) block
+  * rows against them with ZERO corpus-side exchange.
+  *
+  * Why this exists: the inline shape
+  * (`Multimodal.hammingPairsBetween(shard, corpus)`) re-expands the
+  * ENTIRE corpus hash artifact into block rows on every shard ingest —
+  * measured ~254M block rows at a mere 1.8M docs (combo 2), i.e. an
+  * O(corpus) decode+explode+exchange per increment, the exact cost
+  * shape the bucketed band store already fixed for text. With the block
+  * rows persisted, a shard ingest's media cost is O(shard blocks +
+  * true-candidate stream): the corpus side is a bucketed scan.
+  *
+  * The block layout is a function of (scheme, radius, combo):
+  *   - scheme 1 (63-bit [[graft.multimodal.Multimodal.mediaHash]]):
+  *     rows `(id, h, q, bk)`, key (q, bk);
+  *   - scheme 2 (252-bit `mediaHashWide`): rows
+  *     `(id, h[4], q, bk1..bk4)`, key (q, bk1, bk2, bk3, bk4).
+  * Rows produced under different (scheme, radius, combo) triples are
+  * NOT comparable — same-key equi-joins across layouts are silent
+  * nonsense — so [[graft.etl.CorpusManager]] stamps the triple into
+  * every committed manifest and a parameter change routes to
+  * REGENERATION of the store (derived data: rebuilt from the pinned
+  * hash artifact), never a mixed-key join.
+  *
+  * Reference analog: persisting derived indexes beside the data rather
+  * than recomputing them per run (the Kerchunk index posture,
+  * `gridded_etl_tools/utils/zarr_methods.py:78-141`), applied to the
+  * region-bounded-update cost model of `utils/publish.py:332-371`.
+  */
+object MediaBlockStore {
+
+  /** Bucket/sort key columns of a scheme's block rows. */
+  def keys(scheme: Int): Seq[String] =
+    if (scheme == 2) Seq("q", "bk1", "bk2", "bk3", "bk4") else Seq("q", "bk")
+
+  /** The combo the store will ACTUALLY be laid out under: the wide
+    * blocking auto-raises tight radii so every block fits a 63-bit long
+    * (see [[graft.multimodal.Multimodal.hashBlocksWide]]); the manifest
+    * must stamp THIS value, or a tight-radius store would regenerate on
+    * every ingest chasing a combo the layout can never have. */
+  def effectiveCombo(scheme: Int, radius: Int, combo: Int): Int =
+    if (scheme == 2) math.max(combo, 4 - radius) else combo
+
+  /** Pigeonhole block rows of `(id, h)` hashes under the scheme's
+    * blocking function. */
+  def blocks(hashes: DataFrame, scheme: Int, radius: Int,
+             combo: Int): DataFrame =
+    if (scheme == 2)
+      graft.multimodal.Multimodal.hashBlocksWide(hashes, radius, combo)
+    else
+      graft.multimodal.Multimodal.hashBlocks(hashes, radius, combo)
+
+  /** Write `hashes`' block rows as the bucketed external table
+    * `name` at `path` (overwrite — regeneration replaces a layout). */
+  def write(hashes: DataFrame, scheme: Int, radius: Int, combo: Int,
+            name: String, path: String, numBuckets: Int): Unit =
+    BucketedSignatureStore.write(blocks(hashes, scheme, radius, combo),
+      name, path, numBuckets, keys(scheme))
+
+  /** Append a shard's keeper block rows to an existing store — new
+    * files land hash-distributed and sorted like the originals, so the
+    * exchange-free join property survives incremental generations. */
+  def append(hashes: DataFrame, scheme: Int, radius: Int, combo: Int,
+             name: String, numBuckets: Int): Unit =
+    BucketedSignatureStore.append(blocks(hashes, scheme, radius, combo),
+      name, numBuckets, keys(scheme))
+
+  private def hammingExpr(scheme: Int): Column =
+    if (scheme == 2)
+      (1 to 4).map(i => expr(
+        s"bit_count(element_at(a.h, $i) ^ element_at(b.h, $i))"))
+        .reduce(_ + _).cast("int")
+    else expr("bit_count(a.h ^ b.h)").cast("int")
+
+  /** Hamming pairs ≤ `radius` between two block-row frames sharing one
+    * id namespace (equal ids — a replayed doc meeting its own committed
+    * rows — excluded). Callers keep corpus/shard sides distinguishable:
+    * returns `(aid, bid, hamming)` with `aid` from `left` — the orphan
+    * guard must semi-join the CORPUS side's ids against the pinned hash
+    * artifact before normalizing. Same recall guarantee as the inline
+    * `hammingPairsBetween(Wide)`: recall at the radius is exact for
+    * every combo, so the verified pair set is layout-invariant. */
+  def crossPairs(left: DataFrame, right: DataFrame, scheme: Int,
+                 radius: Int): DataFrame =
+    left.as("a").join(right.as("b"),
+        keys(scheme).map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("aid"), col("b.id").as("bid"),
+        hammingExpr(scheme).as("hamming"))
+      .filter(col("hamming") <= radius)
+      .distinct()
+}

@@ -217,11 +217,15 @@ class BenchParseSpec extends AnyFunSuite {
   }
 
   test("steal sandwich: jiffy counters read and swing math classifies") {
-    // on the Linux hosts these rounds run on, /proc/stat must parse and
-    // the counters must be monotone non-negative
-    val j = Bench.cpuStealJiffies()
-    assert(j.nonEmpty, "/proc/stat should parse on this host")
-    assert(j.get._1 >= 0 && j.get._2 > 0 && j.get._1 <= j.get._2)
+    // /proc/stat assertions only where the file exists (the production
+    // code treats a missing one as a graceful None — a non-Linux dev
+    // host must not fail the unit suite); the swing math below is
+    // host-independent and always asserted
+    if (new java.io.File("/proc/stat").exists()) {
+      val j = Bench.cpuStealJiffies()
+      assert(j.nonEmpty, "/proc/stat should parse on this host")
+      assert(j.get._1 >= 0 && j.get._2 > 0 && j.get._1 <= j.get._2)
+    }
     // the committed adjudication rule: >20% swing between the sandwich
     // samples marks the record steal_suspect
     assert(Bench.calibrationSwing(10000L, 10000L) == 0.0)

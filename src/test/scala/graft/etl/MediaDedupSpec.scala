@@ -195,6 +195,98 @@ class MediaDedupSpec extends SparkSpec {
     assert(r2.duplicates == 1 && r2.ingested == 0, r2.toString)
   }
 
+  test("shard media cross join reads the PERSISTED block store — bucketed, exchange-free, no corpus re-expansion") {
+    val m = new CorpusManager("cm_mediapl", tmpDir("cmmediapl"), spark,
+      numBuckets = 4, minTokens = 2, mediaCol = Some("img"))
+    val r0 = m.ingestInitial(docs(Seq(
+      (1L, text(1), "web", img(1)),
+      (3L, text(3), "web", img(3)),
+      (5L, text(5), "web", img(5)))))
+    assert(r0.ingested == 3)
+    assert(m.readManifest().exists(man =>
+      man.mediaBlocksVersion == 1L && man.mediaRadius == 3L &&
+        man.mediaCombo >= 1L), m.readManifest().toString)
+
+    // capture every plan the shard ingest EXECUTES (the
+    // DedupPipelineSpec listener pattern): the cross-pair stage runs
+    // eagerly inside mediaCrossPairs (localCheckpoint), so the real
+    // candidate-join plan is observable; broadcast disabled so the
+    // bucketed-SMJ regime (the 100-TB shape) is what executes
+    val plans = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.listenerManager.register(listener)
+    val r1 = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      m.ingestShard(docs(Seq(
+        (10L, text(10), "web", imgNear(3)),
+        (11L, text(11), "web", img(11)))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    assert(r1.duplicates == 1 && r1.ingested == 1, r1.toString)
+    // the corpus block table name does not substring-match the shard
+    // table ("cm_mediapl_media_blocks_v1" vs "..._shard_media_blocks")
+    def joinPlans(): Seq[String] = plans.synchronized {
+      plans.filter(p => p.contains("cm_mediapl_media_blocks_v1") &&
+        p.contains("shard_media_blocks")).toSeq }
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (joinPlans().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    spark.listenerManager.unregister(listener)
+    val jps = joinPlans()
+    assert(jps.nonEmpty, "no executed plan joined shard blocks against the corpus block table")
+    assert(jps.exists(_.contains("Bucketed: true")),
+      s"corpus block scan not bucketed in the EXECUTED plans:\n${jps.mkString("\n---\n")}")
+    assert(jps.forall(!_.contains("Exchange hashpartitioning(q")),
+      "block rows re-shuffled on the block key in a real plan")
+    // the O(corpus)-per-ingest shape this store exists to kill: the
+    // cross-join stage must read ONLY the persisted block tables — no
+    // Generate (block explosion happens once, at write time) and no
+    // scan of the flat hash artifact (which the pre-store shape
+    // re-expanded every ingest). The artifact's flat scans (count +
+    // orphan-guard semi-join) live in OTHER executions, above the
+    // checkpoint, where no Generate can touch them.
+    assert(jps.forall(p => !p.contains("Generate")),
+      s"cross-join stage re-expands hashes into blocks:\n${jps.mkString("\n---\n")}")
+    assert(jps.forall(p => !p.contains("media_hashes")),
+      s"cross-join stage scans the flat corpus hash artifact:\n${jps.mkString("\n---\n")}")
+  }
+
+  test("block-store layout change (radius) routes to regeneration with a fresh version stamp") {
+    val root = tmpDir("cmmediareg")
+    val m1 = new CorpusManager("cm_mediareg", root, spark,
+      numBuckets = 4, minTokens = 2, mediaCol = Some("img"))
+    m1.ingestInitial(docs(Seq(
+      (1L, text(1), "web", img(1)), (3L, text(3), "web", img(3)))))
+    assert(m1.readManifest().exists(man =>
+      man.mediaBlocksVersion == 1L && man.mediaRadius == 3L))
+    // same store, tighter radius: the committed layout (radius 3) no
+    // longer matches — the next shard ingest must REGENERATE the block
+    // store (v2, restamped), never equi-join blocks cut at different
+    // widths, and an exact copy (Hamming 0 ≤ 2) must still drop
+    val m2 = new CorpusManager("cm_mediareg", root, spark,
+      numBuckets = 4, minTokens = 2, mediaCol = Some("img"),
+      mediaMaxHamming = 2)
+    val r1 = m2.ingestShard(docs(Seq(
+      (10L, text(10), "web", img(3)), // exact pixel copy of doc 3's image
+      (11L, text(11), "web", img(11)))))
+    assert(r1.duplicates == 1 && r1.ingested == 1, r1.toString)
+    val man = m2.readManifest().get
+    assert(man.mediaBlocksVersion == 2L && man.mediaRadius == 2L,
+      man.toString)
+    // steady state: a further ingest under the same manager keeps the
+    // regenerated layout (no thrash — version stays 2)
+    val r2 = m2.ingestShard(docs(Seq((20L, text(20), "web", img(20)))))
+    assert(r2.ingested == 1)
+    assert(m2.readManifest().get.mediaBlocksVersion == 2L)
+  }
+
   test("a media-less corpus (mediaCol unset) is unaffected and its manifest reads back") {
     val m = new CorpusManager("cm_nomedia", tmpDir("cmnomedia"), spark,
       numBuckets = 4, minTokens = 2)

@@ -262,6 +262,44 @@ class DedupPipelineSpec extends SparkSpec {
     }
   }
 
+  test("standalone persisted artifact carries its scheme; runIncremental refuses a mismatch") {
+    val docs = planted().localCheckpoint()
+    val corpus = docs.filter(col("doc_id") < 150)
+    val shard = docs.filter(col("doc_id") >= 150)
+    val path = tmpDir("dedup-scheme")
+    try {
+      // persist under the PRODUCTION xxh64 scheme; an md5-configured
+      // incremental run must refuse loudly — new-scheme shard signatures
+      // band-joined against old-scheme rows are near-zero recall with
+      // no error otherwise (the CorpusManifest.sigScheme posture,
+      // extended to DedupPipeline's standalone artifacts)
+      val px = DedupPipeline.Params(hasher = Signatures.Xxh64SigHasher)
+      DedupPipeline.persist(corpus, "doc_id", "text", "dsch", path, 4, px)
+      val e = intercept[IllegalStateException] {
+        DedupPipeline.runIncremental(spark, shard, "doc_id", "text",
+          "dsch", path, 4) // default Params = md5 scheme
+      }
+      assert(e.getMessage.contains("scheme"), e.getMessage)
+      // matching scheme runs fine
+      assert(!DedupPipeline.runIncremental(spark, shard, "doc_id", "text",
+        "dsch", path, 4, px).isEmpty)
+      // a PRE-STAMP artifact (stamp file absent) reads as the oldest
+      // standalone-era scheme and refuses under any current hasher —
+      // never a silent band-join
+      val stamp = new java.io.File(s"$path/_sig_scheme.json")
+      assert(stamp.exists())
+      assert(stamp.delete())
+      val e2 = intercept[IllegalStateException] {
+        DedupPipeline.runIncremental(spark, shard, "doc_id", "text",
+          "dsch", path, 4, px)
+      }
+      assert(e2.getMessage.contains("scheme 2"), e2.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dsch_bands")
+      spark.sql("DROP TABLE IF EXISTS dsch_shard_bands")
+    }
+  }
+
   test("exactVerify: pair decisions are true Jaccard, immune to estimator variance") {
     val s = spark; import s.implicits._
     // A: 30 unique tokens -> 28 trigrams. A2: last token changed ->
