@@ -60,7 +60,8 @@ object Bench {
     "q152_catalog_extents", "q154_streaming_sessions",
     "q155_streaming_funnel", "q156_streaming_interval_join",
     "q157_streaming_incremental", "q160_corpus_lifecycle",
-    "q162_incremental_agg", "q163_state_audit")
+    "q162_incremental_agg", "q163_state_audit",
+    "q164_scheme_migration", "q165_media_shard_ingest")
 
   /** Queries for the ×10 tier: the shuffle/AQE-sensitive set, where the
     * sf0.1 numbers sit at the scheduling floor and scale effects are

@@ -4,15 +4,55 @@ package graft
 
 /** Whole-suite physical-plan audit: for every SparkEntry query, count
   * the plan nodes that cost at scale (exchanges, sorts, window ops,
-  * BNLJ/cartesian, non-codegen spans) and print one JSON line per
+  * BNLJ/cartesian, interpreted spans) and print one JSON line per
   * query plus a summary. The machine-readable twin of the judge's
   * "read the plan of every expensive query" pass — run it after any
   * optimizer-relevant change and diff.
+  *
+  * Two plans per query are measured:
+  *   - the INITIAL (pre-AQE) plan — the shape counts previous rounds
+  *     recorded, kept diffable;
+  *   - the EXECUTED final plan (each query is actually run, so AQE
+  *     resolves), which is the only plan the codegen gauge can read:
+  *     `toString` renders a WholeStageCodegen subtree as a `*(n)`
+  *     prefix on its member operators, never as a node name, so the
+  *     old "WholeStageCodegen" regex counted 0 forever. `codegen` is
+  *     the number of DISTINCT codegen stages that ran; `interp` counts
+  *     compute operators that executed OUTSIDE any codegen stage (the
+  *     per-row-interpreted spans — typed `mapPartitions` passes like
+  *     the Signatures scan show up here by construction, as do Window
+  *     and object aggregates, which Spark never codegens).
   *
   * `runMain graft.PlanAudit [sfDir]` (default sf0.001 — plans, not
   * data, are the subject).
   */
 object PlanAudit {
+
+  /** Compute operators worth flagging when they run interpreted. Scans,
+    * exchanges and unions are excluded — they are not codegen
+    * candidates, so counting them would bury the signal. */
+  private val ComputeOps = Set(
+    "Project", "Filter", "HashAggregate", "SortAggregate",
+    "ObjectHashAggregate", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastHashJoin", "Window", "WindowGroupLimit", "Sort", "Expand",
+    "Generate", "MapPartitions", "MapElements", "SerializeFromObject",
+    "DeserializeToObject", "AppendColumns", "TopKPerKey")
+
+  /** (distinct codegen stages, interpreted-op count, interpreted op
+    * names) of an EXECUTED final-plan tree string. */
+  private[graft] def codegenGauge(txt: String): (Int, Int, Seq[String]) = {
+    val stageIds = "\\*\\((\\d+)\\)".r.findAllMatchIn(txt)
+      .map(_.group(1)).toSet
+    val interp = txt.linesIterator.flatMap { line =>
+      val t = line.dropWhile(c => c == ' ' || c == '+' || c == '-' ||
+        c == ':' || c == '(')
+      if (t.startsWith("*(")) None // inside a codegen stage
+      else ComputeOps.find(op => t.startsWith(op + " ") ||
+        t.startsWith(op + "(") || t.startsWith(op + "["))
+    }.toSeq
+    (stageIds.size, interp.size, interp)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.local(8)
@@ -22,12 +62,21 @@ object PlanAudit {
       marker.r.findAllIn(txt).size
 
     var rows = List.empty[(String, Map[String, Int])]
+    var interpOps = Map.empty[String, Seq[String]]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
+        val qe = fn(spark, dir).queryExecution
         // the initial (pre-AQE-execution) plan text — AQE hides the
         // inner tree from collect() until runtime, but prints it
-        val txt = fn(spark, dir).queryExecution.executedPlan.toString
+        val txt = qe.executedPlan.toString
           .split("== Initial Plan ==")(0)
+        // now RUN the plan (rows stay on the executors) so AQE
+        // finalizes and the codegen gauge reads what actually executed
+        qe.executedPlan.execute().foreach(_ => ())
+        val finalTxt = qe.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val (cg, interp, ops) = codegenGauge(finalTxt)
+        interpOps += name -> ops
         val m = Map(
           "exchanges" -> count(txt, "Exchange (hash|range)partitioning"),
           "single_exchanges" -> count(txt, "Exchange SinglePartition"),
@@ -37,7 +86,8 @@ object PlanAudit {
           "bhj" -> count(txt, "BroadcastHashJoin"),
           "bnlj" -> count(txt, "BroadcastNestedLoop"),
           "cartesian" -> count(txt, "CartesianProduct"),
-          "codegen" -> count(txt, "WholeStageCodegen"))
+          "codegen" -> cg,
+          "interp" -> interp)
         rows ::= (name, m)
         println(s"""{"q":"$name",${m.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")}}""")
@@ -58,6 +108,37 @@ object PlanAudit {
     val bnlj = rows.filter(_._2("bnlj") > 0)
     println("AUDIT bounded broadcast-cross joins (review new entries): " +
       bnlj.map(_._1).sorted.mkString(", "))
+    // codegen gauge summary: the suite must genuinely run codegen'd
+    // (a zero here means the gauge is dead again, not that Spark
+    // stopped codegen'ing), and the biggest interpreted spans are
+    // listed for review — expect the typed signature/decode passes
+    // (MapPartitions + SerializeFromObject, interpreted by
+    // construction — Signatures scaladoc) and Window/ObjectHashAgg
+    val totalCg = rows.map(_._2("codegen")).sum
+    assert(totalCg > 0, "codegen gauge read 0 stages across the suite — gauge dead")
+    val hotInterp = rows.sortBy(-_._2("interp")).take(8)
+    println("AUDIT codegen stages total: " + totalCg)
+    println("AUDIT most-interpreted (review: typed passes expected): " +
+      hotInterp.map { case (n, m) =>
+        s"$n=${m("interp")}[${interpOps.getOrElse(n, Nil)
+          .groupBy(identity).map { case (o, xs) => s"$o:${xs.size}" }
+          .toSeq.sorted.mkString(" ")}]" }.mkString(", "))
+    // the known-by-construction interpreted spans: typed mapPartitions
+    // passes (Signatures/VectorFunctions scaladoc — nested HOFs and
+    // per-row imperative loops never codegen). NOTE q34 itself cannot
+    // show one here: its signature pass runs inside an eager
+    // localCheckpoint during query CONSTRUCTION, a separate execution,
+    // so its returned plan reads Scan ExistingRDD — the checkpointed
+    // queries' typed passes are visible in the UN-checkpointed
+    // consumers instead (q100/q94 PQ encodes, q71 skip-grams). If NO
+    // query shows a typed interpreted span, the gauge is lying.
+    val typed = interpOps.filter(_._2.exists(o =>
+      o == "MapPartitions" || o == "DeserializeToObject" ||
+        o == "MapElements" || o == "SerializeFromObject"))
+    assert(typed.nonEmpty,
+      "no typed (mapPartitions) interpreted span visible anywhere — gauge blind")
+    println("AUDIT typed-pass interpreted spans (by construction): " +
+      typed.keys.toSeq.sorted.mkString(", "))
     spark.stop()
   }
 }

@@ -150,9 +150,155 @@ object PipelineQueries {
       require(man.nDocs == n, s"manifest nDocs ${man.nDocs} != corpus $n")
       require(man.generation == 2, s"expected generation 2, got ${man.generation}")
       kept.orderBy("doc_id")
+    }),
+
+    // Shard MEDIA ingest through the PERSISTED block store — the q158
+    // shape applied to the media signal: initial ingest writes the
+    // corpus hash rows ONCE as a bucketed pigeonhole-block table; the
+    // shard ingest's cross join then reads it exchange-free instead of
+    // re-expanding the corpus artifact per run (the O(corpus) cost the
+    // store exists to kill). Planted payloads are the q153 generator:
+    // docs sharing a group id carry hash-IDENTICAL media under content-
+    // preserving transforms, so the keep/drop ground truth is doc_id
+    // arithmetic — no DCT in SQL. Texts are one unique trigram per doc
+    // (no text edges); shard docs whose group has a corpus member must
+    // drop through the block-store cross join, and the 10 shard-only
+    // groups (id%100 ∈ 90..99 rehomed to 190..199) keep exactly their
+    // minimum via intra-shard blocking. In-query requires pin the
+    // manifest's block-store stamps, so a silently-skipped store (or a
+    // lazily-regenerated one where none was needed) fails before the
+    // hash compare does.
+    "q165_media_shard_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val synth = Tables.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val base = id % 100
+          val gid = if (id % 7 == 0 && base >= 90) base + 100 else base
+          (id, s"u${id}a u${id}b u${id}c", s"s${id % 3}",
+            graft.multimodal.SyntheticMedia.mediaFor(gid + 200L * (id / 100), 200))
+        })
+        .toDF("doc_id", "text", "source", "bytes")
+        .localCheckpoint() // one payload pass feeds both ingests
+      val root = freshDir(s, "q165_media", dir)
+      val nm = s"q165_${ProcessHandle.current().pid()}"
+      val cm = new CorpusManager(nm, root, s, mediaCol = Some("bytes"))
+      val r1 = cm.ingestInitial(synth.filter(col("doc_id") % 7 =!= 0))
+      val m1 = cm.readManifest().get
+      require(m1.mediaBlocksVersion == 1 && m1.mediaRadius == 3 &&
+        m1.mediaCombo >= 1, s"initial block-store stamps wrong: $m1")
+      val r2 = cm.ingestShard(synth.filter(col("doc_id") % 7 === 0))
+      val m2 = cm.readManifest().get
+      require(m2.mediaBlocksVersion == 1,
+        s"shard ingest regenerated an unchanged layout: $m2")
+      val kept = cm.corpus().select("doc_id").localCheckpoint()
+      require(kept.count() == r1.ingested + r2.ingested,
+        s"corpus rows ${kept.count()} != ${r1.ingested}+${r2.ingested}")
+      kept.orderBy("doc_id")
+    }),
+
+    // Artifact-scheme MIGRATION as a gated lifecycle: store A is
+    // ingested under the xxh64 signature scheme + the 63-bit media
+    // scheme, then re-opened by a manager configured for the md5 scheme
+    // + the 252-bit media scheme — which must REFUSE the shard (both
+    // stamps stale, checked in-query) until migrateSignatureScheme()
+    // and migrateMediaScheme() recompute the artifacts, after which the
+    // shard ingest's keep/drop decisions must hash-match store B: a
+    // fresh current-scheme ingest of the same data (asserted in-query
+    // as set equality; the oracle replays the closed-form ground
+    // truth). Signals live on disjoint doc subsets so each migration is
+    // load-bearing alone: even ids dedup ONLY by media (q153-planted
+    // groups, unique texts), odd ids ONLY by exact text (identical
+    // texts per group, null media) — a migration that silently lost
+    // either artifact's comparability changes the kept set.
+    "q164_scheme_migration" -> ((s, dir) => {
+      import s.implicits._
+      val synth = Tables.table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 2 == 0) {
+            val base = id % 100
+            val gid = if (id % 7 == 0 && base >= 90) base + 100 else base
+            (id, s"u${id}a u${id}b u${id}c", s"s${id % 3}",
+              graft.multimodal.SyntheticMedia.mediaFor(gid + 200L * (id / 100), 200))
+          } else {
+            val tg = id % 101
+            (id, s"x${tg}a x${tg}b x${tg}c", s"s${id % 3}",
+              null: Array[Byte])
+          }
+        })
+        .toDF("doc_id", "text", "source", "bytes")
+        .localCheckpoint() // one payload pass feeds three ingests
+      val corpus = synth.filter(col("doc_id") % 7 =!= 0)
+      val shard = synth.filter(col("doc_id") % 7 === 0)
+      val pid = ProcessHandle.current().pid()
+      val legacyP = graft.functions.DedupPipeline.Params(
+        hasher = graft.functions.Signatures.Xxh64SigHasher)
+      // store A: legacy schemes (sig 5, media 1), then migrate
+      val rootA = freshDir(s, "q164_a", dir)
+      new CorpusManager(s"q164a_$pid", rootA, s, legacyP,
+        mediaCol = Some("bytes")).ingestInitial(corpus)
+      val cmA = new CorpusManager(s"q164a_$pid", rootA, s,
+        mediaCol = Some("bytes"), mediaMaxHamming = 12, mediaScheme = 2)
+      val e1 = try { cmA.ingestShard(shard); "" }
+        catch { case e: IllegalStateException => e.getMessage }
+      require(e1.contains("migrateSignatureScheme"),
+        s"stale sig scheme not refused: '$e1'")
+      cmA.migrateSignatureScheme()
+      val e2 = try { cmA.ingestShard(shard); "" }
+        catch { case e: IllegalStateException => e.getMessage }
+      require(e2.contains("migrateMediaScheme"),
+        s"stale media scheme not refused: '$e2'")
+      cmA.migrateMediaScheme()
+      cmA.ingestShard(shard)
+      // store B: fresh ingest entirely under the current schemes
+      val rootB = freshDir(s, "q164_b", dir)
+      val cmB = new CorpusManager(s"q164b_$pid", rootB, s,
+        mediaCol = Some("bytes"), mediaMaxHamming = 12, mediaScheme = 2)
+      cmB.ingestInitial(corpus)
+      cmB.ingestShard(shard)
+      val keptA = cmA.corpus().select("doc_id").as[Long].collect().toSet
+      val keptB = cmB.corpus().select("doc_id").as[Long].collect().toSet
+      require(keptA == keptB, "migrated store's decisions diverge from a " +
+        s"fresh current-scheme ingest: only-A=${(keptA -- keptB).take(5)} " +
+        s"only-B=${(keptB -- keptA).take(5)}")
+      val manA = cmA.readManifest().get
+      require(manA.sigScheme == graft.functions.Signatures.SchemeVersion &&
+        manA.mediaScheme == 2, s"migrated stamps wrong: $manA")
+      cmA.corpus().select("doc_id").orderBy("doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
+
+    // closed-form ground truth (the q153 construction): same group ⇒
+    // hash-identical media ⇒ the kept set is pure doc_id arithmetic —
+    // corpus keepers are each group's minimum non-shard id; shard docs
+    // survive only in the rehomed shard-only groups (gid ≥ 100), where
+    // the shard minimum keeps
+    "q165_media_shard_ingest" ->
+      """WITH g AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 100 >= 90
+        |         THEN doc_id % 100 + 100 ELSE doc_id % 100 END AS gid,
+        |    doc_id % 7 = 0 AS shard FROM documents),
+        |k1 AS (SELECT MIN(doc_id) AS doc_id FROM g WHERE NOT shard GROUP BY gid),
+        |k2 AS (SELECT MIN(doc_id) AS doc_id FROM g WHERE shard AND gid >= 100 GROUP BY gid)
+        |SELECT doc_id FROM k1 UNION ALL SELECT doc_id FROM k2 ORDER BY doc_id""".stripMargin,
+
+    // even ids group by media content (rehomed shard-only groups as in
+    // q165), odd ids by exact text (id % 101); both signals reduce to
+    // the same min-per-group arithmetic because planted groups are
+    // hash-identical within and unrelated across
+    "q164_scheme_migration" ->
+      """WITH gl AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      (CASE WHEN doc_id % 7 = 0 AND doc_id % 100 >= 90
+        |            THEN doc_id % 100 + 100 ELSE doc_id % 100 END)
+        |      ELSE 1000 + doc_id % 101 END AS gid,
+        |    doc_id % 7 = 0 AS shard FROM documents),
+        |k1 AS (SELECT MIN(doc_id) AS doc_id FROM gl WHERE NOT shard GROUP BY gid),
+        |k2 AS (SELECT MIN(doc_id) AS doc_id FROM gl
+        |       WHERE shard AND gid BETWEEN 100 AND 999 GROUP BY gid)
+        |SELECT doc_id FROM k1 UNION ALL SELECT doc_id FROM k2 ORDER BY doc_id""".stripMargin,
 
     "q158_incremental_dedup" ->
       """WITH reps AS (

@@ -80,4 +80,90 @@ class StacConcurrencySpec extends SparkSpec {
         s"$name item links: $itemLinks")
     }
   }
+
+  test("32 racing publishers: probe invariants as a gate — integrity + every waiter under the lock deadline") {
+    // the StacConcurrencyProbe's integrity checks promoted into the
+    // suite (round-9 verdict #6): 32 writers is the measured supported
+    // publisher count — half publish their own collection+item chains,
+    // half hammer ONE shared collection (every mutation a
+    // read-modify-write of the same file). A lock-fairness regression
+    // starves a waiter past the 60 s acquisition deadline, which
+    // surfaces here as a publisher failure AND as maxWaitMs ≥ the
+    // deadline; the adaptive anti-starvation poll (waiters past 10 s
+    // switch to 5–15 ms polls) measured max 11.7 s at 32×40 on record
+    // (PLANS.md) — this gate fails if that machinery regresses to
+    // starvation.
+    val nWriters = 32
+    val nMut = 10
+    val cat = new StacCatalog(tmpDir("stac-race32"), spark)
+    cat.ensureRootCatalog("org")
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def timed(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f; lat.add(System.nanoTime() - t0); ()
+    }
+    val threads = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          if (w % 2 == 0) {
+            timed(cat.upsertCollection(s"ds$w", Array(-1.0, -1.0, 1.0, 1.0),
+              (0L, 10L)))
+            (0 until nMut).foreach { v =>
+              timed(cat.registerItem(desc(s"ds$w"),
+                Array(-1.0, -1.0, 1.0, 1.0), (0L, 10L + v), s"v$v"))
+            }
+          } else (0 until nMut).foreach { v =>
+            // each widening distinct so a lost update is visible
+            timed(cat.upsertCollection("shared",
+              Array(-w.toDouble - v / 1000.0, -90.0, w + v / 1000.0, 90.0),
+              (-w * 1000L - v, w * 1000L + v)))
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      }, s"pub32-$w")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(failures.isEmpty,
+      s"publisher failures (starved past the lock deadline?): " +
+        s"${failures.toArray.toSeq.take(3)}")
+    val maxWaitMs = lat.toArray(Array.empty[java.lang.Long])
+      .map(_.toLong).max / 1e6
+    assert(maxWaitMs < 60000,
+      f"slowest mutation $maxWaitMs%.0f ms breaches the 60 s lock deadline")
+
+    // integrity: nothing lost under contention (the probe's checks)
+    val rootLinks = cat.links(cat.readRoot().get)
+      .filter(_._1 == "child").map(_._2)
+    assert(rootLinks.size == rootLinks.distinct.size, s"dup links: $rootLinks")
+    (0 until nWriters by 2).foreach { w =>
+      assert(rootLinks.exists(_.endsWith(s"ds$w.json")), s"lost root link ds$w")
+      assert(cat.latestVersion(s"ds$w").contains(s"v${nMut - 1}"),
+        s"ds$w latest != v${nMut - 1}")
+      // the FULL linear prev-chain walk back to v0 (the 4-writer test
+      // checks one hop; a lost intermediate write breaks the walk)
+      var cur = s"v${nMut - 1}"
+      var hops = 0
+      while (cur != "v0") {
+        val prevs = cat.links(cat.readItem(s"ds$w", cur).get)
+          .filter(_._1 == "prev").map(_._2)
+        assert(prevs.size == 1, s"ds$w $cur prev links: $prevs")
+        cur = prevs.head.split('/').last.stripSuffix(".json")
+        hops += 1
+        assert(hops < nMut + 1, s"ds$w prev chain cycles")
+      }
+    }
+    // the shared collection folded EVERY widening: the widest writer's
+    // last mutation defines the extent exactly
+    import org.json4s._
+    val j = cat.readCollection("shared").get
+    val bbox = (j \ "extent" \ "spatial" \ "bbox") match {
+      case JArray(List(JArray(vs))) => vs.map(_.values.toString.toDouble)
+      case other => fail(s"bad bbox: $other")
+    }
+    val maxW = (1 until nWriters by 2).max
+    val expLo = -maxW - (nMut - 1) / 1000.0
+    assert(math.abs(bbox.head - expLo) < 1e-9 &&
+      math.abs(bbox(2) + expLo) < 1e-9,
+      s"shared extent lost a widening: $bbox, expected ±$expLo")
+  }
 }
