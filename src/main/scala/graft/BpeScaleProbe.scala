@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.functions.BpeOps
 import org.apache.spark.sql.functions._
 
@@ -35,10 +37,10 @@ object BpeScaleProbe {
           j => concat(lit("w"),
             pmod(xxhash64(col("id"), j), lit(5000)))), " "),
         lit(" " + marker)).as("text"))
-      .localCheckpoint(true)
+      .materialize()
 
     val words = timed("word_counts (the one corpus-sized job)") {
-      val w = BpeOps.wordCounts(docs, "text").localCheckpoint(true)
+      val w = BpeOps.wordCounts(docs, "text").materialize()
       println(s"PROBE vocab ${w.count()} words")
       w
     }
@@ -57,7 +59,7 @@ object BpeScaleProbe {
         // materialize) while 6 stacked window ops per un-checkpointed
         // round make replanning+recompute the dominant cost (measured
         // 0.6s/round checkpointed vs 20s+ by round 6 without)
-        syms = syms.localCheckpoint(eager = true)
+        syms = syms.materialize()
         println(f"PROBE   round $i (${r.a},${r.b}) cnt=${r.count} " +
           f"${(System.nanoTime() - t0) / 1e9}%.2fs")
         i += 1
@@ -69,7 +71,7 @@ object BpeScaleProbe {
     require(got == want, s"planted merges not recovered: $got vs $want")
     println("PROBE planted merges recovered exactly")
 
-    val units = BpeOps.unitCounts(syms).localCheckpoint(true)
+    val units = BpeOps.unitCounts(syms).materialize()
     val perDoc = timed("encode (corpus-sized join)") {
       val d = BpeOps.encodeDocCounts(docs, "doc_id", "text", units)
         .agg(sum("n_tokens"), sum("n_units")).head()

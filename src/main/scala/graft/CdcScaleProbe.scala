@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.functions.{TextFunctions, VectorFunctions}
 import org.apache.spark.sql.functions._
 
@@ -39,7 +41,7 @@ object CdcScaleProbe {
             .otherwise(concat(lit("w"),
               pmod((col("id") - pmod(col("id"), lit(10))) * 61 + i * 7,
                 lit(5000)))))).as("text"))
-      .localCheckpoint()
+      .materialize()
 
     // GRAFT_HASHER=xxh64 rehearses the production boundary hasher
     // (chunk digests stay md5 — the content address)
@@ -52,7 +54,7 @@ object CdcScaleProbe {
     println(s"PROBE boundary hasher ${hasher.name}")
     val chunks = timed(s"cdc_chunks n=$nDocs") {
       val c = TextFunctions.cdcChunks(docs, "doc_id", "text", hasher = hasher)
-        .localCheckpoint()
+        .materialize()
       c.count()
       c
     }
@@ -82,7 +84,7 @@ object CdcScaleProbe {
           pmod(col("id") / 4, lit(4)) * when(j < 32, 0.0).otherwise(1.0) +
           pmod(col("id") * 31 + j, lit(97)).cast("double") / lit(1000.0))
           .cast("float")).as("embedding"))
-      .localCheckpoint()
+      .materialize()
     val seeds = vecs.filter(col("vec_id") < 4).orderBy("vec_id")
       .collect().map(_.getSeq[Float](1).toArray)
     val books = timed(s"pq_train n=$nVecs") {

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.functions._
 
 /** One-off triage for CombinedScaleProbe false positives: for each
@@ -27,12 +29,12 @@ object CombinedDebugProbe extends Serializable {
       (id, CombinedScaleProbe.text(tSeed, r == 1),
         CombinedScaleProbe.img(mSeed.toInt, r == 3),
         CombinedScaleProbe.emb(eSeed, r == 5))
-    }).toDF("doc_id", "text", "media", "emb").localCheckpoint()
+    }).toDF("doc_id", "text", "media", "emb").materialize()
 
     // media: exact wide Hamming of every doc vs each suspect
     val hashes = graft.multimodal.Multimodal
       .perceptualHashesWide(init.select("doc_id", "media"), "doc_id", "media")
-      .localCheckpoint()
+      .materialize()
     val qh = hashes.filter(col("id").isin(suspects: _*))
       .as[(Long, Array[Long])].collect().toMap
     for ((qid, q) <- qh) {
@@ -60,13 +62,13 @@ object CombinedDebugProbe extends Serializable {
     if (sys.env.get("SPARK_GRAFT_DEBUG_STAGES").nonEmpty) {
       val (pairs, labels, tk) = graft.functions.DedupPipeline.run(
         init.select("doc_id", "text"), "doc_id", "text")
-      val pC = pairs.localCheckpoint()
+      val pC = pairs.materialize()
       println("DEBUG text-pairs touching suspects: " +
         pC.filter(col("d1").isin(suspects: _*) || col("d2").isin(suspects: _*))
           .collect().mkString(", "))
       println("DEBUG labels rows for suspects: " +
         labels.filter(col("id").isin(suspects: _*)).collect().mkString(", "))
-      val tkC = tk.localCheckpoint()
+      val tkC = tk.materialize()
       println("DEBUG textKeepers contains suspects: " +
         tkC.filter(col("doc_id").isin(suspects: _*)).count())
       val m = new graft.etl.CorpusManager("dbg", "/tmp/dbg_probe_root", spark,
@@ -75,12 +77,12 @@ object CombinedDebugProbe extends Serializable {
         mediaCol = Some("media"), mediaMaxHamming = 16, mediaScheme = 2,
         minVocabContainment = Some(0.2))
       val mh = m.mediaHashesOf(init.select(col("doc_id"), col("media")))
-      val mPairs = m.mediaIntraPairs(mh).localCheckpoint()
+      val mPairs = m.mediaIntraPairs(mh).materialize()
       println("DEBUG media-pairs touching suspects: " +
         mPairs.filter(col("d1").isin(suspects: _*) || col("d2").isin(suspects: _*))
           .collect().mkString(", "))
       val ePairs = m.embIntraPairs(init.select(col("doc_id"), col("emb")))
-        .localCheckpoint()
+        .materialize()
       println("DEBUG emb-pairs touching suspects: " +
         ePairs.filter(col("d1").isin(suspects: _*) || col("d2").isin(suspects: _*))
           .collect().mkString(", "))

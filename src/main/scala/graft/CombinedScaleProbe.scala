@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.etl.CorpusManager
 import org.apache.spark.sql.functions._
 
@@ -134,10 +136,10 @@ object CombinedScaleProbe extends Serializable {
     }
     val init = spark.range(nInit.toLong).as[Long]
       .mapPartitions(_.map(id => row(id, isShard = false)))
-      .toDF("doc_id", "text", "source", "media", "emb").localCheckpoint()
+      .toDF("doc_id", "text", "source", "media", "emb").materialize()
     val shard = spark.range(nInit.toLong, nDocs.toLong).as[Long]
       .mapPartitions(_.map(id => row(id, isShard = true)))
-      .toDF("doc_id", "text", "source", "media", "emb").localCheckpoint()
+      .toDF("doc_id", "text", "source", "media", "emb").materialize()
     println(s"PROBE corpus ${init.count()} + shard ${shard.count()} docs " +
       "(text+media+emb)")
 

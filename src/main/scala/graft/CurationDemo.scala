@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.functions.{DedupPipeline, TextFunctions}
 import graft.operators.Packing
 import org.apache.spark.sql.functions._
@@ -34,7 +36,7 @@ object CurationDemo {
 
     // 1. quality gate
     val gated = docs.filter(TextFunctions.gopherKept(col("text"), STOPWORDS))
-      .localCheckpoint()
+      .materialize()
     val n1 = gated.count()
     println(s"DEMO gate: $n0 -> $n1 docs (${n0 - n1} rejected)")
 
@@ -45,7 +47,7 @@ object CurationDemo {
       .cast("double") * 10000 / size(toks)
     val kept = DedupPipeline
       .resolveKeepBest(gated, "doc_id", labels, quality)
-      .localCheckpoint()
+      .materialize()
     val n2 = kept.count()
     println(s"DEMO dedup: $n1 -> $n2 docs (${n1 - n2} cluster members dropped)")
 

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.functions.DedupPipeline
 import org.apache.spark.sql.functions._
 
@@ -28,7 +30,7 @@ object ExactVerifyProbe {
             when(j === 59 && pmod(col("id"), lit(100)) === 2,
               pmod(col("id"), lit(5000)) + 5000)
               .otherwise(pmod(xxhash64(seed, j), lit(5000))))), " ").as("text"))
-      .localCheckpoint()
+      .materialize()
     println(s"PROBE corpus ${docs.count()} docs")
     val expected = nDocs / 100 // components of size 3
     for (exact <- Seq(false, true)) {

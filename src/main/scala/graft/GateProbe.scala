@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.functions._
 
 /** Scale rehearsal for the CorpusManager blocklist decontamination gate
@@ -28,13 +30,13 @@ object GateProbe {
         array_join(transform(sequence(lit(0), lit(59)),
           j => concat(lit("w"), pmod(xxhash64(seed, j), lit(5000)))), " ").as("text"),
         lit("web").as("source"))
-      .localCheckpoint()
+      .materialize()
     println(s"PROBE corpus ${docs.count()} docs")
     val blocklist = timed("blocklist build (benchmark 3-grams)") {
       docs.filter(pmod(col("doc_id"), lit(100)) === 50)
         .select(explode(graft.functions.TextFunctions
           .wordNgrams(col("text"), 3)).as("g"))
-        .distinct().localCheckpoint()
+        .distinct().materialize()
     }
     println(s"PROBE blocklist ${blocklist.count()} grams")
     val m = new graft.etl.CorpusManager("gateprobe",

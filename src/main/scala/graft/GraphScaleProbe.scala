@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.operators.GraphOps
 import org.apache.spark.sql.functions._
 
@@ -62,12 +64,12 @@ object GraphScaleProbe {
         .filter(col("src") =!= col("dst"))
       intra.union(inter)
         .groupBy("src", "dst").agg(sum("w").as("w"))
-        .localCheckpoint()
+        .materialize()
     }
     val nEdges = edges.count()
     println(s"PROBE edges=$nEdges nodes=$nNodes")
     val nodes = timed("nodes") {
-      spark.range(nNodes).select(col("id").as("k")).localCheckpoint()
+      spark.range(nNodes).select(col("id").as("k")).materialize()
     }
 
     // SPARK_GRAFT_GRAPH_DEEP_ONLY=1 skips straight to the 20-round
@@ -84,7 +86,7 @@ object GraphScaleProbe {
 
     // ---- LPA: 3 rounds; planted recovery required
     val labels = timed("lpa-3-rounds") {
-      val l = GraphOps.labelPropagate(edges, nodes, rounds = 3).localCheckpoint()
+      val l = GraphOps.labelPropagate(edges, nodes, rounds = 3).materialize()
       l.count(); l
     }
     // recovery metric: a node's adopted label must come from its OWN
@@ -112,11 +114,11 @@ object GraphScaleProbe {
       val u = edges.groupBy(
           least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .agg(sum("w").as("w")).localCheckpoint()
+        .agg(sum("w").as("w")).materialize()
       u.count(); u
     }
     val kept = timed("sparsify-top6") {
-      val k = GraphOps.sparsifyTopK(und, 6).localCheckpoint()
+      val k = GraphOps.sparsifyTopK(und, 6).materialize()
       println(s"PROBE kept-edges ${k.count()}")
       k
     }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.etl.CorpusManager
 import org.apache.spark.sql.functions._
 
@@ -80,7 +82,7 @@ object MediaScaleProbe {
       val seed = if (near) (id - 1).toInt else id.toInt
       (id, (0 until 10).map(j => s"t${id}x$j").mkString(" "), "web",
         img(seed, near))
-    }).toDF("doc_id", "text", "source", "media").localCheckpoint()
+    }).toDF("doc_id", "text", "source", "media").materialize()
     // shard: id%50==0 docs reuse (near) the image of corpus doc id-nInit
     val shard = spark.range(nInit.toLong, nDocs.toLong).as[Long]
       .mapPartitions(_.map { id =>
@@ -88,7 +90,7 @@ object MediaScaleProbe {
         val seed = if (cross) (id - nInit).toInt else id.toInt
         (id, (0 until 10).map(j => s"t${id}x$j").mkString(" "), "web",
           img(seed, cross))
-      }).toDF("doc_id", "text", "source", "media").localCheckpoint()
+      }).toDF("doc_id", "text", "source", "media").materialize()
     println(s"PROBE corpus ${init.count()} + shard ${shard.count()} docs")
 
     // delete the corpus root on exit: a 4M-doc run writes ~15 GB of
@@ -173,7 +175,7 @@ object MediaScaleProbe {
       (id, img(seed.toInt, patch))
     }).toDF("doc_id", "media")
     val wh = timed("wide_hash_pass")(
-      Multimodal.perceptualHashesWide(all, "doc_id", "media").localCheckpoint())
+      Multimodal.perceptualHashesWide(all, "doc_id", "media").materialize())
     val nW = wh.count().toDouble
     val comboW = sys.env.get("SPARK_GRAFT_MEDIA_WIDE_COMBO").map(_.toInt)
       .getOrElse(Multimodal.comboForCost(nW, nW * nW / 2, 16, bits = 252))

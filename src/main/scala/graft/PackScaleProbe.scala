@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.functions._
 
 /** Scale rehearsal for hierarchical packing
@@ -27,7 +29,7 @@ object PackScaleProbe {
         when(pmod(col("id"), lit(10)) < 9, lit("dominant"))
           .otherwise(concat(lit("s"), pmod(col("id"), lit(64)))).as("src"),
         (pmod(col("id"), lit(7)) + 1).as("w"))
-      .localCheckpoint()
+      .materialize()
     println(s"PROBE rows ${df.count()} (dominant source ~${9L * n / 10})")
 
     val wFlat = org.apache.spark.sql.expressions.Window
@@ -36,12 +38,12 @@ object PackScaleProbe {
         org.apache.spark.sql.expressions.Window.currentRow)
     val flat = timed("flat per-source window (9M-row single task)") {
       df.withColumn("cum", sum("w").over(wFlat))
-        .select("id", "cum").localCheckpoint()
+        .select("id", "cum").materialize()
     }
     val hier = timed("hierarchical (span 262144 sub-shards + stitch)") {
       graft.operators.Packing.runningOffsets(df, "src", "id", "w",
           span = 1L << 18)
-        .select("id", "cum").localCheckpoint()
+        .select("id", "cum").materialize()
     }
     require(timed("equivalence (exceptAll both ways)") {
       hier.exceptAll(flat).isEmpty && flat.exceptAll(hier).isEmpty

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,9 +28,9 @@ object Q106Probe {
         .groupBy(col("src"), col("k").as("dst"))
         .agg(count(lit(1)).as("w"))
       t("edges agg count")(println("  n=" + edgesPre.count()))
-      val edges = t("edges localCheckpoint")(edgesPre.localCheckpoint())
+      val edges = t("edges localCheckpoint")(edgesPre.materialize())
       val nodes = t("nodes distinct+ckpt")(
-        ev.select("k").distinct().localCheckpoint())
+        ev.select("k").distinct().materialize())
       val n = nodes.count()
       println("  nodes=" + n)
       val pr = graft.operators.GraphOps.pageRank(edges, nodes, 2, n)
@@ -40,7 +42,7 @@ object Q106Probe {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .distinct()
       t("q110 ui distinct count")(println("  n=" + ui.count()))
-      val uiCk = t("q110 ui ckpt")(ui.localCheckpoint())
+      val uiCk = t("q110 ui ckpt")(ui.materialize())
       val pairs = uiCk.join(uiCk.withColumnRenamed("k", "k2"), "user_id")
         .filter(col("k") < col("k2"))
         .groupBy("k", "k2").agg(count(lit(1)).as("co"))

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.functions._
 
 /** Stage decomposition of q111 (fuzzy join) — where do the seconds go? */
@@ -24,7 +26,7 @@ object Q111Probe {
           explode(FuzzyJoin.deletionVariants(col("_fj_s"), 1)).as("_fj_v"))
         .distinct()
       t("vars count")(println("  n=" + vars.count()))
-      val varsCk = t("vars localCheckpoint")(vars.localCheckpoint())
+      val varsCk = t("vars localCheckpoint")(vars.materialize())
       val joined = varsCk.alias("x").join(varsCk.alias("y"),
         col("x._fj_v") === col("y._fj_v") && col("x._fj_s") < col("y._fj_s"))
       t("blocking join count")(println("  n=" + joined.count()))
@@ -32,7 +34,7 @@ object Q111Probe {
         .select(col("x._fj_s").as("_fj_s1"), col("y._fj_s").as("_fj_s2"))
         .distinct()
       t("distinct only count")(println("  n=" + distinctPairs.count()))
-      val dpCk = t("distinct localCheckpoint")(distinctPairs.localCheckpoint())
+      val dpCk = t("distinct localCheckpoint")(distinctPairs.materialize())
       t("lev filter over checkpointed distinct")(println("  n=" +
         dpCk.filter(levenshtein(col("_fj_s1"), col("_fj_s2")) <= 1).count()))
       val strPairs = distinctPairs

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.functions.TextFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,7 +30,7 @@ object Q134Probe {
             array_distinct(transform(col("grams"),
               g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("_hs"))
           .filter(size(col("_hs")) > 0)
-          .localCheckpoint()
+          .materialize()
       }
       timed("counts(one agg)") {
         sets.agg(count(lit(1)), count_distinct(col("_id"))).collect()
@@ -44,7 +46,7 @@ object Q134Probe {
           .withColumn("rn", row_number().over(
             Window.partitionBy("_id").orderBy(col("df"), col("h"))))
           .filter(col("rn") <= col("n") - expr("((4 * n) + 4) div 5") + lit(1))
-          .localCheckpoint()
+          .materialize()
       }
       val bound = least(col("a.rn"), col("b.rn")) +
         least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
@@ -58,7 +60,7 @@ object Q134Probe {
       timed("cand_raw")(println("  raw " + cand.count()))
       val candD = cand.distinct()
       timed("cand_distinct")(println("  distinct " + candD.count()))
-      val candC = candD.localCheckpoint()
+      val candC = candD.materialize()
       val s1 = sets.select(col("_id").as("_i1"), col("_hs").as("_g1"))
       val s2 = sets.select(col("_id").as("_i2"), col("_hs").as("_g2"))
       // round-6 shape: SHUFFLE_HASH building the candidate-bounded side

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.functions._
 
 /** Diagnostic twin of the scale probes: decomposes q52's cost
@@ -31,7 +33,7 @@ object Q52Probe {
         .select(col("doc_id"), col("simhash").as("sh"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
       val withKeeper = timed("  simhashEdges: sig+window+checkpoint") {
-        sigs.withColumn("keeper", min(col("doc_id")).over(w)).localCheckpoint()
+        sigs.withColumn("keeper", min(col("doc_id")).over(w)).materialize()
       }
       val reps = withKeeper.filter(col("doc_id") === col("keeper"))
         .select(col("doc_id"), col("sh"))
@@ -49,7 +51,7 @@ object Q52Probe {
     }
     val edges = timed("simhashEdges (build+materialize)") {
       graft.functions.DedupPipeline.simhashEdges(docs, "doc_id", "text")
-        .localCheckpoint()
+        .materialize()
     }
     System.err.println(s"[q52probe] edges=${edges.count()}")
     val labels = timed("connectedComponents") {

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 
@@ -28,7 +30,7 @@ object Q91Probe {
         Tables.table(spark, dir, "documents")
           .filter(size(toks) >= 2)
           .select(col("doc_id"), col("lang"), idxs.as("idxs"))
-          .localCheckpoint()
+          .materialize()
       }
       val dfRows = timed(s"$tag df-agg+collect") {
         docs.select(col("lang"), explode(col("idxs")).as("idx"))
@@ -71,7 +73,7 @@ object Q91Probe {
           .select(col("doc_id"), col("lang"), toks.as("t"))
           .filter(size(col("t")) >= 2)
           .select(col("doc_id"), col("lang"), idxs.as("idxs"))
-          .localCheckpoint()
+          .materialize()
       }
       docs.unpersist()
     }
@@ -89,7 +91,7 @@ object Q91Probe {
           .select(col("doc_id"), col("lang"), toks.as("t"))
           .filter(size(col("t")) >= 2)
           .select(col("doc_id"), col("lang"), idxs.as("idxs"))
-          .localCheckpoint()
+          .materialize()
       }
       docs.unpersist()
     }

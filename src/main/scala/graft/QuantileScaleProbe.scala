@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.operators.RankSelect
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,7 +37,7 @@ object QuantileScaleProbe {
           lit(777.0))
           .otherwise((pmod(col("id") * 2654435761L, lit(1000000)))
             .cast("double") / 997.0).as("v"))
-      .localCheckpoint()
+      .materialize()
 
     val counts = df.groupBy("g").agg(count(lit(1)).as("cn"))
     val targets = counts.select(col("g"),
@@ -43,10 +45,10 @@ object QuantileScaleProbe {
       .join(counts, "g")
       .select(col("g"),
         (lit(1L) + floor(col("p") * (col("cn") - 1).cast("double"))).as("r"))
-      .distinct().localCheckpoint()
+      .distinct().materialize()
 
     val bucketed = timed("bucketed rank selection") {
-      val x = RankSelect.selectRanks(df, "g", "v", targets).localCheckpoint()
+      val x = RankSelect.selectRanks(df, "g", "v", targets).materialize()
       x.count(); x
     }
     val windowed = timed("flat per-group window (the shape it replaces)") {
@@ -54,7 +56,7 @@ object QuantileScaleProbe {
       val x = df.withColumn("rn", row_number().over(w))
         .join(broadcast(targets.withColumnRenamed("r", "rn")), Seq("g", "rn"))
         .select(col("g"), col("rn").as("r"), col("v"))
-        .localCheckpoint()
+        .materialize()
       x.count(); x
     }
     val diff = bucketed.exceptAll(windowed).count() +

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.functions.TextFunctions
 import graft.operators.SetSimJoin
 import org.apache.spark.sql.functions._
@@ -52,7 +54,7 @@ object SetSimScaleProbe {
     val docs = spark.range(nDocs).select(col("id").as("doc_id"),
         concat(lit("corpus header boilerplate "), body).as("text"))
       .repartition(64)
-      .localCheckpoint()
+      .materialize()
     println(s"PROBE corpus ${docs.count()} docs")
 
     val grams = docs.select(col("doc_id"),

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.operators.GraphOps
 import org.apache.spark.sql.functions._
 
@@ -32,8 +34,8 @@ object ShuffleCleanupProbe {
         pmod(col("id") * 31 + 1, lit(n.toLong)).as("dst"),
         lit(1L).as("w"))
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint()
-    val nodes = spark.range(n).select(col("id").as("k")).localCheckpoint()
+      .materialize()
+    val nodes = spark.range(n).select(col("id").as("k")).materialize()
 
     println(s"PROBE pre-fold shuffles=${registeredShuffles.mkString(",")}")
     val labels = GraphOps.labelPropagate(edges, nodes, rounds)

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -72,7 +74,7 @@ object SndScaleProbe {
       .select(col("id").as("docId"), col("us"), col("bandIdx"),
         concat(lit("b"), col("bandIdx"), lit("-"),
           xxhash64(col("s"), col("bandIdx"))).as("bandKey"))
-      .localCheckpoint()
+      .materialize()
     println(s"PROBE corpus $n docs, ${n * Bands} band rows")
 
     def timed[T](name: String)(f: => T): T = {

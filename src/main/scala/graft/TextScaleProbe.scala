@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.functions.{DedupFunctions, Signatures}
 import org.apache.spark.sql.functions._
 
@@ -50,7 +52,7 @@ object TextScaleProbe {
           j => concat(lit("w"),
             when(j === 59 && pmod(col("id"), lit(100)) === 2, pmod(col("id"), lit(5000)) + 5000)
               .otherwise(pmod(xxhash64(seed, j), lit(5000))))), " ").as("text"))
-      .localCheckpoint()
+      .materialize()
     println(s"PROBE corpus ${docs.count()} docs")
 
     val exact = timed("exact_dedup (hash groupBy)") {
@@ -62,7 +64,7 @@ object TextScaleProbe {
     val sigs = timed("minhash signatures (64 perms)") {
       Signatures.minhash(docs, "doc_id", "text", 3, 64, hasher)
         .withColumn("bands", DedupFunctions.bandKeys(col("sig"), 16, 4))
-        .localCheckpoint()
+        .materialize()
     }
 
     val edges = timed("band join + jaccard verify") {
@@ -77,7 +79,7 @@ object TextScaleProbe {
       cand.join(sa, "src").join(sb, "dst")
         .filter(DedupFunctions.estimatedJaccard(col("siga"), col("sigb")) >= 0.5)
         .select("src", "dst")
-        .localCheckpoint()
+        .materialize()
     }
     println(s"PROBE verified edges ${edges.count()} (expect ${3 * nDocs / 100})")
 
@@ -86,7 +88,7 @@ object TextScaleProbe {
     // actually takes.
     val labels = timed("connected components (distributed loop)") {
       DedupFunctions.connectedComponents(edges, driverFinishEdges = 0L)
-        .localCheckpoint()
+        .materialize()
     }
     val nComp = labels.select("lbl").distinct().count()
     val nMembers = labels.count()
@@ -111,7 +113,7 @@ object TextScaleProbe {
     }
     val incPairs = timed(s"incremental shard dedup (${nDocs - cut} docs)") {
       graft.functions.DedupPipeline.runIncremental(spark, shard, "doc_id",
-        "text", "probe", incPath, 64, params).localCheckpoint()
+        "text", "probe", incPath, 64, params).materialize()
     }
     // planted clusters whose members straddle the cut: every (base,
     // copy) / (base, near) / (copy, near) pair with ≥1 member ≥ cut —

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.functions.{BpeOps, UnigramOps}
 import org.apache.spark.sql.functions._
 
@@ -36,27 +38,27 @@ object UnigramScaleProbe {
             j => concat(lit("w"),
               pmod(xxhash64(col("id"), j), lit(20000)))), " "),
           lit(" qz")).as("text"))
-      .localCheckpoint(true)
+      .materialize()
 
     val words = timed("word_counts (the one corpus-sized job)") {
-      val w = BpeOps.wordCounts(docs, "text").localCheckpoint(true)
+      val w = BpeOps.wordCounts(docs, "text").materialize()
       println(s"PROBE vocab ${w.count()} distinct words")
       w
     }
 
     val subs = timed("substring_counts (vocab-sized)") {
-      val s = UnigramOps.substringCounts(words).localCheckpoint(true)
+      val s = UnigramOps.substringCounts(words).materialize()
       println(s"PROBE pieces ${s.count()} candidate substrings")
       s
     }
-    val vocab0 = UnigramOps.seedVocab(subs).localCheckpoint(true)
+    val vocab0 = UnigramOps.seedVocab(subs).materialize()
     var probs = timed("seed_prob_collect")(UnigramOps.probMap(vocab0))
     println(s"PROBE seed-vocab ${probs.size} pieces")
 
     var prevPieces = probs.keySet
     (1 to 3).foreach { r =>
       val v = timed(s"em_round_$r (vocab-sized viterbi + recount)") {
-        val x = UnigramOps.emRound(words, probs).localCheckpoint(true)
+        val x = UnigramOps.emRound(words, probs).materialize()
         x.count(); x
       }
       probs = UnigramOps.probMap(v)

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Materialize.Pinning
+
 import graft.etl.CorpusManager
 import org.apache.spark.sql.functions._
 
@@ -79,7 +81,7 @@ object VecScaleProbe {
     val docs = spark.range(n).as[Long].map { id =>
       (id, s"t${id}a t${id}b t${id}c t${id}d t${id}e", "src", vecOf(id))
     }.toDF("doc_id", "text", "source", "emb")
-      .repartition(64).localCheckpoint()
+      .repartition(64).materialize()
 
     val root = java.nio.file.Files.createTempDirectory("vec-probe").toString
     sys.addShutdownHook { // ~GBs of corpus + vecs per run; see MediaScaleProbe

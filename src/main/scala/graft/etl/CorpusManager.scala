@@ -1,5 +1,7 @@
 package graft.etl
 
+import graft.operators.Materialize.Pinning
+
 import graft.functions.{DedupFunctions, DedupPipeline, TextFunctions}
 import graft.sources.BucketedSignatureStore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -484,7 +486,7 @@ class CorpusManager(
     * while combo [[graft.multimodal.Multimodal.comboFor]] keeps it
     * budget-bounded with the SAME verified pair set. */
   private[graft] def mediaIntraPairs(hashes: DataFrame): DataFrame = {
-    val h = hashes.localCheckpoint()
+    val h = hashes.materialize()
     val n = h.count().toDouble
     val combo = graft.multimodal.Multimodal.comboForCost(
       n, n * n / 2, mediaMaxHamming, bits = mediaBits)
@@ -568,7 +570,7 @@ class CorpusManager(
     // dup-graph-sized
     graft.sources.MediaBlockStore
       .crossPairs(corpusB, shardB, mediaScheme, mediaMaxHamming)
-      .localCheckpoint()
+      .materialize()
       .join(mediaDf().select(col("id").as("aid")), Seq("aid"), "left_semi")
       .select(least(col("aid"), col("bid")).as("d1"),
         greatest(col("aid"), col("bid")).as("d2"))
@@ -608,7 +610,7 @@ class CorpusManager(
       case None => (docs, docs.limit(0))
       case Some(bl) =>
         val blG = bl.select(col("g").cast("string").as("g"))
-          .filter(col("g").isNotNull).distinct().localCheckpoint()
+          .filter(col("g").isNotNull).distinct().materialize()
         val nBl = math.max(blG.count(), 1L)
         // ~16 bits/gram (fpp well under 1%), capped below Spark's
         // runtime-filter ceiling so the aggregate never clamps silently
@@ -630,7 +632,7 @@ class CorpusManager(
           .filter(col("_nhit").cast("double") >
             greatest(col("_ng"), lit(1)).cast("double") * maxContamination)
           .select(col(idCol))
-          .localCheckpoint() // one decision, two consumers (keep + reject)
+          .materialize() // one decision, two consumers (keep + reject)
         (docs.join(contaminated, Seq(idCol), "left_anti"),
           docs.join(contaminated, Seq(idCol), "left_semi"))
     }
@@ -795,7 +797,7 @@ class CorpusManager(
     // and forfeiting the exchange-free scan — the checkpoint is the
     // reorder barrier that keeps it above (measured: pushdown happens
     // without it), and the pair set it materializes is dup-graph-sized.
-    embVerifiedPairs(shardAssigned).localCheckpoint()
+    embVerifiedPairs(shardAssigned).materialize()
       .join(hashesDf().select(col(idCol).as("cid_")), Seq("cid_"), "left_semi")
       .select(least(col("cid_"), col("sid_")).as("d1"),
         greatest(col("cid_"), col("sid_")).as("d2"))
@@ -850,7 +852,7 @@ class CorpusManager(
       .ndBuckets(batch.select(col(idCol), col(e)), idCol, e,
         embTables, bits, embDims, salt = "cm-nd")
       .select(col(idCol), posexplode(col("buckets")).as(Seq("t", "bk")))
-      .localCheckpoint() // both join sides, one typed bucket pass
+      .materialize() // both join sides, one typed bucket pass
     // merge-hinted self-join: the bucket table is batch-sized on both
     // sides — a static broadcast build (possible when the batch's size
     // estimate descends from a generator or binary column) would
@@ -880,7 +882,7 @@ class CorpusManager(
     val (okQ, rejQ) = qualityGate(docs)
     val (ok, rejC) = contaminationGate(okQ)
     val rej = rejQ.unionByName(rejC)
-    val accepted = ok.localCheckpoint() // gate once; feeds dedup + counts
+    val accepted = ok.materialize() // gate once; feeds dedup + counts
     val (_, _, textKeepers) = DedupPipeline.run(accepted, idCol, textCol, p)
     // embedding-side near-dup among the text-unique keepers: LSH-bucket
     // candidates + cosine verify, drop non-minimum component members
@@ -889,7 +891,7 @@ class CorpusManager(
     val keepers =
       if (embCol.isEmpty && mediaCol.isEmpty) textKeepers
       else {
-        val tk = textKeepers.localCheckpoint()
+        val tk = textKeepers.materialize()
         // every extra signal's edges join ONE dup graph (embedding
         // cosine, perceptual media) over the text-unique keepers
         val extra = embCol.map(_ => embIntraPairs(tk)).toSeq ++
@@ -1023,7 +1025,7 @@ class CorpusManager(
     val (okQ, rejQ) = qualityGate(newDocs)
     val (ok, rejC) = contaminationGate(okQ)
     val rej = rejQ.unionByName(rejC)
-    val shard = ok.localCheckpoint()
+    val shard = ok.materialize()
     val nInCorpus = shard.select(col(idCol)).distinct()
       .join(corpus().select(col(idCol)), Seq(idCol), "left_semi").count()
     if (nInCorpus > 0) {
@@ -1039,7 +1041,7 @@ class CorpusManager(
           "DIFFERENT content — doc ids must be globally unique")
       val remainder = shard
         .join(corpus().select(col(idCol)), Seq(idCol), "left_anti")
-        .localCheckpoint()
+        .materialize()
       if (remainder.isEmpty) {
         val (nIn, nRej) = (newDocs.count(), rej.count())
         IngestReport(nIn, nRej, nIn - nRej, 0, Nil)
@@ -1058,7 +1060,7 @@ class CorpusManager(
       s"${name}_shard_bands", s"$dedupPath/shard_bands", numBuckets, p,
       // exact-verify reads candidate docs' grams from the PINNED corpus
       corpusDocs = if (p.exactVerify) Some(corpus()) else None)
-    val shardH = shard.select(col(idCol), md5(col(textCol)).as("h")).localCheckpoint()
+    val shardH = shard.select(col(idCol), md5(col(textCol)).as("h")).materialize()
     def norm(a: Column, b: Column) =
       Seq(least(a, b).as("d1"), greatest(a, b).as("d2"))
     val exactCross = shardH.as("s").join(corpusH.as("c"), col("s.h") === col("c.h"))
@@ -1085,7 +1087,7 @@ class CorpusManager(
       graft.functions.VectorFunctions.ivfAssignMulti(
           shard.select(col(idCol), col(e)), idCol, e,
           readCentroids(), embProbes)
-        .localCheckpoint()
+        .materialize()
     }
     val embEdges = shardAssigned.map { a =>
       embCandidates(a).unionByName(embIntraPairs(shard))
@@ -1094,7 +1096,7 @@ class CorpusManager(
     // through the PERSISTED block store (regenerated first if the
     // committed layout no longer matches this manager's parameters or
     // the corpus size's combo) — same dup graph as text/embedding
-    val shardMedia = mediaCol.map(_ => mediaHashesOf(shard).localCheckpoint())
+    val shardMedia = mediaCol.map(_ => mediaHashesOf(shard).materialize())
     val mediaBlocksState = shardMedia.map(_ => ensureMediaBlocks(man))
     val mediaEdges = shardMedia.map { mh =>
       val (v, combo) = mediaBlocksState.get
@@ -1103,7 +1105,7 @@ class CorpusManager(
     val pairs = (embEdges.toSeq ++ mediaEdges.toSeq).foldLeft(
         nearPairs.unionByName(exactCross).unionByName(exactIntra))(
         _ unionByName _)
-      .distinct().localCheckpoint()
+      .distinct().materialize()
 
     // -- cluster and resolve drops (working set = the dup graph) --------
     val labels = DedupFunctions.connectedComponents(
@@ -1117,7 +1119,7 @@ class CorpusManager(
         .filter(col("id") =!= col("lbl")).select("id"))
       .distinct()
     val keepers = shard.join(drops.withColumnRenamed("id", idCol),
-      Seq(idCol), "left_anti").localCheckpoint()
+      Seq(idCol), "left_anti").materialize()
 
     // -- drift gate (before ANY write: a failed gate leaves the corpus
     //    byte-identical, matching DatasetManager's pre-parse posture —
@@ -1125,7 +1127,7 @@ class CorpusManager(
     //    The keeper sketch is computed ONCE and feeds both the drift
     //    compare and the post-commit merge — it is the most expensive
     //    per-shard scan after dedup itself.
-    val keeperSketch = vocabSketch(keepers).localCheckpoint()
+    val keeperSketch = vocabSketch(keepers).materialize()
     val drift = driftAgainstCorpus(keeperSketch)
     minVocabContainment.foreach { thr =>
       val bad = drift.filter(d => !d.novelSource && d.containmentEst < thr)
@@ -1175,7 +1177,7 @@ class CorpusManager(
     mediaCol.foreach { _ =>
       // one keeper decode pass feeds the pinned hash artifact AND the
       // block-store append (blocks stay exchange-free for the next shard)
-      val keeperHashes = mediaHashesOf(keepers).localCheckpoint()
+      val keeperHashes = mediaHashesOf(keepers).materialize()
       keeperHashes.write.mode("append").parquet(mediaPath)
       graft.sources.MediaBlockStore.append(keeperHashes, mediaScheme,
         mediaMaxHamming, mediaBlocksState.get._2,

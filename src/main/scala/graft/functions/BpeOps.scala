@@ -1,5 +1,7 @@
 package graft.functions
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -126,7 +128,7 @@ object BpeOps {
           rules += r.copy(iter = i)
           syms = mergeRoundFiltered(syms, r.a, r.b)
           if (i % checkpointEvery == 0)
-            syms = syms.localCheckpoint(eager = true)
+            syms = syms.materialize()
         case None => done = true
       }
       i += 1
@@ -141,7 +143,7 @@ object BpeOps {
                  checkpointEvery: Int = 8): DataFrame =
     rules.zipWithIndex.foldLeft(syms) { case (s, ((a, b), i)) =>
       val next = mergeRoundFiltered(s, a, b)
-      if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(eager = true)
+      if ((i + 1) % checkpointEvery == 0) next.materialize()
       else next
     }
 
@@ -170,7 +172,7 @@ object BpeOps {
     * makes the fallback real rather than documentation. */
   private[functions] def maybeBroadcast(vocabSide: DataFrame,
                                         limit: Long = 4000000L): DataFrame = {
-    val v = vocabSide.localCheckpoint()
+    val v = vocabSide.materialize()
     if (v.count() <= limit) broadcast(v) else v
   }
 }

@@ -1,5 +1,7 @@
 package graft.functions
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -102,7 +104,7 @@ object DedupFunctions {
                           stallSwitch: Boolean = true,
                           driverFinishEdges: Long = 1000000L): DataFrame = {
     val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
+      .materialize()
     val eN = raw.count()
     // A dup graph at or under `driverFinishEdges` edges (default 10⁶ —
     // 16 MB of pairs, a LongMap of ≤ 2·10⁶ entries) is finished with
@@ -125,7 +127,7 @@ object DedupFunctions {
     // launches to move a few hundred rows.
     val p = math.max(1L, math.min(raw.rdd.getNumPartitions.toLong * 2,
       (2 * eN) / 50000L + 1L)).toInt
-    val und = undFull.coalesce(p).localCheckpoint()
+    val und = undFull.coalesce(p).materialize()
     // Initialize with round 1 fused in: every endpoint starts at
     // min(self, direct neighbors) — one aggregate instead of a
     // distinct + a full join round. Near-clique dup clusters converge
@@ -133,7 +135,7 @@ object DedupFunctions {
     // confirmation.
     var labels = und.groupBy(col("src").as("id"))
       .agg(least(col("src"), min("dst")).as("lbl"))
-      .localCheckpoint()
+      .materialize()
     // One propagation step: each node takes the minimum of its own
     // label, its neighbors' labels, and its label's label (pointer
     // jump / path halving — shortcuts label chains; min-DISCOVERY still
@@ -192,7 +194,7 @@ object DedupFunctions {
           (id, lbl)
         })
         .toDF("id", "lbl")
-        .localCheckpoint()
+        .materialize()
       val changes = acc.value.longValue
       converged = changes == 0L
       if (stallSwitch && prevChanges != Long.MaxValue &&
@@ -311,7 +313,7 @@ object DedupFunctions {
         .as[(Long, Long)]
         .mapPartitions(_.map { p => acc.add(1L); p })
         .toDF("src", "dst")
-        .localCheckpoint()
+        .materialize()
       (out, acc.value.longValue)
     }
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")

@@ -1,5 +1,7 @@
 package graft.functions
 
+import graft.operators.Materialize.Pinning
+
 import graft.sources.BucketedSignatureStore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -78,7 +80,7 @@ object DedupPipeline {
     val sigs = Signatures.minhash(
         docs.filter(TextFunctions.tokenCount(col(textCol)) >= p.ngram),
         idCol, textCol, p.ngram, p.perms, p.hasher)
-      .localCheckpoint()
+      .materialize()
     val bandRows = sigs
       .withColumn("bands", DedupFunctions.bandKeys(col("sig"), p.bands, p.rowsPerBand))
       .select(col(idCol), posexplode(col("bands")).as(Seq("band", "bk")))
@@ -132,14 +134,14 @@ object DedupPipeline {
       // DISTINCT pair — never a corpus-sized gram pass per shard run
       val (docs, textCol) = exactDocs.getOrElse(throw new IllegalArgumentException(
         "exactVerify requires the doc texts at the verify stage"))
-      val candC = cand.localCheckpoint() // feeds the id list AND the joins
+      val candC = cand.materialize() // feeds the id list AND the joins
       val ids = candC.select(col("d1").as(idCol))
         .unionByName(candC.select(col("d2").as(idCol))).distinct()
       val gs = docs.join(ids, Seq(idCol), "left_semi")
         .select(col(idCol), array_distinct(transform(
           TextFunctions.wordNgrams(col(textCol), p.ngram),
           g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("_hs"))
-        .localCheckpoint() // both join sides below
+        .materialize() // both join sides below
       // integer cross-multiplied gate (tDen·inter ≥ tNum·union): exact
       // at the threshold, no double rounding — see thresholdRational
       val (tNum, tDen) = p.thresholdRational
@@ -166,7 +168,7 @@ object DedupPipeline {
       // recomputing it — and pick sides explicitly: candidate-side
       // broadcast when it fits, sort-merge (spillable, never collected)
       // when a pathological corpus makes candidates corpus-sized.
-      val candC = cand.localCheckpoint()
+      val candC = cand.materialize()
       // broadcast budget scales with SIGNATURE WIDTH, not a fixed row
       // count: the broadcast object is candidates + one sig per side,
       // ~perms·8 bytes per row — 250k rows is ~140 MB at the default 64
@@ -225,7 +227,7 @@ object DedupPipeline {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
     val withKeeper = sigs
       .withColumn("keeper", min(col(idCol)).over(w))
-      .localCheckpoint() // one signature+window pass feeds star AND reps
+      .materialize() // one signature+window pass feeds star AND reps
     val star = withKeeper.filter(col(idCol) =!= col("keeper"))
       .select(col("keeper").as("src"), col(idCol).as("dst"))
     val reps = withKeeper.filter(col(idCol) === col("keeper"))
@@ -262,10 +264,10 @@ object DedupPipeline {
     // exact groups collapse to reps BEFORE the LSH stage (identical sigs
     // would band-join into per-group cliques); members ride along as
     // star edges, which also covers sub-ngram docs
-    val star = exactStarEdges(docs, idCol, textCol).localCheckpoint()
+    val star = exactStarEdges(docs, idCol, textCol).materialize()
     val (sigs, bandRows) =
       signatureTables(exactReps(docs, idCol, textCol, star), idCol, textCol, p)
-    val banded = bandRows.localCheckpoint() // both join sides, one compute
+    val banded = bandRows.materialize() // both join sides, one compute
     val pairs = verifiedPairs(banded, banded, sigs, idCol, p, selfJoin = true,
         exactDocs = if (p.exactVerify) Some((docs, textCol)) else None)
       .unionByName(star)
@@ -424,7 +426,7 @@ object DedupPipeline {
     // broadcast the (small) candidate side, so each scan streams the
     // sig table without shuffling it. Only the shard's signatures (the
     // frame every join side recomputes otherwise) are checkpointed.
-    val allSigs = corpusSigs.unionByName(shardSigs.localCheckpoint())
+    val allSigs = corpusSigs.unionByName(shardSigs.materialize())
     val exact =
       if (p.exactVerify)
         Some((corpusDocs.get.select(col(idCol), col(textCol))

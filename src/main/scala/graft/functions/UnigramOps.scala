@@ -1,5 +1,7 @@
 package graft.functions
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -126,17 +128,17 @@ object UnigramOps {
   def train(docs: DataFrame, textCol: String,
             rounds: Int): (DataFrame, Map[String, Double]) = {
     val spark = docs.sparkSession
-    val words = BpeOps.wordCounts(docs, textCol).localCheckpoint()
+    val words = BpeOps.wordCounts(docs, textCol).materialize()
     def withProb(df: DataFrame, round: Int): DataFrame = {
       val total = df.agg(sum("cnt")).collect()(0).getLong(0)
       df.select(lit(round).as("round"), col("piece"), col("cnt"),
         (col("cnt").cast("double") / lit(total.toDouble)).as("prob"))
     }
-    var vocab = seedVocab(substringCounts(words)).localCheckpoint()
+    var vocab = seedVocab(substringCounts(words)).materialize()
     var out = withProb(vocab, 0)
     var probs = probMap(vocab)
     (1 to rounds).foreach { r =>
-      vocab = emRound(words, probs).localCheckpoint()
+      vocab = emRound(words, probs).materialize()
       out = out.unionByName(withProb(vocab, r))
       probs = probMap(vocab)
     }

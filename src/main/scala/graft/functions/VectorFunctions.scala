@@ -1,5 +1,7 @@
 package graft.functions
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -405,7 +407,7 @@ object VectorFunctions {
     // here would be one extra blocking job copying memory to memory.
     val src0 = Signatures.spread(df.select(col(idCol).cast("long"), col(vecCol)))
       .as[(Long, Array[Float])]
-    val src = if (checkpoint) src0.localCheckpoint() else src0
+    val src = if (checkpoint) src0.materialize() else src0
     var it = 0
     while (it < iters) {
       val cur = books

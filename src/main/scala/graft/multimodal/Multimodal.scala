@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -877,7 +879,7 @@ object Multimodal {
     hammingPairs(
       perceptualHashes(df, idCol, binCol).toDF()
         .select(col("id"), col("phash").as("h"))
-        .localCheckpoint(), // one decode pass, not one per join side
+        .materialize(), // one decode pass, not one per join side
       maxHamming)
 
   /** Modality-dispatching 63-bit hash: image pHash when the bytes
@@ -1025,6 +1027,6 @@ object Multimodal {
     * 63-bit fingerprint — same pigeonhole blocking as image dedup. */
   def audioDedup(df: DataFrame, idCol: String, binCol: String,
                  maxHamming: Int = 3): DataFrame =
-    hammingPairs(audioFingerprints(df, idCol, binCol).localCheckpoint(),
+    hammingPairs(audioFingerprints(df, idCol, binCol).materialize(),
       maxHamming)
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -133,7 +135,7 @@ object FuzzyJoin {
             i => struct(i.as("i"), del1(s, i).as("v"))))
           .otherwise(array().cast("array<struct<i:int,v:string>>"))).as("d"))
       .select(s, col("d.i").as("_fj_i"), col("d.v").as("_fj_v"))
-      .localCheckpoint()
+      .materialize()
     val subs = tagged.alias("x")
       .join(tagged.alias("y"),
         col("x._fj_v") === col("y._fj_v") && col("x._fj_i") === col("y._fj_i") &&
@@ -161,7 +163,7 @@ object FuzzyJoin {
     val vars = strs.select(col("_fj_s"),
         explode(deletionVariants(col("_fj_s"), maxDist)).as("_fj_v"))
       .distinct() // duplicate variants of one string → one block entry
-      .localCheckpoint()
+      .materialize()
     val shufP = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     vars.alias("x")
       .join(vars.alias("y"),

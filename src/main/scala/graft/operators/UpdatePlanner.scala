@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.Pinning
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,7 +37,7 @@ object UpdatePlanner {
 
   /** Distinct time axis, materialized and bounds-checked. */
   private def axis(times: DataFrame, key: String, maxAxis: Long): DataFrame = {
-    val ax = times.select(col(key)).distinct().localCheckpoint(true)
+    val ax = times.select(col(key)).distinct().materialize()
     val n = ax.count()
     require(n <= maxAxis,
       s"UpdatePlanner: distinct axis for '$key' has $n values, above the " +

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.operators.Materialize.Pinning
+
 import graft.Tables
 import graft.etl.CorpusManager
 import graft.functions.DedupPipeline
@@ -101,7 +103,7 @@ object PipelineQueries {
       val cls = tok.groupBy("source", "k")
         .agg(sum(when(col("gen") === 0, 1L).otherwise(0L)).as("oa"),
           sum(when(col("gen") === 1, 1L).otherwise(0L)).as("ob"))
-        .localCheckpoint() // feeds both the totals and the fold below
+        .materialize() // feeds both the totals and the fold below
       val tot = cls.groupBy("source")
         .agg(sum("oa").as("na"), sum("ob").as("nb"))
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(20,0)")
@@ -142,7 +144,7 @@ object PipelineQueries {
       val cm = new CorpusManager(nm, root, s)
       val r1 = cm.ingestInitial(docs.filter(col("doc_id") % 5 =!= 0))
       val r2 = cm.ingestShard(docs.filter(col("doc_id") % 5 === 0))
-      val kept = cm.corpus().select("doc_id").localCheckpoint()
+      val kept = cm.corpus().select("doc_id").materialize()
       val n = kept.count()
       require(n == r1.ingested + r2.ingested,
         s"corpus rows $n != ingest reports ${r1.ingested}+${r2.ingested}")
@@ -179,7 +181,7 @@ object PipelineQueries {
             graft.multimodal.SyntheticMedia.mediaFor(gid + 200L * (id / 100), 200))
         })
         .toDF("doc_id", "text", "source", "bytes")
-        .localCheckpoint() // one payload pass feeds both ingests
+        .materialize() // one payload pass feeds both ingests
       val root = freshDir(s, "q165_media", dir)
       val nm = s"q165_${ProcessHandle.current().pid()}"
       val cm = new CorpusManager(nm, root, s, mediaCol = Some("bytes"))
@@ -191,7 +193,7 @@ object PipelineQueries {
       val m2 = cm.readManifest().get
       require(m2.mediaBlocksVersion == 1,
         s"shard ingest regenerated an unchanged layout: $m2")
-      val kept = cm.corpus().select("doc_id").localCheckpoint()
+      val kept = cm.corpus().select("doc_id").materialize()
       require(kept.count() == r1.ingested + r2.ingested,
         s"corpus rows ${kept.count()} != ${r1.ingested}+${r2.ingested}")
       kept.orderBy("doc_id")
@@ -228,7 +230,7 @@ object PipelineQueries {
           }
         })
         .toDF("doc_id", "text", "source", "bytes")
-        .localCheckpoint() // one payload pass feeds three ingests
+        .materialize() // one payload pass feeds three ingests
       val corpus = synth.filter(col("doc_id") % 7 =!= 0)
       val shard = synth.filter(col("doc_id") % 7 === 0)
       val pid = ProcessHandle.current().pid()

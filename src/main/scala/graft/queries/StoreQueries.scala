@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.operators.Materialize.Pinning
+
 import graft.Tables
 import graft.model.{Category, ChunkGrid, DatasetDescriptor}
 import graft.sources.GriddedStore
@@ -331,11 +333,11 @@ object StoreQueries {
       val v1 = store.latestVersionNumber()
       val keys = Seq("longitude") // longitude = user_id in this mapping
       val state1 = IncrementalAgg.aggregate(store.readAt(v1), keys, "value")
-        .localCheckpoint()
+        .materialize()
       store.update(all.filter(col("time") > cut)) // append commit
       val v2 = store.latestVersionNumber()
       val state2 = IncrementalAgg.maintain(store, v1, v2, state1, keys, "value")
-        .localCheckpoint()
+        .materialize()
       val full2 = IncrementalAgg.aggregate(store.readAt(v2), keys, "value")
       require(state2.exceptAll(full2).isEmpty && full2.exceptAll(state2).isEmpty,
         "maintained state diverged from recompute at the append commit")
@@ -343,7 +345,7 @@ object StoreQueries {
         .withColumn("value", col("value") + 1000.0)) // correction commit
       val v3 = store.latestVersionNumber()
       val state3 = IncrementalAgg.maintain(store, v2, v3, state2, keys, "value")
-        .localCheckpoint()
+        .materialize()
       val full3 = IncrementalAgg.aggregate(store.readAt(v3), keys, "value")
       require(state3.exceptAll(full3).isEmpty && full3.exceptAll(state3).isEmpty,
         "maintained state diverged from recompute at the correction commit")

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.operators.Materialize.Pinning
+
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.streaming.StreamingNearDup
@@ -88,7 +90,7 @@ object StreamingQueries {
             col("text")),
         "doc_id", "us", "text", 3, 64, Bands)
         .select("doc_id", "us", "bandIdx", "bandKey")
-        .localCheckpoint()
+        .materialize()
       // ONE file per part: maxFilesPerTrigger=1 makes file count the
       // micro-batch count, and an uncoalesced 32-partition write here
       // would turn the feed into ~100 batches of state-store overhead
@@ -182,7 +184,7 @@ object StreamingQueries {
           (lit(BaseUs) + col("doc_id") % 240 * lit(MinUs) + col("off"))
             .as("us"),
           (col("doc_id") * 10 + col("r")).as("obs_id"))
-        .localCheckpoint()
+        .materialize()
       (0 until 2).foreach { i =>
         obs.filter(col("obs_id") % 2 === i)
           .coalesce(1).write.parquet(s"$in/p=$i")
@@ -245,7 +247,7 @@ object StreamingQueries {
       val GapUs = 1800000000L // 30 min, the q09 semantics
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("us"), col("event_id"))
-        .localCheckpoint()
+        .materialize()
       val feed = ev.select("user_id", "us")
       (0 until 3).foreach { i =>
         ev.filter(col("event_id") % 3 === i).select("user_id", "us")
@@ -307,7 +309,7 @@ object StreamingQueries {
       val ev = Tables.events(s, dir)
         .filter(col("event_type").isin("view", "click", "purchase"))
         .select(col("user_id"), col("event_type"), col("us"))
-        .localCheckpoint()
+        .materialize()
       val bounds = ev.agg(min("us"), max("us")).head()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
@@ -369,7 +371,7 @@ object StreamingQueries {
       val ckpt = freshDir(s, "q156_ckpt", dir)
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
-        .localCheckpoint()
+        .materialize()
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("us").as("v_us"))
       val purch = ev.filter(col("event_type") === "purchase")
@@ -439,7 +441,7 @@ object StreamingQueries {
       val ckpt = freshDir(s, "q157_ckpt", dir)
       val ev = Tables.events(s, dir)
         .select(col("event_type"), col("value"), col("us"), col("event_id"))
-        .localCheckpoint()
+        .materialize()
       val feed = ev.select("event_type", "value", "us")
       // parts interleaved by event_id % 3: each spans the full month, so
       // run 2's finalized windows MUST merge run-1 state with new rows
@@ -521,7 +523,7 @@ object StreamingQueries {
         .withColumn("bandKey",
           concat(lit("k"), col("doc_id"), lit("-"), col("bandIdx")))
         .select("doc_id", "us", "bandIdx", "bandKey")
-        .localCheckpoint()
+        .materialize()
       (0 until 2).foreach { i =>
         banded.filter(col("doc_id") % 2 === i)
           .coalesce(1).write.parquet(s"$in/p=$i")

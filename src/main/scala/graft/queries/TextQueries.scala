@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.operators.Materialize.Pinning
+
 import graft.Tables
 import graft.functions.{DedupFunctions, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -71,7 +73,7 @@ object TextQueries {
         // materialize once: both sides of the self-join below would
         // otherwise re-scan and re-shingle (no CSE across join sides);
         // at scale this is "write the shingle table, then join it"
-        .localCheckpoint()
+        .materialize()
       val sh = d.select(col("doc_id"), explode(col("grams")).as("g"))
       val sz = d.select(col("doc_id"), size(col("grams")).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
@@ -101,7 +103,7 @@ object TextQueries {
             .filter(TextFunctions.tokenCount(col("text")) >= 3),
           "doc_id", "text", 3, 64)
         .withColumn("bands", DedupFunctions.bandKeys(col("sig"), 16, 4))
-        .localCheckpoint() // signatures computed once, not per join side
+        .materialize() // signatures computed once, not per join side
       // band rows carry only (doc_id, band, key); signatures join back
       // per DISTINCT candidate pair below, so the (interpreted) slot
       // comparison runs once per pair, not once per band collision
@@ -133,7 +135,7 @@ object TextQueries {
       val d = graft.functions.Signatures
         .simhash(Tables.table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("simhash").as("sh"))
-        .localCheckpoint() // one signature pass for both join sides
+        .materialize() // one signature pass for both join sides
       val blocked = d.select(col("doc_id"), col("sh"),
         posexplode(DedupFunctions.simhashBlocks(col("sh"))).as(Seq("q", "blk")))
       val pairs = blocked.as("a").join(blocked.as("b"),
@@ -292,7 +294,7 @@ object TextQueries {
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       val dl = docs
         .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"))
-        .localCheckpoint() // reused by stats + the per-doc join
+        .materialize() // reused by stats + the per-doc join
       val stats = dl.agg(count(lit(1)).as("n"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
       val tk = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -501,7 +503,7 @@ object TextQueries {
       val toks = Tables.table(s, dir, "documents")
         .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .distinct()
-        .localCheckpoint() // one distinct pass feeds sketch, sizes, and exact join
+        .materialize() // one distinct pass feeds sketch, sizes, and exact join
       val sk = toks.withColumn("hv", hv).groupBy("source")
         .agg(call_function("kmv_minima", col("hv"), lit(k)).as("m"),
           count(lit(1)).as("n"))
@@ -559,7 +561,7 @@ object TextQueries {
         .toDF("doc_id", "bytes")
       graft.multimodal.Multimodal.hammingPairs(
         graft.multimodal.Multimodal.mediaHashes(media, "doc_id", "bytes")
-          .localCheckpoint(), // one decode pass, not one per join side
+          .materialize(), // one decode pass, not one per join side
         maxHamming = 3)
         .orderBy("id1", "id2")
     }),
@@ -585,7 +587,7 @@ object TextQueries {
         .toDF("doc_id", "bytes")
       graft.multimodal.Multimodal.hammingPairsWide(
         graft.multimodal.Multimodal.perceptualHashesWide(media, "doc_id", "bytes")
-          .localCheckpoint(), // one decode pass, not one per join side
+          .materialize(), // one decode pass, not one per join side
         maxHamming = 16)
         .orderBy("id1", "id2")
     }),
@@ -670,7 +672,7 @@ object TextQueries {
       val js = (0 until 4).map(lit(_))
       val toks = Tables.table(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .localCheckpoint() // sketch pass + verify pass, one tokenize
+        .materialize() // sketch pass + verify pass, one tokenize
       val sketch = toks
         .select(explode(array(js.map(j =>
           struct(j.as("j"), bucket(j, col("tok")).as("b"))): _*)).as("jb"))
@@ -752,7 +754,7 @@ object TextQueries {
           pmod(TextFunctions.md5Hash60(col("tok")), lit(d.toLong)).as("bucket"))
         .groupBy("doc_id", "n_chars", "bucket")
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // one tokenize feeds Sxy, the residual pass, scoring
+        .materialize() // one tokenize feeds Sxy, the residual pass, scoring
       val n = Tables.table(s, dir, "documents").count()
       val sxy = feats.groupBy("bucket")
         .agg(sum(col("cnt") * col("n_chars")).as("s"))
@@ -766,7 +768,7 @@ object TextQueries {
       }
       val rows = feats.groupBy("doc_id", "n_chars")
         .agg(collect_list(struct(col("bucket"), col("cnt"))).as("xs"))
-        .localCheckpoint() // residual pass + final scoring
+        .materialize() // residual pass + final scoring
       val g2 = rows.withColumn("r", dotW(w1) - col("n_chars"))
         .select(explode(col("xs")).as("e"), col("r"))
         .groupBy(col("e.bucket").as("bucket"))
@@ -809,7 +811,7 @@ object TextQueries {
       val fp = graft.functions.Signatures.winnowRows(
           Tables.table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("hv")).distinct()
-        .localCheckpoint() // feeds the df cap, per-doc sizes, and the pair join
+        .materialize() // feeds the df cap, per-doc sizes, and the pair join
       val keep = fp.groupBy("hv").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= 50).select("hv")
       val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
@@ -908,7 +910,7 @@ object TextQueries {
     "q75_bigram_lm" -> ((s, dir) => {
       val bg = graft.functions.Signatures.skipGramRowsById(
         Tables.table(s, dir, "documents"), "doc_id", "text", 1)
-        .localCheckpoint() // one tokenize pass feeds doc counts AND model
+        .materialize() // one tokenize pass feeds doc counts AND model
       val docBg = bg.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n_inst"))
       val model = docBg.groupBy("a", "b").agg(sum("n_inst").as("c_ab"))
         .withColumn("c_a", sum("c_ab").over(
@@ -947,7 +949,7 @@ object TextQueries {
       val docs = Tables.table(s, dir, "documents")
       val bg = graft.functions.Signatures.skipGramRowsById(
         docs, "doc_id", "text", 1)
-        .localCheckpoint() // one tokenize pass feeds model AND doc counts
+        .materialize() // one tokenize pass feeds model AND doc counts
       val refIds = docs
         .filter(col("lang") === "en" && col("doc_id") % 5 === 0)
         .select("doc_id")
@@ -988,7 +990,7 @@ object TextQueries {
       val g = graft.functions.Signatures.ngramPosRows(
           Tables.table(s, dir, "documents"), "doc_id", "text", n)
         .withColumn("k", md5(col("g"))).drop("g")
-        .localCheckpoint() // one tokenize pass feeds shared set AND span scan
+        .materialize() // one tokenize pass feeds shared set AND span scan
       // "≥ 2 distinct docs" as min≠max — a plain partial-aggregable
       // min/max pair instead of countDistinct's two-phase expansion
       val shared = g.groupBy("k")
@@ -1193,7 +1195,7 @@ object TextQueries {
           TextFunctions.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"), col("lang"), idxs.as("idxs"))
-        .localCheckpoint() // ONE md5 pass feeds the df model AND scoring
+        .materialize() // ONE md5 pass feeds the df model AND scoring
       val dfRows = docs.select(col("lang"), explode(col("idxs")).as("idx"))
         .groupBy("idx").agg(count(lit(1)).as("r_b"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.operators.Materialize.Pinning
+
 import graft.Tables
 import graft.operators.{AsOfJoin, GraphOps, RangeJoin, Selections, UpdatePlanner}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -164,8 +166,8 @@ object TimeSeriesQueries {
         .filter(col("src").isNotNull && col("src") =!= col("k"))
         .groupBy(col("src"), col("k").as("dst"))
         .agg(count(lit(1)).as("w"))
-        .localCheckpoint() // reused by both iterations
-      val nodes = ev.select("k").distinct().localCheckpoint()
+        .materialize() // reused by both iterations
+      val nodes = ev.select("k").distinct().materialize()
       val n = nodes.count()
       GraphOps.pageRank(edges, nodes, iters = 2, nNodes = n)
         .select(col("k"), round(col("pr"), 9).as("pr"))
@@ -191,7 +193,7 @@ object TimeSeriesQueries {
         .filter(col("src").isNotNull && col("src") =!= col("k"))
         .groupBy(col("src"), col("k").as("dst"))
         .agg(count(lit(1)).as("w"))
-        .localCheckpoint() // reused by both rounds
+        .materialize() // reused by both rounds
       val nodes = ev.select("k").distinct()
       GraphOps.labelPropagate(edges, nodes, rounds = 2).orderBy("k")
     }),
@@ -219,7 +221,7 @@ object TimeSeriesQueries {
           greatest(col("src"), col("k")).as("b"))
         .agg(count(lit(1)).as("w"))
       val kept = GraphOps.sparsifyTopK(und, 6)
-        .localCheckpoint() // reused: degrees + three enumeration sides
+        .materialize() // reused: degrees + three enumeration sides
       GraphOps.triangles(kept).orderBy("a", "b", "c")
     }),
 
@@ -239,7 +241,7 @@ object TimeSeriesQueries {
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .distinct()
-        .localCheckpoint()
+        .materialize()
       val ni = ui.groupBy("k").agg(count(lit(1)).as("n"))
       val pairs = ui.join(ui.withColumnRenamed("k", "k2"), "user_id")
         .filter(col("k") < col("k2"))

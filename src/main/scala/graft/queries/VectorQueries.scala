@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.operators.Materialize.Pinning
+
 import graft.Tables
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -278,7 +280,7 @@ object VectorQueries {
         .select("vec_id", "embedding")
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val assigned = VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
-        .localCheckpoint() // both join sides, one typed assignment pass
+        .materialize() // both join sides, one typed assignment pass
       assigned.as("a").join(assigned.as("b"),
           col("a.cell") === col("b.cell") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -315,7 +317,7 @@ object VectorQueries {
         emb, "vec_id", "embedding", seeds, maxIter = 2, tol = 0.0)
       val assigned = VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
         .select(col("vec_id"), col("cell"))
-        .localCheckpoint() // feeds the rank window AND the cell floor
+        .materialize() // feeds the rank window AND the cell floor
       val w = Window.partitionBy("cell")
         .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
       val floorK = assigned.groupBy("cell").agg(count(lit(1)).as("cn"))
@@ -348,7 +350,7 @@ object VectorQueries {
       val cents = VectorFunctions.kmeansTrain(
         emb, "vec_id", "embedding", seeds, maxIter = 2, tol = 0.0)
       val assigned = VectorFunctions.ivfAssign(emb, "vec_id", "embedding", cents)
-        .localCheckpoint() // both pair sides AND the survivor join
+        .materialize() // both pair sides AND the survivor join
       val dropped = assigned.as("a").join(assigned.as("b"),
           col("a.cell") === col("b.cell") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -444,7 +446,7 @@ object VectorQueries {
           out
         }.toDF("i", "j", "p")
         .groupBy("i", "j").agg(sum("p").as("s")) // map-side combined
-        .localCheckpoint() // feeds both the pair table and the linear sums
+        .materialize() // feeds both the pair table and the linear sums
       val sij = partials.filter(col("j") >= 0)
         .select(col("i"), col("j"), col("s").as("s_ij"))
       val si = partials.filter(col("j") === -1).select(col("i"), col("s"))
@@ -567,7 +569,7 @@ object VectorQueries {
       // re-compiling the scan subplan per job — the cold cost here is
       // plan+codegen × job count, not data volume.
       val emb = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding")).localCheckpoint()
+        .select(col("vec_id"), col("embedding")).materialize()
       // ONE collect serves all three driver-side inputs — the 8 IVF
       // seeds (q77's md5 order; rank re-derived driver-side because
       // union does not preserve the sorted side's row order), the PQ
