@@ -526,19 +526,29 @@ class CorpusManager(
     * layout differs from what this manager's (scheme, radius) and the
     * corpus size call for — a parameter change routes to regeneration,
     * never a mixed-key join. Also (re)builds version-0 stores (ingested
-    * before the block store existed) and re-registers the external
-    * table in a fresh metastore. The caller's commit stamps the
-    * returned pair; a crash in between leaves an unpinned extra version
-    * the next run overwrites. */
+    * before the block store existed). When the stamps MATCH but the
+    * session's metastore has no catalog entry (fresh deployment — the
+    * files exist, bucket metadata is per-metastore), the existing
+    * store is RE-ATTACHED metadata-only ([[graft.sources
+    * .BucketedSignatureStore.attach]]): regenerating would silently
+    * re-pay the O(corpus) expand+bucketed-write every first ingest of
+    * every session and bump the version each time. The caller's commit
+    * stamps the returned pair; a crash in between leaves an unpinned
+    * extra version the next run overwrites. */
   private def ensureMediaBlocks(man: CorpusManifest): (Long, Int) = {
     val hashes = mediaDf()
     val want = desiredMediaCombo(hashes.count())
-    val current = man.mediaBlocksVersion > 0 &&
+    val stampsMatch = man.mediaBlocksVersion > 0 &&
       man.mediaRadius == mediaMaxHamming.toLong &&
-      man.mediaCombo == want.toLong &&
-      spark.catalog.tableExists(mediaBlocksTable(man.mediaBlocksVersion))
-    if (current) (man.mediaBlocksVersion, want)
-    else {
+      man.mediaCombo == want.toLong
+    if (stampsMatch) {
+      val v = man.mediaBlocksVersion
+      if (!spark.catalog.tableExists(mediaBlocksTable(v)))
+        graft.sources.BucketedSignatureStore.attach(spark,
+          mediaBlocksTable(v), mediaBlocksDir(v), numBuckets,
+          graft.sources.MediaBlockStore.keys(mediaScheme))
+      (v, want)
+    } else {
       val v = man.mediaBlocksVersion + 1
       writeMediaBlocks(hashes, v, want)
       (v, want)

@@ -345,6 +345,32 @@ object DedupPipeline {
     finally out.close()
   }
 
+  /** One-time stamp backfill for artifacts persisted BEFORE the scheme
+    * stamp existed (they read as scheme 2 and refuse under any current
+    * hasher — deliberate: conservative refusal beats near-zero silent
+    * recall). When the OPERATOR knows which hasher actually built the
+    * artifact (deploy history, the hasher the writing build shipped
+    * with), this records that assertion so compatible pre-stamp
+    * artifacts skip the full corpus re-persist. Refuses to overwrite an
+    * EXISTING stamp: a stamped artifact's scheme is a recorded fact,
+    * and "backfilling" over it would launder a genuine mismatch into a
+    * silent-recall-loss band-join — a real scheme change goes through
+    * persist() / CorpusManager.migrateSignatureScheme(). */
+  def backfillSchemeStamp(spark: SparkSession, path: String,
+                          scheme: Long): Unit = {
+    val p = stampPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"artifact at $path already carries a scheme stamp — backfill is " +
+        "only for pre-stamp artifacts; a scheme CHANGE must recompute " +
+        "the signatures (persist() or migrateSignatureScheme())")
+    require(new org.apache.hadoop.fs.Path(path, "sigs")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(path, "sigs")),
+      s"no persisted artifact at $path (missing sigs/) — nothing to stamp")
+    writeSchemeStamp(spark, path, scheme)
+  }
+
   /** Scheme id stamped by [[persist]]. Artifacts written before the
     * stamp existed read as scheme 2 — the raw-KM era id, the oldest a
     * standalone artifact can date from — so they refuse under any
@@ -390,7 +416,11 @@ object DedupPipeline {
         s"${p.hasher.scheme} (hasher ${p.hasher.name}) — band-joining " +
         "across schemes silently loses near-dup recall. Re-run persist() " +
         "under the configured hasher (or use CorpusManager, whose " +
-        "manifests route this through migrateSignatureScheme()).")
+        "manifests route this through migrateSignatureScheme()). NOTE: " +
+        "artifacts persisted before stamps existed read as scheme 2 (the " +
+        "raw-KM era); if the operator KNOWS this artifact was actually " +
+        "built under the current hasher, backfillSchemeStamp() records " +
+        "that assertion without a corpus re-persist.")
     runIncrementalAgainst(spark, newDocs, idCol, textCol, s"${name}_bands",
       spark.read.parquet(s"$path/sigs"), s"${name}_shard_bands",
       s"$path/shard_bands", numBuckets, p)

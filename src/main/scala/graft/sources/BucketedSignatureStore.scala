@@ -63,6 +63,37 @@ object BucketedSignatureStore {
     df.sparkSession.catalog.refreshTable(name)
   }
 
+  /** Re-attach an EXISTING external bucketed table to this session's
+    * metastore WITHOUT rewriting its data: `CREATE TABLE … USING
+    * parquet CLUSTERED BY … SORTED BY … LOCATION path`, schema read
+    * from the parquet footers. Bucket metadata lives in the catalog
+    * entry, not the files — a fresh metastore (new deployment, new
+    * warehouse dir) sees the corpus-sized files on disk but no entry,
+    * and the two wrong recoveries are (a) silently REGENERATING the
+    * store (re-paying the O(corpus) expand+bucketed-write the store
+    * exists to kill, bumping its version each session) or (b) reading
+    * the path unregistered (plans with exchanges — correctness holds,
+    * the exchange-free property silently dies). The attach is
+    * metadata-only and restores the exact bucket spec the files were
+    * written under; the CALLER asserts the spec matches (graft stores
+    * stamp (scheme, radius, combo, numBuckets) in their manifests). */
+  def attach(spark: SparkSession, name: String, path: String,
+             numBuckets: Int, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "bucketed attach needs at least one key column")
+    val schema = spark.read.parquet(path).schema
+    require(keys.forall(k => schema.fieldNames.contains(k)),
+      s"cannot attach $name: bucket keys ${keys.mkString(",")} not all " +
+        s"present in the parquet schema at $path (${schema.simpleString})")
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val bucketCols = keys.map(k => s"`$k`").mkString(", ")
+    spark.sql(
+      s"CREATE TABLE `$name` ($cols) USING parquet " +
+        s"CLUSTERED BY ($bucketCols) SORTED BY ($bucketCols) " +
+        s"INTO $numBuckets BUCKETS LOCATION '$path'")
+    spark.catalog.refreshTable(name)
+  }
+
   /** The catalog-registered bucketed table (bucket metadata attached —
     * a plain `spark.read.parquet(path)` would NOT get exchange-free
     * joins, the distribution info lives in the catalog entry). */

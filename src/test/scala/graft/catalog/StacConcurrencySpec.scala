@@ -123,6 +123,14 @@ class StacConcurrencySpec extends SparkSpec {
     }
     threads.foreach(_.start())
     threads.foreach(_.join(300000))
+    // join(timeout) returns silently on a deadline breach — a writer
+    // starved past 300 s would otherwise race the integrity reads below
+    // and fail as a confusing downstream assertion instead of as
+    // starvation; name the stuck thread
+    val stuck = threads.filter(_.isAlive).map(_.getName)
+    assert(stuck.isEmpty,
+      s"writer(s) still alive after the 300 s join deadline " +
+        s"(lock starvation): ${stuck.mkString(", ")}")
     assert(failures.isEmpty,
       s"publisher failures (starved past the lock deadline?): " +
         s"${failures.toArray.toSeq.take(3)}")

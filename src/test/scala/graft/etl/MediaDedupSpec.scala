@@ -287,6 +287,34 @@ class MediaDedupSpec extends SparkSpec {
     assert(m2.readManifest().get.mediaBlocksVersion == 2L)
   }
 
+  test("fresh metastore RE-ATTACHES the committed block store — no regeneration, bucket spec restored") {
+    val m = new CorpusManager("cm_mediaat", tmpDir("cmmediaat"), spark,
+      numBuckets = 4, minTokens = 2, mediaCol = Some("img"))
+    val r0 = m.ingestInitial(docs(Seq(
+      (1L, text(1), "web", img(1)), (3L, text(3), "web", img(3)))))
+    assert(r0.ingested == 2)
+    assert(m.readManifest().exists(_.mediaBlocksVersion == 1L))
+    // simulate a fresh deployment: the catalog entry is per-metastore,
+    // the external files are not — DROP TABLE removes only the entry
+    spark.sql("DROP TABLE cm_mediaat_media_blocks_v1")
+    assert(!spark.catalog.tableExists("cm_mediaat_media_blocks_v1"))
+    // the stamps still match, so the next shard ingest must re-attach
+    // the v1 store (metadata-only), NOT regenerate it as v2 — and the
+    // media signal must still catch the planted near-dup through it
+    val r1 = m.ingestShard(docs(Seq(
+      (10L, text(10), "web", imgNear(3)),
+      (11L, text(11), "web", img(11)))))
+    assert(r1.duplicates == 1 && r1.ingested == 1, r1.toString)
+    assert(m.readManifest().get.mediaBlocksVersion == 1L,
+      s"re-attach regenerated the store: ${m.readManifest()}")
+    // the attached entry carries the original bucket spec — the
+    // exchange-free join property survives the metastore loss
+    val desc = spark.sql("DESCRIBE EXTENDED cm_mediaat_media_blocks_v1")
+      .collect().map(r => s"${r.get(0)} ${r.get(1)}").mkString("\n")
+    assert(desc.contains("Num Buckets 4"), desc)
+    assert(desc.contains("Bucket Columns") && desc.contains("`q`"), desc)
+  }
+
   test("a media-less corpus (mediaCol unset) is unaffected and its manifest reads back") {
     val m = new CorpusManager("cm_nomedia", tmpDir("cmnomedia"), spark,
       numBuckets = 4, minTokens = 2)

@@ -294,6 +294,20 @@ class DedupPipelineSpec extends SparkSpec {
           "dsch", path, 4, px)
       }
       assert(e2.getMessage.contains("scheme 2"), e2.getMessage)
+      // ...and the refusal names the cheap remedy for the operator who
+      // KNOWS the artifact's real scheme
+      assert(e2.getMessage.contains("backfillSchemeStamp"), e2.getMessage)
+      // the one-time backfill: assert the known scheme, no re-persist
+      DedupPipeline.backfillSchemeStamp(spark, path, px.hasher.scheme)
+      assert(!DedupPipeline.runIncremental(spark, shard, "doc_id", "text",
+        "dsch", path, 4, px).isEmpty)
+      // backfill over an EXISTING stamp is refused — that would launder
+      // a genuine scheme mismatch into a silent-recall-loss band-join
+      val e3 = intercept[IllegalArgumentException] {
+        DedupPipeline.backfillSchemeStamp(spark, path,
+          DedupPipeline.Params().hasher.scheme)
+      }
+      assert(e3.getMessage.contains("already carries"), e3.getMessage)
     } finally {
       spark.sql("DROP TABLE IF EXISTS dsch_bands")
       spark.sql("DROP TABLE IF EXISTS dsch_shard_bands")
