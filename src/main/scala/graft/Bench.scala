@@ -61,7 +61,8 @@ object Bench {
     "q155_streaming_funnel", "q156_streaming_interval_join",
     "q157_streaming_incremental", "q160_corpus_lifecycle",
     "q162_incremental_agg", "q163_state_audit",
-    "q164_scheme_migration", "q165_media_shard_ingest")
+    "q164_scheme_migration", "q165_media_shard_ingest",
+    "q166_catalog_concurrency")
 
   /** Queries for the ×10 tier: the shuffle/AQE-sensitive set, where the
     * sf0.1 numbers sit at the scheduling floor and scale effects are
@@ -487,7 +488,52 @@ object Bench {
     // three records after the round closes.
     val (hostSingle, hostMulti) = hostScore()
     val stealStart = cpuStealJiffies()
-    val results0 = measure(selected, sfDir, "")
+    // EXECUTION order (round-11, verdict item 3): tier-1 PLAN queries →
+    // ×10 tier (its own plans before its own gates) → tier-1 GATE
+    // queries last. The lifecycle gates write multi-GB corpora to /tmp;
+    // run before the ×10 tier, their dirty-page flush + page-cache
+    // eviction bled into the first minutes of ×10 and flagged
+    // early-tier-2 queries ~3× two rounds running (adjudicated in-band
+    // both times — suite state, not plans; PLANS.md:2725). Gates carry
+    // a 2× threshold and physical-IO floors by design, so they tolerate
+    // following the ×10 tier; the plan series must not pay their
+    // writeback. REPORTING order is unchanged — every sub-map is built
+    // from partitioned results, so baselines stay comparable.
+    val (gateSel, plainSel) =
+      selected.partition { case (n, _) => GateQueries.contains(n) }
+    val resultsPlain = measure(plainSel, sfDir, "")
+    // ---- tier 2: ×10 data, shuffle/AQE-visible (measurement only —
+    // regression math waits for the END calibration sample). Runs
+    // BEFORE the tier-1 gates (execution-order note above); `sync`
+    // first so tier-1's own dirty pages (checkpoint blocks, shuffle
+    // files) are flushed outside the ×10 cold timers.
+    val tier2Data: Option[(Seq[(String, Double, Double, Boolean)], Int)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_TIER2", "1") == "0" || only.isDefined) None
+      else {
+        val factor = 10
+        val t2dir = sys.env.getOrElse("SPARK_GRAFT_TIER2_DIR",
+          "/tmp/graft_tier2_x10")
+        try {
+          ensureTier2(spark, sfDir, t2dir, factor)
+          try new ProcessBuilder("sync").start().waitFor()
+          catch { case _: Exception => () }
+          val t2sel = SparkEntry.queries.toSeq.sortBy(_._1)
+            .filter { case (n, _) => Tier2Queries.contains(n) }
+          val (t2gateSel, t2plainSel) =
+            t2sel.partition { case (n, _) => GateQueries.contains(n) }
+          Some((measure(t2plainSel ++ t2gateSel, t2dir,
+            ":tier2", gcBetween = true), factor))
+        } catch { case e: Exception =>
+          System.err.println(s"[bench:tier2] skipped: ${e.getMessage}")
+          None
+        }
+      }
+
+    // tier-1 lifecycle gates LAST: their multi-GB /tmp corpora can no
+    // longer tax the ×10 cold series, and their own 2× threshold
+    // absorbs following it
+    val resultsGates = measure(gateSel, sfDir, "")
+    val results0 = resultsPlain ++ resultsGates
     val results = results0.map { case (k, c, _, ok) => (k, c, ok) }
     // lifecycle gate queries report in their own sub-maps (object
     // scaladoc): cold emission order is queries-then-gates, both before
@@ -509,25 +555,6 @@ object Bench {
     val warmTotal =
       if (failedSeq.nonEmpty) "null"
       else results0.collect { case (_, _, w, true) => w }.sum.toString
-
-    // ---- tier 2: ×10 data, shuffle/AQE-visible (measurement only —
-    // regression math waits for the END calibration sample) -------------
-    val tier2Data: Option[(Seq[(String, Double, Double, Boolean)], Int)] =
-      if (sys.env.getOrElse("SPARK_GRAFT_TIER2", "1") == "0" || only.isDefined) None
-      else {
-        val factor = 10
-        val t2dir = sys.env.getOrElse("SPARK_GRAFT_TIER2_DIR",
-          "/tmp/graft_tier2_x10")
-        try {
-          ensureTier2(spark, sfDir, t2dir, factor)
-          Some((measure(SparkEntry.queries.toSeq.sortBy(_._1)
-            .filter { case (n, _) => Tier2Queries.contains(n) }, t2dir,
-            ":tier2", gcBetween = true), factor))
-        } catch { case e: Exception =>
-          System.err.println(s"[bench:tier2] skipped: ${e.getMessage}")
-          None
-        }
-      }
 
     // END-of-run calibration sample + steal counter: the sandwich. The
     // committed adjudication rule ("multi32 swings >20% between samples

@@ -139,6 +139,61 @@ object PlanAudit {
       "no typed (mapPartitions) interpreted span visible anywhere — gauge blind")
     println("AUDIT typed-pass interpreted spans (by construction): " +
       typed.keys.toSeq.sorted.mkString(", "))
+    gaugeFence(rows)
     spark.stop()
+  }
+
+  /** Regression FENCE over the per-query (codegen, interp) gauge
+    * (round-11, verdict item 6): the committed snapshot
+    * `PLAN_GAUGE.json` records every query's executed-plan codegen and
+    * interpreted-span counts; the audit FAILS when a query's interp
+    * count GROWS past its snapshot, or a new query ships without a
+    * recorded gauge — an un-reviewed interpreted span in a hot path is
+    * exactly the class of slow regression wall-clock noise hides. A
+    * deliberate growth (a new by-construction typed pass) is recorded
+    * by regenerating the snapshot with `SPARK_GRAFT_GAUGE_WRITE=1` and
+    * justifying the diff in the operator's scaladoc — the snapshot diff
+    * makes the rationale reviewable. Shrinkage (more codegen) never
+    * fails; regenerate at leisure. Queries that errored this run are
+    * skipped (their absence is already loud in the per-query output).
+    * `SPARK_GRAFT_GAUGE_PATH` overrides the snapshot location (used by
+    * the fence's own deliberate-regression drill). */
+  private[graft] def gaugeFence(rows: List[(String, Map[String, Int])],
+      pathStr: String = sys.env.getOrElse(
+        "SPARK_GRAFT_GAUGE_PATH", "PLAN_GAUGE.json"),
+      write: Boolean =
+        sys.env.get("SPARK_GRAFT_GAUGE_WRITE").contains("1")): Unit = {
+    val path = java.nio.file.Paths.get(pathStr)
+    val entry = "\"([^\"]+)\":\\{\"codegen\":(\\d+),\"interp\":(\\d+)\\}".r
+    val prev: Map[String, (Int, Int)] =
+      if (!java.nio.file.Files.exists(path)) Map.empty
+      else entry.findAllMatchIn(java.nio.file.Files.readString(path))
+        .map(m => m.group(1) -> (m.group(2).toInt, m.group(3).toInt)).toMap
+    val cur = rows.map { case (n, m) => n -> (m("codegen"), m("interp")) }
+      .sortBy(_._1)
+    if (write) {
+      java.nio.file.Files.writeString(path, cur
+        .map { case (n, (cg, ip)) =>
+          s""""$n":{"codegen":$cg,"interp":$ip}""" }
+        .mkString("{\n", ",\n", "\n}\n"))
+      println(s"AUDIT gauge snapshot written: $path (${cur.size} queries)")
+      return
+    }
+    if (prev.isEmpty) {
+      println(s"AUDIT gauge fence: no snapshot at $path — run with " +
+        "SPARK_GRAFT_GAUGE_WRITE=1 to record one")
+      return
+    }
+    val grew = cur.collect { case (n, (_, ip))
+      if prev.get(n).exists(_._2 < ip) => s"$n interp ${prev(n)._2}->$ip" }
+    val unrecorded = cur.collect { case (n, _) if !prev.contains(n) => n }
+    assert(grew.isEmpty && unrecorded.isEmpty,
+      "interp gauge regression — interpreted spans grew without a " +
+        s"recorded rationale: grown=[${grew.mkString(", ")}] " +
+        s"unrecorded=[${unrecorded.mkString(", ")}]. If deliberate " +
+        "(a by-construction typed pass), scaladoc the rationale and " +
+        "regenerate PLAN_GAUGE.json with SPARK_GRAFT_GAUGE_WRITE=1.")
+    println(s"AUDIT gauge fence: clean vs $path (${prev.size} recorded, " +
+      s"${cur.size} audited)")
   }
 }

@@ -1,6 +1,6 @@
 package graft.etl
 
-import graft.operators.Materialize.Pinning
+import graft.operators.Materialize
 
 import graft.functions.{DedupFunctions, DedupPipeline, TextFunctions}
 import graft.sources.BucketedSignatureStore
@@ -122,15 +122,18 @@ class VocabDriftException(msg: String) extends RuntimeException(msg)
   *     from multi-table hyperplane LSH instead (cell self-joins are
   *     quadratic per cell — see `embIntraPairs`); verified cosine pairs
   *     join the same dup graph as the text pairs. Honest boundary:
-  *     with the default `embProbes = 1` cross candidates come from the
-  *     shard doc's top cell only, so a near-dup pair straddling a
-  *     quantizer cell boundary is missed; `embProbes = P` probes the
-  *     runner-up cells too (shard side replicated ×P, corpus layout
-  *     and exchange-free scan unchanged), shrinking — not closing —
-  *     that hole. MEASURED (CombinedScaleProbe, random 64-dim unit
-  *     vectors over 16 cells): top-1 probing missed 4% of planted
-  *     cos≈0.995 cross pairs; embProbes = 3 recovered all of them.
-  *     The multi-table LSH shape is the recall-guaranteed
+  *     cross candidates come from the shard doc's top-P cells, so a
+  *     near-dup pair straddling a quantizer cell boundary is missed
+  *     when the boundary cell is outside the runner-ups. P is
+  *     RECALL-TARGETED (`probesFor`): one probe per ~555 trained
+  *     cells — the measured anchor density — floored by the
+  *     configured `embProbes` (shard side replicated ×P, corpus
+  *     layout and exchange-free scan unchanged), so the miss rate
+  *     stops WIDENING as `cellsFor` scales the cell count with the
+  *     corpus. MEASURED (CombinedScaleProbe): static 3 probes held
+  *     99.8% planted cross recall at 2M docs / 1665 cells but fell
+  *     to 98.8% at 4M / 3330 cells; the density policy holds the
+  *     anchor. The multi-table LSH shape is the recall-guaranteed
   *     alternative when it matters.
   *
   * Snapshot isolation (the [[graft.sources.GriddedStore]] discipline):
@@ -342,7 +345,54 @@ class CorpusManager(
             "delete the lock, retry — the crashed attempt's files are " +
             "invisible orphans, reclaimed by vacuum())", e)
     }
-    try f finally fs.delete(lock, false)
+    // every locked mutation's pins are mutation-local (readers re-scan
+    // the committed parquet) — release them all on the way out
+    try withPinRelease(f) finally fs.delete(lock, false)
+  }
+
+  // ---- ingest-scoped pin ledger ------------------------------------------
+  // Every frame an ingest pins ([[graft.operators.Materialize]]) is
+  // ledgered and RELEASED when the ingest returns: the pins are
+  // ingest-local by construction (each is consumed before the manifest
+  // commit; readers re-scan the committed parquet, never the dedup DAG),
+  // but without an explicit release the blocks are freed only when the
+  // DRIVER GCs the frame references — with a large driver heap that can
+  // be never, so back-to-back shard ingests accumulate every prior
+  // ingest's checkpoint blocks on executor disks (the GraphOps ENOSPC
+  // mechanism at manager scale: ~50 GB of pinned blocks per 4M combined
+  // ingest, measured round 10). The ledger is guarded by the ingest
+  // lock's serialization; helper methods invoked OUTSIDE an ingest
+  // (specs, gate queries driving embVerifiedPairs directly) see an
+  // inactive ledger and keep today's GC-freed behavior.
+  private val ingestPins =
+    new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]]
+  @volatile private var pinLedgerActive = false
+
+  /** Pin via the session checkpoint policy, ledgered for release at
+    * ingest end (no-op ledger outside an ingest). `df.pinned()` is the
+    * manager-local spelling every former `.pinned()` site uses. */
+  private def ledgeredPin(df: DataFrame): DataFrame = {
+    val m = Materialize(df)
+    if (pinLedgerActive) ingestPins.synchronized { ingestPins += m }
+    m
+  }
+
+  private implicit class LedgeredPinning(df: DataFrame) {
+    def pinned(): DataFrame = ledgeredPin(df)
+  }
+
+  /** Run an ingest body, releasing every ledgered pin on exit —
+    * success or failure — so the manager's executor-disk high-water is
+    * one ingest's pins, not the session's history. */
+  private def withPinRelease[T](f: => T): T = {
+    pinLedgerActive = true
+    try f finally {
+      pinLedgerActive = false
+      ingestPins.synchronized {
+        ingestPins.foreach(Materialize.release)
+        ingestPins.clear()
+      }
+    }
   }
 
   /** Atomic generation commit, the [[graft.sources.GriddedStore]]
@@ -486,7 +536,7 @@ class CorpusManager(
     * while combo [[graft.multimodal.Multimodal.comboFor]] keeps it
     * budget-bounded with the SAME verified pair set. */
   private[graft] def mediaIntraPairs(hashes: DataFrame): DataFrame = {
-    val h = hashes.materialize()
+    val h = hashes.pinned()
     val n = h.count().toDouble
     val combo = graft.multimodal.Multimodal.comboForCost(
       n, n * n / 2, mediaMaxHamming, bits = mediaBits)
@@ -580,7 +630,7 @@ class CorpusManager(
     // dup-graph-sized
     graft.sources.MediaBlockStore
       .crossPairs(corpusB, shardB, mediaScheme, mediaMaxHamming)
-      .materialize()
+      .pinned()
       .join(mediaDf().select(col("id").as("aid")), Seq("aid"), "left_semi")
       .select(least(col("aid"), col("bid")).as("d1"),
         greatest(col("aid"), col("bid")).as("d2"))
@@ -620,7 +670,7 @@ class CorpusManager(
       case None => (docs, docs.limit(0))
       case Some(bl) =>
         val blG = bl.select(col("g").cast("string").as("g"))
-          .filter(col("g").isNotNull).distinct().materialize()
+          .filter(col("g").isNotNull).distinct().pinned()
         val nBl = math.max(blG.count(), 1L)
         // ~16 bits/gram (fpp well under 1%), capped below Spark's
         // runtime-filter ceiling so the aggregate never clamps silently
@@ -642,7 +692,7 @@ class CorpusManager(
           .filter(col("_nhit").cast("double") >
             greatest(col("_ng"), lit(1)).cast("double") * maxContamination)
           .select(col(idCol))
-          .materialize() // one decision, two consumers (keep + reject)
+          .pinned() // one decision, two consumers (keep + reject)
         (docs.join(contaminated, Seq(idCol), "left_anti"),
           docs.join(contaminated, Seq(idCol), "left_semi"))
     }
@@ -749,6 +799,32 @@ class CorpusManager(
   private def cellsFor(n: Long): Int =
     math.max(annCells, math.min(4096, (n / 1000L).toInt))
 
+  /** Recall-TARGETED shard-side probe width for a corpus quantized into
+    * `cells` cells. A static probe count silently loses recall as the
+    * corpus grows, because [[cellsFor]] scales the cell count with the
+    * corpus: more cells → smaller cells → a near-dup pair is likelier
+    * to straddle a boundary the shard doc's top-P probes never reach.
+    * MEASURED (CombinedScaleProbe): static embProbes=3 held 99.8%
+    * planted cross recall at 2M docs (1665 cells) but fell to 98.8% at
+    * 4M (3330 cells) — backwards for a recall-critical dedup gate. The
+    * policy pins probe DENSITY instead of probe count: one probe per
+    * [[CorpusManager.CellsPerProbe]] cells — the anchor density of the
+    * 2M record — floored by the configured `embProbes` (small corpora
+    * and every existing spec behave exactly as before) and capped at
+    * [[CorpusManager.MaxAutoProbes]] (a user-configured `annCells`
+    * beyond [[cellsFor]]'s 4096 cap would otherwise replicate the
+    * shard without bound; at that point the multi-table-LSH shape is
+    * the recall-GUARANTEED alternative). Cost shape: only the SHARD
+    * side replicates ×P into the exchange-free bucketed join — corpus
+    * layout, storage and scan are unchanged — so holding recall costs
+    * O(shard·P) candidate rows, never a corpus re-shuffle. */
+  private[etl] def probesFor(cells: Int): Int = {
+    val targeted = math.ceil(
+      cells.toDouble / CorpusManager.CellsPerProbe).toInt
+    math.min(cells,
+      math.max(embProbes, math.min(CorpusManager.MaxAutoProbes, targeted)))
+  }
+
   /** Train the coarse quantizer on the given corpus vectors (md5-ordered
     * seeds → spherical k-means, the [[graft.functions.AnnIndex]] recipe)
     * and persist the centroid sidecar for ann version `v`. Cell count
@@ -807,7 +883,7 @@ class CorpusManager(
     // and forfeiting the exchange-free scan — the checkpoint is the
     // reorder barrier that keeps it above (measured: pushdown happens
     // without it), and the pair set it materializes is dup-graph-sized.
-    embVerifiedPairs(shardAssigned).materialize()
+    embVerifiedPairs(shardAssigned).pinned()
       .join(hashesDf().select(col(idCol).as("cid_")), Seq("cid_"), "left_semi")
       .select(least(col("cid_"), col("sid_")).as("d1"),
         greatest(col("cid_"), col("sid_")).as("d2"))
@@ -862,7 +938,7 @@ class CorpusManager(
       .ndBuckets(batch.select(col(idCol), col(e)), idCol, e,
         embTables, bits, embDims, salt = "cm-nd")
       .select(col(idCol), posexplode(col("buckets")).as(Seq("t", "bk")))
-      .materialize() // both join sides, one typed bucket pass
+      .pinned() // both join sides, one typed bucket pass
     // merge-hinted self-join: the bucket table is batch-sized on both
     // sides — a static broadcast build (possible when the batch's size
     // estimate descends from a generator or binary column) would
@@ -892,7 +968,7 @@ class CorpusManager(
     val (okQ, rejQ) = qualityGate(docs)
     val (ok, rejC) = contaminationGate(okQ)
     val rej = rejQ.unionByName(rejC)
-    val accepted = ok.materialize() // gate once; feeds dedup + counts
+    val accepted = ok.pinned() // gate once; feeds dedup + counts
     val (_, _, textKeepers) = DedupPipeline.run(accepted, idCol, textCol, p)
     // embedding-side near-dup among the text-unique keepers: LSH-bucket
     // candidates + cosine verify, drop non-minimum component members
@@ -901,7 +977,7 @@ class CorpusManager(
     val keepers =
       if (embCol.isEmpty && mediaCol.isEmpty) textKeepers
       else {
-        val tk = textKeepers.materialize()
+        val tk = textKeepers.pinned()
         // every extra signal's edges join ONE dup graph (embedding
         // cosine, perceptual media) over the text-unique keepers
         val extra = embCol.map(_ => embIntraPairs(tk)).toSeq ++
@@ -1035,7 +1111,7 @@ class CorpusManager(
     val (okQ, rejQ) = qualityGate(newDocs)
     val (ok, rejC) = contaminationGate(okQ)
     val rej = rejQ.unionByName(rejC)
-    val shard = ok.materialize()
+    val shard = ok.pinned()
     val nInCorpus = shard.select(col(idCol)).distinct()
       .join(corpus().select(col(idCol)), Seq(idCol), "left_semi").count()
     if (nInCorpus > 0) {
@@ -1051,7 +1127,7 @@ class CorpusManager(
           "DIFFERENT content — doc ids must be globally unique")
       val remainder = shard
         .join(corpus().select(col(idCol)), Seq(idCol), "left_anti")
-        .materialize()
+        .pinned()
       if (remainder.isEmpty) {
         val (nIn, nRej) = (newDocs.count(), rej.count())
         IngestReport(nIn, nRej, nIn - nRej, 0, Nil)
@@ -1070,7 +1146,7 @@ class CorpusManager(
       s"${name}_shard_bands", s"$dedupPath/shard_bands", numBuckets, p,
       // exact-verify reads candidate docs' grams from the PINNED corpus
       corpusDocs = if (p.exactVerify) Some(corpus()) else None)
-    val shardH = shard.select(col(idCol), md5(col(textCol)).as("h")).materialize()
+    val shardH = shard.select(col(idCol), md5(col(textCol)).as("h")).pinned()
     def norm(a: Column, b: Column) =
       Seq(least(a, b).as("d1"), greatest(a, b).as("d2"))
     val exactCross = shardH.as("s").join(corpusH.as("c"), col("s.h") === col("c.h"))
@@ -1087,17 +1163,20 @@ class CorpusManager(
     // embedding near-dup edges join the SAME dup graph: cross pairs from
     // the (cell)-bucketed corpus vector table (exchange-free corpus
     // side), intra pairs from the shard-local LSH buckets. The shard
-    // side probes its top-`embProbes` cells (corpus storage stays
-    // top-1): a near-dup pair straddling a quantizer cell boundary is
-    // found whenever the boundary cell is among the shard doc's
-    // runner-ups — the IVF multi-probe move, replicating only the
-    // shard ×embProbes. embProbes = 1 keeps the honest single-cell
-    // boundary; multi-table LSH remains the recall-GUARANTEED shape.
+    // side probes its top-P cells (corpus storage stays top-1): a
+    // near-dup pair straddling a quantizer cell boundary is found
+    // whenever the boundary cell is among the shard doc's runner-ups —
+    // the IVF multi-probe move, replicating only the shard ×P. P is
+    // RECALL-TARGETED ([[probesFor]]): it scales with the trained cell
+    // count so the boundary-miss rate stops widening as the corpus
+    // grows, floored by the configured `embProbes`; multi-table LSH
+    // remains the recall-GUARANTEED shape.
     val shardAssigned = embCol.map { e =>
+      val cents = readCentroids()
       graft.functions.VectorFunctions.ivfAssignMulti(
           shard.select(col(idCol), col(e)), idCol, e,
-          readCentroids(), embProbes)
-        .materialize()
+          cents, probesFor(cents.length))
+        .pinned()
     }
     val embEdges = shardAssigned.map { a =>
       embCandidates(a).unionByName(embIntraPairs(shard))
@@ -1106,7 +1185,7 @@ class CorpusManager(
     // through the PERSISTED block store (regenerated first if the
     // committed layout no longer matches this manager's parameters or
     // the corpus size's combo) — same dup graph as text/embedding
-    val shardMedia = mediaCol.map(_ => mediaHashesOf(shard).materialize())
+    val shardMedia = mediaCol.map(_ => mediaHashesOf(shard).pinned())
     val mediaBlocksState = shardMedia.map(_ => ensureMediaBlocks(man))
     val mediaEdges = shardMedia.map { mh =>
       val (v, combo) = mediaBlocksState.get
@@ -1115,7 +1194,7 @@ class CorpusManager(
     val pairs = (embEdges.toSeq ++ mediaEdges.toSeq).foldLeft(
         nearPairs.unionByName(exactCross).unionByName(exactIntra))(
         _ unionByName _)
-      .distinct().materialize()
+      .distinct().pinned()
 
     // -- cluster and resolve drops (working set = the dup graph) --------
     val labels = DedupFunctions.connectedComponents(
@@ -1129,7 +1208,7 @@ class CorpusManager(
         .filter(col("id") =!= col("lbl")).select("id"))
       .distinct()
     val keepers = shard.join(drops.withColumnRenamed("id", idCol),
-      Seq(idCol), "left_anti").materialize()
+      Seq(idCol), "left_anti").pinned()
 
     // -- drift gate (before ANY write: a failed gate leaves the corpus
     //    byte-identical, matching DatasetManager's pre-parse posture —
@@ -1137,7 +1216,7 @@ class CorpusManager(
     //    The keeper sketch is computed ONCE and feeds both the drift
     //    compare and the post-commit merge — it is the most expensive
     //    per-shard scan after dedup itself.
-    val keeperSketch = vocabSketch(keepers).materialize()
+    val keeperSketch = vocabSketch(keepers).pinned()
     val drift = driftAgainstCorpus(keeperSketch)
     minVocabContainment.foreach { thr =>
       val bad = drift.filter(d => !d.novelSource && d.containmentEst < thr)
@@ -1187,7 +1266,7 @@ class CorpusManager(
     mediaCol.foreach { _ =>
       // one keeper decode pass feeds the pinned hash artifact AND the
       // block-store append (blocks stay exchange-free for the next shard)
-      val keeperHashes = mediaHashesOf(keepers).materialize()
+      val keeperHashes = mediaHashesOf(keepers).pinned()
       keeperHashes.write.mode("append").parquet(mediaPath)
       graft.sources.MediaBlockStore.append(keeperHashes, mediaScheme,
         mediaMaxHamming, mediaBlocksState.get._2,
@@ -1632,4 +1711,20 @@ class CorpusManager(
       .coalesce(1)
       .write.mode("append").parquet(sketchPath)
   }
+}
+
+object CorpusManager {
+  /** Anchor probe density of the recall-targeted policy
+    * ([[CorpusManager.probesFor]]): one shard-side probe per this many
+    * quantizer cells — the density of the MEASURED 2M combined record
+    * (3 probes over 1665 cells → 99.8% planted cross recall;
+    * PLANS.md round-10 combined probe). */
+  val CellsPerProbe: Int = 555
+
+  /** Upper bound on auto-raised probes: beyond this, shard replication
+    * cost stops buying recall efficiently and the multi-table-LSH
+    * shape is the recall-guaranteed alternative. [[cellsFor]]'s 4096
+    * cap keeps the policy at ≤ 8 probes unless `annCells` is
+    * user-raised past it. */
+  val MaxAutoProbes: Int = 16
 }

@@ -269,6 +269,98 @@ object StoreQueries {
           "start_us", "end_us", "latest_version", "history_len")
     }),
 
+    // §2.11 catalog CONCURRENCY contract through the gate (round-11,
+    // verdict item 5 — `register_stac_item`'s prev-chain under racing
+    // publishers, `utils/metadata.py:447-525`): 8 writer THREADS race
+    // the catalog lock in-query — each publishes its own collection
+    // with a 4-version item chain AND widens one SHARED collection with
+    // its partition's extent. The emitted row re-reads the committed
+    // JSON: every root child link landed exactly once (lock-fairness —
+    // a starved or lost writer shows as a missing link), every
+    // prev-chain walks linearly back to v0, and the shared extent fold
+    // equals the oracle's GLOBAL min/max over the source table (a lost
+    // read-modify-write shows as a narrower extent). Extents are
+    // computed BEFORE the threads start — the contention under test is
+    // the catalog's, not the cluster's.
+    "q166_catalog_concurrency" -> ((s, dir) => {
+      import s.implicits._
+      val nWriters = 8
+      val nMut = 4
+      val cat = new graft.catalog.StacCatalog(
+        freshRoot(s, "q166_cat", dir), s)
+      cat.ensureRootCatalog("graft")
+      val extents = (0 until nWriters).map { w =>
+        cat.extent(tall(s, dir)
+          .filter(pmod(col("latitude"), lit(nWriters)) === w)
+          .select(col("time"),
+            col("latitude").cast("double").as("latitude"),
+            col("longitude").cast("double").as("longitude")), "time")
+      }
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until nWriters).map { w =>
+        new Thread(() => {
+          try {
+            val (bbox, iv) = extents(w)
+            cat.upsertCollection(s"w$w", bbox, iv)
+            (0 until nMut).foreach { v =>
+              cat.registerItem(desc(WeekUs).copy(name = s"w$w"), bbox,
+                (iv._1, iv._2 + v), s"v$v")
+            }
+            cat.upsertCollection("shared", bbox, iv)
+          } catch { case e: Throwable => failures.add(e) }
+        }, s"q166-pub-$w")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(180000))
+      require(!threads.exists(_.isAlive),
+        s"writer starved past the join deadline: " +
+          threads.filter(_.isAlive).map(_.getName).mkString(", "))
+      require(failures.isEmpty,
+        s"publisher failures: ${failures.toArray.toSeq.take(3)}")
+      val rootLinks = cat.links(cat.readRoot().get)
+        .filter(_._1 == "child").map(_._2)
+      require(rootLinks.size == rootLinks.distinct.size,
+        s"duplicate root links: $rootLinks")
+      val rootLanded = ((0 until nWriters).map(w => s"w$w") :+ "shared")
+        .count(c => rootLinks.exists(_.endsWith(s"$c.json"))).toLong
+      // full linear prev-chain per writer: latest is v3 and the walk
+      // reaches v0 in exactly nMut-1 single-prev hops
+      val fullChains = (0 until nWriters).count { w =>
+        cat.latestVersion(s"w$w").contains(s"v${nMut - 1}") && {
+          var cur = s"v${nMut - 1}"
+          var hops = 0
+          var linear = true
+          while (linear && cur != "v0" && hops < nMut) {
+            val prevs = cat.links(cat.readItem(s"w$w", cur).get)
+              .filter(_._1 == "prev").map(_._2)
+            linear = prevs.size == 1
+            if (linear) {
+              cur = prevs.head.split('/').last.stripSuffix(".json")
+              hops += 1
+            }
+          }
+          linear && cur == "v0" && hops == nMut - 1
+        }
+      }.toLong
+      import org.json4s._
+      val cj = cat.readCollection("shared").getOrElse(
+        throw new IllegalStateException("shared collection not written"))
+      val bbox = (cj \ "extent" \ "spatial" \ "bbox") match {
+        case JArray(List(JArray(vs))) => vs.map(_.values.toString.toDouble)
+        case other => throw new IllegalStateException(s"bad bbox: $other")
+      }
+      val iv = (cj \ "extent" \ "temporal" \ "interval") match {
+        case JArray(List(JArray(List(a, b)))) =>
+          (a.values.toString.toLong, b.values.toString.toLong)
+        case other => throw new IllegalStateException(s"bad interval: $other")
+      }
+      Seq((nWriters.toLong, rootLanded, fullChains,
+          bbox(0), bbox(1), bbox(2), bbox(3), iv._1, iv._2))
+        .toDF("n_writers", "root_links", "full_chains",
+          "min_lon", "min_lat", "max_lon", "max_lat", "start_us", "end_us")
+    }),
+
     // §2.10 encryption through the gate (`EncryptionFilter` analog):
     // values are AES-GCM-encrypted BEFORE the store write (dataVar
     // becomes an opaque binary payload; the key travels only by hash),
@@ -407,6 +499,15 @@ object StoreQueries {
         |SELECT user_id, COUNT(*) AS n_rows,
         |       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS DOUBLE) AS sum_val
         |FROM final GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q166_catalog_concurrency" ->
+      """SELECT CAST(8 AS BIGINT) AS n_writers,
+        |  CAST(9 AS BIGINT) AS root_links, CAST(8 AS BIGINT) AS full_chains,
+        |  CAST(MIN(user_id) AS DOUBLE) AS min_lon,
+        |  CAST(MIN(event_id) AS DOUBLE) AS min_lat,
+        |  CAST(MAX(user_id) AS DOUBLE) AS max_lon,
+        |  CAST(MAX(event_id) AS DOUBLE) AS max_lat,
+        |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+        |FROM events""".stripMargin,
     "q152_catalog_extents" ->
       """SELECT CAST(MIN(user_id) AS DOUBLE) AS min_lon,
         |  CAST(MIN(event_id) AS DOUBLE) AS min_lat,

@@ -151,11 +151,41 @@ class CorpusManagerSpec extends SparkSpec {
       assert(r2.ingested == 0 && r2.duplicates == 1,
         s"embProbes=2 must catch the straddle: $r2")
       assert(corpusIds(m1).contains(101L) && !corpusIds(m2).contains(101L))
+      // policy floor: at spec-scale cell counts the recall-targeted
+      // rule adds nothing, so the configured embProbes is exactly what
+      // runs — m1 probed 1 cell (missed), m2 probed 2 (caught)
+      assert(m1.probesFor(m1.readCentroids().length) == 1)
+      assert(m2.probesFor(m2.readCentroids().length) == 2)
     } finally {
       Seq("cm_np1_vecs_v1", "cm_np2_vecs_v1", "cm_np1_bands_v1",
         "cm_np2_bands_v1", "cm_np1_shard_bands", "cm_np2_shard_bands")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
+  }
+
+  test("recall-targeted probe policy: density pinned to the measured anchor, never widening with corpus growth") {
+    val m = new CorpusManager("cm_pp", tmpDir("cmpp"), spark,
+      embCol = Some("emb"))
+    // spec-scale cell counts: the configured floor (default 1) runs
+    assert(m.probesFor(2) == 1 && m.probesFor(16) == 1)
+    // the 2M record's anchor: 1665 cells → 3 probes (99.8% measured)
+    assert(m.probesFor(1665) == 3)
+    // the round-10 boundary: at 3330 cells a STATIC 3 measured 98.8%
+    // cross recall — the policy holds the anchor density instead
+    assert(m.probesFor(3330) == 6)
+    // cellsFor's 4096 cap bounds the default policy at 8 probes
+    assert(m.probesFor(4096) == 8)
+    // a user-raised annCells beyond the cap meets the probe ceiling
+    assert(m.probesFor(100000) == CorpusManager.MaxAutoProbes)
+    // monotone in cells (no thrash decade to decade)
+    val pts = Seq(2, 16, 555, 1110, 1665, 3330, 4096, 20000)
+    assert(pts.map(m.probesFor).sliding(2).forall(w => w(0) <= w(1)))
+    // the configured floor still wins where it is larger, and the
+    // probe count never exceeds the cell count
+    val m5 = new CorpusManager("cm_pp5", tmpDir("cmpp5"), spark,
+      embCol = Some("emb"), embProbes = 5)
+    assert(m5.probesFor(1665) == 5)
+    assert(m5.probesFor(4) == 4)
   }
 
   test("compaction retrains the quantizer; stale cells separate; old ann version vacuumed") {

@@ -1,0 +1,21 @@
+#!/bin/bash
+# Disk high-water watcher for probe runs: samples the byte footprint of
+# the Spark block-manager dirs (localCheckpoint blocks + shuffle spills),
+# the reliable-checkpoint dir, and the probe's corpus root every 5 s,
+# and prints the running MAX of each on exit. Usage:
+#   tools/diskwatch.sh <outfile> &  WATCH_PID=$!
+#   ... run the probe ...
+#   kill $WATCH_PID   # outfile holds one line per sample + final MAX
+OUT="${1:-/tmp/diskwatch.log}"
+max_blk=0; max_ckpt=0; max_corpus=0
+trap 'echo "MAX blockmgr_kb=$max_blk ckpt_kb=$max_ckpt corpus_kb=$max_corpus" >> "$OUT"; exit 0' TERM INT
+while true; do
+  blk=$(du -sk /tmp/blockmgr-* /tmp/spark-*/blockmgr-* 2>/dev/null | awk '{s+=$1} END {print s+0}')
+  ckpt=$(du -sk /tmp/graft_ckpt 2>/dev/null | awk '{s+=$1} END {print s+0}')
+  corpus=$(du -sk /tmp/combined_probe_* 2>/dev/null | awk '{s+=$1} END {print s+0}')
+  [ "$blk" -gt "$max_blk" ] && max_blk=$blk
+  [ "$ckpt" -gt "$max_ckpt" ] && max_ckpt=$ckpt
+  [ "$corpus" -gt "$max_corpus" ] && max_corpus=$corpus
+  echo "$(date +%s) blockmgr_kb=$blk ckpt_kb=$ckpt corpus_kb=$corpus" >> "$OUT"
+  sleep 5
+done
