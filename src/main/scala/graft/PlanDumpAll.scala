@@ -1,0 +1,36 @@
+package graft
+
+/** Dump the formatted physical plan of a SET of queries into a directory
+  * (the optimization-round evidence files `plans/rNN/<query>_before.txt`
+  * / `_after.txt`):
+  *
+  *   SPARK_GRAFT_PLANS=q113_bpe_train,q150_bpe_roundtrip \
+  *   SPARK_GRAFT_PLANS_DIR=plans/r11 SPARK_GRAFT_PLANS_SUFFIX=before \
+  *   runMain graft.PlanDumpAll
+  *
+  * One session for the whole set (vs [[PlanDump]]'s one-JVM-per-query),
+  * default data dir sf0.001 — plans, not data, are the subject. Query
+  * construction side effects (artifact writes in the pipeline/store
+  * queries) run at that scale, same as PlanAudit.
+  */
+object PlanDumpAll {
+  def main(args: Array[String]): Unit = {
+    val qs = sys.env.getOrElse("SPARK_GRAFT_PLANS", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    require(qs.nonEmpty, "set SPARK_GRAFT_PLANS=q...,q...")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r11")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLANS_SUFFIX", "before")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    qs.foreach { q =>
+      val txt = SparkEntry.queries(q)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/${q}_$suffix.txt"), txt)
+      println(s"wrote $dir/${q}_$suffix.txt (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

@@ -118,7 +118,15 @@ object BpeOps {
     * 30k-merge production run does not accumulate a 30k-stage plan. */
   def train(docs: DataFrame, textCol: String, iters: Int,
             checkpointEvery: Int = 8): (Seq[MergeRule], DataFrame) = {
-    var syms = initSymbols(wordCounts(docs, textCol))
+    // Pin the initial symbol table: every bestPair() is an ACTION, and
+    // without the pin round i's argmax re-executes the whole lineage —
+    // including wordCounts, the ONLY corpus-sized job in training — so
+    // k merges cost k corpus scans instead of one (UnigramOps.train
+    // already pins its word table for the same reason). The pin is
+    // vocab-sized (Heaps' law), so its storage cost is negligible next
+    // to the corpus pass it eliminates. Guide §1.2 step 1 / §2.4:
+    // remove recomputed passes before touching anything else.
+    var syms = initSymbols(wordCounts(docs, textCol)).materialize()
     val rules = Seq.newBuilder[MergeRule]
     var i = 1
     var done = false

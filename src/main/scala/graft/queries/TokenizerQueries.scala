@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.BpeOps
+import graft.operators.Materialize.Pinning
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -58,11 +59,17 @@ object TokenizerQueries {
     "q150_bpe_roundtrip" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
       val syms = BpeOps.initSymbols(BpeOps.wordCounts(docs, "text"))
+      // Pinned: the identity check below is an ACTION and the doc
+      // join-back re-reads the same frame — without the pin the whole
+      // chain (wordCounts corpus scan + 3 merge rounds) executes twice
+      // per run (guide §5: materialize what is reused; measured in
+      // OPTIMIZATION_r11.md). Vocab-sized, so the pin is cheap.
       val rebuilt = BpeOps.applyRules(syms, EncodeRules)
         .groupBy("word")
         .agg(concat_ws("", transform(
           array_sort(collect_list(struct(col("pos"), col("sym")))),
           x => x.getField("sym"))).as("rw"))
+        .materialize()
       // the per-word identity IS the property — fail loudly with a
       // count instead of letting a mismatch surface only as a hash diff
       val bad = rebuilt.filter(col("rw") =!= col("word")).count()
