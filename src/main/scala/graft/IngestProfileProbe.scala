@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.scheduler._
+import scala.collection.mutable
+
+/** Job-level profiler for the lifecycle gate queries (q158/q160/q164/
+  * q165): registers a listener that records every Spark job's duration +
+  * call site, runs the query twice (cold, then warm — the bench's
+  * decision series is warm), and prints the warm run's jobs sorted by
+  * duration. This is the "which of the ~100 jobs inside one ingest is
+  * the money" instrument the Spark UI would normally provide (guide
+  * §7.1), reduced to stdout for a headless host.
+  *
+  *   SPARK_GRAFT_PROBE_Q=q160_corpus_lifecycle runMain graft.IngestProfileProbe
+  */
+object IngestProfileProbe {
+  def main(args: Array[String]): Unit = {
+    val q = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q", "q160_corpus_lifecycle")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    case class Job(id: Int, site: String, ms: Long, stages: Int, tasks: Int,
+                   stageNames: Seq[String])
+    val starts = mutable.Map[Int, (String, Long, Int, Int, Seq[String])]()
+    val jobs = mutable.ArrayBuffer[Job]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        // the RESULT stage's name is the action's call site
+        // ("count at CorpusManager.scala:1024") — the attribution the
+        // missing callSite.short property would have carried
+        val infos = j.stageInfos.sortBy(_.stageId)
+        val site = infos.lastOption.map(_.name).getOrElse("?")
+        starts(j.jobId) = (site, System.nanoTime(),
+          infos.size, infos.map(_.numTasks).sum,
+          infos.map(s => s"${s.name}[${s.numTasks}]"))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        starts.remove(j.jobId).foreach { case (site, t0, st, tk, names) =>
+          jobs += Job(j.jobId, site, (System.nanoTime() - t0) / 1000000L,
+            st, tk, names)
+        }
+    })
+    def runOnce(tag: String): Unit = {
+      jobs.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).count()
+      val total = (System.nanoTime() - t0) / 1e9
+      // listener events are async — give the bus a moment to drain
+      Thread.sleep(1000)
+      val snapshot = jobs.toList
+      println(f"PROFILE $tag $q total ${total}%.2fs, ${snapshot.size} jobs, " +
+        f"job-sum ${snapshot.map(_.ms).sum / 1e3}%.2fs")
+      val bySite = snapshot.groupBy(_.site).map { case (s, js) =>
+        (s, js.map(_.ms).sum, js.size) }.toSeq.sortBy(-_._2)
+      bySite.take(25).foreach { case (s, ms, n) =>
+        println(f"PROFILE $tag   ${ms / 1e3}%7.2fs  n=$n%-4d $s") }
+      snapshot.sortBy(-_.ms).take(12).foreach { j =>
+        println(f"PROFILE $tag  job#${j.id}%-4d ${j.ms / 1e3}%6.2fs  " +
+          j.stageNames.mkString(" <- ")) }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    runOnce("cold")
+    runOnce("warm")
+    spark.stop()
+  }
+}

@@ -38,10 +38,21 @@ object Packing {
   def runningOffsets(df: DataFrame, srcCol: String, orderCol: String,
                      weightCol: String, span: Long = 1L << 20): DataFrame = {
     require(span > 0, s"span must be positive, got $span")
+    // The input feeds TWO jobs below (row-level windows AND the totals
+    // aggregate), and Spark has no cross-subtree CSE — an un-pinned
+    // input executes its whole lineage twice, which for the packing
+    // callers (q61/q129/q135) means re-tokenizing the corpus per read.
+    // Pin it once, UNLESS it is already a materialized scan (LogicalRDD
+    // — a caller-side pin or checkpoint), where a second pin would just
+    // copy the blocks (guide §2.4/§5: compute shared inputs once).
+    val in = df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => Materialize(df)
+    }
     // `div` truncates toward zero, which still maps ids onto contiguous,
     // monotone ranges (…[-s,-1]→0 boundary aside, ranges never
     // interleave), so sub-shard order agrees with id order.
-    val dfSub = df.withColumn("_sub", expr(s"$orderCol div $span"))
+    val dfSub = in.withColumn("_sub", expr(s"$orderCol div $span"))
     val wLocal = Window.partitionBy(srcCol, "_sub").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = dfSub.withColumn("_lcum", sum(col(weightCol)).over(wLocal))

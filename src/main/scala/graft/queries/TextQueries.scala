@@ -636,6 +636,13 @@ object TextQueries {
       def bucket(j: Column, tok: Column): Column =
         pmod(TextFunctions.md5Hash60(concat(j.cast("string"), tok)), lit(W))
       val js = (0 until 4).map(lit(_))
+      // NOT pinned, deliberately (r11 A/B): the exploded token frame is
+      // LARGER than the text it derives from, and the ×10 isolated
+      // steady state measured the pin at +0.44 s warm (1.39→1.83) —
+      // block-manager write+read of 31M token rows costs more than the
+      // second codegen'd split pass. q101 pins the same frame because
+      // it reads it THREE times (sketch + distinct + exact verify);
+      // two reads don't amortize the copy.
       val toks = Tables.table(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       val sketch = toks
@@ -1654,18 +1661,20 @@ object TextQueries {
     "q135_importance_resample" -> ((s, dir) => {
       val k = 200L
       val toks = TextFunctions.tokens(col("text"))
+      // pinned: the weight table feeds runningOffsets (two interior
+      // reads) AND the grand total — un-pinned, the stopword tokenize
+      // pass ran three times per execution (guide §2.4/§5; the total
+      // used to come from a third, separate documents scan computing
+      // the identical `w` — same rows, same expression, so summing the
+      // pinned frame is bit-identical)
       val wdf = Tables.table(s, dir, "documents")
         .select(col("doc_id"),
           (floor(TextFunctions.wordSetCount(toks, STOPWORDS).cast("double")
             * 1000.0 / size(toks).cast("double")).cast("long") + 1L).as("w"))
         .withColumn("one", lit(1))
+        .materialize()
       graft.operators.Packing.runningOffsets(wdf, "one", "doc_id", "w")
-        .crossJoin(broadcast(
-          Tables.table(s, dir, "documents").select(col("doc_id"),
-              (floor(TextFunctions.wordSetCount(toks, STOPWORDS)
-                .cast("double") * 1000.0 / size(toks).cast("double"))
-                .cast("long") + 1L).as("w"))
-            .agg(sum("w").as("tw"))))
+        .crossJoin(broadcast(wdf.agg(sum("w").as("tw"))))
         .selectExpr("doc_id", "w",
           s"least($k, (${2 * k} * cum + tw - 1) div (2 * tw))" +
             s" - least($k, (${2 * k} * (cum - w) + tw - 1) div (2 * tw))" +
