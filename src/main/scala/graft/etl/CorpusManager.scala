@@ -965,9 +965,8 @@ class CorpusManager(
     * every artifact's file list pinned. */
   def ingestInitial(docs: DataFrame): IngestReport = withIngestLock {
     require(!hasExisting, s"corpus $name already exists at $root — use ingestShard")
-    val (okQ, rejQ) = qualityGate(docs)
-    val (ok, rejC) = contaminationGate(okQ)
-    val rej = rejQ.unionByName(rejC)
+    val (okQ, _) = qualityGate(docs)
+    val (ok, _) = contaminationGate(okQ)
     val accepted = ok.pinned() // gate once; feeds dedup + counts
     val (_, _, textKeepers) = DedupPipeline.run(accepted, idCol, textCol, p)
     // embedding-side near-dup among the text-unique keepers: LSH-bucket
@@ -1021,7 +1020,15 @@ class CorpusManager(
         (1L, combo.toLong)
       case None => (0L, 0L)
     }
-    val (nIn, nRej, nKept) = (docs.count(), rej.count(), kept.count())
+    // nRej by set arithmetic, not a reject-side recompute: both gates
+    // PARTITION their input row-wise (qualityGate's ok/!ok filters,
+    // contaminationGate's semi/anti split on the pinned contaminated
+    // ids), so |rej| = |in| − |ok| exactly — counting the pinned
+    // accepted frame replaces a second full gate pass (tokenize +
+    // bloom + verify join) per ingest (guide §1.2 step 1 / §2.4;
+    // measured in OPTIMIZATION_r11.md)
+    val (nIn, nKept) = (docs.count(), kept.count())
+    val nRej = nIn - accepted.count()
     commitManifest(nKept, 1, CorpusFiles(
       listDir(docsPath).toSeq, listDir(sigsPath).toSeq,
       listDir(hashesPath).toSeq, listDir(sketchPath).toSeq,
@@ -1108,10 +1115,14 @@ class CorpusManager(
     readManifest().foreach { m =>
       requireCurrentSigScheme(m); requireCurrentMediaScheme(m)
     }
-    val (okQ, rejQ) = qualityGate(newDocs)
-    val (ok, rejC) = contaminationGate(okQ)
-    val rej = rejQ.unionByName(rejC)
+    val (okQ, _) = qualityGate(newDocs)
+    val (ok, _) = contaminationGate(okQ)
     val shard = ok.pinned()
+    // |rej| = |in| − |ok| (both gates partition row-wise — see
+    // ingestInitial): one raw-input count + one pinned count instead of
+    // a full reject-side gate recompute per shard
+    lazy val nIn = newDocs.count()
+    lazy val nRej = nIn - shard.count()
     val nInCorpus = shard.select(col(idCol)).distinct()
       .join(corpus().select(col(idCol)), Seq(idCol), "left_semi").count()
     if (nInCorpus > 0) {
@@ -1129,14 +1140,13 @@ class CorpusManager(
         .join(corpus().select(col(idCol)), Seq(idCol), "left_anti")
         .pinned()
       if (remainder.isEmpty) {
-        val (nIn, nRej) = (newDocs.count(), rej.count())
         IngestReport(nIn, nRej, nIn - nRej, 0, Nil)
-      } else ingestShardBody(newDocs, remainder, rej)
-    } else ingestShardBody(newDocs, shard, rej)
+      } else ingestShardBody(newDocs, remainder, nIn, nRej)
+    } else ingestShardBody(newDocs, shard, nIn, nRej)
   }
 
   private def ingestShardBody(newDocs: DataFrame, shard: DataFrame,
-                              rej: DataFrame): IngestReport = {
+                              nIn: Long, nRej: Long): IngestReport = {
     val man = readManifest().get
     val corpusH = hashesDf()
 
@@ -1278,7 +1288,7 @@ class CorpusManager(
       else if (liveMbV != man.mediaBlocksVersion)
         listDir(activeMediaBlocks).toSeq // regenerated + keeper appends
       else prev.mediaBlocks ++ fresh(activeMediaBlocks)
-    val (nIn, nRej, nKept) = (newDocs.count(), rej.count(), keepers.count())
+    val nKept = keepers.count()
     commitManifest(man.nDocs + nKept, man.bandsVersion, CorpusFiles(
       prev.docs ++ fresh(docsPath), prev.sigs ++ fresh(sigsPath),
       prev.hashes ++ fresh(hashesPath), fresh(sketchPath),
