@@ -28,7 +28,17 @@ object BucketedSignatureStore {
   def write(df: DataFrame, name: String, path: String, numBuckets: Int,
             keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "bucketed write needs at least one key column")
-    df.write.mode("overwrite").format("parquet")
+    // Repartition on the bucket keys BEFORE the bucketed write: without
+    // it every task writes one file per bucket it holds (tasks ×
+    // buckets files — measured 1946 files for one sf0.1 band table),
+    // paying per-file commit on the writer and per-file open on every
+    // later scan (guide §6: small files hurt twice). repartition uses
+    // the same Murmur3 hash bucketing does, so each task holds exactly
+    // one bucket and writes exactly one sorted file. The added exchange
+    // moves the narrow band rows once — at corpus scale that bounds the
+    // table's file count by numBuckets instead of tasks×buckets.
+    df.repartition(numBuckets, keys.map(df.col): _*)
+      .write.mode("overwrite").format("parquet")
       .option("path", path)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
@@ -56,7 +66,10 @@ object BucketedSignatureStore {
       s"bucketed table $name is not registered in this session's " +
         "catalog — re-register the external table (BucketedSignatureStore" +
         ".write) before appending")
-    df.write.mode("append").format("parquet")
+    // same one-file-per-bucket discipline as write(): each append adds
+    // numBuckets files to the table, not tasks×buckets
+    df.repartition(numBuckets, keys.map(df.col): _*)
+      .write.mode("append").format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(name)
