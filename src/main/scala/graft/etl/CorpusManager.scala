@@ -698,12 +698,18 @@ class CorpusManager(
     }
 
   /** Per-source KMV vocabulary sketch: k smallest 60-bit token hashes.
-    * One distinct pass + map-side-combined `kmv_minima` — the shuffle
-    * carries k longs per (partition, source). */
+    * One map-side-combined `kmv_minima` pass straight off the tokenize
+    * — NO pre-distinct: KmvMinima skips duplicate values on insert
+    * (distinctness is intrinsic, its scaladoc contract), so a distinct
+    * here only added a full (source, token) exchange per sketch call —
+    * the single largest per-ingest shuffle at corpus scale — for a
+    * bit-identical minima array (guide §2.4: remove shuffles outright;
+    * unlike q62/q63, nothing here needs the distinct frame's exact
+    * count). The one shuffle left carries k longs per (partition,
+    * source). */
   def vocabSketch(docs: DataFrame): DataFrame =
     docs
       .select(col(sourceCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .distinct()
       .groupBy(sourceCol)
       .agg(call_function("kmv_minima", TextFunctions.md5Hash60(col("tok")),
         lit(sketchK)).as("minima"))
