@@ -298,6 +298,24 @@ object Bench {
       .getOrElse(s"$dir/BENCH_r02.json")
   }
 
+  /** Query names inside one `"key":[{"q":...},...]` regression section
+    * of a record fragment. Used by the compact summary line (names
+    * only, no numbers) — the full entries stay in the full record. */
+  private[graft] def regrSection(fragment: String, key: String): Seq[String] = {
+    val arr = (s""""$key":\\[(.*?)\\]""").r
+      .findFirstMatchIn(fragment).map(_.group(1)).getOrElse("")
+    """"q":"([^"]+)"""".r.findAllMatchIn(arr).map(_.group(1)).toSeq
+  }
+
+  /** A capped JSON name array + overflow count for the compact line:
+    * `"k":["a","b"],"k_more":3`. Caps keep the whole compact line under
+    * the driver's ~2 kB stdout tail window. */
+  private[graft] def cappedNames(key: String, names: Seq[String],
+                                 cap: Int = 8): String = {
+    val shown = names.take(cap).map("\"" + _ + "\"").mkString("[", ",", "]")
+    s""""$key":$shown,"${key}_more":${math.max(0, names.size - cap)}"""
+  }
+
   /** Host calibration recorded in a baseline file (`"single_miters":N`
     * / `"multi32_miters":N`), for host-drift normalization in the
     * regression math. None for records from before the host section. */
@@ -680,16 +698,74 @@ object Bench {
     // per-query history dies with each round (round 6's policing
     // compared against a misfiled truncated tail). Persist the COMPLETE
     // record as a committed repo file, named for the round the driver is
-    // about to stamp (max existing BENCH_r* + 1); latestBaseline prefers
-    // these, making next round's comparison full-fidelity at both tiers.
+    // about to stamp (max existing BENCH_r* + 1, overridable via
+    // SPARK_GRAFT_BENCH_ROUND); latestBaseline prefers these, making
+    // next round's comparison full-fidelity at both tiers.
+    var fullRecordName = "bench_out.json"
     if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_TIER2", "1") != "0") {
-      val roundNo = 1 + Option(new java.io.File(repoDir).listFiles())
-        .toSeq.flatten.map(_.getName)
-        .collect { case n if n.matches("BENCH_r\\d+\\.json") =>
-          n.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
-        .foldLeft(0)(math.max)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(
-        f"$repoDir/BENCH_FULL_r$roundNo%02d.json"), json)
+      val roundNo = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt)
+        .getOrElse(1 + Option(new java.io.File(repoDir).listFiles())
+          .toSeq.flatten.map(_.getName)
+          .collect { case n if n.matches("BENCH_r\\d+\\.json") =>
+            n.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+          .foldLeft(0)(math.max))
+      // NEVER clobber an existing record (round-11 verdict item 2: the
+      // driver's post-round run silently overwrote the builder's
+      // committed end-of-round record). Suffixed names don't match
+      // latestBaseline's regex, so extra runs can't hijack next round's
+      // baseline either.
+      val path = Iterator.from(0)
+        .map(k => if (k == 0) f"$repoDir/BENCH_FULL_r$roundNo%02d.json"
+                  else f"$repoDir/BENCH_FULL_r$roundNo%02d_$k.json")
+        .find(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        .get
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+      fullRecordName = new java.io.File(path).getName
+    }
+    // COMPACT summary line, printed LAST (round-11 verdict item 2): the
+    // driver keeps only the final ~2 kB of stdout, so the full record
+    // line above has had its head truncated away in EVERY round's
+    // BENCH_r*.json ("parsed": null since r01). This line carries the
+    // totals, counts and regression NAMES in well under 2 kB; the
+    // per-query maps stay in the (unchanged) full line, bench_out.json
+    // and BENCH_FULL_r{N}.json. Measurement methodology is untouched.
+    {
+      def names(frag: String, key: String) = regrSection(frag, key)
+      val t2frag = tier2Json
+      val regrCounts = Seq(
+        "cold" -> names(regressions, "regressions").size,
+        "warm" -> names(warmRegr, "warm_regressions").size,
+        "gate" -> names(gateRegr, "gate_regressions").size,
+        "warm_gate" -> names(gateWarmRegr, "warm_gate_regressions").size,
+        "t2" -> names(t2frag, "regressions").size,
+        "t2_warm" -> names(t2frag, "warm_regressions").size,
+        "t2_gate" -> names(t2frag, "gate_regressions").size,
+        "t2_warm_gate" -> names(t2frag, "warm_gate_regressions").size)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val t2totals = tier2Data.map { case (t20, _) =>
+        val t2t = if (t20.exists(!_._4)) "null"
+          else t20.collect { case (_, v, _, true) => v }.sum.toString
+        val t2w = if (t20.exists(!_._4)) "null"
+          else t20.collect { case (_, _, w, true) => w }.sum.toString
+        s""""t2_total":$t2t,"t2_warm_total":$t2w,"""
+      }.getOrElse("")
+      val baselineMissing = t1prevWarm.isEmpty
+      val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""ok":${failedSeq.isEmpty},"compact":true,""" +
+        s""""warm_estimator":"min3","warm_total":$warmTotal,""" +
+        s"""$t2totals"n_queries":${plain0.size},"n_gates":${gates0.size},""" +
+        s""""failed":$failed,""" +
+        s""""host_scale":${String.format(java.util.Locale.ROOT,
+          "%.4f", Double.box(drift))},""" +
+        s""""steal_suspect":$stealSuspect,""" +
+        s""""baseline_missing":$baselineMissing,""" +
+        s""""regr_counts":$regrCounts,""" +
+        cappedNames("warm_regr_names",
+          names(warmRegr, "warm_regressions")) + "," +
+        cappedNames("t2_warm_regr_names",
+          names(t2frag, "warm_regressions")) + "," +
+        s""""full_record":"$fullRecordName","sf":"$sfDir"}"""
+      println(compact)
     }
     spark.stop()
   }

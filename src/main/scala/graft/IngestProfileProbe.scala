@@ -22,6 +22,11 @@ object IngestProfileProbe {
     spark.sparkContext.setLogLevel("ERROR")
     case class Job(id: Int, site: String, ms: Long, stages: Int, tasks: Int,
                    stageNames: Seq[String])
+    // single lock guards both maps: the listener bus delivers events on
+    // its own thread, and the snapshot below must not race a late
+    // onJobEnd (the round-11 advice item — a fixed sleep both raced the
+    // buffer and dropped stragglers on a loaded host)
+    val lock = new Object
     val starts = mutable.Map[Int, (String, Long, Int, Int, Seq[String])]()
     val jobs = mutable.ArrayBuffer[Job]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -30,25 +35,33 @@ object IngestProfileProbe {
         // ("count at CorpusManager.scala:1024") — the attribution the
         // missing callSite.short property would have carried
         val infos = j.stageInfos.sortBy(_.stageId)
-        val site = infos.lastOption.map(_.name).getOrElse("?")
-        starts(j.jobId) = (site, System.nanoTime(),
-          infos.size, infos.map(_.numTasks).sum,
-          infos.map(s => s"${s.name}[${s.numTasks}]"))
+        lock.synchronized {
+          starts(j.jobId) = (site(infos), System.nanoTime(),
+            infos.size, infos.map(_.numTasks).sum,
+            infos.map(s => s"${s.name}[${s.numTasks}]"))
+        }
       }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+      private def site(infos: Seq[org.apache.spark.scheduler.StageInfo]) =
+        infos.lastOption.map(_.name).getOrElse("?")
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = lock.synchronized {
         starts.remove(j.jobId).foreach { case (site, t0, st, tk, names) =>
           jobs += Job(j.jobId, site, (System.nanoTime() - t0) / 1000000L,
             st, tk, names)
         }
+      }
     })
     def runOnce(tag: String): Unit = {
-      jobs.clear()
+      lock.synchronized(jobs.clear())
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count()
       val total = (System.nanoTime() - t0) / 1e9
-      // listener events are async — give the bus a moment to drain
-      Thread.sleep(1000)
-      val snapshot = jobs.toList
+      // drain the async listener bus: wait until every started job has
+      // delivered its end event (bounded — a job leaked by a failed
+      // action must not hang the probe), instead of a racy fixed sleep
+      val deadline = System.nanoTime() + 5000000000L
+      while (lock.synchronized(starts.nonEmpty) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val snapshot = lock.synchronized(jobs.toList)
       println(f"PROFILE $tag $q total ${total}%.2fs, ${snapshot.size} jobs, " +
         f"job-sum ${snapshot.map(_.ms).sum / 1e3}%.2fs")
       val bySite = snapshot.groupBy(_.site).map { case (s, js) =>

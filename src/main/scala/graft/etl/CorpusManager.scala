@@ -1034,7 +1034,10 @@ class CorpusManager(
     // bloom + verify join) per ingest (guide §1.2 step 1 / §2.4;
     // measured in OPTIMIZATION_r11.md)
     val (nIn, nKept) = (docs.count(), kept.count())
-    val nRej = nIn - accepted.count()
+    // max(0, ·): the arithmetic compares fresh scans, so it requires
+    // `docs` to be deterministic between them (the ingest contract); the
+    // floor keeps scan disagreement from emitting a negative count
+    val nRej = math.max(0L, nIn - accepted.count())
     commitManifest(nKept, 1, CorpusFiles(
       listDir(docsPath).toSeq, listDir(sigsPath).toSeq,
       listDir(hashesPath).toSeq, listDir(sketchPath).toSeq,
@@ -1127,8 +1130,13 @@ class CorpusManager(
     // |rej| = |in| − |ok| (both gates partition row-wise — see
     // ingestInitial): one raw-input count + one pinned count instead of
     // a full reject-side gate recompute per shard
+    // the arithmetic compares a fresh scan of the raw input against the
+    // pinned gate output, so it requires `newDocs` to be DETERMINISTIC
+    // between the two scans (the ingest contract — a sampled/changing
+    // source would skew the count); max(0, ·) pins the floor so scan
+    // disagreement can never emit a negative reject count
     lazy val nIn = newDocs.count()
-    lazy val nRej = nIn - shard.count()
+    lazy val nRej = math.max(0L, nIn - shard.count())
     val nInCorpus = shard.select(col(idCol)).distinct()
       .join(corpus().select(col(idCol)), Seq(idCol), "left_semi").count()
     if (nInCorpus > 0) {

@@ -454,9 +454,13 @@ object DedupPipeline {
     // corpus signatures stay a LAZY parquet scan — materializing them
     // would cost corpus-sized memory per shard run; the verify joins
     // broadcast the (small) candidate side, so each scan streams the
-    // sig table without shuffling it. Only the shard's signatures (the
-    // frame every join side recomputes otherwise) are checkpointed.
-    val allSigs = corpusSigs.unionByName(shardSigs.materialize())
+    // sig table without shuffling it. The shard's signatures are ALREADY
+    // pinned (signatureTables materializes the minhash frame;
+    // `shardSigs` is a projection of those blocks), so a second
+    // .materialize() here only block-manager-copied them — the exact
+    // double-pin the Packing guard exists for (removed round 12; the
+    // projection re-reads the pinned blocks per join side for free).
+    val allSigs = corpusSigs.unionByName(shardSigs)
     val exact =
       if (p.exactVerify)
         Some((corpusDocs.get.select(col(idCol), col(textCol))

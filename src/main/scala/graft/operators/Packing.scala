@@ -34,7 +34,14 @@ object Packing {
     * hierarchically (see class doc). `orderCol` must be an integral
     * column, unique within its source (ties make ANY prefix sum
     * order-ambiguous, the flat window included). `span` bounds how many
-    * distinct order values one window partition may own. */
+    * distinct order values one window partition may own.
+    *
+    * Pinning note: the input is materialized EAGERLY at construction
+    * (unless already pinned — see below), and the pin lives as long as
+    * the returned frame's lineage. Long-lived sessions that call this
+    * repeatedly should release superseded results
+    * ([[Materialize.release]]) or pass an already-pinned input so this
+    * method pins nothing of its own. */
   def runningOffsets(df: DataFrame, srcCol: String, orderCol: String,
                      weightCol: String, span: Long = 1L << 20): DataFrame = {
     require(span > 0, s"span must be positive, got $span")
@@ -44,11 +51,22 @@ object Packing {
     // callers (q61/q129/q135) means re-tokenizing the corpus per read.
     // Pin it once, UNLESS it is already a materialized scan (LogicalRDD
     // — a caller-side pin or checkpoint), where a second pin would just
-    // copy the blocks (guide §2.4/§5: compute shared inputs once).
-    val in = df.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => df
-      case _ => Materialize(df)
+    // copy the blocks (guide §2.4/§5: compute shared inputs once). A
+    // pinned frame under cheap narrow ops (Project/Filter — the q129
+    // `base` shape) counts as materialized too: those re-evaluate per
+    // read for free, and re-pinning them would block-manager-copy the
+    // data a second time (round-11 advice item).
+    def materialized(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case prj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        materialized(prj.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        materialized(f.child)
+      case _ => false
     }
+    val in = if (materialized(df.queryExecution.analyzed)) df
+             else Materialize(df)
     // `div` truncates toward zero, which still maps ids onto contiguous,
     // monotone ranges (…[-s,-1]→0 boundary aside, ranges never
     // interleave), so sub-shard order agrees with id order.

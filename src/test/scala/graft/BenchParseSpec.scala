@@ -235,6 +235,24 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.calibrationSwing(0L, 0L) == 0.0) // degenerate: no flag
   }
 
+  test("compact-line helpers: section names extract per key, caps hold") {
+    val frag = """"warm_regressions":[{"q":"q01_a","prev":1.0,"now":2.0},""" +
+      """{"q":"q02_b","prev":0.5,"now":0.9}],"warm_host_scale":1.0"""
+    assert(Bench.regrSection(frag, "warm_regressions") == Seq("q01_a", "q02_b"))
+    // the un-prefixed key must not match inside a prefixed one
+    val both = """"regressions":[{"q":"qc_cold","prev":1,"now":2}],""" +
+      """"warm_regressions":[{"q":"qw_warm","prev":1,"now":2}]"""
+    assert(Bench.regrSection(both, "regressions") == Seq("qc_cold"))
+    assert(Bench.regrSection(both, "warm_regressions") == Seq("qw_warm"))
+    assert(Bench.regrSection("", "regressions").isEmpty)
+    // caps: 8 shown, the rest counted — the compact line must stay well
+    // under the driver's ~2 kB stdout tail window
+    val many = (1 to 30).map(i => f"q$i%02d_name")
+    val capped = Bench.cappedNames("warm_regr_names", many)
+    assert(capped.contains("\"warm_regr_names_more\":22"))
+    assert(capped.length < 300)
+  }
+
   test("latestBaseline picks the newest USABLE round file") {
     val dir = java.nio.file.Files.createTempDirectory("benchbase").toString
     def put(n: String, body: String) =
